@@ -1,0 +1,272 @@
+"""ExplainableDataFrame: the Spark-native explainable dataframe.
+
+The Spark re-expression of the reference's ExpDataFrame
+(core/explainable_data_frame.py:46): a thin wrapper over a *lazy*
+pyspark.sql.DataFrame plus sidecar lineage state (``operation``,
+``filter_items``, ``last_used_explainer`` — reference :80-84). Unlike the
+reference (eager pandas, operation recorded post-hoc), capture here
+records the plan before any job runs; explainers are the only consumers
+that trigger Spark jobs.
+
+Divergence from the reference, by design (SURVEY.md §7 risk register):
+frame names come from an explicit ``name=`` parameter, not call-stack
+inspection (get_calling_params_name, reference :869-870).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .groupby import ExplainableGroupedData
+from .operations import Comparison, FilterOp, JoinOp, BJoinOp, Operation, PredicateNode
+from .series import ExplainableColumn, ExplainablePredicate
+
+
+class ExplainableDataFrame:
+    def __init__(
+        self,
+        df: DataFrame,
+        name: str = "df",
+        operation: Operation | None = None,
+    ):
+        self.df = df
+        self.name = name
+        self.operation = operation
+        self.filter_items: list[str] = []
+        self.last_used_explainer = None
+
+    # ------------------------------------------------------------------
+    # projection / filter (reference R1/R2, explainable_data_frame.py:343-396,783-807)
+    # ------------------------------------------------------------------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            if key not in self.df.columns:
+                raise KeyError(key)
+            # candidate filter column, as the reference records (ref :351-354)
+            self.filter_items.append(key)
+            return ExplainableColumn(self, key)
+        if isinstance(key, (list, tuple)):
+            missing = [c for c in key if c not in self.df.columns]
+            if missing:
+                raise KeyError(f"column(s) not found: {missing}")
+            out = ExplainableDataFrame(self.df.select(*key), name=self.name, operation=self.operation)
+            return out
+        if isinstance(key, ExplainablePredicate):
+            return self._apply_filter(key)
+        raise TypeError(f"unsupported key type: {type(key).__name__}")
+
+    def _apply_filter(self, pred: ExplainablePredicate) -> "ExplainableDataFrame":
+        result = self.df.filter(pred.tree.to_spark(self.df))
+        tree = pred.tree
+        attribute = tree.columns()[0] if tree.columns() else None
+        op_str, value = None, None
+        if isinstance(tree, Comparison):
+            op_str, value = tree.op, tree.value
+        op = FilterOp(
+            source=self.df,
+            result=result,
+            source_name=self.name,
+            attribute=attribute,
+            op_str=op_str,
+            value=value,
+            predicate=tree,
+        )
+        return ExplainableDataFrame(result, name=f"{self.name}_filtered", operation=op)
+
+    def filter(self, pred) -> "ExplainableDataFrame":
+        if isinstance(pred, ExplainablePredicate):
+            return self._apply_filter(pred)
+        # raw Spark Column / SQL string: untracked fallback
+        return ExplainableDataFrame(self.df.filter(pred), name=f"{self.name}_filtered")
+
+    def where(self, pred) -> "ExplainableDataFrame":
+        """Reference R3 records ``where`` as a Filter op (explainable_data_frame.py:671-714);
+        observable result semantics here are row filtering."""
+        return self.filter(pred)
+
+    def query(self, predicate: PredicateNode) -> "ExplainableDataFrame":
+        """Filter from a pre-built predicate tree (used by the mini-language parser)."""
+        return self._apply_filter(
+            ExplainablePredicate(self, predicate.to_spark(self.df), predicate)
+        )
+
+    # ------------------------------------------------------------------
+    # group-by (reference R4, explainable_data_frame.py:716-781)
+    # ------------------------------------------------------------------
+    def groupby(self, by, **_ignored) -> ExplainableGroupedData:
+        keys = [by] if isinstance(by, str) else list(by)
+        return ExplainableGroupedData(self, keys)
+
+    groupBy = groupby
+
+    # ------------------------------------------------------------------
+    # joins (reference R6/R7/R8, explainable_data_frame.py:809-1030)
+    # ------------------------------------------------------------------
+    def merge(
+        self,
+        right: "ExplainableDataFrame",
+        on: str | list[str] | None = None,
+        how: str = "inner",
+        broadcast_right: bool = False,
+    ) -> "ExplainableDataFrame":
+        """Equi-join with the reference's column-prefix contract: non-key
+        columns are prefixed ``<frame_name>_`` (reference prefixes with the
+        calling variable's name, :809-887; we use the explicit frame name).
+
+        ``broadcast_right=True`` adds a broadcast hint for small dims —
+        Catalyst/AQE auto-broadcasts below the threshold anyway.
+        """
+        if on is None:
+            raise ValueError("merge requires `on` (equi-join keys); cross joins are not tracked")
+        keys = [on] if isinstance(on, str) else list(on)
+        for k in keys:
+            if k not in self.df.columns:
+                raise KeyError(f"join key {k!r} not in left frame")
+            if k not in right.df.columns:
+                raise KeyError(f"join key {k!r} not in right frame")
+
+        def prefixed(df: DataFrame, name: str) -> DataFrame:
+            cols = [
+                F.col(c).alias(c if c in keys else f"{name}_{c}") for c in df.columns
+            ]
+            return df.select(*cols)
+
+        l = prefixed(self.df, self.name)
+        r = prefixed(right.df, right.name)
+        if broadcast_right:
+            r = F.broadcast(r)
+        result = l.join(r, on=keys, how=how)
+        op = JoinOp(
+            source=self.df,
+            result=result,
+            source_name=self.name,
+            left=self.df,
+            right=right.df,
+            on=keys,
+            how=how,
+            left_name=self.name,
+            right_name=right.name,
+        )
+        return ExplainableDataFrame(result, name=f"{self.name}_x_{right.name}", operation=op)
+
+    def join(self, other: "ExplainableDataFrame", on=None, how: str = "inner", **kw):
+        """Reference R7 implements join AS merge (explainable_data_frame.py:939-940)."""
+        if on is None:
+            raise ValueError("join requires `on` — the reference warns and fails here too (ref :927-929)")
+        return self.merge(other, on=on, how=how, **kw)
+
+    def b_join(self, other: "ExplainableDataFrame", on=None, how: str = "left") -> "ExplainableDataFrame":
+        """Boolean-query explain join (reference R8, explainable_data_frame.py:971-1030)."""
+        out = self.merge(other, on=on, how=how)
+        op = out.operation
+        out.operation = BJoinOp(
+            source=op.source,
+            result=op.result,
+            source_name=op.source_name,
+            left=op.left,
+            right=op.right,
+            on=op.on,
+            how=how,
+            left_name=op.left_name,
+            right_name=op.right_name,
+        )
+        return out
+
+    # ------------------------------------------------------------------
+    # passthroughs (reference R9-R14)
+    # ------------------------------------------------------------------
+    def drop(self, columns: str | list[str]) -> "ExplainableDataFrame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        missing = [c for c in cols if c not in self.df.columns]
+        if missing:
+            raise KeyError(f"cannot drop missing column(s): {missing}")
+        return ExplainableDataFrame(self.df.drop(*cols), name=self.name, operation=self.operation)
+
+    def rename(self, columns: dict[str, str]) -> "ExplainableDataFrame":
+        """Reference R10 also rewrites lineage metadata through the mapping."""
+        out_df = self.df.withColumnsRenamed(columns)
+        op = self.operation
+        if op is not None:
+            import copy as _copy
+
+            op = _copy.copy(op)
+            if isinstance(op, FilterOp) and op.attribute in columns:
+                op.attribute = columns[op.attribute]
+            if hasattr(op, "keys") and getattr(op, "keys", None):
+                op.keys = [columns.get(k, k) for k in op.keys]
+        return ExplainableDataFrame(out_df, name=self.name, operation=op)
+
+    def sample(self, frac: float | None = None, n: int | None = None, seed: int = 42) -> "ExplainableDataFrame":
+        """Reference R11. Exact-n path sorts by a seeded hash then limits —
+        deterministic across partitionings (SURVEY §7 risk register)."""
+        if n is not None:
+            ordered = self.df.orderBy(F.xxhash64(*[F.col(c) for c in self.df.columns], F.lit(seed)))
+            return ExplainableDataFrame(ordered.limit(n), name=self.name, operation=self.operation)
+        return ExplainableDataFrame(
+            self.df.sample(fraction=frac or 1.0, seed=seed), name=self.name, operation=self.operation
+        )
+
+    def reset_index(self, **_ignored) -> "ExplainableDataFrame":
+        """No-op: Spark has no row index (reference R12)."""
+        return self
+
+    def drop_duplicates(self, subset: list[str] | None = None) -> "ExplainableDataFrame":
+        return ExplainableDataFrame(
+            self.df.dropDuplicates(subset=subset), name=self.name, operation=self.operation
+        )
+
+    def copy(self) -> "ExplainableDataFrame":
+        out = ExplainableDataFrame(self.df, name=self.name, operation=self.operation)
+        out.filter_items = list(self.filter_items)
+        return out
+
+    # ------------------------------------------------------------------
+    # explain (reference core/explainable_data_frame.py:1085-1274)
+    # ------------------------------------------------------------------
+    def explain(self, explainer: str = "fedex", **kwargs):
+        """Run an explanation operator over the captured lineage.
+
+        explainer in {'fedex', 'shapley', 'outlier', 'many_to_one', 'metainsight'}
+        (reference explainers/explainer_factory.py:15-33). Returns an
+        Explanation object; ``.to_df(spark)`` gives the result DataFrame.
+        """
+        from ..explainers.factory import create_explainer
+
+        exp = create_explainer(explainer, self, **kwargs)
+        self.last_used_explainer = explainer
+        return exp.generate_explanation()
+
+    # ------------------------------------------------------------------
+    # delegation: any unknown attr goes to the Spark DataFrame, and
+    # DataFrame-returning methods are re-wrapped (reference _constructor
+    # magic, explainable_data_frame.py:86-99)
+    # ------------------------------------------------------------------
+    def __getattr__(self, item: str) -> Any:
+        attr = getattr(self.df, item)
+        if callable(attr):
+            def wrapper(*args, **kwargs):
+                out = attr(*args, **kwargs)
+                if isinstance(out, DataFrame):
+                    return ExplainableDataFrame(out, name=self.name, operation=self.operation)
+                return out
+
+            return wrapper
+        return attr
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    def to_html(self, n: int = 20) -> str:
+        """Reference S5 (core/explainable_series.py:421-427) — display only."""
+        return self.df.limit(n).toPandas().to_html()
+
+    def __repr__(self) -> str:
+        op = f", op={self.operation.kind}" if self.operation else ""
+        return f"ExplainableDataFrame({self.name}{op}, cols={self.df.columns})"

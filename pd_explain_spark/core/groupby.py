@@ -1,0 +1,178 @@
+"""ExplainableGroupedData: lazy grouped object with the 13 named aggs.
+
+Mirrors the reference's ExpDataFrameGroupBy / ExpSeriesGroupBy
+(core/explainable_group_by_dataframe.py:17, core/explainable_group_by_series.py:10)
+without the class-swap hack — we own the facade, ``df.groupby(keys)``
+returns this wrapper directly. Every agg returns an ExplainableDataFrame
+whose lineage is a GroupByOp; result columns follow the ``<col>_<agg>``
+naming contract (explainable_group_by_dataframe.py:22-485).
+
+Spark notes: one ``groupBy(...).agg(...)`` — a single shuffle on the keys
+with map-side partial aggregation; ``nunique`` is the one agg that cannot
+partially aggregate (exact distinct), which is the correct price for
+oracle parity (``approx_count_distinct`` is the documented scale path).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import (
+    AGG_NAMES,
+    NUMERIC_ONLY,
+    agg_column,
+    is_numeric_type,
+    output_name,
+)
+from .operations import GroupByOp
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .frame import ExplainableDataFrame
+
+
+class ExplainableGroupedData:
+    def __init__(self, frame: "ExplainableDataFrame", keys: list[str], selected: list[str] | None = None):
+        missing = [k for k in keys if k not in frame.df.columns]
+        if missing:
+            raise KeyError(f"group key(s) not in columns: {missing}")
+        self.frame = frame
+        self.keys = keys
+        self.selected = selected  # None = all non-key columns
+
+    # -- column projection on the grouped object ---------------------------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            cols = [key]
+        else:
+            cols = list(key)
+        missing = [c for c in cols if c not in self.frame.df.columns]
+        if missing:
+            raise KeyError(f"column(s) not in frame: {missing}")
+        return ExplainableGroupedData(self.frame, self.keys, cols)
+
+    # -- agg machinery ------------------------------------------------------
+    def _value_columns(self, agg: str) -> list[str]:
+        schema = {f.name: f.dataType for f in self.frame.df.schema.fields}
+        if self.selected is not None:
+            cols = [c for c in self.selected if c not in self.keys]
+        else:
+            cols = [c for c in self.frame.df.columns if c not in self.keys]
+        if agg in NUMERIC_ONLY:
+            cols = [c for c in cols if is_numeric_type(schema[c])]
+        return cols
+
+    def _run(self, agg_dict: dict[str, list[str]], ddof: int = 1, size: bool = False) -> "ExplainableDataFrame":
+        from .frame import ExplainableDataFrame
+
+        exprs = []
+        column_mapping: dict[str, tuple[str, str]] = {}
+        if size:
+            exprs.append(agg_column("*", "size").alias("size"))
+            column_mapping["size"] = ("*", "size")
+        for col, aggs in agg_dict.items():
+            for agg in aggs:
+                out = output_name(col, agg)
+                exprs.append(agg_column(col, agg, ddof=ddof).alias(out))
+                column_mapping[out] = (col, agg)
+        if not exprs:
+            raise ValueError("no columns to aggregate")
+        result = self.frame.df.groupBy(*self.keys).agg(*exprs)
+        op = GroupByOp(
+            source=self.frame.df,
+            result=result,
+            source_name=self.frame.name,
+            keys=list(self.keys),
+            agg_dict={k: list(v) for k, v in agg_dict.items()},
+            column_mapping=column_mapping,
+        )
+        agg_label = "_".join(sorted({a for v in agg_dict.values() for a in v})) or "size"
+        return ExplainableDataFrame(
+            result, name=f"{self.frame.name}_groupby_{agg_label}", operation=op
+        )
+
+    def _named(self, agg: str, ddof: int = 1) -> "ExplainableDataFrame":
+        if agg == "size":
+            return self._run({}, size=True)
+        cols = self._value_columns(agg)
+        if not cols:
+            raise ValueError(f"no applicable columns for agg {agg!r}")
+        return self._run({c: [agg] for c in cols}, ddof=ddof)
+
+    def mean(self):
+        return self._named("mean")
+
+    def median(self):
+        return self._named("median")
+
+    def std(self, ddof: int = 1):
+        return self._named("std", ddof=ddof)
+
+    def var(self, ddof: int = 1):
+        return self._named("var", ddof=ddof)
+
+    def sem(self, ddof: int = 1):
+        return self._named("sem", ddof=ddof)
+
+    def size(self):
+        return self._named("size")
+
+    def sum(self):
+        return self._named("sum")
+
+    def prod(self):
+        return self._named("prod")
+
+    def min(self):
+        return self._named("min")
+
+    def max(self):
+        return self._named("max")
+
+    def count(self):
+        return self._named("count")
+
+    def nunique(self):
+        return self._named("nunique")
+
+    def agg(self, spec=None, ddof: int = 1, **kwargs):
+        """Generic agg: ``agg({'col': 'mean'})``, ``agg({'col': ['mean','sum']})``,
+        ``agg('mean')``, or named-style ``agg(out=('col','mean'))``."""
+        if spec is None and kwargs:
+            # named aggregation: out_name=(col, agg)
+            from .frame import ExplainableDataFrame
+
+            exprs, agg_dict, column_mapping = [], {}, {}
+            for out, (col, agg) in kwargs.items():
+                if agg not in AGG_NAMES:
+                    raise ValueError(f"unsupported aggregate {agg!r}")
+                exprs.append(agg_column(col, agg, ddof=ddof).alias(out))
+                agg_dict.setdefault(col, []).append(agg)
+                column_mapping[out] = (col, agg)
+            result = self.frame.df.groupBy(*self.keys).agg(*exprs)
+            op = GroupByOp(
+                source=self.frame.df,
+                result=result,
+                source_name=self.frame.name,
+                keys=list(self.keys),
+                agg_dict=agg_dict,
+                column_mapping=column_mapping,
+            )
+            return ExplainableDataFrame(result, name=f"{self.frame.name}_groupby_agg", operation=op)
+        if isinstance(spec, str):
+            return self._named(spec, ddof=ddof)
+        if isinstance(spec, dict):
+            agg_dict = {c: ([a] if isinstance(a, str) else list(a)) for c, a in spec.items()}
+            for aggs in agg_dict.values():
+                for a in aggs:
+                    if a not in AGG_NAMES:
+                        raise ValueError(f"unsupported aggregate {a!r}")
+            return self._run(agg_dict, ddof=ddof)
+        raise TypeError(f"unsupported agg spec: {spec!r}")
+
+    aggregate = agg
+
+    def __repr__(self) -> str:
+        sel = f"[{self.selected}]" if self.selected else ""
+        return f"ExplainableGroupedData({self.frame.name}.groupby({self.keys}){sel})"

@@ -1,0 +1,160 @@
+"""ExplainableColumn: the 1-D facade that records filter predicates.
+
+Plays the role of the reference's ``ExpSeries`` used as a boolean mask
+(core/explainable_series.py:30, :233-286): ``df['age'] > 30`` returns an
+ExplainablePredicate carrying both the real Spark ``Column`` and a
+``PredicateNode`` tree for lineage. We own the facade, so no
+``_cmp_method`` monkey-patching is needed.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from .operations import BoolExpr, Comparison, NotExpr, PredicateNode
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .frame import ExplainableDataFrame
+
+
+class ExplainablePredicate:
+    """A boolean mask: Spark Column + recorded predicate tree."""
+
+    def __init__(self, frame: "ExplainableDataFrame", column: Column, tree: PredicateNode):
+        self.frame = frame
+        self.column = column
+        self.tree = tree
+
+    def __and__(self, other: "ExplainablePredicate") -> "ExplainablePredicate":
+        return ExplainablePredicate(
+            self.frame, self.column & other.column, BoolExpr("&", self.tree, other.tree)
+        )
+
+    def __or__(self, other: "ExplainablePredicate") -> "ExplainablePredicate":
+        return ExplainablePredicate(
+            self.frame, self.column | other.column, BoolExpr("|", self.tree, other.tree)
+        )
+
+    def __invert__(self) -> "ExplainablePredicate":
+        return ExplainablePredicate(self.frame, ~self.column, NotExpr(self.tree))
+
+    def __repr__(self) -> str:
+        return f"ExplainablePredicate({self.tree.to_string()})"
+
+
+class ExplainableColumn:
+    """A named column of an ExplainableDataFrame.
+
+    Comparison operators produce ExplainablePredicate (lineage-recorded);
+    arithmetic produces plain Spark Columns (projection, not tracked —
+    matching the reference's filter-only capture contract).
+    """
+
+    def __init__(self, frame: "ExplainableDataFrame", name: str):
+        self.frame = frame
+        self.name = name
+
+    @property
+    def spark(self) -> Column:
+        return self.frame.df[self.name]
+
+    def _cmp(self, op: str, other: Any) -> ExplainablePredicate:
+        tree = Comparison(self.name, op, other)
+        return ExplainablePredicate(self.frame, tree.to_spark(self.frame.df), tree)
+
+    def __eq__(self, other: Any) -> ExplainablePredicate:  # type: ignore[override]
+        return self._cmp("==", other)
+
+    def __ne__(self, other: Any) -> ExplainablePredicate:  # type: ignore[override]
+        return self._cmp("!=", other)
+
+    def __le__(self, other: Any) -> ExplainablePredicate:
+        return self._cmp("<=", other)
+
+    def __lt__(self, other: Any) -> ExplainablePredicate:
+        return self._cmp("<", other)
+
+    def __ge__(self, other: Any) -> ExplainablePredicate:
+        return self._cmp(">=", other)
+
+    def __gt__(self, other: Any) -> ExplainablePredicate:
+        return self._cmp(">", other)
+
+    def isin(self, values) -> ExplainablePredicate:
+        return self._cmp("in", tuple(values))
+
+    def between(self, lo, hi) -> ExplainablePredicate:
+        return self._cmp("between", (lo, hi))
+
+    def isna(self) -> ExplainablePredicate:
+        return self._cmp("isnull", None)
+
+    def notna(self) -> ExplainablePredicate:
+        return self._cmp("notnull", None)
+
+    def str_contains(self, pat: str) -> ExplainablePredicate:
+        return self._cmp("contains", pat)
+
+    def str_startswith(self, pat: str) -> ExplainablePredicate:
+        return self._cmp("startswith", pat)
+
+    # -- arithmetic (untracked projections) --------------------------------
+    def __add__(self, other):
+        return self.spark + _unwrap(other)
+
+    def __sub__(self, other):
+        return self.spark - _unwrap(other)
+
+    def __mul__(self, other):
+        return self.spark * _unwrap(other)
+
+    def __truediv__(self, other):
+        return self.spark / _unwrap(other)
+
+    def __rsub__(self, other):
+        return _unwrap(other) - self.spark
+
+    def __radd__(self, other):
+        return _unwrap(other) + self.spark
+
+    def __rmul__(self, other):
+        return _unwrap(other) * self.spark
+
+    # -- series-level operators --------------------------------------------
+    def value_counts(self, normalize: bool = False, ascending: bool = False):
+        """Reference R15 (core/explainable_series.py:80-100):
+        groupBy(col).count() ordered by count."""
+        from .frame import ExplainableDataFrame
+
+        counts = self.frame.df.groupBy(self.name).agg(F.count(F.lit(1)).alias("count"))
+        if normalize:
+            total = F.sum("count").over(Window.partitionBy())
+            counts = counts.withColumn("proportion", F.col("count") / total).drop("count")
+            order_col = "proportion"
+        else:
+            order_col = "count"
+        counts = counts.orderBy(F.col(order_col).asc() if ascending else F.col(order_col).desc())
+        return ExplainableDataFrame(counts, name=f"{self.frame.name}.{self.name}.value_counts")
+
+    def unique(self):
+        return [r[0] for r in self.frame.df.select(self.name).distinct().collect()]
+
+    def nunique(self) -> int:
+        return self.frame.df.select(F.count_distinct(self.name)).first()[0]
+
+    def to_frame(self) -> "ExplainableDataFrame":
+        from .frame import ExplainableDataFrame
+
+        return ExplainableDataFrame(
+            self.frame.df.select(self.name), name=f"{self.frame.name}.{self.name}"
+        )
+
+    def __repr__(self) -> str:
+        return f"ExplainableColumn({self.frame.name}.{self.name})"
+
+
+def _unwrap(x):
+    return x.spark if isinstance(x, ExplainableColumn) else x

@@ -1,0 +1,320 @@
+"""FEDEX explainer (E1/E2/E3) — deviation-based explanations.
+
+Semantics recovered from the reference (SURVEY.md §2.4):
+ * filter/join: per-column "exceptionality" — a KS-style statistic between
+   the source and result distributions (documented at
+   experimental/experimental_llm_integrations/query_refiner.py:45-46);
+   columns correlated > corr_TH with the filter attribute are excluded
+   (core/explainable_data_frame.py:1089; fedex_explainer.py:164-168);
+   per top column, each bin's *influence* = its contribution to the
+   deviation; phrasing "property x value y appears z times more/less than
+   before" (llm_integrations/explanation_reasoning.py:94).
+ * group-by: "diversity" — coefficient of variation of each aggregated
+   column (query_refiner.py:46); phrasing "groups with property = x have
+   property y z standard deviations from the mean"
+   (explanation_reasoning.py:87-90).
+ * shapley: attribution of the change to one side of a join/filter
+   (explainer_factory.py:24-25) — for 2 players the Shapley value is the
+   averaged marginal, i.e. each side's own deviation share.
+
+Spark design: all heavy work is the single-pass dual histogram
+(histograms.py); scoring runs driver-side on the tiny
+(n_cols x n_bins) frame. Group-by diversity aggregates the (already
+small) grouped result; top groups found with sort-limit, never a full
+collect.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.operations import FilterOp, GroupByOp, JoinOp
+from ..operators.aggregates import is_numeric_type
+from .base import Explanation, ExplanationItem, ExplainerBase
+from .histograms import (
+    NULL_TOKEN,
+    ColumnProfile,
+    bin_label,
+    dual_histogram_predicate,
+    dual_histogram_union,
+    profile_columns,
+)
+
+DEFAULT_TOP_K = 1
+DEFAULT_CORR_TH = 0.7
+DEFAULT_N_BINS = 20
+SAMPLE_SIZE = 5000
+RANDOM_SEED = 42
+
+
+class FedexExplainer(ExplainerBase):
+    def __init__(
+        self,
+        frame,
+        top_k: int = DEFAULT_TOP_K,
+        corr_TH: float = DEFAULT_CORR_TH,
+        n_bins: int = DEFAULT_N_BINS,
+        consider: str = "left",
+        shapley: bool = False,
+        use_sampling: bool = False,
+        sample_size: int = SAMPLE_SIZE,
+        attributes: list[str] | None = None,
+        ignore: list[str] | None = None,
+        **_ignored,
+    ):
+        if frame.operation is None:
+            raise ValueError(
+                "no operation captured — run a tracked filter/groupby/join first"
+            )
+        self.frame = frame
+        self.op = frame.operation
+        self.top_k = top_k
+        self.corr_TH = corr_TH
+        self.n_bins = n_bins
+        self.consider = consider
+        self.shapley = shapley
+        self.use_sampling = use_sampling
+        self.sample_size = sample_size
+        self.attributes = attributes
+        self.ignore = set(ignore or [])
+
+    # ------------------------------------------------------------------
+    def generate_explanation(self) -> Explanation:
+        if isinstance(self.op, GroupByOp):
+            return self._explain_groupby()
+        if isinstance(self.op, JoinOp):
+            if self.shapley:
+                return self._explain_shapley()
+            return self._explain_join(self.consider)
+        if isinstance(self.op, FilterOp):
+            return self._explain_filter()
+        raise ValueError(f"fedex cannot explain operation {self.op.kind}")
+
+    # ------------------------------------------------------------------
+    # E1 filter
+    # ------------------------------------------------------------------
+    def _candidate_columns(self, df: DataFrame, exclude: set[str]) -> list[str]:
+        if self.attributes is not None:
+            return [c for c in self.attributes if c in df.columns]
+        return [c for c in df.columns if c not in exclude and c not in self.ignore]
+
+    def _maybe_sample(self, df: DataFrame) -> DataFrame:
+        if not self.use_sampling:
+            return df
+        cnt = df.count()
+        if cnt <= self.sample_size:
+            return df
+        return df.sample(fraction=min(1.0, self.sample_size * 1.1 / cnt), seed=RANDOM_SEED)
+
+    def _correlated_columns(self, df: DataFrame, anchor: str, candidates: list[str]) -> dict[str, float]:
+        """Columns whose |Pearson corr| with the filter attribute exceeds
+        corr_TH — ONE agg pass with an F.corr expression per numeric column."""
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        if anchor not in schema or not is_numeric_type(schema[anchor]):
+            return {}
+        numeric = [c for c in candidates if is_numeric_type(schema[c]) and c != anchor]
+        if not numeric:
+            return {}
+        exprs = [F.corr(F.col(anchor).cast("double"), F.col(c).cast("double")).alias(c) for c in numeric]
+        row = df.agg(*exprs).first().asDict()
+        return {
+            c: float(v)
+            for c, v in row.items()
+            if v is not None and abs(v) >= self.corr_TH
+        }
+
+    def _explain_filter(self) -> Explanation:
+        op: FilterOp = self.op
+        source = self._maybe_sample(op.source)
+        filter_cols = set(op.predicate.columns()) if op.predicate else {op.attribute}
+        candidates = self._candidate_columns(source, exclude=filter_cols)
+        corr = self._correlated_columns(source, op.attribute, candidates) if op.attribute else {}
+        candidates = [c for c in candidates if c not in corr]
+        profiles = profile_columns(source, candidates)
+        if not profiles:
+            return Explanation(kind="fedex-filter", query=op.query_string())
+        hist = dual_histogram_predicate(
+            source, op.predicate.to_spark(source), profiles, self.n_bins
+        )
+        items, scores = self._score_histogram(hist, profiles, side=None)
+        exp = Explanation(
+            kind="fedex-filter", query=op.query_string(), items=items[: self.top_k], scores=scores
+        )
+        exp.extras["cor_deleted_atts"] = corr
+        return exp
+
+    # ------------------------------------------------------------------
+    # E1 join / E3 shapley
+    # ------------------------------------------------------------------
+    def _join_side(self, consider: str):
+        op: JoinOp = self.op
+        if consider == "right":
+            return op.right, op.right_name
+        return op.left, op.left_name
+
+    def _explain_join(self, consider: str) -> Explanation:
+        op: JoinOp = self.op
+        side_df, side_name = self._join_side(consider)
+        side_df = self._maybe_sample(side_df)
+        candidates = self._candidate_columns(side_df, exclude=set(op.on))
+        profiles = profile_columns(side_df, candidates)
+        if not profiles:
+            return Explanation(kind="fedex-join", query=op.query_string())
+        rename = {c: f"{side_name}_{c}" for c in candidates}
+        hist = dual_histogram_union(side_df, op.result, profiles, self.n_bins, result_rename=rename)
+        items, scores = self._score_histogram(hist, profiles, side=consider)
+        return Explanation(
+            kind="fedex-join", query=op.query_string(), items=items[: self.top_k], scores=scores
+        )
+
+    def _explain_shapley(self) -> Explanation:
+        """2-player Shapley: each side's value is its own marginal deviation."""
+        left = self._explain_join("left")
+        right = self._explain_join("right")
+        total = sum(left.scores.values()) + sum(right.scores.values())
+        items = sorted(left.items + right.items, key=lambda i: (-i.score, i.attribute))
+        exp = Explanation(
+            kind="fedex-shapley",
+            query=self.op.query_string(),
+            items=items[: max(self.top_k, 1)],
+            scores={**{f"left.{k}": v for k, v in left.scores.items()},
+                    **{f"right.{k}": v for k, v in right.scores.items()}},
+        )
+        exp.extras["side_share"] = {
+            "left": (sum(left.scores.values()) / total) if total else 0.5,
+            "right": (sum(right.scores.values()) / total) if total else 0.5,
+        }
+        return exp
+
+    # ------------------------------------------------------------------
+    # E2 group-by diversity
+    # ------------------------------------------------------------------
+    def _explain_groupby(self) -> Explanation:
+        op: GroupByOp = self.op
+        result = op.result
+        schema = {f.name: f.dataType for f in result.schema.fields}
+        value_cols = [
+            c for c in result.columns
+            if c not in op.keys and is_numeric_type(schema[c]) and c not in self.ignore
+        ]
+        if not value_cols:
+            return Explanation(kind="fedex-groupby", query=op.query_string())
+        # one agg over the (small) grouped result: mean/std per value column
+        exprs = []
+        for c in value_cols:
+            exprs += [
+                F.avg(F.col(c).cast("double")).alias(f"{c}__m"),
+                F.stddev_samp(F.col(c).cast("double")).alias(f"{c}__s"),
+            ]
+        stats = result.agg(*exprs).first().asDict()
+        scores: dict[str, float] = {}
+        for c in value_cols:
+            m, s = stats[f"{c}__m"], stats[f"{c}__s"]
+            if m is None or s is None or m == 0:
+                continue
+            scores[c] = abs(s / m)  # coefficient of variation
+        ranked = sorted(scores, key=lambda c: (-scores[c], c))
+        items: list[ExplanationItem] = []
+        key_expr = F.concat_ws(", ", *[F.col(k).cast("string") for k in op.keys])
+        for c in ranked[: max(self.top_k, 1)]:
+            m, s = stats[f"{c}__m"], stats[f"{c}__s"]
+            if not s:
+                continue
+            top = (
+                result.select(
+                    key_expr.alias("__group"),
+                    ((F.col(c).cast("double") - F.lit(m)) / F.lit(s)).alias("__z"),
+                )
+                .orderBy(F.abs(F.col("__z")).desc(), F.col("__group"))
+                .limit(1)
+                .first()
+            )
+            if top is None:
+                continue
+            z = float(top["__z"])
+            items.append(
+                ExplanationItem(
+                    attribute=c,
+                    bin=str(top["__group"]),
+                    influence=z,
+                    score=float(scores[c]),
+                    side=None,
+                    explanation=(
+                        f"groups with {'/'.join(op.keys)} = {top['__group']} have {c} "
+                        f"{z:+.2f} standard deviations from the mean"
+                    ),
+                )
+            )
+        return Explanation(
+            kind="fedex-groupby", query=op.query_string(), items=items, scores=scores
+        )
+
+    # ------------------------------------------------------------------
+    # driver-side scoring over the tiny histogram frame
+    # ------------------------------------------------------------------
+    def _score_histogram(
+        self, hist: pd.DataFrame, profiles: dict[str, ColumnProfile], side: str | None
+    ) -> tuple[list[ExplanationItem], dict[str, float]]:
+        items: list[ExplanationItem] = []
+        scores: dict[str, float] = {}
+        for attr, grp in hist.groupby("attribute"):
+            prof = profiles[attr]
+            grp = grp.sort_values("bin")
+            src = grp["src_cnt"].to_numpy(dtype=float)
+            res = grp["res_cnt"].to_numpy(dtype=float)
+            s_tot, r_tot = src.sum(), res.sum()
+            if s_tot == 0 or r_tot == 0:
+                continue
+            p, q = src / s_tot, res / r_tot
+            score = self._deviation(p, q, ordered=prof.is_numeric)
+            if not math.isfinite(score):
+                continue
+            scores[attr] = score
+            # influence of each bin = deviation drop when that bin is removed
+            best_idx, best_infl = None, 0.0
+            for b in range(len(p)):
+                mask = [i for i in range(len(p)) if i != b]
+                ps, qs = src[mask], res[mask]
+                if ps.sum() == 0 or qs.sum() == 0:
+                    continue
+                d_wo = self._deviation(ps / ps.sum(), qs / qs.sum(), ordered=prof.is_numeric)
+                infl = score - d_wo
+                if best_idx is None or abs(infl) > abs(best_infl):
+                    best_idx, best_infl = b, infl
+            if best_idx is None:
+                continue
+            key = grp.iloc[best_idx]["bin"]
+            label = bin_label(prof, key, self.n_bins)
+            ratio = (q[best_idx] / p[best_idx]) if p[best_idx] > 0 else float("inf")
+            if ratio >= 1:
+                phrase = f"appears {ratio:.2f} times more than before"
+            else:
+                phrase = f"appears {1 / ratio:.2f} times less than before" if ratio > 0 else "disappears"
+            where = f" (considering the {side} side)" if side else ""
+            items.append(
+                ExplanationItem(
+                    attribute=attr,
+                    bin=label,
+                    influence=float(best_infl),
+                    score=float(score),
+                    side=side,
+                    explanation=f"property {attr} value {label} {phrase}{where}",
+                )
+            )
+        items.sort(key=lambda i: (-i.score, i.attribute))
+        return items, scores
+
+    @staticmethod
+    def _deviation(p, q, ordered: bool) -> float:
+        """KS statistic for ordered (numeric-binned) columns, total-variation
+        distance for categoricals — both in [0, 1]."""
+        import numpy as np
+
+        if ordered:
+            return float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
+        return float(0.5 * np.sum(np.abs(p - q)))

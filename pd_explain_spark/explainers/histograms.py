@@ -1,0 +1,161 @@
+"""Single-pass dual-histogram service (SURVEY.md §4 custom-physical #1).
+
+The reference's FEDEX kernel loops per column in pandas; here ONE Spark
+job computes (column, bin) -> (source_count, result_count) for every
+candidate column at once:
+
+  explode(array(struct(attr, bin) per column)) -> groupBy(attr, bin)
+
+The exploded stream collapses via map-side partial aggregation to at most
+n_columns * n_bins rows per task, so the shuffle is tiny regardless of
+input size — this is the plan that survives a 100x scale-up (no per-column
+rescans of a 100 TB table).
+
+Two flavors:
+ * predicate fast path (filters): a single scan of the source, counting
+   each row once for src and conditionally for res — zero extra I/O.
+ * union path (joins / arbitrary result): source tagged 0, result tagged 1.
+
+Binning: numeric columns (nunique > 6, the reference's rule,
+metainsight_explainer.py:509-510) get equi-width bins from a profile
+pass; everything else low-cardinality is its own category; very
+high-cardinality strings are skipped (reference caps categories too).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import is_numeric_type
+
+NULL_TOKEN = "(null)"
+
+
+@dataclass
+class ColumnProfile:
+    name: str
+    is_numeric: bool  # numeric dtype AND nunique > 6
+    distinct: int
+    vmin: float | None = None
+    vmax: float | None = None
+
+    def bin_edges(self, n_bins: int) -> list[float] | None:
+        if not self.is_numeric or self.vmin is None or self.vmax is None:
+            return None
+        lo, hi = float(self.vmin), float(self.vmax)
+        if not math.isfinite(lo) or not math.isfinite(hi) or hi <= lo:
+            return None
+        return [lo + (hi - lo) * i / n_bins for i in range(n_bins + 1)]
+
+
+def profile_columns(df: DataFrame, columns: list[str], cat_cap: int = 60) -> dict[str, ColumnProfile]:
+    """ONE aggregation computing approx distinct + min/max for all columns."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    exprs: list[Column] = []
+    for c in columns:
+        exprs.append(F.approx_count_distinct(c).alias(f"{c}__d"))
+        if is_numeric_type(schema[c]):
+            exprs.append(F.min(c).cast("double").alias(f"{c}__lo"))
+            exprs.append(F.max(c).cast("double").alias(f"{c}__hi"))
+    row = df.agg(*exprs).first().asDict()
+    out: dict[str, ColumnProfile] = {}
+    for c in columns:
+        distinct = row[f"{c}__d"] or 0
+        numeric_dtype = is_numeric_type(schema[c])
+        # the reference's rule: numeric treatment iff numeric dtype AND nunique > 6
+        is_num = numeric_dtype and distinct > 6
+        prof = ColumnProfile(name=c, is_numeric=is_num, distinct=distinct)
+        if numeric_dtype:
+            prof.vmin, prof.vmax = row.get(f"{c}__lo"), row.get(f"{c}__hi")
+        if not is_num and distinct > cat_cap:
+            continue  # high-cardinality categorical: skip (ref caps categories)
+        out[c] = prof
+    return out
+
+
+def _bin_expr(df: DataFrame, prof: ColumnProfile, n_bins: int) -> Column:
+    """String bin key for one column: numeric -> zero-padded bucket index,
+    categorical -> the value itself (padded index keeps lexical == numeric order)."""
+    c = df[prof.name]
+    edges = prof.bin_edges(n_bins)
+    if prof.is_numeric and edges is not None:
+        lo, hi = edges[0], edges[-1]
+        width = (hi - lo) / n_bins
+        idx = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.floor((c.cast("double") - F.lit(lo)) / F.lit(width))),
+        )
+        return F.when(c.isNull(), F.lit(NULL_TOKEN)).otherwise(F.lpad(idx.cast("string"), 4, "0"))
+    return F.coalesce(c.cast("string"), F.lit(NULL_TOKEN))
+
+
+def dual_histogram_predicate(
+    source: DataFrame, predicate: Column, profiles: dict[str, ColumnProfile], n_bins: int = 20
+):
+    """Filter fast path: one scan of `source`; res_cnt counts rows passing
+    the recorded predicate. Returns a small pandas frame
+    (attribute, bin, src_cnt, res_cnt)."""
+    structs = [
+        F.struct(F.lit(c).alias("attribute"), _bin_expr(source, p, n_bins).alias("bin"))
+        for c, p in profiles.items()
+    ]
+    keep = F.when(predicate, F.lit(1)).otherwise(F.lit(0)).alias("__keep")
+    exploded = source.select(F.explode(F.array(*structs)).alias("s"), keep)
+    hist = (
+        exploded.groupBy(F.col("s.attribute").alias("attribute"), F.col("s.bin").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("src_cnt"), F.sum("__keep").alias("res_cnt"))
+    )
+    return hist.toPandas()
+
+
+def dual_histogram_union(
+    source: DataFrame,
+    result: DataFrame,
+    profiles: dict[str, ColumnProfile],
+    n_bins: int = 20,
+    result_rename: dict[str, str] | None = None,
+):
+    """General path (joins): source tagged side=0, result side=1.
+    ``result_rename`` maps source column name -> its name in the result
+    (the join prefix contract)."""
+    result_rename = result_rename or {}
+
+    def tagged(df: DataFrame, side: int, rename: dict[str, str]) -> DataFrame:
+        sel = df
+        for src_name, res_name in rename.items():
+            if res_name != src_name and res_name in sel.columns:
+                sel = sel.withColumnRenamed(res_name, src_name)
+        structs = [
+            F.struct(F.lit(c).alias("attribute"), _bin_expr(sel, p, n_bins).alias("bin"))
+            for c, p in profiles.items()
+        ]
+        return sel.select(F.explode(F.array(*structs)).alias("s"), F.lit(side).alias("__side"))
+
+    both = tagged(source, 0, {}).unionByName(tagged(result, 1, result_rename))
+    hist = (
+        both.groupBy(F.col("s.attribute").alias("attribute"), F.col("s.bin").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("src_cnt"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("res_cnt"),
+        )
+    )
+    return hist.toPandas()
+
+
+def bin_label(prof: ColumnProfile, bin_key: str, n_bins: int) -> str:
+    """Human-readable label for a bin key."""
+    if bin_key == NULL_TOKEN:
+        return NULL_TOKEN
+    edges = prof.bin_edges(n_bins)
+    if prof.is_numeric and edges is not None:
+        try:
+            idx = int(bin_key)
+        except ValueError:
+            return bin_key
+        lo, hi = edges[idx], edges[idx + 1]
+        return f"[{lo:.4g}, {hi:.4g})" if idx < n_bins - 1 else f"[{lo:.4g}, {hi:.4g}]"
+    return bin_key

@@ -1,0 +1,43 @@
+"""Source factories (reference S1/S2, utils/utils.py:9-22,25-32).
+
+The reference monkey-patches ``pd.read_csv``; we expose explicit
+factories — every read returns an ExplainableDataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core.frame import ExplainableDataFrame
+
+
+def read_csv(spark: SparkSession, path: str, name: str | None = None, **options) -> ExplainableDataFrame:
+    opts = {"header": "true", "inferSchema": "true"}
+    opts.update(options)
+    df = spark.read.options(**opts).csv(path)
+    return ExplainableDataFrame(df, name=name or _stem(path))
+
+
+def read_parquet(spark: SparkSession, path: str, name: str | None = None) -> ExplainableDataFrame:
+    return ExplainableDataFrame(spark.read.parquet(path), name=name or _stem(path))
+
+
+def read_json(spark: SparkSession, path: str, name: str | None = None, **options) -> ExplainableDataFrame:
+    return ExplainableDataFrame(spark.read.options(**options).json(path), name=name or _stem(path))
+
+
+def to_explainable(df: DataFrame, name: str = "df") -> ExplainableDataFrame:
+    """Reference S2: cast a plain DataFrame to explainable."""
+    return ExplainableDataFrame(df, name=name)
+
+
+def load_table(spark: SparkSession, sf_dir: str, table: str) -> ExplainableDataFrame:
+    """Convenience for the driver's TPC-H-ish test tables (TESTDATA.md)."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{table}.parquet"), name=table)
+
+
+def _stem(path: str) -> str:
+    base = os.path.basename(path.rstrip("/"))
+    return base.split(".")[0] or "df"

@@ -1,0 +1,151 @@
+"""Tracked-operator differential tests vs the DuckDB oracle.
+
+Mirrors the reference's test strategy (tests/README.md:4-6: differential
+testing, 'pd-explain produces output consistent with pandas') with DuckDB
+as the ground truth, plus lineage-capture assertions like
+tests/test_exp_data_frame.py:156-187.
+"""
+
+import pytest
+
+from pd_explain_spark import ExplainableDataFrame, FilterOp, JoinOp
+from tests.conftest import assert_df_equal
+
+
+# ---------------------------------------------------------------- filters
+def test_filter_gt_matches_oracle(lineitem, duck):
+    out = lineitem[lineitem["l_quantity"] > 45]
+    assert_df_equal(out, duck.sql("SELECT * FROM lineitem WHERE l_quantity > 45"))
+
+
+def test_filter_eq_string_matches_oracle(orders, duck):
+    out = orders[orders["o_orderstatus"] == "F"]
+    assert_df_equal(
+        out[["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]],
+        duck.sql("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'"),
+    )
+
+
+def test_filter_compound_and(lineitem, duck):
+    out = lineitem[(lineitem["l_discount"] >= 0.05) & (lineitem["l_tax"] < 0.07)]
+    assert_df_equal(
+        out, duck.sql("SELECT * FROM lineitem WHERE l_discount >= 0.05 AND l_tax < 0.07")
+    )
+
+
+def test_filter_or_not(lineitem, duck):
+    out = lineitem[~((lineitem["l_returnflag"] == "A") | (lineitem["l_quantity"] < 10))]
+    assert_df_equal(
+        out,
+        duck.sql("SELECT * FROM lineitem WHERE NOT (l_returnflag = 'A' OR l_quantity < 10)"),
+    )
+
+
+def test_filter_records_lineage(lineitem):
+    out = lineitem[lineitem["l_quantity"] > 45]
+    op = out.operation
+    assert isinstance(op, FilterOp)
+    assert op.attribute == "l_quantity"
+    assert op.op_str == ">"
+    assert op.value == 45
+    assert op.source is lineitem.df
+    assert op.result.count() == out.df.count()
+
+
+def test_filter_isin_between(lineitem, duck):
+    out = lineitem[lineitem["l_returnflag"].isin(["A", "R"])]
+    assert_df_equal(out, duck.sql("SELECT * FROM lineitem WHERE l_returnflag IN ('A','R')"))
+    out2 = lineitem[lineitem["l_quantity"].between(10, 20)]
+    assert_df_equal(out2, duck.sql("SELECT * FROM lineitem WHERE l_quantity BETWEEN 10 AND 20"))
+
+
+def test_getitem_missing_column_raises(lineitem):
+    with pytest.raises(KeyError):
+        lineitem["no_such_column"]
+
+
+# ---------------------------------------------------------------- projection / passthrough
+def test_projection_list(lineitem, duck):
+    out = lineitem[["l_orderkey", "l_quantity"]]
+    assert_df_equal(out, duck.sql("SELECT l_orderkey, l_quantity FROM lineitem"))
+
+
+def test_drop_and_rename(nation, duck):
+    out = nation.drop("n_regionkey").rename({"n_name": "nation_name"})
+    assert_df_equal(out, duck.sql("SELECT n_nationkey, n_name AS nation_name FROM nation"))
+
+
+def test_drop_missing_raises(nation):
+    with pytest.raises(KeyError):
+        nation.drop("nope")
+
+
+def test_drop_duplicates(lineitem, duck):
+    out = lineitem[["l_returnflag", "l_linestatus"]].drop_duplicates()
+    assert_df_equal(
+        out, duck.sql("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+    )
+
+
+def test_value_counts(nation, duck):
+    out = nation["n_regionkey"].value_counts()
+    assert_df_equal(
+        out,
+        duck.sql("SELECT n_regionkey, count(*) AS count FROM nation GROUP BY 1"),
+    )
+
+
+def test_sample_exact_n_deterministic(lineitem):
+    a = lineitem.sample(n=100).df.toPandas()
+    b = lineitem.sample(n=100).df.toPandas()
+    assert len(a) == 100
+    assert a.sort_values(list(a.columns), ignore_index=True).equals(
+        b.sort_values(list(b.columns), ignore_index=True)
+    )
+
+
+# ---------------------------------------------------------------- joins
+def test_inner_join_prefix_contract(lineitem, orders, duck):
+    o = orders.rename({"o_orderkey": "l_orderkey"})
+    j = lineitem.merge(o, on="l_orderkey", how="inner")
+    assert isinstance(j.operation, JoinOp)
+    # non-key columns are prefixed with the frame name
+    assert "lineitem_l_quantity" in j.df.columns
+    assert "orders_o_totalprice" in j.df.columns
+    assert "l_orderkey" in j.df.columns
+    got = j[["l_orderkey", "lineitem_l_quantity", "orders_o_totalprice"]]
+    assert_df_equal(
+        got,
+        duck.sql(
+            """SELECT l.l_orderkey, l.l_quantity AS lineitem_l_quantity,
+                      o.o_totalprice AS orders_o_totalprice
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+        ),
+    )
+
+
+@pytest.mark.parametrize("how,sqlhow", [("left", "LEFT"), ("right", "RIGHT"), ("full", "FULL")])
+def test_outer_join_counts(lineitem, orders, duck, how, sqlhow):
+    o = orders.rename({"o_orderkey": "l_orderkey"})
+    j = lineitem.merge(o, on="l_orderkey", how=how)
+    expected = duck.sql(
+        f"SELECT count(*) FROM lineitem l {sqlhow} JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ).fetchone()[0]
+    assert j.df.count() == expected
+
+
+def test_join_requires_on(lineitem, orders):
+    with pytest.raises(ValueError):
+        lineitem.join(orders)
+
+
+def test_join_missing_key_raises(lineitem, orders):
+    with pytest.raises(KeyError):
+        lineitem.merge(orders, on="l_orderkey")  # orders lacks l_orderkey
+
+
+# ---------------------------------------------------------------- delegation
+def test_getattr_delegation_rewraps(lineitem):
+    out = lineitem.limit(5)
+    assert isinstance(out, ExplainableDataFrame)
+    assert out.df.count() == 5

@@ -1,0 +1,115 @@
+"""13-agg matrix differential tests vs DuckDB (reference agg surface,
+explainable_group_by_dataframe.py:22-485; naming contract <col>_<agg>)."""
+
+import pytest
+
+from pd_explain_spark import GroupByOp
+from tests.conftest import assert_df_equal
+
+AGG_SQL = {
+    "mean": "avg({c})",
+    "median": "median({c})",
+    "std": "stddev_samp({c})",
+    "var": "var_samp({c})",
+    "sem": "stddev_samp({c}) / sqrt(count({c}))",
+    "sum": "sum({c})",
+    "prod": "product({c})",
+    "min": "min({c})",
+    "max": "max({c})",
+    "count": "count({c})",
+    "nunique": "count(DISTINCT {c})",
+}
+
+
+@pytest.mark.parametrize("agg", sorted(AGG_SQL))
+def test_series_agg_matches_oracle(lineitem, duck, agg):
+    out = lineitem.groupby("l_returnflag")["l_quantity"].agg(agg)
+    expr = AGG_SQL[agg].format(c="l_quantity")
+    sql = f"SELECT l_returnflag, {expr} AS l_quantity_{agg} FROM lineitem GROUP BY 1"
+    if agg in ("count", "nunique", "min", "max", "sum", "prod", "median"):
+        # integral/exact aggs: compare as floats anyway via assert_df_equal
+        pass
+    assert_df_equal(out, duck.sql(sql))
+    assert isinstance(out.operation, GroupByOp)
+    assert out.operation.keys == ["l_returnflag"]
+    assert out.operation.agg_dict == {"l_quantity": [agg]}
+
+
+def test_size(lineitem, duck):
+    out = lineitem.groupby("l_returnflag").size()
+    assert_df_equal(
+        out, duck.sql("SELECT l_returnflag, count(*) AS size FROM lineitem GROUP BY 1")
+    )
+
+
+def test_multi_key_mean(lineitem, duck):
+    out = lineitem.groupby(["l_returnflag", "l_linestatus"])[["l_quantity", "l_extendedprice"]].mean()
+    assert_df_equal(
+        out,
+        duck.sql(
+            """SELECT l_returnflag, l_linestatus,
+                      avg(l_quantity) AS l_quantity_mean,
+                      avg(l_extendedprice) AS l_extendedprice_mean
+               FROM lineitem GROUP BY 1, 2"""
+        ),
+    )
+
+
+def test_frame_level_mean_numeric_only(orders, duck):
+    out = orders.groupby("o_orderpriority").mean()
+    # numeric columns only; <col>_<agg> naming
+    assert set(out.df.columns) == {
+        "o_orderpriority", "o_orderkey_mean", "o_custkey_mean", "o_totalprice_mean"
+    }
+    assert_df_equal(
+        out,
+        duck.sql(
+            """SELECT o_orderpriority, avg(o_orderkey) AS o_orderkey_mean,
+                      avg(o_custkey) AS o_custkey_mean, avg(o_totalprice) AS o_totalprice_mean
+               FROM orders GROUP BY 1"""
+        ),
+    )
+
+
+def test_agg_dict(lineitem, duck):
+    out = lineitem.groupby("l_linestatus").agg({"l_quantity": ["mean", "sum"], "l_tax": "max"})
+    assert_df_equal(
+        out,
+        duck.sql(
+            """SELECT l_linestatus, avg(l_quantity) AS l_quantity_mean,
+                      sum(l_quantity) AS l_quantity_sum, max(l_tax) AS l_tax_max
+               FROM lineitem GROUP BY 1"""
+        ),
+    )
+
+
+def test_std_ddof_0(lineitem, duck):
+    out = lineitem.groupby("l_returnflag")["l_quantity"].std(ddof=0)
+    assert_df_equal(
+        out,
+        duck.sql(
+            "SELECT l_returnflag, stddev_pop(l_quantity) AS l_quantity_std FROM lineitem GROUP BY 1"
+        ),
+    )
+
+
+def test_named_agg_kwargs(lineitem, duck):
+    out = lineitem.groupby("l_returnflag").agg(
+        total_qty=("l_quantity", "sum"), n=("l_orderkey", "count")
+    )
+    assert_df_equal(
+        out,
+        duck.sql(
+            "SELECT l_returnflag, sum(l_quantity) AS total_qty, count(l_orderkey) AS n FROM lineitem GROUP BY 1"
+        ),
+    )
+
+
+def test_bad_key_raises(lineitem):
+    with pytest.raises(KeyError):
+        lineitem.groupby("nope")
+
+
+def test_bad_agg_raises(lineitem):
+    with pytest.raises(ValueError):
+        lineitem.groupby("l_returnflag").agg({"l_quantity": "quantile"})
