@@ -1,0 +1,109 @@
+"""Explainer tests.
+
+Stronger than the reference's smoke-only policy (tests/test_explainers.py:4-6
+'do not check the actual explanations'): we pin deterministic outputs where
+the kernel is exactly computable, and smoke-check structure elsewhere.
+"""
+
+import numpy as np
+import pytest
+
+from pd_explain_spark import to_explainable
+
+
+# ---------------------------------------------------------------- fedex
+def test_fedex_filter_finds_planted_shift(spark):
+    """Plant an obvious deviation: filtering x>0 wipes out category 'b'."""
+    rows = [(float(i % 7 - 3), "a" if i % 7 > 2 else "b", float(i)) for i in range(980)]
+    df = to_explainable(spark.createDataFrame(rows, ["x", "cat", "noise"]), name="planted")
+    out = df[df["x"] > 0]
+    exp = out.explain(top_k=2)
+    assert exp.items, "expected at least one explanation"
+    top = exp.items[0]
+    assert top.attribute == "cat"
+    assert top.bin == "b"
+    assert "less than before" in top.explanation or "disappears" in top.explanation
+
+
+def test_fedex_filter_correlation_pruning(spark):
+    rows = [(float(i), float(i) * 2.0, float(i % 5)) for i in range(200)]
+    df = to_explainable(spark.createDataFrame(rows, ["x", "x2", "z"]), name="corr")
+    out = df[df["x"] > 100]
+    exp = out.explain(top_k=3)
+    # x2 is perfectly correlated with the filter column -> excluded
+    assert "x2" in exp.extras["cor_deleted_atts"]
+    assert all(i.attribute != "x2" for i in exp.items)
+
+
+def test_fedex_groupby_flags_outlier_group(spark):
+    rows = []
+    for g, mu in [("a", 10.0), ("b", 11.0), ("c", 9.5), ("d", 50.0)]:
+        rows += [(g, mu + (i % 3) * 0.1) for i in range(30)]
+    df = to_explainable(spark.createDataFrame(rows, ["g", "v"]), name="gb")
+    res = df.groupby("g")["v"].mean()
+    exp = res.explain()
+    assert exp.items
+    assert exp.items[0].attribute == "v_mean"
+    assert exp.items[0].bin == "d"
+    assert "standard deviations from the mean" in exp.items[0].explanation
+
+
+def test_fedex_join_and_shapley_run(lineitem, orders, spark):
+    o = orders.rename({"o_orderkey": "l_orderkey"})
+    j = lineitem.merge(o, on="l_orderkey")
+    exp = j.explain(top_k=2, consider="left")
+    assert exp.kind == "fedex-join"
+    sh = j.explain(explainer="shapley", top_k=2)
+    share = sh.extras["side_share"]
+    assert abs(share["left"] + share["right"] - 1.0) < 1e-9
+
+
+def test_explanation_to_df_schema(spark, lineitem):
+    out = lineitem[lineitem["l_quantity"] > 45]
+    df = out.explain(top_k=2).to_df(spark)
+    assert df.columns == ["attribute", "bin", "influence", "score", "side", "explanation"]
+
+
+# ---------------------------------------------------------------- outlier
+def test_outlier_finds_planted_predicate(spark):
+    """Group 'z' is an outlier only because of rows with flag ~ 100."""
+    rows = []
+    rng = np.random.RandomState(42)
+    for g in ["a", "b", "c", "d"]:
+        rows += [(g, 10.0 + rng.rand(), float(rng.randint(0, 10))) for _ in range(200)]
+    rows += [("z", 10.0 + rng.rand(), float(rng.randint(0, 10))) for _ in range(200)]
+    # inflate z's mean via rows with flag around 100
+    rows += [("z", 60.0, 100.0) for _ in range(50)]
+    df = to_explainable(spark.createDataFrame(rows, ["g", "v", "flag"]), name="outl")
+    res = df.groupby("g")["v"].mean()
+    exp = res.explain(explainer="outlier", target="z", dir="high")
+    assert exp.items
+    top = exp.items[0]
+    assert top.attribute == "flag"
+    assert "100" in top.bin
+    assert top.influence > 0
+    assert "not as significant when excluding rows" in top.explanation
+
+
+def test_outlier_requires_groupby(lineitem):
+    out = lineitem[lineitem["l_quantity"] > 45]
+    with pytest.raises(ValueError):
+        out.explain(explainer="outlier", target="A")
+
+
+def test_outlier_requires_target(lineitem):
+    g = lineitem.groupby("l_returnflag")["l_quantity"].mean()
+    with pytest.raises(ValueError):
+        g.explain(explainer="outlier")
+
+
+def test_outlier_bad_target_raises(lineitem):
+    g = lineitem.groupby("l_returnflag")["l_quantity"].mean()
+    with pytest.raises(ValueError):
+        g.explain(explainer="outlier", target="NOPE")
+
+
+def test_outlier_on_testdata_runs(orders):
+    g = orders.groupby("o_orderpriority")["o_totalprice"].mean()
+    exp = g.explain(explainer="outlier", target=g.df.first()[0], dir="high")
+    assert exp.kind == "outlier"
