@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side machinery here is real and tested — schema contract,
+Arrow-batched mapInPandas pipeline, partition sizing — while the actual
+codec work is stubbed (image/audio libraries are not in this container):
+``decode_image_batch`` raises NotImplementedError unless
+``fake_decoder=True``, which substitutes a deterministic length-based
+feature so the distributed plumbing can be exercised end-to-end.
+
+At scale: binary payloads stay columnar in parquet; mapInPandas streams
+Arrow record batches through Python with bounded memory
+(spark.sql.execution.arrow.maxRecordsPerBatch), and the output schema is
+declared up front so Catalyst can plan downstream operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),          # image | audio | video
+        T.StructField("payload", T.BinaryType()),        # opaque encoded bytes
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),         # typed metadata
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: byte-histogram moments."""
+    if payload is None:
+        return [0.0] * dim
+    n = len(payload)
+    return [
+        float(n),
+        float(sum(payload[:64]) % 997),
+        float(payload[0] if n else 0),
+        float(payload[-1] if n else 0),
+        float(n % 256),
+        float((n * 2654435761) % 1013),
+        float(min(payload[:32], default=0)),
+        float(max(payload[:32], default=0)),
+    ][:dim]
+
+
+def extract_features(df: DataFrame, fake_decoder: bool = False, batch_dim: int = 8) -> DataFrame:
+    """Decode + featurize media payloads via Arrow-batched mapInPandas.
+
+    With ``fake_decoder=False`` this raises NotImplementedError at runtime
+    (no codec libs in this environment) — the STUB marker required by the
+    project brief. The Spark plumbing (schema, batching, partitioning) is
+    identical either way and is what gets tested.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decoder:
+                raise NotImplementedError(
+                    "media decoding requires codec libraries not present in this "
+                    "environment; pass fake_decoder=True for the deterministic stub"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+                    "feature": pdf["payload"].map(lambda p: _fake_features(p, batch_dim)),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: emits (media_id, frame_ts_ms)
+    rows JVM-side from the typed duration metadata — the decode of each
+    frame is downstream (stubbed) work; the fan-out itself is pure Spark."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def make_demo_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table matching MEDIA_SCHEMA (for tests)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = bytes((i * 7 + j) % 256 for j in range(100 + i))
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 + i if kind == "image" else None,
+                48 + i if kind == "image" else None,
+                2000 + 100 * i if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+No reference counterpart (the reference is a tabular explainer); these are
+the extension operators BASELINE.json's north star asks for. Everything is
+built from JVM-side pyspark.sql.functions (regexp_count / split /
+transform) — no Python UDFs in the hot path — so the plans whole-stage
+codegen and scale linearly with input.
+
+Each operator has an exact ANSI-SQL mirror (see __spark_entry__.oracle_sql)
+— the regexes are chosen to behave identically under Java regex (Spark)
+and RE2-ish (DuckDB) semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deliberately small + regex-safe; shared with the SQL oracle
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+PUNCT_RE = r"[.,!?;:]"
+
+# marker-word table for the n-gram language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "la", "y", "es"],
+    "zh": ["de", "shi", "le", "bu"],
+}
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens, empties removed (stable across engines)."""
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def char_count(c: Column) -> Column:
+    return F.length(c)
+
+
+def stopword_count(c: Column) -> Column:
+    return F.regexp_count(F.lower(c), F.lit(STOPWORD_RE))
+
+
+def punct_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(PUNCT_RE))
+
+
+def quality_score(c: Column) -> Column:
+    """Deterministic [0,1] quality heuristic:
+    0.5 * min(1, tokens/50) + 0.3 * (1 - min(1, punct/tokens))
+    + 0.2 * min(1, 4 * stopwords/tokens). Mirrors the SQL oracle exactly."""
+    n = token_count(c).cast("double")
+    safe_n = F.greatest(n, F.lit(1.0))
+    length_part = F.least(F.lit(1.0), n / F.lit(50.0)) * F.lit(0.5)
+    punct_part = (F.lit(1.0) - F.least(F.lit(1.0), punct_count(c).cast("double") / safe_n)) * F.lit(0.3)
+    stop_part = F.least(F.lit(1.0), F.lit(4.0) * stopword_count(c).cast("double") / safe_n) * F.lit(0.2)
+    return F.round(length_part + punct_part + stop_part, 6)
+
+
+def normalized_text(c: Column) -> Column:
+    """Canonical form used for fingerprinting: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (engine-portable)."""
+    return F.md5(normalized_text(c))
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    low = F.lower(c)
+    return {
+        lang: F.regexp_count(low, F.lit(r"\b(" + "|".join(words) + r")\b"))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def detect_language(c: Column) -> Column:
+    """Marker-word language ID; ties broken by language code order.
+    Returns 'und' when no marker matches."""
+    scores = lang_scores(c)
+    langs = sorted(scores)  # deterministic tie-break: first language code wins
+    max_score = scores[langs[0]]
+    for lang in langs[1:]:
+        max_score = F.greatest(max_score, scores[lang])
+    out = F.lit("und")
+    for lang in reversed(langs):
+        out = F.when((max_score > 0) & (scores[lang] == max_score), F.lit(lang)).otherwise(out)
+    return out
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document text profile (the headline text operator)."""
+    c = F.col(text_col)
+    return df.select(
+        *[x for x in df.columns if x != text_col],
+        token_count(c).alias("n_tokens"),
+        char_count(c).alias("n_chars_calc"),
+        stopword_count(c).alias("n_stopwords"),
+        punct_count(c).alias("n_punct"),
+        quality_score(c).alias("quality"),
+        detect_language(c).alias("lang_detected"),
+        fingerprint(c).alias("fingerprint"),
+    )

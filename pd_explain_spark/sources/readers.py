@@ -21,7 +21,35 @@ def read_csv(spark: SparkSession, path: str, name: str | None = None, **options)
 
 
 def read_parquet(spark: SparkSession, path: str, name: str | None = None) -> ExplainableDataFrame:
-    return ExplainableDataFrame(spark.read.parquet(path), name=name or _stem(path))
+    return ExplainableDataFrame(read_parquet_df(spark, path), name=name or _stem(path))
+
+
+def read_parquet_df(spark: SparkSession, path: str):
+    """Plain-DataFrame parquet read that repairs TIMESTAMP(NANOS) columns.
+
+    Spark has no nanosecond timestamp type; with
+    spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) nanos
+    columns surface as long. We truncate to microseconds — exactly what
+    DuckDB's TIMESTAMP does — so oracle comparisons agree.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    try:
+        import pyarrow.parquet as pq
+
+        first = path if path.endswith(".parquet") else None
+        if first is not None and os.path.exists(first):
+            schema = pq.read_schema(first)
+            for field in schema:
+                if str(field.type) == "timestamp[ns]" and field.name in df.columns:
+                    df = df.withColumn(
+                        field.name,
+                        F.timestamp_micros((F.col(field.name) / 1000).cast("long")),
+                    )
+    except Exception:
+        pass  # non-local or exotic layouts: serve the raw read
+    return df
 
 
 def read_json(spark: SparkSession, path: str, name: str | None = None, **options) -> ExplainableDataFrame:

@@ -1,0 +1,105 @@
+"""Structured Streaming windowed aggregation over the events stream.
+
+Green-field extension (the reference has no streaming — SURVEY.md §2.6).
+The same windowed-aggregation logic is exposed twice:
+
+ * ``windowed_agg(df, ...)`` — batch semantics over a static events table
+   (this is what the correctness oracle checks: tumbling window ==
+   date_trunc bucketing);
+ * ``stream_windowed_agg(stream_df, ...)`` — identical plan over a
+   ``readStream`` source with a watermark for late data; in production
+   this writes to a sink with ``writeStream``; tests drive it with a
+   file/memory source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    window: str = "1 hour",
+    slide: str | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) window aggregation:
+    count + sum + avg of ``value_col`` per (window, keys)."""
+    keys = keys or []
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    out = (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+    return out
+
+
+def stream_windowed_agg(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming flavor: watermarked tumbling-window aggregation.
+    Late rows beyond ``watermark`` are dropped; state is bounded."""
+    keys = keys or []
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user (gap-based) — batch flavor via lag/cumsum,
+    the classic sessionization plan (one shuffle on user)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    new_sess = (
+        F.when(F.col(ts_col) > F.lag(ts_col).over(w) + gap_expr, 1)
+        .otherwise(0)
+    )
+    with_id = df.withColumn(
+        "__new", F.coalesce(new_sess, F.lit(1))
+    ).withColumn("session_seq", F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return (
+        with_id.groupBy(user_col, "session_seq")
+        .agg(
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,183 @@
+"""Training-data pipeline operators: text analysis, dedup, similarity,
+multimodal plumbing, streaming windows."""
+
+import pytest
+
+from pd_explain_spark import load_table, to_explainable
+from pd_explain_spark.functions import dedup as D
+from pd_explain_spark.functions import multimodal as MM
+from pd_explain_spark.functions import similarity as S
+from pd_explain_spark.functions import text as TX
+from pd_explain_spark.streaming.windows import sessionize, windowed_agg
+from tests.conftest import assert_df_equal
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").df
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").df
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").df
+
+
+# ---------------------------------------------------------------- text
+def test_text_profile_matches_oracle(documents, duck):
+    out = TX.text_profile(documents).select("doc_id", "n_tokens", "n_stopwords", "quality")
+    sql = """
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+             len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::BIGINT AS n_stopwords,
+             round(
+               0.5 * least(1.0, len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) / 50.0)
+             + 0.3 * (1.0 - least(1.0, len(regexp_extract_all(text, '[.,!?;:]'))
+                 / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)))
+             + 0.2 * least(1.0, 4.0 * len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+                 / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)), 6) AS quality
+      FROM documents
+    """
+    assert_df_equal(out, duck.sql(sql))
+
+
+def test_fingerprint_matches_oracle(documents, duck):
+    from pyspark.sql import functions as F
+
+    out = documents.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    sql = "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents"
+    assert_df_equal(out, duck.sql(sql))
+
+
+def test_detect_language_runs(documents):
+    from pyspark.sql import functions as F
+
+    out = documents.select(TX.detect_language(F.col("text")).alias("lang"))
+    vals = {r[0] for r in out.distinct().collect()}
+    assert vals  # marker heuristic always yields something ('en' or 'und' on this corpus)
+    assert vals <= set(TX.LANG_MARKERS) | {"und"}
+
+
+# ---------------------------------------------------------------- dedup
+def test_exact_duplicates_planted(spark):
+    rows = [(1, "alpha beta gamma"), (2, "alpha  beta gamma"), (3, "delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["keep_id"]: r["dup_count"] for r in D.exact_duplicates(df).collect()}
+    assert out == {1: 2, 3: 1}  # whitespace-normalized match
+    kept = D.dedup_exact(df).select("doc_id").toPandas()["doc_id"].tolist()
+    assert sorted(kept) == [1, 3]
+
+
+def test_ngram_jaccard_planted(spark):
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "the quick brown fox jumps over the lazy dog tonight"  # high overlap
+    c = "completely different words here nothing shared at all friend"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert 0.5 < pairs[0]["jaccard"] < 1.0
+
+
+def test_minhash_agrees_with_exact_jaccard(spark):
+    base = "w{} " * 30
+    texts = [(i, base.format(*range(i, i + 30))) for i in range(0, 40, 10)]
+    # two near-identical docs
+    texts.append((100, "common words shared across documents " * 5 + "ending one"))
+    texts.append((101, "common words shared across documents " * 5 + "ending two"))
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    exact = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in D.minhash_near_duplicates(df, threshold=0.5).collect()}
+    assert (100, 101) in exact
+    assert lsh == exact  # verification step makes LSH output a subset; high-sim pair must survive banding
+
+
+def test_simhash_near_duplicates(spark):
+    a = " ".join(f"tok{i}" for i in range(60))
+    b = " ".join(f"tok{i}" for i in range(59)) + " tokX"  # one token changed
+    c = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_near_duplicates(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+# ---------------------------------------------------------------- similarity
+def test_brute_force_topk_matches_oracle(embeddings, duck):
+    queries = embeddings.filter("vec_id < 5")
+    out = S.brute_force_topk(embeddings, queries, k=3)
+    sql = """
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.embedding, c.embedding)
+                 / (sqrt(list_dot_product(q.embedding, q.embedding))
+                    * sqrt(list_dot_product(c.embedding, c.embedding))) AS sim
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ), ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+               round(sim, 6) AS cosine_sim
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, rank::INT AS rank, cosine_sim FROM ranked WHERE rank <= 3
+    """
+    assert_df_equal(out, duck.sql(sql))
+
+
+def test_lsh_topk_reasonable_recall(embeddings):
+    queries = embeddings.filter("vec_id < 20")
+    exact = S.brute_force_topk(embeddings, queries, k=1).select("query_id", "neighbor_id")
+    approx = S.lsh_topk(embeddings, queries, k=1, n_planes=2)
+    hits = exact.join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
+    assert approx.count() == queries.count()  # every query answered from its bucket
+    assert hits >= 0.25 * exact.count()  # single-table LSH on random vecs: modest but nonzero recall
+
+
+# ---------------------------------------------------------------- multimodal
+def test_multimodal_fake_decoder_roundtrip(spark):
+    media = MM.make_demo_media(spark, n=32)
+    feats = MM.extract_features(media, fake_decoder=True)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] == 100 + r["media_id"] for r in rows)
+
+
+def test_multimodal_stub_raises_without_fake(spark):
+    from py4j.protocol import Py4JJavaError
+
+    media = MM.make_demo_media(spark, n=4)
+    with pytest.raises(Exception) as ei:
+        MM.extract_features(media, fake_decoder=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_frame_sampling_plan(spark):
+    media = MM.make_demo_media(spark, n=9)
+    frames = MM.sample_frames(media, every_ms=1000)
+    pdf = frames.toPandas()
+    assert (pdf.groupby("media_id").size() >= 2).all()  # videos are >= 2s
+    assert set(pdf["frame_ts_ms"] % 1000) == {0}
+
+
+# ---------------------------------------------------------------- streaming (batch parity)
+def test_windowed_agg_matches_oracle(events, duck):
+    out = windowed_agg(events, keys=["event_type"], window="1 hour")
+    sql = """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, count(*) AS n_events,
+             round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    """
+    assert_df_equal(out, duck.sql(sql))
+
+
+def test_sessionize_counts(events):
+    out = sessionize(events, gap="30 minutes")
+    total = out.agg({"n_events": "sum"}).first()[0]
+    assert total == events.count()  # every event lands in exactly one session
