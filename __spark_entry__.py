@@ -1,38 +1,610 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the training-data pipeline extensions) as (spark, sf_dir) -> DataFrame;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for everything
+SQL-expressible. Column names/aliases match exactly on both sides; float
+aggregates are rounded identically on both sides so order-of-accumulation
+noise cannot flip the driver's value hash.
+
+Rows-only (no oracle) entries: hash-seeded LSH paths (xxhash64 has no
+DuckDB equivalent) and the FEDEX/outlier explainers' full pipelines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from pd_explain_spark import to_explainable
+from pd_explain_spark.sources.readers import read_parquet_df
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_df(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _e(spark: SparkSession, sf_dir: str, name: str):
+    return to_explainable(_t(spark, sf_dir, name), name=name)
+
+
+# ===========================================================================
+# entry: flagship query (driver smoke-check at sf0.001)
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's canonical flow — tracked filter on lineitem,
+    FEDEX deviation explanation as a DataFrame (SURVEY.md §3.1)."""
+    li = _e(spark, "/root/testdata/sf0.001", "lineitem")
+    out = li[li["l_quantity"] > 45]
+    explanation = out.explain(top_k=3)
+    return explanation.to_df(spark)
 
+
+# ===========================================================================
+# queries + oracles
+# ===========================================================================
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- filters (R2/R3)
+@_q(
+    "filter_quantity",
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+              l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus
+       FROM lineitem WHERE l_quantity > 45""",
+)
+def filter_quantity(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    out = li[li["l_quantity"] > 45]
+    return out.df.drop("l_shipdate")
+
+
+@_q(
+    "filter_status",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+       FROM orders WHERE o_orderstatus = 'F'""",
+)
+def filter_status(spark, sf_dir):
+    o = _e(spark, sf_dir, "orders")
+    out = o[o["o_orderstatus"] == "F"]
+    return out.df.drop("o_orderdate")
+
+
+@_q(
+    "filter_compound",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+       FROM lineitem WHERE l_discount >= 0.05 AND l_tax < 0.07""",
+)
+def filter_compound(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    out = li[(li["l_discount"] >= 0.05) & (li["l_tax"] < 0.07)]
+    return out.df.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+
+
+@_q(
+    "filter_in_between",
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+       FROM lineitem WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 20""",
+)
+def filter_in_between(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    out = li[li["l_returnflag"].isin(["A", "R"]) & li["l_quantity"].between(10, 20)]
+    return out.df.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+@_q(
+    "filter_negation",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       WHERE NOT (o_orderstatus = 'O' OR o_totalprice < 50000)""",
+)
+def filter_negation(spark, sf_dir):
+    o = _e(spark, sf_dir, "orders")
+    out = o[~((o["o_orderstatus"] == "O") | (o["o_totalprice"] < 50000))]
+    return out.df.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+# ---------------------------------------------------------------- group-by: 13 named aggs (R4/R5)
+_AGG_ORACLE = {
+    "mean": ("avg({c})", 6),
+    "median": ("median({c})", 6),
+    "std": ("stddev_samp({c})", 6),
+    "var": ("var_samp({c})", 4),
+    "sem": ("stddev_samp({c}) / sqrt(count({c}))", 6),
+    "sum": ("sum({c})", 2),
+    "min": ("min({c})", None),
+    "max": ("max({c})", None),
+    "count": ("count({c})", None),
+    "nunique": ("count(DISTINCT {c})", None),
+}
+
+
+def _make_agg_query(agg: str, round_to: int | None):
+    def fn(spark, sf_dir, agg=agg, round_to=round_to):
+        li = _e(spark, sf_dir, "lineitem")
+        out = li.groupby("l_returnflag")[["l_quantity", "l_extendedprice"]].agg(agg)
+        df = out.df
+        if round_to is not None:
+            for c in (f"l_quantity_{agg}", f"l_extendedprice_{agg}"):
+                df = df.withColumn(c, F.round(F.col(c).cast("double"), round_to))
+        return df
+
+    return fn
+
+
+for _agg, (_expr, _round) in _AGG_ORACLE.items():
+    q_expr = _expr.format(c="l_quantity")
+    e_expr = _expr.format(c="l_extendedprice")
+    if _round is not None:
+        q_expr = f"round(({q_expr})::DOUBLE, {_round})"
+        e_expr = f"round(({e_expr})::DOUBLE, {_round})"
+    else:
+        q_expr = f"({q_expr})::DOUBLE" if _agg not in ("count", "nunique") else q_expr
+        e_expr = f"({e_expr})::DOUBLE" if _agg not in ("count", "nunique") else e_expr
+    _QUERIES[f"groupby_{_agg}"] = _make_agg_query(_agg, _round)
+    _ORACLES[f"groupby_{_agg}"] = (
+        f"SELECT l_returnflag, {q_expr} AS l_quantity_{_agg}, "
+        f"{e_expr} AS l_extendedprice_{_agg} FROM lineitem GROUP BY 1"
+    )
+
+
+@_q(
+    "groupby_size",
+    "SELECT l_returnflag, count(*) AS size FROM lineitem GROUP BY 1",
+)
+def groupby_size(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    return li.groupby("l_returnflag").size().df
+
+
+@_q(
+    "groupby_prod",
+    """SELECT l_orderkey, round(product(l_discount)::DOUBLE, 12) AS l_discount_prod
+       FROM lineitem GROUP BY 1""",
+)
+def groupby_prod(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    out = li.groupby("l_orderkey")["l_discount"].prod()
+    return out.df.withColumn("l_discount_prod", F.round(F.col("l_discount_prod"), 12))
+
+
+@_q(
+    "groupby_multi_key",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity)::DOUBLE, 2) AS sum_qty,
+              round(avg(l_extendedprice)::DOUBLE, 6) AS avg_price,
+              count(*) AS n
+       FROM lineitem GROUP BY 1, 2""",
+)
+def groupby_multi_key(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    out = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sum_qty=("l_quantity", "sum"),
+        avg_price=("l_extendedprice", "mean"),
+        n=("l_linenumber", "size"),
+    )
+    return (
+        out.df.withColumn("sum_qty", F.round("sum_qty", 2))
+        .withColumn("avg_price", F.round("avg_price", 6))
+    )
+
+
+@_q(
+    "groupby_agg_dict",
+    """SELECT l_linestatus, round(avg(l_quantity)::DOUBLE, 6) AS l_quantity_mean,
+              round(sum(l_quantity)::DOUBLE, 2) AS l_quantity_sum,
+              (max(l_tax))::DOUBLE AS l_tax_max
+       FROM lineitem GROUP BY 1""",
+)
+def groupby_agg_dict(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    out = li.groupby("l_linestatus").agg({"l_quantity": ["mean", "sum"], "l_tax": "max"})
+    return (
+        out.df.withColumn("l_quantity_mean", F.round("l_quantity_mean", 6))
+        .withColumn("l_quantity_sum", F.round("l_quantity_sum", 2))
+    )
+
+
+# ---------------------------------------------------------------- joins (R6/R7)
+@_q(
+    "join_inner",
+    """SELECT l.l_orderkey, l.l_linenumber AS lineitem_l_linenumber,
+              l.l_quantity AS lineitem_l_quantity,
+              o.o_totalprice AS orders_o_totalprice,
+              o.o_orderstatus AS orders_o_orderstatus
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+)
+def join_inner(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    o = _e(spark, sf_dir, "orders").rename({"o_orderkey": "l_orderkey"})
+    o.name = "orders"
+    j = li.merge(o, on="l_orderkey", how="inner")
+    return j.df.select(
+        "l_orderkey", "lineitem_l_linenumber", "lineitem_l_quantity",
+        "orders_o_totalprice", "orders_o_orderstatus",
+    )
+
+
+@_q(
+    "join_left_agg",
+    """SELECT o.o_orderkey, count(l.l_orderkey) AS n_lines,
+              round(coalesce(sum(l.l_extendedprice), 0)::DOUBLE, 2) AS revenue
+       FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY 1""",
+)
+def join_left_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "join_dims_broadcast",
+    """SELECT r.r_name AS region, n.n_name AS nation,
+              count(*) AS n_customers, round(avg(c.c_acctbal)::DOUBLE, 6) AS avg_acctbal
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY 1, 2""",
+)
+def join_dims_broadcast(spark, sf_dir):
+    """Star join: both dims broadcast — zero shuffles for the join itself."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- passthrough ops (R9-R15)
+@_q(
+    "value_counts_region",
+    """SELECT n_regionkey, count(*) AS count FROM nation GROUP BY 1""",
+)
+def value_counts_region(spark, sf_dir):
+    n = _e(spark, sf_dir, "nation")
+    return n["n_regionkey"].value_counts().df
+
+
+@_q(
+    "drop_duplicates_part",
+    "SELECT DISTINCT p_brand, p_type FROM part",
+)
+def drop_duplicates_part(spark, sf_dir):
+    p = _e(spark, sf_dir, "part")
+    return p[["p_brand", "p_type"]].drop_duplicates().df
+
+
+@_q(
+    "rename_drop_project",
+    "SELECT n_nationkey AS nation_id, n_name AS nation_name FROM nation",
+)
+def rename_drop_project(spark, sf_dir):
+    n = _e(spark, sf_dir, "nation")
+    return n.drop("n_regionkey").rename({"n_nationkey": "nation_id", "n_name": "nation_name"}).df
+
+
+# ---------------------------------------------------------------- datetime bins (§2.5)
+@_q(
+    "month_season_bins",
+    """SELECT monthname(o_orderdate) AS month,
+              CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'Winter'
+                   WHEN month(o_orderdate) IN (3,4,5) THEN 'Spring'
+                   WHEN month(o_orderdate) IN (6,7,8) THEN 'Summer'
+                   ELSE 'Fall' END AS season,
+              count(*) AS n, round(sum(o_totalprice)::DOUBLE, 2) AS total
+       FROM orders GROUP BY 1, 2""",
+)
+def month_season_bins(spark, sf_dir):
+    from pd_explain_spark.functions.binning import month_bin, season_bin
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            month_bin(F.col("o_orderdate")).alias("month"),
+            season_bin(F.col("o_orderdate")).alias("season"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------- streaming-parity windows
+@_q(
+    "windowed_events",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, count(*) AS n_events,
+              round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value
+       FROM events GROUP BY 1, 2""",
+)
+def windowed_events(spark, sf_dir):
+    from pd_explain_spark.streaming.windows import windowed_agg
+
+    return windowed_agg(_t(spark, sf_dir, "events"), keys=["event_type"], window="1 hour")
+
+
+@_q(
+    "sessionize_events",
+    """WITH flagged AS (
+         SELECT user_id, ts,
+                CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          + INTERVAL 30 MINUTE THEN 1
+                     WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                     ELSE 0 END AS new_sess
+         FROM events
+       ), numbered AS (
+         SELECT user_id, ts,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+         FROM flagged
+       )
+       SELECT user_id, session_seq::BIGINT AS session_seq,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              count(*) AS n_events
+       FROM numbered GROUP BY 1, 2""",
+)
+def sessionize_events(spark, sf_dir):
+    from pd_explain_spark.streaming.windows import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# ---------------------------------------------------------------- text analysis
+@_q(
+    "text_profile",
+    """SELECT doc_id,
+              len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+              len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::BIGINT AS n_stopwords,
+              len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+              round(
+                0.5 * least(1.0, len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) / 50.0)
+              + 0.3 * (1.0 - least(1.0, len(regexp_extract_all(text, '[.,!?;:]'))
+                  / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)))
+              + 0.2 * least(1.0, 4.0 * len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+                  / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)), 6) AS quality,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       FROM documents""",
+)
+def text_profile_q(spark, sf_dir):
+    from pd_explain_spark.functions.text import text_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_profile(docs).select(
+        "doc_id", "n_tokens", "n_stopwords", "n_punct", "quality", "fingerprint"
+    )
+
+
+@_q(
+    "lang_id_counts",
+    """WITH scored AS (
+         SELECT len(regexp_extract_all(lower(text), '\\b(der|die|und|ist)\\b')) AS h_de,
+                len(regexp_extract_all(lower(text), '\\b(the|and|of|is)\\b')) AS h_en,
+                len(regexp_extract_all(lower(text), '\\b(el|la|y|es)\\b')) AS h_es,
+                len(regexp_extract_all(lower(text), '\\b(le|la|et|est)\\b')) AS h_fr,
+                len(regexp_extract_all(lower(text), '\\b(de|shi|le|bu)\\b')) AS h_zh
+         FROM documents
+       ), labeled AS (
+         SELECT CASE
+                  WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                  WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                  WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                  WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                  WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_detected
+         FROM scored
+       )
+       SELECT lang_detected, count(*) AS n FROM labeled GROUP BY 1""",
+)
+def lang_id_counts(spark, sf_dir):
+    from pd_explain_spark.functions.text import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(detect_language(F.col("text")).alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------- dedup
+@_q(
+    "dedup_exact",
+    """SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+              count(*) AS dup_count, min(doc_id) AS keep_id
+       FROM documents GROUP BY 1""",
+)
+def dedup_exact_q(spark, sf_dir):
+    from pd_explain_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "ngram_jaccard",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), sh AS (
+         SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3
+       ), inv AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh
+       ), pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT id_a, id_b,
+              round(inter / (la.n + lb.n - inter), 6) AS jaccard
+       FROM pairs
+       JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON la.doc_id = id_a
+       JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON lb.doc_id = id_b
+       WHERE round(inter / (la.n + lb.n - inter), 6) >= 0.2""",
+)
+def ngram_jaccard_q(spark, sf_dir):
+    from pd_explain_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def minhash_near_dups_q(spark, sf_dir):
+    from pd_explain_spark.functions.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def simhash_near_dups_q(spark, sf_dir):
+    from pd_explain_spark.functions.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=10)
+
+
+_QUERIES["minhash_near_dups"] = minhash_near_dups_q  # rows-only: xxhash64 seeds
+_QUERIES["simhash_near_dups"] = simhash_near_dups_q  # rows-only: xxhash64 bit votes
+
+
+# ---------------------------------------------------------------- similarity search
+@_q(
+    "similarity_topk",
+    """WITH cast_emb AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       ), scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.emb, c.emb)
+                  / (sqrt(list_dot_product(q.emb, q.emb))
+                     * sqrt(list_dot_product(c.emb, c.emb))) AS sim
+         FROM cast_emb q JOIN cast_emb c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id < 10
+       ), ranked AS (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+                round(sim, 6) AS cosine_sim
+         FROM scored
+       )
+       SELECT query_id, neighbor_id, rank::INT AS rank, cosine_sim
+       FROM ranked WHERE rank <= 5""",
+)
+def similarity_topk(spark, sf_dir):
+    from pd_explain_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
+def similarity_lsh_q(spark, sf_dir):
+    from pd_explain_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter("vec_id < 10"), k=5, n_planes=4)
+
+
+_QUERIES["similarity_lsh_topk"] = similarity_lsh_q  # rows-only: seeded hyperplanes
+
+
+# ---------------------------------------------------------------- explainers
+@_q(
+    "fedex_groupby_explain",
+    """WITH g AS (
+         SELECT l_returnflag AS bin, avg(l_extendedprice) AS v FROM lineitem GROUP BY 1
+       ), s AS (
+         SELECT avg(v) AS m, stddev_samp(v) AS sd FROM g
+       )
+       SELECT 'l_extendedprice_mean' AS attribute, bin,
+              round((v - m) / sd, 6) AS influence, round(abs(sd / m), 6) AS score
+       FROM g, s
+       ORDER BY abs((v - m) / sd) DESC, bin LIMIT 1""",
+)
+def fedex_groupby_explain(spark, sf_dir):
+    """The FEDEX diversity kernel itself, oracle-checked in SQL."""
+    li = _e(spark, sf_dir, "lineitem")
+    res = li.groupby("l_returnflag")["l_extendedprice"].mean()
+    exp = res.explain(top_k=1)
+    return (
+        exp.to_df(spark)
+        .select(
+            "attribute",
+            "bin",
+            F.round("influence", 6).alias("influence"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def fedex_filter_explain(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    out = li[li["l_quantity"] > 45]
+    return out.explain(top_k=3).to_df(spark)
+
+
+def fedex_join_explain(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    o = _e(spark, sf_dir, "orders").rename({"o_orderkey": "l_orderkey"})
+    o.name = "orders"
+    j = li.merge(o, on="l_orderkey", how="inner")
+    return j.explain(top_k=2, consider="left").to_df(spark)
+
+
+def shapley_explain(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    o = _e(spark, sf_dir, "orders").rename({"o_orderkey": "l_orderkey"})
+    o.name = "orders"
+    j = li.merge(o, on="l_orderkey", how="inner")
+    return j.explain(explainer="shapley", top_k=2).to_df(spark)
+
+
+def outlier_explain(spark, sf_dir):
+    o = _e(spark, sf_dir, "orders")
+    g = o.groupby("o_orderpriority")["o_totalprice"].mean()
+    target = g.df.orderBy(F.desc("o_totalprice_mean")).first()[0]
+    return g.explain(explainer="outlier", target=target, dir="high").to_df(spark)
+
+
+_QUERIES["fedex_filter_explain"] = fedex_filter_explain  # rows-only: KS kernel
+_QUERIES["fedex_join_explain"] = fedex_join_explain      # rows-only
+_QUERIES["shapley_explain"] = shapley_explain            # rows-only
+_QUERIES["outlier_explain"] = outlier_explain            # rows-only
+
+
+# ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,74 @@
+"""Headline-query benchmark. Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+cores from $SPARK_GRAFT_CPUS. Each query is executed to completion
+(count or full collect of a small result) — wall-clock includes the
+Spark job, not plan construction only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from pd_explain_spark import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline subset: relational ops, explainers, pipeline extensions
+HEADLINE = [
+    "filter_quantity",
+    "groupby_multi_key",
+    "groupby_nunique",
+    "join_inner",
+    "join_left_agg",
+    "join_dims_broadcast",
+    "fedex_filter_explain",
+    "fedex_groupby_explain",
+    "outlier_explain",
+    "dedup_exact",
+    "minhash_near_dups",
+    "similarity_topk",
+    "text_profile",
+    "windowed_events",
+    "sessionize_events",
+]
+
+
+def main() -> int:
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

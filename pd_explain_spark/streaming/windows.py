@@ -89,13 +89,15 @@ def sessionize(
 
     w = W.partitionBy(user_col).orderBy(ts_col)
     gap_expr = F.expr(f"INTERVAL {gap}")
+    prev = F.lag(ts_col).over(w)
     new_sess = (
-        F.when(F.col(ts_col) > F.lag(ts_col).over(w) + gap_expr, 1)
+        F.when(prev.isNull(), 1)
+        .when(F.col(ts_col) > prev + gap_expr, 1)
         .otherwise(0)
     )
-    with_id = df.withColumn(
-        "__new", F.coalesce(new_sess, F.lit(1))
-    ).withColumn("session_seq", F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    with_id = df.withColumn("__new", new_sess).withColumn(
+        "session_seq", F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
     return (
         with_id.groupBy(user_col, "session_seq")
         .agg(
