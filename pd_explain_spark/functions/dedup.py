@@ -46,7 +46,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ---------------------------------------------------------------- shingles
 def shingles(text_col, n: int = 3):
-    """Word n-gram shingles of the normalized text (distinct set semantics)."""
+    """Word n-gram shingles of the normalized text (distinct set semantics).
+
+    Expression-level helper for ad-hoc use. In pipelines prefer
+    ``_shingle_index``: applied directly to a raw text column, projection
+    collapse re-tokenizes the text once per shingle (interpreted HOF).
+    """
     toks = F.split(normalized_text(text_col), " ")
     k = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
@@ -56,10 +61,45 @@ def shingles(text_col, n: int = 3):
     return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
 
 
-def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct (id, shingle) inverted index — the shared substrate for
+    exact-Jaccard, MinHash and verification.
+
+    Tokenization (regexp + split) is materialized by the repartition
+    exchange BEFORE the shingling lambda runs. Without that barrier,
+    projection collapse inlines the split expression into the transform()
+    lambda body and the whole text is re-tokenized once per shingle —
+    O(tokens^2) per doc and interpreted, which dominated early benchmarks.
+    """
+    toks_df = _fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalized_text(F.col(text_col)), " ").alias("toks"),
+        )
+    )
+    k = F.size("toks") - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - F.lit(1), F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+    )
+    return (
+        toks_df.select("id", F.explode(F.when(k > 0, grams).otherwise(F.array())).alias("shingle"))
+        .distinct()
+    )
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition iff the input is narrower than the cluster.
+
+    Small parquet files arrive as 1-2 partitions; CPU-heavy per-row work
+    (hashing every shingle/token) would then run on one thread. On a real
+    cluster a 100 TB scan is already wide, so this is a no-op there — the
+    check makes the shuffle conditional, not unconditional.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------- exact jaccard
@@ -76,18 +116,26 @@ def ngram_jaccard_pairs(
     shingle table; |A ∪ B| = |A| + |B| - |A ∩ B|. Returns
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
-    docs = _doc_shingles(df, text_col, id_col, n)
-    sizes = docs.select("id", F.size("sh").alias("n_sh"))
-    inv = docs.select("id", F.explode("sh").alias("shingle"))
+    inv = _shingle_index(df, text_col, id_col, n)
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return _jaccard_from_inter(inter, inv, threshold)
+
+
+def _jaccard_from_inter(inter: DataFrame, inv: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, inter) + inverted index sizes -> thresholded Jaccard.
+
+    |A ∪ B| = |A| + |B| - |A ∩ B|; set sizes come from the exploded index
+    (one groupBy), so no array columns ever cross a join boundary.
+    """
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (
+    return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -99,7 +147,6 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out
 
 
 # ---------------------------------------------------------------- minhash + lsh
@@ -107,37 +154,50 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_hashes: int = 64,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — sig[i] = min over shingles of xxhash64(shingle, i)."""
-    docs = _doc_shingles(df, text_col, id_col, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s, i))
-        ),
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of xxhash64(shingle, i).
+
+    Shape: explode shingles once, then ``groupBy(id)`` with ``num_hashes``
+    ``min(xxhash64(shingle, i))`` aggregates. This stays inside whole-stage
+    codegen and gets map-side partial aggregation, so the shuffle carries
+    only ``num_hashes`` longs per doc per partition — the 100 TB path.
+    (A nested ``transform`` over the shingle array is 50-100x slower:
+    higher-order functions are interpreted and Catalyst inlines the
+    shingle-building expression into every signature slot.)
+    """
+    return _signatures_from_index(_shingle_index(df, text_col, id_col, n), num_hashes)
+
+
+def _signatures_from_index(inv: DataFrame, num_hashes: int) -> DataFrame:
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+    ]
+    return (
+        inv.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
     )
-    return docs.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature; docs sharing any (band, bucket) are candidates."""
+    """Band the signature; docs sharing any (band, bucket) are candidates.
+
+    Buckets are ``xxhash64`` over the band's signature longs directly
+    (variadic, no string concat, no lambdas) — the banding projection
+    stays inside whole-stage codegen.
+    """
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col("sig").getItem(b * rows_per_band + j) for j in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
     banded = signatures.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -158,26 +218,26 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the 100 TB dedup path:
     candidate generation never compares all pairs, verification touches
-    only bucket-colliding pairs."""
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    only bucket-colliding pairs.
+
+    Verification goes through the exploded shingle index (id, shingle)
+    restricted to candidate ids: intersection = count of matching
+    (shingle, pair) rows. Joining the shingle *arrays* onto pairs and
+    using array_intersect is 5-10x slower (interpreted array ops, wide
+    rows through the shuffle) — keep verification array-free.
+    """
+    inv = _shingle_index(df, text_col, id_col, n)
+    sigs = _signatures_from_index(inv, num_hashes)
     cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
-    docs = _doc_shingles(df, text_col, id_col, n)
-    da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cands.join(da, "id_a")
-        .join(db, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    ia = inv.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    ib = inv.select(F.col("id").alias("__idb"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cands.join(ia, "id_a")
+        .join(ib, (F.col("id_b") == F.col("__idb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return _jaccard_from_inter(inter, inv, threshold)
 
 
 # ---------------------------------------------------------------- simhash
@@ -185,20 +245,25 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """64-bit SimHash from token hashes, fully JVM-side:
     bit b of the signature = sign of sum over tokens of (+1 if bit set else -1)."""
     toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
-    with_hashes = df.select(
-        F.col(id_col).alias("id"), F.transform(toks, lambda t: F.xxhash64(t)).alias("hs")
-    )
-    def bit_vote(mask):
-        def merge(acc, h):
-            return acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
-
-        return F.aggregate(F.col("hs"), F.lit(0), merge)
-
+    inv = _fan_out(df).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    ).select("id", F.xxhash64("tok").alias("h"))
+    # 64 codegen'd sum aggregates (map-side combined): vote[b] = sum over
+    # tokens of +-1 by bit b of the token hash. HOF F.aggregate over a
+    # token-hash array is interpreted and recomputes the array per bit.
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.expr(f"shiftleft(1L, {b})")) != 0, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
     sig = F.lit(0).cast("long")
     for b in range(64):
         mask = F.expr(f"shiftleft(1L, {b})")
-        sig = sig.bitwiseOR(F.when(bit_vote(mask) > 0, mask).otherwise(F.lit(0).cast("long")))
-    return with_hashes.select("id", sig.alias("simhash"))
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_v{b}") > 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return inv.groupBy("id").agg(*votes).select("id", sig.alias("simhash"))
 
 
 def simhash_near_duplicates(
