@@ -587,6 +587,19 @@ def shapley_explain(spark, sf_dir):
     return j.explain(explainer="shapley", top_k=2).to_df(spark)
 
 
+def many_to_one_explain(spark, sf_dir):
+    """E5: planted-label rule mining; deterministic but the beam search is
+    not SQL-expressible — rows-only check."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_class",
+        F.when(F.col("l_quantity") <= 20, "low")
+        .when(F.col("l_quantity") <= 40, "mid")
+        .otherwise("high"),
+    )
+    e = to_explainable(li, name="lineitem_labeled")
+    return e.explain(explainer="many_to_one", labels="qty_class").to_df(spark)
+
+
 def outlier_explain(spark, sf_dir):
     o = _e(spark, sf_dir, "orders")
     g = o.groupby("o_orderpriority")["o_totalprice"].mean()
@@ -598,6 +611,7 @@ _QUERIES["fedex_filter_explain"] = fedex_filter_explain  # rows-only: KS kernel
 _QUERIES["fedex_join_explain"] = fedex_join_explain      # rows-only
 _QUERIES["shapley_explain"] = shapley_explain            # rows-only
 _QUERIES["outlier_explain"] = outlier_explain            # rows-only
+_QUERIES["many_to_one_explain"] = many_to_one_explain    # rows-only: beam search
 
 
 # ===========================================================================
