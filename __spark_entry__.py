@@ -614,6 +614,17 @@ _QUERIES["outlier_explain"] = outlier_explain            # rows-only
 _QUERIES["many_to_one_explain"] = many_to_one_explain    # rows-only: beam search
 
 
+def metainsight_explain(spark, sf_dir):
+    """E6: common-pattern mining over groupby lineage; pattern detection is
+    driver-side — rows-only check."""
+    li = _e(spark, sf_dir, "lineitem")
+    g = li.groupby(["l_returnflag", "l_linestatus"])["l_extendedprice"].mean()
+    return g.explain(explainer="metainsight").to_df(spark)
+
+
+_QUERIES["metainsight_explain"] = metainsight_explain    # rows-only: pattern mining
+
+
 # ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
