@@ -536,6 +536,24 @@ def similarity_lsh_q(spark, sf_dir):
 _QUERIES["similarity_lsh_topk"] = similarity_lsh_q  # rows-only: seeded hyperplanes
 
 
+# ---------------------------------------------------------------- mini-language (§2.3)
+@_q(
+    "mini_language_query",
+    """SELECT l_returnflag, round(avg(l_extendedprice)::DOUBLE, 6) AS l_extendedprice_mean
+       FROM lineitem WHERE l_quantity > 30 GROUP BY 1""",
+)
+def mini_language_query(spark, sf_dir):
+    """§2.3: the constrained query language, parsed and interpreted (never
+    eval'd) against the explainable frame."""
+    from pd_explain_spark.llm.query_language import execute_query
+
+    li = _e(spark, sf_dir, "lineitem")
+    out = execute_query(
+        li, "[df['l_quantity'] > 30].groupby('l_returnflag')['l_extendedprice'].mean()"
+    )
+    return out.df.withColumn("l_extendedprice_mean", F.round("l_extendedprice_mean", 6))
+
+
 # ---------------------------------------------------------------- explainers
 @_q(
     "fedex_groupby_explain",

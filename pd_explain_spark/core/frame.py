@@ -235,9 +235,39 @@ class ExplainableDataFrame:
         """
         from ..explainers.factory import create_explainer
 
+        measure_only = kwargs.pop("measure_only", False)
         exp = create_explainer(explainer, self, **kwargs)
         self.last_used_explainer = explainer
-        return exp.generate_explanation()
+        result = exp.generate_explanation()
+        if measure_only:
+            # E8 hook (reference llm_based_query_recommender.py:63-64):
+            # just the query interestingness score
+            from ..functions.scoring import interestingness
+
+            return interestingness(result.scores)
+        return result
+
+    def automated_data_exploration(
+        self,
+        user_query: str = "",
+        num_iterations: int = 3,
+        queries_per_iteration: int = 3,
+        top_k: int = 2,
+        client=None,
+    ):
+        """Plan -> generate -> execute -> analyze loop (reference
+        core/explainable_data_frame.py:137-209). Returns an
+        ExplorationSession (history + query tree + report)."""
+        from ..llm.client import Client
+        from ..llm.exploration import AutomatedDataExploration
+
+        ade = AutomatedDataExploration(frame=self, client=client or Client())
+        return ade.run(
+            user_query=user_query,
+            num_iterations=num_iterations,
+            queries_per_iteration=queries_per_iteration,
+            top_k=top_k,
+        )
 
     # ------------------------------------------------------------------
     # delegation: any unknown attr goes to the Spark DataFrame, and

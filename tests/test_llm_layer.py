@@ -1,0 +1,136 @@
+"""Safe query parser (§2.3), E8 scoring, QueryLogger (S4), session S3,
+and the offline automated-exploration loop."""
+
+import math
+import os
+
+import pytest
+
+from pd_explain_spark import load_table
+from pd_explain_spark.functions.scoring import interestingness
+from pd_explain_spark.llm.query_language import (
+    QueryParseError,
+    execute_query,
+    repair_brackets,
+    validate_query,
+)
+from pd_explain_spark.sources.query_log import ExplorationSession, QueryLogger
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return load_table(spark, SF_DIR, "lineitem")
+
+
+# ---------------------------------------------------------------- parser
+def test_filter_query_should_work(lineitem):
+    out = execute_query(lineitem, "[df['l_quantity'] > 45]")
+    assert out.operation is not None
+    assert out.df.count() == lineitem.df.filter("l_quantity > 45").count()
+
+
+def test_compound_filter_should_work(lineitem):
+    out = execute_query(lineitem, "[(df['l_quantity'] > 45) & (df['l_discount'] <= 0.05)]")
+    expected = lineitem.df.filter("l_quantity > 45 AND l_discount <= 0.05").count()
+    assert out.df.count() == expected
+
+
+def test_filter_groupby_agg_should_work(lineitem):
+    out = execute_query(
+        lineitem, "[df['l_quantity'] > 30].groupby('l_returnflag')['l_extendedprice'].mean()"
+    )
+    assert "l_extendedprice_mean" in out.df.columns
+    assert out.operation.kind == "GroupByOp"
+
+
+def test_agg_dict_should_work(lineitem):
+    out = execute_query(
+        lineitem, ".groupby('l_returnflag').agg({'l_quantity': ['mean', 'sum']})"
+    )
+    assert set(out.df.columns) >= {"l_returnflag", "l_quantity_mean", "l_quantity_sum"}
+
+
+def test_eval_injection_should_fail(lineitem):
+    for evil in [
+        "[__import__('os').system('x')]",
+        ".groupby('a').apply(print)",
+        "[df['l_quantity'] > open('/etc/passwd')]",
+        ".describe()",
+        "[df['x'] > 1 if True else 2]",
+    ]:
+        with pytest.raises(QueryParseError):
+            validate_query(evil)
+
+
+def test_repair_brackets_should_work():
+    assert repair_brackets("[df['a'] > 1") == "[df['a'] > 1]"
+    assert repair_brackets("df['a'] > 1]") == "df['a'] > 1"
+    assert repair_brackets("[(df['a'] > 1]") == "[(df['a'] > 1)]"
+
+
+# ---------------------------------------------------------------- E8 score
+def test_interestingness_geometric_mean_should_work():
+    # all scores <= 1: plain geometric mean of top 4
+    s = interestingness({"a": 0.5, "b": 0.5, "c": 0.5, "d": 0.5, "e": 0.1})
+    assert abs(s - 0.5) < 1e-12
+
+
+def test_interestingness_log_squash_should_work():
+    # any score > 1 triggers log10 squash normalized by the max
+    vals = [3.0, 2.0, 1.0, 0.5]
+    mx = 3.0
+    squashed = [math.log10(1 + v) / (1 + math.log10(1 + mx)) for v in vals]
+    expected = math.exp(sum(math.log(v) for v in squashed) / 4)
+    assert abs(interestingness(vals) - expected) < 1e-12
+
+
+def test_interestingness_empty_should_work():
+    assert interestingness({}) == 0.0
+
+
+# ---------------------------------------------------------------- logger / session
+def test_query_logger_roundtrip_should_work(spark, tmp_path):
+    log = QueryLogger(path=str(tmp_path / "qlog"), enabled=True)
+    log.log("lineitem", "[df['l_quantity'] > 45]", 0.42)
+    log.log("orders", ".groupby('o_orderstatus')['o_totalprice'].mean()", 0.7)
+    df = log.read(spark)
+    assert df.count() == 2
+    assert set(df.columns) == {"df_name", "query", "interestingness", "ts"}
+
+
+def test_query_logger_disabled_by_default_should_work(tmp_path, monkeypatch):
+    monkeypatch.delenv("PD_EXPLAIN_LOG_QUERIES", raising=False)
+    log = QueryLogger(path=str(tmp_path / "qlog2"))
+    log.log("x", "q", 0.0)
+    assert not os.path.isdir(log.path) or not os.listdir(log.path)
+
+
+def test_session_save_load_replay_should_work(lineitem, tmp_path):
+    s = ExplorationSession(root_name="lineitem")
+    s.add("[df['l_quantity'] > 45]", 0.5, ["t1"])
+    s.add("[df['l_quantity'] > 45].groupby('l_returnflag')['l_quantity'].sum()", 0.8, ["t2"], parent=0)
+    p = str(tmp_path / "session.json")
+    s.save(p)
+    s2 = ExplorationSession.load(p)
+    assert s2.history == s.history and s2.tree == s.tree
+    frames = s2.replay(lineitem)
+    assert frames[1].df.columns == ["l_returnflag", "l_quantity_sum"]
+
+
+# ---------------------------------------------------------------- exploration loop
+def test_offline_exploration_loop_should_work(lineitem):
+    session = lineitem.automated_data_exploration(num_iterations=2, queries_per_iteration=2)
+    assert len(session.history) >= 2
+    assert all(h["query"] for h in session.history)
+    assert "(Query 0)" in session.report
+    # deterministic offline generator: same seed -> same queries
+    session2 = lineitem.automated_data_exploration(num_iterations=2, queries_per_iteration=2)
+    assert [h["query"] for h in session2.history] == [h["query"] for h in session.history]
+
+
+def test_measure_only_should_work(lineitem):
+    out = lineitem[lineitem["l_quantity"] > 45]
+    score = out.explain(top_k=4, measure_only=True)
+    assert isinstance(score, float) and 0 <= score <= 1
