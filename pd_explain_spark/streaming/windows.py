@@ -77,6 +77,88 @@ def stream_windowed_agg(
     )
 
 
+def stream_session_windows(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming session windows via the native session_window operator:
+    gap-based sessions per user with bounded state (rows later than the
+    watermark are dropped and their sessions finalized)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_running_user_stats(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user (count, sum, max) maintained across micro-batches — the
+    pattern for operators that windowed aggs can't express (the state
+    here is deliberately simple so the plumbing is the test subject)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("m", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf[value_col].astype("float64")
+            n += len(pdf)
+            s += float(vals.sum())
+            if len(vals):
+                m = max(m, float(vals.max()))
+        state.update((n, s, m))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "sum_value": s, "max_value": m}]
+        )
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",
