@@ -536,6 +536,16 @@ def similarity_lsh_q(spark, sf_dir):
 _QUERIES["similarity_lsh_topk"] = similarity_lsh_q  # rows-only: seeded hyperplanes
 
 
+def similarity_ivf_q(spark, sf_dir):
+    from pd_explain_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_centroids=16, n_probe=4)
+
+
+_QUERIES["similarity_ivf_topk"] = similarity_ivf_q  # rows-only: KMeans index
+
+
 # ---------------------------------------------------------------- mini-language (§2.3)
 @_q(
     "mini_language_query",

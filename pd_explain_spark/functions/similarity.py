@@ -168,3 +168,73 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partitioned corpus,
+    each query probes only its n_probe nearest centroid buckets.
+
+    Index build = one distributed KMeans fit (pyspark.ml) + one corpus
+    pass assigning bucket ids; at 100 TB the bucket id is the partition
+    key and a query touches n_probe/n_centroids of the data. Centroids
+    (n_centroids x dim floats) are tiny and broadcast with the query set.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__v", predictionCol="bucket"
+    ).fit(train.select(array_to_vector(F.col("cv")).alias("__v")))
+    assigned = model.transform(
+        train.select("neighbor_id", "cv", array_to_vector(F.col("cv")).alias("__v"))
+    ).select("neighbor_id", "cv", "bucket")
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    cent_rows = [(i, c) for i, c in enumerate(centroids)]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(cent_rows, ["bucket", "centroid"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    # n_probe nearest buckets per query (query set and centroids are small)
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("bucket"))
+    q_probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "bucket")
+    )
+    scored = (
+        assigned.join(F.broadcast(q_probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+    )

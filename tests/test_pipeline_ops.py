@@ -181,3 +181,17 @@ def test_sessionize_counts(events):
     out = sessionize(events, gap="30 minutes")
     total = out.agg({"n_events": "sum"}).first()[0]
     assert total == events.count()  # every event lands in exactly one session
+
+
+def test_ivf_topk_should_work(spark):
+    from pd_explain_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    exact = brute_force_topk(emb, q, k=5).toPandas()
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3).toPandas()
+    assert set(approx.columns) == {"query_id", "neighbor_id", "rank", "cosine_sim"}
+    assert (approx.groupby("query_id").size() <= 5).all()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values.tolist()))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values.tolist()))
+    assert len(e & a) / len(e) >= 0.4  # ANN recall floor at tiny scale
