@@ -289,6 +289,89 @@ def join_dims_broadcast(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- composite analytics (TPC-H shapes)
+@_q(
+    "q3_shipping_priority",
+    """SELECT l.l_orderkey,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE o.o_orderstatus = 'O'
+       GROUP BY 1, 3
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective filter pushed below a 3-way join, partial
+    aggregation, top-k via sort-limit (never a full collect)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_local_supplier_volume",
+    """SELECT n.n_name AS nation,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM lineitem l
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA'
+       GROUP BY 1""",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: fact table joins three broadcast dims; the region
+    filter prunes before the aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@_q(
+    "sliding_windows",
+    """WITH f AS (
+         SELECT event_type, value,
+                date_trunc('hour', ts)
+                  + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                         ELSE INTERVAL 0 MINUTE END AS f30
+         FROM events
+       ), expanded AS (
+         SELECT event_type, value, unnest([f30, f30 - INTERVAL 30 MINUTE]) AS ws
+         FROM f
+       )
+       SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+              count(*) AS n_events, round(sum(value), 6) AS sum_value,
+              round(avg(value), 6) AS avg_value
+       FROM expanded GROUP BY 1, 2""",
+)
+def sliding_windows(spark, sf_dir):
+    """1 h windows sliding every 30 min: each event lands in exactly two
+    windows (the ones starting at the two half-hour marks at or before it)."""
+    from pd_explain_spark.streaming.windows import windowed_agg
+
+    return windowed_agg(
+        _t(spark, sf_dir, "events"), keys=["event_type"], window="1 hour", slide="30 minutes"
+    )
+
+
 # ---------------------------------------------------------------- passthrough ops (R9-R15)
 @_q(
     "value_counts_region",

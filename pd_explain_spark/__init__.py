@@ -20,6 +20,7 @@ from .core.operations import (
     Operation,
 )
 from .core.series import ExplainableColumn, ExplainablePredicate
+from .config import GLOBALS, toggle_sampling
 from .session import get_spark
 from .sources.readers import load_table, read_csv, read_json, read_parquet, to_explainable
 
@@ -38,6 +39,8 @@ __all__ = [
     "BoolExpr",
     "NotExpr",
     "get_spark",
+    "toggle_sampling",
+    "GLOBALS",
     "read_csv",
     "read_parquet",
     "read_json",

@@ -239,6 +239,7 @@ class ExplainableDataFrame:
         exp = create_explainer(explainer, self, **kwargs)
         self.last_used_explainer = explainer
         result = exp.generate_explanation()
+        self.explanation = result
         if measure_only:
             # E8 hook (reference llm_based_query_recommender.py:63-64):
             # just the query interestingness score
@@ -246,6 +247,15 @@ class ExplainableDataFrame:
 
             return interestingness(result.scores)
         return result
+
+    def present_deleted_correlated(self):
+        """Correlated columns excluded from the last FEDEX explain
+        (reference core/explainable_data_frame.py:1082-1083): dict of
+        {column: |corr with filter attribute|}."""
+        exp = getattr(self, "explanation", None)
+        if exp is None:
+            raise ValueError("run .explain() first")
+        return dict(exp.extras.get("cor_deleted_atts", {}))
 
     def automated_data_exploration(
         self,

@@ -61,7 +61,7 @@ class FedexExplainer(ExplainerBase):
         n_bins: int = DEFAULT_N_BINS,
         consider: str = "left",
         shapley: bool = False,
-        use_sampling: bool = False,
+        use_sampling: bool | None = None,
         sample_size: int = SAMPLE_SIZE,
         attributes: list[str] | None = None,
         ignore: list[str] | None = None,
@@ -78,7 +78,9 @@ class FedexExplainer(ExplainerBase):
         self.n_bins = n_bins
         self.consider = consider
         self.shapley = shapley
-        self.use_sampling = use_sampling
+        from ..config import resolve_sampling
+
+        self.use_sampling = resolve_sampling(use_sampling)
         self.sample_size = sample_size
         self.attributes = attributes
         self.ignore = set(ignore or [])

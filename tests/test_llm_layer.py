@@ -134,3 +134,38 @@ def test_measure_only_should_work(lineitem):
     out = lineitem[lineitem["l_quantity"] > 45]
     score = out.explain(top_k=4, measure_only=True)
     assert isinstance(score, float) and 0 <= score <= 1
+
+
+# ---------------------------------------------------------------- global config
+def test_toggle_sampling_should_work(lineitem):
+    from pd_explain_spark import GLOBALS, toggle_sampling
+
+    assert GLOBALS.use_sampling is False
+    try:
+        assert toggle_sampling() is True
+        out = lineitem[lineitem["l_quantity"] > 45]
+        exp = out.explain(top_k=1)  # fedex picks up the global -> sampled path
+        assert len(exp.items) >= 1
+    finally:
+        toggle_sampling(False)
+    assert GLOBALS.use_sampling is False
+
+
+def test_present_deleted_correlated_should_work(spark):
+    import pyspark.sql.functions as F
+    from pd_explain_spark import to_explainable
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # plant a column perfectly correlated with the filter attribute
+    df = li.withColumn("qty_twin", F.col("l_quantity") * 2 + 1)
+    e = to_explainable(df, name="li_corr")
+    out = e[e["l_quantity"] > 45]
+    out.explain(top_k=1)
+    deleted = out.present_deleted_correlated()
+    assert "qty_twin" in deleted and deleted["qty_twin"] > 0.99
+
+
+def test_present_deleted_correlated_before_explain_should_fail(lineitem):
+    fresh = lineitem[lineitem["l_quantity"] > 44]
+    with pytest.raises(ValueError):
+        fresh.present_deleted_correlated()
