@@ -31,6 +31,8 @@ HEADLINE = [
     "join_inner",
     "join_left_agg",
     "join_dims_broadcast",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "fedex_filter_explain",
     "fedex_groupby_explain",
     "outlier_explain",
@@ -40,6 +42,8 @@ HEADLINE = [
     "text_profile",
     "windowed_events",
     "sessionize_events",
+    "many_to_one_explain",
+    "metainsight_explain",
 ]
 
 

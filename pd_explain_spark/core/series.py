@@ -139,6 +139,43 @@ class ExplainableColumn:
         counts = counts.orderBy(F.col(order_col).asc() if ascending else F.col(order_col).desc())
         return ExplainableDataFrame(counts, name=f"{self.frame.name}.{self.name}.value_counts")
 
+    def _scalar_agg(self, agg: str, ddof: int = 1):
+        """Whole-column scalar aggregation (reference ExpSeries named aggs,
+        core/explainable_series.py) — one Spark agg, returns a Python scalar."""
+        from ..operators.aggregates import agg_column
+
+        return self.frame.df.agg(agg_column(self.name, agg, ddof=ddof).alias("v")).first()["v"]
+
+    def mean(self):
+        return self._scalar_agg("mean")
+
+    def median(self):
+        return self._scalar_agg("median")
+
+    def std(self, ddof: int = 1):
+        return self._scalar_agg("std", ddof)
+
+    def var(self, ddof: int = 1):
+        return self._scalar_agg("var", ddof)
+
+    def sem(self, ddof: int = 1):
+        return self._scalar_agg("sem", ddof)
+
+    def sum(self):
+        return self._scalar_agg("sum")
+
+    def prod(self):
+        return self._scalar_agg("prod")
+
+    def min(self):
+        return self._scalar_agg("min")
+
+    def max(self):
+        return self._scalar_agg("max")
+
+    def count(self):
+        return self._scalar_agg("count")
+
     def unique(self):
         return [r[0] for r in self.frame.df.select(self.name).distinct().collect()]
 

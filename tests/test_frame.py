@@ -149,3 +149,19 @@ def test_getattr_delegation_rewraps(lineitem):
     out = lineitem.limit(5)
     assert isinstance(out, ExplainableDataFrame)
     assert out.df.count() == 5
+
+
+def test_series_scalar_aggs_match_oracle(lineitem, duck):
+    got_mean = lineitem["l_quantity"].mean()
+    got_sum = lineitem["l_quantity"].sum()
+    got_sem = lineitem["l_quantity"].sem()
+    want = duck.sql(
+        "SELECT avg(l_quantity), sum(l_quantity), "
+        "stddev_samp(l_quantity)/sqrt(count(l_quantity)) FROM lineitem"
+    ).fetchone()
+    assert abs(got_mean - want[0]) < 1e-9
+    assert abs(got_sum - want[1]) < 1e-6
+    assert abs(got_sem - want[2]) < 1e-12
+    assert lineitem["l_quantity"].count() == duck.sql(
+        "SELECT count(l_quantity) FROM lineitem"
+    ).fetchone()[0]
