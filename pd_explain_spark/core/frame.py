@@ -203,8 +203,11 @@ class ExplainableDataFrame:
         """Reference R11. Exact-n path sorts by a seeded hash then limits —
         deterministic across partitionings (SURVEY §7 risk register)."""
         if n is not None:
-            ordered = self.df.orderBy(F.xxhash64(*[F.col(c) for c in self.df.columns], F.lit(seed)))
-            return ExplainableDataFrame(ordered.limit(n), name=self.name, operation=self.operation)
+            from ..operators.sampling import deterministic_sample
+
+            return ExplainableDataFrame(
+                deterministic_sample(self.df, n, seed), name=self.name, operation=self.operation
+            )
         return ExplainableDataFrame(
             self.df.sample(fraction=frac or 1.0, seed=seed), name=self.name, operation=self.operation
         )

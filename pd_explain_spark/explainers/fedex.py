@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..core.operations import FilterOp, GroupByOp, JoinOp
 from ..operators.aggregates import is_numeric_type
+from ..operators.sampling import maybe_sample
 from .base import Explanation, ExplanationItem, ExplainerBase
 from .histograms import (
     NULL_TOKEN,
@@ -106,12 +107,7 @@ class FedexExplainer(ExplainerBase):
         return [c for c in df.columns if c not in exclude and c not in self.ignore]
 
     def _maybe_sample(self, df: DataFrame) -> DataFrame:
-        if not self.use_sampling:
-            return df
-        cnt = df.count()
-        if cnt <= self.sample_size:
-            return df
-        return df.sample(fraction=min(1.0, self.sample_size * 1.1 / cnt), seed=RANDOM_SEED)
+        return maybe_sample(df, self.use_sampling, self.sample_size, RANDOM_SEED)
 
     def _correlated_columns(self, df: DataFrame, anchor: str, candidates: list[str]) -> dict[str, float]:
         """Columns whose |Pearson corr| with the filter attribute exceeds

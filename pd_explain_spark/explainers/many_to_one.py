@@ -49,6 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import is_numeric_type
+from ..operators.sampling import maybe_sample
 from .base import Explanation, ExplanationItem, ExplainerBase
 from .histograms import NULL_TOKEN, ColumnProfile, profile_columns
 
@@ -278,10 +279,7 @@ class ManyToOneExplainer(ExplainerBase):
         import pandas as pd
 
         labeled, labels = self._labeled_df()
-        if self.use_sampling:
-            total = labeled.count()
-            if total > self.sample_size:
-                labeled = labeled.sample(self.sample_size / total, seed=RANDOM_SEED)
+        labeled = maybe_sample(labeled, self.use_sampling, self.sample_size, RANDOM_SEED)
         labeled = labeled.cache()
         binned = None
         try:

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core.operations import FilterOp, GroupByOp, JoinOp
+from ..operators.sampling import maybe_sample
 from .base import Explanation, ExplanationItem, ExplainerBase
 from .histograms import NULL_TOKEN, _bin_expr, bin_label, profile_columns
 
@@ -334,14 +335,7 @@ class MetaInsightExplainer(ExplainerBase):
                 if not filter_dims and attr in categorical:
                     filter_dims = [attr]
 
-        sample = df
-        if self.use_sampling:
-            total = df.count()
-            if total > self.sample_size:
-                # seeded fraction sample — deterministic for a given input
-                # partitioning, unlike sample().limit() which depends on
-                # partition arrival order
-                sample = df.sample(self.sample_size / total, seed=RANDOM_SEED)
+        sample = maybe_sample(df, self.use_sampling, self.sample_size, RANDOM_SEED)
         cands = [c for c in df.columns if c not in seeds]
         corr = _correlations(sample, seeds or df.columns[:1], cands, profiles)
 
@@ -416,8 +410,11 @@ class MetaInsightExplainer(ExplainerBase):
                     if p is not None and p.is_numeric and key is not None:
                         return bin_label(p, key, self.n_bins)
                     return key
-                # cap scope count: keep the most frequent filter values
-                fvals = grouped["__f"].value_counts().index.tolist()[:CAT_CAP]
+                # cap scope count: keep the most frequent filter values;
+                # ties broken by value so the scope order (and therefore the
+                # exception list) is independent of toPandas() row order
+                counts = grouped["__f"].value_counts()
+                fvals = sorted(counts.index.tolist(), key=lambda v: (-counts[v], str(v)))[:CAT_CAP]
                 for i, (col, agg) in enumerate(measures):
                     if col == fdim or col == bdim:
                         continue
@@ -458,6 +455,7 @@ class MetaInsightExplainer(ExplainerBase):
                             exceptions.append((fv, f"type-change:{p.kind}", p.highlight))
                     # score (paper-derived): commonness balanced against
                     # exception mass, regularized by scope-space size
+                    exceptions.sort(key=lambda e: (e[1], str(e[0])))
                     exc_ratio = len(exceptions) / len(patterns)
                     score = commonness - self.balance * 0.5 * exc_ratio
                     score -= self.reg * (len(patterns) / (CAT_CAP * 2))

@@ -92,3 +92,21 @@ def test_filter_lineage_should_work(spark):
     out = o[o["o_totalprice"] > 150000]
     exp = out.explain(explainer="metainsight")
     assert exp.kind == "metainsight"  # smoke: runs end-to-end on real lineage
+
+
+def test_sampling_partition_invariant_should_work(spark):
+    """Explainer sampling must not depend on the input's partition layout
+    (SURVEY §7 risk register): same data, different partitioning, same
+    explanations. Guards the deterministic_sample contract."""
+    from pd_explain_spark import to_explainable
+    from pd_explain_spark.sources.readers import read_parquet_df
+
+    raw = read_parquet_df(spark, f"{SF_DIR}/lineitem.parquet")
+    outs = []
+    for parts in (1, 7):
+        li = to_explainable(raw.repartition(parts), name="lineitem")
+        g = li.groupby(["l_returnflag", "l_linestatus"])["l_extendedprice"].mean()
+        exp = g.explain(explainer="metainsight")
+        outs.append(sorted(i.explanation for i in exp.items))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) >= 1
