@@ -274,6 +274,44 @@ class ManyToOneExplainer(ExplainerBase):
                     out[r][lbl] = row[f"_r{j}"] or 0
         return out
 
+    # -- sample-bounded local evaluation --------------------------------------
+    def _evaluate_rules_local(self, rules: list[Rule]) -> dict[Rule, dict[str, int]]:
+        """Same counts as _evaluate_rules, but vectorized numpy over the
+        collected sample. When sampling is ON the evaluation input is
+        <= sample_size rows by construction — a rule table, not data —
+        so driver-side is the fast path (each distributed chunk pays
+        seconds of codegen for 5k rows). Semantics match Spark: NULL
+        numeric comparisons are False (NaN propagates False in numpy),
+        categorical NULLs were coalesced to NULL_TOKEN upstream."""
+        import numpy as np
+
+        pdf, codes, n_labels, label_names = self._local_eval_state
+        masks: dict[Atom, "np.ndarray"] = self._atom_mask_cache
+        out: dict[Rule, dict[str, int]] = {}
+        for rule in rules:
+            m = None
+            for atom in rule:
+                am = masks.get(atom)
+                if am is None:
+                    if atom.kind == "le":
+                        with np.errstate(invalid="ignore"):
+                            am = pdf[atom.attribute].to_numpy() <= atom.value
+                    elif atom.kind == "gt":
+                        with np.errstate(invalid="ignore"):
+                            am = pdf[atom.attribute].to_numpy() > atom.value
+                    else:
+                        am = pdf[f"__bin_{atom.attribute}"].to_numpy() == atom.value
+                    masks[atom] = am
+                if m is None:
+                    m = am.copy()
+                elif self.mode == "conj":
+                    m &= am
+                else:
+                    m |= am
+            counts = np.bincount(codes[m], minlength=n_labels)
+            out[rule] = {label_names[i]: int(counts[i]) for i in range(n_labels)}
+        return out
+
     # -- main ----------------------------------------------------------------
     def generate_explanation(self) -> Explanation:
         import pandas as pd
@@ -301,10 +339,25 @@ class ManyToOneExplainer(ExplainerBase):
                 else:
                     cols.append(F.coalesce(labeled[a].cast("string"), F.lit(NULL_TOKEN)).alias(f"__bin_{a}"))
             binned = labeled.select(*cols).cache()
-            cluster_sizes = {
-                r["__label"]: r["n"]
-                for r in binned.groupBy("__label").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
+            self._local_eval_state = None
+            self._atom_mask_cache = {}
+            if self.use_sampling:
+                # sample-bounded -> collect ONCE, evaluate all levels in numpy
+                import numpy as np
+
+                pdf = binned.toPandas()
+                label_names = sorted(pdf["__label"].dropna().unique().tolist())
+                code_of = {l: i for i, l in enumerate(label_names)}
+                codes = pdf["__label"].map(code_of).to_numpy()
+                self._local_eval_state = (pdf, codes, len(label_names), label_names)
+                cluster_sizes = {
+                    l: int((codes == i).sum()) for l, i in code_of.items()
+                }
+            else:
+                cluster_sizes = {
+                    r["__label"]: r["n"]
+                    for r in binned.groupBy("__label").agg(F.count(F.lit(1)).alias("n")).collect()
+                }
             total_rows = sum(cluster_sizes.values())
 
             # level-1 atoms: numeric -> one-sided splits at each interior bin
@@ -332,7 +385,11 @@ class ManyToOneExplainer(ExplainerBase):
             for depth in range(1, self.max_len + 1):
                 if not level:
                     break
-                counts = self._evaluate_rules(binned, level)
+                counts = (
+                    self._evaluate_rules_local(level)
+                    if self._local_eval_state is not None
+                    else self._evaluate_rules(binned, level)
+                )
                 next_seeds: dict[str, list[tuple[float, Rule]]] = {c: [] for c in labels}
                 atom_quality: dict[str, list[tuple[float, Atom]]] = {c: [] for c in labels}
                 for rule, per_label in counts.items():

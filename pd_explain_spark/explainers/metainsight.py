@@ -381,28 +381,57 @@ class MetaInsightExplainer(ExplainerBase):
         filter_dims, breakdowns, measures, profiles = self._derive_space(df)
         insights: list[MetaInsightResult] = []
 
-        for fdim in filter_dims:
-            for bdim in breakdowns:
-                if fdim == bdim:
-                    continue
-                # ONE grouped pass per (filter_dim, breakdown): all sibling
-                # scopes for every measure at once
-                aggs = [
-                    self._agg_expr(col, agg).alias(f"__m{i}")
-                    for i, (col, agg) in enumerate(measures)
-                ]
-                if not aggs:
-                    continue
-                def dim_expr(col: str):
-                    p = profiles.get(col)
-                    if p is not None and p.is_numeric:
-                        return _bin_expr(df, p, self.n_bins)
-                    return F.coalesce(F.col(col).cast("string"), F.lit(NULL_TOKEN))
+        pairs = [
+            (fdim, bdim)
+            for fdim in filter_dims
+            for bdim in breakdowns
+            if fdim != bdim
+        ]
+        aggs = [
+            self._agg_expr(col, agg).alias(f"__m{i}")
+            for i, (col, agg) in enumerate(measures)
+        ]
+        if not pairs or not aggs:
+            pairs = []
 
-                grouped = (
-                    df.groupBy(dim_expr(fdim).alias("__f"), dim_expr(bdim).alias("__b"))
-                    .agg(*aggs)
-                    .toPandas()
+        # ONE grouping-sets pass for ALL (filter_dim, breakdown) pairs
+        # (SURVEY §4 custom-physical #4, extended across pairs): a single
+        # scan + shuffle computes every sibling scope of every pair; at
+        # 100 TB this is the difference between 1 and |pairs| table scans.
+        # Binned dim columns are never NULL (coalesced to NULL_TOKEN), so
+        # grouping_id unambiguously tags which unordered dim set a row
+        # aggregates over.
+        grouped_by_set: dict[frozenset, "object"] = {}
+        if pairs:
+            def dim_expr(col: str):
+                p = profiles.get(col)
+                if p is not None and p.is_numeric:
+                    return _bin_expr(df, p, self.n_bins)
+                return F.coalesce(F.col(col).cast("string"), F.lit(NULL_TOKEN))
+
+            dims_needed = sorted({d for p in pairs for d in p})
+            proj = df.select(
+                *[dim_expr(d).alias(f"__d_{d}") for d in dims_needed],
+                *[F.col(c) for c in {col for col, _ in measures}],
+            )
+            uniq_sets = sorted({frozenset(p) for p in pairs}, key=lambda s: sorted(s))
+            gcols = [F.col(f"__d_{d}") for d in dims_needed]
+            gsets = [[F.col(f"__d_{d}") for d in dims_needed if d in s] for s in uniq_sets]
+            all_grouped = (
+                proj.groupingSets(gsets, *gcols)
+                .agg(*aggs, F.grouping_id().alias("__gid"))
+                .toPandas()
+            )
+            n = len(dims_needed)
+            for s in uniq_sets:
+                gid = sum(
+                    1 << (n - 1 - i) for i, d in enumerate(dims_needed) if d not in s
+                )
+                grouped_by_set[s] = all_grouped[all_grouped["__gid"] == gid]
+
+        for fdim, bdim in pairs:
+                grouped = grouped_by_set[frozenset((fdim, bdim))].rename(
+                    columns={f"__d_{fdim}": "__f", f"__d_{bdim}": "__b"}
                 )
 
                 def dim_label(col: str, key):
