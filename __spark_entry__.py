@@ -629,6 +629,83 @@ def similarity_ivf_q(spark, sf_dir):
 _QUERIES["similarity_ivf_topk"] = similarity_ivf_q  # rows-only: KMeans index
 
 
+# ------------------------------------------------------- embedding near-dup
+@_q(
+    "embedding_near_dups_exact",
+    """WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       )
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_dot_product(a.emb, b.emb)
+                / (sqrt(list_dot_product(a.emb, a.emb))
+                   * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine_sim
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) >= 0.45""",
+)
+def embedding_near_dups_exact_q(spark, sf_dir):
+    """Exact all-pairs cosine near-dup (baseline path; the LSH variant below
+    is the 100 TB path — bucket join instead of O(n^2))."""
+    from pd_explain_spark.functions.similarity import cosine
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    l, r = e.alias("l"), e.alias("r")
+    return (
+        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.round(cosine(F.col("l.emb"), F.col("r.emb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.45)
+    )
+
+
+def embedding_near_dups_q(spark, sf_dir):
+    from pd_explain_spark.functions.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=4
+    )
+
+
+_QUERIES["embedding_near_dups"] = embedding_near_dups_q  # rows-only: seeded hyperplane LSH
+
+
+# ------------------------------------------------------- multimodal plumbing
+def multimodal_features_q(spark, sf_dir):
+    """Binary media columns + typed metadata through Arrow-batched
+    mapInPandas featurization (decode stubbed per project brief) and the
+    JVM-side video frame-sampling fan-out."""
+    from pd_explain_spark.functions.multimodal import (
+        extract_features,
+        make_demo_media,
+        sample_frames,
+    )
+
+    media = make_demo_media(spark, n=64)
+    feats = extract_features(media, fake_decoder=True)
+    frames = sample_frames(media).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        feats.join(frames, "media_id", "left")
+        .select(
+            "media_id",
+            "n_bytes",
+            F.round(F.element_at("feature", 1), 6).alias("f0"),
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+        )
+    )
+
+
+_QUERIES["multimodal_features"] = multimodal_features_q  # rows-only: synthetic media
+
+
 # ---------------------------------------------------------------- mini-language (§2.3)
 @_q(
     "mini_language_query",
