@@ -335,9 +335,19 @@ class MetaInsightExplainer(ExplainerBase):
                 if not filter_dims and attr in categorical:
                     filter_dims = [attr]
 
+        # cache the sample across the correlation jobs: it is the input to
+        # several aggregations, and uncached each one would re-execute the
+        # TakeOrdered full-table scan it derives from
         sample = maybe_sample(df, self.use_sampling, self.sample_size, RANDOM_SEED)
-        cands = [c for c in df.columns if c not in seeds]
-        corr = _correlations(sample, seeds or df.columns[:1], cands, profiles)
+        sampled = sample is not df
+        if sampled:
+            sample = sample.cache()
+        try:
+            cands = [c for c in df.columns if c not in seeds]
+            corr = _correlations(sample, seeds or df.columns[:1], cands, profiles)
+        finally:
+            if sampled:
+                sample.unpersist()
 
         if not filter_dims:
             filter_dims = sorted(
