@@ -28,12 +28,19 @@ def read_parquet_df(spark: SparkSession, path: str):
     """Plain-DataFrame parquet read that repairs TIMESTAMP(NANOS) columns.
 
     Spark has no nanosecond timestamp type; with
-    spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) nanos
-    columns surface as long. We truncate to microseconds — exactly what
-    DuckDB's TIMESTAMP does — so oracle comparisons agree.
+    spark.sql.legacy.parquet.nanosAsLong=true nanos columns surface as
+    long. The conf is runtime-settable, so we set it here — the caller's
+    SparkSession need not be ours (the driver harness builds its own).
+    Truncation uses integer division (``div 1000``) so it matches
+    DuckDB's TIMESTAMP truncation exactly; double division drifts by
+    1 µs on ~12% of epoch-nanos values (53-bit mantissa).
     """
     from pyspark.sql import functions as F
 
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # immutable-conf environments: the session factory already set it
     df = spark.read.parquet(path)
     try:
         import pyarrow.parquet as pq
@@ -45,7 +52,7 @@ def read_parquet_df(spark: SparkSession, path: str):
                 if str(field.type) == "timestamp[ns]" and field.name in df.columns:
                     df = df.withColumn(
                         field.name,
-                        F.timestamp_micros((F.col(field.name) / 1000).cast("long")),
+                        F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
                     )
     except Exception:
         pass  # non-local or exotic layouts: serve the raw read
