@@ -147,8 +147,13 @@ def _correlations(
             v = row[f"_c{i}"]
             if v is not None:
                 scores[c] = max(scores[c], abs(v))
-    # num-cat correlation ratio, batched: one global-stats agg covering all
-    # numeric columns + one groupBy per categorical covering all numerics
+    # Every categorical-involving association — correlation ratio (num-cat)
+    # AND Cramér's V contingency tables (cat-cat) — comes from ONE
+    # grouping-sets scan: the empty set supplies global numeric stats,
+    # singleton sets {cat} supply per-group numeric means, and doubleton
+    # sets {catA, catB} supply contingency counts. Job count is therefore
+    # constant in schema width (the round-1 design ran one groupBy per
+    # categorical plus one per cat-cat pair).
     nums = sorted(
         {x for x in seeds + candidates if x in profiles and profiles[x].is_numeric}
     )
@@ -161,53 +166,78 @@ def _correlations(
         for c in cats
         if (n in seeds and c in candidates) or (c in seeds and n in candidates)
     ]
-    if mixed:
+    cat_pairs = sorted(
+        {
+            frozenset((s, c))
+            for s in seeds
+            if s in profiles and not profiles[s].is_numeric
+            for c in candidates
+            if c != s and c in profiles and not profiles[c].is_numeric
+        },
+        key=sorted,
+    )
+    if mixed or cat_pairs:
         used_nums = sorted({n for n, _ in mixed})
-        gstats = df.agg(
-            *[F.avg(F.col(n).cast("double")).alias(f"{n}__mu") for n in used_nums],
-            *[F.var_pop(F.col(n).cast("double")).alias(f"{n}__var") for n in used_nums],
-            *[F.count(n).alias(f"{n}__n") for n in used_nums],
-        ).first()
-        for cat in sorted({c for _, c in mixed}):
-            cat_nums = [n for n, c in mixed if c == cat]
-            rows = (
-                df.groupBy(F.col(cat).cast("string").alias("g"))
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[F.avg(F.col(n).cast("double")).alias(f"{n}__m") for n in cat_nums],
-                )
-                .collect()
+        ratio_cats = sorted({c for _, c in mixed})
+        all_cats = sorted(set(ratio_cats) | {x for p in cat_pairs for x in p})
+        proj = df.select(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(NULL_TOKEN)).alias(f"__g_{c}")
+                for c in all_cats
+            ],
+            *[F.col(n).cast("double").alias(f"__n_{n}") for n in used_nums],
+        )
+        gcols = [F.col(f"__g_{c}") for c in all_cats]
+        uniq_sets: list[frozenset] = [frozenset()]
+        uniq_sets += [frozenset((c,)) for c in ratio_cats]
+        uniq_sets += [p for p in cat_pairs if p not in uniq_sets]
+        gsets = [[F.col(f"__g_{c}") for c in all_cats if c in s] for s in uniq_sets]
+        rows = (
+            proj.groupingSets(gsets, *gcols)
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                *[F.avg(f"__n_{n}").alias(f"__m_{n}") for n in used_nums],
+                *[F.var_pop(f"__n_{n}").alias(f"__v_{n}") for n in used_nums],
+                *[F.count(f"__n_{n}").alias(f"__c_{n}") for n in used_nums],
+                F.grouping_id().alias("__gid"),
             )
-            for n in cat_nums:
-                var, cnt = gstats[f"{n}__var"], gstats[f"{n}__n"]
-                if not var or not cnt:
-                    continue
-                mu = gstats[f"{n}__mu"]
-                ssb = sum(
-                    r["n"] * (r[f"{n}__m"] - mu) ** 2 for r in rows if r[f"{n}__m"] is not None
-                )
-                score = (ssb / (var * cnt)) ** 0.5 if var * cnt > 0 else 0.0
-                target = n if n in candidates else cat
-                scores[target] = max(scores.get(target, 0.0), score)
-    # cat-cat Cramér's V (pairs are few: both sides capped)
-    for seed in seeds:
-        if seed not in profiles or profiles[seed].is_numeric:
-            continue
-        for c in candidates:
-            if c == seed or c not in profiles or profiles[c].is_numeric:
-                continue
-            try:
-                ct = (
-                    df.groupBy(
-                        F.col(seed).cast("string").alias("a"),
-                        F.col(c).cast("string").alias("b"),
+            .collect()
+        )
+        nc = len(all_cats)
+
+        def gid_of(s: frozenset) -> int:
+            return sum(1 << (nc - 1 - i) for i, c in enumerate(all_cats) if c not in s)
+
+        by_gid: dict[int, list] = {}
+        for r in rows:
+            by_gid.setdefault(r["__gid"], []).append(r)
+        gstats = by_gid.get(gid_of(frozenset()), [None])[0]
+        if gstats is not None:
+            for cat in ratio_cats:
+                grows = by_gid.get(gid_of(frozenset((cat,))), [])
+                for n in (n for n, c in mixed if c == cat):
+                    var, cnt = gstats[f"__v_{n}"], gstats[f"__c_{n}"]
+                    if not var or not cnt:
+                        continue
+                    mu = gstats[f"__m_{n}"]
+                    ssb = sum(
+                        r[f"__c_{n}"] * (r[f"__m_{n}"] - mu) ** 2
+                        for r in grows
+                        if r[f"__m_{n}"] is not None
                     )
-                    .count()
-                    .collect()
-                )
-                scores[c] = max(scores[c], _cramers_v(ct))
-            except Exception:
-                pass
+                    score = (ssb / (var * cnt)) ** 0.5 if var * cnt > 0 else 0.0
+                    target = n if n in candidates else cat
+                    scores[target] = max(scores.get(target, 0.0), score)
+        for pair in cat_pairs:
+            a, b = sorted(pair)
+            ct = [
+                {"a": r[f"__g_{a}"], "b": r[f"__g_{b}"], "count": r["__cnt"]}
+                for r in by_gid.get(gid_of(pair), [])
+            ]
+            v = _cramers_v(ct)
+            for c in pair:
+                if c in candidates:
+                    scores[c] = max(scores[c], v)
     return scores
 
 
