@@ -37,6 +37,10 @@ class ExplanationItem:
     score: float
     side: str | None = None
     explanation: str = ""
+    # chart payload for visualize(); not part of the DataFrame contract.
+    # Shape: {"kind": "dist-compare"|"group-bar"|"rule-bar",
+    #         "labels": [...], plus kind-specific series/highlight keys}
+    viz: dict | None = None
 
 
 @dataclass
@@ -55,13 +59,43 @@ class Explanation:
         return spark.createDataFrame(rows, schema=EXPLANATION_SCHEMA)
 
     def get_explanation_in_textual_description(self, index: int = 0) -> str:
-        """Reference E7: canonical natural-language form per item."""
+        """Reference E7: canonical natural-language form per item, with the
+        reference's LaTeX cleanup applied (fedex_explainer.py:386-390)."""
+        from .visualize import clean_latex
+
         if not self.items:
             return "No explanation found."
-        return self.items[index].explanation
+        return clean_latex(self.items[index].explanation)
 
     def texts(self) -> list[str]:
         return [i.explanation for i in self.items]
+
+    def to_reference_tuple(
+        self, title: str | None = None, figs_in_row: int = 3, show_scores: bool = False
+    ):
+        """The reference's 9-field results tuple
+        (title, scores, K, figs_in_row, explanations, bins, influence_vals,
+        source_name, show_scores) — fedex_explainer.py:301."""
+        from .visualize import to_reference_tuple
+
+        return to_reference_tuple(self, title, figs_in_row, show_scores)
+
+    def visualize(
+        self,
+        mode: str = "grid",
+        figs_in_row: int = 3,
+        show_scores: bool = False,
+        title: str | None = None,
+    ):
+        """Draw the explanation: matplotlib grid (mode='grid') or carousel
+        (mode='carousel', ipywidgets). Falls back to a printed textual
+        rendering + FigureSpec when matplotlib is unavailable — mirrors
+        the reference contract fedex_explainer.py:147,196-286."""
+        from .visualize import visualize
+
+        return visualize(
+            self, mode=mode, figs_in_row=figs_in_row, show_scores=show_scores, title=title
+        )
 
     def __repr__(self) -> str:
         lines = [f"Explanation(kind={self.kind}, query={self.query})"]

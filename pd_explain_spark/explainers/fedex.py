@@ -223,18 +223,23 @@ class FedexExplainer(ExplainerBase):
             m, s = stats[f"{c}__m"], stats[f"{c}__s"]
             if not s:
                 continue
-            top = (
+            # top-|z| groups, capped: enough for the bar chart, never the
+            # whole grouped result through the driver
+            top_rows = (
                 result.select(
                     key_expr.alias("__group"),
+                    F.col(c).cast("double").alias("__v"),
                     ((F.col(c).cast("double") - F.lit(m)) / F.lit(s)).alias("__z"),
                 )
                 .orderBy(F.abs(F.col("__z")).desc(), F.col("__group"))
-                .limit(1)
-                .first()
+                .limit(30)
+                .collect()
             )
-            if top is None:
+            if not top_rows:
                 continue
+            top = top_rows[0]
             z = float(top["__z"])
+            chart = sorted(top_rows, key=lambda r: str(r["__group"]))
             items.append(
                 ExplanationItem(
                     attribute=c,
@@ -246,6 +251,14 @@ class FedexExplainer(ExplainerBase):
                         f"groups with {'/'.join(op.keys)} = {top['__group']} have {c} "
                         f"{z:+.2f} standard deviations from the mean"
                     ),
+                    viz={
+                        "kind": "group-bar",
+                        "labels": [str(r["__group"]) for r in chart],
+                        "values": [float(r["__v"]) for r in chart],
+                        "highlight": [str(r["__group"]) for r in chart].index(
+                            str(top["__group"])
+                        ),
+                    },
                 )
             )
         return Explanation(
@@ -302,6 +315,13 @@ class FedexExplainer(ExplainerBase):
                     score=float(score),
                     side=side,
                     explanation=f"property {attr} value {label} {phrase}{where}",
+                    viz={
+                        "kind": "dist-compare",
+                        "labels": [bin_label(prof, k, self.n_bins) for k in grp["bin"]],
+                        "src": [float(x) for x in p],
+                        "res": [float(x) for x in q],
+                        "highlight": int(best_idx),
+                    },
                 )
             )
         items.sort(key=lambda i: (-i.score, i.attribute))

@@ -483,6 +483,12 @@ class ManyToOneExplainer(ExplainerBase):
                         f"the group {rec.Cluster} is characterized by ({rec.rule}) "
                         f"— coverage {rec.coverage:.0%}, separation error {rec.separation_err:.0%}"
                     ),
+                    viz={
+                        "kind": "rule-bar",
+                        "labels": ["coverage", "separation_err"],
+                        "values": [float(rec.coverage), float(rec.separation_err)],
+                        "highlight": 0,
+                    },
                 )
                 for rec in self.rules_df.itertuples()
             ]

@@ -216,6 +216,17 @@ class OutlierExplainer(ExplainerBase):
         width = (hi - lo) / self.n_bins
         b_lo, b_hi = lo + b * width, lo + (b + 1) * width
         label = f"[{b_lo:.4g}, {b_hi:.4g}{']' if b == self.n_bins - 1 else ')'}"
+        # after-exclusion series for the winning predicate (chart payload)
+        bgrp = partials[partials["attr"] == attr]
+        p_cnt = bgrp.pivot_table(index="__grp", columns="bin", values="cnt", aggfunc="sum").fillna(0.0)
+        p_sm = bgrp.pivot_table(index="__grp", columns="bin", values="sm", aggfunc="sum").fillna(0.0)
+        ex_cnt = p_cnt.sum(axis=1) - (p_cnt[b] if b in p_cnt.columns else 0.0)
+        ex_sm = p_sm.sum(axis=1) - (p_sm[b] if b in p_sm.columns else 0.0)
+        after = {
+            g: self._series_value(c, s)
+            for g, c, s in zip(ex_cnt.index, ex_cnt, ex_sm)
+            if c > 0
+        }
         items.append(
             ExplanationItem(
                 attribute=attr,
@@ -227,6 +238,13 @@ class OutlierExplainer(ExplainerBase):
                     f"the outlier {self.g_att} = {self.target} is not as significant "
                     f"when excluding rows with {attr} in {label}"
                 ),
+                viz={
+                    "kind": "dist-compare",
+                    "labels": [str(g) for g in groups],
+                    "src": [float(v) for v in base_vals],
+                    "res": [float(after.get(g, 0.0)) for g in groups],
+                    "highlight": int(t_idx),
+                },
             )
         )
         exp = Explanation(kind="outlier", query=self.op.query_string(), items=items,

@@ -109,18 +109,75 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
     Inverted-index join: |A ∩ B| counted per pair from the exploded
     shingle table; |A ∪ B| = |A| + |B| - |A ∩ B|. Returns
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    ``max_df`` is the 100 TB guard: a shingle occurring in f docs
+    produces f^2/2 join rows, so one boilerplate shingle ("terms of
+    service apply") goes quadratic on the full corpus. With max_df set,
+    shingles in > max_df of docs are excluded from *candidate
+    discovery* (pairs must share at least one sub-cap shingle) while
+    the Jaccard itself is still computed over the full shingle sets —
+    exact values, bounded join. Default None = fully exact semantics
+    including boilerplate-only pairs (the oracle-checked path).
     """
     inv = _shingle_index(df, text_col, id_col, n)
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
+    if max_df is None:
+        a, b = inv.alias("a"), inv.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return _jaccard_from_inter(inter, inv, threshold)
+    from pyspark.storagelevel import StorageLevel
+
+    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    disc = _df_pruned(inv, max_df)
+    a, b = disc.alias("a"), disc.alias("b")
+    cands = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_pairs(cands, inv, threshold)
+
+
+def _df_pruned(inv: DataFrame, max_df: float) -> DataFrame:
+    """Drop shingles occurring in more than max_df of the docs (min cap 2)."""
+    n_docs = inv.select(F.countDistinct("id")).first()[0]
+    cap = max(int(n_docs * max_df), 2)
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter(F.col("df_cnt") > cap)
+        .select("shingle")
+    )
+    return inv.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _verify_pairs(cands: DataFrame, inv: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the full
+    shingle index: both verify sides are semi-joined (broadcast) to the
+    candidate id sets first, so the big (id, shingle) table never
+    shuffles rows for non-candidate docs."""
+    ids_a = cands.select(F.col("id_a").alias("id")).distinct()
+    ids_b = cands.select(F.col("id_b").alias("id")).distinct()
+    ia = inv.join(F.broadcast(ids_a), "id", "semi").select(
+        F.col("id").alias("id_a"), F.col("shingle").alias("sh_a")
+    )
+    ib = inv.join(F.broadcast(ids_b), "id", "semi").select(
+        F.col("id").alias("__idb"), F.col("shingle").alias("sh_b")
+    )
+    inter = (
+        cands.join(ia, "id_a")
+        .join(ib, (F.col("id_b") == F.col("__idb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return _jaccard_from_inter(inter, inv, threshold)
@@ -215,29 +272,38 @@ def minhash_lsh_candidates(
 def minhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5,
+    max_df: float | None = 0.2,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the 100 TB dedup path:
     candidate generation never compares all pairs, verification touches
     only bucket-colliding pairs.
 
-    Verification goes through the exploded shingle index (id, shingle)
-    restricted to candidate ids: intersection = count of matching
-    (shingle, pair) rows. Joining the shingle *arrays* onto pairs and
-    using array_intersect is 5-10x slower (interpreted array ops, wide
-    rows through the shuffle) — keep verification array-free.
+    Three scale guards beyond the basic band/bucket design:
+     * the shingle index is persisted (MEMORY_AND_DISK) — it feeds the
+       signature pass, both verify sides and the union-size pass, and
+       recomputing the tokenize+explode+distinct chain four times
+       dominated wall-clock;
+     * signatures are computed from a doc-frequency-pruned shingle set:
+       shingles in > max_df of docs (boilerplate) are dropped from the
+       SIGNATURE path only, cutting both hash cost and false candidates
+       whose overlap is pure boilerplate. Verification still uses the
+       full index, so reported Jaccard stays exact.
+     * verify sides are semi-joined to the candidate id sets (broadcast)
+       before the shingle-equality join, so the big (id, shingle) table
+       never shuffles rows for non-candidate docs.
+
+    Verification goes through the exploded shingle index (id, shingle):
+    intersection = count of matching (shingle, pair) rows. Joining the
+    shingle *arrays* onto pairs and using array_intersect is 5-10x
+    slower (interpreted array ops, wide rows through the shuffle).
     """
-    inv = _shingle_index(df, text_col, id_col, n)
-    sigs = _signatures_from_index(inv, num_hashes)
+    from pyspark.storagelevel import StorageLevel
+
+    inv = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_inv = _df_pruned(inv, max_df) if max_df is not None else inv
+    sigs = _signatures_from_index(sig_inv, num_hashes)
     cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
-    ia = inv.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    ib = inv.select(F.col("id").alias("__idb"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cands.join(ia, "id_a")
-        .join(ib, (F.col("id_b") == F.col("__idb")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return _jaccard_from_inter(inter, inv, threshold)
+    return _verify_pairs(cands, inv, threshold)
 
 
 # ---------------------------------------------------------------- simhash
