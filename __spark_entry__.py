@@ -795,10 +795,20 @@ def outlier_explain(spark, sf_dir):
     return g.explain(explainer="outlier", target=target, dir="high").to_df(spark)
 
 
+def outlier_explain_std(spark, sf_dir):
+    """E4 with a non-mean agg target: std via the sumsq partial in the same
+    one-pass bin-removal algebra (explainers/outlier.py)."""
+    o = _e(spark, sf_dir, "orders")
+    g = o.groupby("o_orderpriority")["o_totalprice"].std()
+    target = g.df.orderBy(F.desc("o_totalprice_std")).first()[0]
+    return g.explain(explainer="outlier", target=target, dir="high").to_df(spark)
+
+
 _QUERIES["fedex_filter_explain"] = fedex_filter_explain  # rows-only: KS kernel
 _QUERIES["fedex_join_explain"] = fedex_join_explain      # rows-only
 _QUERIES["shapley_explain"] = shapley_explain            # rows-only
 _QUERIES["outlier_explain"] = outlier_explain            # rows-only
+_QUERIES["outlier_explain_std"] = outlier_explain_std    # rows-only: std agg
 _QUERIES["many_to_one_explain"] = many_to_one_explain    # rows-only: beam search
 
 

@@ -15,13 +15,24 @@ Semantics from the reference's in-repo kernel duplicate
   (core/explainable_series.py:166,174), direction-signed.
 
 Spark design (SURVEY.md §4 custom-physical #2 — bin-removal algebra):
-ONE job computes per (group, attribute, bin) partial aggregates
-(count, sum) via the same explode+groupBy pattern as the histogram
-service. "Exclude bin b" group means are then O(1) driver-side
-combinations of the partials — the reference's 30 x attrs re-filters of
-the source never happen, so the source is scanned exactly once
-regardless of scale. Supports agg methods mean/sum/count/size (the
-partials determine all of them exactly).
+ONE job computes per (group, attribute, bin) partial aggregates; the
+"exclude bin b" statistics are then O(1) driver-side combinations of
+the partials, so the source is scanned exactly once regardless of
+scale (the reference re-filters the frame 30 x attrs times).
+
+Agg coverage (reference accepts whatever sits in agg_dict,
+explainers/outlier_explainer.py:47-58):
+ * mean / sum / count / size — from (count, non-null count, sum).
+   Mean uses the NON-NULL count as denominator, matching
+   pandas/Spark semantics on data with missing measures.
+ * std / var — one sumsq partial more: var = (ssq - sm^2/nn)/(nn-1).
+ * median — approximate: the partials carry an extra equi-width
+   histogram dimension over the agg column (H bins), and the
+   post-exclusion median is read off the merged cumulative histogram.
+   Resolution = (max-min)/H of the agg column; deterministic.
+
+Group keys may be composite (multi-key group-by): the group identity is
+the tuple of key values; ``target`` may be a scalar or tuple/list.
 
 Human phrasing (llm_integrations/explanation_reasoning.py:99-104):
 "the outlier is not as significant when excluding rows with property
@@ -42,7 +53,9 @@ from .base import Explanation, ExplanationItem, ExplainerBase
 
 N_BINS = 30
 MAX_ATTRS = 10
-SUPPORTED_AGGS = {"mean", "sum", "count", "size"}
+MEDIAN_HIST_BINS = 64
+SUPPORTED_AGGS = {"mean", "sum", "count", "size", "std", "var", "median"}
+_GRP_SEP = "\x1f"  # unit separator: composite group key join token
 
 
 class OutlierExplainer(ExplainerBase):
@@ -63,9 +76,8 @@ class OutlierExplainer(ExplainerBase):
             )
         if target is None:
             raise ValueError("outlier explainer requires `target` (a group key value)")
-        if len(op.keys) != 1:
-            raise ValueError("outlier explainer supports a single group attribute")
-        # pick the aggregated column: single agg output expected (series flavor)
+        # pick the aggregated column from column_mapping, like the reference
+        # reads agg_dict (explainers/outlier_explainer.py:47-58)
         value_cols = [c for c in op.column_mapping if op.column_mapping[c][1] != "size"]
         agg_candidates = value_cols or list(op.column_mapping)
         if not agg_candidates:
@@ -78,18 +90,27 @@ class OutlierExplainer(ExplainerBase):
             )
         self.frame = frame
         self.op = op
-        self.g_att = op.keys[0]
+        self.g_keys = list(op.keys)
+        self.g_att = self.g_keys[0]
         self.target = target
         self.dir = -1 if str(dir).lower() in ("low", "-1") else 1
         self.n_bins = n_bins
         self.max_attrs = max_attrs
 
     # ------------------------------------------------------------------
+    def _target_key(self) -> str:
+        if isinstance(self.target, (tuple, list)):
+            return _GRP_SEP.join(str(t) for t in self.target)
+        return str(self.target)
+
+    def _group_label(self, key: str) -> str:
+        return key.replace(_GRP_SEP, ", ")
+
     def _candidate_attrs(self, df) -> list[str]:
         schema = {f.name: f.dataType for f in df.schema.fields}
         attrs = [
             c for c in df.columns
-            if is_numeric_type(schema[c]) and c not in (self.g_att, self.g_agg)
+            if is_numeric_type(schema[c]) and c not in self.g_keys and c != self.g_agg
         ]
         return attrs[: self.max_attrs]
 
@@ -99,9 +120,10 @@ class OutlierExplainer(ExplainerBase):
         if not attrs:
             return Explanation(kind="outlier", query=self.op.query_string())
 
-        # profile pass: min/max per candidate attr (one agg)
+        # profile pass: min/max per candidate attr (+ agg col for median)
         prof_exprs = []
-        for a in attrs:
+        prof_cols = attrs + ([self.g_agg] if self.agg_method == "median" else [])
+        for a in prof_cols:
             prof_exprs += [
                 F.min(F.col(a).cast("double")).alias(f"{a}__lo"),
                 F.max(F.col(a).cast("double")).alias(f"{a}__hi"),
@@ -116,7 +138,7 @@ class OutlierExplainer(ExplainerBase):
         if not ranges:
             return Explanation(kind="outlier", query=self.op.query_string())
 
-        # ONE pass: (group, attr, bin) -> (count, sum of agg col)
+        # ONE pass: (group, attr, bin [, agg-hist bin]) -> partials
         structs = []
         for a, (lo, hi) in ranges.items():
             width = (hi - lo) / self.n_bins
@@ -126,77 +148,159 @@ class OutlierExplainer(ExplainerBase):
             )
             bin_key = F.when(F.col(a).isNull(), F.lit(-1)).otherwise(idx).cast("int")
             structs.append(F.struct(F.lit(a).alias("attr"), bin_key.alias("bin")))
-        agg_val = (
-            F.col(self.g_agg).cast("double")
-            if self.agg_method in ("mean", "sum")
-            else F.lit(1.0)
-        )
-        exploded = src.select(
-            F.col(self.g_att).cast("string").alias("__grp"),
-            F.explode(F.array(*structs)).alias("s"),
-            agg_val.alias("__v"),
-        )
-        partials = (
-            exploded.groupBy("__grp", F.col("s.attr").alias("attr"), F.col("s.bin").alias("bin"))
-            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("__v").alias("sm"))
-            .toPandas()
-        )
+        v = F.col(self.g_agg).cast("double")
+        grp_expr = F.concat_ws(
+            _GRP_SEP, *[F.col(k).cast("string") for k in self.g_keys]
+        ).alias("__grp")
+        base_cols = [grp_expr, F.explode(F.array(*structs)).alias("s"), v.alias("__v")]
+        group_cols = ["__grp", F.col("s.attr").alias("attr"), F.col("s.bin").alias("bin")]
+        if self.agg_method == "median":
+            alo, ahi = prof[f"{self.g_agg}__lo"], prof[f"{self.g_agg}__hi"]
+            if alo is None or ahi is None:
+                return Explanation(kind="outlier", query=self.op.query_string())
+            alo, ahi = float(alo), float(ahi)
+            awidth = (ahi - alo) / MEDIAN_HIST_BINS or 1.0
+            self._agg_hist = (alo, awidth)
+            abin = F.when(
+                v.isNull(), F.lit(-1)
+            ).otherwise(
+                F.least(
+                    F.lit(MEDIAN_HIST_BINS - 1),
+                    F.greatest(F.lit(0), F.floor((v - F.lit(alo)) / F.lit(awidth))),
+                )
+            ).cast("int")
+            exploded = src.select(*base_cols, abin.alias("__abin"))
+            partials = (
+                exploded.groupBy(*group_cols, "__abin")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .toPandas()
+            )
+        else:
+            exploded = src.select(*base_cols)
+            partials = (
+                exploded.groupBy(*group_cols)
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.count("__v").alias("nn"),
+                    F.sum("__v").alias("sm"),
+                    F.sum(F.col("__v") * F.col("__v")).alias("ssq"),
+                )
+                .toPandas()
+            )
         if partials.empty:
             return Explanation(kind="outlier", query=self.op.query_string())
+        partials[["cnt"]] = partials[["cnt"]].astype(float)
 
+        if self.agg_method == "median":
+            return self._search_median(partials, ranges)
         return self._search(partials, ranges)
 
     # ------------------------------------------------------------------
-    def _series_value(self, cnt: float, sm: float) -> float:
-        if self.agg_method == "mean":
-            return sm / cnt if cnt > 0 else math.nan
-        if self.agg_method == "sum":
-            return sm
-        return cnt  # count / size
+    def _values_from_partials(self, cnt, nn, sm, ssq) -> np.ndarray:
+        """Group agg values from partial-sum arrays (vectorized, NaN where
+        undefined — pandas drops those groups from mean/std like we do)."""
+        cnt = np.asarray(cnt, dtype=float)
+        nn = np.asarray(nn, dtype=float)
+        sm = np.asarray(sm, dtype=float)
+        ssq = np.asarray(ssq, dtype=float)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if self.agg_method == "mean":
+                return np.where(nn > 0, sm / nn, np.nan)
+            if self.agg_method == "sum":
+                return sm
+            if self.agg_method == "count":
+                return nn
+            if self.agg_method == "size":
+                return cnt
+            var = np.where(nn > 1, (ssq - sm * sm / np.maximum(nn, 1)) / (nn - 1), np.nan)
+            var = np.where(var < 0, 0.0, var)  # float cancellation guard
+            if self.agg_method == "var":
+                return var
+            return np.sqrt(var)  # std
 
     def _std_int(self, values: np.ndarray, target_val: float) -> float:
-        if len(values) < 2:
+        vals = values[np.isfinite(values)]
+        if len(vals) < 2 or not math.isfinite(target_val):
             return 0.0
-        std = values.std(ddof=1)
+        std = vals.std(ddof=1)
         if not std or not math.isfinite(std):
             return 0.0
-        return self.dir * (target_val - values.mean()) / std
+        return self.dir * (target_val - vals.mean()) / std
+
+    def _finish(self, best, std_int_before, groups, base_vals, t_idx, ranges, after_vals):
+        if best is None:
+            return Explanation(kind="outlier", query=self.op.query_string())
+        infl, attr, b = best
+        lo, hi = ranges[attr]
+        width = (hi - lo) / self.n_bins
+        b_lo, b_hi = lo + b * width, lo + (b + 1) * width
+        label = f"[{b_lo:.4g}, {b_hi:.4g}{']' if b == self.n_bins - 1 else ')'}"
+        items = [
+            ExplanationItem(
+                attribute=attr,
+                bin=label,
+                influence=float(infl),
+                score=float(abs(std_int_before)),
+                side=None,
+                explanation=(
+                    f"the outlier {'/'.join(self.g_keys)} = "
+                    f"{self._group_label(self._target_key())} is not as significant "
+                    f"when excluding rows with {attr} in {label}"
+                ),
+                viz={
+                    "kind": "dist-compare",
+                    "labels": [self._group_label(g) for g in groups],
+                    "src": [float(v) if math.isfinite(v) else 0.0 for v in base_vals],
+                    "res": [float(after_vals.get(g, math.nan)) if math.isfinite(after_vals.get(g, math.nan)) else 0.0 for g in groups],
+                    "highlight": int(t_idx),
+                },
+            )
+        ]
+        exp = Explanation(kind="outlier", query=self.op.query_string(), items=items,
+                          scores={attr: float(infl)})
+        exp.extras["std_int_before"] = float(std_int_before)
+        return exp
 
     def _search(self, partials, ranges) -> Explanation:
-        # per-attr totals per group reconstruct the full agg series exactly
-        target_key = str(self.target)
-        items: list[ExplanationItem] = []
+        target_key = self._target_key()
         any_attr = next(iter(ranges))
-        base = partials[partials["attr"] == any_attr].groupby("__grp")[["cnt", "sm"]].sum()
+        base = (
+            partials[partials["attr"] == any_attr]
+            .groupby("__grp")[["cnt", "nn", "sm", "ssq"]]
+            .sum()
+        )
         if target_key not in base.index:
-            raise ValueError(f"target group {self.target!r} not found in {self.g_att!r} groups")
+            raise ValueError(
+                f"target group {self.target!r} not found in {self.g_keys!r} groups"
+            )
         groups = list(base.index)
-        base_vals = np.array([self._series_value(r.cnt, r.sm) for r in base.itertuples()])
+        base_vals = self._values_from_partials(base["cnt"], base["nn"], base["sm"], base["ssq"])
         t_idx = groups.index(target_key)
         std_int_before = self._std_int(base_vals, base_vals[t_idx])
         n_total = float(base["cnt"].sum())
 
         best = None  # (influence, attr, bin_idx)
+        best_after: dict[str, float] = {}
         for attr, grp in partials.groupby("attr"):
-            pivot_cnt = grp.pivot_table(index="__grp", columns="bin", values="cnt", aggfunc="sum").fillna(0.0)
-            pivot_sm = grp.pivot_table(index="__grp", columns="bin", values="sm", aggfunc="sum").fillna(0.0)
-            tot_cnt = pivot_cnt.sum(axis=1)
-            tot_sm = pivot_sm.sum(axis=1)
-            for b in pivot_cnt.columns:
+            pivots = {
+                m: grp.pivot_table(index="__grp", columns="bin", values=m, aggfunc="sum").fillna(0.0)
+                for m in ("cnt", "nn", "sm", "ssq")
+            }
+            tots = {m: p.sum(axis=1) for m, p in pivots.items()}
+            for b in pivots["cnt"].columns:
                 if b < 0:  # null bin: reference's pd.cut drops nulls from bins
                     continue
-                ex_cnt = tot_cnt - pivot_cnt[b]
-                ex_sm = tot_sm - pivot_sm[b]
-                kept = float(ex_cnt.sum())
+                ex = {m: tots[m] - pivots[m][b] for m in pivots}
+                kept = float(ex["cnt"].sum())
                 if kept <= 0:
                     continue
-                mask = ex_cnt > 0
-                if target_key not in ex_cnt[mask].index:
+                mask = ex["cnt"] > 0
+                g_list = list(ex["cnt"][mask].index)
+                if target_key not in g_list:
                     continue
-                vals = np.array(
-                    [self._series_value(c, s) for c, s in zip(ex_cnt[mask], ex_sm[mask])]
+                vals = self._values_from_partials(
+                    ex["cnt"][mask], ex["nn"][mask], ex["sm"][mask], ex["ssq"][mask]
                 )
-                g_list = list(ex_cnt[mask].index)
                 t_val = vals[g_list.index(target_key)]
                 std_int_after = self._std_int(vals, t_val)
                 # positive influence = exclusion reduces the outlierness,
@@ -208,46 +312,84 @@ class OutlierExplainer(ExplainerBase):
                     or (infl == best[0] and (attr, int(b)) < (best[1], best[2]))
                 ):
                     best = (infl, attr, int(b))
+                    best_after = dict(zip(g_list, vals))
 
-        if best is None:
-            return Explanation(kind="outlier", query=self.op.query_string())
-        infl, attr, b = best
-        lo, hi = ranges[attr]
-        width = (hi - lo) / self.n_bins
-        b_lo, b_hi = lo + b * width, lo + (b + 1) * width
-        label = f"[{b_lo:.4g}, {b_hi:.4g}{']' if b == self.n_bins - 1 else ')'}"
-        # after-exclusion series for the winning predicate (chart payload)
-        bgrp = partials[partials["attr"] == attr]
-        p_cnt = bgrp.pivot_table(index="__grp", columns="bin", values="cnt", aggfunc="sum").fillna(0.0)
-        p_sm = bgrp.pivot_table(index="__grp", columns="bin", values="sm", aggfunc="sum").fillna(0.0)
-        ex_cnt = p_cnt.sum(axis=1) - (p_cnt[b] if b in p_cnt.columns else 0.0)
-        ex_sm = p_sm.sum(axis=1) - (p_sm[b] if b in p_sm.columns else 0.0)
-        after = {
-            g: self._series_value(c, s)
-            for g, c, s in zip(ex_cnt.index, ex_cnt, ex_sm)
-            if c > 0
-        }
-        items.append(
-            ExplanationItem(
-                attribute=attr,
-                bin=label,
-                influence=float(infl),
-                score=float(abs(std_int_before)),
-                side=None,
-                explanation=(
-                    f"the outlier {self.g_att} = {self.target} is not as significant "
-                    f"when excluding rows with {attr} in {label}"
-                ),
-                viz={
-                    "kind": "dist-compare",
-                    "labels": [str(g) for g in groups],
-                    "src": [float(v) for v in base_vals],
-                    "res": [float(after.get(g, 0.0)) for g in groups],
-                    "highlight": int(t_idx),
-                },
+        return self._finish(best, std_int_before, groups, base_vals, t_idx, ranges, best_after)
+
+    # ------------------------------------------------------------------
+    def _median_from_hist(self, hist: np.ndarray) -> float:
+        """Approximate median from an equi-width histogram (bin midpoints)."""
+        n = hist.sum()
+        if n <= 0:
+            return math.nan
+        alo, awidth = self._agg_hist
+        cum = np.cumsum(hist)
+        idx = int(np.searchsorted(cum, (n + 1) / 2.0))
+        idx = min(idx, len(hist) - 1)
+        return alo + (idx + 0.5) * awidth
+
+    def _search_median(self, partials, ranges) -> Explanation:
+        target_key = self._target_key()
+        H = MEDIAN_HIST_BINS
+        any_attr = next(iter(ranges))
+
+        def hists_of(grp_frame):
+            """{group: (total_cnt, hist[H])} from (grp, abin, cnt) rows
+            (abin = -1 rows are null measures: counted, not histogrammed)."""
+            out_h: dict[str, np.ndarray] = {}
+            out_c: dict[str, float] = {}
+            for g, sub in grp_frame.groupby("__grp"):
+                h = np.zeros(H)
+                for abin, c in zip(sub["__abin"], sub["cnt"]):
+                    if abin >= 0:
+                        h[int(abin)] += c
+                out_h[g] = h
+                out_c[g] = float(sub["cnt"].sum())
+            return out_c, out_h
+
+        base_rows = partials[partials["attr"] == any_attr]
+        base_cnt, base_hist = hists_of(base_rows)
+        if target_key not in base_cnt:
+            raise ValueError(
+                f"target group {self.target!r} not found in {self.g_keys!r} groups"
             )
-        )
-        exp = Explanation(kind="outlier", query=self.op.query_string(), items=items,
-                          scores={attr: float(infl)})
-        exp.extras["std_int_before"] = float(std_int_before)
-        return exp
+        groups = sorted(base_cnt)
+        base_vals = np.array([self._median_from_hist(base_hist[g]) for g in groups])
+        t_idx = groups.index(target_key)
+        std_int_before = self._std_int(base_vals, base_vals[t_idx])
+        n_total = float(sum(base_cnt.values()))
+
+        best = None
+        best_after: dict[str, float] = {}
+        for attr, grp in partials.groupby("attr"):
+            for b in sorted(set(grp["bin"])):
+                if b < 0:
+                    continue
+                sub = grp[grp["bin"] == b]
+                b_cnt, b_hist = hists_of(sub)
+                kept = n_total - float(sum(b_cnt.values()))
+                if kept <= 0:
+                    continue
+                after_vals, g_list = [], []
+                for g in groups:
+                    c_after = base_cnt[g] - b_cnt.get(g, 0.0)
+                    if c_after <= 0:
+                        continue
+                    h_after = base_hist[g] - b_hist.get(g, np.zeros(H))
+                    g_list.append(g)
+                    after_vals.append(self._median_from_hist(h_after))
+                if target_key not in g_list:
+                    continue
+                vals = np.array(after_vals)
+                t_val = vals[g_list.index(target_key)]
+                std_int_after = self._std_int(vals, t_val)
+                infl = (std_int_before - std_int_after) * (kept / n_total)
+                if (
+                    best is None
+                    or infl > best[0]
+                    or (infl == best[0] and (attr, int(b)) < (best[1], best[2]))
+                ):
+                    best = (infl, attr, int(b))
+                    best_after = dict(zip(g_list, vals))
+
+        return self._finish(best, std_int_before, groups, base_vals, t_idx, ranges, best_after)

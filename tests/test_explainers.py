@@ -107,3 +107,76 @@ def test_outlier_on_testdata_runs(orders):
     g = orders.groupby("o_orderpriority")["o_totalprice"].mean()
     exp = g.explain(explainer="outlier", target=g.df.first()[0], dir="high")
     assert exp.kind == "outlier"
+
+
+def test_outlier_std_target_planted(spark):
+    """Group 'z' has an inflated STD only because of rows with flag ~ 100."""
+    rows = []
+    rng = np.random.RandomState(7)
+    for g in ["a", "b", "c", "d"]:
+        rows += [(g, 10.0 + rng.rand(), float(rng.randint(0, 10))) for _ in range(200)]
+    rows += [("z", 10.0 + rng.rand(), float(rng.randint(0, 10))) for _ in range(200)]
+    # widen z's spread via extreme v at flag ~ 100
+    rows += [("z", 300.0 * (1 if i % 2 else -1), 100.0) for i in range(50)]
+    df = to_explainable(spark.createDataFrame(rows, ["g", "v", "flag"]), name="outl_std")
+    res = df.groupby("g")["v"].std()
+    exp = res.explain(explainer="outlier", target="z", dir="high")
+    assert exp.items
+    top = exp.items[0]
+    assert top.attribute == "flag"
+    assert "100" in top.bin
+    assert top.influence > 0
+
+
+def test_outlier_median_target_planted(spark):
+    """Group 'z' has an inflated MEDIAN because >half its rows (flag ~ 100)
+    sit at v ~ 60."""
+    rows = []
+    rng = np.random.RandomState(11)
+    for g in ["a", "b", "c", "d"]:
+        rows += [(g, 10.0 + rng.rand(), float(rng.randint(0, 10))) for _ in range(200)]
+    rows += [("z", 10.0 + rng.rand(), float(rng.randint(0, 10))) for _ in range(100)]
+    rows += [("z", 60.0 + rng.rand(), 100.0) for _ in range(150)]
+    df = to_explainable(spark.createDataFrame(rows, ["g", "v", "flag"]), name="outl_med")
+    res = df.groupby("g")["v"].median()
+    exp = res.explain(explainer="outlier", target="z", dir="high")
+    assert exp.items
+    top = exp.items[0]
+    assert top.attribute == "flag"
+    assert "100" in top.bin
+    assert top.influence > 0
+
+
+def test_outlier_mean_null_safe(spark):
+    """NULL measures must not deflate the reconstructed group means: without
+    the non-null denominator, group 'a' (half nulls) would read as an
+    artificial low outlier."""
+    rows = []
+    rng = np.random.RandomState(3)
+    for g in ["a", "b", "c"]:
+        for _ in range(200):
+            v = None if (g == "a" and rng.rand() < 0.5) else 10.0 + rng.rand()
+            rows.append((g, v, float(rng.randint(0, 10))))
+    df = spark.createDataFrame(rows, schema="g string, v double, flag double")
+    edf = to_explainable(df, name="outl_null")
+    res = edf.groupby("g")["v"].mean()
+    exp = res.explain(explainer="outlier", target="a", dir="low")
+    # all three true means are ~10.5 -> target is NOT a real outlier;
+    # the before-score must be small (nulls excluded from the mean)
+    assert exp.extras.get("std_int_before", 0.0) < 1.5
+
+
+def test_outlier_multi_key_groups(spark):
+    rows = []
+    rng = np.random.RandomState(5)
+    for g1 in ["x", "y"]:
+        for g2 in ["p", "q"]:
+            rows += [(g1, g2, 10.0 + rng.rand(), float(rng.randint(0, 10))) for _ in range(150)]
+    rows += [("x", "q", 80.0, 100.0) for _ in range(40)]
+    df = to_explainable(spark.createDataFrame(rows, ["g1", "g2", "v", "flag"]), name="outl_mk")
+    res = df.groupby(["g1", "g2"])["v"].mean()
+    exp = res.explain(explainer="outlier", target=("x", "q"), dir="high")
+    assert exp.items
+    top = exp.items[0]
+    assert top.attribute == "flag"
+    assert "100" in top.bin
