@@ -124,6 +124,21 @@ def filter_negation(spark, sf_dir):
     return out.df.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
+@_q(
+    "where_mask",
+    """SELECT CASE WHEN o_totalprice > 150000 THEN o_orderkey END AS o_orderkey,
+              CASE WHEN o_totalprice > 150000 THEN o_orderstatus END AS o_orderstatus,
+              CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS o_totalprice
+       FROM orders""",
+)
+def where_mask(spark, sf_dir):
+    """R3: pandas where() keeps the frame shape and NULL-replaces rows that
+    fail the predicate (reference explainable_data_frame.py:671-714)."""
+    o = _e(spark, sf_dir, "orders")
+    out = o[["o_orderkey", "o_orderstatus", "o_totalprice"]]
+    return out.where(out["o_totalprice"] > 150000).df
+
+
 # ---------------------------------------------------------------- group-by: 13 named aggs (R4/R5)
 _AGG_ORACLE = {
     "mean": ("avg({c})", 6),
@@ -775,6 +790,17 @@ def shapley_explain(spark, sf_dir):
     return j.explain(explainer="shapley", top_k=2).to_df(spark)
 
 
+def shapley_filter_explain(spark, sf_dir):
+    """E3 on a filter op: 2-player Shapley over {kept, removed} partitions
+    for value(attr), threaded through explain() kwargs like the reference
+    (explainable_data_frame.py:1090,1242)."""
+    li = _e(spark, sf_dir, "lineitem")
+    out = li[li["l_quantity"] > 45]
+    return out.explain(
+        explainer="shapley", value="mean", attr="l_extendedprice", top_k=2
+    ).to_df(spark)
+
+
 def many_to_one_explain(spark, sf_dir):
     """E5: planted-label rule mining; deterministic but the beam search is
     not SQL-expressible — rows-only check."""
@@ -807,6 +833,7 @@ def outlier_explain_std(spark, sf_dir):
 _QUERIES["fedex_filter_explain"] = fedex_filter_explain  # rows-only: KS kernel
 _QUERIES["fedex_join_explain"] = fedex_join_explain      # rows-only
 _QUERIES["shapley_explain"] = shapley_explain            # rows-only
+_QUERIES["shapley_filter_explain"] = shapley_filter_explain  # rows-only
 _QUERIES["outlier_explain"] = outlier_explain            # rows-only
 _QUERIES["outlier_explain_std"] = outlier_explain_std    # rows-only: std agg
 _QUERIES["many_to_one_explain"] = many_to_one_explain    # rows-only: beam search

@@ -83,9 +83,37 @@ class ExplainableDataFrame:
         return ExplainableDataFrame(self.df.filter(pred), name=f"{self.name}_filtered")
 
     def where(self, pred) -> "ExplainableDataFrame":
-        """Reference R3 records ``where`` as a Filter op (explainable_data_frame.py:671-714);
-        observable result semantics here are row filtering."""
-        return self.filter(pred)
+        """pandas ``where`` semantics (reference R3,
+        explainable_data_frame.py:671-714): the frame KEEPS its shape and
+        every column of a non-matching row becomes NULL (pandas NaN).
+        The operation is still recorded as a Filter for explanation
+        purposes, exactly as the reference does."""
+        if not isinstance(pred, ExplainablePredicate):
+            # raw Spark Column / SQL string: untracked NULL-replace
+            cond = F.expr(pred) if isinstance(pred, str) else pred
+            masked = self.df.select(
+                *[F.when(cond, F.col(c)).otherwise(F.lit(None)).alias(c) for c in self.df.columns]
+            )
+            return ExplainableDataFrame(masked, name=f"{self.name}_where")
+        tree = pred.tree
+        cond = tree.to_spark(self.df)
+        masked = self.df.select(
+            *[F.when(cond, F.col(c)).otherwise(F.lit(None)).alias(c) for c in self.df.columns]
+        )
+        attribute = tree.columns()[0] if tree.columns() else None
+        op_str, value = None, None
+        if isinstance(tree, Comparison):
+            op_str, value = tree.op, tree.value
+        op = FilterOp(
+            source=self.df,
+            result=self.df.filter(cond),  # explainers see the filter semantics
+            source_name=self.name,
+            attribute=attribute,
+            op_str=op_str,
+            value=value,
+            predicate=tree,
+        )
+        return ExplainableDataFrame(masked, name=f"{self.name}_where", operation=op)
 
     def query(self, predicate: PredicateNode) -> "ExplainableDataFrame":
         """Filter from a pre-built predicate tree (used by the mini-language parser)."""

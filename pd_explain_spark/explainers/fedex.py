@@ -62,6 +62,8 @@ class FedexExplainer(ExplainerBase):
         n_bins: int = DEFAULT_N_BINS,
         consider: str = "left",
         shapley: bool = False,
+        value: str | None = None,
+        attr: str | None = None,
         use_sampling: bool | None = None,
         sample_size: int = SAMPLE_SIZE,
         attributes: list[str] | None = None,
@@ -85,6 +87,10 @@ class FedexExplainer(ExplainerBase):
         self.sample_size = sample_size
         self.attributes = attributes
         self.ignore = set(ignore or [])
+        # shapley-on-filter kwargs (reference threads value/attr through
+        # explain() for filters too — explainable_data_frame.py:1090,1242)
+        self.value = value
+        self.attr = attr
 
     # ------------------------------------------------------------------
     def generate_explanation(self) -> Explanation:
@@ -95,6 +101,8 @@ class FedexExplainer(ExplainerBase):
                 return self._explain_shapley()
             return self._explain_join(self.consider)
         if isinstance(self.op, FilterOp):
+            if self.shapley:
+                return self._explain_shapley_filter()
             return self._explain_filter()
         raise ValueError(f"fedex cannot explain operation {self.op.kind}")
 
@@ -186,6 +194,79 @@ class FedexExplainer(ExplainerBase):
         exp.extras["side_share"] = {
             "left": (sum(left.scores.values()) / total) if total else 0.5,
             "right": (sum(right.scores.values()) / total) if total else 0.5,
+        }
+        return exp
+
+    def _explain_shapley_filter(self) -> Explanation:
+        """E3 on a filter: 2-player Shapley over the {kept, removed} row
+        partitions for the measure ``value(attr)`` (defaults: mean of the
+        filter attribute, else the first numeric candidate).
+
+        With coalition value v(S) = agg over the rows of S (v(empty)=0),
+        the exact 2-player Shapley value of 'kept' is
+        0.5*(v({kept}) - v({})) + 0.5*(v(all) - v({removed})) and
+        symmetrically for 'removed' — one conditional-aggregation pass
+        over the source computes every term. Items reuse the filter
+        deviation histograms so the per-column stories are consistent
+        with plain fedex mode. Reference routes shapley through
+        FedexExplainer with value/attr/consider kwargs
+        (explainer_factory.py:24-25, explainable_data_frame.py:1090,1242).
+        """
+        op: FilterOp = self.op
+        source = self._maybe_sample(op.source)
+        schema = {f.name: f.dataType for f in source.schema.fields}
+        attr = self.attr
+        if attr is None:
+            if op.attribute and is_numeric_type(schema.get(op.attribute, None)):
+                attr = op.attribute
+            else:
+                numerics = [
+                    c for c in source.columns
+                    if is_numeric_type(schema[c]) and c not in self.ignore
+                ]
+                if not numerics:
+                    raise ValueError("shapley filter mode needs a numeric `attr`")
+                attr = numerics[0]
+        agg = (self.value or "mean").lower()
+        if agg not in ("mean", "sum", "count"):
+            raise ValueError(f"shapley filter value must be mean/sum/count, got {agg!r}")
+        pred = op.predicate.to_spark(source)
+        v = F.col(attr).cast("double")
+        row = source.agg(
+            F.sum(F.when(pred, v)).alias("sm_k"),
+            F.count(F.when(pred, v)).alias("nn_k"),
+            F.sum(F.when(~pred, v)).alias("sm_r"),
+            F.count(F.when(~pred, v)).alias("nn_r"),
+        ).first()
+        sm_k, nn_k = float(row["sm_k"] or 0.0), float(row["nn_k"] or 0)
+        sm_r, nn_r = float(row["sm_r"] or 0.0), float(row["nn_r"] or 0)
+
+        def val(sm: float, nn: float) -> float:
+            if agg == "sum":
+                return sm
+            if agg == "count":
+                return nn
+            return sm / nn if nn else 0.0
+
+        v_kept, v_removed = val(sm_k, nn_k), val(sm_r, nn_r)
+        v_all = val(sm_k + sm_r, nn_k + nn_r)
+        phi_kept = 0.5 * v_kept + 0.5 * (v_all - v_removed)
+        phi_removed = 0.5 * v_removed + 0.5 * (v_all - v_kept)
+        base = self._explain_filter()
+        exp = Explanation(
+            kind="fedex-shapley-filter",
+            query=op.query_string(),
+            items=base.items,
+            scores=base.scores,
+        )
+        exp.extras["cor_deleted_atts"] = base.extras.get("cor_deleted_atts", {})
+        exp.extras["shapley"] = {
+            "measure": f"{agg}({attr})",
+            "kept": phi_kept,
+            "removed": phi_removed,
+            "v_all": v_all,
+            "v_kept": v_kept,
+            "v_removed": v_removed,
         }
         return exp
 

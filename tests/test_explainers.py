@@ -180,3 +180,26 @@ def test_outlier_multi_key_groups(spark):
     top = exp.items[0]
     assert top.attribute == "flag"
     assert "100" in top.bin
+
+
+# ---------------------------------------------------------------- shapley on filters
+def test_shapley_filter_decomposition_exact(lineitem):
+    """phi_kept + phi_removed must equal v(all) (efficiency axiom), and the
+    kept-side value must equal the mean over the kept rows."""
+    out = lineitem[lineitem["l_quantity"] > 45]
+    exp = out.explain(explainer="shapley", value="mean", attr="l_extendedprice",
+                      use_sampling=False)
+    assert exp.kind == "fedex-shapley-filter"
+    sh = exp.extras["shapley"]
+    assert abs((sh["kept"] + sh["removed"]) - sh["v_all"]) < 1e-6
+    truth = lineitem.df.selectExpr(
+        "avg(case when l_quantity > 45 then l_extendedprice end) as m"
+    ).first()["m"]
+    assert abs(sh["v_kept"] - float(truth)) < 1e-6
+    assert exp.items  # per-column stories still present
+
+
+def test_shapley_filter_kwargs_attr_default(lineitem):
+    out = lineitem[lineitem["l_quantity"] > 45]
+    exp = out.explain(explainer="shapley")  # attr defaults to filter column
+    assert "l_quantity" in exp.extras["shapley"]["measure"]

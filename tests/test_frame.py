@@ -165,3 +165,19 @@ def test_series_scalar_aggs_match_oracle(lineitem, duck):
     assert lineitem["l_quantity"].count() == duck.sql(
         "SELECT count(l_quantity) FROM lineitem"
     ).fetchone()[0]
+
+
+def test_where_keeps_shape_and_nulls(lineitem, duck, sf_dir):
+    out = lineitem[["l_orderkey", "l_quantity"]]
+    masked = out.where(out["l_quantity"] > 45)
+    # shape preserved
+    assert masked.df.count() == lineitem.df.count()
+    # non-matching rows are fully NULL; matching rows intact
+    import pyspark.sql.functions as F
+    n_kept = masked.df.filter(F.col("l_quantity").isNotNull()).count()
+    n_expected = lineitem.df.filter(F.col("l_quantity") > 45).count()
+    assert n_kept == n_expected
+    # the operation is still recorded as a Filter (reference contract)
+    from pd_explain_spark.core.operations import FilterOp
+    assert isinstance(masked.operation, FilterOp)
+    assert masked.operation.attribute == "l_quantity"
