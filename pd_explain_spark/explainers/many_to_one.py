@@ -112,7 +112,10 @@ class ManyToOneExplainer(ExplainerBase):
         **_ignored,
     ):
         if labels is None:
-            raise ValueError("many_to_one requires labels= (a column name of the frame)")
+            raise ValueError(
+                "many_to_one requires labels= (column name, list of column "
+                "names, or a row-aligned sequence of label values)"
+            )
         if mode not in ("conj", "disj"):
             raise ValueError("mode must be 'conj' or 'disj'")
         self.frame = frame
@@ -132,17 +135,88 @@ class ManyToOneExplainer(ExplainerBase):
         self.attributes = attributes
         self.rules_df = None  # pandas DataFrame[Cluster, rule, coverage, separation_err]
 
+    def _labels_repr(self) -> str:
+        if isinstance(self.labels, str):
+            return repr(self.labels)
+        try:
+            n = len(self.labels)
+        except TypeError:
+            return type(self.labels).__name__
+        if n and all(isinstance(x, str) for x in list(self.labels)[: min(n, 5)]) and n <= 5:
+            return repr(list(self.labels))
+        return f"<{n} positional labels>"
+
     # -- label preparation ---------------------------------------------------
-    def _labeled_df(self) -> tuple[DataFrame, list[str]]:
+    def _resolve_labels(self) -> tuple[DataFrame, str]:
+        """Normalize every reference-accepted label input
+        (many_to_one_explainer.py:100-130) to (frame_df_with_label, col):
+
+         * str — an existing column;
+         * ExplainableColumn — its underlying column;
+         * list of column names — group-by-derived labels: the label is
+           the tuple of those columns' values;
+         * any other sequence (list / numpy array / pandas Series, e.g.
+           KMeans .labels_) — positionally aligned values, attached via
+           zipWithIndex (Spark has no row index; zip order is the
+           frame's deterministic scan order — same contract as the
+           reference's positional pandas index).
+        """
+        from ..core.series import ExplainableColumn
+
         df = self.frame.df
-        if self.labels not in df.columns:
-            raise KeyError(f"label column {self.labels!r} not in frame")
-        df = df.filter(F.col(self.labels).isNotNull())
+        labels = self.labels
+        if isinstance(labels, ExplainableColumn):
+            labels = labels.name
+        if isinstance(labels, str):
+            if labels not in df.columns:
+                raise KeyError(f"label column {labels!r} not in frame")
+            return df, labels
+        try:
+            import numpy as np
+            import pandas as pd
+
+            if isinstance(labels, (pd.Series, np.ndarray)):
+                labels = list(labels)
+        except ImportError:
+            pass
+        if not isinstance(labels, (list, tuple)):
+            raise TypeError(f"unsupported labels input: {type(self.labels).__name__}")
+        if labels and all(isinstance(x, str) for x in labels) and all(
+            x in df.columns for x in labels
+        ):
+            # group-by-derived: label = tuple of the named columns' values
+            tuple_col = F.concat_ws(
+                ", ", *[F.col(c).cast("string") for c in labels]
+            )
+            out = df.withColumn("__label_src", tuple_col)
+            self._label_source_cols = list(labels)
+            return out, "__label_src"
+        # positional values: attach by deterministic row order
+        n = df.count()
+        if len(labels) != n:
+            raise ValueError(
+                f"labels length {len(labels)} != frame row count {n} "
+                "(positional labels must align with the frame rows)"
+            )
+        spark = df.sparkSession
+        lab_rows = [(i, str(v) if v is not None else None) for i, v in enumerate(labels)]
+        lab_df = spark.createDataFrame(lab_rows, ["__rid", "__label_src"])
+        indexed = (
+            df.rdd.zipWithIndex()
+            .map(lambda t: (*t[0], t[1]))
+            .toDF(df.schema.add("__rid", "long"))
+        )
+        return indexed.join(lab_df, "__rid").drop("__rid"), "__label_src"
+
+    def _labeled_df(self) -> tuple[DataFrame, list[str]]:
+        df, label_name = self._resolve_labels()
+        self._label_col_name = label_name
+        df = df.filter(F.col(label_name).isNotNull())
         schema = {f.name: f.dataType for f in df.schema.fields}
-        label_col: Column = F.col(self.labels)
-        if is_numeric_type(schema[self.labels]):
+        label_col: Column = F.col(label_name)
+        if is_numeric_type(schema[label_name]):
             # numeric label -> bin to intervals when high-cardinality
-            prof = profile_columns(df, [self.labels]).get(self.labels)
+            prof = profile_columns(df, [label_name]).get(label_name)
             if prof is not None and prof.is_numeric:
                 edges = prof.bin_edges(self.n_bins)
                 if edges:
@@ -175,10 +249,87 @@ class ManyToOneExplainer(ExplainerBase):
             rnd = random.Random(RANDOM_SEED)
             counts = sorted(counts, key=lambda r: r["__label"])
             rnd.shuffle(counts)
+        elif len(counts) > self.max_labels and self.label_pruning in (
+            "max_dist", "min_dist", "max_silhouette", "min_silhouette", "silhouette"
+        ):
+            order = self._geometry_label_order(labeled, self.label_pruning)
+            rank = {l: i for i, l in enumerate(order)}
+            counts = sorted(counts, key=lambda r: rank.get(r["__label"], len(rank)))
         keep = [r["__label"] for r in counts[: self.max_labels]]
         if len(counts) > self.max_labels:
             labeled = labeled.filter(F.col("__label").isin(keep))
         return labeled, keep
+
+    def _geometry_label_order(self, labeled: DataFrame, method: str) -> list[str]:
+        """PCA/silhouette label ranking (reference
+        many_to_one_explainer.py:240-309 — sklearn there, numpy here).
+
+        Driver-side on a <= sample_size deterministic sample — faithful:
+        the reference also samples for silhouette and its PCA runs on the
+        pandas frame it already holds. Features = numeric columns
+        standardized + one-hot of low-cardinality categoricals
+        (reference: pd.get_dummies), reduced to <= 3 PCA components via
+        SVD. max/min_dist ranks labels by the mean distance of their
+        PCA-space centroid to all other centroids; silhouette ranks by
+        the label's mean silhouette score.
+        """
+        import numpy as np
+
+        sample = maybe_sample(labeled, True, self.sample_size, RANDOM_SEED)
+        pdf = sample.toPandas()
+        lab = pdf["__label"].astype(str)
+        feats = []
+        for c in pdf.columns:
+            if c in ("__label", self._label_col_name):
+                continue
+            col = pdf[c]
+            if np.issubdtype(col.dtype, np.number):
+                v = col.to_numpy(dtype=float)
+                mu = np.nanmean(v) if np.isfinite(np.nanmean(v)) else 0.0
+                v = np.where(np.isfinite(v), v, mu)
+                sd = v.std() or 1.0
+                feats.append((v - v.mean()) / sd)
+            elif col.nunique() <= 12:
+                for val in sorted(col.dropna().unique().astype(str)):
+                    feats.append((col.astype(str) == val).to_numpy(dtype=float))
+        if not feats:
+            return sorted(lab.unique())
+        X = np.column_stack(feats)
+        # PCA to <= 3 components via SVD on the centered matrix
+        Xc = X - X.mean(axis=0)
+        _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+        Z = Xc @ vt[: min(3, vt.shape[0])].T
+        labels_arr = lab.to_numpy()
+        uniq = sorted(set(labels_arr))
+        if method in ("max_dist", "min_dist"):
+            centers = np.stack([Z[labels_arr == l].mean(axis=0) for l in uniq])
+            d = np.sqrt(((centers[:, None, :] - centers[None, :, :]) ** 2).sum(-1))
+            np.fill_diagonal(d, np.nan)
+            avg = np.nanmean(d, axis=1)
+            order = np.argsort(-avg if method == "max_dist" else avg, kind="stable")
+            return [uniq[i] for i in order]
+        # silhouette: cap the pairwise-distance matrix at 2000 points
+        cap = 2000
+        if len(Z) > cap:
+            rng = np.random.default_rng(RANDOM_SEED)
+            idx = rng.choice(len(Z), size=cap, replace=False)
+            Z, labels_arr = Z[idx], labels_arr[idx]
+        d = np.sqrt(((Z[:, None, :] - Z[None, :, :]) ** 2).sum(-1))
+        sil = np.zeros(len(Z))
+        masks = {l: labels_arr == l for l in uniq}
+        for i in range(len(Z)):
+            own = masks[labels_arr[i]].copy()
+            own[i] = False
+            a = d[i][own].mean() if own.any() else 0.0
+            b = min(
+                (d[i][m].mean() for l, m in masks.items() if l != labels_arr[i] and m.any()),
+                default=0.0,
+            )
+            denom = max(a, b)
+            sil[i] = (b - a) / denom if denom else 0.0
+        means = {l: sil[masks[l]].mean() if masks[l].any() else 0.0 for l in uniq}
+        reverse = method in ("max_silhouette", "silhouette")
+        return sorted(uniq, key=lambda l: (-means[l] if reverse else means[l], l))
 
     # -- attribute selection -------------------------------------------------
     def _rank_attributes(
@@ -316,15 +467,17 @@ class ManyToOneExplainer(ExplainerBase):
     def generate_explanation(self) -> Explanation:
         import pandas as pd
 
+        self._label_source_cols = []
         labeled, labels = self._labeled_df()
         labeled = maybe_sample(labeled, self.use_sampling, self.sample_size, RANDOM_SEED)
         labeled = labeled.cache()
         binned = None
+        label_like = set(self._label_source_cols) | {self._label_col_name, "__label"}
         try:
             candidates = [
                 c
-                for c in (self.attributes or self.frame.df.columns)
-                if c != self.labels and c in labeled.columns
+                for c in (self.attributes or labeled.columns)
+                if c not in label_like and c != "__label" and c in labeled.columns
             ]
             profiles = profile_columns(labeled, candidates)
             ranked, joint = self._rank_attributes(labeled, profiles)
@@ -376,6 +529,7 @@ class ManyToOneExplainer(ExplainerBase):
                         atoms.append(Atom(a, "eq", v))
             level: list[Rule] = [(a,) for a in atoms]
             results: list[tuple[str, Rule, float, float]] = []
+            origins: dict[tuple[str, Rule], dict[str, int]] = {}
             solved: set[str] = set()  # clusters with enough rules already
             # per-cluster promising atoms (filled after level 1) — extensions
             # draw from these, not the full atom set
@@ -412,6 +566,15 @@ class ManyToOneExplainer(ExplainerBase):
                         good_sep = separation <= self.separation_threshold
                         if good_cov and good_sep:
                             results.append((cluster, rule, coverage, separation))
+                            # error-origin breakdown (reference
+                            # many_to_one_explainer.py:497-541): which other
+                            # groups the rule's false matches come from
+                            err_total = matched_total - in_c
+                            origins[(cluster, rule)] = {
+                                lbl: c
+                                for lbl, c in per_label.items()
+                                if lbl != cluster and c > 0
+                            } if err_total else {}
                         elif depth < self.max_len:
                             # conj shrinks matches (improves separation, costs
                             # coverage); disj grows matches (improves coverage)
@@ -448,6 +611,19 @@ class ManyToOneExplainer(ExplainerBase):
                                 nxt.append(ext)
                 level = nxt[:max_level_rules]
 
+            def _error_text(c, r, sep: float) -> str:
+                if sep == 0:
+                    return "Rule has no separation error."
+                org = origins.get((c, r), {})
+                total = sum(org.values())
+                if not total:
+                    return "Rule has no separation error."
+                parts = [
+                    f"{cnt / total:.0%} of error originates from group {lbl}"
+                    for lbl, cnt in sorted(org.items(), key=lambda t: (-t[1], t[0]))[:4]
+                ]
+                return ", ".join(parts)
+
             rows = [
                 {
                     "Cluster": c,
@@ -455,11 +631,16 @@ class ManyToOneExplainer(ExplainerBase):
                     "coverage": round(cov, 6),
                     "separation_err": round(sep, 6),
                     "length": len(r),
+                    "error_explanation": _error_text(c, r, sep),
                 }
                 for c, r, cov, sep in results
             ]
             self.rules_df = pd.DataFrame(
-                rows, columns=["Cluster", "rule", "coverage", "separation_err", "length"]
+                rows,
+                columns=[
+                    "Cluster", "rule", "coverage", "separation_err", "length",
+                    "error_explanation",
+                ],
             )
             if len(self.rules_df):
                 # conciseness: prefer shortest, then best separation, then coverage
@@ -494,7 +675,7 @@ class ManyToOneExplainer(ExplainerBase):
             ]
             return Explanation(
                 kind="many_to_one",
-                query=f"{self.frame.name}.explain(many_to_one, labels={self.labels!r})",
+                query=f"{self.frame.name}.explain(many_to_one, labels={self._labels_repr()})",
                 items=items,
                 extras={"rules": self.rules_df, "clusters": labels, "total_rows": total_rows},
             )

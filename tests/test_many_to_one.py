@@ -63,3 +63,83 @@ def test_missing_labels_should_fail(planted):
 def test_bad_mode_should_fail(planted):
     with pytest.raises(ValueError):
         planted.explain(explainer="many_to_one", labels="qty_class", mode="xor")
+
+
+# -------- reference label-input parity (many_to_one_explainer.py:100-130) --
+def test_positional_labels_kmeans_style(spark):
+    """Row-aligned label sequence (what sklearn KMeans .labels_ gives):
+    two clear blobs in v -> the rule per cluster must split on v."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    vals = [float(x) for x in rng.rand(300) * 10] + [
+        float(x) for x in rng.rand(300) * 10 + 100
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).coalesce(1)
+    edf = to_explainable(df, name="blobs")
+    labels = [0] * 300 + [1] * 300  # positional, like KMeans output
+    exp = edf.explain(explainer="many_to_one", labels=labels, coverage_threshold=0.9)
+    assert exp.items
+    assert {i.attribute for i in exp.items} <= {"0", "1"}
+    assert all("v" in i.bin for i in exp.items)
+
+
+def test_groupby_derived_labels(planted):
+    """A list of column names = group-by-derived labels (label is the tuple
+    of those columns' values)."""
+    exp = planted.explain(
+        explainer="many_to_one", labels=["qty_class", "l_returnflag"]
+    )
+    assert exp.kind == "many_to_one"
+    # label values are 'qty_class, l_returnflag' tuples
+    if exp.items:
+        assert ", " in exp.items[0].attribute
+
+
+def test_label_length_mismatch_should_fail(planted):
+    with pytest.raises(ValueError):
+        planted.explain(explainer="many_to_one", labels=[1, 2, 3])
+
+
+def test_pruning_max_dist_and_silhouette(spark):
+    """> max_labels clusters: geometric pruning keeps a valid subset and
+    the explainer still runs end to end."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for k in range(6):  # 6 labels, max_labels=4 forces pruning
+        rows += [(float(rng.rand() + 20 * k), f"c{k}") for _ in range(80)]
+    df = spark.createDataFrame(rows, ["v", "lab"])
+    edf = to_explainable(df, name="many_labels")
+    for method in ("max_dist", "max_silhouette"):
+        exp = edf.explain(
+            explainer="many_to_one", labels="lab", max_labels=4,
+            label_pruning=method, coverage_threshold=0.8,
+        )
+        clusters = {i.attribute for i in exp.items}
+        assert 0 < len(clusters) <= 4
+
+
+def test_error_origin_breakdown(spark):
+    """A rule with nonzero separation error reports which other groups the
+    false matches come from (reference many_to_one_explainer.py:497-541)."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    rows = [(float(rng.rand() * 10), "a") for _ in range(200)]
+    rows += [(float(rng.rand() * 10 + 8), "b") for _ in range(200)]  # overlaps a
+    df = spark.createDataFrame(rows, ["v", "lab"])
+    edf = to_explainable(df, name="overlap")
+    exp = edf.explain(
+        explainer="many_to_one", labels="lab",
+        coverage_threshold=0.6, separation_threshold=0.4,
+    )
+    rules = exp.extras["rules"]
+    assert "error_explanation" in rules.columns
+    with_err = rules[rules["separation_err"] > 0]
+    if len(with_err):
+        assert with_err["error_explanation"].str.contains("originates from group").any()
+    no_err = rules[rules["separation_err"] == 0]
+    if len(no_err):
+        assert (no_err["error_explanation"] == "Rule has no separation error.").all()
