@@ -131,8 +131,16 @@ class ExplainableColumn:
 
         counts = self.frame.df.groupBy(self.name).agg(F.count(F.lit(1)).alias("count"))
         if normalize:
-            total = F.sum("count").over(Window.partitionBy())
-            counts = counts.withColumn("proportion", F.col("count") / total).drop("count")
+            # scalar-subquery cross join, NOT Window.partitionBy(): a global
+            # window funnels every group through one task, a broadcast of the
+            # single total row keeps the division fully parallel at high
+            # group cardinality
+            total = counts.agg(F.sum("count").alias("__total"))
+            counts = (
+                counts.crossJoin(F.broadcast(total))
+                .withColumn("proportion", F.col("count") / F.col("__total"))
+                .drop("count", "__total")
+            )
             order_col = "proportion"
         else:
             order_col = "count"

@@ -169,3 +169,121 @@ def test_present_deleted_correlated_before_explain_should_fail(lineitem):
     fresh = lineitem[lineitem["l_quantity"] > 44]
     with pytest.raises(ValueError):
         fresh.present_deleted_correlated()
+
+
+# ---------------------------------------------------------------- refiner
+def test_llm_query_recommender_offline_deterministic(lineitem):
+    from pd_explain_spark.llm.refiner import LLMQueryRecommender
+
+    r1 = LLMQueryRecommender(frame=lineitem, df_name="lineitem", k=3).recommend()
+    r2 = LLMQueryRecommender(frame=lineitem, df_name="lineitem", k=3).recommend()
+    assert r1 == r2 and len(r1) == 3
+    from pd_explain_spark.llm.query_language import validate_query
+    for q in r1:
+        validate_query(q)  # all syntactically valid mini-language
+
+
+def test_extract_recommendations_block():
+    from pd_explain_spark.llm.refiner import extract_recommendations
+
+    text = "noise <recs>\n* [df['a'] > 3]\n* .groupby('b')['a'].mean()\n</recs> tail"
+    assert extract_recommendations(text) == [
+        "[df['a'] > 3]", ".groupby('b')['a'].mean()"
+    ]
+
+
+def test_query_refiner_offline_improves_or_keeps(lineitem):
+    from pd_explain_spark.llm.refiner import QueryRefiner
+
+    seeds = ["[df['l_quantity'] > 1]"]  # weak filter: removes almost nothing
+    ref = QueryRefiner(
+        frame=lineitem, df_name="lineitem", recommendations=seeds, n=2, k=3
+    )
+    ranked = ref.refine()
+    assert ranked, "refiner returned no queries"
+    # deterministic across runs
+    ref2 = QueryRefiner(
+        frame=lineitem, df_name="lineitem", recommendations=seeds, n=2, k=3
+    )
+    assert ranked == ref2.refine()
+    # the search must have explored beyond the seed
+    assert len(ranked) > 1
+    # best score >= seed score (local search keeps the best found)
+    seed_score = next(s for q, s in ranked if q == seeds[0])
+    assert ranked[0][1] >= seed_score
+    # history records iterations and origins
+    assert {h["origin"] for h in ref.history} >= {"seed", "actor-offline"}
+
+
+def test_query_refiner_top_k_mode(lineitem):
+    from pd_explain_spark.llm.refiner import QueryRefiner
+
+    ref = QueryRefiner(
+        frame=lineitem, df_name="lineitem",
+        recommendations=["[df['l_quantity'] > 25]"],
+        n=1, k=2, return_all_options=False,
+    )
+    assert len(ref.refine()) <= 2
+
+
+# ---------------------------------------------------------------- beautifier
+def test_beautifier_offline_noop(capsys):
+    from pd_explain_spark.llm.beautifier import VisualizationBeautifier
+
+    b = VisualizationBeautifier(visualization_params={"title": "t"}, silent=False)
+    fig, code = b.do_llm_action()
+    assert fig is None and code is None
+    assert "keeping the original figure" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------- custom bins
+def test_user_bin_months_seasons(spark):
+    import datetime
+
+    from pd_explain_spark.functions.custom_bins import (
+        MonthsDateTimeBin, SeasonsDateTimeBin, resolve_bin,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(datetime.date(2024, m, 15),) for m in range(1, 13)], ["d"]
+    )
+    mb = MonthsDateTimeBin(F.col("d"), F.col("d"))
+    months = [r[0] for r in df.select(mb.get_binned_result_column()).collect()]
+    assert months == list(range(1, 13))
+    assert mb.get_bin_representation(3) == "March"
+    sb = SeasonsDateTimeBin(F.col("d"), F.col("d"))
+    seasons = [r[0] for r in df.select(sb.get_binned_result_column()).collect()]
+    assert seasons == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+    assert sb.get_bin_representation(0) == "Winter"
+    assert resolve_bin("seasons") is SeasonsDateTimeBin
+
+
+def test_user_bin_registration(spark):
+    from pd_explain_spark.functions.custom_bins import UserBin, register_bin, resolve_bin
+    import pyspark.sql.functions as F
+
+    @register_bin
+    class ParityBin(UserBin):
+        name = "parity"
+
+        def bin_column(self, col):
+            return (col.cast("long") % 2).cast("int")
+
+        def get_bin_representation(self, key):
+            return "even" if int(key) == 0 else "odd"
+
+    df = spark.createDataFrame([(i,) for i in range(6)], ["x"])
+    pb = resolve_bin("parity")(F.col("x"), F.col("x"))
+    vals = [r[0] for r in df.select(pb.get_binned_result_column()).collect()]
+    assert vals == [0, 1, 0, 1, 0, 1]
+    assert pb.get_bin_representation(1) == "odd"
+
+
+def test_value_counts_normalize_parallel_plan(lineitem):
+    vc = lineitem["l_returnflag"].value_counts(normalize=True)
+    pdf = vc.df.toPandas()
+    assert abs(pdf["proportion"].sum() - 1.0) < 1e-9
+    # the plan must not contain a global (empty-frame) window
+    plan = vc.df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
