@@ -165,7 +165,15 @@ def _verify_pairs(cands: DataFrame, inv: DataFrame, threshold: float) -> DataFra
     """Exact-Jaccard verification of candidate pairs against the full
     shingle index: both verify sides are semi-joined (broadcast) to the
     candidate id sets first, so the big (id, shingle) table never
-    shuffles rows for non-candidate docs."""
+    shuffles rows for non-candidate docs.
+
+    ``cands`` is referenced three times below (both id-set broadcasts and
+    the join spine); persisting it keeps the candidate-generation subtree
+    — which may itself contain an LSH self-join — from being recomputed
+    per reference (3x the whole upstream cost, measured)."""
+    from pyspark.storagelevel import StorageLevel
+
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     ids_a = cands.select(F.col("id_a").alias("id")).distinct()
     ids_b = cands.select(F.col("id_b").alias("id")).distinct()
     ia = inv.join(F.broadcast(ids_a), "id", "semi").select(
@@ -256,6 +264,12 @@ def minhash_lsh_candidates(
     banded = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # the self-join below would otherwise evaluate the full signature
+    # subtree (64 hash aggs over every shingle) once per side — persist
+    # the banded frame (num_docs x bands rows, 3 small columns) instead
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
