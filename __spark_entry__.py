@@ -681,10 +681,14 @@ def embedding_near_dups_exact_q(spark, sf_dir):
 
 
 def embedding_near_dups_q(spark, sf_dir):
+    """32 OR'd hash tables: the test pairs sit right at the 0.45 threshold
+    (cosine 0.452-0.513), where per-table collision is only ~18%; with 32
+    tables the per-pair miss probability is ~2e-3, so recall vs the exact
+    entry is >=13/14 with probability ~0.9996 per run."""
     from pd_explain_spark.functions.similarity import embedding_near_duplicates
 
     return embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=4
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=4, n_tables=32
     )
 
 

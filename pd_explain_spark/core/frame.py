@@ -331,6 +331,28 @@ class ExplainableDataFrame:
     def columns(self) -> list[str]:
         return self.df.columns
 
+    @property
+    def shape(self) -> tuple[int, int]:
+        """pandas-surface parity (reference R16 delegates to the pandas
+        frame). Row count triggers a Spark job — documented, like pandas
+        users expect shape to be cheap but Spark cannot make it free."""
+        return (self.df.count(), len(self.df.columns))
+
+    def head(self, n: int = 5) -> "ExplainableDataFrame":
+        """pandas-style head: a *frame* of the first n rows (Spark's own
+        .head returns driver-side Rows). Prefix-limit is the only
+        well-defined positional operation on an unordered frame."""
+        return ExplainableDataFrame(self.df.limit(n), name=self.name, operation=self.operation)
+
+    @property
+    def iloc(self) -> "_ILoc":
+        """Positional indexer (reference R16 pandas surface). On a
+        distributed, unordered frame only prefix slices are distributed
+        (``iloc[:n]`` -> limit(n)); other int/slice forms fetch a bounded
+        prefix to the driver and slice there, erroring on negative or
+        unbounded requests rather than silently collecting the frame."""
+        return _ILoc(self)
+
     def to_pandas(self):
         return self.df.toPandas()
 
@@ -341,3 +363,42 @@ class ExplainableDataFrame:
     def __repr__(self) -> str:
         op = f", op={self.operation.kind}" if self.operation else ""
         return f"ExplainableDataFrame({self.name}{op}, cols={self.df.columns})"
+
+
+class _ILoc:
+    """Bounded positional indexer for ExplainableDataFrame.iloc.
+
+    Supported forms (everything else raises, instead of collecting an
+    unbounded frame to the driver):
+      * ``iloc[:n]``          -> distributed ``limit(n)`` frame
+      * ``iloc[a:b]`` (a<b)   -> fetch first b rows, slice -> frame
+      * ``iloc[i]`` (i >= 0)  -> fetch first i+1 rows -> Row
+    """
+
+    def __init__(self, frame: ExplainableDataFrame):
+        self._frame = frame
+
+    def __getitem__(self, key):
+        f = self._frame
+        if isinstance(key, slice):
+            if key.step not in (None, 1):
+                raise ValueError("iloc: step slices are not supported on a distributed frame")
+            start = key.start or 0
+            stop = key.stop
+            if start < 0 or (stop is not None and stop < 0):
+                raise ValueError("iloc: negative positions need a total row count; use .shape first")
+            if stop is None:
+                raise ValueError("iloc: unbounded slices would collect the whole frame; use the frame itself")
+            if start == 0:
+                return ExplainableDataFrame(f.df.limit(stop), name=f.name, operation=f.operation)
+            rows = f.df.limit(stop).collect()[start:stop]
+            out = f.df.sparkSession.createDataFrame(rows, schema=f.df.schema)
+            return ExplainableDataFrame(out, name=f.name, operation=f.operation)
+        if isinstance(key, int):
+            if key < 0:
+                raise ValueError("iloc: negative positions need a total row count; use .shape first")
+            rows = f.df.limit(key + 1).collect()
+            if len(rows) <= key:
+                raise IndexError(f"iloc: position {key} out of bounds ({len(rows)} rows)")
+            return rows[key]
+        raise TypeError(f"iloc: unsupported key type {type(key).__name__}")

@@ -136,9 +136,29 @@ class ExplainableGroupedData:
     def nunique(self):
         return self._named("nunique")
 
+    def _callable_expr(self, col: str, fn) -> tuple:
+        """Arrow-batched grouped-agg UDF for a user callable (reference
+        ``groupby.aggregate(func)``, explainable_group_by_dataframe.py:22-48;
+        SURVEY §2.6 maps it to pandas_udf GROUPED_AGG). The callable gets
+        the group's values as a pandas Series and must return a scalar.
+        This is the documented slow path — named aggs stay JVM-side."""
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        name = getattr(fn, "__name__", "agg").lstrip("<").rstrip(">") or "agg"
+
+        # explicit functionType: the module uses lazy annotations, so the
+        # inferred-signature form cannot see a real pd.Series hint here
+        @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+        def _udaf(s):
+            return float(fn(s))
+
+        return _udaf(F.col(col)), name
+
     def agg(self, spec=None, ddof: int = 1, **kwargs):
         """Generic agg: ``agg({'col': 'mean'})``, ``agg({'col': ['mean','sum']})``,
-        ``agg('mean')``, or named-style ``agg(out=('col','mean'))``."""
+        ``agg('mean')``, named-style ``agg(out=('col','mean'))``, or a Python
+        callable per column ``agg({'col': lambda s: ...})`` (grouped-agg
+        pandas UDF; callable receives the group as a pandas Series)."""
         if spec is None and kwargs:
             # named aggregation: out_name=(col, agg)
             from .frame import ExplainableDataFrame
@@ -162,13 +182,67 @@ class ExplainableGroupedData:
             return ExplainableDataFrame(result, name=f"{self.frame.name}_groupby_agg", operation=op)
         if isinstance(spec, str):
             return self._named(spec, ddof=ddof)
+        if callable(spec):
+            cols = self._value_columns("mean")  # numeric columns only
+            return self.agg({c: spec for c in cols}, ddof=ddof)
         if isinstance(spec, dict):
-            agg_dict = {c: ([a] if isinstance(a, str) else list(a)) for c, a in spec.items()}
+            agg_dict = {
+                c: ([a] if isinstance(a, str) or callable(a) else list(a))
+                for c, a in spec.items()
+            }
+            callables = {
+                c: [a for a in aggs if callable(a)] for c, aggs in agg_dict.items()
+            }
             for aggs in agg_dict.values():
                 for a in aggs:
-                    if a not in AGG_NAMES:
+                    if not callable(a) and a not in AGG_NAMES:
                         raise ValueError(f"unsupported aggregate {a!r}")
-            return self._run(agg_dict, ddof=ddof)
+            if not any(callables.values()):
+                return self._run(agg_dict, ddof=ddof)
+            # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM
+            # aggregates in one agg() [INVALID_PANDAS_UDF_PLACEMENT]:
+            # run the JVM aggs and the UDF aggs as two grouped passes and
+            # join on the keys (null-safe — Spark keeps NULL key groups).
+            # Both shuffles hash on the same keys, so AQE co-locates them.
+            from .frame import ExplainableDataFrame
+
+            jvm_exprs, udf_exprs, out_dict, column_mapping = [], [], {}, {}
+            for col, aggs in agg_dict.items():
+                for a in aggs:
+                    if callable(a):
+                        expr, aname = self._callable_expr(col, a)
+                        out = output_name(col, aname)
+                        udf_exprs.append(expr.alias(out))
+                    else:
+                        aname = a
+                        out = output_name(col, a)
+                        jvm_exprs.append(agg_column(col, a, ddof=ddof).alias(out))
+                    out_dict.setdefault(col, []).append(aname)
+                    column_mapping[out] = (col, aname)
+            if jvm_exprs and udf_exprs:
+                left = self.frame.df.groupBy(*self.keys).agg(*jvm_exprs)
+                right = self.frame.df.groupBy(*self.keys).agg(*udf_exprs)
+                r = right
+                for k in self.keys:
+                    r = r.withColumnRenamed(k, f"__r_{k}")
+                cond = None
+                for k in self.keys:
+                    c = F.col(k).eqNullSafe(F.col(f"__r_{k}"))
+                    cond = c if cond is None else (cond & c)
+                result = left.join(r, cond, "inner").drop(*[f"__r_{k}" for k in self.keys])
+            else:
+                result = self.frame.df.groupBy(*self.keys).agg(*(jvm_exprs or udf_exprs))
+            op = GroupByOp(
+                source=self.frame.df,
+                result=result,
+                source_name=self.frame.name,
+                keys=list(self.keys),
+                agg_dict=out_dict,
+                column_mapping=column_mapping,
+            )
+            return ExplainableDataFrame(
+                result, name=f"{self.frame.name}_groupby_agg", operation=op
+            )
         raise TypeError(f"unsupported agg spec: {spec!r}")
 
     aggregate = agg

@@ -42,6 +42,17 @@ class VisualizationBeautifier:
             if not self.silent:
                 print("Beautifier unavailable (no LLM key) — keeping the original figure.")
             return None, None
+        if self.visualization_code is None:
+            # reference behavior: pull the real plotting source via the
+            # code extractor so the LLM rewrites actual code, not a stub
+            try:
+                from .code_extractor import VisualizationCodeExtractor
+
+                self.visualization_code = VisualizationCodeExtractor().get_visualization_code(
+                    (self.requester_name or "fedex").lower()
+                )
+            except Exception:
+                pass
         prompt_ctx = (
             f"Visualization params: {sorted(self.visualization_params)}; "
             f"requester: {self.requester_name or 'generic'}."

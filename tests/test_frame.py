@@ -181,3 +181,24 @@ def test_where_keeps_shape_and_nulls(lineitem, duck, sf_dir):
     from pd_explain_spark.core.operations import FilterOp
     assert isinstance(masked.operation, FilterOp)
     assert masked.operation.attribute == "l_quantity"
+
+
+def test_shape_head_iloc_pandas_surface(nation):
+    n_rows, n_cols = nation.shape
+    assert (n_rows, n_cols) == (25, len(nation.columns))
+    h = nation.head(5)
+    assert h.df.count() == 5 and h.columns == nation.columns
+    # prefix slice stays distributed (a frame), row fetch returns a Row
+    sl = nation.iloc[:3]
+    assert sl.df.count() == 3
+    row = nation.iloc[0]
+    assert set(row.asDict()) == set(nation.columns)
+    mid = nation.iloc[2:4]
+    assert mid.df.count() == 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        nation.iloc[-1]
+    with _pt.raises(ValueError):
+        nation.iloc[1:]
+    with _pt.raises(IndexError):
+        nation.iloc[10_000]

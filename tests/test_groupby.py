@@ -113,3 +113,42 @@ def test_bad_key_raises(lineitem):
 def test_bad_agg_raises(lineitem):
     with pytest.raises(ValueError):
         lineitem.groupby("l_returnflag").agg({"l_quantity": "quantile"})
+
+
+def test_callable_agg_grouped_udf(lineitem, duck):
+    """R5 generic agg(func): Arrow grouped-agg UDF, oracle-checked."""
+    out = lineitem.groupby("l_returnflag").agg(
+        {"l_quantity": lambda s: s.max() - s.min()}
+    )
+    assert out.columns == ["l_returnflag", "l_quantity_lambda"]
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            "SELECT l_returnflag, max(l_quantity) - min(l_quantity) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    got = {r["l_returnflag"]: r["l_quantity_lambda"] for r in out.df.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    assert isinstance(out.operation, GroupByOp)
+    assert out.operation.agg_dict == {"l_quantity": ["lambda"]}
+
+
+def test_callable_agg_mixed_with_named(lineitem, duck):
+    def spread(s):
+        return s.max() - s.min()
+
+    out = lineitem.groupby("l_returnflag").agg({"l_quantity": ["mean", spread]})
+    assert set(out.columns) == {"l_returnflag", "l_quantity_mean", "l_quantity_spread"}
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            "SELECT l_returnflag, avg(l_quantity), max(l_quantity) - min(l_quantity) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    for r in out.df.collect():
+        w = want[r["l_returnflag"]]
+        assert abs(r["l_quantity_mean"] - w[0]) < 1e-9
+        assert abs(r["l_quantity_spread"] - w[1]) < 1e-9

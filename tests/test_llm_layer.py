@@ -287,3 +287,23 @@ def test_value_counts_normalize_parallel_plan(lineitem):
     # the plan must not contain a global (empty-frame) window
     plan = vc.df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_visualization_code_extractor():
+    from pd_explain_spark.llm.code_extractor import VisualizationCodeExtractor
+
+    ex = VisualizationCodeExtractor()
+    code = ex.get_visualization_code("fedex")
+    # real plotting source, not a placeholder
+    assert "def _render_grid" in code and "def _draw_panel" in code
+    assert "ax" in code
+    src = ex.source_for(VisualizationCodeExtractor)
+    assert "class VisualizationCodeExtractor" in src
+
+
+def test_beautifier_pulls_extracted_code_offline():
+    from pd_explain_spark.llm.beautifier import VisualizationBeautifier
+
+    b = VisualizationBeautifier(visualization_params={"title": "t"})
+    fig, code = b.do_llm_action()  # offline: no key -> (None, None)
+    assert fig is None and code is None
