@@ -353,6 +353,14 @@ class ExplainableDataFrame:
         unbounded requests rather than silently collecting the frame."""
         return _ILoc(self)
 
+    def squeeze(self):
+        """pandas squeeze: a single-column frame collapses to its series
+        (reference tests use it to round-trip frame<->series). Multi-column
+        frames return self, like pandas."""
+        if len(self.df.columns) == 1:
+            return ExplainableColumn(self, self.df.columns[0])
+        return self
+
     def to_pandas(self):
         return self.df.toPandas()
 

@@ -149,10 +149,31 @@ class ExplainableColumn:
 
     def _scalar_agg(self, agg: str, ddof: int = 1):
         """Whole-column scalar aggregation (reference ExpSeries named aggs,
-        core/explainable_series.py) — one Spark agg, returns a Python scalar."""
-        from ..operators.aggregates import agg_column
+        core/explainable_series.py) — one Spark agg, returns a Python scalar.
+        Numeric-only aggs raise TypeError on non-numeric columns, matching
+        pandas (the reference's *_should_fail series tests assert this —
+        Spark would silently return NULL for avg(string))."""
+        from ..operators.aggregates import NUMERIC_ONLY, agg_column, is_numeric_type
 
+        if agg in NUMERIC_ONLY:
+            dtype = dict((f.name, f.dataType) for f in self.frame.df.schema.fields)[self.name]
+            if not is_numeric_type(dtype):
+                raise TypeError(f"cannot compute {agg!r} on non-numeric column {self.name!r} ({dtype.simpleString()})")
         return self.frame.df.agg(agg_column(self.name, agg, ddof=ddof).alias("v")).first()["v"]
+
+    def drop_duplicates(self):
+        """Series drop_duplicates (reference core/explainable_series.py:222-229):
+        distinct values of this column, as a single-column frame."""
+        from .frame import ExplainableDataFrame
+
+        return ExplainableDataFrame(
+            self.frame.df.select(self.name).distinct(),
+            name=f"{self.frame.name}.{self.name}",
+        )
+
+    def size(self) -> int:
+        """Row count including NULLs (pandas Series.size)."""
+        return self.frame.df.count()
 
     def mean(self):
         return self._scalar_agg("mean")

