@@ -213,8 +213,10 @@ class ExplainableDataFrame:
             raise KeyError(f"cannot drop missing column(s): {missing}")
         return ExplainableDataFrame(self.df.drop(*cols), name=self.name, operation=self.operation)
 
-    def rename(self, columns: dict[str, str]) -> "ExplainableDataFrame":
-        """Reference R10 also rewrites lineage metadata through the mapping."""
+    def rename(self, columns: dict[str, str], inplace: bool = False):
+        """Reference R10 also rewrites lineage metadata through the mapping;
+        ``inplace=True`` rebinds this wrapper (the reference's pandas
+        inplace path — Spark plans stay immutable underneath)."""
         out_df = self.df.withColumnsRenamed(columns)
         op = self.operation
         if op is not None:
@@ -225,6 +227,9 @@ class ExplainableDataFrame:
                 op.attribute = columns[op.attribute]
             if hasattr(op, "keys") and getattr(op, "keys", None):
                 op.keys = [columns.get(k, k) for k in op.keys]
+        if inplace:
+            self.df, self.operation = out_df, op
+            return None
         return ExplainableDataFrame(out_df, name=self.name, operation=op)
 
     def sample(self, frac: float | None = None, n: int | None = None, seed: int = 42) -> "ExplainableDataFrame":

@@ -219,3 +219,11 @@ def test_series_surface_parity(lineitem, duck):
         lineitem["l_returnflag"].mean()
     with pytest.raises(TypeError):
         lineitem["l_shipmode"].std() if "l_shipmode" in lineitem.columns else (_ for _ in ()).throw(TypeError)
+
+
+def test_rename_inplace(lineitem):
+    f = lineitem[lineitem["l_quantity"] > 45].copy()
+    out = f.rename(columns={"l_quantity": "qty"}, inplace=True)
+    assert out is None
+    assert "qty" in f.columns and "l_quantity" not in f.columns
+    assert f.operation.attribute == "qty"  # lineage rewritten through the mapping
