@@ -187,3 +187,30 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup for a document ingest pipeline: keep the
+    first arrival of each normalized-text hash, with state bounded by the
+    watermark (``dropDuplicatesWithinWatermark`` evicts hash keys older
+    than the watermark — the property that makes continuous 100 TB-scale
+    ingest dedup feasible where an unbounded ``dropDuplicates`` state
+    would grow forever).
+
+    Batch counterpart: ``functions.dedup.dedup_exact`` (same normalized
+    md5 identity, so a backfill job and the streaming path agree on what
+    counts as a duplicate).
+    """
+    from ..functions.text import normalized_text
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn("__text_hash", F.md5(normalized_text(F.col(text_col))))
+        .dropDuplicatesWithinWatermark(["__text_hash"])
+        .drop("__text_hash")
+    )

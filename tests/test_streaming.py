@@ -83,3 +83,36 @@ def test_stream_stateful_user_stats_should_work(spark, events_dir):
     merged = merged.sort_values("n_events").groupby("user_id").tail(1)
     assert (merged["n_events"] == merged["n_batch"]).all()
     assert (abs(merged["sum_value"] - merged["s_batch"]) < 1e-6).all()
+
+
+def test_stream_dedup_exact_should_work(spark, tmp_path):
+    """Planted duplicates across micro-batches: exactly one survivor per
+    normalized text, matching the batch dedup_exact identity."""
+    import datetime
+
+    from pd_explain_spark.streaming.windows import stream_dedup_exact
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "alpha beta gamma", t0),
+        (2, "alpha  beta gamma", t0.replace(minute=5)),   # dup of 1 (whitespace)
+        (3, "delta epsilon", t0.replace(minute=10)),
+        (4, "alpha beta gamma", t0.replace(minute=20)),   # dup of 1
+        (5, "delta  epsilon", t0.replace(minute=25)),     # dup of 3
+    ]
+    src = str(tmp_path / "docs")
+    df = spark.createDataFrame(rows, ["doc_id", "text", "ts"])
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_dedup_exact(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_stream").collect()
+    texts = sorted(r["text"].split()[0] for r in out)
+    assert len(out) == 2 and texts == ["alpha", "delta"]
