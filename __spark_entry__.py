@@ -536,6 +536,34 @@ def lang_id_counts(spark, sf_dir):
     )
 
 
+@_q(
+    "curate_documents",
+    """WITH prof AS (
+         SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                round(
+                  0.5 * least(1.0, len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) / 50.0)
+                + 0.3 * (1.0 - least(1.0, len(regexp_extract_all(text, '[.,!?;:]'))
+                    / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)))
+                + 0.2 * least(1.0, 4.0 * len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+                    / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)), 6) AS quality
+         FROM documents
+       ), gated AS (
+         SELECT * FROM prof WHERE quality >= 0.55 AND n_tokens BETWEEN 5 AND 100000
+       ), ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM gated
+       )
+       SELECT doc_id, fingerprint, n_tokens, quality FROM ranked WHERE rn = 1""",
+)
+def curate_documents_q(spark, sf_dir):
+    """Composed curation pipeline: quality/token gates inside the scan
+    stage, exact dedup (first id per fingerprint) as the only shuffle."""
+    from pd_explain_spark.functions.text import curate_documents
+
+    return curate_documents(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------- dedup
 @_q(
     "dedup_exact",

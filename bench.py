@@ -37,6 +37,7 @@ HEADLINE = [
     "fedex_groupby_explain",
     "outlier_explain",
     "dedup_exact",
+    "curate_documents",
     "minhash_near_dups",
     "similarity_topk",
     "text_profile",

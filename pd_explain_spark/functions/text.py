@@ -109,3 +109,40 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         detect_language(c).alias("lang_detected"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.55,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """End-to-end training-data curation in one plan: per-row quality and
+    token gates, then exact dedup (first id wins per fingerprint).
+
+    Order matters at 100 TB: the gates are stateless row predicates, so
+    they run inside the scan stage and rows failing them never reach the
+    dedup shuffle — the only exchange is hash(fingerprint) over the
+    survivors, carrying 4 small columns. Output: one row per surviving
+    document (doc_id, fingerprint, n_tokens, quality).
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    prof = df.select(
+        F.col(id_col),
+        fingerprint(c).alias("fingerprint"),
+        token_count(c).alias("n_tokens"),
+        quality_score(c).alias("quality"),
+    ).filter(
+        (F.col("quality") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        prof.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

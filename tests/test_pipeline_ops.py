@@ -233,3 +233,43 @@ def test_embedding_near_dup_lsh_recall(spark):
     }
     assert lsh <= exact or not exact  # no false positives (exact verify)
     assert len(lsh & exact) >= 0.9 * len(exact)
+
+
+def test_curate_documents_matches_oracle(documents, duck):
+    from pd_explain_spark.functions.text import curate_documents
+
+    out = curate_documents(documents)
+    sql = """
+      WITH prof AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+               len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+               round(
+                 0.5 * least(1.0, len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) / 50.0)
+               + 0.3 * (1.0 - least(1.0, len(regexp_extract_all(text, '[.,!?;:]'))
+                   / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)))
+               + 0.2 * least(1.0, 4.0 * len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+                   / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)), 6) AS quality
+        FROM documents
+      ), gated AS (
+        SELECT * FROM prof WHERE quality >= 0.55 AND n_tokens BETWEEN 5 AND 100000
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM gated
+      )
+      SELECT doc_id, fingerprint, n_tokens, quality FROM ranked WHERE rn = 1
+    """
+    assert_df_equal(out, duck.sql(sql))
+
+
+def test_curate_documents_gates_before_shuffle(documents):
+    """The quality/token predicates must sit below the dedup exchange —
+    rows failing the gates never shuffle (the 100 TB property)."""
+    from pd_explain_spark.functions.text import curate_documents
+
+    plan = curate_documents(documents)._jdf.queryExecution().executedPlan().toString()
+    exch = plan.find("Exchange")
+    filt = plan.rfind("Filter")
+    assert exch != -1 and filt != -1
+    # physical plans print top-down: the scan-side Filter appears AFTER
+    # the Exchange line in the string iff it executes before the shuffle
+    assert filt > exch
