@@ -89,6 +89,50 @@ def extract_features(df: DataFrame, fake_decoder: bool = False, batch_dim: int =
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 224, target_h: int = 224, fake_decoder: bool = False
+) -> DataFrame:
+    """Resize image payloads to (target_w, target_h) via Arrow-batched
+    mapInPandas — same stub contract as extract_features: the codec step
+    raises NotImplementedError without ``fake_decoder=True`` (no image
+    libs in this container); the fake path emits a deterministic
+    truncated/padded payload so the schema, batch shape and partitioning
+    are exercised for real. Non-image rows are filtered JVM-side before
+    any Python runs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = target_w * target_h // 64  # fake byte budget, deterministic
+        for pdf in batches:
+            if not fake_decoder:
+                raise NotImplementedError(
+                    "image resizing requires codec libraries not present in this "
+                    "environment; pass fake_decoder=True for the deterministic stub"
+                )
+            payloads = pdf["payload"].map(
+                lambda p: (p or b"")[:size].ljust(size, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: emits (media_id, frame_ts_ms)
     rows JVM-side from the typed duration metadata — the decode of each

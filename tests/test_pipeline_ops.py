@@ -273,3 +273,20 @@ def test_curate_documents_gates_before_shuffle(documents):
     # physical plans print top-down: the scan-side Filter appears AFTER
     # the Exchange line in the string iff it executes before the shuffle
     assert filt > exch
+
+
+def test_resize_images_fake_roundtrip(spark):
+    media = MM.make_demo_media(spark, n=12)
+    out = MM.resize_images(media, target_w=32, target_h=32, fake_decoder=True)
+    rows = out.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    assert all(len(r["payload"]) == 32 * 32 // 64 for r in rows)
+
+
+def test_resize_images_stub_raises(spark):
+    media = MM.make_demo_media(spark, n=3)
+    with pytest.raises(Exception) as ei:
+        MM.resize_images(media, fake_decoder=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
