@@ -31,8 +31,10 @@ HEADLINE = [
     "join_inner",
     "join_left_agg",
     "join_dims_broadcast",
+    "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "fedex_filter_explain",
     "fedex_groupby_explain",
     "outlier_explain",
