@@ -99,12 +99,19 @@ def dual_histogram_predicate(
     """Filter fast path: one scan of `source`; res_cnt counts rows passing
     the recorded predicate. Returns a small pandas frame
     (attribute, bin, src_cnt, res_cnt)."""
+    from ..operators.partitioning import fan_out
+
+    # project to the candidate columns + keep flag FIRST, then widen: the
+    # explode below fans each row out 16x and is the CPU bottleneck on a
+    # narrow local read — the conditional exchange carries only the
+    # profiled columns and is a no-op on an already-wide cluster scan
+    keep = F.when(predicate, F.lit(1)).otherwise(F.lit(0)).alias("__keep")
+    narrow = fan_out(source.select(*[F.col(c) for c in profiles], keep))
     structs = [
-        F.struct(F.lit(c).alias("attribute"), _bin_expr(source, p, n_bins).alias("bin"))
+        F.struct(F.lit(c).alias("attribute"), _bin_expr(narrow, p, n_bins).alias("bin"))
         for c, p in profiles.items()
     ]
-    keep = F.when(predicate, F.lit(1)).otherwise(F.lit(0)).alias("__keep")
-    exploded = source.select(F.explode(F.array(*structs)).alias("s"), keep)
+    exploded = narrow.select(F.explode(F.array(*structs)).alias("s"), "__keep")
     hist = (
         exploded.groupBy(F.col("s.attribute").alias("attribute"), F.col("s.bin").alias("bin"))
         .agg(F.count(F.lit(1)).alias("src_cnt"), F.sum("__keep").alias("res_cnt"))
@@ -124,14 +131,19 @@ def dual_histogram_union(
     (the join prefix contract)."""
     result_rename = result_rename or {}
 
+    from ..operators.partitioning import fan_out
+
     def tagged(df: DataFrame, side: int, rename: dict[str, str]) -> DataFrame:
         sel = df
         for src_name, res_name in rename.items():
             if res_name != src_name and res_name in sel.columns:
                 sel = sel.withColumnRenamed(res_name, src_name)
+        # narrow projection before the conditional widen (see predicate path)
+        sel = fan_out(sel.select(*[F.col(c) for c in profiles if c in sel.columns]))
+        avail = [c for c in profiles if c in sel.columns]
         structs = [
-            F.struct(F.lit(c).alias("attribute"), _bin_expr(sel, p, n_bins).alias("bin"))
-            for c, p in profiles.items()
+            F.struct(F.lit(c).alias("attribute"), _bin_expr(sel, profiles[c], n_bins).alias("bin"))
+            for c in avail
         ]
         return sel.select(F.explode(F.array(*structs)).alias("s"), F.lit(side).alias("__side"))
 
