@@ -8,7 +8,7 @@ large-scale training-data pipeline operators (dedup, similarity search,
 text analysis, streaming windows).
 """
 
-from .core.frame import ExplainableDataFrame
+from .core.frame import ExplainableDataFrame, concat
 from .core.operations import (
     BJoinOp,
     BoolExpr,
@@ -28,6 +28,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "ExplainableDataFrame",
+    "concat",
     "ExplainableColumn",
     "ExplainablePredicate",
     "Operation",

@@ -358,6 +358,23 @@ class ExplainableDataFrame:
         unbounded requests rather than silently collecting the frame."""
         return _ILoc(self)
 
+    def sort_values(self, by, ascending: bool | list[bool] = True) -> "ExplainableDataFrame":
+        """pandas sort_values → orderBy. Spark keeps the sort lazy; a
+        following limit() turns it into a distributed top-k (TakeOrdered),
+        so sort_values(...).head(n) never materializes a full sort."""
+        cols = [by] if isinstance(by, str) else list(by)
+        flags = [ascending] * len(cols) if isinstance(ascending, bool) else list(ascending)
+        order = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(cols, flags)]
+        return ExplainableDataFrame(self.df.orderBy(*order), name=self.name, operation=self.operation)
+
+    def nlargest(self, n: int, columns) -> "ExplainableDataFrame":
+        """Top-n by columns desc — compiles to TakeOrderedAndProject
+        (per-partition heap + driver merge), never a global sort."""
+        return self.sort_values(columns, ascending=False).head(n)
+
+    def nsmallest(self, n: int, columns) -> "ExplainableDataFrame":
+        return self.sort_values(columns, ascending=True).head(n)
+
     def squeeze(self):
         """pandas squeeze: a single-column frame collapses to its series
         (reference tests use it to round-trip frame<->series). Multi-column
@@ -376,6 +393,20 @@ class ExplainableDataFrame:
     def __repr__(self) -> str:
         op = f", op={self.operation.kind}" if self.operation else ""
         return f"ExplainableDataFrame({self.name}{op}, cols={self.df.columns})"
+
+
+def concat(frames: list["ExplainableDataFrame"], name: str | None = None) -> "ExplainableDataFrame":
+    """pandas ``pd.concat(axis=0)`` analogue: row-wise union by column
+    name, missing columns NULL-filled. Untracked (the reference's lineage
+    contract covers only filter/groupby/join); unions are partition-local
+    in Spark — no shuffle.
+    """
+    if not frames:
+        raise ValueError("concat requires at least one frame")
+    out = frames[0].df
+    for f in frames[1:]:
+        out = out.unionByName(f.df, allowMissingColumns=True)
+    return ExplainableDataFrame(out, name=name or f"concat_{len(frames)}")
 
 
 class _ILoc:

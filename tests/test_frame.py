@@ -227,3 +227,22 @@ def test_rename_inplace(lineitem):
     assert out is None
     assert "qty" in f.columns and "l_quantity" not in f.columns
     assert f.operation.attribute == "qty"  # lineage rewritten through the mapping
+
+
+def test_concat_union_by_name(lineitem, nation, spark):
+    from pd_explain_spark import concat
+
+    a = lineitem[["l_orderkey", "l_quantity"]]
+    b = lineitem[["l_orderkey", "l_quantity"]].head(10)
+    out = concat([a, b])
+    assert out.df.count() == a.df.count() + 10
+    # missing columns are NULL-filled
+    c = lineitem[["l_orderkey"]].head(5)
+    mixed = concat([a, c])
+    assert mixed.df.count() == a.df.count() + 5
+    assert mixed.df.filter("l_quantity IS NULL").count() == 5
+    # the union itself is partition-local: no Exchange between Union and
+    # the left (un-limited) scan — the only exchange in the plan belongs
+    # to the right side's GlobalLimit
+    plan = concat([a, a]).df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and "Exchange" not in plan
