@@ -246,3 +246,17 @@ def test_concat_union_by_name(lineitem, nation, spark):
     # to the right side's GlobalLimit
     plan = concat([a, a]).df._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan and "Exchange" not in plan
+
+
+def test_sort_values_nlargest_match_oracle(lineitem, duck):
+    top = lineitem.nlargest(5, "l_extendedprice")
+    want = duck.sql(
+        "SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC LIMIT 5"
+    ).fetchall()
+    got = sorted((r["l_extendedprice"] for r in top.df.collect()), reverse=True)
+    assert got == [w[0] for w in want]
+    bot = lineitem.nsmallest(3, "l_quantity")
+    assert bot.df.count() == 3
+    # nlargest compiles to a top-k (TakeOrderedAndProject), not a full sort
+    plan = top.df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
