@@ -383,6 +383,156 @@ class ExplainableDataFrame:
             return ExplainableColumn(self, self.df.columns[0])
         return self
 
+    # ------------------------------------------------------------------
+    # missing-data / dtype / reshaping pandas surface (reference R16:
+    # ExpDataFrame inherits the full pandas API, so reference users call
+    # these directly; each maps to a single declarative Spark plan)
+    # ------------------------------------------------------------------
+    def fillna(self, value, subset=None) -> "ExplainableDataFrame":
+        """pandas fillna with a scalar or a {column: value} dict. Pure
+        projection (no shuffle); Spark fills only type-compatible columns,
+        matching pandas' skip-incompatible behavior."""
+        if isinstance(value, dict):
+            out = self.df.na.fill(value)
+        else:
+            cols = [subset] if isinstance(subset, str) else subset
+            out = self.df.na.fill(value, subset=cols)
+        return ExplainableDataFrame(out, name=self.name, operation=self.operation)
+
+    def dropna(self, subset=None, how: str = "any", thresh: int | None = None) -> "ExplainableDataFrame":
+        """pandas dropna → na.drop. ``thresh`` is the pandas meaning (min
+        non-null values required to keep the row), which is also Spark's."""
+        cols = [subset] if isinstance(subset, str) else subset
+        if thresh is not None:
+            out = self.df.na.drop(thresh=thresh, subset=cols)
+        else:
+            out = self.df.na.drop(how=how, subset=cols)
+        return ExplainableDataFrame(out, name=self.name, operation=self.operation)
+
+    def astype(self, dtype) -> "ExplainableDataFrame":
+        """pandas astype with a single dtype or {column: dtype} dict.
+        Accepts pandas dtype names ('int64', 'float64', 'str', ...) and
+        Spark type strings; compiles to casts inside one projection."""
+        mapping = dtype if isinstance(dtype, dict) else {c: dtype for c in self.df.columns}
+        missing = [c for c in mapping if c not in self.df.columns]
+        if missing:
+            raise KeyError(f"astype: column(s) not found: {missing}")
+        casts = {c: F.col(c).cast(_spark_type(t)) for c, t in mapping.items()}
+        return ExplainableDataFrame(self.df.withColumns(casts), name=self.name, operation=self.operation)
+
+    def clip(self, lower=None, upper=None) -> "ExplainableDataFrame":
+        """pandas clip over the numeric columns (non-numerics pass
+        through untouched, as pandas does with numeric_only data)."""
+        from ..operators.aggregates import is_numeric_type
+
+        cols = {}
+        for f in self.df.schema.fields:
+            if not is_numeric_type(f.dataType):
+                continue
+            c = F.col(f.name)
+            if lower is not None:
+                c = F.greatest(c, F.lit(lower).cast(f.dataType))
+            if upper is not None:
+                c = F.least(c, F.lit(upper).cast(f.dataType))
+            cols[f.name] = c
+        return ExplainableDataFrame(self.df.withColumns(cols), name=self.name, operation=self.operation)
+
+    def quantile(self, q=0.5, columns: list[str] | None = None) -> "ExplainableDataFrame":
+        """pandas quantile (linear interpolation — Spark ``percentile`` and
+        DuckDB ``quantile_cont`` compute the same estimator). One agg job
+        for every (column, q) pair; result is a tiny frame with one row per
+        q: (quantile, <col>...).
+        """
+        from ..operators.aggregates import is_numeric_type
+
+        qs = [q] if isinstance(q, (int, float)) else list(q)
+        num_cols = columns or [
+            f.name for f in self.df.schema.fields if is_numeric_type(f.dataType)
+        ]
+        aggs = [
+            F.percentile(F.col(c), F.lit(float(p))).alias(f"{c}__{i}")
+            for i, p in enumerate(qs)
+            for c in num_cols
+        ]
+        row = self.df.agg(*aggs).first()
+        out_rows = [
+            tuple([float(p)] + [row[f"{c}__{i}"] for c in num_cols])
+            for i, p in enumerate(qs)
+        ]
+        schema = ", ".join(["quantile double"] + [f"`{c}` double" for c in num_cols])
+        out = self.df.sparkSession.createDataFrame(out_rows, schema=schema)
+        return ExplainableDataFrame(out, name=f"{self.name}.quantile")
+
+    def nunique(self) -> "ExplainableDataFrame":
+        """pandas frame-level nunique: exact distinct count per column,
+        all columns in ONE aggregation pass (Spark expands the distinct
+        aggregates into a single shuffle via Expand, not one job per
+        column). Returns a one-row frame."""
+        aggs = [F.count_distinct(F.col(c)).alias(c) for c in self.df.columns]
+        return ExplainableDataFrame(self.df.agg(*aggs), name=f"{self.name}.nunique")
+
+    def describe(self, columns: list[str] | None = None) -> "ExplainableDataFrame":
+        """pandas describe over the numeric columns: count / mean / std /
+        min / 25% / 50% / 75% / max, all statistics for all columns in one
+        aggregation pass (Spark's own ``summary()`` uses approximate
+        percentiles; this is exact, matching pandas)."""
+        from ..operators.aggregates import is_numeric_type
+
+        num_cols = columns or [
+            f.name for f in self.df.schema.fields if is_numeric_type(f.dataType)
+        ]
+        aggs = []
+        for c in num_cols:
+            col = F.col(c)
+            aggs += [
+                F.count(col).cast("double").alias(f"{c}__count"),
+                F.avg(col).alias(f"{c}__mean"),
+                F.stddev_samp(col).alias(f"{c}__std"),
+                F.min(col).cast("double").alias(f"{c}__min"),
+                F.percentile(col, F.lit(0.25)).alias(f"{c}__p25"),
+                F.percentile(col, F.lit(0.5)).alias(f"{c}__p50"),
+                F.percentile(col, F.lit(0.75)).alias(f"{c}__p75"),
+                F.max(col).cast("double").alias(f"{c}__max"),
+            ]
+        row = self.df.agg(*aggs).first()
+        stats = [("count", "count"), ("mean", "mean"), ("std", "std"), ("min", "min"),
+                 ("25%", "p25"), ("50%", "p50"), ("75%", "p75"), ("max", "max")]
+        out_rows = [
+            tuple([label] + [row[f"{c}__{key}"] for c in num_cols]) for label, key in stats
+        ]
+        schema = ", ".join(["statistic string"] + [f"`{c}` double" for c in num_cols])
+        out = self.df.sparkSession.createDataFrame(out_rows, schema=schema)
+        return ExplainableDataFrame(out, name=f"{self.name}.describe")
+
+    def crosstab(self, index: str, columns: str, pivot_values: list | None = None) -> "ExplainableDataFrame":
+        """pandas.crosstab(index, columns): contingency counts with 0 fill.
+        One groupBy+pivot pass (map-side partial aggregation; the pivot is
+        a projection over the grouped rows, no second shuffle). Pass
+        ``pivot_values`` with the known category values at scale to skip
+        Spark's distinct-values discovery job."""
+        gb = self.df.groupBy(index)
+        piv = gb.pivot(columns, values=pivot_values) if pivot_values else gb.pivot(columns)
+        out = piv.count().na.fill(0).orderBy(index)
+        return ExplainableDataFrame(out, name=f"{self.name}.crosstab")
+
+    def pivot_table(
+        self,
+        index: str,
+        columns: str,
+        values: str,
+        aggfunc: str = "mean",
+        pivot_values: list | None = None,
+    ) -> "ExplainableDataFrame":
+        """pandas pivot_table for a single index/columns/values triple with
+        a named agg (the §2.2 R5 set). Same one-pass groupBy+pivot shape as
+        crosstab; cells with no rows stay NULL like pandas."""
+        from ..operators.aggregates import agg_column
+
+        gb = self.df.groupBy(index)
+        piv = gb.pivot(columns, values=pivot_values) if pivot_values else gb.pivot(columns)
+        out = piv.agg(agg_column(values, aggfunc)).orderBy(index)
+        return ExplainableDataFrame(out, name=f"{self.name}.pivot_table")
+
     def to_pandas(self):
         return self.df.toPandas()
 
@@ -393,6 +543,21 @@ class ExplainableDataFrame:
     def __repr__(self) -> str:
         op = f", op={self.operation.kind}" if self.operation else ""
         return f"ExplainableDataFrame({self.name}{op}, cols={self.df.columns})"
+
+
+_PANDAS_TO_SPARK_TYPE = {
+    "int64": "bigint", "int32": "int", "int16": "smallint", "int8": "tinyint",
+    "int": "bigint", "float64": "double", "float32": "float", "float": "double",
+    "str": "string", "object": "string", "string": "string",
+    "bool": "boolean", "datetime64[ns]": "timestamp", "datetime64": "timestamp",
+}
+
+
+def _spark_type(t) -> str:
+    """pandas dtype name → Spark SQL type string (unknown names pass
+    through so Spark type strings work directly)."""
+    name = t.__name__ if isinstance(t, type) else str(t)
+    return _PANDAS_TO_SPARK_TYPE.get(name, name)
 
 
 def concat(frames: list["ExplainableDataFrame"], name: str | None = None) -> "ExplainableDataFrame":

@@ -205,6 +205,31 @@ class ExplainableColumn:
     def count(self):
         return self._scalar_agg("count")
 
+    def quantile(self, q: float = 0.5):
+        """pandas Series.quantile (linear interpolation) — exact
+        ``percentile`` agg, one job, scalar out."""
+        from ..operators.aggregates import is_numeric_type
+
+        dtype = dict((f.name, f.dataType) for f in self.frame.df.schema.fields)[self.name]
+        if not is_numeric_type(dtype):
+            raise TypeError(f"cannot compute quantile on non-numeric column {self.name!r}")
+        return self.frame.df.agg(
+            F.percentile(F.col(self.name), F.lit(float(q))).alias("v")
+        ).first()["v"]
+
+    def fillna(self, value) -> Column:
+        """Expression form (like the arithmetic operators): use with
+        ``df.withColumn`` or a projection."""
+        return F.coalesce(self.spark, F.lit(value))
+
+    def clip(self, lower=None, upper=None) -> Column:
+        c = self.spark
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return c
+
     def unique(self):
         return [r[0] for r in self.frame.df.select(self.name).distinct().collect()]
 

@@ -260,3 +260,119 @@ def test_sort_values_nlargest_match_oracle(lineitem, duck):
     # nlargest compiles to a top-k (TakeOrderedAndProject), not a full sort
     plan = top.df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------- missing-data / dtype surface
+def test_where_fillna_dropna_match_oracle(lineitem, duck):
+    w = lineitem[["l_orderkey", "l_quantity", "l_returnflag"]]
+    w = w.where(w["l_quantity"] > 30)
+    assert_df_equal(
+        w.fillna({"l_quantity": 0.0, "l_returnflag": "NA"}),
+        duck.sql(
+            """SELECT CASE WHEN l_quantity > 30 THEN l_orderkey END AS l_orderkey,
+                      COALESCE(CASE WHEN l_quantity > 30 THEN l_quantity END, 0.0) AS l_quantity,
+                      COALESCE(CASE WHEN l_quantity > 30 THEN l_returnflag END, 'NA') AS l_returnflag
+               FROM lineitem"""
+        ),
+    )
+    # dropna over the all-or-nothing NULL mask == the plain filter
+    assert_df_equal(
+        w.dropna(),
+        duck.sql(
+            "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem WHERE l_quantity > 30"
+        ),
+    )
+    # thresh keeps rows with >= thresh non-nulls (pandas meaning)
+    assert w.dropna(thresh=3).df.count() == w.dropna().df.count()
+
+
+def test_astype_clip_match_oracle(lineitem, duck):
+    out = (
+        lineitem.astype({"l_quantity": "int64"})
+        .clip(lower=5, upper=40)[["l_orderkey", "l_linenumber", "l_quantity"]]
+    )
+    assert out.df.schema["l_quantity"].dataType.simpleString() == "bigint"
+    # clip() hits every numeric column, like pandas df.clip — mirror that in the oracle
+    assert_df_equal(
+        out,
+        duck.sql(
+            """SELECT LEAST(GREATEST(l_orderkey, 5), 40) AS l_orderkey,
+                      LEAST(GREATEST(l_linenumber, 5), 40) AS l_linenumber,
+                      LEAST(GREATEST(CAST(l_quantity AS BIGINT), 5), 40) AS l_quantity
+               FROM lineitem"""
+        ),
+    )
+
+
+def test_quantile_matches_oracle(lineitem, duck):
+    q = lineitem.quantile([0.25, 0.5, 0.75], columns=["l_quantity", "l_extendedprice"])
+    assert_df_equal(
+        q,
+        duck.sql(
+            """SELECT 0.25 AS quantile, quantile_cont(l_quantity, 0.25) AS l_quantity,
+                      quantile_cont(l_extendedprice, 0.25) AS l_extendedprice FROM lineitem
+               UNION ALL
+               SELECT 0.5, quantile_cont(l_quantity, 0.5), quantile_cont(l_extendedprice, 0.5) FROM lineitem
+               UNION ALL
+               SELECT 0.75, quantile_cont(l_quantity, 0.75), quantile_cont(l_extendedprice, 0.75) FROM lineitem"""
+        ),
+    )
+    # series-level scalar form
+    assert lineitem["l_quantity"].quantile(0.5) == duck.sql(
+        "SELECT quantile_cont(l_quantity, 0.5) FROM lineitem"
+    ).fetchone()[0]
+
+
+def test_frame_nunique_single_pass(lineitem, duck):
+    out = lineitem[["l_returnflag", "l_linestatus", "l_quantity"]].nunique()
+    assert_df_equal(
+        out,
+        duck.sql(
+            """SELECT count(DISTINCT l_returnflag) AS l_returnflag,
+                      count(DISTINCT l_linestatus) AS l_linestatus,
+                      count(DISTINCT l_quantity) AS l_quantity FROM lineitem"""
+        ),
+    )
+    # all three distinct aggregates share ONE aggregation (Expand), not a job per column
+    # (AQE prints final + initial plan; count only the final section)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Exchange") <= 2
+
+
+def test_describe_matches_pandas(lineitem):
+    got = lineitem.describe(columns=["l_quantity", "l_discount"]).df.toPandas().set_index("statistic")
+    want = lineitem.df.select("l_quantity", "l_discount").toPandas().describe()
+    for stat in ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]:
+        for c in ["l_quantity", "l_discount"]:
+            assert abs(got.loc[stat, c] - want.loc[stat, c]) < 1e-9, (stat, c)
+
+
+def test_crosstab_pivot_table_match_oracle(orders, duck):
+    xt = orders.crosstab("o_orderstatus", "o_orderpriority")
+    assert_df_equal(
+        xt,
+        duck.sql(
+            """SELECT o_orderstatus,
+                      count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+                      count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+                      count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+                      count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+                      count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+               FROM orders GROUP BY o_orderstatus"""
+        ),
+    )
+    pt = orders.pivot_table(
+        "o_orderpriority", "o_orderstatus", "o_totalprice", aggfunc="mean",
+        pivot_values=["F", "O", "P"],
+    )
+    assert_df_equal(
+        pt,
+        duck.sql(
+            """SELECT o_orderpriority,
+                      avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                      avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                      avg(o_totalprice) FILTER (WHERE o_orderstatus = 'P') AS "P"
+               FROM orders GROUP BY o_orderpriority"""
+        ),
+    )
