@@ -463,6 +463,131 @@ def rename_drop_project(spark, sf_dir):
     return n.drop("n_regionkey").rename({"n_nationkey": "nation_id", "n_name": "nation_name"}).df
 
 
+# ------------------------------------------- missing-data / dtype / reshape surface (R16)
+@_q(
+    "fillna_after_where",
+    """SELECT CASE WHEN l_quantity > 30 THEN l_orderkey END AS l_orderkey,
+              COALESCE(CASE WHEN l_quantity > 30 THEN l_quantity END, 0.0) AS l_quantity,
+              COALESCE(CASE WHEN l_quantity > 30 THEN l_returnflag END, 'NA') AS l_returnflag
+       FROM lineitem""",
+)
+def fillna_after_where(spark, sf_dir):
+    """fillna over the NULL mask a pandas-style where() leaves behind."""
+    li = _e(spark, sf_dir, "lineitem")[["l_orderkey", "l_quantity", "l_returnflag"]]
+    return li.where(li["l_quantity"] > 30).fillna({"l_quantity": 0.0, "l_returnflag": "NA"}).df
+
+
+@_q(
+    "astype_clip",
+    """SELECT LEAST(GREATEST(l_orderkey, 5), 40) AS l_orderkey,
+              LEAST(GREATEST(l_linenumber, 5), 40) AS l_linenumber,
+              LEAST(GREATEST(CAST(l_quantity AS BIGINT), 5), 40) AS l_quantity
+       FROM lineitem""",
+)
+def astype_clip(spark, sf_dir):
+    """astype dict-cast then clip over every numeric column (pandas df.clip)."""
+    li = _e(spark, sf_dir, "lineitem")
+    out = li.astype({"l_quantity": "int64"}).clip(lower=5, upper=40)
+    return out.df.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@_q(
+    "frame_quantile",
+    """SELECT 0.25 AS quantile, round(quantile_cont(l_quantity, 0.25), 6) AS l_quantity,
+              round(quantile_cont(l_discount, 0.25), 6) AS l_discount FROM lineitem
+       UNION ALL
+       SELECT 0.5, round(quantile_cont(l_quantity, 0.5), 6), round(quantile_cont(l_discount, 0.5), 6) FROM lineitem
+       UNION ALL
+       SELECT 0.75, round(quantile_cont(l_quantity, 0.75), 6), round(quantile_cont(l_discount, 0.75), 6) FROM lineitem""",
+)
+def frame_quantile(spark, sf_dir):
+    """Frame-level quantile: one agg job for all (column, q) pairs; Spark
+    ``percentile`` and DuckDB ``quantile_cont`` are the same linear-
+    interpolation estimator (rounded to 6dp on both sides for the hash)."""
+    li = _e(spark, sf_dir, "lineitem")
+    q = li.quantile([0.25, 0.5, 0.75], columns=["l_quantity", "l_discount"])
+    return q.df.select(
+        "quantile", F.round("l_quantity", 6).alias("l_quantity"), F.round("l_discount", 6).alias("l_discount")
+    )
+
+
+@_q(
+    "frame_nunique",
+    """SELECT count(DISTINCT l_returnflag) AS l_returnflag,
+              count(DISTINCT l_linestatus) AS l_linestatus,
+              count(DISTINCT l_quantity) AS l_quantity FROM lineitem""",
+)
+def frame_nunique(spark, sf_dir):
+    """All per-column exact distinct counts in ONE aggregation (Expand), not
+    a job per column."""
+    li = _e(spark, sf_dir, "lineitem")
+    return li[["l_returnflag", "l_linestatus", "l_quantity"]].nunique().df
+
+
+@_q(
+    "describe_stats",
+    """SELECT 'count' AS statistic, round(CAST(count(l_quantity) AS DOUBLE), 6) AS l_quantity,
+              round(CAST(count(l_discount) AS DOUBLE), 6) AS l_discount FROM lineitem
+       UNION ALL SELECT 'mean', round(avg(l_quantity), 6), round(avg(l_discount), 6) FROM lineitem
+       UNION ALL SELECT 'std', round(stddev_samp(l_quantity), 6), round(stddev_samp(l_discount), 6) FROM lineitem
+       UNION ALL SELECT 'min', round(min(l_quantity), 6), round(min(l_discount), 6) FROM lineitem
+       UNION ALL SELECT '25%', round(quantile_cont(l_quantity, 0.25), 6), round(quantile_cont(l_discount, 0.25), 6) FROM lineitem
+       UNION ALL SELECT '50%', round(quantile_cont(l_quantity, 0.5), 6), round(quantile_cont(l_discount, 0.5), 6) FROM lineitem
+       UNION ALL SELECT '75%', round(quantile_cont(l_quantity, 0.75), 6), round(quantile_cont(l_discount, 0.75), 6) FROM lineitem
+       UNION ALL SELECT 'max', round(max(l_quantity), 6), round(max(l_discount), 6) FROM lineitem""",
+)
+def describe_stats(spark, sf_dir):
+    """pandas describe (exact percentiles, unlike Spark summary()) — every
+    statistic for every column in one aggregation pass."""
+    li = _e(spark, sf_dir, "lineitem")
+    d = li.describe(columns=["l_quantity", "l_discount"])
+    return d.df.select(
+        "statistic", F.round("l_quantity", 6).alias("l_quantity"), F.round("l_discount", 6).alias("l_discount")
+    )
+
+
+@_q(
+    "crosstab_counts",
+    """SELECT o_orderstatus,
+              count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+              count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+              count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+              count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+              count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+       FROM orders GROUP BY o_orderstatus""",
+)
+def crosstab_counts(spark, sf_dir):
+    """pd.crosstab: one groupBy+pivot pass with 0 fill (pivot_values passed
+    so no distinct-discovery job runs — the scale path)."""
+    o = _e(spark, sf_dir, "orders")
+    return o.crosstab(
+        "o_orderstatus", "o_orderpriority",
+        pivot_values=["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    ).df
+
+
+@_q(
+    "pivot_table_mean",
+    """SELECT o_orderpriority,
+              round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 6) AS "F",
+              round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 6) AS "O",
+              round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 6) AS "P"
+       FROM orders GROUP BY o_orderpriority""",
+)
+def pivot_table_mean(spark, sf_dir):
+    """pandas pivot_table(index, columns, values, aggfunc) as the same
+    one-shuffle groupBy+pivot; NULL cells where no rows, like pandas."""
+    o = _e(spark, sf_dir, "orders")
+    pt = o.pivot_table(
+        "o_orderpriority", "o_orderstatus", "o_totalprice", aggfunc="mean",
+        pivot_values=["F", "O", "P"],
+    )
+    return pt.df.select(
+        "o_orderpriority",
+        F.round("F", 6).alias("F"), F.round("O", 6).alias("O"), F.round("P", 6).alias("P"),
+    )
+
+
 # ---------------------------------------------------------------- datetime bins (§2.5)
 @_q(
     "month_season_bins",
