@@ -612,6 +612,37 @@ def month_season_bins(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- as-of join
+@_q(
+    "asof_join_events",
+    """WITH marks AS (
+         SELECT event_type, date_trunc('hour', ts) AS ts,
+                round(avg(value), 6) AS mark_avg
+         FROM events GROUP BY 1, 2
+       )
+       SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.event_type, l.value, r.mark_avg
+       FROM events l ASOF LEFT JOIN marks r
+         ON l.event_type = r.event_type AND l.ts >= r.ts""",
+)
+def asof_join_events(spark, sf_dir):
+    """Distributed as-of join (operators/asof.py): every event picks the
+    most recent hourly reference mark for its event_type. One sort
+    shuffle over union(left, right), window partitioned by the by-key —
+    no UDF, no driver loop; checked against DuckDB's native ASOF JOIN."""
+    from pd_explain_spark.operators.asof import merge_asof
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    marks = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("ts"))
+        .agg(F.round(F.avg("value"), 6).alias("mark_avg"))
+    )
+    out = merge_asof(ev, marks, on="ts", by=["event_type"])
+    return out.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value", "mark_avg"
+    )
+
+
 # ---------------------------------------------------------------- streaming-parity windows
 @_q(
     "windowed_events",

@@ -20,6 +20,7 @@ from .core.operations import (
     Operation,
 )
 from .core.series import ExplainableColumn, ExplainablePredicate
+from .operators.asof import merge_asof
 from .config import GLOBALS, toggle_sampling
 from .session import get_spark
 from .sources.readers import load_table, read_csv, read_json, read_parquet, to_explainable
@@ -29,6 +30,7 @@ __version__ = "0.1.0"
 __all__ = [
     "ExplainableDataFrame",
     "concat",
+    "merge_asof",
     "ExplainableColumn",
     "ExplainablePredicate",
     "Operation",

@@ -533,6 +533,32 @@ class ExplainableDataFrame:
         out = piv.agg(agg_column(values, aggfunc)).orderBy(index)
         return ExplainableDataFrame(out, name=f"{self.name}.pivot_table")
 
+    def merge_asof(
+        self,
+        right: "ExplainableDataFrame",
+        on: str,
+        by=None,
+        direction: str = "backward",
+        tolerance=None,
+        suffixes: tuple = ("", "_right"),
+        allow_exact_matches: bool = True,
+    ) -> "ExplainableDataFrame":
+        """pandas ``pd.merge_asof`` parity (see operators/asof.py for the
+        distributed construction). Untracked by lineage, like concat."""
+        from ..operators.asof import merge_asof as _asof
+
+        out = _asof(
+            self.df,
+            right.df if isinstance(right, ExplainableDataFrame) else right,
+            on=on,
+            by=by,
+            direction=direction,
+            tolerance=tolerance,
+            suffixes=suffixes,
+            allow_exact_matches=allow_exact_matches,
+        )
+        return ExplainableDataFrame(out, name=f"{self.name}_asof")
+
     def to_pandas(self):
         return self.df.toPandas()
 
