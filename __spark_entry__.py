@@ -588,6 +588,57 @@ def pivot_table_mean(spark, sf_dir):
     )
 
 
+@_q(
+    "melt_lineitem",
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""",
+)
+def melt_lineitem(spark, sf_dir):
+    """pandas melt → Spark unpivot: an Expand in the scan stage, zero
+    shuffles (plan-asserted in tests/test_frame.py)."""
+    li = _e(spark, sf_dir, "lineitem")
+    return li.melt(
+        id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=["l_quantity", "l_extendedprice", "l_discount"],
+    ).df
+
+
+@_q(
+    "get_dummies_status",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o_orderstatus_F,
+              CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS o_orderstatus_O,
+              CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS o_orderstatus_P
+       FROM orders""",
+)
+def get_dummies_status(spark, sf_dir):
+    """pandas get_dummies: one-hot indicators as a pure projection; the
+    category list is passed so no distinct-discovery job runs."""
+    o = _e(spark, sf_dir, "orders")
+    d = o.get_dummies("o_orderstatus", values=["F", "O", "P"])
+    return d.df.select("o_orderkey", "o_orderstatus_F", "o_orderstatus_O", "o_orderstatus_P")
+
+
+@_q(
+    "cut_quantity",
+    """SELECT CASE WHEN l_quantity > 25 AND l_quantity <= 50 THEN 'high'
+                   WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'mid'
+                   WHEN l_quantity > 0  AND l_quantity <= 10 THEN 'low'
+              END AS bin, count(*) AS n
+       FROM lineitem GROUP BY 1""",
+)
+def cut_quantity(spark, sf_dir):
+    """pd.cut with explicit right-closed edges — a codegen when-chain."""
+    li = _e(spark, sf_dir, "lineitem")
+    binned = li.df.select(
+        li["l_quantity"].cut([0, 10, 25, 50], labels=["low", "mid", "high"]).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ---------------------------------------------------------------- datetime bins (§2.5)
 @_q(
     "month_season_bins",

@@ -533,6 +533,48 @@ class ExplainableDataFrame:
         out = piv.agg(agg_column(values, aggfunc)).orderBy(index)
         return ExplainableDataFrame(out, name=f"{self.name}.pivot_table")
 
+    def melt(
+        self,
+        id_vars: list[str] | str | None = None,
+        value_vars: list[str] | str | None = None,
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "ExplainableDataFrame":
+        """pandas melt → Spark ``unpivot`` (an Expand node: rows fan out
+        inside the scan stage, no shuffle). Numeric value columns are
+        unified to double, otherwise everything is cast to string, since
+        unpivot needs one common value type (pandas uses object)."""
+        from ..operators.aggregates import is_numeric_type
+
+        ids = [id_vars] if isinstance(id_vars, str) else list(id_vars or [])
+        vals = [value_vars] if isinstance(value_vars, str) else list(
+            value_vars or [c for c in self.df.columns if c not in ids]
+        )
+        types = {f.name: f.dataType for f in self.df.schema.fields}
+        all_num = all(is_numeric_type(types[c]) for c in vals)
+        cast_to = "double" if all_num else "string"
+        src = self.df.withColumns({c: F.col(c).cast(cast_to) for c in vals})
+        out = src.unpivot(ids, vals, var_name, value_name)
+        return ExplainableDataFrame(out, name=f"{self.name}.melt")
+
+    def get_dummies(
+        self, column: str, values: list | None = None, prefix: str | None = None
+    ) -> "ExplainableDataFrame":
+        """pandas get_dummies for one categorical column: indicator
+        columns, pure projection. Pass ``values`` (the known categories)
+        at scale to skip the distinct-discovery job, same contract as
+        crosstab/pivot_table."""
+        if values is None:
+            values = sorted(
+                r[0] for r in self.df.select(column).distinct().collect() if r[0] is not None
+            )
+        pfx = f"{prefix}_" if prefix else f"{column}_"
+        cols = {
+            f"{pfx}{v}": F.when(F.col(column) == F.lit(v), F.lit(1)).otherwise(F.lit(0))
+            for v in values
+        }
+        return ExplainableDataFrame(self.df.withColumns(cols), name=self.name, operation=self.operation)
+
     def merge_asof(
         self,
         right: "ExplainableDataFrame",

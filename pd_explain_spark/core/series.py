@@ -230,6 +230,42 @@ class ExplainableColumn:
             c = F.least(c, F.lit(upper))
         return c
 
+    def cut(self, bins: list, labels: list | None = None) -> Column:
+        """pandas ``pd.cut`` with explicit edges: right-closed intervals
+        (lo, hi], values outside the edges → NULL. A when-chain, pure
+        codegen. Default labels are pandas' interval strings."""
+        if len(bins) < 2:
+            raise ValueError("cut needs at least two bin edges")
+        if labels is not None and len(labels) != len(bins) - 1:
+            raise ValueError("labels must have len(bins) - 1 entries")
+        c = self.spark
+        expr = F.lit(None).cast("string")
+        for i in range(len(bins) - 1):
+            lo, hi = bins[i], bins[i + 1]
+            lab = labels[i] if labels is not None else f"({lo}, {hi}]"
+            expr = F.when((c > F.lit(lo)) & (c <= F.lit(hi)), F.lit(str(lab))).otherwise(expr)
+        return expr
+
+    def qcut(self, q: int | list, labels: list | None = None) -> Column:
+        """pandas ``pd.qcut``: quantile-edge binning. ONE exact
+        ``percentile`` aggregation computes every edge, then delegates to
+        cut(); the lowest edge is widened a hair so the minimum lands in
+        the first bin, exactly as pandas does."""
+        fracs = (
+            [i / q for i in range(q + 1)]
+            if isinstance(q, int)
+            else [float(x) for x in q]
+        )
+        row = self.frame.df.agg(
+            *[
+                F.percentile(self.spark, F.lit(p)).alias(f"q{i}")
+                for i, p in enumerate(fracs)
+            ]
+        ).first()
+        edges = [row[f"q{i}"] for i in range(len(fracs))]
+        edges[0] = edges[0] - abs(edges[0]) * 1e-3 - 1e-9
+        return self.cut(edges, labels=labels)
+
     def unique(self):
         return [r[0] for r in self.frame.df.select(self.name).distinct().collect()]
 

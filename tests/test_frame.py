@@ -376,3 +376,69 @@ def test_crosstab_pivot_table_match_oracle(orders, duck):
                FROM orders GROUP BY o_orderpriority"""
         ),
     )
+
+
+# ------------------------------------------------- reshape: melt / get_dummies
+def test_melt_matches_oracle(lineitem, duck):
+    m = lineitem.melt(
+        id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=["l_quantity", "l_discount"],
+    )
+    assert_df_equal(
+        m,
+        duck.sql(
+            """SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+               UNION ALL
+               SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem"""
+        ),
+    )
+    # unpivot is an Expand inside the scan stage — no shuffle at all
+    plan = m.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_get_dummies_matches_oracle(orders, duck):
+    d = orders.get_dummies("o_orderstatus", values=["F", "O", "P"])
+    out = d[["o_orderkey", "o_orderstatus_F", "o_orderstatus_O", "o_orderstatus_P"]]
+    assert_df_equal(
+        out,
+        duck.sql(
+            """SELECT o_orderkey,
+                      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o_orderstatus_F,
+                      CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS o_orderstatus_O,
+                      CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS o_orderstatus_P
+               FROM orders"""
+        ),
+    )
+
+
+# ------------------------------------------------- binning: cut / qcut
+def test_cut_matches_oracle(lineitem, duck):
+    from pd_explain_spark import to_explainable
+
+    binned = lineitem.df.select(
+        lineitem["l_quantity"].cut([0, 10, 25, 50], labels=["low", "mid", "high"]).alias("bin")
+    ).groupBy("bin").count()
+    assert_df_equal(
+        to_explainable(binned, "binned"),
+        duck.sql(
+            """SELECT CASE WHEN l_quantity > 25 AND l_quantity <= 50 THEN 'high'
+                           WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'mid'
+                           WHEN l_quantity > 0  AND l_quantity <= 10 THEN 'low'
+                      END AS bin, count(*) AS count
+               FROM lineitem GROUP BY 1"""
+        ),
+    )
+
+
+def test_qcut_matches_pandas(lineitem):
+    got = (
+        lineitem.df.select(lineitem["l_quantity"].qcut(4, labels=["q1", "q2", "q3", "q4"]).alias("bin"))
+        .groupBy("bin").count().toPandas().set_index("bin")["count"]
+    )
+    import pandas as pd
+
+    pdf = lineitem.df.select("l_quantity").toPandas()
+    want = pd.qcut(pdf["l_quantity"], 4, labels=["q1", "q2", "q3", "q4"]).value_counts()
+    for b in ["q1", "q2", "q3", "q4"]:
+        assert got[b] == want[b], b
