@@ -663,6 +663,74 @@ def month_season_bins(spark, sf_dir):
     )
 
 
+# ------------------------------------------- time-series surface (rolling/shift/cumsum)
+@_q(
+    "rolling_hour_events",
+    """SELECT event_id,
+              sum(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_sum,
+              count(*) OVER w AS roll_n
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+)
+def rolling_hour_events(spark, sf_dir):
+    """Trailing 1-hour rolling aggregates per event_type — a partitioned
+    RANGE window (one shuffle; integer cents keep the sums exact for the
+    hash compare). operators/rolling.py."""
+    from pd_explain_spark.operators.rolling import rolling_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = rolling_agg(
+        ev, on="ts", window="1 hour",
+        aggs={"roll_sum": ("cents", "sum"), "roll_n": ("cents", "count")},
+        by="event_type",
+    )
+    return out.select("event_id", "roll_sum", "roll_n")
+
+
+@_q(
+    "cumsum_events",
+    """SELECT event_id, sum(CAST(round(value * 100) AS BIGINT)) OVER
+         (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cents_cumsum
+       FROM events""",
+)
+def cumsum_events(spark, sf_dir):
+    """Global cumulative sum WITHOUT a single-partition window: range
+    buckets + per-bucket prefix sums + a driver scan over bucket totals
+    (two-phase parallel prefix sum, operators/rolling.py)."""
+    from pd_explain_spark.operators.rolling import cumsum_col
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = cumsum_col(ev, "cents", on="ts")
+    return out.select("event_id", F.col("cents_cumsum").cast("long").alias("cents_cumsum"))
+
+
+@_q(
+    "shift_events",
+    """SELECT event_id,
+              lag(CAST(round(value * 100) AS BIGINT), 3) OVER (ORDER BY ts, event_id)
+              AS cents_shift
+       FROM events""",
+)
+def shift_events(spark, sf_dir):
+    """Global lag-3 without a global sort partition: bucket windows with
+    ghost-row lookback copies at bucket boundaries."""
+    from pd_explain_spark.operators.rolling import shift_col
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return shift_col(ev, "cents", on="ts", periods=3).select("event_id", "cents_shift")
+
+
 # ---------------------------------------------------------------- as-of join
 @_q(
     "asof_join_events",

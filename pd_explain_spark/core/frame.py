@@ -533,6 +533,37 @@ class ExplainableDataFrame:
         out = piv.agg(agg_column(values, aggfunc)).orderBy(index)
         return ExplainableDataFrame(out, name=f"{self.name}.pivot_table")
 
+    def rolling(self, window, on: str, by=None, min_periods: int = 1) -> "_Rolling":
+        """pandas rolling: ``window`` is an int (trailing rows) or a
+        duration string ('1 hour') over the ``on`` column. Returns a
+        helper exposing mean/sum/min/max/count/std. See
+        operators/rolling.py for the partitioned/bucketed window design."""
+        return _Rolling(self, window, on, by, min_periods)
+
+    def shift(self, column: str, on: str, periods: int = 1, by=None) -> "ExplainableDataFrame":
+        """pandas shift (lag) in ``on`` order; adds ``<column>_shift``."""
+        from ..operators.rolling import shift_col
+
+        return ExplainableDataFrame(
+            shift_col(self.df, column, on=on, periods=periods, by=by), name=self.name
+        )
+
+    def diff(self, column: str, on: str, periods: int = 1, by=None) -> "ExplainableDataFrame":
+        """pandas diff in ``on`` order; adds ``<column>_diff``."""
+        from ..operators.rolling import diff_col
+
+        return ExplainableDataFrame(
+            diff_col(self.df, column, on=on, periods=periods, by=by), name=self.name
+        )
+
+    def cumsum(self, column: str, on: str, by=None) -> "ExplainableDataFrame":
+        """pandas cumsum in ``on`` order; adds ``<column>_cumsum``."""
+        from ..operators.rolling import cumsum_col
+
+        return ExplainableDataFrame(
+            cumsum_col(self.df, column, on=on, by=by), name=self.name
+        )
+
     def melt(
         self,
         id_vars: list[str] | str | None = None,
@@ -611,6 +642,44 @@ class ExplainableDataFrame:
     def __repr__(self) -> str:
         op = f", op={self.operation.kind}" if self.operation else ""
         return f"ExplainableDataFrame({self.name}{op}, cols={self.df.columns})"
+
+
+class _Rolling:
+    """Rolling-window helper returned by ExplainableDataFrame.rolling."""
+
+    def __init__(self, frame: "ExplainableDataFrame", window, on: str, by, min_periods: int):
+        self._frame, self._window, self._on, self._by, self._mp = frame, window, on, by, min_periods
+
+    def _agg(self, column: str, func: str) -> "ExplainableDataFrame":
+        from ..operators.rolling import rolling_agg
+
+        out = rolling_agg(
+            self._frame.df,
+            on=self._on,
+            window=self._window,
+            aggs={f"{column}_roll_{func}": (column, func)},
+            by=self._by,
+            min_periods=self._mp,
+        )
+        return ExplainableDataFrame(out, name=self._frame.name)
+
+    def mean(self, column: str):
+        return self._agg(column, "mean")
+
+    def sum(self, column: str):
+        return self._agg(column, "sum")
+
+    def min(self, column: str):
+        return self._agg(column, "min")
+
+    def max(self, column: str):
+        return self._agg(column, "max")
+
+    def count(self, column: str):
+        return self._agg(column, "count")
+
+    def std(self, column: str):
+        return self._agg(column, "std")
 
 
 _PANDAS_TO_SPARK_TYPE = {
