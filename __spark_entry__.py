@@ -663,6 +663,46 @@ def month_season_bins(spark, sf_dir):
     )
 
 
+# ------------------------------------------- .str / .dt accessor surface
+@_q(
+    "str_ops_part",
+    """SELECT p_partkey, upper(p_name) AS up, length(p_name) AS n,
+              substring(p_name, 1, 8) AS head8,
+              replace(p_name, ' ', '_') AS snake
+       FROM part WHERE p_type LIKE '%AND%'""",
+)
+def str_ops_part(spark, sf_dir):
+    """.str accessor: a lineage-recorded contains-mask filter plus
+    codegen string transforms (no UDFs anywhere)."""
+    p = _e(spark, sf_dir, "part")
+    out = p[p["p_type"].str.contains("AND")]
+    return out.df.select(
+        "p_partkey",
+        out["p_name"].str.upper().alias("up"),
+        out["p_name"].str.len().alias("n"),
+        out["p_name"].str.slice(0, 8).alias("head8"),
+        out["p_name"].str.replace(" ", "_").alias("snake"),
+    )
+
+
+@_q(
+    "dt_parts_events",
+    """SELECT year(ts) AS y, month(ts) AS m, isodow(ts) - 1 AS dow,
+              count(*) AS n
+       FROM events GROUP BY 1, 2, 3""",
+)
+def dt_parts_events(spark, sf_dir):
+    """.dt accessor: datetime part extraction (pandas dayofweek
+    numbering) feeding a grouped count."""
+    ev = _e(spark, sf_dir, "events")
+    c = ev["ts"]
+    return (
+        ev.df.select(c.dt.year.alias("y"), c.dt.month.alias("m"), c.dt.dayofweek.alias("dow"))
+        .groupBy("y", "m", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ------------------------------------------- time-series surface (rolling/shift/cumsum)
 @_q(
     "rolling_hour_events",

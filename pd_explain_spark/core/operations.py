@@ -62,7 +62,7 @@ class PredicateNode:
 @dataclass(frozen=True)
 class Comparison(PredicateNode):
     column: str
-    op: str  # one of ==, !=, <=, <, >=, >, in, between, contains, startswith, isnull, notnull
+    op: str  # ==, !=, <=, <, >=, >, in, between, contains, startswith, endswith, rlike, isnull, notnull
     value: Any = None
 
     def to_spark(self, df: DataFrame) -> Column:
@@ -88,6 +88,10 @@ class Comparison(PredicateNode):
             return c.contains(self.value)
         if self.op == "startswith":
             return c.startswith(self.value)
+        if self.op == "endswith":
+            return c.endswith(self.value)
+        if self.op == "rlike":
+            return c.rlike(self.value)
         if self.op == "isnull":
             return c.isNull()
         if self.op == "notnull":

@@ -230,6 +230,20 @@ class ExplainableColumn:
             c = F.least(c, F.lit(upper))
         return c
 
+    @property
+    def str(self) -> "_StrAccessor":
+        """pandas ``.str`` accessor. Boolean tests (contains/startswith/
+        endswith/match) return lineage-recorded predicates — usable as
+        masks with full explainer support; transforms return plain Spark
+        Columns (projection, untracked, like arithmetic)."""
+        return _StrAccessor(self)
+
+    @property
+    def dt(self) -> "_DtAccessor":
+        """pandas ``.dt`` accessor: datetime part extraction as JVM
+        expressions (no UDFs)."""
+        return _DtAccessor(self)
+
     def cut(self, bins: list, labels: list | None = None) -> Column:
         """pandas ``pd.cut`` with explicit edges: right-closed intervals
         (lo, hi], values outside the edges → NULL. A when-chain, pure
@@ -285,3 +299,136 @@ class ExplainableColumn:
 
 def _unwrap(x):
     return x.spark if isinstance(x, ExplainableColumn) else x
+
+
+class _StrAccessor:
+    """pandas ``Series.str`` parity over a string column.
+
+    Boolean tests return ExplainablePredicate (the reference records
+    string-mask filters too — ExpSeries inherits pandas .str); transforms
+    return Spark Columns that stay inside whole-stage codegen.
+    """
+
+    def __init__(self, col: ExplainableColumn):
+        self._col = col
+
+    def _pred(self, op: str, value) -> ExplainablePredicate:
+        tree = Comparison(self._col.name, op, value)
+        return ExplainablePredicate(self._col.frame, tree.to_spark(self._col.frame.df), tree)
+
+    # boolean tests — lineage-recorded
+    def contains(self, pat: str, regex: bool = False) -> ExplainablePredicate:
+        return self._pred("rlike" if regex else "contains", pat)
+
+    def startswith(self, pat: str) -> ExplainablePredicate:
+        return self._pred("startswith", pat)
+
+    def endswith(self, pat: str) -> ExplainablePredicate:
+        return self._pred("endswith", pat)
+
+    def match(self, pat: str) -> ExplainablePredicate:
+        # pandas match anchors at the start
+        pat = pat if pat.startswith("^") else f"^{pat}"
+        return self._pred("rlike", pat)
+
+    def isdigit(self) -> ExplainablePredicate:
+        return self._pred("rlike", r"^[0-9]+$")
+
+    # transforms — plain Columns
+    def lower(self) -> Column:
+        return F.lower(self._col.spark)
+
+    def upper(self) -> Column:
+        return F.upper(self._col.spark)
+
+    def strip(self) -> Column:
+        return F.trim(self._col.spark)
+
+    def len(self) -> Column:
+        return F.length(self._col.spark)
+
+    def slice(self, start: int = 0, stop: int | None = None) -> Column:
+        # pandas 0-based [start, stop) → SQL 1-based substring(pos, len)
+        length = F.lit(2_147_483_647) if stop is None else F.lit(max(stop - start, 0))
+        return F.substring(self._col.spark, start + 1, length)
+
+    def replace(self, pat: str, repl: str, regex: bool = False) -> Column:
+        if regex:
+            return F.regexp_replace(self._col.spark, pat, repl)
+        return F.replace(self._col.spark, F.lit(pat), F.lit(repl))
+
+    def extract(self, pat: str, group: int = 1) -> Column:
+        return F.regexp_extract(self._col.spark, pat, group)
+
+    def split(self, pat: str = r"\s+") -> Column:
+        return F.split(self._col.spark, pat)
+
+    def pad(self, width: int, side: str = "left", fillchar: str = " ") -> Column:
+        fn = F.lpad if side == "left" else F.rpad
+        return fn(self._col.spark, width, fillchar)
+
+    def zfill(self, width: int) -> Column:
+        return F.lpad(self._col.spark, width, "0")
+
+    def title(self) -> Column:
+        return F.initcap(self._col.spark)
+
+
+class _DtAccessor:
+    """pandas ``Series.dt`` parity: JVM datetime part extraction."""
+
+    def __init__(self, col: ExplainableColumn):
+        self._col = col
+
+    @property
+    def year(self) -> Column:
+        return F.year(self._col.spark)
+
+    @property
+    def month(self) -> Column:
+        return F.month(self._col.spark)
+
+    @property
+    def day(self) -> Column:
+        return F.dayofmonth(self._col.spark)
+
+    @property
+    def hour(self) -> Column:
+        return F.hour(self._col.spark)
+
+    @property
+    def minute(self) -> Column:
+        return F.minute(self._col.spark)
+
+    @property
+    def second(self) -> Column:
+        return F.second(self._col.spark)
+
+    @property
+    def dayofweek(self) -> Column:
+        # pandas: Monday=0..Sunday=6; Spark dayofweek: Sunday=1..Saturday=7
+        return (F.dayofweek(self._col.spark) + 5) % 7
+
+    @property
+    def dayofyear(self) -> Column:
+        return F.dayofyear(self._col.spark)
+
+    @property
+    def quarter(self) -> Column:
+        return F.quarter(self._col.spark)
+
+    @property
+    def date(self) -> Column:
+        return F.to_date(self._col.spark)
+
+    @property
+    def month_name(self) -> Column:
+        return F.date_format(self._col.spark, "MMMM")
+
+    @property
+    def day_name(self) -> Column:
+        return F.date_format(self._col.spark, "EEEE")
+
+    def floor(self, freq: str) -> Column:
+        unit = {"H": "hour", "D": "day", "T": "minute", "min": "minute", "S": "second"}.get(freq, freq)
+        return F.date_trunc(unit, self._col.spark)
