@@ -663,6 +663,42 @@ def month_season_bins(spark, sf_dir):
     )
 
 
+# ------------------------------------------- groupby.transform / groupby.filter
+@_q(
+    "groupby_transform_mean",
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+              round(avg(l_quantity) OVER (PARTITION BY l_returnflag), 6) AS l_quantity
+       FROM lineitem""",
+)
+def groupby_transform_mean(spark, sf_dir):
+    """pandas groupby.transform: group mean broadcast back onto every row
+    — one partitioned window, no join-back."""
+    li = _e(spark, sf_dir, "lineitem")[["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]]
+    out = li.groupby("l_returnflag")[["l_quantity"]].transform("mean")
+    return out.df.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.round("l_quantity", 6).alias("l_quantity"),
+    )
+
+
+@_q(
+    "groupby_filter_groups",
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+       WHERE o_orderpriority IN (
+         SELECT o_orderpriority FROM orders
+         GROUP BY o_orderpriority HAVING avg(o_totalprice) > 251000)""",
+)
+def groupby_filter_groups(spark, sf_dir):
+    """pandas groupby.filter: keep original rows of qualifying groups —
+    per-group aggregate + semi join on the keys (AQE broadcasts the
+    qualifying-group list)."""
+    o = _e(spark, sf_dir, "orders")
+    out = o.groupby("o_orderpriority").filter_groups(
+        "avg_price > 251000", avg_price=("o_totalprice", "mean")
+    )
+    return out.df.select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
 # ------------------------------------------- .str / .dt accessor surface
 @_q(
     "str_ops_part",

@@ -136,6 +136,64 @@ class ExplainableGroupedData:
     def nunique(self):
         return self._named("nunique")
 
+    # -- pandas groupby.transform / groupby.filter -------------------------
+    _WINDOW_AGGS = {
+        "mean": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": lambda c: F.count(c),
+        "std": F.stddev_samp,
+        "var": F.var_samp,
+        "size": lambda c: F.count(F.lit(1)),
+    }
+
+    def transform(self, agg: str) -> "ExplainableDataFrame":
+        """pandas ``groupby.transform``: the group aggregate broadcast back
+        onto every row — output has the input's shape, value columns
+        replaced by their group statistic. ONE shuffle (a window
+        partitioned by the keys, no frame clause → whole-group), no join
+        back. nunique uses collect_set (exact) — the documented cost."""
+        from pyspark.sql import Window
+
+        from .frame import ExplainableDataFrame
+
+        if agg != "nunique" and agg not in self._WINDOW_AGGS:
+            raise ValueError(
+                f"transform supports {sorted(self._WINDOW_AGGS) + ['nunique']}, got {agg!r}"
+            )
+        w = Window.partitionBy(*self.keys)
+        if agg == "nunique":
+            # OVER must wrap the aggregate (collect_set), not the size()
+            cols = {
+                c: F.size(F.collect_set(F.col(c)).over(w))
+                for c in self._value_columns(agg)
+            }
+        else:
+            fn = self._WINDOW_AGGS[agg]
+            cols = {c: fn(F.col(c)).over(w) for c in self._value_columns(agg)}
+        if not cols:
+            raise ValueError(f"no applicable columns for agg {agg!r}")
+        out = self.frame.df.withColumns(cols)
+        return ExplainableDataFrame(out, name=f"{self.frame.name}.transform({agg})")
+
+    def filter_groups(self, predicate: str, **aggs: tuple) -> "ExplainableDataFrame":
+        """pandas ``groupby.filter``: keep the original ROWS of groups
+        whose aggregates satisfy ``predicate`` (SQL over the aliases given
+        as ``name=(column, agg)`` kwargs — the distributed contract
+        replacing pandas' per-group callable). One shuffle for the
+        per-group aggregates + a semi join on the keys (AQE broadcasts the
+        qualifying-group list when it is small)."""
+        from ..operators.aggregates import agg_column
+        from .frame import ExplainableDataFrame
+
+        if not aggs:
+            raise ValueError("filter_groups needs at least one name=(column, agg) kwarg")
+        exprs = [agg_column(col, agg).alias(name) for name, (col, agg) in aggs.items()]
+        qualifying = self.frame.df.groupBy(*self.keys).agg(*exprs).filter(F.expr(predicate))
+        out = self.frame.df.join(qualifying.select(*self.keys), on=self.keys, how="semi")
+        return ExplainableDataFrame(out, name=f"{self.frame.name}.filter_groups")
+
     def _callable_expr(self, col: str, fn) -> tuple:
         """Arrow-batched grouped-agg UDF for a user callable (reference
         ``groupby.aggregate(func)``, explainable_group_by_dataframe.py:22-48;

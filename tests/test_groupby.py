@@ -152,3 +152,49 @@ def test_callable_agg_mixed_with_named(lineitem, duck):
         w = want[r["l_returnflag"]]
         assert abs(r["l_quantity_mean"] - w[0]) < 1e-9
         assert abs(r["l_quantity_spread"] - w[1]) < 1e-9
+
+
+# ------------------------------------------------- transform / filter_groups
+def test_groupby_transform_matches_oracle(lineitem, duck):
+    out = lineitem[["l_returnflag", "l_quantity", "l_extendedprice"]] \
+        .groupby("l_returnflag")[["l_quantity", "l_extendedprice"]].transform("mean")
+    assert_df_equal(
+        out.df.select("l_returnflag",
+                      out.df["l_quantity"].alias("l_quantity"),
+                      out.df["l_extendedprice"].alias("l_extendedprice")),
+        duck.sql(
+            """SELECT l_returnflag,
+                      avg(l_quantity) OVER (PARTITION BY l_returnflag) AS l_quantity,
+                      avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS l_extendedprice
+               FROM lineitem"""
+        ),
+    )
+    # same shape as input
+    assert out.df.count() == lineitem.df.count()
+
+
+def test_groupby_filter_groups_matches_oracle(orders, duck):
+    out = orders.groupby("o_orderpriority").filter_groups(
+        "n > 295", n=("o_orderkey", "count")
+    )
+    assert_df_equal(
+        out[["o_orderkey", "o_orderpriority"]],
+        duck.sql(
+            """SELECT o_orderkey, o_orderpriority FROM orders
+               WHERE o_orderpriority IN (
+                 SELECT o_orderpriority FROM orders
+                 GROUP BY o_orderpriority HAVING count(o_orderkey) > 295)"""
+        ),
+    )
+
+
+def test_groupby_transform_nunique_and_errors(lineitem):
+    out = lineitem[["l_returnflag", "l_linestatus"]] \
+        .groupby("l_returnflag")[["l_linestatus"]].transform("nunique")
+    import pyspark.sql.functions as F
+    assert out.df.filter(F.col("l_linestatus") > 2).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lineitem.groupby("l_returnflag").transform("median")
+    with _pt.raises(ValueError):
+        lineitem.groupby("l_returnflag").filter_groups("1=1")
