@@ -47,6 +47,12 @@ HEADLINE = [
     "sessionize_events",
     "many_to_one_explain",
     "metainsight_explain",
+    # round-2 additions: time-series + reshape surface
+    "asof_join_events",
+    "rolling_hour_events",
+    "cumsum_events",
+    "groupby_transform_mean",
+    "melt_lineitem",
 ]
 
 

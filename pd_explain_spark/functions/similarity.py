@@ -34,6 +34,8 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,21 +48,25 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, rank, cosine_sim). Excludes self-match.
     The query side is broadcast — corpus scan is a single distributed pass.
     """
+    # norms are computed ONCE per row below the join (projections don't
+    # collapse across the join boundary), so the per-pair work is a single
+    # dot product + one divide — round 1 re-evaluated both norms for every
+    # (corpus, query) pair
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
