@@ -807,6 +807,59 @@ def shift_events(spark, sf_dir):
     return shift_col(ev, "cents", on="ts", periods=3).select("event_id", "cents_shift")
 
 
+@_q(
+    "rank_events_dense",
+    """SELECT event_id,
+              dense_rank() OVER (ORDER BY CAST(round(value * 100) AS BIGINT)) AS cents_rank
+       FROM events""",
+)
+def rank_events_dense(spark, sf_dir):
+    """Global dense rank with no global sort partition: value-range
+    buckets (ties can't straddle) + within-bucket dense_rank + a driver
+    scan over per-bucket distinct counts (operators/rolling.py)."""
+    from pd_explain_spark.operators.rolling import rank_col
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return rank_col(ev, "cents", method="dense").select("event_id", "cents_rank")
+
+
+@_q(
+    "resample_hourly",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, round(sum(value), 6) AS value_sum, count(value) AS value_count
+       FROM events GROUP BY 1, 2""",
+)
+def resample_hourly(spark, sf_dir):
+    """pandas resample('1h') — Spark window() projection + one grouped
+    agg, the identical plan Structured Streaming runs (batch/stream
+    parity for free)."""
+    ev = _e(spark, sf_dir, "events")
+    r = ev.resample("1 hour", on="ts", by="event_type").agg({"value": ["sum", "count"]})
+    return r.df.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.round("value_sum", 6).alias("value_sum"),
+        "value_count",
+    )
+
+
+@_q(
+    "pct_change_events",
+    """SELECT event_id,
+              round((value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+                    / lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id), 6)
+              AS value_pct_change
+       FROM events""",
+)
+def pct_change_events(spark, sf_dir):
+    """pandas pct_change per event_type (lag via one partitioned window)."""
+    ev = _e(spark, sf_dir, "events")[["event_id", "ts", "event_type", "value"]]
+    out = ev.pct_change("value", on="ts", by="event_type")
+    return out.df.select("event_id", F.round("value_pct_change", 6).alias("value_pct_change"))
+
+
 # ---------------------------------------------------------------- as-of join
 @_q(
     "asof_join_events",

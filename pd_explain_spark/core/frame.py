@@ -564,6 +564,59 @@ class ExplainableDataFrame:
             cumsum_col(self.df, column, on=on, by=by), name=self.name
         )
 
+    def cummax(self, column: str, on: str, by=None) -> "ExplainableDataFrame":
+        """pandas cummax in ``on`` order; adds ``<column>_cummax``."""
+        from ..operators.rolling import cumagg_col
+
+        return ExplainableDataFrame(
+            cumagg_col(self.df, column, on=on, agg="max", by=by), name=self.name
+        )
+
+    def cummin(self, column: str, on: str, by=None) -> "ExplainableDataFrame":
+        """pandas cummin in ``on`` order; adds ``<column>_cummin``."""
+        from ..operators.rolling import cumagg_col
+
+        return ExplainableDataFrame(
+            cumagg_col(self.df, column, on=on, agg="min", by=by), name=self.name
+        )
+
+    def rank(self, column: str, method: str = "min", ascending: bool = True) -> "ExplainableDataFrame":
+        """pandas rank (min/dense/first) — global rank with NO global sort
+        partition (value-bucketed; operators/rolling.py rank_col). Adds
+        ``<column>_rank``."""
+        from ..operators.rolling import rank_col
+
+        return ExplainableDataFrame(
+            rank_col(self.df, column, method=method, ascending=ascending), name=self.name
+        )
+
+    def pct_change(self, column: str, on: str, periods: int = 1, by=None) -> "ExplainableDataFrame":
+        """pandas pct_change: (v - lag) / lag in ``on`` order; adds
+        ``<column>_pct_change``."""
+        from ..operators.rolling import shift_col
+
+        shifted = shift_col(self.df, column, on=on, periods=periods, by=by, out_name="__pc_lag")
+        out = shifted.withColumn(
+            f"{column}_pct_change",
+            (F.col(column) - F.col("__pc_lag")) / F.col("__pc_lag"),
+        ).drop("__pc_lag")
+        return ExplainableDataFrame(out, name=self.name)
+
+    def idxmax(self, value_col: str, id_col: str):
+        """pandas idxmax with an explicit identifier column: the id of the
+        row holding the max value — one ``max_by`` aggregation."""
+        return self.df.agg(F.max_by(F.col(id_col), F.col(value_col)).alias("v")).first()["v"]
+
+    def idxmin(self, value_col: str, id_col: str):
+        return self.df.agg(F.min_by(F.col(id_col), F.col(value_col)).alias("v")).first()["v"]
+
+    def resample(self, freq: str, on: str, by=None) -> "_Resampler":
+        """pandas resample over a time column: fixed windows via Spark's
+        ``window()`` (a scan-stage projection + one grouped agg — the same
+        plan Structured Streaming uses, so batch/stream parity is free).
+        ``freq`` uses Spark duration strings ('1 hour', '30 minutes')."""
+        return _Resampler(self, freq, on, by)
+
     def melt(
         self,
         id_vars: list[str] | str | None = None,
@@ -642,6 +695,43 @@ class ExplainableDataFrame:
     def __repr__(self) -> str:
         op = f", op={self.operation.kind}" if self.operation else ""
         return f"ExplainableDataFrame({self.name}{op}, cols={self.df.columns})"
+
+
+class _Resampler:
+    """Fixed time-window resampling helper (ExplainableDataFrame.resample)."""
+
+    def __init__(self, frame: "ExplainableDataFrame", freq: str, on: str, by):
+        self._frame, self._freq, self._on = frame, freq, on
+        self._by = [by] if isinstance(by, str) else list(by or [])
+
+    def agg(self, spec: dict[str, str | list[str]]) -> "ExplainableDataFrame":
+        """spec maps column -> agg name (or list of names); output columns
+        ``<col>_<agg>`` plus ``window_start`` (and the by-keys)."""
+        from ..operators.aggregates import agg_column, output_name
+
+        exprs = [
+            agg_column(col, agg).alias(output_name(col, agg))
+            for col, aggs in spec.items()
+            for agg in ([aggs] if isinstance(aggs, str) else aggs)
+        ]
+        grouped = (
+            self._frame.df.groupBy(
+                F.window(F.col(self._on), self._freq).alias("__w"), *self._by
+            )
+            .agg(*exprs)
+            .withColumn("window_start", F.col("__w.start"))
+            .drop("__w")
+        )
+        return ExplainableDataFrame(grouped, name=f"{self._frame.name}.resample")
+
+    def mean(self, column: str):
+        return self.agg({column: "mean"})
+
+    def sum(self, column: str):
+        return self.agg({column: "sum"})
+
+    def count(self, column: str):
+        return self.agg({column: "count"})
 
 
 class _Rolling:

@@ -206,6 +206,77 @@ def diff_col(
     return shifted.withColumn(out_name, F.col(column) - F.col("__diff_lag")).drop("__diff_lag")
 
 
+# cumulative aggregate family: (window fn, bucket-total fn, combine(running, part))
+_CUM_AGGS = {
+    "sum": (F.sum, F.sum, lambda carry, part: part + carry),
+    "max": (F.max, F.max, lambda carry, part: F.greatest(part, carry)),
+    "min": (F.min, F.min, lambda carry, part: F.least(part, carry)),
+    "count": (lambda c: F.count(c), lambda c: F.count(c), lambda carry, part: part + carry),
+}
+
+# fold for the driver-side scan over bucket totals (None = no rows yet)
+_CUM_FOLD = {
+    "sum": lambda acc, t: t if acc is None else acc + t,
+    "count": lambda acc, t: t if acc is None else acc + t,
+    "max": lambda acc, t: t if acc is None else max(acc, t),
+    "min": lambda acc, t: t if acc is None else min(acc, t),
+}
+
+
+def cumagg_col(
+    df: DataFrame,
+    column: str,
+    on: str,
+    agg: str = "sum",
+    by: str | list[str] | None = None,
+    out_name: str | None = None,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """pandas cumsum/cummax/cummin/cumcount in ``on`` order. Without
+    ``by``: per-bucket prefix aggregates + a driver scan over the
+    <= num_buckets bucket totals — the textbook two-phase parallel prefix
+    scan (works for any associative agg), never a global sort partition."""
+    if agg not in _CUM_AGGS:
+        raise ValueError(f"cumulative agg must be one of {sorted(_CUM_AGGS)}, got {agg!r}")
+    by = [by] if isinstance(by, str) else list(by or [])
+    out_name = out_name or f"{column}_cum{agg}"
+    tie = [c for c in df.columns if c != on]
+    win_fn, tot_fn, combine = _CUM_AGGS[agg]
+
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on), *[F.col(c) for c in tie])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out_name, win_fn(F.col(column)).over(w))
+
+    base, bounds = _bucketize(df, on, num_buckets)
+    w = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(F.col(on), *[F.col(c) for c in tie])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = base.withColumn(out_name, win_fn(F.col(column)).over(w))
+    totals = {
+        r[_BUCKET]: r["t"]
+        for r in base.groupBy(_BUCKET).agg(tot_fn(F.col(column)).alias("t")).collect()
+    }
+    fold = _CUM_FOLD[agg]
+    carry_expr = F.lit(None)
+    running = None
+    for b in range(len(bounds) + 1):
+        if b > 0 and running is not None:
+            carry_expr = F.when(F.col(_BUCKET) == b, F.lit(running)).otherwise(carry_expr)
+        t = totals.get(b)
+        if t is not None:
+            running = fold(running, t)
+    merged = F.when(carry_expr.isNull(), F.col(out_name)).otherwise(
+        combine(carry_expr, F.col(out_name))
+    )
+    return part.withColumn(out_name, merged).drop(_BUCKET)
+
+
 def cumsum_col(
     df: DataFrame,
     column: str,
@@ -214,37 +285,58 @@ def cumsum_col(
     out_name: str | None = None,
     num_buckets: int = 64,
 ) -> DataFrame:
-    """pandas cumsum in ``on`` order. Without ``by``: per-bucket prefix
-    sums + a driver scan over the <= num_buckets bucket totals — the
-    textbook two-phase parallel prefix sum, never a global sort
-    partition."""
-    by = [by] if isinstance(by, str) else list(by or [])
-    out_name = out_name or f"{column}_cumsum"
-    tie = [c for c in df.columns if c != on]
-
-    if by:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on), *[F.col(c) for c in tie])
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return df.withColumn(out_name, F.sum(F.col(column)).over(w))
-
-    base, bounds = _bucketize(df, on, num_buckets)
-    w = (
-        Window.partitionBy(_BUCKET)
-        .orderBy(F.col(on), *[F.col(c) for c in tie])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    """pandas cumsum — see cumagg_col."""
+    return cumagg_col(
+        df, column, on, agg="sum", by=by,
+        out_name=out_name or f"{column}_cumsum", num_buckets=num_buckets,
     )
-    part = base.withColumn(out_name, F.sum(F.col(column)).over(w))
-    totals = {
-        r[_BUCKET]: r["t"]
-        for r in base.groupBy(_BUCKET).agg(F.sum(F.col(column)).alias("t")).collect()
+
+
+def rank_col(
+    df: DataFrame,
+    column: str,
+    method: str = "min",
+    ascending: bool = True,
+    out_name: str | None = None,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """pandas Series.rank (min / dense / first) as a GLOBAL rank without a
+    global sort partition. Buckets are a function of the VALUE, so tied
+    values always share a bucket and every earlier-bucket row is strictly
+    smaller: global rank = within-bucket rank + carry, where carry is a
+    driver scan over per-bucket row counts (min/first) or distinct-value
+    counts (dense)."""
+    if method not in ("min", "dense", "first"):
+        raise ValueError(f"rank method must be min/dense/first, got {method!r}")
+    out_name = out_name or f"{column}_rank"
+
+    base, bounds = _bucketize(df, column, num_buckets)
+    order = F.col(column).asc() if ascending else F.col(column).desc()
+    tie = [F.col(c) for c in df.columns if c != column]
+    if method == "min":
+        w = Window.partitionBy(_BUCKET).orderBy(order)
+        within = F.rank().over(w)
+        carry_agg = F.count(F.lit(1))
+    elif method == "dense":
+        w = Window.partitionBy(_BUCKET).orderBy(order)
+        within = F.dense_rank().over(w)
+        carry_agg = F.count_distinct(F.col(column))
+    else:  # first
+        w = Window.partitionBy(_BUCKET).orderBy(order, *tie)
+        within = F.row_number().over(w)
+        carry_agg = F.count(F.lit(1))
+
+    part = base.withColumn(out_name, within)
+    counts = {
+        r[_BUCKET]: r["n"]
+        for r in base.groupBy(_BUCKET).agg(carry_agg.alias("n")).collect()
     }
-    carry_expr = F.lit(0.0)
-    running = 0.0
-    for b in range(len(bounds) + 1):
-        if b > 0 and running != 0.0:
+    n_buckets = len(bounds) + 1
+    order_ids = range(n_buckets) if ascending else range(n_buckets - 1, -1, -1)
+    carry_expr = F.lit(0)
+    running = 0
+    for b in order_ids:
+        if running:
             carry_expr = F.when(F.col(_BUCKET) == b, F.lit(running)).otherwise(carry_expr)
-        running += totals.get(b, 0.0) or 0.0
+        running += counts.get(b, 0)
     return part.withColumn(out_name, F.col(out_name) + carry_expr).drop(_BUCKET)

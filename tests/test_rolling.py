@@ -155,3 +155,101 @@ def test_frame_rolling_api(spark, sf_dir):
     assert "value_roll_mean" in r.df.columns
     c = ev.cumsum("value", on="ts", by="event_type")
     assert "value_cumsum" in c.df.columns
+
+
+# ------------------------------------------------- cumulative family / rank
+def test_cummax_cummin_bucketed_no_by(events, duck_events):
+    got = cumsum_col(events, "cents", on="ts")  # smoke reuse of fixture frame
+    from pd_explain_spark.operators.rolling import cumagg_col, rank_col
+
+    got = cumagg_col(events, "cents", on="ts", agg="max", num_buckets=5).select(
+        "event_id", "cents_cummax"
+    )
+    assert_df_equal(
+        got,
+        duck_events.sql(
+            """SELECT event_id, max(cents) OVER
+                 (ORDER BY ts, event_id, cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cents_cummax
+               FROM ev"""
+        ),
+    )
+    got = cumagg_col(events, "cents", on="ts", agg="min", by="event_type").select(
+        "event_id", "cents_cummin"
+    )
+    assert_df_equal(
+        got,
+        duck_events.sql(
+            """SELECT event_id, min(cents) OVER
+                 (PARTITION BY event_type
+                  ORDER BY ts, event_id, cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cents_cummin
+               FROM ev"""
+        ),
+    )
+
+
+@pytest.mark.parametrize("method,duck_fn", [("min", "rank()"), ("dense", "dense_rank()")])
+def test_rank_bucketed_matches_oracle(events, duck_events, method, duck_fn):
+    from pd_explain_spark.operators.rolling import rank_col
+
+    got = rank_col(events, "cents", method=method, num_buckets=6).select(
+        "event_id", "cents_rank"
+    )
+    assert_df_equal(
+        got,
+        duck_events.sql(
+            f"""SELECT event_id, {duck_fn} OVER (ORDER BY cents) AS cents_rank
+                FROM ev"""
+        ),
+    )
+
+
+def test_rank_descending_and_first(events, duck_events):
+    from pd_explain_spark.operators.rolling import rank_col
+
+    got = rank_col(events, "cents", method="min", ascending=False, num_buckets=6).select(
+        "event_id", "cents_rank"
+    )
+    assert_df_equal(
+        got,
+        duck_events.sql(
+            "SELECT event_id, rank() OVER (ORDER BY cents DESC) AS cents_rank FROM ev"
+        ),
+    )
+    # 'first' assigns unique ranks 1..n
+    got = rank_col(events, "cents", method="first", num_buckets=6)
+    n = got.count()
+    assert got.select("cents_rank").distinct().count() == n
+
+
+def test_pct_change_resample_idxmax(spark, sf_dir, duck_events):
+    from pd_explain_spark import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    pc = ev.pct_change("value", on="ts", by="event_type")
+    assert "value_pct_change" in pc.df.columns
+
+    r = ev.resample("1 hour", on="ts", by="event_type").agg({"value": "sum"})
+    assert_df_equal(
+        r.df.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("w"),
+            "event_type",
+            F.round("value_sum", 6).alias("value_sum"),
+        ),
+        duck_events.sql(
+            """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS w, event_type,
+                      round(sum(value), 6) AS value_sum
+               FROM events GROUP BY 1, 2"""
+        ),
+    )
+
+    want = duck_events.sql(
+        "SELECT arg_max(event_id, cents) FROM ev"
+    ).fetchone()[0]
+    from pd_explain_spark import to_explainable
+    evc = to_explainable(
+        ev.df.select("event_id", F.round(F.col("value") * 100).cast("long").alias("cents")),
+        "evc",
+    )
+    assert evc.idxmax("cents", "event_id") == want
