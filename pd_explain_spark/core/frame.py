@@ -437,11 +437,15 @@ class ExplainableDataFrame:
             cols[f.name] = c
         return ExplainableDataFrame(self.df.withColumns(cols), name=self.name, operation=self.operation)
 
-    def quantile(self, q=0.5, columns: list[str] | None = None) -> "ExplainableDataFrame":
+    def quantile(
+        self, q=0.5, columns: list[str] | None = None, approx: bool = False,
+    ) -> "ExplainableDataFrame":
         """pandas quantile (linear interpolation — Spark ``percentile`` and
         DuckDB ``quantile_cont`` compute the same estimator). One agg job
         for every (column, q) pair; result is a tiny frame with one row per
-        q: (quantile, <col>...).
+        q: (quantile, <col>...). ``approx=True`` uses ``approx_percentile``
+        (t-digest sketch, map-side partial aggregation) — the 100 TB path;
+        exact ``percentile`` buffers each group's values.
         """
         from ..operators.aggregates import is_numeric_type
 
@@ -449,8 +453,9 @@ class ExplainableDataFrame:
         num_cols = columns or [
             f.name for f in self.df.schema.fields if is_numeric_type(f.dataType)
         ]
+        pfn = F.approx_percentile if approx else F.percentile
         aggs = [
-            F.percentile(F.col(c), F.lit(float(p))).alias(f"{c}__{i}")
+            pfn(F.col(c), F.lit(float(p))).alias(f"{c}__{i}")
             for i, p in enumerate(qs)
             for c in num_cols
         ]
@@ -463,12 +468,17 @@ class ExplainableDataFrame:
         out = self.df.sparkSession.createDataFrame(out_rows, schema=schema)
         return ExplainableDataFrame(out, name=f"{self.name}.quantile")
 
-    def nunique(self) -> "ExplainableDataFrame":
-        """pandas frame-level nunique: exact distinct count per column,
-        all columns in ONE aggregation pass (Spark expands the distinct
-        aggregates into a single shuffle via Expand, not one job per
-        column). Returns a one-row frame."""
-        aggs = [F.count_distinct(F.col(c)).alias(c) for c in self.df.columns]
+    def nunique(self, approx: bool = False, rsd: float = 0.05) -> "ExplainableDataFrame":
+        """pandas frame-level nunique: distinct count per column, all
+        columns in ONE aggregation pass. Exact by default (a single
+        Expand shuffle, oracle-comparable); ``approx=True`` switches to
+        HyperLogLog++ (``approx_count_distinct``), which partially
+        aggregates map-side — the 100 TB path when a ±rsd estimate is
+        acceptable. Returns a one-row frame."""
+        if approx:
+            aggs = [F.approx_count_distinct(F.col(c), rsd).alias(c) for c in self.df.columns]
+        else:
+            aggs = [F.count_distinct(F.col(c)).alias(c) for c in self.df.columns]
         return ExplainableDataFrame(self.df.agg(*aggs), name=f"{self.name}.nunique")
 
     def describe(self, columns: list[str] | None = None) -> "ExplainableDataFrame":

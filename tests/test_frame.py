@@ -442,3 +442,13 @@ def test_qcut_matches_pandas(lineitem):
     want = pd.qcut(pdf["l_quantity"], 4, labels=["q1", "q2", "q3", "q4"]).value_counts()
     for b in ["q1", "q2", "q3", "q4"]:
         assert got[b] == want[b], b
+
+
+def test_approx_nunique_quantile_close_to_exact(lineitem):
+    exact = lineitem[["l_returnflag", "l_quantity"]].nunique().df.first()
+    approx = lineitem[["l_returnflag", "l_quantity"]].nunique(approx=True, rsd=0.02).df.first()
+    for c in ["l_returnflag", "l_quantity"]:
+        assert abs(approx[c] - exact[c]) <= max(2, 0.1 * exact[c]), c
+    qe = lineitem.quantile(0.5, columns=["l_quantity"]).df.first()["l_quantity"]
+    qa = lineitem.quantile(0.5, columns=["l_quantity"], approx=True).df.first()["l_quantity"]
+    assert abs(qa - qe) <= 2.0
