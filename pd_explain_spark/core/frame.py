@@ -695,6 +695,31 @@ class ExplainableDataFrame:
         )
         return ExplainableDataFrame(out, name=f"{self.name}_asof")
 
+    def to_parquet(
+        self,
+        path: str,
+        partition_by: list[str] | str | None = None,
+        mode: str = "error",
+        max_records_per_file: int | None = None,
+    ) -> None:
+        """pandas ``to_parquet`` → distributed parquet write. ``partition_by``
+        produces hive-style directory partitioning (the layout that gives
+        downstream readers partition pruning for free);
+        ``max_records_per_file`` bounds file sizes at scale."""
+        w = self.df.write.mode(mode)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        if cols:
+            w = w.partitionBy(*cols)
+        w.parquet(path)
+
+    def to_csv(self, path: str, mode: str = "error", header: bool = True, **options) -> None:
+        """pandas ``to_csv`` → distributed CSV write (a directory of part
+        files, not one driver-funneled file — coalesce(1) is the
+        anti-pattern; merge downstream if a single file is really needed)."""
+        self.df.write.mode(mode).options(header=str(header).lower(), **options).csv(path)
+
     def to_pandas(self):
         return self.df.toPandas()
 

@@ -452,3 +452,21 @@ def test_approx_nunique_quantile_close_to_exact(lineitem):
     qe = lineitem.quantile(0.5, columns=["l_quantity"]).df.first()["l_quantity"]
     qa = lineitem.quantile(0.5, columns=["l_quantity"], approx=True).df.first()["l_quantity"]
     assert abs(qa - qe) <= 2.0
+
+
+def test_to_parquet_partitioned_roundtrip(nation, spark, tmp_path):
+    from pd_explain_spark import read_parquet
+
+    dest = str(tmp_path / "nation_out")
+    nation.to_parquet(dest, partition_by="n_regionkey")
+    back = read_parquet(spark, dest)
+    assert back.df.count() == nation.df.count()
+    assert set(back.df.columns) == set(nation.df.columns)
+    # hive-layout partition dirs exist → readers get partition pruning
+    import os
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(dest))
+
+    dest2 = str(tmp_path / "nation_csv")
+    nation.to_csv(dest2)
+    back2 = spark.read.options(header="true", inferSchema="true").csv(dest2)
+    assert back2.count() == nation.df.count()
