@@ -808,6 +808,31 @@ def shift_events(spark, sf_dir):
 
 
 @_q(
+    "corr_matrix",
+    """SELECT 'l_quantity' AS column, 1.0 AS l_quantity,
+              round(corr(l_quantity, l_extendedprice), 6) AS l_extendedprice,
+              round(corr(l_quantity, l_discount), 6) AS l_discount FROM lineitem
+       UNION ALL
+       SELECT 'l_extendedprice', round(corr(l_quantity, l_extendedprice), 6), 1.0,
+              round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+       UNION ALL
+       SELECT 'l_discount', round(corr(l_quantity, l_discount), 6),
+              round(corr(l_extendedprice, l_discount), 6), 1.0 FROM lineitem""",
+)
+def corr_matrix(spark, sf_dir):
+    """pandas df.corr(): all pairwise correlations in ONE aggregation
+    pass over a single scan."""
+    li = _e(spark, sf_dir, "lineitem")
+    out = li.corr(columns=["l_quantity", "l_extendedprice", "l_discount"])
+    return out.df.select(
+        "column",
+        F.round("l_quantity", 6).alias("l_quantity"),
+        F.round("l_extendedprice", 6).alias("l_extendedprice"),
+        F.round("l_discount", 6).alias("l_discount"),
+    )
+
+
+@_q(
     "rank_events_dense",
     """SELECT event_id,
               dense_rank() OVER (ORDER BY CAST(round(value * 100) AS BIGINT)) AS cents_rank

@@ -514,6 +514,89 @@ class ExplainableDataFrame:
         out = self.df.sparkSession.createDataFrame(out_rows, schema=schema)
         return ExplainableDataFrame(out, name=f"{self.name}.describe")
 
+    def corr(self, columns: list[str] | None = None, method: str = "pearson") -> "ExplainableDataFrame":
+        """pandas df.corr(): the full pairwise Pearson matrix in ONE
+        aggregation pass (k·(k-1)/2 ``corr`` aggregates share a single
+        scan + partial aggregation — not a job per pair). Rows are
+        (column, <col1>, <col2>, ...) like pandas' labeled matrix."""
+        from ..operators.aggregates import is_numeric_type
+
+        if method != "pearson":
+            raise ValueError("only pearson correlation is supported")
+        cols = columns or [
+            f.name for f in self.df.schema.fields if is_numeric_type(f.dataType)
+        ]
+        aggs = [
+            F.corr(F.col(a), F.col(b)).alias(f"{a}__{b}")
+            for i, a in enumerate(cols)
+            for b in cols[i + 1 :]
+        ]
+        row = self.df.agg(*aggs).first() if aggs else None
+        out_rows = []
+        for a in cols:
+            vals = []
+            for b in cols:
+                if a == b:
+                    vals.append(1.0)
+                else:
+                    key = f"{a}__{b}" if f"{a}__{b}" in (row.asDict() if row else {}) else f"{b}__{a}"
+                    vals.append(float(row[key]) if row and row[key] is not None else None)
+            out_rows.append(tuple([a] + vals))
+        schema = ", ".join(["column string"] + [f"`{c}` double" for c in cols])
+        out = self.df.sparkSession.createDataFrame(out_rows, schema=schema)
+        return ExplainableDataFrame(out, name=f"{self.name}.corr")
+
+    def cov(self, columns: list[str] | None = None, ddof: int = 1) -> "ExplainableDataFrame":
+        """pandas df.cov(): pairwise sample covariance matrix, one pass."""
+        from ..operators.aggregates import is_numeric_type
+
+        if ddof != 1:
+            raise ValueError("only ddof=1 (sample covariance) is supported")
+        cols = columns or [
+            f.name for f in self.df.schema.fields if is_numeric_type(f.dataType)
+        ]
+        aggs = [
+            F.covar_samp(F.col(a), F.col(b)).alias(f"{a}__{b}")
+            for i, a in enumerate(cols)
+            for b in cols[i:]
+        ]
+        row = self.df.agg(*aggs).first() if aggs else None
+        out_rows = []
+        for a in cols:
+            vals = []
+            for b in cols:
+                key = f"{a}__{b}" if f"{a}__{b}" in (row.asDict() if row else {}) else f"{b}__{a}"
+                vals.append(float(row[key]) if row and row[key] is not None else None)
+            out_rows.append(tuple([a] + vals))
+        schema = ", ".join(["column string"] + [f"`{c}` double" for c in cols])
+        out = self.df.sparkSession.createDataFrame(out_rows, schema=schema)
+        return ExplainableDataFrame(out, name=f"{self.name}.cov")
+
+    def duplicated(self, subset: list[str] | str | None = None, keep: str = "first") -> "ExplainableDataFrame":
+        """pandas duplicated(): adds a boolean ``duplicated`` column. keep=
+        'first' marks all but the first occurrence (ordered by the subset
+        then all remaining columns for determinism), 'last' the mirror,
+        False marks every member of any duplicate group. One shuffle on
+        the subset keys."""
+        from pyspark.sql import Window
+
+        cols = [subset] if isinstance(subset, str) else list(subset or self.df.columns)
+        if keep is False:
+            w = Window.partitionBy(*cols)
+            flag = F.count(F.lit(1)).over(w) > 1
+        elif keep in ("first", "last"):
+            tie = [c for c in self.df.columns if c not in cols]
+            order = [F.col(c).asc() if keep == "first" else F.col(c).desc() for c in tie] or [
+                F.lit(1).asc()
+            ]
+            w = Window.partitionBy(*cols).orderBy(*order)
+            flag = F.row_number().over(w) > 1
+        else:
+            raise ValueError("keep must be 'first', 'last', or False")
+        return ExplainableDataFrame(
+            self.df.withColumn("duplicated", flag), name=self.name, operation=self.operation
+        )
+
     def crosstab(self, index: str, columns: str, pivot_values: list | None = None) -> "ExplainableDataFrame":
         """pandas.crosstab(index, columns): contingency counts with 0 fill.
         One groupBy+pivot pass (map-side partial aggregation; the pivot is

@@ -470,3 +470,41 @@ def test_to_parquet_partitioned_roundtrip(nation, spark, tmp_path):
     nation.to_csv(dest2)
     back2 = spark.read.options(header="true", inferSchema="true").csv(dest2)
     assert back2.count() == nation.df.count()
+
+
+def test_corr_cov_match_oracle(lineitem, duck):
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    got = lineitem.corr(columns=cols).df.toPandas().set_index("column")
+    want = {}
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            want[(a, b)] = duck.sql(f"SELECT corr({a}, {b}) FROM lineitem").fetchone()[0]
+    for (a, b), v in want.items():
+        assert abs(got.loc[a, b] - v) < 1e-9
+        assert abs(got.loc[b, a] - v) < 1e-9
+    for a in cols:
+        assert got.loc[a, a] == 1.0
+    gotc = lineitem.cov(columns=cols).df.toPandas().set_index("column")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            v = duck.sql(f"SELECT covar_samp({a}, {b}) FROM lineitem").fetchone()[0]
+            assert abs(gotc.loc[a, b] - v) < 1e-6, (a, b)
+    # the whole matrix is ONE aggregation job: plan has a single pair of exchanges
+    plan = lineitem.corr(columns=cols).df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_duplicated_matches_oracle(lineitem, duck):
+    out = lineitem.duplicated(subset=["l_returnflag", "l_linestatus"], keep=False)
+    got = out.df.filter("duplicated").count()
+    want = duck.sql(
+        """SELECT count(*) FROM (
+             SELECT count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+             FROM lineitem) WHERE n > 1"""
+    ).fetchone()[0]
+    assert got == want
+    # keep='first': exactly one unmarked row per duplicate group
+    outf = lineitem.duplicated(subset=["l_returnflag", "l_linestatus"], keep="first")
+    n_groups = duck.sql(
+        "SELECT count(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)"
+    ).fetchone()[0]
+    assert outf.df.filter("NOT duplicated").count() == n_groups
