@@ -514,6 +514,16 @@ class ExplainableDataFrame:
         out = self.df.sparkSession.createDataFrame(out_rows, schema=schema)
         return ExplainableDataFrame(out, name=f"{self.name}.describe")
 
+    def explode(self, column: str, keep_empty: bool = True) -> "ExplainableDataFrame":
+        """pandas df.explode(column): one row per array element, other
+        columns repeated. A Generate node inside the scan stage — no
+        shuffle. ``keep_empty=True`` matches pandas (empty/NULL arrays
+        keep one row with NULL), via explode_outer."""
+        fn = F.explode_outer if keep_empty else F.explode
+        others = [c for c in self.df.columns if c != column]
+        out = self.df.select(*others, fn(F.col(column)).alias(column))
+        return ExplainableDataFrame(out, name=self.name)
+
     def corr(self, columns: list[str] | None = None, method: str = "pearson") -> "ExplainableDataFrame":
         """pandas df.corr(): the full pairwise Pearson matrix in ONE
         aggregation pass (k·(k-1)/2 ``corr`` aggregates share a single

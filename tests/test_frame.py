@@ -508,3 +508,20 @@ def test_duplicated_matches_oracle(lineitem, duck):
         "SELECT count(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)"
     ).fetchone()[0]
     assert outf.df.filter("NOT duplicated").count() == n_groups
+
+
+def test_explode_matches_oracle(part, duck):
+    from pd_explain_spark import to_explainable
+
+    words = to_explainable(
+        part.df.select("p_partkey", F.split(F.col("p_name"), " ").alias("word")), "words"
+    ).explode("word")
+    assert_df_equal(
+        words,
+        duck.sql(
+            """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part"""
+        ),
+    )
+    # Generate stays in the scan stage — no shuffle
+    plan = words.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
