@@ -912,7 +912,9 @@ def asof_join_events(spark, sf_dir):
     )
     out = merge_asof(ev, marks, on="ts", by=["event_type"])
     return out.select(
-        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value", "mark_avg"
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type", "value", "mark_avg",
     )
 
 
@@ -1361,8 +1363,45 @@ _QUERIES["metainsight_explain"] = metainsight_explain    # rows-only: pattern mi
 
 # ===========================================================================
 
+# The correctness harness records the FIRST 50 ``queries()`` entries, so
+# the dict is ordered to put one representative slice of EVERY operator
+# family inside that window: relational core + TPC-H shapes, all five
+# explainers (fedex/shapley/outlier/many-to-one/metainsight), the
+# training-data pipeline ops (dedup/similarity/text/multimodal), and the
+# time-series + streaming surface. The remaining entries (additional agg
+# variants, reshape/accessor coverage) follow in registration order and
+# stay available to the bench and to local runs of scripts/check_oracles.py.
+_RECORD_FIRST = [
+    # relational core
+    "filter_quantity", "filter_compound", "where_mask",
+    "groupby_mean", "groupby_median", "groupby_nunique",
+    "groupby_multi_key", "groupby_agg_dict",
+    "join_inner", "join_left_agg", "join_dims_broadcast",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "drop_duplicates_part", "pivot_table_mean", "melt_lineitem", "corr_matrix",
+    # explanation operators (the analytical core, SURVEY §2.4)
+    "fedex_filter_explain", "fedex_groupby_explain", "fedex_join_explain",
+    "shapley_explain", "shapley_filter_explain",
+    "outlier_explain", "outlier_explain_std",
+    "many_to_one_explain", "metainsight_explain",
+    # training-data pipeline extensions
+    "text_profile", "lang_id_counts", "curate_documents",
+    "dedup_exact", "ngram_jaccard", "minhash_near_dups", "simhash_near_dups",
+    "similarity_topk", "similarity_lsh_topk", "similarity_ivf_topk",
+    "embedding_near_dups_exact", "embedding_near_dups", "multimodal_features",
+    # time-series / streaming surface
+    "rolling_hour_events", "cumsum_events", "shift_events", "asof_join_events",
+    "windowed_events", "sliding_windows", "sessionize_events", "resample_hourly",
+    # constrained mini-language executor
+    "mini_language_query",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    ordered = {k: _QUERIES[k] for k in _RECORD_FIRST if k in _QUERIES}
+    ordered.update({k: v for k, v in _QUERIES.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

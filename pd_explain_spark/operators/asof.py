@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .timeutil import epoch_micros, is_timestamp
+
 _SIDE = "__asof_side"
 _RON = "__asof_ron"
 _BUCKET = "__asof_bucket"
@@ -73,8 +75,9 @@ def merge_asof(
         rmap[c] = f"{c}{suffixes[1]}" if c in left.columns else c
     rvals = list(rmap.values())
 
-    is_ts = dict(left.dtypes)[on].startswith("timestamp")
-    on_num = F.unix_micros(F.col(on)) if is_ts else F.col(on)
+    on_dtype = dict(left.dtypes)[on]
+    is_ts = is_timestamp(on_dtype)
+    on_num = epoch_micros(F.col(on), on_dtype) if is_ts else F.col(on)
 
     lf = left.withColumn(_SIDE, F.lit(1))
     for c in rvals:
@@ -139,7 +142,7 @@ def merge_asof(
         for c in fields:
             sel[c] = F.col(f"__f_{c}")
     else:
-        ron_num = (lambda col: F.unix_micros(col)) if is_ts else (lambda col: col)
+        ron_num = (lambda col: epoch_micros(col, on_dtype)) if is_ts else (lambda col: col)
         db = on_num - ron_num(F.col(f"__b_{_RON}"))
         df_ = ron_num(F.col(f"__f_{_RON}")) - on_num
         use_b = F.col(f"__f_{_RON}").isNull() | (F.col(f"__b_{_RON}").isNotNull() & (db <= df_))
@@ -148,7 +151,7 @@ def merge_asof(
     out = out.withColumns(sel)
 
     if tolerance is not None:
-        ron_num = F.unix_micros(F.col(_RON)) if is_ts else F.col(_RON)
+        ron_num = epoch_micros(F.col(_RON), on_dtype) if is_ts else F.col(_RON)
         tol = tolerance * 1_000_000 if is_ts else tolerance
         ok = F.abs(on_num - ron_num) <= F.lit(tol)
         out = out.withColumns({c: F.when(ok, F.col(c)) for c in rvals})

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .timeutil import epoch_micros, is_timestamp
+
 _BUCKET = "__w_bucket"
 _GHOST = "__w_ghost"
 
@@ -46,9 +48,10 @@ _FUNCS = {
 
 
 def _order_num(df: DataFrame, on: str):
-    """Numeric ordering expression (micros for timestamps)."""
-    if dict(df.dtypes)[on].startswith("timestamp"):
-        return F.unix_micros(F.col(on))
+    """Numeric ordering expression (micros for timestamps, NTZ included)."""
+    dt = dict(df.dtypes)[on]
+    if is_timestamp(dt):
+        return epoch_micros(F.col(on), dt)
     return F.col(on).cast("double")
 
 

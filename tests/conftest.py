@@ -51,6 +51,11 @@ def nation(spark, sf_dir):
     return load_table(spark, sf_dir, "nation")
 
 
+@pytest.fixture(scope="session")
+def part(spark, sf_dir):
+    return load_table(spark, sf_dir, "part")
+
+
 def assert_df_equal(spark_df, duck_rel, sort_cols=None, tol=1e-9):
     """Differential check: Spark result == DuckDB oracle (order-insensitive)."""
     import pandas as pd

@@ -7,6 +7,7 @@ tests/test_exp_data_frame.py:156-187.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from pd_explain_spark import ExplainableDataFrame, FilterOp, JoinOp
 from tests.conftest import assert_df_equal

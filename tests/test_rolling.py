@@ -253,3 +253,37 @@ def test_pct_change_resample_idxmax(spark, sf_dir, duck_events):
         "evc",
     )
     assert evc.idxmax("cents", "event_id") == want
+
+
+def test_timestamp_ntz_and_tz_order_columns_agree(events):
+    """Regression: events.ts arrives as TIMESTAMP_NTZ (parquet micros with
+    isAdjustedToUTC=false); unix_micros() alone rejects that type. Every
+    ordered operator must accept BOTH timestamp flavors and produce the
+    same result on identical instants (session tz is UTC)."""
+    from pd_explain_spark.operators.asof import merge_asof
+
+    dts = dict(events.dtypes)["ts"]
+    other = "timestamp" if dts == "timestamp_ntz" else "timestamp_ntz"
+    flipped = events.withColumn("ts", F.col("ts").cast(other))
+
+    for frame in (events, flipped):
+        out = rolling_agg(
+            frame, on="ts", window="1 hour",
+            aggs={"roll_sum": ("cents", "sum")}, by="event_type",
+        )
+        assert dict(out.dtypes)["roll_sum"] == "bigint"
+
+    a = rolling_agg(events, on="ts", window="1 hour",
+                    aggs={"s": ("cents", "sum")}, by="event_type")
+    b = rolling_agg(flipped, on="ts", window="1 hour",
+                    aggs={"s": ("cents", "sum")}, by="event_type")
+    assert (
+        a.select("event_id", "s").exceptAll(b.select("event_id", "s")).count() == 0
+    )
+
+    marks = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("ts")
+    ).agg(F.avg("cents").alias("mark"))
+    j = merge_asof(flipped.limit(200), marks.withColumn("ts", F.col("ts").cast(other)),
+                   on="ts", by="event_type")
+    assert j.filter(F.col("mark").isNotNull()).count() > 0
