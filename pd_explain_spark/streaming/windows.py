@@ -18,6 +18,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_event_time(stream_df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet micros with
+    isAdjustedToUTC=false arrive as TIMESTAMP_NTZ. Cast through the
+    session timezone (identity on instants in UTC deployments) so every
+    streaming operator accepts both flavors."""
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream_df
+
+
 def windowed_agg(
     df: DataFrame,
     ts_col: str = "ts",
@@ -60,7 +70,7 @@ def stream_windowed_agg(
     Late rows beyond ``watermark`` are dropped; state is bounded."""
     keys = keys or []
     return (
-        stream_df.withWatermark(ts_col, watermark)
+        _with_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -89,7 +99,7 @@ def stream_session_windows(
     gap-based sessions per user with bounded state (rows later than the
     watermark are dropped and their sessions finalized)."""
     return (
-        stream_df.withWatermark(ts_col, watermark)
+        _with_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -151,7 +161,7 @@ def stream_running_user_stats(
         )
 
     return (
-        stream_df.withWatermark(ts_col, watermark)
+        _with_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
         .groupBy(user_col)
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
@@ -209,7 +219,7 @@ def stream_dedup_exact(
     from ..functions.text import normalized_text
 
     return (
-        stream_df.withWatermark(ts_col, watermark)
+        _with_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
         .withColumn("__text_hash", F.md5(normalized_text(F.col(text_col))))
         .dropDuplicatesWithinWatermark(["__text_hash"])
         .drop("__text_hash")
