@@ -1,0 +1,119 @@
+"""Physical-plan audits for the 100 TB-critical properties.
+
+Correctness tests prove the operators return the right rows; these prove
+the PLANS are the ones that survive a 1000-executor cluster:
+
+ * predicate pushdown + column pruning reach the parquet scan,
+ * small dimension joins broadcast (no shuffle of the fact table),
+ * aggregations are partial (map-side combine before the shuffle),
+ * per-key windows cost exactly one Exchange,
+ * top-k is TakeOrderedAndProject, never a global sort.
+
+Every assertion reads the executed plan of the same entry the driver
+benches, so a plan regression fails CI before it shows up in BENCH.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _final(plan: str) -> str:
+    # AQE prints "== Final Plan ==" before "== Initial Plan =="; without
+    # AQE finalization there is only one section.
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_filter_pushdown_and_column_pruning(lineitem):
+    out = lineitem[lineitem["l_quantity"] > 45]
+    proj = out.df.select("l_orderkey", "l_quantity")
+    plan = _plan(proj)
+    # the predicate must reach the parquet reader, not run post-scan only
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity,45" in plan
+    # the scan must read only the two projected columns (+ filter column)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_comment" not in read and "l_extendedprice" not in read
+
+
+def test_dim_join_broadcasts(spark, sf_dir, lineitem):
+    from pd_explain_spark import load_table
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    # fact ⋈ small dim must broadcast the dim side, not sort-merge
+    out = lineitem.df.join(
+        supplier.df, lineitem.df["l_suppkey"] == supplier.df["s_suppkey"]
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in _final(plan)
+
+
+def test_groupby_agg_is_partial(lineitem):
+    out = lineitem.groupby("l_returnflag")["l_quantity"].mean()
+    plan = _plan(out.df)
+    # two HashAggregates (partial + final) around one Exchange: map-side
+    # combine means the shuffle carries one row per (partition, key)
+    final = _final(plan)
+    assert final.count("HashAggregate") >= 2
+    assert final.count("Exchange") <= 1 or "AQEShuffleRead" in plan
+
+
+def test_window_by_key_single_exchange(spark, sf_dir):
+    from pd_explain_spark.operators.rolling import rolling_agg
+    from pd_explain_spark import load_table
+
+    ev = load_table(spark, sf_dir, "events").df.select(
+        "event_id", "ts", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = rolling_agg(
+        ev, on="ts", window="1 hour",
+        aggs={"roll_sum": ("cents", "sum")}, by="event_type",
+    )
+    final = _final(_plan(out))
+    # partitioned window = exactly one shuffle on the by-key
+    assert final.count("Exchange") == 1, final
+
+
+def test_topk_never_global_sort(lineitem):
+    top = lineitem.sort_values("l_extendedprice", ascending=False).head(10)
+    plan = _plan(top.df)
+    assert "TakeOrderedAndProject" in plan
+    # no global single-partition Sort feeding a Limit
+    assert "GlobalLimit" not in plan or "TakeOrdered" in plan
+
+
+def test_q3_plan_filters_below_join_and_broadcasts(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["q3_shipping_priority"](spark, sf_dir)
+    plan = _plan(df)
+    # customer (dim at this shape) broadcasts; order-date filters reach scans
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan
+    assert "TakeOrderedAndProject" in plan or "Sort" in plan
+
+
+def test_exact_dedup_window_single_exchange(spark, sf_dir):
+    from pd_explain_spark.functions.dedup import dedup_exact
+    from pd_explain_spark import load_table
+
+    docs = load_table(spark, sf_dir, "documents").df
+    final = _final(_plan(dedup_exact(docs)))
+    assert final.count("Exchange") == 1, final
+
+
+@pytest.mark.parametrize("entry", ["melt_lineitem", "groupby_transform_mean"])
+def test_entry_shuffle_budget(spark, sf_dir, entry):
+    import __spark_entry__ as m
+
+    df = m.queries()[entry](spark, sf_dir)
+    final = _final(_plan(df))
+    budget = {"melt_lineitem": 0, "groupby_transform_mean": 1}[entry]
+    assert final.count("Exchange") <= budget, final
