@@ -984,6 +984,54 @@ def text_profile_q(spark, sf_dir):
 
 
 @_q(
+    "repetition_signals",
+    """WITH norm AS (
+         SELECT doc_id,
+                list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t,
+                list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+         FROM documents
+       ), base AS (
+         SELECT doc_id,
+           round(CASE WHEN len(t) > 0
+                 THEN 1.0 - len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END, 6) AS dup_token_frac,
+           round(CASE WHEN len(ls) > 0
+                 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) ELSE 0.0 END, 6) AS dup_line_frac,
+           round(CASE WHEN len(t) > 0
+                 THEN list_aggregate(list_transform(t, x -> len(x)), 'sum')::DOUBLE / len(t)
+                 ELSE 0.0 END, 6) AS mean_word_len
+         FROM norm
+       ), grams AS (
+         SELECT doc_id, 2 AS n,
+                unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+         FROM norm
+         UNION ALL
+         SELECT doc_id, 3,
+                unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         FROM norm
+       ), cnt AS (
+         SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+       ), frac AS (
+         SELECT doc_id, n, round(max(c)::DOUBLE / sum(c), 6) AS f FROM cnt GROUP BY 1, 2
+       )
+       SELECT b.doc_id, b.dup_token_frac, b.dup_line_frac, b.mean_word_len,
+              coalesce(f2.f, 0.0) AS top_bigram_frac,
+              coalesce(f3.f, 0.0) AS top_trigram_frac
+       FROM base b
+       LEFT JOIN frac f2 ON f2.doc_id = b.doc_id AND f2.n = 2
+       LEFT JOIN frac f3 ON f3.doc_id = b.doc_id AND f3.n = 3""",
+)
+def repetition_signals_q(spark, sf_dir):
+    """Gopher-style repetition quality gates (functions/text.py
+    repetition_signals): row-local token/line duplication in the scan
+    stage; top-n-gram fractions via one shared explode + two
+    doc-keyed map-combining shuffles."""
+    from pd_explain_spark.functions.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "lang_id_counts",
     """WITH scored AS (
          SELECT len(regexp_extract_all(lower(text), '\\b(der|die|und|ist)\\b')) AS h_de,

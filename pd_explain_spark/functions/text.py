@@ -111,6 +111,82 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngrams(c: Column, n: int) -> Column:
+    """Word n-grams of the normalized text, duplicates KEPT (counting
+    semantics — ``shingles()`` in dedup.py is the distinct-set flavor)."""
+    toks = F.split(normalized_text(c), " ")
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - F.lit(1), F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition metrics per document — the standard
+    training-data quality gates that length/punctuation ratios miss
+    (boilerplate and keyword-stuffed pages look "normal" to those):
+
+      * dup_token_frac    1 - distinct_tokens/tokens       (row-local)
+      * dup_line_frac     1 - distinct_lines/lines         (row-local)
+      * mean_word_len     chars-in-tokens / tokens         (row-local)
+      * top_bigram_frac   occurrences of the most frequent word bigram
+                          / total bigrams
+      * top_trigram_frac  same for trigrams
+
+    Scale shape: the row-local signals are scan-stage expressions. The
+    top-n-gram fractions need a per-(doc, gram) count — explode →
+    groupBy(doc, gram) → groupBy(doc), i.e. two map-side-combining
+    shuffles keyed by doc id, which is the 100 TB-correct plan (an
+    in-array mode via higher-order functions is interpreted and O(n^2)
+    per document). Both n-gram sizes share one explode pass.
+    """
+    c = F.col(text_col)
+    toks = tokens(normalized_text(c))
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != F.lit(""))
+    nt = F.size(toks).cast("double")
+    nl = F.size(lines).cast("double")
+    base = df.select(
+        F.col(id_col),
+        F.round(
+            F.when(nt > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / nt).otherwise(0.0), 6
+        ).alias("dup_token_frac"),
+        F.round(
+            F.when(nl > 0, F.lit(1.0) - F.size(F.array_distinct(lines)) / nl).otherwise(0.0), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(nt > 0, F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / nt)
+            .otherwise(0.0),
+            6,
+        ).alias("mean_word_len"),
+    )
+
+    gram_cols = [(2, "top_bigram_frac"), (3, "top_trigram_frac")]
+
+    # NOTE: the transform lambda must be single-argument — any second
+    # parameter (even a defaulted one) makes pyspark use the
+    # (element, index) HOF form and bind it to the array index.
+    def _tagged(n: int):
+        lit_n = F.lit(n)
+        return F.transform(ngrams(c, n), lambda g: F.struct(lit_n.alias("n"), g.alias("gram")))
+
+    gram_arrays = [_tagged(n) for n, _ in gram_cols]
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("g"),
+    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    per_gram = exploded.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = per_gram.groupBy(id_col, "n").agg(
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("frac")
+    )
+    out = base
+    for n, name in gram_cols:
+        side = per_doc.filter(F.col("n") == n).select(id_col, F.col("frac").alias(name))
+        out = out.join(side, id_col, "left").fillna({name: 0.0})
+    return out
+
+
 def curate_documents(
     df: DataFrame,
     text_col: str = "text",

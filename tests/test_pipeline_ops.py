@@ -290,3 +290,48 @@ def test_resize_images_stub_raises(spark):
     with pytest.raises(Exception) as ei:
         MM.resize_images(media, fake_decoder=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_repetition_signals_match_oracle(documents, duck):
+    """Gopher-style repetition gates: planted pathological docs + the
+    whole documents table vs the DuckDB list-function oracle."""
+    from pyspark.sql import functions as F
+
+    spark = documents.sparkSession
+    planted = spark.createDataFrame(
+        [
+            (9001, "spam spam spam spam spam spam"),          # one token repeated
+            (9002, "alpha beta gamma delta epsilon zeta"),    # all distinct
+            (9003, "buy now buy now buy now limited offer"),  # dominant bigram
+            (9004, "one"),                                    # no bigrams at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in TX.repetition_signals(planted).collect()}
+    assert out[9001]["dup_token_frac"] == pytest.approx(1 - 1 / 6, abs=1e-6)
+    assert out[9001]["top_bigram_frac"] == 1.0           # "spam spam" is every bigram
+    assert out[9002]["dup_token_frac"] == 0.0
+    assert out[9003]["top_bigram_frac"] == pytest.approx(3 / 7, abs=1e-6)
+    assert out[9004]["top_bigram_frac"] == 0.0           # left-join fill, doc kept
+
+    got = TX.repetition_signals(documents)
+    sql = """
+      WITH norm AS (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                           x -> x <> '') AS t
+        FROM documents
+      ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM norm
+      ), cnt AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+      SELECT n.doc_id,
+             round(CASE WHEN len(n.t) > 0
+                   THEN 1.0 - len(list_distinct(n.t))::DOUBLE / len(n.t) ELSE 0.0 END, 6) AS dup_token_frac,
+             coalesce((SELECT round(max(c)::DOUBLE / sum(c), 6) FROM cnt WHERE cnt.doc_id = n.doc_id), 0.0)
+               AS top_bigram_frac
+      FROM norm n
+    """
+    assert_df_equal(
+        got.select("doc_id", "dup_token_frac", "top_bigram_frac"), duck.sql(sql)
+    )
