@@ -1135,6 +1135,52 @@ def ngram_jaccard_q(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+@_q(
+    "near_dup_components",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), sh AS (
+         SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3
+       ), inv AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh
+       ), pre AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ), pairs AS (
+         SELECT id_a, id_b
+         FROM pre
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON la.doc_id = id_a
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON lb.doc_id = id_b
+         WHERE round(inter / (la.n + lb.n - inter), 6) >= 0.2
+       ), edges AS (
+         SELECT id_a AS s, id_b AS t FROM pairs
+         UNION SELECT id_b, id_a FROM pairs
+       ), reach AS (
+         WITH RECURSIVE r(s, t) AS (
+           SELECT s, t FROM edges
+           UNION
+           SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s
+         ) SELECT * FROM r
+       )
+       SELECT s AS id, least(s, min(t))::BIGINT AS component
+       FROM reach GROUP BY s""",
+)
+def near_dup_components_q(spark, sf_dir):
+    """Connected components over the EXACT n-gram Jaccard pair list
+    (deterministic, so the min-label propagation result is oracle-checkable
+    against DuckDB's recursive transitive closure)."""
+    from pd_explain_spark.functions.dedup import duplicate_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return duplicate_components(pairs)
+
+
 def minhash_near_dups_q(spark, sf_dir):
     from pd_explain_spark.functions.dedup import minhash_near_duplicates
 

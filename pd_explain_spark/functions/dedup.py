@@ -320,6 +320,101 @@ def minhash_near_duplicates(
     return _verify_pairs(cands, inv, threshold)
 
 
+# ---------------------------------------------------------------- components
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 12,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    (id, component) with component = min id reachable through any chain
+    of pairs. This is the step every production dedup pipeline needs
+    between "find similar pairs" and "keep one doc per duplicate group" —
+    A~B and B~C must collapse to ONE group even when (A, C) was never
+    emitted as a pair.
+
+    Algorithm: distributed min-label propagation. Labels start as the
+    id; each round joins labels across the (symmetrized) edge list and
+    takes the min over the neighborhood. Rounds converge in O(component
+    diameter) — near-dup clusters are shallow (hub-and-spoke around a
+    template), so the practical round count is 2-4; ``max_iterations``
+    bounds the pathological chain. Each round is one shuffle join + one
+    map-combining groupBy of the EDGE list (O(pairs), not O(corpus)),
+    and convergence is checked with a count of changed labels — the only
+    driver traffic. Labels are ``localCheckpoint``ed each round: without
+    lineage truncation the logical plan doubles per iteration and
+    Catalyst analysis time dominates (measured 69 s for a 10-node graph).
+
+    The pair list is orders of magnitude smaller than the corpus at
+    100 TB (it only contains near-duplicates), so iterating on it is
+    cheap; the corpus itself is never rescanned.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("t")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"), F.col("s").alias("component"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["t"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["s"], "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("n_min") < F.col("component")).alias("__chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_near(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_df: float | None = 0.2,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash+LSH pairs → connected
+    components → keep the min-id document of every duplicate group.
+    Returns the surviving rows of ``df``: an anti-join against the
+    non-kept ids. Join strategy is left to Catalyst/AQE — the loser set
+    is usually broadcastable, but a high-duplication corpus can make it
+    arbitrarily large, so hinting broadcast here would be wrong."""
+    pairs = minhash_near_duplicates(
+        df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, max_df=max_df,
+    )
+    comp = duplicate_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "anti")
+
+
 # ---------------------------------------------------------------- simhash
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash from token hashes, fully JVM-side:

@@ -335,3 +335,36 @@ def test_repetition_signals_match_oracle(documents, duck):
     assert_df_equal(
         got.select("doc_id", "dup_token_frac", "top_bigram_frac"), duck.sql(sql)
     )
+
+
+def test_duplicate_components_collapse_chains(spark):
+    """A~B and B~C must land in one component even though (A,C) was never
+    a pair; two disjoint clusters stay separate; convergence beats the
+    iteration cap on a long chain."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in D.duplicate_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == comp[23] == comp[24] == 20
+    # only docs that appear in pairs get a row
+    assert set(comp) == {1, 2, 3, 10, 11, 20, 21, 22, 23, 24}
+
+
+def test_dedup_near_keeps_one_per_cluster(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again & again"),      # near-dup of 1+2
+        (4, "completely different content about spark shuffle partitions"),
+        (5, "another unrelated document mentioning window functions only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # max_df=None: on a 5-doc corpus the boilerplate guard (shingles in
+    # >20% of docs) would prune exactly the shared shingles the
+    # duplicates share — the guard is for web-scale corpora
+    out = D.dedup_near(df, threshold=0.5, max_df=None)
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert kept == [1, 4, 5]
