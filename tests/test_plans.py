@@ -117,3 +117,30 @@ def test_entry_shuffle_budget(spark, sf_dir, entry):
     final = _final(_plan(df))
     budget = {"melt_lineitem": 0, "groupby_transform_mean": 1}[entry]
     assert final.count("Exchange") <= budget, final
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pd_explain_spark.operators.partitioning import salted_join
+
+    left = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )  # key 0/1/2 each ~3333 rows: deliberately few, hot keys
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (7, "zz")], "k long, tag string"
+    )
+    got = salted_join(left, right, on="k", salt=8)
+    want = left.join(right, "k")
+    assert got.count() == want.count() == 10_000
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    lgot = salted_join(left, right, on="k", how="left", salt=8)
+    assert lgot.count() == left.count()
+
+
+def test_count_distinct_skew_safe_matches_direct(lineitem):
+    from pd_explain_spark.operators.partitioning import count_distinct_skew_safe
+
+    got = count_distinct_skew_safe(lineitem.df, "l_returnflag", "l_partkey")
+    want = lineitem.df.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("l_partkey_nunique")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
