@@ -699,6 +699,21 @@ def groupby_filter_groups(spark, sf_dir):
     return out.df.select("o_orderkey", "o_orderpriority", "o_totalprice")
 
 
+@_q(
+    "query_string_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+       FROM lineitem
+       WHERE (l_quantity >= 10 AND l_quantity < 20 AND l_returnflag IN ('A','R'))
+          OR l_quantity > 49""",
+)
+def query_string_filter(spark, sf_dir):
+    """pandas df.query(string): ast-parsed (never eval'd) into the same
+    PredicateNode lineage as bracket-mask filters."""
+    li = _e(spark, sf_dir, "lineitem")
+    out = li.query("10 <= l_quantity < 20 and l_returnflag in ['A', 'R'] or l_quantity > 49")
+    return out.df.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
 # ------------------------------------------- .str / .dt accessor surface
 @_q(
     "str_ops_part",

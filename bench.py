@@ -53,6 +53,9 @@ HEADLINE = [
     "cumsum_events",
     "groupby_transform_mean",
     "melt_lineitem",
+    # round-4 additions: repetition quality gates + duplicate clustering
+    "repetition_signals",
+    "near_dup_components",
 ]
 
 
@@ -74,6 +77,9 @@ def main() -> int:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # queries are independent: drop one query's scratch persists so
+        # they don't eat executor memory from the queries after it
+        spark.catalog.clearCache()
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(

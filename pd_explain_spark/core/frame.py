@@ -115,8 +115,16 @@ class ExplainableDataFrame:
         )
         return ExplainableDataFrame(masked, name=f"{self.name}_where", operation=op)
 
-    def query(self, predicate: PredicateNode) -> "ExplainableDataFrame":
-        """Filter from a pre-built predicate tree (used by the mini-language parser)."""
+    def query(self, predicate: "PredicateNode | str") -> "ExplainableDataFrame":
+        """pandas ``df.query``: accepts either a pre-built predicate tree
+        (used by the mini-language parser) or a pandas-style boolean
+        expression string ("a > 3 and b == 'x'"), which is ast-parsed
+        against a whitelist — never eval'd — and recorded into lineage
+        like any tracked filter."""
+        if isinstance(predicate, str):
+            from .operations import parse_query_string
+
+            predicate = parse_query_string(predicate, self.df.columns)
         return self._apply_filter(
             ExplainablePredicate(self, predicate.to_spark(self.df), predicate)
         )
@@ -806,6 +814,37 @@ class ExplainableDataFrame:
         if cols:
             w = w.partitionBy(*cols)
         w.parquet(path)
+
+    def to_bucketed_table(
+        self,
+        table: str,
+        bucket_by: list[str] | str,
+        num_buckets: int = 32,
+        sort_by: list[str] | str | None = None,
+        mode: str = "error",
+        path: str | None = None,
+    ) -> None:
+        """Bucketed parquet table write — the co-located-join layout.
+
+        Two tables bucketed by the same key into the same bucket count
+        join WITHOUT a shuffle (each side's scan already satisfies the
+        hash-partitioning requirement), which at 100 TB turns the
+        dominant fact⋈fact cost from two full shuffles into zero. Spark
+        buckets only exist through the catalog, hence ``saveAsTable``;
+        ``path`` makes it an external table (data outlives the catalog
+        entry). ``sort_by`` additionally sorts within buckets, enabling
+        merge-join without the per-task sort.
+
+        Plan proof: `tests/test_plans.py::test_bucketed_join_no_shuffle`.
+        """
+        cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+        w = self.df.write.mode(mode).format("parquet").bucketBy(num_buckets, *cols)
+        if sort_by:
+            scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            w = w.sortBy(*scols)
+        if path:
+            w = w.option("path", path)
+        w.saveAsTable(table)
 
     def to_csv(self, path: str, mode: str = "error", header: bool = True, **options) -> None:
         """pandas ``to_csv`` → distributed CSV write (a directory of part

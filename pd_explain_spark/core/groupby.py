@@ -177,6 +177,21 @@ class ExplainableGroupedData:
         out = self.frame.df.withColumns(cols)
         return ExplainableDataFrame(out, name=f"{self.frame.name}.transform({agg})")
 
+    def apply(self, fn, schema) -> "ExplainableDataFrame":
+        """pandas ``groupby.apply`` with a frame→frame callable, via
+        Arrow ``applyInPandas``. ``schema`` (DDL string or StructType) is
+        required — Spark must know the output shape before execution,
+        unlike pandas which infers it from the first group.
+
+        Scale shape: one shuffle on the keys, then the callable runs
+        per group in Arrow batches on the executors. This is the
+        documented Python escape hatch — for any agg/transform the named
+        operators cover, prefer those (JVM codegen, no Python)."""
+        from .frame import ExplainableDataFrame
+
+        out = self.frame.df.groupBy(*self.keys).applyInPandas(fn, schema=schema)
+        return ExplainableDataFrame(out, name=f"{self.frame.name}.apply")
+
     def filter_groups(self, predicate: str, **aggs: tuple) -> "ExplainableDataFrame":
         """pandas ``groupby.filter``: keep the original ROWS of groups
         whose aggregates satisfy ``predicate`` (SQL over the aliases given

@@ -220,3 +220,94 @@ class BJoinOp(JoinOp):
 
     def query_string(self) -> str:
         return f"{self.left_name}.b_join({self.right_name}, on={self.on})"
+
+
+# ---------------------------------------------------------------------------
+# pandas-style query-string parser (df.query("a > 3 and b == 'x'"))
+# ---------------------------------------------------------------------------
+
+
+class QueryStringError(ValueError):
+    pass
+
+
+def parse_query_string(expr: str, columns: list[str]) -> PredicateNode:
+    """Parse a pandas ``DataFrame.query`` boolean expression into a
+    PredicateNode tree — ast-walked against a whitelist, never eval'd
+    (same discipline as the mini-language executor, SURVEY §2.3).
+
+    Supported grammar: bare column names, literals, comparisons
+    (== != < <= > >=), chained comparisons (``a < col <= b``),
+    ``col in [..]`` / ``col not in [..]``, ``and`` / ``or`` / ``not``,
+    parentheses. Anything else (calls, attributes, arithmetic, ``@var``)
+    raises QueryStringError.
+    """
+    import ast as _ast
+
+    try:
+        tree = _ast.parse(expr.strip(), mode="eval").body
+    except SyntaxError as e:
+        raise QueryStringError(f"unparseable query: {expr!r} ({e.msg})") from None
+
+    def lit(node: _ast.expr):
+        if isinstance(node, _ast.Constant) and not isinstance(node.value, (bytes, complex)):
+            return node.value
+        if isinstance(node, _ast.UnaryOp) and isinstance(node.op, _ast.USub):
+            inner = lit(node.operand)
+            if isinstance(inner, (int, float)):
+                return -inner
+        if isinstance(node, (_ast.List, _ast.Tuple)):
+            return [lit(e) for e in node.elts]
+        raise QueryStringError(f"unsupported literal at {_ast.dump(node)[:80]}")
+
+    _OPS = {
+        _ast.Gt: ">", _ast.GtE: ">=", _ast.Lt: "<", _ast.LtE: "<=",
+        _ast.Eq: "==", _ast.NotEq: "!=",
+    }
+    _FLIP = {">": "<", ">=": "<=", "<": ">", "<=": ">=", "==": "==", "!=": "!="}
+
+    def colname(node: _ast.expr) -> str | None:
+        if isinstance(node, _ast.Name):
+            if node.id not in columns:
+                raise QueryStringError(f"unknown column {node.id!r}")
+            return node.id
+        return None
+
+    def single_cmp(left: _ast.expr, op: _ast.cmpop, right: _ast.expr) -> PredicateNode:
+        if isinstance(op, (_ast.In, _ast.NotIn)):
+            c = colname(left)
+            if c is None:
+                raise QueryStringError("'in' needs a column on the left")
+            node: PredicateNode = Comparison(c, "in", lit(right))
+            return NotExpr(node) if isinstance(op, _ast.NotIn) else node
+        if type(op) not in _OPS:
+            raise QueryStringError(f"unsupported operator {type(op).__name__}")
+        lc, rc = colname(left), colname(right)
+        if lc is not None and rc is None:
+            return Comparison(lc, _OPS[type(op)], lit(right))
+        if lc is None and rc is not None:  # 5 < col  →  col > 5
+            return Comparison(rc, _FLIP[_OPS[type(op)]], lit(left))
+        raise QueryStringError("comparison needs exactly one column side")
+
+    def walk(node: _ast.expr) -> PredicateNode:
+        if isinstance(node, _ast.BoolOp):
+            sym = "&" if isinstance(node.op, _ast.And) else "|"
+            out = walk(node.values[0])
+            for v in node.values[1:]:
+                out = BoolExpr(sym, out, walk(v))
+            return out
+        if isinstance(node, _ast.UnaryOp) and isinstance(node.op, _ast.Not):
+            return NotExpr(walk(node.operand))
+        if isinstance(node, _ast.Compare):
+            parts = []
+            left = node.left
+            for op, right in zip(node.ops, node.comparators):
+                parts.append(single_cmp(left, op, right))
+                left = right
+            out = parts[0]
+            for p in parts[1:]:
+                out = BoolExpr("&", out, p)
+            return out
+        raise QueryStringError(f"unsupported syntax at {_ast.dump(node)[:80]}")
+
+    return walk(tree)

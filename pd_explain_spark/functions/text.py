@@ -113,8 +113,18 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def ngrams(c: Column, n: int) -> Column:
     """Word n-grams of the normalized text, duplicates KEPT (counting
-    semantics — ``shingles()`` in dedup.py is the distinct-set flavor)."""
-    toks = F.split(normalized_text(c), " ")
+    semantics — ``shingles()`` in dedup.py is the distinct-set flavor).
+
+    Expression-level helper for ad-hoc use: projection collapse inlines
+    the tokenization into every transform element (O(tokens^2),
+    interpreted). Pipelines must tokenize once behind a materialization
+    barrier and use ``ngrams_from_tokens`` — see ``repetition_signals``.
+    """
+    return ngrams_from_tokens(F.split(normalized_text(c), " "), n)
+
+
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """n-grams from an already-materialized token-array column."""
     k = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(k - F.lit(1), F.lit(-1))),
@@ -164,15 +174,28 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     gram_cols = [(2, "top_bigram_frac"), (3, "top_trigram_frac")]
 
+    # Tokenize ONCE behind a repartition barrier: without it, projection
+    # collapse inlines the split into every transform element and the
+    # n-gram pass goes O(tokens^2) interpreted per document (measured
+    # 31 s -> ~3 s at sf0.1). Same pattern as dedup._shingle_index.
+    from ..operators.partitioning import fan_out
+
+    toks_df = fan_out(
+        df.select(F.col(id_col), F.split(normalized_text(c), " ").alias("__t"))
+    )
+
     # NOTE: the transform lambda must be single-argument — any second
     # parameter (even a defaulted one) makes pyspark use the
     # (element, index) HOF form and bind it to the array index.
     def _tagged(n: int):
         lit_n = F.lit(n)
-        return F.transform(ngrams(c, n), lambda g: F.struct(lit_n.alias("n"), g.alias("gram")))
+        return F.transform(
+            ngrams_from_tokens(F.col("__t"), n),
+            lambda g: F.struct(lit_n.alias("n"), g.alias("gram")),
+        )
 
     gram_arrays = [_tagged(n) for n, _ in gram_cols]
-    exploded = df.select(
+    exploded = toks_df.select(
         F.col(id_col),
         F.explode(F.flatten(F.array(*gram_arrays))).alias("g"),
     ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))

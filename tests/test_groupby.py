@@ -198,3 +198,49 @@ def test_groupby_transform_nunique_and_errors(lineitem):
         lineitem.groupby("l_returnflag").transform("median")
     with _pt.raises(ValueError):
         lineitem.groupby("l_returnflag").filter_groups("1=1")
+
+
+def test_groupby_apply_frame_to_frame(lineitem, duck):
+    """groupby.apply via applyInPandas: per-group demeaned quantity must
+    match the window-function oracle."""
+    from tests.conftest import assert_df_equal
+
+    def demean(pdf):
+        pdf = pdf[["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]].copy()
+        pdf["q_demeaned"] = (pdf["l_quantity"] - pdf["l_quantity"].mean()).round(6)
+        return pdf
+
+    got = lineitem.groupby("l_returnflag").apply(
+        demean,
+        "l_orderkey long, l_linenumber long, l_returnflag string, "
+        "l_quantity double, q_demeaned double",
+    )
+    assert_df_equal(
+        got.df,
+        duck.sql(
+            """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                      round(l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag), 6)
+                        AS q_demeaned
+               FROM lineitem"""
+        ),
+    )
+
+
+def test_query_string_matches_bracket_filter(lineitem):
+    """df.query(pandas-style string) == the bracket-mask filter, and the
+    predicate lands in lineage for the explainers."""
+    q = lineitem.query("l_quantity > 45 and l_returnflag == 'A'")
+    mask = lineitem[(lineitem["l_quantity"] > 45) & (lineitem["l_returnflag"] == "A")]
+    assert q.df.count() == mask.df.count() > 0
+    from pd_explain_spark import FilterOp
+
+    assert isinstance(q.operation, FilterOp)
+    assert set(q.operation.predicate.columns()) == {"l_quantity", "l_returnflag"}
+
+    import pytest as _pytest
+    from pd_explain_spark.core.operations import QueryStringError
+
+    with _pytest.raises(QueryStringError):
+        lineitem.query("__import__('os').system('true')")
+    with _pytest.raises(QueryStringError):
+        lineitem.query("no_such_column > 3")

@@ -144,3 +144,34 @@ def test_count_distinct_skew_safe_matches_direct(lineitem):
         F.countDistinct("l_partkey").alias("l_partkey_nunique")
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path, lineitem, orders):
+    """Two tables bucketed on the join key by the same bucket count must
+    join with ZERO Exchange — the co-located-join layout that removes
+    both shuffles from a fact ⋈ fact join at 100 TB."""
+    lineitem.to_bucketed_table(
+        "li_b", bucket_by="l_orderkey", num_buckets=8,
+        sort_by="l_orderkey", mode="overwrite", path=str(tmp_path / "li_b"),
+    )
+    orders.to_bucketed_table(
+        "ord_b", bucket_by="o_orderkey", num_buckets=8,
+        sort_by="o_orderkey", mode="overwrite", path=str(tmp_path / "ord_b"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.table("li_b")
+        od = spark.table("ord_b")
+        j = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it actually runs
+        assert j.count() == lineitem.df.join(
+            orders.df, lineitem.df["l_orderkey"] == orders.df["o_orderkey"]
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
