@@ -933,6 +933,42 @@ def asof_join_events(spark, sf_dir):
     )
 
 
+@_q(
+    "drift_scores_events",
+    """WITH b AS (
+         SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi FROM events
+       ), binned AS (
+         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                CASE WHEN b.hi = b.lo THEN 0
+                     ELSE least(greatest(floor((value - b.lo) / ((b.hi - b.lo) / 20)), 0), 19)::INT
+                END AS bin
+         FROM events, b
+       ), per AS (
+         SELECT window_start, bin, count(*) AS n FROM binned GROUP BY 1, 2
+       ), wtot AS (SELECT window_start, sum(n) AS wt FROM per GROUP BY 1
+       ), gbin AS (SELECT bin, sum(n) AS gn FROM per GROUP BY 1
+       ), gfrac AS (SELECT bin, gn / (SELECT sum(gn) FROM gbin) AS gf FROM gbin
+       ), spine AS (SELECT w.window_start, w.wt, g.bin, g.gf FROM wtot w CROSS JOIN gfrac g
+       ), wfrac AS (
+         SELECT p.window_start, p.bin, p.n / t.wt AS wf
+         FROM per p JOIN wtot t USING (window_start)
+       )
+       SELECT s.window_start, max(s.wt)::BIGINT AS n_events,
+              round(0.5 * sum(abs(coalesce(f.wf, 0.0) - s.gf)), 6) AS tv
+       FROM spine s
+       LEFT JOIN wfrac f ON f.window_start = s.window_start AND f.bin = s.bin
+       GROUP BY 1""",
+)
+def drift_scores_events(spark, sf_dir):
+    """Windowed distribution-drift monitor (functions/drift.py): per-hour
+    Total Variation distance of `value` against the global distribution.
+    One binning pass; global histogram re-aggregates the per-(window,bin)
+    counts — no second scan."""
+    from pd_explain_spark.functions.drift import drift_scores
+
+    return drift_scores(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------- streaming-parity windows
 @_q(
     "windowed_events",
@@ -1501,7 +1537,7 @@ _RECORD_FIRST = [
     "embedding_near_dups_exact", "embedding_near_dups", "multimodal_features",
     # time-series / streaming surface
     "rolling_hour_events", "cumsum_events", "shift_events", "asof_join_events",
-    "windowed_events", "sliding_windows", "sessionize_events", "resample_hourly",
+    "windowed_events", "sliding_windows", "sessionize_events", "drift_scores_events",
     # constrained mini-language executor
     "mini_language_query",
 ]

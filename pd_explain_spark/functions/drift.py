@@ -1,0 +1,172 @@
+"""Distribution-drift monitoring over time windows.
+
+The data-quality operator a continuous training-data ingest needs: bin a
+numeric column once, then score every time window against a reference
+distribution with Total Variation distance
+
+    TV(w) = 0.5 * sum_b | p_w(b) - p_ref(b) |
+
+TV over shared bins (rather than exact KS) keeps the whole computation
+inside grouped aggregations: no sort, no cumulative pass, missing bins
+handled by a (windows x bins) spine join that is O(n_windows * num_bins)
+— bins are fixed, so the spine grows with elapsed time, not data volume.
+
+Batch flavor (`drift_scores`) scores windows against the frame's own
+global distribution and is DuckDB-oracle-checked (driver entry
+`drift_scores_events`). Streaming flavor (`stream_drift_scores`) scores
+watermarked windows against a precomputed reference histogram — the
+deployment shape: the reference comes from a trusted batch period, the
+stream is the live feed, an alert fires when TV exceeds a threshold.
+
+The same binned-histogram substrate drives the FEDEX explainer
+(explainers/histograms.py); this module is the monitoring counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _binned(df: DataFrame, value_col: str, lo_hi: DataFrame, num_bins: int):
+    """Attach __bin in [0, num_bins) from broadcast (lo, hi) bounds."""
+    b = df.crossJoin(F.broadcast(lo_hi))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(num_bins)
+    raw = F.floor((F.col(value_col) - F.col("__lo")) / width)
+    bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(F.greatest(raw, F.lit(0)), F.lit(num_bins - 1))
+    )
+    return b.withColumn("__bin", bin_.cast("int")).drop("__lo", "__hi")
+
+
+def reference_histogram(
+    df: DataFrame, value_col: str = "value", num_bins: int = 20
+) -> DataFrame:
+    """(bin, frac, lo, hi): the trusted-period distribution to monitor
+    against. lo/hi ride along so the stream bins identically."""
+    lo_hi = df.agg(
+        F.min(value_col).cast("double").alias("__lo"),
+        F.max(value_col).cast("double").alias("__hi"),
+    )
+    counts = (
+        _binned(df.select(value_col), value_col, lo_hi, num_bins)
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    total = counts.agg(F.sum("__n").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(lo_hi))
+        .select(
+            F.col("__bin").alias("bin"),
+            (F.col("__n") / F.col("__t")).alias("frac"),
+            F.col("__lo").alias("lo"),
+            F.col("__hi").alias("hi"),
+        )
+    )
+
+
+def drift_scores(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    num_bins: int = 20,
+) -> DataFrame:
+    """Per-window TV distance of ``value_col`` against the frame's own
+    global distribution: (window_start, n_events, tv). One binning pass;
+    window counts and global counts come from the SAME per-(window, bin)
+    aggregate (the global histogram is a re-aggregation of it, no second
+    scan)."""
+    lo_hi = df.agg(
+        F.min(value_col).cast("double").alias("__lo"),
+        F.max(value_col).cast("double").alias("__hi"),
+    )
+    binned = _binned(df.select(ts_col, value_col), value_col, lo_hi, num_bins)
+    per = (
+        binned.groupBy(
+            F.date_format(
+                F.window(F.col(ts_col), window)["start"], "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "__bin",
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per = per.persist()
+    wtot = per.groupBy("window_start").agg(F.sum("__n").alias("__wt"))
+    gbin = per.groupBy("__bin").agg(F.sum("__n").alias("__gn"))
+    gtot = gbin.agg(F.sum("__gn").alias("__gt"))
+    gfrac = gbin.crossJoin(F.broadcast(gtot)).select(
+        "__bin", (F.col("__gn") / F.col("__gt")).alias("__gfrac")
+    )
+    spine = wtot.crossJoin(F.broadcast(gfrac))
+    wfrac = per.join(wtot, "window_start").select(
+        "window_start", "__bin", (F.col("__n") / F.col("__wt")).alias("__wfrac")
+    )
+    return (
+        spine.join(wfrac, ["window_start", "__bin"], "left")
+        .fillna({"__wfrac": 0.0})
+        .groupBy("window_start")
+        .agg(
+            F.max("__wt").cast("long").alias("n_events"),
+            F.round(0.5 * F.sum(F.abs(F.col("__wfrac") - F.col("__gfrac"))), 6).alias("tv"),
+        )
+    )
+
+
+def stream_drift_scores(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming flavor: score each watermarked window against a trusted
+    reference histogram (from ``reference_histogram`` over a batch
+    period). The reference is tiny by construction (num_bins rows), so
+    it is collected into plan literals at build time — the stream then
+    needs exactly ONE stateful aggregation (per-window conditional
+    counts, one per bin) and the TV fold is a stateless projection over
+    those columns. State = open windows x num_bins counters, bounded by
+    the watermark; no chained streaming aggregations, no stream-side
+    join."""
+    from ..streaming.windows import _with_event_time
+
+    ref_rows = sorted(reference.collect(), key=lambda r: r["bin"])
+    if not ref_rows:
+        raise ValueError("reference histogram is empty")
+    lo, hi = float(ref_rows[0]["lo"]), float(ref_rows[0]["hi"])
+    fracs = {int(r["bin"]): float(r["frac"]) for r in ref_rows}
+    num_bins = max(fracs) + 1
+
+    src = _with_event_time(stream_df, ts_col).select(ts_col, value_col)
+    if hi == lo:
+        bin_ = F.lit(0)
+    else:
+        raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit((hi - lo) / num_bins))
+        bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(num_bins - 1)).cast("int")
+    binned = src.withColumn("__bin", bin_)
+
+    count_cols = [
+        F.sum(F.when(F.col("__bin") == b, 1).otherwise(0)).alias(f"__c{b}")
+        for b in range(num_bins)
+    ]
+    agg = (
+        binned.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*count_cols)
+    )
+    total = sum((F.col(f"__c{b}") for b in range(num_bins)), F.lit(0))
+    tv = sum(
+        (
+            F.abs(F.col(f"__c{b}") / total - F.lit(fracs.get(b, 0.0)))
+            for b in range(num_bins)
+        ),
+        F.lit(0.0),
+    ) * F.lit(0.5)
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        total.cast("long").alias("n_events"),
+        F.round(tv, 6).alias("tv"),
+    )

@@ -116,3 +116,33 @@ def test_stream_dedup_exact_should_work(spark, tmp_path):
     out = spark.table("dedup_stream").collect()
     texts = sorted(r["text"].split()[0] for r in out)
     assert len(out) == 2 and texts == ["alpha", "delta"]
+
+
+def test_stream_drift_scores_matches_batch(spark, events_dir):
+    """Streaming drift monitor parity: with the reference histogram built
+    from the SAME data, every window's streaming TV equals the batch
+    drift_scores TV (the batch global distribution IS the reference)."""
+    from pd_explain_spark.functions.drift import (
+        drift_scores,
+        reference_histogram,
+        stream_drift_scores,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    ref = reference_histogram(batch, "value", num_bins=20)
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    out = stream_drift_scores(stream, ref, window="1 hour", watermark="10 hours")
+    q = (
+        out.writeStream.format("memory").queryName("drift_q")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: (r["n_events"], r["tv"])
+        for r in spark.sql("select * from drift_q").collect()
+    }
+    want = {
+        r["window_start"]: (r["n_events"], r["tv"])
+        for r in drift_scores(batch, window="1 hour", num_bins=20).collect()
+    }
+    assert got == want and len(want) > 0
