@@ -1296,6 +1296,32 @@ def similarity_ivf_q(spark, sf_dir):
 _QUERIES["similarity_ivf_topk"] = similarity_ivf_q  # rows-only: KMeans index
 
 
+@_q(
+    "embedding_centroid_dist",
+    """WITH ex AS (
+         SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding)::DOUBLE AS v
+         FROM embeddings
+       ), per AS (
+         SELECT label, pos, avg(v) AS m FROM ex GROUP BY 1, 2
+       ), cent AS (
+         SELECT label, list(m ORDER BY pos) AS centroid FROM per GROUP BY 1
+       )
+       SELECT e.vec_id, e.label,
+              round(list_dot_product(e.embedding::DOUBLE[], c.centroid)
+                / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS centroid_cos
+       FROM embeddings e JOIN cent c USING (label)""",
+)
+def embedding_centroid_dist_q(spark, sf_dir):
+    """Embedding-space outlier detector: cosine of every vector to its
+    label centroid (functions/similarity.py centroid_distances). Centroid
+    assembly keys the shuffles on (label, dimension) with map-side
+    combine; the n_labels-row centroid frame broadcasts onto the scan."""
+    from pd_explain_spark.functions.similarity import centroid_distances
+
+    return centroid_distances(_t(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------------- embedding near-dup
 @_q(
     "embedding_near_dups_exact",

@@ -297,3 +297,46 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------- centroids
+def group_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label mean vector: (label, centroid: array<double>).
+
+    Scale shape: posexplode → groupBy(label, pos) avg → re-assemble via
+    array_sort(collect_list(struct(pos, m))). Both shuffles key on
+    (label, pos) / label with map-side combine, so the exchange carries
+    one row per (label, dimension) — never a vector column. The
+    interpreted-HOF alternative (aggregate over zipped arrays in a single
+    agg) has no partial aggregation and re-evaluates per element."""
+    ex = df.select(label_col, F.posexplode(F.col(vec_col).cast("array<double>")))
+    per = ex.groupBy(label_col, "pos").agg(F.avg("col").alias("m"))
+    return (
+        per.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+        .select(label_col, F.col("s.m").alias("centroid"))
+    )
+
+
+def centroid_distances(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine similarity of every vector to its OWN label centroid —
+    the embedding-space outlier / mislabel detector (a vector far from
+    its cluster centroid is a labeling or embedding anomaly). Centroids
+    are one tiny frame (n_labels rows), broadcast onto the corpus scan;
+    the per-row cosine is O(dim) expression work."""
+    cent = group_centroids(df, vec_col, label_col)
+    j = df.select(
+        id_col, label_col, F.col(vec_col).cast("array<double>").alias("__v")
+    ).join(F.broadcast(cent), label_col)
+    return j.select(
+        id_col,
+        label_col,
+        F.round(cosine(F.col("__v"), F.col("centroid")), 6).alias("centroid_cos"),
+    )

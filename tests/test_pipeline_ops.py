@@ -368,3 +368,22 @@ def test_dedup_near_keeps_one_per_cluster(spark):
     out = D.dedup_near(df, threshold=0.5, max_df=None)
     kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert kept == [1, 4, 5]
+
+
+def test_group_centroids_and_distances(spark):
+    from pd_explain_spark.functions.similarity import centroid_distances, group_centroids
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 0),     # centroid label 0 = [0.5, 0.5]
+        (3, [2.0, 2.0], 1),
+        (4, [4.0, 4.0], 1),     # centroid label 1 = [3, 3]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = {r["label"]: r["centroid"] for r in group_centroids(df).collect()}
+    assert cents[0] == [0.5, 0.5] and cents[1] == [3.0, 3.0]
+    d = {r["vec_id"]: r["centroid_cos"] for r in centroid_distances(df).collect()}
+    # label-1 vectors are colinear with their centroid → cosine exactly 1
+    assert d[3] == 1.0 and d[4] == 1.0
+    # label-0 vectors sit at 45° from [0.5, 0.5] → cos = 1/sqrt(2)
+    assert abs(d[1] - 0.707107) < 1e-6 and abs(d[2] - 0.707107) < 1e-6
