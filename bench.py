@@ -53,9 +53,13 @@ HEADLINE = [
     "cumsum_events",
     "groupby_transform_mean",
     "melt_lineitem",
-    # round-4 additions: repetition quality gates + duplicate clustering
+    # round-4 additions: repetition quality gates, duplicate clustering,
+    # drift monitoring, embedding centroids, pandas query strings
     "repetition_signals",
     "near_dup_components",
+    "drift_scores_events",
+    "embedding_centroid_dist",
+    "query_string_filter",
 ]
 
 

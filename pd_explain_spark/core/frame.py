@@ -316,12 +316,97 @@ class ExplainableDataFrame:
         from ..llm.exploration import AutomatedDataExploration
 
         ade = AutomatedDataExploration(frame=self, client=client or Client())
-        return ade.run(
+        session = ade.run(
             user_query=user_query,
             num_iterations=num_iterations,
             queries_per_iteration=queries_per_iteration,
             top_k=top_k,
         )
+        self.data_explorer = session  # reference keeps the explorer on the frame
+        return session
+
+    def save_data_exploration(self, file_path: str) -> None:
+        """Reference core/explainable_data_frame.py:211-236 — persist the
+        last exploration session (JSON, not dill — documented divergence:
+        queries/scores/texts serialize; result frames are lazy plans and
+        are re-derived on replay)."""
+        session = getattr(self, "data_explorer", None)
+        if session is None:
+            raise ValueError(
+                "No data exploration has been performed yet. "
+                "Please run automated_data_exploration() first."
+            )
+        session.save(file_path)
+
+    @staticmethod
+    def visualize_from_saved_data_exploration(file_path: str) -> str:
+        """Reference core/explainable_data_frame.py:238-260 — render a
+        saved exploration without the source frame: returns the report
+        plus the query tree as indented text (the engine is headless;
+        notebook carousels live in explainers/visualize.py)."""
+        from ..sources.query_log import ExplorationSession
+
+        session = ExplorationSession.load(file_path)
+        lines = [session.report or "(no report)"]
+        lines.append("Query tree:")
+        for h in session.history:
+            lines.append(f"  (Query {h['id']}) {h['query']} — score {h['score']:.3f}")
+            for t in h.get("explanations", [])[:2]:
+                lines.append(f"      {t}")
+        return "\n".join(lines)
+
+    def follow_up_with_automated_data_exploration(
+        self,
+        explanation_index: int | None = None,
+        num_iterations: int = 3,
+        top_k: int = 2,
+        client=None,
+    ):
+        """Reference core/explainable_data_frame.py:262-300 — continue
+        exploring FROM the last .explain() output: the chosen explanation
+        text seeds the loop's goal so follow-up queries contextualize it."""
+        exp = getattr(self, "explanation", None)
+        if exp is None:
+            raise ValueError("run .explain() first, then follow up on its output")
+        texts = exp.texts()
+        if not texts:
+            raise ValueError("the last explanation produced no explanation texts")
+        idx = 0 if explanation_index is None else explanation_index
+        if not (0 <= idx < len(texts)):
+            raise IndexError(f"explanation_index {idx} out of range ({len(texts)} texts)")
+        return self.automated_data_exploration(
+            user_query=f"Follow up on: {texts[idx]}",
+            num_iterations=num_iterations,
+            top_k=top_k,
+            client=client,
+        )
+
+    def llm_recommend_experimental(
+        self,
+        custom_requests=None,
+        num_recommendations: int = 5,
+        num_iterations: int = 3,
+        return_all_options: bool = True,
+        client=None,
+    ):
+        """Reference core/explainable_data_frame.py:101-135 — recommend +
+        actor-critic-refine queries (llm/refiner.py; deterministic offline
+        fallback when no key is configured). Returns [(query, score)]."""
+        from ..llm.client import Client
+        from ..llm.refiner import LLMQueryRecommender, QueryRefiner
+
+        client = client or Client()
+        reqs = list(custom_requests or [])
+        rec = LLMQueryRecommender(
+            frame=self, df_name=self.name, user_requests=reqs,
+            k=num_recommendations, client=client,
+        )
+        refiner = QueryRefiner(
+            frame=self, df_name=self.name, recommendations=rec.recommend(),
+            k=num_recommendations, user_requests=reqs, n=num_iterations,
+            return_all_options=return_all_options, client=client,
+        )
+        return refiner.refine()
 
     # ------------------------------------------------------------------
     # delegation: any unknown attr goes to the Spark DataFrame, and

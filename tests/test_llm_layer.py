@@ -307,3 +307,24 @@ def test_beautifier_pulls_extracted_code_offline():
     b = VisualizationBeautifier(visualization_params={"title": "t"})
     fig, code = b.do_llm_action()  # offline: no key -> (None, None)
     assert fig is None and code is None
+
+
+def test_exploration_session_frame_surface(lineitem, tmp_path):
+    """The four reference frame methods around exploration sessions:
+    run → save → static re-visualize → follow-up from an explanation."""
+    session = lineitem.automated_data_exploration(num_iterations=1, queries_per_iteration=2)
+    assert lineitem.data_explorer is session
+    p = str(tmp_path / "sess.json")
+    lineitem.save_data_exploration(p)
+    text = type(lineitem).visualize_from_saved_data_exploration(p)
+    assert "Query tree:" in text
+
+    out = lineitem[lineitem["l_quantity"] > 45]
+    out.explain(top_k=1)
+    follow = out.follow_up_with_automated_data_exploration(num_iterations=1)
+    assert follow.history is not None
+
+    recs = lineitem.llm_recommend_experimental(num_recommendations=3, num_iterations=1)
+    assert recs and all(isinstance(q, str) and isinstance(s, float) for q, s in recs)
+    # deterministic offline: same call → same ranking
+    assert recs == lineitem.llm_recommend_experimental(num_recommendations=3, num_iterations=1)
