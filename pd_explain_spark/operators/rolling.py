@@ -108,23 +108,35 @@ def rolling_agg(
         part = [_BUCKET]
         onum = _order_num(df, on)
         if kind == "range":
-            # ghost rows: within `width` of the bucket's upper boundary
-            ghost_cond = F.lit(False)
-            for i, b in enumerate(bounds):
-                ghost_cond = ghost_cond | (
-                    (F.col(_BUCKET) == i) & (onum > F.lit(b) - F.lit(width))
-                )
-            ghosts = base.filter(ghost_cond).withColumn(_BUCKET, F.col(_BUCKET) + 1)
+            # ghost a row into EVERY later bucket whose lower boundary is
+            # within `width` of it — a bucket narrower than the window
+            # cannot shield deeper buckets (same multi-bucket reach as
+            # _row_ghosts, but value-driven so no counts are needed)
+            pairs = F.array(
+                *[
+                    F.struct(F.lit(j + 1).alias("t"), F.lit(float(b)).alias("lb"))
+                    for j, b in enumerate(bounds)
+                ]
+            )
+            tgt = F.filter(
+                pairs,
+                lambda s: (s["t"] > F.col(_BUCKET)) & (onum > s["lb"] - F.lit(width)),
+            )
+            ghosts = (
+                base.withColumn("__tgt", F.explode(tgt))
+                .withColumn(_BUCKET, F.col("__tgt.t"))
+                .drop("__tgt")
+            )
         else:
             tie_d = [F.col(c).desc() for c in df.columns if c != on]
             wdesc = Window.partitionBy(_BUCKET).orderBy(_order_num(df, on).desc(), *tie_d)
-            ghosts = (
+            tails = (
                 base.withColumn("__rn_d", F.row_number().over(wdesc))
                 .filter(F.col("__rn_d") <= width - 1)
                 .drop("__rn_d")
-                .withColumn(_BUCKET, F.col(_BUCKET) + 1)
             )
-        if (kind == "range") or width > 1:
+            ghosts = _row_ghosts(base, tails, width - 1) if width > 1 else None
+        if ghosts is not None:
             base = base.withColumn(_GHOST, F.lit(0)).unionByName(
                 ghosts.withColumn(_GHOST, F.lit(1))
             )
@@ -180,16 +192,56 @@ def shift_col(
     wdesc = Window.partitionBy(_BUCKET).orderBy(
         F.col(on).desc(), *[F.col(c).desc() for c in tie]
     )
-    ghosts = (
+    tails = (
         base.withColumn("__rn_d", F.row_number().over(wdesc))
         .filter(F.col("__rn_d") <= periods)
         .drop("__rn_d")
-        .withColumn(_BUCKET, F.col(_BUCKET) + 1)
     )
+    ghosts = _row_ghosts(base, tails, periods)
     uni = base.withColumn(_GHOST, F.lit(0)).unionByName(ghosts.withColumn(_GHOST, F.lit(1)))
     w = Window.partitionBy(_BUCKET).orderBy(F.col(on), *[F.col(c) for c in tie])
     out = uni.withColumn(out_name, F.lag(F.col(column), periods).over(w))
     return out.filter(F.col(_GHOST) == 0).drop(_GHOST, _BUCKET)
+
+
+def _row_ghosts(base: DataFrame, tails: DataFrame, n_rows: int) -> DataFrame:
+    """Fan each bucket's tail rows out to EVERY later bucket that still
+    needs them for an n_rows lookback — not just bucket+1. A bucket with
+    fewer than n_rows rows cannot supply the next bucket's full lookback
+    by itself; the remainder must come from deeper buckets (a property
+    test caught lag-2 going NULL across a 1-row bucket).
+
+    Source bucket i ghosts into target j>i iff the buckets strictly
+    between them hold fewer than n_rows rows in total. Per-bucket counts
+    are O(num_buckets) driver rows (same traffic class as the carry
+    scans); the target lists become a when-chained array literal and one
+    explode — rows only fan out where small buckets force it."""
+    counts = {
+        r[_BUCKET]: r["n"]
+        for r in base.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return tails.withColumn(_BUCKET, F.col(_BUCKET) + 1)
+    max_b = max(counts)
+    targets_of: dict[int, list[int]] = {}
+    for i in range(max_b + 1):
+        targets, between = [], 0
+        for j in range(i + 1, max_b + 2):
+            targets.append(j)
+            between += counts.get(j, 0)
+            if between >= n_rows:
+                break
+        targets_of[i] = targets
+    tgt = F.array().cast("array<int>")
+    for i, targets in targets_of.items():
+        tgt = F.when(
+            F.col(_BUCKET) == i, F.array(*[F.lit(t) for t in targets])
+        ).otherwise(tgt)
+    return (
+        tails.withColumn("__tgt", F.explode(tgt))
+        .withColumn(_BUCKET, F.col("__tgt"))
+        .drop("__tgt")
+    )
 
 
 def diff_col(
