@@ -1035,6 +1035,28 @@ def text_profile_q(spark, sf_dir):
 
 
 @_q(
+    "token_counts",
+    """SELECT doc_id,
+              len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_ws,
+              len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))::BIGINT AS n_bpe
+       FROM documents""",
+)
+def token_counts_q(spark, sf_dir):
+    """Whitespace vs GPT-2-style pre-tokenizer token counts
+    (functions/text.py bpe_token_count) — the budget signal a training
+    pipeline uses to price documents in tokens."""
+    from pd_explain_spark.functions.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    )
+
+
+@_q(
     "repetition_signals",
     """WITH norm AS (
          SELECT doc_id,

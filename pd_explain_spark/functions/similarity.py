@@ -229,24 +229,19 @@ def embedding_near_duplicates(
     )
 
 
-def ivf_topk(
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans-partitioned corpus,
-    each query probes only its n_probe nearest centroid buckets.
-
-    Index build = one distributed KMeans fit (pyspark.ml) + one corpus
-    pass assigning bucket ids; at 100 TB the bucket id is the partition
-    key and a query touches n_probe/n_centroids of the data. Centroids
-    (n_centroids x dim floats) are tiny and broadcast with the query set.
-    """
+) -> "IvfIndex":
+    """Build the IVF (inverted-file) index once: one distributed KMeans
+    fit (pyspark.ml) + one corpus pass assigning bucket ids. Production
+    ANN builds the index once and serves many query batches — the split
+    from ivf_query makes the build cost amortizable, and IvfIndex.save
+    lays the assignments out hive-partitioned by bucket so a probe scan
+    prunes to n_probe/n_centroids of the files on disk."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -260,20 +255,56 @@ def ivf_topk(
     assigned = model.transform(
         train.select("neighbor_id", "cv", array_to_vector(F.col("cv")).alias("__v"))
     ).select("neighbor_id", "cv", "bucket")
-
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    cent_rows = [(i, c) for i, c in enumerate(centroids)]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(cent_rows, ["bucket", "centroid"])
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["bucket", "centroid"]
+    )
+    return IvfIndex(assigned=assigned, centroids=cent_df)
 
+
+class IvfIndex:
+    """(assigned: neighbor_id, cv, bucket) + (centroids: bucket, centroid)."""
+
+    def __init__(self, assigned: DataFrame, centroids: DataFrame):
+        self.assigned = assigned
+        self.centroids = centroids
+
+    def save(self, path: str, mode: str = "error") -> None:
+        """Persist hive-partitioned by bucket: a loaded index's probe
+        scan prunes to the probed buckets' directories (PartitionFilters
+        at the parquet source — the property that makes a billion-vector
+        index servable)."""
+        self.assigned.write.mode(mode).partitionBy("bucket").parquet(f"{path}/assigned")
+        self.centroids.write.mode(mode).parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        return cls(
+            assigned=spark.read.parquet(f"{path}/assigned"),
+            centroids=spark.read.parquet(f"{path}/centroids"),
+        )
+
+
+def ivf_query(
+    index: "IvfIndex",
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a built index: each query probes only
+    its n_probe nearest centroid buckets. Centroids (n_centroids x dim)
+    and the probed query set are broadcast; the corpus side is filtered
+    to the probed buckets BEFORE the join, so a partitioned on-disk index
+    reads only those directories."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    # n_probe nearest buckets per query (query set and centroids are small)
     probe_w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("bucket"))
     q_probes = (
-        q.crossJoin(F.broadcast(cent_df))
+        q.crossJoin(F.broadcast(index.centroids))
         .withColumn(
             "dist",
             F.aggregate(
@@ -286,8 +317,10 @@ def ivf_topk(
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "qv", "bucket")
     )
+    probed_buckets = q_probes.select("bucket").distinct()
+    corpus_side = index.assigned.join(F.broadcast(probed_buckets), "bucket", "semi")
     scored = (
-        assigned.join(F.broadcast(q_probes), "bucket")
+        corpus_side.join(F.broadcast(q_probes), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
@@ -297,6 +330,21 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """One-shot convenience: ivf_build + ivf_query."""
+    index = ivf_build(corpus, id_col, vec_col, n_centroids, seed)
+    return ivf_query(index, queries, k=k, id_col=id_col, vec_col=vec_col, n_probe=n_probe)
 
 
 # ---------------------------------------------------------------- centroids

@@ -40,6 +40,20 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+# GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs. ASCII classes (not \p{L}) so
+# Java regex (Spark) and RE2 (DuckDB oracle) count identically; real BPE
+# then splits these pieces further, so this is the standard cheap
+# upper-bound proxy for "how many tokens will the tokenizer emit".
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Approximate LLM-token count via the GPT-2 pre-tokenizer regex —
+    pure JVM `regexp_count`, no tokenizer library, scales as a scan."""
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
 def char_count(c: Column) -> Column:
     return F.length(c)
 

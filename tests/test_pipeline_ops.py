@@ -387,3 +387,32 @@ def test_group_centroids_and_distances(spark):
     assert d[3] == 1.0 and d[4] == 1.0
     # label-0 vectors sit at 45° from [0.5, 0.5] → cos = 1/sqrt(2)
     assert abs(d[1] - 0.707107) < 1e-6 and abs(d[2] - 0.707107) < 1e-6
+
+
+def test_bpe_token_count_known_strings(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "Hello world"), (2, "it's 2024!"), (3, "foo_bar baz")], "id long, text string"
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", TX.bpe_token_count(F.col("text")).alias("n")).collect()}
+    # "Hello"+" world"=2 ; "it"+"'s"+" 2024"+"!"=4 ; "foo"+"_"+"bar"+" baz"=4
+    assert out == {1: 2, 2: 4, 3: 4}
+
+
+def test_ivf_index_save_load_partition_pruning(spark, embeddings, tmp_path):
+    """A persisted IVF index is hive-partitioned by bucket; a query's
+    probe scan must (a) return the same results as the in-memory index
+    and (b) show partition filters at the parquet source — only the
+    probed buckets' directories are read."""
+    idx = S.ivf_build(embeddings, n_centroids=8)
+    idx.save(str(tmp_path / "ivf"))
+    loaded = S.IvfIndex.load(spark, str(tmp_path / "ivf"))
+
+    queries = embeddings.filter("vec_id < 5")
+    mem = S.ivf_query(idx, queries, k=3, n_probe=2).collect()
+    disk = S.ivf_query(loaded, queries, k=3, n_probe=2).collect()
+    assert sorted(map(tuple, mem)) == sorted(map(tuple, disk)) and len(mem) > 0
+
+    plan = S.ivf_query(loaded, queries, k=3, n_probe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
