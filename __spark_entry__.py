@@ -1035,6 +1035,72 @@ def text_profile_q(spark, sf_dir):
 
 
 @_q(
+    "curation_pipeline",
+    """WITH prof AS (
+         SELECT doc_id, text,
+                len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                round(
+                  0.5 * least(1.0, len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) / 50.0)
+                + 0.3 * (1.0 - least(1.0, len(regexp_extract_all(text, '[.,!?;:]'))
+                    / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)))
+                + 0.2 * least(1.0, 4.0 * len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+                    / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)), 6) AS quality,
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS nt
+         FROM documents
+       ), gated AS (
+         SELECT doc_id, text, n_tokens, quality, fp, nt FROM prof
+         WHERE quality >= 0.55 AND n_tokens >= 5
+           AND (CASE WHEN len(nt) > 0
+                THEN 1.0 - len(list_distinct(nt))::DOUBLE / len(nt) ELSE 0.0 END) <= 0.9
+       ), exact_kept AS (
+         SELECT doc_id, n_tokens, quality, nt
+         FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated)
+         WHERE rn = 1
+       ), sh AS (
+         SELECT doc_id, list_distinct([array_to_string(nt[i:i+2], ' ')
+                                       FOR i IN range(1, len(nt) - 1)]) AS s
+         FROM exact_kept WHERE len(nt) >= 3
+       ), inv AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh
+       ), pre AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ), pairs AS (
+         SELECT id_a, id_b FROM pre
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON la.doc_id = id_a
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON lb.doc_id = id_b
+         WHERE round(inter / (la.n + lb.n - inter), 6) >= 0.5
+       ), edges AS (
+         SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs
+       ), reach AS (
+         WITH RECURSIVE r(s, t) AS (
+           SELECT s, t FROM edges
+           UNION
+           SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s
+         ) SELECT * FROM r
+       ), losers AS (
+         SELECT s AS doc_id FROM reach GROUP BY s HAVING least(s, min(t)) <> s
+       )
+       SELECT k.doc_id, k.n_tokens, k.quality
+       FROM exact_kept k
+       WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)""",
+)
+def curation_pipeline_q(spark, sf_dir):
+    """Flagship composition: quality/repetition gates (scan stage) →
+    exact dedup (one hash shuffle) → exact-Jaccard near-dup components →
+    keep min id per duplicate group (functions/text.py
+    curation_pipeline). The MinHash candidate path drops in at step 3
+    unchanged for the 100 TB run; the exact path keeps this entry
+    end-to-end oracle-checkable."""
+    from pd_explain_spark.functions.text import curation_pipeline
+
+    return curation_pipeline(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "token_counts",
     """SELECT doc_id,
               len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_ws,
@@ -1579,7 +1645,7 @@ _RECORD_FIRST = [
     "outlier_explain", "outlier_explain_std",
     "many_to_one_explain", "metainsight_explain",
     # training-data pipeline extensions
-    "text_profile", "lang_id_counts", "curate_documents",
+    "text_profile", "lang_id_counts", "curation_pipeline",
     "dedup_exact", "ngram_jaccard", "minhash_near_dups", "simhash_near_dups",
     "similarity_topk", "similarity_lsh_topk", "similarity_ivf_topk",
     "embedding_near_dups_exact", "embedding_near_dups", "multimodal_features",

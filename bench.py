@@ -60,6 +60,7 @@ HEADLINE = [
     "drift_scores_events",
     "embedding_centroid_dist",
     "query_string_filter",
+    "curation_pipeline",
 ]
 
 

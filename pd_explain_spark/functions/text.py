@@ -259,3 +259,65 @@ def curate_documents(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def curation_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.55,
+    min_tokens: int = 5,
+    max_dup_token_frac: float = 0.9,
+    jaccard_threshold: float = 0.5,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """The full training-data curation flow in one composed plan:
+
+      1. row-local gates (quality score, token floor, repetition cap) —
+         stateless predicates, run in the scan stage;
+      2. exact dedup — first id wins per normalized-text fingerprint
+         (one hash shuffle over gate survivors);
+      3. near-dup removal — exact n-gram Jaccard pairs over the
+         survivors, connected components, keep the min-id doc per
+         duplicate group.
+
+    Returns (doc_id, n_tokens, quality) for every surviving document.
+    Deliberately uses the EXACT pair path (not MinHash) so the whole
+    pipeline is DuckDB-oracle-checkable end to end; swap in
+    dedup.minhash_near_duplicates for the 100 TB candidate path — the
+    composition is identical from step 3 on.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import duplicate_components, ngram_jaccard_pairs
+
+    c = F.col(text_col)
+    toks = tokens(normalized_text(c))
+    nt = F.size(toks).cast("double")
+    gated = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        token_count(c).alias("n_tokens"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("__fp"),
+        F.when(nt > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / nt)
+        .otherwise(0.0)
+        .alias("__dup_frac"),
+    ).filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("__dup_frac") <= max_dup_token_frac)
+    )
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    exact_kept = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp", "__dup_frac")
+    )
+    pairs = ngram_jaccard_pairs(
+        exact_kept, text_col=text_col, id_col=id_col,
+        n=ngram_n, threshold=jaccard_threshold,
+    )
+    comp = duplicate_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    return exact_kept.join(losers, id_col, "anti").select(id_col, "n_tokens", "quality")

@@ -416,3 +416,22 @@ def test_ivf_index_save_load_partition_pruning(spark, embeddings, tmp_path):
 
     plan = S.ivf_query(loaded, queries, k=3, n_probe=2)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
+
+
+def test_curation_pipeline_planted(spark):
+    """Each stage must fire: the low-quality doc gates out, the exact
+    duplicate collapses, the near-dup chain keeps one survivor."""
+    good = ("the analysis shows that the results of the model are stable and the "
+            "errors stay small across all of the tested inputs and conditions today")
+    rows = [
+        (1, good),
+        (2, good + " "),                         # exact dup of 1 (whitespace)
+        (3, good.replace("today", "tomorrow")),  # near-dup of 1
+        (4, "x y"),                              # too short → token gate
+        (5, ("the data and the table of the results in the report is one of the "
+             "clean parts of it and it is good to read it in the morning review")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.curation_pipeline(df)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 5]
