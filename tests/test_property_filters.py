@@ -142,3 +142,68 @@ def test_random_predicates_match_oracle(lineitem, duck, tree):
     ).fetchone()
     assert got[0] == want[0]
     assert (got[1] or 0) == (want[1] or 0)
+
+
+# ---------------------------------------------------------------------------
+# pandas-style query STRINGS: random expressions through parse_query_string
+# must equal the same predicate built via the bracket-mask API
+# ---------------------------------------------------------------------------
+
+_QS_LEAF = st.one_of(
+    st.tuples(
+        st.just("num"),
+        st.sampled_from(sorted(NUM_COLS)),
+        st.sampled_from(CMP_OPS),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    ),
+    st.tuples(
+        st.just("in"),
+        st.sampled_from(sorted(STR_COLS)),
+        st.lists(st.integers(min_value=0, max_value=2), min_size=1, max_size=3),
+    ),
+    st.tuples(
+        st.just("chain"),
+        st.sampled_from(sorted(NUM_COLS)),
+        st.floats(min_value=0.0, max_value=0.5, allow_nan=False),
+        st.floats(min_value=0.5, max_value=1.0, allow_nan=False),
+    ),
+)
+
+
+def _qs_leaf_to_parts(leaf):
+    kind = leaf[0]
+    if kind == "num":
+        _, col, op, t = leaf
+        lo, hi = NUM_COLS[col]
+        v = round(lo + t * (hi - lo), 3)
+        py_op = {"<": "<", "<=": "<=", ">": ">", ">=": ">=", "==": "==", "!=": "!="}[op]
+        return f"{col} {py_op} {v}", f"{col} {op} {v}"
+    if kind == "in":
+        _, col, idxs = leaf
+        opts = STR_COLS[col]
+        vals = sorted({opts[i % len(opts)] for i in idxs})
+        return f"{col} in {vals!r}", f"{col} IN ({', '.join(repr(v) for v in vals)})"
+    _, col, t1, t2 = leaf
+    lo, hi = NUM_COLS[col]
+    a, b = round(lo + t1 * (hi - lo), 3), round(lo + t2 * (hi - lo), 3)
+    return f"{a} <= {col} < {b}", f"({col} >= {a} AND {col} < {b})"
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    leaves=st.lists(_QS_LEAF, min_size=1, max_size=3),
+    ops=st.lists(st.sampled_from(["and", "or"]), min_size=2, max_size=2),
+    negate=st.booleans(),
+)
+def test_query_string_matches_duckdb(lineitem, duck, leaves, ops, negate):
+    parts = [_qs_leaf_to_parts(leaf) for leaf in leaves]
+    py = parts[0][0]
+    sql = parts[0][1]
+    for (p, s), op in zip(parts[1:], ops):
+        py = f"({py}) {op} ({p})"
+        sql = f"({sql}) {'AND' if op == 'and' else 'OR'} ({s})"
+    if negate:
+        py, sql = f"not ({py})", f"NOT ({sql})"
+    got = lineitem.query(py).df.count()
+    want = duck.sql(f"SELECT count(*) FROM lineitem WHERE {sql}").fetchone()[0]
+    assert got == want
