@@ -83,8 +83,15 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
         # queries are independent: drop one query's scratch persists so
-        # they don't eat executor memory from the queries after it
+        # they don't eat executor memory from the queries after it.
+        # clearCache only covers SQL cache; localCheckpoint blocks (the
+        # connected-components queries) are freed by the ContextCleaner
+        # once Python drops its references — gc.collect() makes that
+        # happen now instead of mid-way through the next timed query.
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(

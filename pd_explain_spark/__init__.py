@@ -21,7 +21,12 @@ from .core.operations import (
 )
 from .core.series import ExplainableColumn, ExplainablePredicate
 from .operators.asof import merge_asof
+from .operators.partitioning import count_distinct_skew_safe, salted_join
 from .config import GLOBALS, toggle_sampling
+from .functions.dedup import dedup_near, duplicate_components
+from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
+from .functions.similarity import IvfIndex, ivf_build, ivf_query
+from .functions.text import curation_pipeline, repetition_signals
 from .session import get_spark
 from .sources.readers import load_table, read_csv, read_json, read_parquet, to_explainable
 
@@ -49,4 +54,17 @@ __all__ = [
     "read_json",
     "to_explainable",
     "load_table",
+    # round-4 pipeline surface
+    "dedup_near",
+    "duplicate_components",
+    "drift_scores",
+    "reference_histogram",
+    "stream_drift_scores",
+    "curation_pipeline",
+    "repetition_signals",
+    "ivf_build",
+    "ivf_query",
+    "IvfIndex",
+    "salted_join",
+    "count_distinct_skew_safe",
 ]
