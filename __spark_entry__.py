@@ -700,6 +700,22 @@ def groupby_filter_groups(spark, sf_dir):
 
 
 @_q(
+    "topk_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+)
+def topk_orders(spark, sf_dir):
+    """pandas nlargest → TakeOrderedAndProject (per-partition heap +
+    driver merge of k rows — never a global sort; plan pinned by
+    tests/test_plans.py::test_topk_never_global_sort)."""
+    o = _e(spark, sf_dir, "orders")
+    top = o[["o_orderkey", "o_custkey", "o_totalprice"]].sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(20)
+    return top.df
+
+
+@_q(
     "query_string_filter",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
        FROM lineitem
