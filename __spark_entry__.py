@@ -1561,6 +1561,57 @@ def fedex_filter_explain(spark, sf_dir):
     return out.explain(top_k=3).to_df(spark)
 
 
+@_q(
+    "fedex_filter_kernel",
+    """WITH src AS (
+         SELECT l_extendedprice AS v1, l_discount AS v2, l_tax AS v3,
+                CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END AS keep
+         FROM lineitem
+       ), prof AS (
+         SELECT min(v1) AS lo1, max(v1) AS hi1,
+                min(v2) AS lo2, max(v2) AS hi2,
+                min(v3) AS lo3, max(v3) AS hi3 FROM src
+       ), binned AS (
+         SELECT 'l_extendedprice' AS attribute,
+                lpad(CAST(CAST(least(19, greatest(0, floor(((v1 - lo1) * 20) / (hi1 - lo1)))) AS BIGINT) AS VARCHAR), 4, '0') AS bin,
+                keep FROM src, prof
+         UNION ALL
+         SELECT 'l_discount' AS attribute,
+                lpad(CAST(CAST(least(19, greatest(0, floor(((v2 - lo2) * 20) / (hi2 - lo2)))) AS BIGINT) AS VARCHAR), 4, '0') AS bin,
+                keep FROM src, prof
+         UNION ALL
+         SELECT 'l_tax' AS attribute,
+                lpad(CAST(CAST(least(19, greatest(0, floor(((v3 - lo3) * 20) / (hi3 - lo3)))) AS BIGINT) AS VARCHAR), 4, '0') AS bin,
+                keep FROM src, prof
+       ), hist AS (
+         SELECT attribute, bin, count(*) AS src_cnt, CAST(sum(keep) AS BIGINT) AS res_cnt
+         FROM binned GROUP BY 1, 2
+       ), cum AS (
+         SELECT attribute, bin, src_cnt, res_cnt,
+                CAST(sum(src_cnt) OVER w AS DOUBLE) / CAST(sum(src_cnt) OVER wa AS DOUBLE)
+                - CAST(sum(res_cnt) OVER w AS DOUBLE) / CAST(sum(res_cnt) OVER wa AS DOUBLE) AS cd
+         FROM hist
+         WINDOW w AS (PARTITION BY attribute ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wa AS (PARTITION BY attribute)
+       )
+       SELECT attribute, bin, src_cnt, res_cnt, round(cd, 6) AS cum_delta,
+              round(max(abs(cd)) OVER (PARTITION BY attribute), 6) AS ks
+       FROM cum""",
+)
+def fedex_filter_kernel(spark, sf_dir):
+    """The E1 filter kernel's scoring input, oracle-checked: per
+    (attribute, bin) dual histogram with cumulative-delta and the KS
+    statistic _score_histogram derives for ordered columns — DuckDB
+    replays the identical equi-width binning + integer-cumsum algebra."""
+    from pd_explain_spark.explainers.fedex import filter_kernel_table
+
+    li = _e(spark, sf_dir, "lineitem")
+    out = li[li["l_quantity"] > 45]
+    return filter_kernel_table(out, ["l_extendedprice", "l_discount", "l_tax"])
+
+
+
 def fedex_join_explain(spark, sf_dir):
     li = _e(spark, sf_dir, "lineitem")
     o = _e(spark, sf_dir, "orders").rename({"o_orderkey": "l_orderkey"})
@@ -1617,6 +1668,89 @@ def outlier_explain_std(spark, sf_dir):
     return g.explain(explainer="outlier", target=target, dir="high").to_df(spark)
 
 
+@_q(
+    "outlier_kernel",
+    """WITH src AS (
+         SELECT o_orderpriority AS grp,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                CAST(o_custkey AS DOUBLE) AS a1, CAST(o_orderkey AS DOUBLE) AS a2
+         FROM orders
+       ), prof AS (
+         SELECT min(a1) AS lo1, max(a1) AS hi1, min(a2) AS lo2, max(a2) AS hi2 FROM src
+       ), binned AS (
+         SELECT grp, cents, 'o_custkey' AS attr,
+                CAST(least(29, greatest(0, floor(((a1 - lo1) * 30) / (hi1 - lo1)))) AS INT) AS bin
+         FROM src, prof
+         UNION ALL
+         SELECT grp, cents, 'o_orderkey' AS attr,
+                CAST(least(29, greatest(0, floor(((a2 - lo2) * 30) / (hi2 - lo2)))) AS INT) AS bin
+         FROM src, prof
+       ), partials AS (
+         SELECT attr, bin, grp, count(*) AS cnt, count(cents) AS nn,
+                CAST(sum(cents) AS BIGINT) AS sm
+         FROM binned GROUP BY 1, 2, 3
+       ), totals AS (
+         SELECT grp, count(*) AS tot_cnt, count(cents) AS tot_nn,
+                CAST(sum(cents) AS BIGINT) AS tot_sm
+         FROM src GROUP BY 1
+       ), ntot AS (SELECT CAST(sum(tot_cnt) AS DOUBLE) AS n FROM totals
+       ), base_vals AS (
+         SELECT grp, CAST(tot_sm AS DOUBLE) / tot_nn AS val FROM totals WHERE tot_nn > 0
+       ), tgt AS (SELECT grp FROM base_vals ORDER BY val DESC, grp LIMIT 1
+       ), before_s AS (
+         SELECT avg(val) AS m, stddev_samp(val) AS sd, count(*) AS nf FROM base_vals
+       ), before AS (
+         SELECT CASE WHEN b.nf < 2 OR b.sd IS NULL OR b.sd = 0 OR tv.val IS NULL THEN 0.0
+                     ELSE (tv.val - b.m) / b.sd END AS sib
+         FROM before_s b
+         LEFT JOIN (SELECT v.val FROM base_vals v, tgt WHERE v.grp = tgt.grp) tv ON TRUE
+       ), grid AS (
+         SELECT p.attr, p.bin, t.grp,
+                t.tot_cnt - coalesce(q.cnt, 0) AS ex_cnt,
+                t.tot_nn - coalesce(q.nn, 0) AS ex_nn,
+                t.tot_sm - coalesce(q.sm, 0) AS ex_sm
+         FROM (SELECT DISTINCT attr, bin FROM partials WHERE bin >= 0) p
+         CROSS JOIN totals t
+         LEFT JOIN partials q ON q.attr = p.attr AND q.bin = p.bin AND q.grp = t.grp
+       ), per_bin AS (
+         SELECT g.attr, g.bin,
+                sum(ex_cnt) AS kept,
+                max(CASE WHEN g.grp = tgt.grp AND ex_cnt > 0 THEN 1 ELSE 0 END) AS t_present,
+                avg(CASE WHEN ex_cnt > 0 AND ex_nn > 0 THEN CAST(ex_sm AS DOUBLE) / ex_nn END) AS m,
+                stddev_samp(CASE WHEN ex_cnt > 0 AND ex_nn > 0 THEN CAST(ex_sm AS DOUBLE) / ex_nn END) AS sd,
+                count(CASE WHEN ex_cnt > 0 AND ex_nn > 0 THEN 1 END) AS nf,
+                max(CASE WHEN g.grp = tgt.grp AND ex_cnt > 0 AND ex_nn > 0
+                         THEN CAST(ex_sm AS DOUBLE) / ex_nn END) AS t_val
+         FROM grid g, tgt GROUP BY 1, 2
+       )
+       SELECT attr AS attribute, bin, CAST(kept AS BIGINT) AS kept_cnt,
+              round((before.sib
+                     - CASE WHEN nf < 2 OR sd IS NULL OR sd = 0 OR t_val IS NULL THEN 0.0
+                            ELSE (t_val - m) / sd END)
+                    * (CAST(kept AS DOUBLE) / ntot.n), 6) AS influence
+       FROM per_bin, before, ntot
+       WHERE kept > 0 AND t_present = 1""",
+)
+def outlier_kernel(spark, sf_dir):
+    """The E4 bin-removal kernel's full influence table, oracle-checked:
+    DuckDB replays the identical exclusion algebra (exact integer-cents
+    partials -> per-bin mean/std over group values -> direction-signed
+    influence). Target = the group with the highest mean, as in
+    outlier_explain."""
+    from pd_explain_spark.explainers.outlier import outlier_kernel_table
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    e = to_explainable(o, name="orders_cents")
+    g = e.groupby("o_orderpriority")["cents"].mean()
+    target = g.df.orderBy(F.desc("cents_mean"), F.asc("o_orderpriority")).first()[0]
+    return outlier_kernel_table(
+        g, target=target, dir="high", attributes=["o_custkey", "o_orderkey"]
+    )
+
+
 _QUERIES["fedex_filter_explain"] = fedex_filter_explain  # rows-only: KS kernel
 _QUERIES["fedex_join_explain"] = fedex_join_explain      # rows-only
 _QUERIES["shapley_explain"] = shapley_explain            # rows-only
@@ -1659,9 +1793,9 @@ _RECORD_FIRST = [
     "q5_local_supplier_volume", "q6_forecast_revenue",
     "topk_orders", "query_string_filter",
     # explanation operators (the analytical core, SURVEY §2.4)
-    "fedex_filter_explain", "fedex_groupby_explain", "fedex_join_explain",
+    "fedex_filter_explain", "fedex_filter_kernel", "fedex_groupby_explain", "fedex_join_explain",
     "shapley_explain", "shapley_filter_explain",
-    "outlier_explain", "outlier_explain_std",
+    "outlier_explain", "outlier_explain_std", "outlier_kernel",
     "many_to_one_explain", "metainsight_explain",
     # training-data pipeline extensions
     "text_profile", "lang_id_counts", "curation_pipeline",
@@ -1672,9 +1806,9 @@ _RECORD_FIRST = [
     "embedding_near_dups_exact", "embedding_near_dups",
     "embedding_centroid_dist", "multimodal_features",
     # time-series / streaming surface
-    "rolling_hour_events", "cumsum_events", "shift_events", "asof_join_events",
+    "rolling_hour_events", "cumsum_events", "asof_join_events",
     "rank_events_dense", "resample_hourly", "pct_change_events",
-    "windowed_events", "sliding_windows", "sessionize_events", "drift_scores_events",
+    "windowed_events", "sessionize_events", "drift_scores_events",
     # constrained mini-language executor
     "mini_language_query",
 ]

@@ -417,3 +417,79 @@ class FedexExplainer(ExplainerBase):
         if ordered:
             return float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
         return float(0.5 * np.sum(np.abs(p - q)))
+
+
+def filter_kernel_table(
+    frame, attributes: list[str], n_bins: int = DEFAULT_N_BINS
+) -> DataFrame:
+    """SQL-checkable core of the E1 filter kernel: the dual histogram a
+    filter explanation is scored from, with the cumulative-delta column and
+    the per-attribute KS statistic attached — entirely JVM-side.
+
+    The reference computes the same statistic per column in pandas
+    (documented at experimental/experimental_llm_integrations/
+    query_refiner.py:45-46: exceptionality = deviation between source and
+    result distributions); here it is ONE Spark job over the single-pass
+    dual histogram plus two tiny window functions over the
+    (n_attributes x n_bins)-row result.
+
+    Determinism contract (this is what makes the output oracle-checkable
+    against DuckDB running identical SQL):
+      * ``attributes`` is explicit — no approx-distinct candidate rule, no
+        correlation pruning, no sampling; every listed column is treated as
+        numeric with exact min/max equi-width edges over the FULL source.
+      * cumulative sums accumulate exact BIGINT counts in bin order and
+        divide by the attribute totals once at the end, so the floating
+        result is a single IEEE division per term in both engines —
+        never a running float sum.
+
+    Returns (attribute, bin, src_cnt, res_cnt, cum_delta, ks) where
+    cum_delta = cum_src/s_tot - cum_res/r_tot and ks = max(|cum_delta|)
+    over the attribute (the KS statistic `_score_histogram` derives for
+    ordered columns).
+    """
+    from pyspark.sql import Window
+
+    from .histograms import dual_histogram_predicate_df
+
+    op = frame.operation
+    if not isinstance(op, FilterOp) or op.predicate is None:
+        raise ValueError("filter_kernel_table needs a frame produced by a tracked filter")
+    source = op.source
+
+    exprs: list = []
+    for c in attributes:
+        exprs.append(F.min(c).cast("double").alias(f"{c}__lo"))
+        exprs.append(F.max(c).cast("double").alias(f"{c}__hi"))
+    row = source.agg(*exprs).first().asDict()
+    profiles = {
+        c: ColumnProfile(
+            name=c,
+            is_numeric=True,
+            distinct=n_bins,  # placeholder; bin_edges only needs vmin/vmax
+            vmin=row[f"{c}__lo"],
+            vmax=row[f"{c}__hi"],
+        )
+        for c in attributes
+    }
+
+    hist = dual_histogram_predicate_df(source, op.predicate.to_spark(source), profiles, n_bins)
+    w_cum = (
+        Window.partitionBy("attribute")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_attr = Window.partitionBy("attribute")
+    cum_delta = (
+        F.sum("src_cnt").over(w_cum).cast("double") / F.sum("src_cnt").over(w_attr)
+        - F.sum("res_cnt").over(w_cum).cast("double") / F.sum("res_cnt").over(w_attr)
+    )
+    out = hist.select(
+        "attribute",
+        "bin",
+        "src_cnt",
+        F.col("res_cnt").cast("long").alias("res_cnt"),
+        F.round(cum_delta, 6).alias("cum_delta"),
+        F.round(F.max(F.abs(cum_delta)).over(w_attr), 6).alias("ks"),
+    )
+    return out

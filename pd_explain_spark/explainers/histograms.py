@@ -83,21 +83,27 @@ def _bin_expr(df: DataFrame, prof: ColumnProfile, n_bins: int) -> Column:
     c = df[prof.name]
     edges = prof.bin_edges(n_bins)
     if prof.is_numeric and edges is not None:
-        lo, hi = edges[0], edges[-1]
-        width = (hi - lo) / n_bins
+        # single-expression bin index ((v - lo) * n) / (hi - lo): every term
+        # is one IEEE op on the exact min/max doubles, so an external SQL
+        # engine evaluating the same expression assigns identical bins —
+        # no pre-computed width constant that could differ by an ulp
+        lo, hi = float(prof.vmin), float(prof.vmax)
         idx = F.least(
             F.lit(n_bins - 1),
-            F.greatest(F.lit(0), F.floor((c.cast("double") - F.lit(lo)) / F.lit(width))),
+            F.greatest(
+                F.lit(0),
+                F.floor((c.cast("double") - F.lit(lo)) * F.lit(n_bins) / F.lit(hi - lo)),
+            ),
         )
         return F.when(c.isNull(), F.lit(NULL_TOKEN)).otherwise(F.lpad(idx.cast("string"), 4, "0"))
     return F.coalesce(c.cast("string"), F.lit(NULL_TOKEN))
 
 
-def dual_histogram_predicate(
+def dual_histogram_predicate_df(
     source: DataFrame, predicate: Column, profiles: dict[str, ColumnProfile], n_bins: int = 20
-):
-    """Filter fast path: one scan of `source`; res_cnt counts rows passing
-    the recorded predicate. Returns a small pandas frame
+) -> DataFrame:
+    """Filter fast path as a (tiny) Spark DataFrame: one scan of `source`;
+    res_cnt counts rows passing the recorded predicate. Schema:
     (attribute, bin, src_cnt, res_cnt)."""
     from ..operators.partitioning import fan_out
 
@@ -112,11 +118,18 @@ def dual_histogram_predicate(
         for c, p in profiles.items()
     ]
     exploded = narrow.select(F.explode(F.array(*structs)).alias("s"), "__keep")
-    hist = (
+    return (
         exploded.groupBy(F.col("s.attribute").alias("attribute"), F.col("s.bin").alias("bin"))
         .agg(F.count(F.lit(1)).alias("src_cnt"), F.sum("__keep").alias("res_cnt"))
     )
-    return hist.toPandas()
+
+
+def dual_histogram_predicate(
+    source: DataFrame, predicate: Column, profiles: dict[str, ColumnProfile], n_bins: int = 20
+):
+    """`dual_histogram_predicate_df` collected to the driver as a small
+    pandas frame (at most n_columns * n_bins rows)."""
+    return dual_histogram_predicate_df(source, predicate, profiles, n_bins).toPandas()
 
 
 def dual_histogram_union(

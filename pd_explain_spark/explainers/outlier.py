@@ -114,13 +114,8 @@ class OutlierExplainer(ExplainerBase):
         ]
         return attrs[: self.max_attrs]
 
-    def generate_explanation(self) -> Explanation:
-        src = self.op.source
-        attrs = self._candidate_attrs(src)
-        if not attrs:
-            return Explanation(kind="outlier", query=self.op.query_string())
-
-        # profile pass: min/max per candidate attr (+ agg col for median)
+    def _profile_ranges(self, src, attrs):
+        """Min/max profile pass; returns (ranges, raw profile row)."""
         prof_exprs = []
         prof_cols = attrs + ([self.g_agg] if self.agg_method == "median" else [])
         for a in prof_cols:
@@ -135,16 +130,24 @@ class OutlierExplainer(ExplainerBase):
             if lo is None or hi is None or hi <= lo:
                 continue
             ranges[a] = (float(lo), float(hi))
-        if not ranges:
-            return Explanation(kind="outlier", query=self.op.query_string())
+        return ranges, prof
 
-        # ONE pass: (group, attr, bin [, agg-hist bin]) -> partials
+    def _exploded_base(self, src, ranges):
+        """Shared select list for the single partials pass: group key,
+        exploded (attr, bin) structs, the measure. Bin index is the
+        single-expression form ((v - lo) * n) / (hi - lo) — one IEEE op per
+        term on the exact min/max doubles, so an external SQL engine
+        evaluating the same expression assigns identical bins."""
         structs = []
         for a, (lo, hi) in ranges.items():
-            width = (hi - lo) / self.n_bins
             idx = F.least(
                 F.lit(self.n_bins - 1),
-                F.greatest(F.lit(0), F.floor((F.col(a).cast("double") - F.lit(lo)) / F.lit(width))),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(a).cast("double") - F.lit(lo)) * F.lit(self.n_bins) / F.lit(hi - lo)
+                    ),
+                ),
             )
             bin_key = F.when(F.col(a).isNull(), F.lit(-1)).otherwise(idx).cast("int")
             structs.append(F.struct(F.lit(a).alias("attr"), bin_key.alias("bin")))
@@ -154,6 +157,35 @@ class OutlierExplainer(ExplainerBase):
         ).alias("__grp")
         base_cols = [grp_expr, F.explode(F.array(*structs)).alias("s"), v.alias("__v")]
         group_cols = ["__grp", F.col("s.attr").alias("attr"), F.col("s.bin").alias("bin")]
+        return v, base_cols, group_cols
+
+    def _attr_partials(self, src, ranges):
+        """ONE job: (group, attr, bin) -> (cnt, nn, sm, ssq) partials as a
+        small pandas frame (at most groups x attrs x (n_bins+1) rows)."""
+        _, base_cols, group_cols = self._exploded_base(src, ranges)
+        exploded = src.select(*base_cols)
+        return (
+            exploded.groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.count("__v").alias("nn"),
+                F.sum("__v").alias("sm"),
+                F.sum(F.col("__v") * F.col("__v")).alias("ssq"),
+            )
+            .toPandas()
+        )
+
+    def generate_explanation(self) -> Explanation:
+        src = self.op.source
+        attrs = self._candidate_attrs(src)
+        if not attrs:
+            return Explanation(kind="outlier", query=self.op.query_string())
+
+        ranges, prof = self._profile_ranges(src, attrs)
+        if not ranges:
+            return Explanation(kind="outlier", query=self.op.query_string())
+
+        v, base_cols, group_cols = self._exploded_base(src, ranges)
         if self.agg_method == "median":
             alo, ahi = prof[f"{self.g_agg}__lo"], prof[f"{self.g_agg}__hi"]
             if alo is None or ahi is None:
@@ -176,17 +208,7 @@ class OutlierExplainer(ExplainerBase):
                 .toPandas()
             )
         else:
-            exploded = src.select(*base_cols)
-            partials = (
-                exploded.groupBy(*group_cols)
-                .agg(
-                    F.count(F.lit(1)).alias("cnt"),
-                    F.count("__v").alias("nn"),
-                    F.sum("__v").alias("sm"),
-                    F.sum(F.col("__v") * F.col("__v")).alias("ssq"),
-                )
-                .toPandas()
-            )
+            partials = self._attr_partials(src, ranges)
         if partials.empty:
             return Explanation(kind="outlier", query=self.op.query_string())
         partials[["cnt"]] = partials[["cnt"]].astype(float)
@@ -261,7 +283,14 @@ class OutlierExplainer(ExplainerBase):
         exp.extras["std_int_before"] = float(std_int_before)
         return exp
 
-    def _search(self, partials, ranges) -> Explanation:
+    def _influence_rows(self, partials, ranges):
+        """The bin-removal search itself: every candidate (attr, bin) with
+        its exclusion influence. Returns (rows, ctx) where rows is a list of
+        (attr, bin_idx, kept_cnt, influence) and ctx carries the base stats
+        plus the best bin's after-exclusion group values (for the viz).
+
+        This is the closed-form sum/count/sumsq algebra the oracle SQL for
+        ``outlier_kernel_table`` replays verbatim — keep the two in sync."""
         target_key = self._target_key()
         any_attr = next(iter(ranges))
         base = (
@@ -279,6 +308,7 @@ class OutlierExplainer(ExplainerBase):
         std_int_before = self._std_int(base_vals, base_vals[t_idx])
         n_total = float(base["cnt"].sum())
 
+        rows: list[tuple[str, int, float, float]] = []
         best = None  # (influence, attr, bin_idx)
         best_after: dict[str, float] = {}
         for attr, grp in partials.groupby("attr"):
@@ -306,6 +336,7 @@ class OutlierExplainer(ExplainerBase):
                 # positive influence = exclusion reduces the outlierness,
                 # scaled by kept/total (ref: inf / (n_total / n_kept))
                 infl = (std_int_before - std_int_after) * (kept / n_total)
+                rows.append((attr, int(b), kept, infl))
                 if (
                     best is None
                     or infl > best[0]
@@ -314,7 +345,23 @@ class OutlierExplainer(ExplainerBase):
                     best = (infl, attr, int(b))
                     best_after = dict(zip(g_list, vals))
 
-        return self._finish(best, std_int_before, groups, base_vals, t_idx, ranges, best_after)
+        ctx = {
+            "std_int_before": std_int_before,
+            "groups": groups,
+            "base_vals": base_vals,
+            "t_idx": t_idx,
+            "n_total": n_total,
+            "best": best,
+            "best_after": best_after,
+        }
+        return rows, ctx
+
+    def _search(self, partials, ranges) -> Explanation:
+        _, ctx = self._influence_rows(partials, ranges)
+        return self._finish(
+            ctx["best"], ctx["std_int_before"], ctx["groups"], ctx["base_vals"],
+            ctx["t_idx"], ranges, ctx["best_after"],
+        )
 
     # ------------------------------------------------------------------
     def _median_from_hist(self, hist: np.ndarray) -> float:
@@ -393,3 +440,43 @@ class OutlierExplainer(ExplainerBase):
                     best_after = dict(zip(g_list, vals))
 
         return self._finish(best, std_int_before, groups, base_vals, t_idx, ranges, best_after)
+
+
+def outlier_kernel_table(
+    frame,
+    target,
+    dir: str | int = "high",
+    attributes: list[str] | None = None,
+    n_bins: int = N_BINS,
+):
+    """SQL-checkable core of the E4 kernel: the full (attribute, bin) ->
+    influence table the bin-removal search ranks, as a Spark DataFrame
+    (attribute, bin, kept_cnt, influence).
+
+    The heavy work is the explainer's own single-pass partials job; the
+    closed-form exclusion algebra then runs over the tiny
+    (groups x attrs x bins) frame. Bins where the whole dataset or the
+    target group would disappear are omitted, matching `_influence_rows`.
+
+    Determinism contract for oracle checks (mirror in the SQL): pass an
+    explicit `attributes` list, and feed a measure already scaled to exact
+    integers (e.g. cents) so the sum partials carry no float-summation
+    order noise — every influence is then a fixed sequence of IEEE ops on
+    identical numbers in any engine, modulo the O(groups)-sized mean/std
+    reductions that round(., 6) absorbs.
+    """
+    explainer = OutlierExplainer(frame, target=target, dir=dir, n_bins=n_bins)
+    src = explainer.op.source
+    attrs = attributes or explainer._candidate_attrs(src)
+    ranges, _ = explainer._profile_ranges(src, attrs)
+    if not ranges:
+        raise ValueError(f"no binnable numeric attributes among {attrs!r}")
+    partials = explainer._attr_partials(src, ranges)
+    partials[["cnt"]] = partials[["cnt"]].astype(float)
+    rows, _ = explainer._influence_rows(partials, ranges)
+    spark = src.sparkSession
+    out = spark.createDataFrame(
+        [(a, b, int(kept), round(float(infl), 6)) for a, b, kept, infl in rows],
+        schema="attribute string, bin int, kept_cnt bigint, influence double",
+    )
+    return out

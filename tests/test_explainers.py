@@ -203,3 +203,48 @@ def test_shapley_filter_kwargs_attr_default(lineitem):
     out = lineitem[lineitem["l_quantity"] > 45]
     exp = out.explain(explainer="shapley")  # attr defaults to filter column
     assert "l_quantity" in exp.extras["shapley"]["measure"]
+
+
+# ------------------------------------------------------- kernel tables (r5)
+def test_filter_kernel_table_ks_matches_numpy(spark):
+    """The oracle-izable KS table agrees with a direct numpy recomputation
+    of cumulative histogram deltas on a planted filter."""
+    rows = [(float(i % 100), float((i * 37) % 50), i % 100 < 20) for i in range(2000)]
+    df = to_explainable(
+        spark.createDataFrame([(a, b) for a, b, _ in rows], ["x", "y"]), name="kern"
+    )
+    out = df[df["x"] < 20]
+    from pd_explain_spark.explainers.fedex import filter_kernel_table
+
+    t = filter_kernel_table(out, ["y"], n_bins=10).toPandas().sort_values("bin")
+    assert list(t.columns) == ["attribute", "bin", "src_cnt", "res_cnt", "cum_delta", "ks"]
+    src = t["src_cnt"].to_numpy(float)
+    res = t["res_cnt"].to_numpy(float)
+    delta = np.cumsum(src) / src.sum() - np.cumsum(res) / res.sum()
+    assert np.allclose(t["cum_delta"].to_numpy(), np.round(delta, 6), atol=1e-6)
+    assert np.allclose(t["ks"].to_numpy(), round(float(np.max(np.abs(delta))), 6), atol=1e-6)
+    # the filter keeps x<20 uniformly across y — KS should be small but the
+    # histogram totals must reconcile exactly
+    assert src.sum() == 2000 and res.sum() == 400
+
+
+def test_outlier_kernel_table_matches_explain_choice(spark):
+    """The full influence table's argmax row is the bin explain() reports."""
+    rows = []
+    for i in range(1200):
+        g = "t" if i % 3 == 0 else ("a" if i % 3 == 1 else "b")
+        v = 200.0 if (g == "t" and i % 30 == 0) else 10.0 + (i % 5)
+        attr = float(i % 40)
+        rows.append((g, v, attr))
+    df = to_explainable(spark.createDataFrame(rows, ["g", "v", "a"]), name="okern")
+    gb = df.groupby("g")["v"].mean()
+    from pd_explain_spark.explainers.outlier import outlier_kernel_table
+
+    table = outlier_kernel_table(gb, target="t", dir="high", attributes=["a"]).toPandas()
+    assert list(table.columns) == ["attribute", "bin", "kept_cnt", "influence"]
+    best = table.sort_values(["influence", "attribute", "bin"],
+                             ascending=[False, True, True]).iloc[0]
+    exp = gb.explain(explainer="outlier", target="t", dir="high")
+    assert exp.items
+    # explain()'s winning influence equals the table's max (same algebra)
+    assert abs(float(best["influence"]) - exp.items[0].influence) < 1e-5
