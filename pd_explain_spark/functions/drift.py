@@ -92,7 +92,12 @@ def drift_scores(
         )
         .agg(F.count(F.lit(1)).alias("__n"))
     )
-    per = per.persist()
+    # per is consumed three times below (wtot/gbin/wfrac). localCheckpoint
+    # (not persist) materializes it eagerly AND lets the ContextCleaner free
+    # the blocks once the result is garbage-collected — a plain persist has
+    # no release handle here and would leak cache for the session lifetime.
+    # The frame is tiny: at most (windows x bins) rows.
+    per = per.localCheckpoint()
     wtot = per.groupBy("window_start").agg(F.sum("__n").alias("__wt"))
     gbin = per.groupBy("__bin").agg(F.sum("__n").alias("__gn"))
     gtot = gbin.agg(F.sum("__gn").alias("__gt"))

@@ -45,7 +45,19 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     on = [on] if isinstance(on, str) else list(on)
-    sl = left.withColumn("__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int"))
+    # salt = hash(partition, row-within-task counter, row content): purely
+    # content-derived salt would send mass-duplicated rows of a hot key —
+    # exactly the skew case this operator targets — to one task. The
+    # counter makes identical rows land on different salts while staying
+    # deterministic for a fixed input partitioning (retries re-run the
+    # whole task, so per-task counters reproduce).
+    sl = left.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id(), *left.columns),
+            F.lit(salt),
+        ).cast("int"),
+    )
     salt_arr = F.array(*[F.lit(i) for i in range(salt)])
     sr = right.withColumn("__salt", F.explode(salt_arr))
     return sl.join(sr, on + ["__salt"], how).drop("__salt")
@@ -57,13 +69,13 @@ def count_distinct_skew_safe(df: DataFrame, keys: str | list[str], col: str) -> 
     is keyed by (keys, col) — the hot key's rows spread across as many
     tasks as it has distinct values — and the second shuffle carries one
     row per (keys, col) survivor. A direct countDistinct funnels every
-    row of the hot key through one task."""
+    row of the hot key through one task.
+
+    NULL semantics match ``F.countDistinct`` / pandas ``nunique``: NULLs
+    in ``col`` are not counted as a distinct value, and keys whose rows
+    are all-NULL in ``col`` still appear with count 0."""
     from pyspark.sql import functions as F
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    return (
-        df.select(*keys, col)
-        .distinct()
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias(f"{col}_nunique"))
-    )
+    pairs = df.select(*keys, col).distinct()
+    return pairs.groupBy(*keys).agg(F.count(col).alias(f"{col}_nunique"))

@@ -4,10 +4,15 @@ The testdata's ``events.ts`` is parquet ``timestamp[us]`` with
 ``isAdjustedToUTC=false``, which Spark 4 surfaces as TIMESTAMP_NTZ
 (``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults true).
 ``unix_micros`` only accepts TIMESTAMP, so every ordered operator that
-needs an epoch number must go through this helper: NTZ values are cast
-to TIMESTAMP first (interpreted in the session timezone — a monotone
-mapping, so ordering and range-frame widths are preserved; in UTC
-deployments it is the identity on the wall-clock values).
+needs an epoch number must go through this helper.
+
+NTZ handling is TIMEZONE-FREE: the wall-clock components are rebuilt
+into a UTC instant with ``make_timestamp(..., 'UTC')``, so the
+wall-clock -> number mapping is linear regardless of the session
+timezone. A plain ``cast("timestamp")`` would interpret the wall clock
+in the session zone, where DST transitions make the mapping non-linear
+— ordering survives, but range-window widths, asof tolerances, and
+window boundaries would shift by the DST offset around each transition.
 """
 
 from __future__ import annotations
@@ -16,10 +21,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def ntz_to_utc_timestamp(col: Column) -> Column:
+    """TIMESTAMP_NTZ -> TIMESTAMP, reading the wall clock AS UTC regardless
+    of the session timezone (linear mapping, no DST discontinuities)."""
+    return F.make_timestamp(
+        F.year(col), F.month(col), F.dayofmonth(col),
+        F.hour(col), F.minute(col), F.date_part(F.lit("SECOND"), col),
+        F.lit("UTC"),
+    )
+
+
 def epoch_micros(col: Column, dtype: str) -> Column:
     """Epoch-microseconds expression for a TIMESTAMP or TIMESTAMP_NTZ column."""
     if dtype == "timestamp_ntz":
-        return F.unix_micros(col.cast("timestamp"))
+        return F.unix_micros(ntz_to_utc_timestamp(col))
     return F.unix_micros(col)
 
 

@@ -20,11 +20,14 @@ from pyspark.sql import functions as F
 
 def _with_event_time(stream_df: DataFrame, ts_col: str) -> DataFrame:
     """Watermarks require TIMESTAMP; parquet micros with
-    isAdjustedToUTC=false arrive as TIMESTAMP_NTZ. Cast through the
-    session timezone (identity on instants in UTC deployments) so every
-    streaming operator accepts both flavors."""
+    isAdjustedToUTC=false arrive as TIMESTAMP_NTZ. The wall clock is
+    rebuilt AS UTC (timezone-free, operators/timeutil.py) so watermark
+    and window arithmetic stays linear even in a non-UTC session with
+    DST transitions."""
+    from ..operators.timeutil import ntz_to_utc_timestamp
+
     if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
-        return stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return stream_df.withColumn(ts_col, ntz_to_utc_timestamp(F.col(ts_col)))
     return stream_df
 
 

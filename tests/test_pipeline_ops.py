@@ -353,6 +353,21 @@ def test_duplicate_components_collapse_chains(spark):
     assert set(comp) == {1, 2, 3, 10, 11, 20, 21, 22, 23, 24}
 
 
+def test_duplicate_components_deep_chain_pointer_jumping(spark):
+    """A 100-link chain needs ~100 rounds of plain min-label propagation;
+    pointer jumping collapses it within the default 12-round cap (O(log n))
+    and must NOT warn about non-convergence."""
+    import warnings
+
+    links = [(i, i + 1) for i in range(100, 200)]
+    pairs = spark.createDataFrame(links, "id_a long, id_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        comp = {r["id"]: r["component"] for r in D.duplicate_components(pairs).collect()}
+    assert set(comp.values()) == {100}
+    assert len(comp) == 101
+
+
 def test_dedup_near_keeps_one_per_cluster(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog again and again"),

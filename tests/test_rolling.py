@@ -287,3 +287,25 @@ def test_timestamp_ntz_and_tz_order_columns_agree(events):
     j = merge_asof(flipped.limit(200), marks.withColumn("ts", F.col("ts").cast(other)),
                    on="ts", by="event_type")
     assert j.filter(F.col("mark").isNotNull()).count() > 0
+
+
+def test_epoch_micros_ntz_is_dst_free(spark):
+    """NTZ epoch mapping must be linear even in a DST-observing session
+    timezone: 01:30 -> 03:30 across the US spring-forward wall clock is
+    exactly 2h of micros when the wall clock is read timezone-free."""
+    from pd_explain_spark.operators.timeutil import epoch_micros
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.createDataFrame(
+            [("2024-03-10 01:30:00",), ("2024-03-10 03:30:00",)], "s string"
+        ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+        micros = [
+            r[0]
+            for r in df.select(epoch_micros(F.col("ts"), "timestamp_ntz")).collect()
+        ]
+        assert abs(micros[1] - micros[0]) == 2 * 3600 * 1_000_000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
