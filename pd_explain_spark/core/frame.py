@@ -240,12 +240,54 @@ class ExplainableDataFrame:
             return None
         return ExplainableDataFrame(out_df, name=self.name, operation=op)
 
-    def sample(self, frac: float | None = None, n: int | None = None, seed: int = 42) -> "ExplainableDataFrame":
-        """Reference R11. Exact-n path sorts by a seeded hash then limits —
-        deterministic across partitionings (SURVEY §7 risk register)."""
-        if n is not None:
-            from ..operators.sampling import deterministic_sample
+    def sample(
+        self,
+        frac: float | None = None,
+        n: int | None = None,
+        seed: int = 42,
+        replace: bool = False,
+        weights: str | None = None,
+        random_state: int | None = None,
+    ) -> "ExplainableDataFrame":
+        """Reference R11 with the pandas passthrough flavors
+        (core/explainable_data_frame.py:636-669): ``weights`` (a column
+        name) takes an Efraimidis–Spirakis weighted top-n; ``replace``
+        uses Poisson row replication; plain exact-n sorts by a seeded
+        hash then limits — all deterministic across partitionings
+        (SURVEY §7 risk register) and free of full sorts.
+        ``random_state`` is accepted as a pandas-named alias for seed.
+        ``weights`` + ``replace`` together are not supported (exact
+        weighted with-replacement draws need a global cumulative-weight
+        index; documented divergence)."""
+        from ..operators.sampling import (
+            deterministic_sample,
+            replacement_sample,
+            weighted_sample,
+        )
 
+        if random_state is not None:
+            seed = random_state
+        if weights is not None:
+            if replace:
+                raise NotImplementedError(
+                    "sample(weights=..., replace=True) is not supported; "
+                    "use weights without replacement"
+                )
+            if weights not in self.df.columns:
+                raise KeyError(f"weights column {weights!r} not in frame")
+            if n is None:
+                n = int(round((frac or 1.0) * self.df.count()))
+            return ExplainableDataFrame(
+                weighted_sample(self.df, n, weights, seed),
+                name=self.name, operation=self.operation,
+            )
+        if replace:
+            if n is None:
+                n = int(round((frac or 1.0) * self.df.count()))
+            return ExplainableDataFrame(
+                replacement_sample(self.df, n, seed), name=self.name, operation=self.operation
+            )
+        if n is not None:
             return ExplainableDataFrame(
                 deterministic_sample(self.df, n, seed), name=self.name, operation=self.operation
             )

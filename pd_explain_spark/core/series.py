@@ -124,6 +124,40 @@ class ExplainableColumn:
         return _unwrap(other) * self.spark
 
     # -- series-level operators --------------------------------------------
+    def b_join(self, other, on=None, how: str = "left"):
+        """Series-level boolean-query join (reference R8 series flavor,
+        core/explainable_series.py:112-163): the series is narrowed to a
+        (join keys, value) frame carrying the owning frame's name, then
+        joined with the frame-level prefix contract — non-key columns come
+        out as ``<frame_name>_<col>`` on both sides, exactly like the
+        reference's ``left_name + "_" + col`` renaming, and the result
+        records a BJoinOp so ``explain()`` routes to the join explainers.
+
+        ``other`` may be an ExplainableDataFrame or another
+        ExplainableColumn (the reference requires a named Series; ours are
+        always named by construction).
+        """
+        from .frame import ExplainableDataFrame
+
+        if on is None:
+            raise ValueError(
+                "series b_join requires `on` (Spark frames have no index to join on)"
+            )
+        keys = [on] if isinstance(on, str) else list(on)
+
+        def narrowed(col: "ExplainableColumn") -> ExplainableDataFrame:
+            missing = [k for k in keys if k not in col.frame.df.columns]
+            if missing:
+                raise KeyError(f"join key(s) {missing} not in frame {col.frame.name!r}")
+            cols = keys + ([col.name] if col.name not in keys else [])
+            return ExplainableDataFrame(
+                col.frame.df.select(*cols), name=col.frame.name
+            )
+
+        left = narrowed(self)
+        right = narrowed(other) if isinstance(other, ExplainableColumn) else other
+        return left.b_join(right, on=on, how=how)
+
     def value_counts(self, normalize: bool = False, ascending: bool = False):
         """Reference R15 (core/explainable_series.py:80-100):
         groupBy(col).count() ordered by count."""

@@ -248,3 +248,46 @@ def test_outlier_kernel_table_matches_explain_choice(spark):
     assert exp.items
     # explain()'s winning influence equals the table's max (same algebra)
     assert abs(float(best["influence"]) - exp.items[0].influence) < 1e-5
+
+
+# ------------------------------------------------------- series b_join (r5)
+def test_series_b_join_prefix_contract_and_op(spark):
+    """Reference R8 series flavor (core/explainable_series.py:112-163):
+    series.b_join narrows to (keys, value), applies the <name>_<col>
+    prefix contract, and records a BJoinOp that explain() accepts."""
+    from pd_explain_spark.core.operations import BJoinOp
+
+    left = to_explainable(
+        spark.createDataFrame(
+            [(1, 10.0, "x"), (2, 20.0, "y"), (3, 30.0, "z")], ["k", "v", "junk"]
+        ),
+        name="lhs",
+    )
+    right = to_explainable(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "tag"]), name="rhs"
+    )
+    out = left["v"].b_join(right, on="k", how="inner")
+    assert isinstance(out.operation, BJoinOp)
+    # series was narrowed: junk is gone; non-key columns carry the prefix
+    assert sorted(out.df.columns) == ["k", "lhs_v", "rhs_tag"]
+    assert out.df.count() == 2
+    exp = out.explain(top_k=1)
+    assert exp.kind in ("fedex-join", "fedex-shapley")
+
+
+def test_series_b_join_with_series_rhs(spark):
+    left = to_explainable(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], ["k", "v"]), name="l"
+    )
+    right = to_explainable(
+        spark.createDataFrame([(1, 9.0), (3, 8.0)], ["k", "w"]), name="r"
+    )
+    out = left["v"].b_join(right["w"], on="k", how="left")
+    assert sorted(out.df.columns) == ["k", "l_v", "r_w"]
+    assert out.df.count() == 2
+
+
+def test_series_b_join_requires_on(spark):
+    left = to_explainable(spark.createDataFrame([(1, 1.0)], ["k", "v"]), name="l")
+    with pytest.raises(ValueError, match="requires `on`"):
+        left["v"].b_join(left, on=None)

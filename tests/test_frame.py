@@ -526,3 +526,50 @@ def test_explode_matches_oracle(part, duck):
     # Generate stays in the scan stage — no shuffle
     plan = words.df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+# ----------------------------------------------------- sample flavors (r5)
+from pd_explain_spark import to_explainable
+
+
+def test_sample_weighted_prefers_heavy_rows(spark):
+    """A-ES weighted sampling: rows with overwhelming weight dominate;
+    zero/NULL-weight rows are never sampled (pandas contract)."""
+    rows = [(i, 1000.0 if i < 5 else 0.001) for i in range(100)]
+    rows += [(100, 0.0), (101, None)]
+    df = to_explainable(
+        spark.createDataFrame(rows, "id int, w double"), name="wsamp"
+    )
+    got = df.sample(n=5, weights="w", seed=7)
+    ids = {r["id"] for r in got.df.collect()}
+    assert len(ids) == 5
+    assert 100 not in ids and 101 not in ids
+    # heavy rows (ids 0-4, weight 1e6 x the rest) should all be picked
+    assert ids == {0, 1, 2, 3, 4}
+
+
+def test_sample_replace_draws_duplicates(spark):
+    df = to_explainable(
+        spark.createDataFrame([(i,) for i in range(10)], "id int"), name="rsamp"
+    )
+    got = df.sample(n=30, replace=True, seed=3).df.collect()
+    assert 0 < len(got) <= 30
+    vals = [r["id"] for r in got]
+    assert len(set(vals)) < len(vals), "with replacement must draw duplicates"
+
+
+def test_sample_random_state_alias(spark):
+    df = to_explainable(
+        spark.createDataFrame([(i,) for i in range(50)], "id int"), name="seeds"
+    )
+    a = sorted(r["id"] for r in df.sample(n=10, seed=11).df.collect())
+    b = sorted(r["id"] for r in df.sample(n=10, random_state=11).df.collect())
+    assert a == b
+
+
+def test_sample_weights_replace_unsupported(spark):
+    df = to_explainable(spark.createDataFrame([(1, 1.0)], "id int, w double"), name="x")
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        df.sample(n=1, weights="w", replace=True)
