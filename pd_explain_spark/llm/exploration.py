@@ -58,7 +58,13 @@ class QueryRecommender:
     def _heuristic(self, frame, k: int, history: list[str]) -> list[str]:
         rnd = random.Random(self.seed + len(history))
         profiles = profile_columns(frame.df, frame.columns)
-        numeric = [c for c, p in profiles.items() if p.is_numeric and p.vmin is not None]
+        # any numeric-dtype column with a real range is filterable — the
+        # is_numeric flag (distinct > 6) would starve small DERIVED frames
+        # (e.g. a 3-group aggregate) of proposals entirely
+        numeric = [
+            c for c, p in profiles.items()
+            if p.vmin is not None and p.vmax is not None and p.vmax > p.vmin
+        ]
         cats = [c for c, p in profiles.items() if not p.is_numeric and p.distinct <= 30]
         out: list[str] = []
         tries = 0
@@ -100,26 +106,60 @@ class AutomatedDataExploration:
         num_iterations: int = 3,
         queries_per_iteration: int = 3,
         top_k: int = 2,
+        follow_up: bool = True,
     ) -> ExplorationSession:
+        """Iterate the plan->query->analyze loop over a QueryTree.
+
+        Every executed query's RESULT frame is kept in a node->frame
+        mapping (the reference's result_history_mapping,
+        automated_data_exploration.py:597-599,806) and, from iteration 2
+        on, the loop also proposes a follow-up query AGAINST the most
+        interesting prior result, recorded with its parent node index in
+        the tree (reference data_structures.py:30-49 tree_node ancestry).
+        LLM-proposed queries may target a node explicitly with the
+        reference's ``idx: query`` line format; bare queries run against
+        the root. ``follow_up=False`` restores the flat root-only loop.
+        """
+        import re
+
         session = ExplorationSession(root_name=getattr(self.frame, "name", "df"))
         rec = QueryRecommender(client=self.client)
         ran: list[str] = []
-        for _ in range(num_iterations):
-            proposals = rec.recommend(self.frame, k=queries_per_iteration, history=ran)
-            for q in proposals:
-                result, texts, score = self._execute_and_analyze(q, top_k)
+        results: dict[int | None, object] = {None: self.frame}
+        for iteration in range(num_iterations):
+            proposals: list[tuple[int | None, str]] = [
+                (None, q)
+                for q in rec.recommend(self.frame, k=queries_per_iteration, history=ran)
+            ]
+            if follow_up and iteration > 0 and session.history:
+                best = max(session.history, key=lambda h: h["score"])
+                parent_frame = results.get(best["id"])
+                if parent_frame is not None and getattr(parent_frame, "columns", None):
+                    proposals += [
+                        (best["id"], q)
+                        for q in rec.recommend(parent_frame, k=1, history=ran)
+                    ]
+            for parent, q in proposals:
+                m = re.match(r"^\s*(\d+)\s*:\s*", q)
+                if m:  # reference's "idx: query" targeting format
+                    idx = int(m.group(1))
+                    if idx in results:
+                        parent, q = idx, q[m.end():]
+                target = results.get(parent, self.frame)
+                result, texts, score = self._execute_and_analyze(target, q, top_k)
                 if result is None:
                     continue
                 ran.append(q)
-                session.add(q, score, texts)
+                node_id = session.add(q, score, texts, parent=parent)
+                results[node_id] = result
                 self.logger.log(session.root_name, q, score)
         session.report = self._report(user_query, session)
         return session
 
-    def _execute_and_analyze(self, query: str, top_k: int):
+    def _execute_and_analyze(self, target, query: str, top_k: int):
         for _ in range(MAX_REPAIR_ATTEMPTS):
             try:
-                result = execute_query(self.frame, query)
+                result = execute_query(target, query)
                 break
             except QueryParseError:
                 return None, [], 0.0
@@ -140,24 +180,58 @@ class AutomatedDataExploration:
             pass
         return result, texts, score
 
-    def _report(self, user_query: str, session: ExplorationSession) -> str:
+    def _entry_line(self, session: ExplorationSession, h: dict) -> str:
+        parent = session.tree.get(str(h["id"]), {}).get("parent")
+        chain = f", follow-up of Query {parent}" if parent is not None else ""
+        return (
+            f"(Query {h['id']}{chain}) {h['query']} [score {h['score']:.3f}]: "
+            + "; ".join(h["explanations"][:2])
+        )
+
+    def _report(
+        self, user_query: str, session: ExplorationSession, max_part_chars: int = 6000
+    ) -> str:
+        """Final report with (Query x) citations; derived nodes cite their
+        parent so the reader can follow the tree. When the history exceeds
+        the context budget, it is split into parts and summarized
+        incrementally, threading the existing summary through each part —
+        the reference's overflow fallback (automated_data_exploration.py
+        report loop: total_parts doubling + existing_summary)."""
         lines = [f"Exploration report for {session.root_name!r}"]
         if user_query:
             lines.append(f"Goal: {user_query}")
         if self.client.available:
-            resp = self.client.chat(
-                "Summarize an exploration run. Cite findings as (Query N).",
-                "\n".join(
-                    f"(Query {h['id']}) {h['query']} [score {h['score']:.3f}]: "
-                    + "; ".join(h["explanations"][:2])
-                    for h in session.history
-                ),
-            )
-            if resp:
-                lines.append(resp)
+            entries = [self._entry_line(session, h) for h in session.history]
+            parts: list[list[str]] = [[]]
+            size = 0
+            for e in entries:
+                if size + len(e) > max_part_chars and parts[-1]:
+                    parts.append([])
+                    size = 0
+                parts[-1].append(e)
+                size += len(e)
+            summary = None
+            for i, part in enumerate(parts):
+                preamble = (
+                    f"Part {i + 1}/{len(parts)}. Existing summary so far:\n{summary}\n"
+                    if summary
+                    else ""
+                )
+                resp = self.client.chat(
+                    "Summarize an exploration run. Cite findings as (Query N); "
+                    "keep parent citations like (Query N, follow-up of Query M).",
+                    preamble + "\n".join(part),
+                )
+                if resp is None:
+                    break
+                summary = resp
+            if summary:
+                lines.append(summary)
                 return "\n".join(lines)
         for h in sorted(session.history, key=lambda h: -h["score"]):
-            lines.append(f"(Query {h['id']}) {h['query']} — score {h['score']:.3f}")
+            parent = session.tree.get(str(h["id"]), {}).get("parent")
+            chain = f", follow-up of Query {parent}" if parent is not None else ""
+            lines.append(f"(Query {h['id']}{chain}) {h['query']} — score {h['score']:.3f}")
             for t in h["explanations"][:2]:
                 lines.append(f"    - {t}")
         return "\n".join(lines)
