@@ -1751,6 +1751,96 @@ def outlier_kernel(spark, sf_dir):
     )
 
 
+@_q(
+    "shapley_kernel",
+    """WITH s AS (
+         SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                (l_quantity > 45) AS keep
+         FROM lineitem
+       ), agg AS (
+         SELECT CAST(sum(CASE WHEN keep THEN cents END) AS BIGINT) AS sm_k,
+                count(CASE WHEN keep THEN cents END) AS nn_k,
+                CAST(sum(CASE WHEN NOT keep THEN cents END) AS BIGINT) AS sm_r,
+                count(CASE WHEN NOT keep THEN cents END) AS nn_r
+         FROM s
+       ), vals AS (
+         SELECT CASE WHEN nn_k > 0 THEN CAST(sm_k AS DOUBLE) / nn_k ELSE 0.0 END AS v_kept,
+                CASE WHEN nn_r > 0 THEN CAST(sm_r AS DOUBLE) / nn_r ELSE 0.0 END AS v_removed,
+                CASE WHEN nn_k + nn_r > 0
+                     THEN CAST(sm_k + sm_r AS DOUBLE) / (nn_k + nn_r) ELSE 0.0 END AS v_all
+         FROM agg
+       )
+       SELECT 'kept' AS player, round(v_kept, 6) AS value,
+              round(0.5 * v_kept + 0.5 * (v_all - v_removed), 6) AS shapley FROM vals
+       UNION ALL
+       SELECT 'removed' AS player, round(v_removed, 6) AS value,
+              round(0.5 * v_removed + 0.5 * (v_all - v_kept), 6) AS shapley FROM vals""",
+)
+def shapley_kernel(spark, sf_dir):
+    """The E3 filter kernel's exact 2-player decomposition, oracle-checked:
+    phi(kept) = 0.5*v(kept) + 0.5*(v(all) - v(removed)) over integer-cents
+    means — identical IEEE arithmetic in both engines."""
+    from pd_explain_spark.explainers.fedex import shapley_filter_kernel_table
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    e = to_explainable(li, name="lineitem_cents")
+    out = e[e["l_quantity"] > 45]
+    return shapley_filter_kernel_table(out, attr="cents", value="mean")
+
+
+@_q(
+    "fedex_join_kernel",
+    """WITH prof AS (
+         SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo1, CAST(max(l_extendedprice) AS DOUBLE) AS hi1,
+                CAST(min(l_discount) AS DOUBLE) AS lo2, CAST(max(l_discount) AS DOUBLE) AS hi2
+         FROM lineitem
+       ), res AS (
+         SELECT l.l_extendedprice, l.l_discount
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderpriority = '1-URGENT'
+       ), binned AS (
+         SELECT 'l_extendedprice' AS attribute, lpad(CAST(CAST(least(19, greatest(0, floor(((l_extendedprice - lo1) * 20) / (hi1 - lo1)))) AS BIGINT) AS VARCHAR), 4, '0') AS bin, 0 AS side FROM lineitem, prof
+         UNION ALL
+         SELECT 'l_discount' AS attribute, lpad(CAST(CAST(least(19, greatest(0, floor(((l_discount - lo2) * 20) / (hi2 - lo2)))) AS BIGINT) AS VARCHAR), 4, '0') AS bin, 0 AS side FROM lineitem, prof
+         UNION ALL
+         SELECT 'l_extendedprice' AS attribute, lpad(CAST(CAST(least(19, greatest(0, floor(((l_extendedprice - lo1) * 20) / (hi1 - lo1)))) AS BIGINT) AS VARCHAR), 4, '0') AS bin, 1 AS side FROM res, prof
+         UNION ALL
+         SELECT 'l_discount' AS attribute, lpad(CAST(CAST(least(19, greatest(0, floor(((l_discount - lo2) * 20) / (hi2 - lo2)))) AS BIGINT) AS VARCHAR), 4, '0') AS bin, 1 AS side FROM res, prof
+       ), hist AS (
+         SELECT attribute, bin,
+                CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS src_cnt,
+                CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS res_cnt
+         FROM binned GROUP BY 1, 2
+       ), cum AS (
+         SELECT attribute, bin, src_cnt, res_cnt,
+                CAST(sum(src_cnt) OVER w AS DOUBLE) / CAST(sum(src_cnt) OVER wa AS DOUBLE)
+                - CAST(sum(res_cnt) OVER w AS DOUBLE) / CAST(sum(res_cnt) OVER wa AS DOUBLE) AS cd
+         FROM hist
+         WINDOW w AS (PARTITION BY attribute ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wa AS (PARTITION BY attribute)
+       )
+       SELECT attribute, bin, src_cnt, res_cnt, round(cd, 6) AS cum_delta,
+              round(max(abs(cd)) OVER (PARTITION BY attribute), 6) AS ks
+       FROM cum""",
+)
+def fedex_join_kernel(spark, sf_dir):
+    """The E1 JOIN kernel's union-path dual histogram with cum-delta/KS,
+    oracle-checked: lineitem joined to urgent orders shifts the left-side
+    distributions; DuckDB replays the identical binning + integer-cumsum
+    algebra over source vs join-result."""
+    from pd_explain_spark.explainers.fedex import join_kernel_table
+
+    li = _e(spark, sf_dir, "lineitem")
+    o = _e(spark, sf_dir, "orders").rename({"o_orderkey": "l_orderkey"})
+    o = o[o["o_orderpriority"] == "1-URGENT"]
+    o.name = "orders"
+    j = li.merge(o, on="l_orderkey", how="inner")
+    return join_kernel_table(j, ["l_extendedprice", "l_discount"], consider="left")
+
+
 _QUERIES["fedex_filter_explain"] = fedex_filter_explain  # rows-only: KS kernel
 _QUERIES["fedex_join_explain"] = fedex_join_explain      # rows-only
 _QUERIES["shapley_explain"] = shapley_explain            # rows-only
@@ -1787,14 +1877,15 @@ _RECORD_FIRST = [
     # drop_duplicates_part, pivot_table_mean, melt_lineitem, corr_matrix —
     # rotated out in favor of the ten entries that had never received a
     # driver correctness row; their green history lives in CORRECTNESS_r{2,4})
-    "filter_compound", "groupby_median", "groupby_agg_dict",
-    "join_left_agg", "join_dims_broadcast",
+    "groupby_median", "groupby_agg_dict",
+    "join_dims_broadcast",
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue",
     "topk_orders", "query_string_filter",
     # explanation operators (the analytical core, SURVEY §2.4)
     "fedex_filter_explain", "fedex_filter_kernel", "fedex_groupby_explain", "fedex_join_explain",
-    "shapley_explain", "shapley_filter_explain",
+    "shapley_explain", "shapley_filter_explain", "shapley_kernel",
+    "fedex_join_kernel",
     "outlier_explain", "outlier_explain_std", "outlier_kernel",
     "many_to_one_explain", "metainsight_explain",
     # training-data pipeline extensions

@@ -448,21 +448,27 @@ def filter_kernel_table(
     over the attribute (the KS statistic `_score_histogram` derives for
     ordered columns).
     """
-    from pyspark.sql import Window
-
     from .histograms import dual_histogram_predicate_df
 
     op = frame.operation
     if not isinstance(op, FilterOp) or op.predicate is None:
         raise ValueError("filter_kernel_table needs a frame produced by a tracked filter")
     source = op.source
+    profiles = _exact_numeric_profiles(source, attributes, n_bins)
+    hist = dual_histogram_predicate_df(source, op.predicate.to_spark(source), profiles, n_bins)
+    return _cum_delta_table(hist)
 
+
+def _exact_numeric_profiles(df: DataFrame, attributes: list[str], n_bins: int):
+    """Exact min/max profiles for an explicit numeric attribute list —
+    no approx-distinct candidate rule, so bin edges are reproducible in
+    any engine from the same data."""
     exprs: list = []
     for c in attributes:
         exprs.append(F.min(c).cast("double").alias(f"{c}__lo"))
         exprs.append(F.max(c).cast("double").alias(f"{c}__hi"))
-    row = source.agg(*exprs).first().asDict()
-    profiles = {
+    row = df.agg(*exprs).first().asDict()
+    return {
         c: ColumnProfile(
             name=c,
             is_numeric=True,
@@ -473,7 +479,14 @@ def filter_kernel_table(
         for c in attributes
     }
 
-    hist = dual_histogram_predicate_df(source, op.predicate.to_spark(source), profiles, n_bins)
+
+def _cum_delta_table(hist: DataFrame) -> DataFrame:
+    """(attribute, bin, src_cnt, res_cnt) histogram -> the cum-delta/KS
+    table: integer cumulative sums in bin order, divided by the attribute
+    totals once at the end (a single IEEE division per term in any
+    engine), then ks = max(|cum_delta|) per attribute."""
+    from pyspark.sql import Window
+
     w_cum = (
         Window.partitionBy("attribute")
         .orderBy("bin")
@@ -484,12 +497,81 @@ def filter_kernel_table(
         F.sum("src_cnt").over(w_cum).cast("double") / F.sum("src_cnt").over(w_attr)
         - F.sum("res_cnt").over(w_cum).cast("double") / F.sum("res_cnt").over(w_attr)
     )
-    out = hist.select(
+    return hist.select(
         "attribute",
         "bin",
-        "src_cnt",
+        F.col("src_cnt").cast("long").alias("src_cnt"),
         F.col("res_cnt").cast("long").alias("res_cnt"),
         F.round(cum_delta, 6).alias("cum_delta"),
         F.round(F.max(F.abs(cum_delta)).over(w_attr), 6).alias("ks"),
     )
-    return out
+
+
+def join_kernel_table(
+    frame, attributes: list[str], n_bins: int = DEFAULT_N_BINS, consider: str = "left"
+) -> DataFrame:
+    """SQL-checkable core of the E1 JOIN kernel: the union-path dual
+    histogram (side rows tagged source, joined rows tagged result;
+    histograms.py dual_histogram_union) with the same cum-delta/KS
+    algebra as ``filter_kernel_table``. ``attributes`` are columns of the
+    considered side; bins come from that side's exact min/max. The
+    result reads the side's columns through the join prefix contract
+    (<side_name>_<col>)."""
+    from .histograms import dual_histogram_union_df
+
+    op = frame.operation
+    if not isinstance(op, JoinOp):
+        raise ValueError("join_kernel_table needs a frame produced by a tracked join")
+    side_df, side_name = (op.right, op.right_name) if consider == "right" else (op.left, op.left_name)
+    profiles = _exact_numeric_profiles(side_df, attributes, n_bins)
+    rename = {c: f"{side_name}_{c}" for c in attributes}
+    hist = dual_histogram_union_df(side_df, op.result, profiles, n_bins, result_rename=rename)
+    return _cum_delta_table(hist)
+
+
+def shapley_filter_kernel_table(frame, attr: str, value: str = "mean") -> DataFrame:
+    """SQL-checkable core of the E3 filter kernel: the exact 2-player
+    Shapley decomposition over the {kept, removed} row partitions for
+    measure ``value(attr)`` — one conditional-aggregation pass, then
+    phi(kept) = 0.5*v(kept) + 0.5*(v(all) - v(removed)) and symmetrically
+    (the same closed form `_explain_shapley_filter` reports in
+    extras['shapley']). Feed an integer-scaled attr (e.g. cents) so sums
+    are exact and each output value is a single IEEE division/fma chain
+    identical in any engine. Returns two rows (player, value, shapley)."""
+    op = frame.operation
+    if not isinstance(op, FilterOp) or op.predicate is None:
+        raise ValueError("shapley_filter_kernel_table needs a tracked filter")
+    agg = value.lower()
+    if agg not in ("mean", "sum", "count"):
+        raise ValueError(f"value must be mean/sum/count, got {value!r}")
+    source = op.source
+    pred = op.predicate.to_spark(source)
+    v = F.col(attr).cast("double")
+    row = source.agg(
+        F.sum(F.when(pred, v)).alias("sm_k"),
+        F.count(F.when(pred, v)).alias("nn_k"),
+        F.sum(F.when(~pred, v)).alias("sm_r"),
+        F.count(F.when(~pred, v)).alias("nn_r"),
+    ).first()
+    sm_k, nn_k = float(row["sm_k"] or 0.0), float(row["nn_k"] or 0)
+    sm_r, nn_r = float(row["sm_r"] or 0.0), float(row["nn_r"] or 0)
+
+    def val(sm: float, nn: float) -> float:
+        if agg == "sum":
+            return sm
+        if agg == "count":
+            return nn
+        return sm / nn if nn else 0.0
+
+    v_kept, v_removed = val(sm_k, nn_k), val(sm_r, nn_r)
+    v_all = val(sm_k + sm_r, nn_k + nn_r)
+    phi_kept = 0.5 * v_kept + 0.5 * (v_all - v_removed)
+    phi_removed = 0.5 * v_removed + 0.5 * (v_all - v_kept)
+    spark = source.sparkSession
+    return spark.createDataFrame(
+        [
+            ("kept", round(v_kept, 6), round(phi_kept, 6)),
+            ("removed", round(v_removed, 6), round(phi_removed, 6)),
+        ],
+        schema="player string, value double, shapley double",
+    )

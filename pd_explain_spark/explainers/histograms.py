@@ -132,16 +132,16 @@ def dual_histogram_predicate(
     return dual_histogram_predicate_df(source, predicate, profiles, n_bins).toPandas()
 
 
-def dual_histogram_union(
+def dual_histogram_union_df(
     source: DataFrame,
     result: DataFrame,
     profiles: dict[str, ColumnProfile],
     n_bins: int = 20,
     result_rename: dict[str, str] | None = None,
-):
-    """General path (joins): source tagged side=0, result side=1.
-    ``result_rename`` maps source column name -> its name in the result
-    (the join prefix contract)."""
+) -> DataFrame:
+    """General path (joins) as a (tiny) Spark DataFrame: source tagged
+    side=0, result side=1. ``result_rename`` maps source column name ->
+    its name in the result (the join prefix contract)."""
     result_rename = result_rename or {}
 
     from ..operators.partitioning import fan_out
@@ -168,7 +168,21 @@ def dual_histogram_union(
             F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("res_cnt"),
         )
     )
-    return hist.toPandas()
+    return hist
+
+
+def dual_histogram_union(
+    source: DataFrame,
+    result: DataFrame,
+    profiles: dict[str, ColumnProfile],
+    n_bins: int = 20,
+    result_rename: dict[str, str] | None = None,
+):
+    """`dual_histogram_union_df` collected to the driver as a small pandas
+    frame (at most n_columns * n_bins rows)."""
+    return dual_histogram_union_df(
+        source, result, profiles, n_bins, result_rename=result_rename
+    ).toPandas()
 
 
 def bin_label(prof: ColumnProfile, bin_key: str, n_bins: int) -> str:

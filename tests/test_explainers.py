@@ -291,3 +291,48 @@ def test_series_b_join_requires_on(spark):
     left = to_explainable(spark.createDataFrame([(1, 1.0)], ["k", "v"]), name="l")
     with pytest.raises(ValueError, match="requires `on`"):
         left["v"].b_join(left, on=None)
+
+
+def test_shapley_filter_kernel_table_efficiency(spark):
+    """The 2-row kernel table: shapley values sum to v(all) (efficiency
+    axiom) and match the explainer's extras."""
+    rows = [(float(i % 50), float((i % 10) * 100)) for i in range(1000)]
+    df = to_explainable(spark.createDataFrame(rows, ["x", "m"]), name="shk")
+    out = df[df["x"] > 25]
+    from pd_explain_spark.explainers.fedex import shapley_filter_kernel_table
+
+    t = {r["player"]: r for r in shapley_filter_kernel_table(out, attr="m").collect()}
+    assert set(t) == {"kept", "removed"}
+    exp = out.explain(explainer="shapley", value="mean", attr="m", top_k=1)
+    sh = exp.extras["shapley"]
+    assert abs(t["kept"]["shapley"] - sh["kept"]) < 1e-5
+    assert abs(t["removed"]["shapley"] - sh["removed"]) < 1e-5
+    # efficiency: phi_kept + phi_removed == v(all)
+    assert abs((t["kept"]["shapley"] + t["removed"]["shapley"]) - sh["v_all"]) < 1e-5
+
+
+def test_join_kernel_table_histogram_reconciles(spark):
+    """Union-path kernel: src histogram totals = |left|, res totals =
+    |join result|, and KS is the max |cum_delta| per attribute."""
+    left = to_explainable(
+        spark.createDataFrame(
+            [(i, float(i % 97)) for i in range(500)], ["k", "v"]
+        ),
+        name="l",
+    )
+    right = to_explainable(
+        spark.createDataFrame([(i,) for i in range(0, 500, 3)], ["k"]), name="r"
+    )
+    j = left.merge(right, on="k", how="inner")
+    from pd_explain_spark.explainers.fedex import join_kernel_table
+
+    t = join_kernel_table(j, ["v"], n_bins=10).toPandas().sort_values("bin")
+    assert t["src_cnt"].sum() == 500
+    assert t["res_cnt"].sum() == j.df.count()
+    import numpy as np
+
+    delta = (
+        np.cumsum(t["src_cnt"].to_numpy(float)) / t["src_cnt"].sum()
+        - np.cumsum(t["res_cnt"].to_numpy(float)) / t["res_cnt"].sum()
+    )
+    assert np.allclose(t["ks"].to_numpy(), round(float(np.max(np.abs(delta))), 6), atol=1e-6)
