@@ -1841,6 +1841,88 @@ def fedex_join_kernel(spark, sf_dir):
     return join_kernel_table(j, ["l_extendedprice", "l_discount"], consider="left")
 
 
+@_q(
+    "many_to_one_kernel",
+    """WITH src AS (
+         SELECT l_returnflag, l_linestatus,
+                CASE WHEN l_quantity <= 20 THEN 'low'
+                     WHEN l_quantity <= 40 THEN 'mid' ELSE 'high' END AS label
+         FROM lineitem
+       ), joint AS (
+         SELECT attribute, bin, label, count(*) AS cnt FROM (
+           SELECT 'l_returnflag' AS attribute,
+                  coalesce(CAST(l_returnflag AS VARCHAR), '(null)') AS bin, label FROM src
+           UNION ALL
+           SELECT 'l_linestatus' AS attribute,
+                  coalesce(CAST(l_linestatus AS VARCHAR), '(null)') AS bin, label FROM src
+         ) GROUP BY 1, 2, 3
+       )
+       SELECT attribute, bin, label, cnt,
+              round(CAST(cnt AS DOUBLE)
+                    / CAST(sum(cnt) OVER (PARTITION BY attribute, label) AS DOUBLE), 6)
+                AS coverage,
+              round(CAST(sum(cnt) OVER (PARTITION BY attribute, bin) - cnt AS DOUBLE)
+                    / CAST(sum(cnt) OVER (PARTITION BY attribute, bin) AS DOUBLE), 6)
+                AS separation_err
+       FROM joint""",
+)
+def many_to_one_kernel(spark, sf_dir):
+    """The E5 kernel's level-1 candidate-rule statistics, oracle-checked:
+    per (attribute, value, label) match counts with coverage and
+    separation_err — the quantities the beam search ranks — all exact
+    integer divisions replayed identically by DuckDB."""
+    from pd_explain_spark.explainers.many_to_one import many_to_one_kernel_table
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "label",
+        F.when(F.col("l_quantity") <= 20, "low")
+        .when(F.col("l_quantity") <= 40, "mid")
+        .otherwise("high"),
+    )
+    return many_to_one_kernel_table(li, "label", ["l_returnflag", "l_linestatus"])
+
+
+@_q(
+    "metainsight_kernel",
+    """WITH src AS (
+         SELECT coalesce(CAST(l_linestatus AS VARCHAR), '(null)') AS l_linestatus,
+                coalesce(CAST(l_returnflag AS VARCHAR), '(null)') AS l_returnflag,
+                CASE WHEN l_quantity <= 20 THEN 'low'
+                     WHEN l_quantity <= 40 THEN 'mid' ELSE 'high' END AS qty_class,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         FROM lineitem
+       )
+       SELECT l_linestatus, l_returnflag, CAST(NULL AS VARCHAR) AS qty_class, 1 AS gid,
+              round(CAST(sum(cents) AS DOUBLE) / count(cents), 6) AS value
+       FROM src GROUP BY 1, 2
+       UNION ALL
+       SELECT CAST(NULL AS VARCHAR) AS l_linestatus, l_returnflag, qty_class, 4 AS gid,
+              round(CAST(sum(cents) AS DOUBLE) / count(cents), 6) AS value
+       FROM src GROUP BY 2, 3""",
+)
+def metainsight_kernel(spark, sf_dir):
+    """The E6 kernel's shared grouping-sets scope cube, oracle-checked:
+    both (filter_dim, breakdown) pairs' sibling scopes from ONE scan,
+    tagged by grouping_id; DuckDB replays it as a union of plain GROUP
+    BYs with the matching gid. Integer-cents means keep every value a
+    single exact division."""
+    from pd_explain_spark.explainers.metainsight import metainsight_kernel_table
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.when(F.col("l_quantity") <= 20, "low")
+        .when(F.col("l_quantity") <= 40, "mid")
+        .otherwise("high").alias("qty_class"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return metainsight_kernel_table(
+        li,
+        [("l_returnflag", "l_linestatus"), ("l_returnflag", "qty_class")],
+        "cents",
+        agg="mean",
+    )
+
+
 _QUERIES["fedex_filter_explain"] = fedex_filter_explain  # rows-only: KS kernel
 _QUERIES["fedex_join_explain"] = fedex_join_explain      # rows-only
 _QUERIES["shapley_explain"] = shapley_explain            # rows-only
@@ -1877,17 +1959,18 @@ _RECORD_FIRST = [
     # drop_duplicates_part, pivot_table_mean, melt_lineitem, corr_matrix —
     # rotated out in favor of the ten entries that had never received a
     # driver correctness row; their green history lives in CORRECTNESS_r{2,4})
-    "groupby_median", "groupby_agg_dict",
+    "groupby_agg_dict",
     "join_dims_broadcast",
     "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q5_local_supplier_volume",
     "topk_orders", "query_string_filter",
     # explanation operators (the analytical core, SURVEY §2.4)
     "fedex_filter_explain", "fedex_filter_kernel", "fedex_groupby_explain", "fedex_join_explain",
     "shapley_explain", "shapley_filter_explain", "shapley_kernel",
     "fedex_join_kernel",
     "outlier_explain", "outlier_explain_std", "outlier_kernel",
-    "many_to_one_explain", "metainsight_explain",
+    "many_to_one_explain", "many_to_one_kernel",
+    "metainsight_explain", "metainsight_kernel",
     # training-data pipeline extensions
     "text_profile", "lang_id_counts", "curation_pipeline",
     "token_counts", "repetition_signals", "curate_documents",

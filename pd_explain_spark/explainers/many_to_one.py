@@ -683,3 +683,50 @@ class ManyToOneExplainer(ExplainerBase):
             labeled.unpersist()
             if binned is not None:
                 binned.unpersist()
+
+
+def many_to_one_kernel_table(
+    df: DataFrame, label_col: str, attributes: list[str]
+) -> DataFrame:
+    """SQL-checkable core of the E5 kernel: the level-1 candidate-rule
+    statistics the beam search ranks — per (attribute, value, label):
+    match count, coverage = matches_in_label / label_size, and
+    separation_err = matches_outside_label / total_matches (the
+    cluster_explorer contract, reference explainers/
+    many_to_one_explainer.py:543-634). ONE exploded groupBy over explicit
+    CATEGORICAL attributes (values are their own bins — no float binning,
+    so every statistic is a single division of exact counts in any
+    engine), plus two tiny window sums. The same pass, extended with
+    binning and rule conjunction, is `_rank_attributes`/`_evaluate_rules`
+    inside the explainer."""
+    from pyspark.sql import Window
+
+    structs = [
+        F.struct(
+            F.lit(a).alias("attribute"),
+            F.coalesce(F.col(a).cast("string"), F.lit("(null)")).alias("bin"),
+        )
+        for a in attributes
+    ]
+    joint = (
+        df.select(
+            F.explode(F.array(*structs)).alias("s"),
+            F.col(label_col).cast("string").alias("label"),
+        )
+        .groupBy(F.col("s.attribute").alias("attribute"), F.col("s.bin").alias("bin"), "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rule = Window.partitionBy("attribute", "bin")
+    w_label = Window.partitionBy("attribute", "label")
+    matched_total = F.sum("cnt").over(w_rule)
+    label_size = F.sum("cnt").over(w_label)
+    return joint.select(
+        "attribute",
+        "bin",
+        "label",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / label_size, 6).alias("coverage"),
+        F.round((matched_total - F.col("cnt")).cast("double") / matched_total, 6).alias(
+            "separation_err"
+        ),
+    )

@@ -564,3 +564,47 @@ class MetaInsightExplainer(ExplainerBase):
             items=items,
             extras={"insights": insights},
         )
+
+
+def metainsight_kernel_table(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    measure_col: str,
+    agg: str = "mean",
+) -> DataFrame:
+    """SQL-checkable core of the E6 kernel: the shared grouping-sets scope
+    cube every (filter_dim, breakdown) pair's sibling scopes are read from
+    — ONE scan + shuffle for ALL pairs (the custom-physical design,
+    generate_explanation:437-470). Categorical dims only (values are their
+    own bins, coalesced to the NULL token), so the cube is reproducible in
+    any engine as a union of plain GROUP BYs with the matching
+    grouping_id. Returns (dim columns..., gid, value)."""
+    dims_needed = sorted({d for p in pairs for d in p})
+    proj = df.select(
+        *[
+            F.coalesce(F.col(d).cast("string"), F.lit(NULL_TOKEN)).alias(f"__d_{d}")
+            for d in dims_needed
+        ],
+        F.col(measure_col),
+    )
+    uniq_sets = sorted({frozenset(p) for p in pairs}, key=lambda s: sorted(s))
+    gcols = [F.col(f"__d_{d}") for d in dims_needed]
+    gsets = [[F.col(f"__d_{d}") for d in dims_needed if d in s] for s in uniq_sets]
+    c = F.col(measure_col).cast("double")
+    agg_expr = {
+        "mean": F.avg(c), "sum": F.sum(c), "count": F.count(c),
+        "min": F.min(c), "max": F.max(c),
+    }[agg]
+    out = (
+        proj.groupingSets(gsets, *gcols)
+        .agg(F.round(agg_expr, 6).alias("value"), F.grouping_id().alias("gid"))
+    )
+    n = len(dims_needed)
+    wanted_gids = [
+        sum(1 << (n - 1 - i) for i, d in enumerate(dims_needed) if d not in s)
+        for s in uniq_sets
+    ]
+    out = out.filter(F.col("gid").isin(wanted_gids))
+    return out.select(
+        *[F.col(f"__d_{d}").alias(d) for d in dims_needed], "gid", "value"
+    )

@@ -336,3 +336,42 @@ def test_join_kernel_table_histogram_reconciles(spark):
         - np.cumsum(t["res_cnt"].to_numpy(float)) / t["res_cnt"].sum()
     )
     assert np.allclose(t["ks"].to_numpy(), round(float(np.max(np.abs(delta))), 6), atol=1e-6)
+
+
+def test_many_to_one_kernel_table_stats(spark):
+    """Level-1 rule stats: coverage/separation reconcile with direct
+    counting on a planted frame."""
+    rows = [("a" if i % 2 == 0 else "b", "x" if i % 4 < 2 else "y") for i in range(100)]
+    df = spark.createDataFrame(rows, ["attr1", "lab"])
+    from pd_explain_spark.explainers.many_to_one import many_to_one_kernel_table
+
+    t = {
+        (r["bin"], r["label"]): r
+        for r in many_to_one_kernel_table(df, "lab", ["attr1"]).collect()
+    }
+    # attr1='a' rows: i%2==0 (50 rows); of those, lab='x' iff i%4==0 (25)
+    r = t[("a", "x")]
+    assert r["cnt"] == 25
+    assert abs(r["coverage"] - 25 / 50) < 1e-9       # |x| = 50
+    assert abs(r["separation_err"] - 25 / 50) < 1e-9  # 'a' matches 50 total
+
+
+def test_metainsight_kernel_table_cube(spark):
+    """The grouping-sets cube equals the union of the two plain group-bys
+    it shares one scan for."""
+    rows = [("r%d" % (i % 2), "s%d" % (i % 3), "q%d" % ((i // 2) % 2), float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["a", "b", "c", "m"])
+    from pd_explain_spark.explainers.metainsight import metainsight_kernel_table
+
+    out = metainsight_kernel_table(df, [("a", "b"), ("a", "c")], "m").toPandas()
+    gids = set(out["gid"])
+    assert len(gids) == 2
+    # pair (a,b): 2x3 scopes; pair (a,c): 2x2 scopes
+    sizes = out.groupby("gid").size().sort_values().tolist()
+    assert sizes == [4, 6]
+    # spot-check one scope mean
+    ab = out[(out["a"] == "r0") & (out["b"] == "s0") & out["c"].isna()]
+    import numpy as np
+
+    expect = np.mean([float(i) for i in range(60) if i % 2 == 0 and i % 3 == 0])
+    assert abs(float(ab["value"].iloc[0]) - round(expect, 6)) < 1e-6
