@@ -61,6 +61,12 @@ HEADLINE = [
     "embedding_centroid_dist",
     "query_string_filter",
     "curation_pipeline",
+    # round-5 additions: oracle-checked explainer kernels
+    "fedex_filter_kernel",
+    "outlier_kernel",
+    "shapley_kernel",
+    "many_to_one_kernel",
+    "metainsight_kernel",
 ]
 
 

@@ -38,6 +38,9 @@ for name in [
     "windowed_events",       # F.window over NTZ
     "multimodal_features",   # Arrow mapInPandas without explicit arrow conf
     "drift_scores_events",   # round-4 op
+    "fedex_filter_kernel",   # round-5 oracle kernels: window fns + createDataFrame
+    "outlier_kernel",
+    "metainsight_kernel",    # groupingSets + grouping_id under bare session
 ]:
     n = m.queries()[name](spark, sf).count()
     assert n > 0, name
@@ -56,4 +59,4 @@ def test_driver_contract_under_bare_session():
         timeout=420,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    assert proc.stdout.count("ok ") == 7, proc.stdout
+    assert proc.stdout.count("ok ") == 10, proc.stdout
