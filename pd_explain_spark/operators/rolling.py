@@ -36,6 +36,7 @@ from .timeutil import epoch_micros, is_timestamp
 
 _BUCKET = "__w_bucket"
 _GHOST = "__w_ghost"
+_ONUM = "__w_onum"
 
 _FUNCS = {
     "mean": F.avg,
@@ -48,7 +49,14 @@ _FUNCS = {
 
 
 def _order_num(df: DataFrame, on: str):
-    """Numeric ordering expression (micros for timestamps, NTZ included)."""
+    """Numeric ordering expression (micros for timestamps, NTZ included).
+    If the frame already carries the materialized ``_ONUM`` column (added
+    by ``_bucketize``), reuse it — the NTZ epoch expression is a multi-
+    field rebuild, and re-inlining it per consumer (worst case: once per
+    bucket boundary in a 64-arm when-chain) multiplied its cost ~6x on
+    the cumsum bench entry."""
+    if _ONUM in df.columns:
+        return F.col(_ONUM)
     dt = dict(df.dtypes)[on]
     if is_timestamp(dt):
         return epoch_micros(F.col(on), dt)
@@ -56,8 +64,13 @@ def _order_num(df: DataFrame, on: str):
 
 
 def _bucketize(df: DataFrame, on: str, num_buckets: int):
-    """Assign range buckets over the on-domain; returns (df, boundaries)."""
-    onum = _order_num(df, on)
+    """Assign range buckets over the on-domain; returns (df, boundaries).
+    The order number is materialized ONCE as ``_ONUM`` so the when-chain
+    below (and any downstream window/ghost logic) references a plain
+    column instead of re-evaluating the ordering expression per arm."""
+    if _ONUM not in df.columns:
+        df = df.withColumn(_ONUM, _order_num(df.drop(_ONUM), on))
+    onum = F.col(_ONUM)
     fracs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = sorted(set(df.select(onum.alias("v")).approxQuantile("v", fracs, 0.001)))
     bucket = F.lit(0)
@@ -106,7 +119,7 @@ def rolling_agg(
     else:
         base, bounds = _bucketize(df, on, num_buckets)
         part = [_BUCKET]
-        onum = _order_num(df, on)
+        onum = _order_num(base, on)  # reuses the materialized _ONUM column
         if kind == "range":
             # ghost a row into EVERY later bucket whose lower boundary is
             # within `width` of it — a bucket narrower than the window
@@ -129,7 +142,7 @@ def rolling_agg(
             )
         else:
             tie_d = [F.col(c).desc() for c in df.columns if c != on]
-            wdesc = Window.partitionBy(_BUCKET).orderBy(_order_num(df, on).desc(), *tie_d)
+            wdesc = Window.partitionBy(_BUCKET).orderBy(_order_num(base, on).desc(), *tie_d)
             tails = (
                 base.withColumn("__rn_d", F.row_number().over(wdesc))
                 .filter(F.col("__rn_d") <= width - 1)
@@ -163,7 +176,7 @@ def rolling_agg(
     out = base.withColumns(cols)
     if ghosts_used:
         out = out.filter(F.col(_GHOST) == 0).drop(_GHOST)
-    return out.drop(_BUCKET) if not by else out
+    return out.drop(_BUCKET, _ONUM) if not by else out
 
 
 def shift_col(
@@ -201,7 +214,7 @@ def shift_col(
     uni = base.withColumn(_GHOST, F.lit(0)).unionByName(ghosts.withColumn(_GHOST, F.lit(1)))
     w = Window.partitionBy(_BUCKET).orderBy(F.col(on), *[F.col(c) for c in tie])
     out = uni.withColumn(out_name, F.lag(F.col(column), periods).over(w))
-    return out.filter(F.col(_GHOST) == 0).drop(_GHOST, _BUCKET)
+    return out.filter(F.col(_GHOST) == 0).drop(_GHOST, _BUCKET, _ONUM)
 
 
 def _row_ghosts(base: DataFrame, tails: DataFrame, n_rows: int) -> DataFrame:
@@ -329,7 +342,7 @@ def cumagg_col(
     merged = F.when(carry_expr.isNull(), F.col(out_name)).otherwise(
         combine(carry_expr, F.col(out_name))
     )
-    return part.withColumn(out_name, merged).drop(_BUCKET)
+    return part.withColumn(out_name, merged).drop(_BUCKET, _ONUM)
 
 
 def cumsum_col(
@@ -394,4 +407,4 @@ def rank_col(
         if running:
             carry_expr = F.when(F.col(_BUCKET) == b, F.lit(running)).otherwise(carry_expr)
         running += counts.get(b, 0)
-    return part.withColumn(out_name, F.col(out_name) + carry_expr).drop(_BUCKET)
+    return part.withColumn(out_name, F.col(out_name) + carry_expr).drop(_BUCKET, _ONUM)
