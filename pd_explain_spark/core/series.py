@@ -124,6 +124,19 @@ class ExplainableColumn:
         return _unwrap(other) * self.spark
 
     # -- series-level operators --------------------------------------------
+    def explain(self, explainer: str = "fedex", **kwargs):
+        """Series-level explain (reference core/explainable_series.py:289-420):
+        delegates to the owning frame's captured operation — the reference's
+        ExpSeries.explain also explains the frame's last tracked op, the
+        series itself only narrows what is displayed."""
+        return self.frame.explain(explainer=explainer, **kwargs)
+
+    def to_html(self, n: int = 20) -> str:
+        """Render as a one-column table (reference
+        core/explainable_series.py:421-427 renders Series via the frame
+        path for display consistency)."""
+        return self.frame.df.select(self.name).limit(n).toPandas().to_html()
+
     def b_join(self, other, on=None, how: str = "left"):
         """Series-level boolean-query join (reference R8 series flavor,
         core/explainable_series.py:112-163): the series is narrowed to a

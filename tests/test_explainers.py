@@ -375,3 +375,15 @@ def test_metainsight_kernel_table_cube(spark):
 
     expect = np.mean([float(i) for i in range(60) if i % 2 == 0 and i % 3 == 0])
     assert abs(float(ab["value"].iloc[0]) - round(expect, 6)) < 1e-6
+
+
+def test_series_explain_and_to_html_passthrough(spark):
+    """Reference ExpSeries.explain/to_html delegate to the frame path
+    (core/explainable_series.py:289-427)."""
+    rows = [(float(i % 7 - 3), "a" if i % 7 > 2 else "b") for i in range(980)]
+    df = to_explainable(spark.createDataFrame(rows, ["x", "cat"]), name="sx")
+    out = df[df["x"] > 0]
+    exp = out["cat"].explain(top_k=1)
+    assert exp.kind == "fedex-filter"
+    html = out["cat"].to_html(n=5)
+    assert "<table" in html and "cat" in html

@@ -175,3 +175,58 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path, lineitem, orders):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_filter_kernel_single_scan_partial_agg(spark, sf_dir, lineitem):
+    """The KS kernel table must be ONE scan of the source (the predicate
+    fast path counts src and res in the same pass) with a partial
+    aggregation before its shuffle — no per-attribute rescans."""
+    out = lineitem[lineitem["l_quantity"] > 45]
+    from pd_explain_spark.explainers.fedex import filter_kernel_table
+
+    t = filter_kernel_table(out, ["l_extendedprice", "l_discount", "l_tax"])
+    plan = _plan(t)
+    final = _final(plan)
+    # one parquet scan of lineitem feeds the whole kernel
+    assert final.count("Scan parquet") == 1
+    assert "partial_count" in final or "HashAggregate" in final
+
+
+def test_outlier_kernel_single_scan(spark, sf_dir, orders):
+    """The bin-removal influence table reads the source exactly once: the
+    partials cube is a single explode+groupBy job."""
+    from pd_explain_spark.explainers.outlier import OutlierExplainer
+
+    o = orders.df.select(
+        "o_orderpriority", "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    from pd_explain_spark import to_explainable
+
+    e = to_explainable(o, name="orders_cents")
+    g = e.groupby("o_orderpriority")["cents"].mean()
+    exp = OutlierExplainer(g, target="1-URGENT")
+    ranges, _ = exp._profile_ranges(o, ["o_custkey", "o_orderkey"])
+    _, base_cols, group_cols = exp._exploded_base(o, ranges)
+    partials_df = o.select(*base_cols).groupBy(*group_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    final = _final(_plan(partials_df))
+    assert final.count("Scan parquet") == 1
+    assert final.count("Exchange") <= 1  # one shuffle for the tiny cube
+
+
+def test_metainsight_kernel_one_shuffle_for_all_pairs(spark, sf_dir, lineitem):
+    """The grouping-sets cube: BOTH (filter_dim, breakdown) pairs' scopes
+    from one Expand + one Exchange — not one scan per pair."""
+    from pd_explain_spark.explainers.metainsight import metainsight_kernel_table
+
+    li = lineitem.df.select(
+        "l_returnflag", "l_linestatus",
+        F.when(F.col("l_quantity") <= 20, "low").otherwise("high").alias("qty_class"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    t = metainsight_kernel_table(
+        li, [("l_returnflag", "l_linestatus"), ("l_returnflag", "qty_class")], "cents"
+    )
+    final = _final(_plan(t))
+    assert final.count("Scan parquet") == 1
+    assert "Expand" in final  # grouping sets share the scan via Expand
