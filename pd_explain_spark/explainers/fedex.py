@@ -117,31 +117,66 @@ class FedexExplainer(ExplainerBase):
     def _maybe_sample(self, df: DataFrame) -> DataFrame:
         return maybe_sample(df, self.use_sampling, self.sample_size, RANDOM_SEED)
 
-    def _correlated_columns(self, df: DataFrame, anchor: str, candidates: list[str]) -> dict[str, float]:
-        """Columns whose |Pearson corr| with the filter attribute exceeds
-        corr_TH — ONE agg pass with an F.corr expression per numeric column."""
+    def _profile_and_corr(
+        self, df: DataFrame, anchor: str | None, candidates: list[str]
+    ) -> tuple[dict[str, ColumnProfile], dict[str, float]]:
+        """ONE aggregation pass computing BOTH the column profiles
+        (approx distinct + min/max) and the |corr| pruning against the
+        filter attribute — previously two separate full scans of the
+        source (the second-largest cost of fedex_filter at sf0.1 after
+        the histogram itself)."""
         schema = {f.name: f.dataType for f in df.schema.fields}
-        if anchor not in schema or not is_numeric_type(schema[anchor]):
-            return {}
-        numeric = [c for c in candidates if is_numeric_type(schema[c]) and c != anchor]
-        if not numeric:
-            return {}
-        exprs = [F.corr(F.col(anchor).cast("double"), F.col(c).cast("double")).alias(c) for c in numeric]
+        anchor_numeric = (
+            anchor is not None and anchor in schema and is_numeric_type(schema[anchor])
+        )
+        numeric_cands = [
+            c for c in candidates if is_numeric_type(schema[c]) and c != anchor
+        ]
+        exprs = []
+        for c in candidates:
+            exprs.append(F.approx_count_distinct(c).alias(f"{c}__d"))
+            if is_numeric_type(schema[c]):
+                exprs.append(F.min(c).cast("double").alias(f"{c}__lo"))
+                exprs.append(F.max(c).cast("double").alias(f"{c}__hi"))
+        if anchor_numeric:
+            exprs += [
+                F.corr(F.col(anchor).cast("double"), F.col(c).cast("double")).alias(
+                    f"{c}__corr"
+                )
+                for c in numeric_cands
+            ]
+        if not exprs:
+            return {}, {}
         row = df.agg(*exprs).first().asDict()
-        return {
-            c: float(v)
-            for c, v in row.items()
-            if v is not None and abs(v) >= self.corr_TH
+        corr = {
+            c: float(row[f"{c}__corr"])
+            for c in numeric_cands
+            if anchor_numeric
+            and row.get(f"{c}__corr") is not None
+            and abs(row[f"{c}__corr"]) >= self.corr_TH
         }
+        profiles: dict[str, ColumnProfile] = {}
+        cat_cap = 60  # mirrors profile_columns' default
+        for c in candidates:
+            if c in corr:
+                continue
+            distinct = row[f"{c}__d"] or 0
+            numeric_dtype = is_numeric_type(schema[c])
+            is_num = numeric_dtype and distinct > 6
+            prof = ColumnProfile(name=c, is_numeric=is_num, distinct=distinct)
+            if numeric_dtype:
+                prof.vmin, prof.vmax = row.get(f"{c}__lo"), row.get(f"{c}__hi")
+            if not is_num and distinct > cat_cap:
+                continue
+            profiles[c] = prof
+        return profiles, corr
 
     def _explain_filter(self) -> Explanation:
         op: FilterOp = self.op
         source = self._maybe_sample(op.source)
         filter_cols = set(op.predicate.columns()) if op.predicate else {op.attribute}
         candidates = self._candidate_columns(source, exclude=filter_cols)
-        corr = self._correlated_columns(source, op.attribute, candidates) if op.attribute else {}
-        candidates = [c for c in candidates if c not in corr]
-        profiles = profile_columns(source, candidates)
+        profiles, corr = self._profile_and_corr(source, op.attribute, candidates)
         if not profiles:
             return Explanation(kind="fedex-filter", query=op.query_string())
         hist = dual_histogram_predicate(
