@@ -126,7 +126,12 @@ def ngram_jaccard_pairs(
     exact values, bounded join. Default None = fully exact semantics
     including boilerplate-only pairs (the oracle-checked path).
     """
-    inv = _shingle_index(df, text_col, id_col, n)
+    from pyspark.storagelevel import StorageLevel
+
+    # the index feeds the self-join (both sides) AND the union-size pass —
+    # without a persist the tokenize+explode+distinct subtree (and
+    # whatever upstream pipeline produced `df`) evaluates three times
+    inv = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is None:
         a, b = inv.alias("a"), inv.alias("b")
         inter = (
@@ -135,9 +140,6 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("inter"))
         )
         return _jaccard_from_inter(inter, inv, threshold)
-    from pyspark.storagelevel import StorageLevel
-
-    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
     disc = _df_pruned(inv, max_df)
     a, b = disc.alias("a"), disc.alias("b")
     cands = (

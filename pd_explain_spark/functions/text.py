@@ -309,10 +309,16 @@ def curation_pipeline(
         & (F.col("__dup_frac") <= max_dup_token_frac)
     )
     w = Window.partitionBy("__fp").orderBy(id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # survivors feed BOTH the pair-generation subtree and the final
+    # anti-join — persist so the gate predicates + fingerprint window
+    # run once, not once per consumer
     exact_kept = (
         gated.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__fp", "__dup_frac")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = ngram_jaccard_pairs(
         exact_kept, text_col=text_col, id_col=id_col,
