@@ -1,0 +1,60 @@
+"""Invariants of the driver contract the correctness harness depends on.
+
+The driver records only the FIRST 50 queries() entries; these tests pin
+the window's shape so a future edit cannot silently shrink coverage or
+register a name without an implementation.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as m
+
+
+def test_record_window_is_exactly_50_unique_known_names():
+    f = m._RECORD_FIRST
+    assert len(f) == 50
+    assert len(set(f)) == 50
+    missing = [k for k in f if k not in m._QUERIES]
+    assert not missing, f"window names without implementations: {missing}"
+
+
+def test_queries_order_starts_with_window():
+    assert list(m.queries())[:50] == list(m._RECORD_FIRST)
+
+
+def test_every_oracle_has_a_query():
+    dangling = [k for k in m.oracle_sql() if k not in m._QUERIES]
+    assert not dangling, f"oracles without queries: {dangling}"
+
+
+def test_window_covers_every_operator_family():
+    """One representative of each family must sit inside the window."""
+    f = set(m._RECORD_FIRST)
+    families = {
+        "relational": {"groupby_agg_dict", "join_dims_broadcast", "q1_pricing_summary"},
+        "explainers": {"fedex_filter_explain", "outlier_explain", "metainsight_explain"},
+        "explainer_kernels": {
+            "fedex_filter_kernel", "fedex_join_kernel", "shapley_kernel",
+            "outlier_kernel", "many_to_one_kernel", "metainsight_kernel",
+        },
+        "dedup": {"dedup_exact", "ngram_jaccard", "minhash_near_dups"},
+        "similarity": {"similarity_topk", "similarity_lsh_topk"},
+        "text": {"text_profile", "token_counts", "repetition_signals"},
+        "timeseries": {"rolling_hour_events", "cumsum_events", "asof_join_events"},
+        "streaming": {"windowed_events", "sessionize_events", "drift_scores_events"},
+        "multimodal": {"multimodal_features"},
+        "mini_language": {"mini_language_query"},
+    }
+    for fam, members in families.items():
+        assert members & f, f"family {fam!r} has no representative in the window"
+
+
+def test_window_oracle_share():
+    """At least 70% of the window must be oracle-backed (hash-checked)."""
+    oracles = m.oracle_sql()
+    n = sum(1 for k in m._RECORD_FIRST if k in oracles)
+    assert n >= 35, f"only {n}/50 window entries have oracles"
