@@ -1381,6 +1381,82 @@ def similarity_topk(spark, sf_dir):
     return brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
 
 
+@_q(
+    "embedding_quantize",
+    """WITH m AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v,
+                list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+         FROM embeddings
+       ), codes AS (
+         SELECT vec_id,
+                CASE WHEN ma > 0
+                     THEN list_transform(v, x -> CAST(round(x * 127 / ma) AS INT))
+                     ELSE list_transform(v, x -> 0) END AS codes
+         FROM m
+       )
+       SELECT vec_id, len(codes) AS n_dims,
+              CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+              list_max(codes) AS max_code, list_min(codes) AS min_code
+       FROM codes""",
+)
+def embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding corpus, oracle-checked on
+    integer outputs only (code sums/extrema) — the codes themselves are a
+    fixed IEEE expression both engines evaluate identically."""
+    from pd_explain_spark.functions.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c).alias("sum_codes"),
+        F.array_max("codes").alias("max_code"),
+        F.array_min("codes").alias("min_code"),
+    )
+
+
+@_q(
+    "similarity_topk_int8",
+    """WITH m AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v,
+                list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+         FROM embeddings
+       ), q8 AS (
+         SELECT vec_id,
+                CASE WHEN ma > 0
+                     THEN list_transform(v, x -> CAST(round(x * 127 / ma) AS INT))
+                     ELSE list_transform(v, x -> 0) END AS codes
+         FROM m
+       ), dv AS (
+         SELECT vec_id, list_transform(codes, c -> CAST(c AS DOUBLE)) AS cv FROM q8
+       ), n AS (
+         SELECT vec_id, cv, sqrt(list_dot_product(cv, cv)) AS nrm FROM dv
+       ), scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.cv, c.cv) / (q.nrm * c.nrm) AS sim
+         FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id < 10 AND q.nrm > 0 AND c.nrm > 0
+       ), ranked AS (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+                round(sim, 6) AS cosine_sim
+         FROM scored
+       )
+       SELECT query_id, neighbor_id, rank::INT AS rank, cosine_sim
+       FROM ranked WHERE rank <= 5""",
+)
+def similarity_topk_int8(spark, sf_dir):
+    """Top-k cosine over int8 codes (scale cancels out of cosine): exact
+    integer dot products and norms make the scores bit-identical across
+    engines — the quantized search path is fully oracle-checked."""
+    from pd_explain_spark.functions.similarity import quantize_embeddings, quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = quantize_embeddings(emb)
+    return quantized_topk(codes, codes.filter("vec_id < 10"), k=5)
+
+
 def similarity_lsh_q(spark, sf_dir):
     from pd_explain_spark.functions.similarity import lsh_topk
 
@@ -1962,7 +2038,6 @@ _RECORD_FIRST = [
     "groupby_agg_dict",
     "join_dims_broadcast",
     "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "topk_orders", "query_string_filter",
     # explanation operators (the analytical core, SURVEY §2.4)
     "fedex_filter_explain", "fedex_filter_kernel", "fedex_groupby_explain", "fedex_join_explain",
@@ -1978,11 +2053,12 @@ _RECORD_FIRST = [
     "minhash_near_dups", "simhash_near_dups",
     "similarity_topk", "similarity_lsh_topk", "similarity_ivf_topk",
     "embedding_near_dups_exact", "embedding_near_dups",
-    "embedding_centroid_dist", "multimodal_features",
+    "embedding_centroid_dist", "embedding_quantize", "similarity_topk_int8",
+    "multimodal_features",
     # time-series / streaming surface
     "rolling_hour_events", "cumsum_events", "asof_join_events",
     "rank_events_dense", "resample_hourly", "pct_change_events",
-    "windowed_events", "sessionize_events", "drift_scores_events",
+    "windowed_events", "drift_scores_events",
     # constrained mini-language executor
     "mini_language_query",
 ]

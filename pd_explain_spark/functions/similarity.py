@@ -388,3 +388,91 @@ def centroid_distances(
         label_col,
         F.round(cosine(F.col("__v"), F.col("centroid")), 6).alias("centroid_cos"),
     )
+
+
+# ---------------------------------------------------------------- int8 quantization
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization: (id, codes array<int>,
+    scale double) with code = round(qmax * v / max|v|), qmax = 2^(bits-1)-1.
+
+    The 100 TB storage path: int8 codes cut an embedding corpus 4x vs
+    float32 (8x vs float64) while cosine similarity is EXACTLY preserved
+    up to quantization error — the per-vector scale cancels out of
+    cosine, so downstream search can run on the codes alone
+    (``quantized_topk``) and never rehydrate floats.
+
+    Zero vectors quantize to all-zero codes with scale 0. All arithmetic
+    is a fixed sequence of IEEE ops on the cast doubles, so an external
+    SQL engine replaying the expression produces identical codes —
+    integer outputs, no float comparisons needed in the oracle.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col).cast("array<double>")
+    # NOTE: maxabs is inlined into the per-element lambda by projection
+    # collapse -> O(d^2) per vector. At d<=1024 this is cheap vectorized
+    # arithmetic; for very wide vectors materialize maxabs behind a
+    # repartition barrier first (operators/partitioning.fan_out).
+    maxabs = F.array_max(F.transform(v, F.abs))
+    codes = F.when(
+        maxabs > 0,
+        F.transform(v, lambda x: F.round(x * F.lit(qmax) / maxabs).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        (maxabs / F.lit(qmax)).alias("scale"),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, codes_col: str = "codes", scale_col: str = "scale"
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: codes * scale -> array<double>."""
+    s = F.col(scale_col)
+    return df.withColumn(
+        "embedding",
+        F.transform(F.col(codes_col), lambda c: c.cast("double") * s),
+    )
+
+
+def quantized_topk(
+    corpus_codes: DataFrame,
+    query_codes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Exact top-k cosine over int8 codes: the per-vector scale cancels
+    out of cosine, so the ranking needs ONLY the integer codes — dot
+    products and squared norms are exact integer sums (order-independent
+    in IEEE doubles below 2^53), making the scores bit-identical in any
+    engine. Same broadcast + TakeOrdered shape as ``brute_force_topk``.
+    Returns (query_id, neighbor_id, rank, cosine_sim)."""
+    dv = lambda col: F.transform(F.col(col), lambda c: c.cast("double"))
+    q = query_codes.select(
+        F.col(id_col).alias("query_id"), dv(codes_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), dv(codes_col).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter((F.col("qn") > 0) & (F.col("cn") > 0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+    )

@@ -450,3 +450,52 @@ def test_curation_pipeline_planted(spark):
     out = TX.curation_pipeline(df)
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 5]
+
+
+# ------------------------------------------------------- int8 quantization (r5)
+def test_quantize_roundtrip_error_bounded(spark):
+    """Dequantized vectors are within half a quantization step of the
+    original per element (symmetric int8: step = max|v|/127)."""
+    import numpy as np
+
+    from pd_explain_spark.functions.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+    rows.append((40, [0.0] * 16))  # zero vector edge
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df, id_col="vec_id")
+    deq = dequantize_embeddings(q)
+    back = {r["vec_id"]: (r["embedding"], r["scale"]) for r in deq.collect()}
+    for i, orig in rows:
+        got, scale = back[i]
+        step = scale if scale else 0.0
+        for a, b in zip(orig, got):
+            assert abs(a - b) <= step / 2 + 1e-12
+    assert back[40][1] == 0.0 and all(v == 0.0 for v in back[40][0])
+
+
+def test_quantized_topk_recall_floor(spark):
+    """Cosine ranking on int8 codes must track the exact float ranking:
+    recall@5 >= 0.8 on random unit-ish vectors."""
+    import numpy as np
+
+    from pd_explain_spark.functions.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=24)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = brute_force_topk(df, df.filter("vec_id < 8"), k=5).collect()
+    codes = quantize_embeddings(df, id_col="vec_id")
+    approx = quantized_topk(codes, codes.filter("vec_id < 8"), k=5).collect()
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, f"recall {recall}"
