@@ -132,6 +132,7 @@ def ngram_jaccard_pairs(
     # without a persist the tokenize+explode+distinct subtree (and
     # whatever upstream pipeline produced `df`) evaluates three times
     inv = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    cached: list[DataFrame] = [inv]
     if max_df is None:
         a, b = inv.alias("a"), inv.alias("b")
         inter = (
@@ -139,7 +140,7 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-        return _jaccard_from_inter(inter, inv, threshold)
+        return _finalize_release(_jaccard_from_inter(inter, inv, threshold), cached)
     disc = _df_pruned(inv, max_df)
     a, b = disc.alias("a"), disc.alias("b")
     cands = (
@@ -147,7 +148,9 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _verify_pairs(cands, inv, threshold)
+    return _finalize_release(
+        _verify_pairs(cands, inv, threshold, _cache_registry=cached), cached
+    )
 
 
 def _df_pruned(inv: DataFrame, max_df: float) -> DataFrame:
@@ -163,7 +166,10 @@ def _df_pruned(inv: DataFrame, max_df: float) -> DataFrame:
     return inv.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-def _verify_pairs(cands: DataFrame, inv: DataFrame, threshold: float) -> DataFrame:
+def _verify_pairs(
+    cands: DataFrame, inv: DataFrame, threshold: float,
+    _cache_registry: list | None = None,
+) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the full
     shingle index: both verify sides are semi-joined (broadcast) to the
     candidate id sets first, so the big (id, shingle) table never
@@ -176,6 +182,8 @@ def _verify_pairs(cands: DataFrame, inv: DataFrame, threshold: float) -> DataFra
     from pyspark.storagelevel import StorageLevel
 
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    if _cache_registry is not None:
+        _cache_registry.append(cands)
     ids_a = cands.select(F.col("id_a").alias("id")).distinct()
     ids_b = cands.select(F.col("id_b").alias("id")).distinct()
     ia = inv.join(F.broadcast(ids_a), "id", "semi").select(
@@ -245,8 +253,22 @@ def _signatures_from_index(inv: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def _finalize_release(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Materialize a (small) result with localCheckpoint, then unpersist
+    every intermediate cached for the computation. Public dedup entry
+    points use this so library callers in long-lived sessions don't
+    accumulate unreleasable cache (same leak class the drift monitor
+    had); the blocks behind the checkpointed result itself are freed by
+    the ContextCleaner once the caller drops the DataFrame."""
+    out = result.localCheckpoint()
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
+    _cache_registry: list | None = None,
 ) -> DataFrame:
     """Band the signature; docs sharing any (band, bucket) are candidates.
 
@@ -272,6 +294,8 @@ def minhash_lsh_candidates(
     from pyspark.storagelevel import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if _cache_registry is not None:
+        _cache_registry.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -316,10 +340,13 @@ def minhash_near_duplicates(
     from pyspark.storagelevel import StorageLevel
 
     inv = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    cached: list[DataFrame] = [inv]
     sig_inv = _df_pruned(inv, max_df) if max_df is not None else inv
     sigs = _signatures_from_index(sig_inv, num_hashes)
-    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
-    return _verify_pairs(cands, inv, threshold)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands, _cache_registry=cached)
+    return _finalize_release(
+        _verify_pairs(cands, inv, threshold, _cache_registry=cached), cached
+    )
 
 
 # ---------------------------------------------------------------- components

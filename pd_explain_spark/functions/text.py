@@ -326,4 +326,7 @@ def curation_pipeline(
     )
     comp = duplicate_components(pairs)
     losers = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
-    return exact_kept.join(losers, id_col, "anti").select(id_col, "n_tokens", "quality")
+    out = exact_kept.join(losers, id_col, "anti").select(id_col, "n_tokens", "quality")
+    from .dedup import _finalize_release
+
+    return _finalize_release(out, [exact_kept])
