@@ -109,13 +109,13 @@ def test_exact_dedup_window_single_exchange(spark, sf_dir):
     assert final.count("Exchange") == 1, final
 
 
-@pytest.mark.parametrize("entry", ["melt_lineitem", "groupby_transform_mean"])
+@pytest.mark.parametrize("entry", ["melt_lineitem", "groupby_transform_mean", "embedding_quantize"])
 def test_entry_shuffle_budget(spark, sf_dir, entry):
     import __spark_entry__ as m
 
     df = m.queries()[entry](spark, sf_dir)
     final = _final(_plan(df))
-    budget = {"melt_lineitem": 0, "groupby_transform_mean": 1}[entry]
+    budget = {"melt_lineitem": 0, "groupby_transform_mean": 1, "embedding_quantize": 0}[entry]
     assert final.count("Exchange") <= budget, final
 
 
