@@ -97,13 +97,14 @@ def merge_asof(
     if by:
         part_cols = by
     else:
-        # range-bucket the on-domain so the sort shuffle stays parallel
+        # range-bucket the on-domain so the sort shuffle stays parallel;
+        # assignment is a JVM binary search (operators/bucketing.py) so
+        # num_buckets scales without growing plan depth
+        from .bucketing import assign_buckets
+
         fracs = [i / num_buckets for i in range(1, num_buckets)]
         bounds = sorted(set(left.select(on_num.alias("v")).approxQuantile("v", fracs, 0.001)))
-        bucket = F.lit(0)
-        for i, b in enumerate(bounds):
-            bucket = F.when(on_num > F.lit(b), F.lit(i + 1)).otherwise(bucket)
-        uni = uni.withColumn(_BUCKET, bucket)
+        uni = assign_buckets(uni, on_num, bounds, _BUCKET)
         part_cols = [_BUCKET]
         carries = _bucket_carries(uni, rvals, direction, len(bounds) + 1)
 
@@ -199,14 +200,20 @@ def _bucket_carries(uni: DataFrame, rvals: list[str], direction: str, n_buckets:
 
 def _apply_carries(out: DataFrame, carries, fields: list[str], direction: str) -> DataFrame:
     """Coalesce each within-bucket window result with the cross-bucket
-    carry value (a literal when-chain over <= num_buckets branches — pure
-    codegen, no join, no extra shuffle)."""
+    carry value (a flat per-bucket array-literal lookup,
+    bucketing.bucket_lookup — O(1) per row, no join, no extra shuffle)."""
+    from .bucketing import bucket_lookup
+
     cols = {}
+    n_buckets = max(max(s) for s in carries.values()) + 1
     for tag, scan in carries.items():
         for c in fields:
-            expr = F.lit(None)
-            for b, vals in scan.items():
-                if vals is not None and vals[c] is not None:
-                    expr = F.when(F.col(_BUCKET) == b, F.lit(vals[c])).otherwise(expr)
-            cols[f"__{tag}_{c}"] = F.coalesce(F.col(f"__{tag}_{c}"), expr)
+            vals = [
+                scan[b][c] if scan.get(b) is not None else None for b in range(n_buckets)
+            ]
+            if all(v is None for v in vals):
+                continue
+            cols[f"__{tag}_{c}"] = F.coalesce(
+                F.col(f"__{tag}_{c}"), bucket_lookup(vals, F.col(_BUCKET))
+            )
     return out.withColumns(cols)

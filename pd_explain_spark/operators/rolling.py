@@ -11,8 +11,8 @@ may fall back to a single global sort partition:
   (approxQuantile boundaries, same scheme as operators/asof.py) and the
   cross-bucket dependency is repaired per operator:
     * cumsum  — per-bucket prefix sums + a driver-side scan over
-                <= num_buckets bucket totals, added back as a literal
-                when-chain (sums compose across buckets).
+                <= num_buckets bucket totals, added back as a flat
+                array-literal lookup (sums compose across buckets).
     * shift   — each bucket's last ``periods`` rows are duplicated into
                 the next bucket as ghost rows (lookback context), the
                 lag window runs per bucket, ghosts are dropped.
@@ -65,18 +65,19 @@ def _order_num(df: DataFrame, on: str):
 
 def _bucketize(df: DataFrame, on: str, num_buckets: int):
     """Assign range buckets over the on-domain; returns (df, boundaries).
-    The order number is materialized ONCE as ``_ONUM`` so the when-chain
-    below (and any downstream window/ghost logic) references a plain
-    column instead of re-evaluating the ordering expression per arm."""
+    The order number is materialized ONCE as ``_ONUM`` so downstream
+    window/ghost logic references a plain column instead of re-evaluating
+    the ordering expression per consumer. Assignment is a JVM binary
+    search (operators/bucketing.py), so num_buckets can scale to the
+    thousands a large cluster wants without growing plan depth."""
+    from .bucketing import assign_buckets
+
     if _ONUM not in df.columns:
         df = df.withColumn(_ONUM, _order_num(df.drop(_ONUM), on))
     onum = F.col(_ONUM)
     fracs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = sorted(set(df.select(onum.alias("v")).approxQuantile("v", fracs, 0.001)))
-    bucket = F.lit(0)
-    for i, b in enumerate(bounds):
-        bucket = F.when(onum > F.lit(b), F.lit(i + 1)).otherwise(bucket)
-    return df.withColumn(_BUCKET, bucket), bounds
+    return assign_buckets(df, onum, bounds, _BUCKET), bounds
 
 
 def _parse_window(window) -> tuple[str, float | int]:
@@ -131,9 +132,13 @@ def rolling_agg(
                     for j, b in enumerate(bounds)
                 ]
             )
+            # >=, not >: boundary rows sit in the UPPER bucket (bucketing.py
+            # split semantics), so a target row can lie exactly on lb and a
+            # source exactly at lb - width is still inside its inclusive
+            # RANGE frame
             tgt = F.filter(
                 pairs,
-                lambda s: (s["t"] > F.col(_BUCKET)) & (onum > s["lb"] - F.lit(width)),
+                lambda s: (s["t"] > F.col(_BUCKET)) & (onum >= s["lb"] - F.lit(width)),
             )
             ghosts = (
                 base.withColumn("__tgt", F.explode(tgt))
@@ -227,8 +232,9 @@ def _row_ghosts(base: DataFrame, tails: DataFrame, n_rows: int) -> DataFrame:
     Source bucket i ghosts into target j>i iff the buckets strictly
     between them hold fewer than n_rows rows in total. Per-bucket counts
     are O(num_buckets) driver rows (same traffic class as the carry
-    scans); the target lists become a when-chained array literal and one
-    explode — rows only fan out where small buckets force it."""
+    scans); the target lists become one flat array-of-arrays literal
+    indexed by source bucket (O(1) per row, bucketing.bucket_lookup) and
+    one explode — rows only fan out where small buckets force it."""
     counts = {
         r[_BUCKET]: r["n"]
         for r in base.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -236,7 +242,7 @@ def _row_ghosts(base: DataFrame, tails: DataFrame, n_rows: int) -> DataFrame:
     if not counts:
         return tails.withColumn(_BUCKET, F.col(_BUCKET) + 1)
     max_b = max(counts)
-    targets_of: dict[int, list[int]] = {}
+    targets_of: list[list[int]] = []
     for i in range(max_b + 1):
         targets, between = [], 0
         for j in range(i + 1, max_b + 2):
@@ -244,12 +250,11 @@ def _row_ghosts(base: DataFrame, tails: DataFrame, n_rows: int) -> DataFrame:
             between += counts.get(j, 0)
             if between >= n_rows:
                 break
-        targets_of[i] = targets
-    tgt = F.array().cast("array<int>")
-    for i, targets in targets_of.items():
-        tgt = F.when(
-            F.col(_BUCKET) == i, F.array(*[F.lit(t) for t in targets])
-        ).otherwise(tgt)
+        targets_of.append(targets)
+    tgt = F.get(
+        F.array(*[F.array(*[F.lit(t) for t in ts]) for ts in targets_of]),
+        F.col(_BUCKET),
+    )
     return (
         tails.withColumn("__tgt", F.explode(tgt))
         .withColumn(_BUCKET, F.col("__tgt"))
@@ -331,14 +336,16 @@ def cumagg_col(
         for r in base.groupBy(_BUCKET).agg(tot_fn(F.col(column)).alias("t")).collect()
     }
     fold = _CUM_FOLD[agg]
-    carry_expr = F.lit(None)
+    carries: list = []
     running = None
     for b in range(len(bounds) + 1):
-        if b > 0 and running is not None:
-            carry_expr = F.when(F.col(_BUCKET) == b, F.lit(running)).otherwise(carry_expr)
+        carries.append(running if b > 0 else None)
         t = totals.get(b)
         if t is not None:
             running = fold(running, t)
+    from .bucketing import bucket_lookup
+
+    carry_expr = bucket_lookup(carries, F.col(_BUCKET))
     merged = F.when(carry_expr.isNull(), F.col(out_name)).otherwise(
         combine(carry_expr, F.col(out_name))
     )
@@ -401,10 +408,12 @@ def rank_col(
     }
     n_buckets = len(bounds) + 1
     order_ids = range(n_buckets) if ascending else range(n_buckets - 1, -1, -1)
-    carry_expr = F.lit(0)
+    carries = [0] * n_buckets
     running = 0
     for b in order_ids:
-        if running:
-            carry_expr = F.when(F.col(_BUCKET) == b, F.lit(running)).otherwise(carry_expr)
+        carries[b] = running
         running += counts.get(b, 0)
+    from .bucketing import bucket_lookup
+
+    carry_expr = bucket_lookup(carries, F.col(_BUCKET))
     return part.withColumn(out_name, F.col(out_name) + carry_expr).drop(_BUCKET, _ONUM)

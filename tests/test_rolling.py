@@ -309,3 +309,39 @@ def test_epoch_micros_ntz_is_dst_free(spark):
         assert abs(micros[1] - micros[0]) == 2 * 3600 * 1_000_000
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_bucketed_ops_survive_high_bucket_counts(events, duck_events):
+    """Scale guard: num_buckets in the hundreds must stay correct AND keep
+    the bucket plumbing flat — bucket assignment is a Bucketizer binary
+    search and carries are one array-literal lookup (operators/
+    bucketing.py), so plan DEPTH no longer grows with num_buckets. With
+    the sf0.001 events table most buckets hold 0-2 rows, which also
+    stresses the multi-bucket ghost fan-out harder than the default 64."""
+    got = cumsum_col(events, "cents", on="ts", num_buckets=256).select(
+        "event_id", "cents_cumsum"
+    )
+    assert_df_equal(
+        got,
+        duck_events.sql(
+            """SELECT event_id, sum(cents) OVER
+                 (ORDER BY ts, event_id, cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cents_cumsum
+               FROM ev"""
+        ),
+    )
+    got = shift_col(events, "cents", on="ts", periods=3, num_buckets=256).select(
+        "event_id", "cents_shift"
+    )
+    assert_df_equal(
+        got,
+        duck_events.sql(
+            """SELECT event_id, lag(cents, 3) OVER (ORDER BY ts, event_id, cents)
+                 AS cents_shift FROM ev"""
+        ),
+    )
+    # plan depth stays bounded: the carry lookup is ONE flat array literal,
+    # not a 256-arm nested when-chain (string form would blow past 100k
+    # chars of CASE WHEN nesting otherwise)
+    plan = got._jdf.queryExecution().analyzed().toString()
+    assert plan.count("CASE WHEN") < 10
