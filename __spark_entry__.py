@@ -1247,6 +1247,84 @@ def curate_documents_q(spark, sf_dir):
     return curate_documents(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "redact_pii",
+    """WITH s1 AS (
+         SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT AS pii_email_count,
+                regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+         FROM documents),
+       s2 AS (
+         SELECT doc_id, pii_email_count,
+                len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))::INT AS pii_ssn_count,
+                regexp_replace(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS text
+         FROM s1),
+       s3 AS (
+         SELECT doc_id, pii_email_count, pii_ssn_count,
+                len(regexp_extract_all(text, '\\+?\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b'))::INT AS pii_phone_count,
+                regexp_replace(text, '\\+?\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') AS text
+         FROM s2),
+       s4 AS (
+         SELECT doc_id, pii_email_count, pii_ssn_count, pii_phone_count,
+                len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::INT AS pii_ipv4_count,
+                regexp_replace(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS text
+         FROM s3)
+       SELECT doc_id, md5(text) AS redacted_md5,
+              pii_email_count, pii_ssn_count, pii_phone_count, pii_ipv4_count
+       FROM s4""",
+)
+def redact_pii_q(spark, sf_dir):
+    """PII scrub in the scan stage: sequential regexp_count+regexp_replace
+    per pattern (counts taken after prior patterns replaced — no double
+    counting), zero shuffle. functions/mixing.py redact_pii."""
+    from pd_explain_spark.functions.mixing import redact_pii
+
+    return redact_pii(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id", "md5(text) AS redacted_md5",
+        "pii_email_count", "pii_ssn_count", "pii_phone_count", "pii_ipv4_count",
+    )
+
+
+@_q(
+    "stratified_sample_lang",
+    """SELECT doc_id, lang, source FROM documents
+       QUALIFY row_number() OVER (
+         PARTITION BY lang ORDER BY md5(doc_id::VARCHAR || '-42'), doc_id) <= 50""",
+)
+def stratified_sample_lang_q(spark, sf_dir):
+    """Training-mix quota sampling: exactly 50 docs per language under a
+    deterministic seeded md5 order. Two-phase (stratum, salt) top-n so a
+    hot stratum never funnels into one task — exact same output as the
+    naive single-window definition. functions/mixing.py."""
+    from pd_explain_spark.functions.mixing import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, by="lang", quota=50, seed=42)
+
+
+@_q(
+    "pack_sequences",
+    """SELECT doc_id, n_tokens,
+              CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
+              CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_pos
+       FROM (
+         SELECT doc_id, n_tokens,
+                CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM (SELECT doc_id,
+                      len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+               FROM documents))""",
+)
+def pack_sequences_q(spark, sf_dir):
+    """Sequence packing: cut the doc stream every 2048 tokens; each doc
+    gets (pack_id, pack_pos) of where it starts. The cumulative count is
+    the bucketed two-phase prefix sum (operators/rolling.py) — no global
+    sort partition. functions/mixing.py pack_sequences."""
+    from pd_explain_spark.functions.mixing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
+
+
 # ---------------------------------------------------------------- dedup
 @_q(
     "dedup_exact",
@@ -2035,10 +2113,12 @@ _RECORD_FIRST = [
     # drop_duplicates_part, pivot_table_mean, melt_lineitem, corr_matrix —
     # rotated out in favor of the ten entries that had never received a
     # driver correctness row; their green history lives in CORRECTNESS_r{2,4})
-    "groupby_agg_dict",
-    "join_dims_broadcast",
-    "q1_pricing_summary", "q3_shipping_priority",
+    # (r5: groupby_agg_dict / join_dims_broadcast / q1_pricing_summary —
+    # green in both r2 and r4 — rotated out for the new training-mix
+    # entries redact_pii / stratified_sample_lang / pack_sequences)
+    "q3_shipping_priority",
     "topk_orders", "query_string_filter",
+    "redact_pii", "stratified_sample_lang", "pack_sequences",
     # explanation operators (the analytical core, SURVEY §2.4)
     "fedex_filter_explain", "fedex_filter_kernel", "fedex_groupby_explain", "fedex_join_explain",
     "shapley_explain", "shapley_filter_explain", "shapley_kernel",

@@ -67,6 +67,10 @@ HEADLINE = [
     "shapley_kernel",
     "many_to_one_kernel",
     "metainsight_kernel",
+    # round-5 additions: training-mix constructors
+    "redact_pii",
+    "stratified_sample_lang",
+    "pack_sequences",
 ]
 
 

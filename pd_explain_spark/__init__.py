@@ -25,6 +25,7 @@ from .operators.partitioning import count_distinct_skew_safe, salted_join
 from .config import GLOBALS, toggle_sampling
 from .functions.dedup import dedup_near, duplicate_components
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
+from .functions.mixing import pack_sequences, redact_pii, stratified_sample
 from .functions.similarity import IvfIndex, ivf_build, ivf_query
 from .functions.text import curation_pipeline, repetition_signals
 from .session import get_spark
@@ -67,4 +68,8 @@ __all__ = [
     "IvfIndex",
     "salted_join",
     "count_distinct_skew_safe",
+    # round-5 training-mix surface
+    "redact_pii",
+    "stratified_sample",
+    "pack_sequences",
 ]

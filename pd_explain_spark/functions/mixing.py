@@ -1,0 +1,168 @@
+"""Training-mix construction operators: PII redaction, stratified quota
+sampling, and sequence packing.
+
+These are the steps between "curated corpus" and "training run" in a
+large-scale LLM data pipeline (no reference counterpart — the reference
+is a tabular explainer; these extend the training-data operator family
+in functions/text.py / functions/dedup.py):
+
+ * redact_pii        — scrub emails/SSNs/phones/IPs with JVM-side
+                       regexp_replace chains; pure scan-stage work, no
+                       shuffle, no Python.
+ * stratified_sample — exact per-stratum quotas (e.g. 10k docs per
+                       language) with a deterministic seeded order, via
+                       a two-phase top-n so a hot stratum ("en" is half
+                       the corpus) never funnels into one task.
+ * pack_sequences    — assign documents to fixed token-budget packs by
+                       cumulative token count, reusing the bucketed
+                       two-phase prefix-sum (operators/rolling.py) so
+                       there is never a single global sort partition.
+
+Every regex is chosen to behave identically under Java regex (Spark)
+and RE2 (the DuckDB oracle): character classes, no backreferences, no
+lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+# Applied IN ORDER; counts for pattern i are taken on the text after
+# patterns 0..i-1 were replaced, so an address inside an email is never
+# double-counted. Order: emails first (they contain dots/digits that
+# look like IPs), SSN before phone (3-2-4 vs 3-3-4 groups).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+?\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace common PII shapes with typed placeholder tokens and count
+    what was removed. Returns the input columns with ``text_col``
+    redacted plus one ``pii_<kind>_count`` column per pattern.
+
+    Scale shape: a single projection — regexp_count + regexp_replace are
+    JVM intrinsics evaluated in the scan stage, so this costs one pass
+    over the bytes with zero shuffle and composes with the curation
+    gates (functions/text.py) in the same stage. At 100 TB that is the
+    only acceptable cost model for a per-document rewrite."""
+    text = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for kind, pat, repl in PII_PATTERNS:
+        counts[f"pii_{kind}_count"] = F.regexp_count(text, F.lit(pat))
+        text = F.regexp_replace(text, pat, repl)
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        text.alias(text_col),
+        *[v.alias(k) for k, v in counts.items()],
+    )
+
+
+def _sample_key(id_col: str, seed: int) -> Column:
+    """Deterministic per-row ordering key, identical on Spark and DuckDB:
+    md5 of "<id>-<seed>" (both engines hash the same bytes to the same
+    hex string, unlike xxhash64 which DuckDB lacks)."""
+    return F.md5(F.concat_ws("-", F.col(id_col).cast("string"), F.lit(str(seed))))
+
+
+def stratified_sample(
+    df: DataFrame,
+    by: str = "lang",
+    quota: int | dict[str, int] = 1000,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact per-stratum quota sampling — the training-mix constructor:
+    "take N documents per language/source", deterministic under ``seed``.
+
+    Semantics: within each stratum, rows are ordered by
+    md5("<id>-<seed>") (ties by id) and the first ``quota`` are kept.
+    ``quota`` may be a single int or a per-stratum dict (strata absent
+    from the dict are dropped — a mix spec is a whitelist).
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY stratum)``
+    sends every row of the hottest stratum to one task. Instead the
+    classic two-phase top-n: phase 1 ranks within (stratum, salt) —
+    ``salt_buckets``-way parallel even for a stratum holding half the
+    corpus — and keeps ``quota`` per salt; phase 2 ranks the surviving
+    <= quota * salt_buckets rows per stratum exactly. Phase 2's input is
+    bounded by the quota spec, not the corpus, so the skew ceiling is
+    O(quota * salt_buckets) rows per task regardless of data volume.
+    The result is EXACTLY the naive definition's output."""
+    key = _sample_key(id_col, seed)
+    if isinstance(quota, dict):
+        q = F.lit(None).cast("int")
+        for stratum, n in sorted(quota.items()):
+            q = F.when(F.col(by) == stratum, F.lit(n)).otherwise(q)
+    else:
+        q = F.lit(int(quota))
+
+    salted = df.withColumn("__key", key).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    ).withColumn("__quota", q).filter(F.col("__quota").isNotNull())
+    w1 = Window.partitionBy(by, "__salt").orderBy("__key", id_col)
+    phase1 = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(by).orderBy("__key", id_col)
+    return (
+        phase1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__key", "__quota")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    tokens_col: str | None = None,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Assign each document a position in a stream of fixed token-budget
+    packs (the "sequence packing" step that turns a curated corpus into
+    training sequences): documents are concatenated in ``order_col``
+    order and the stream is cut every ``budget`` tokens.
+
+    Returns (id, n_tokens, pack_id, pack_pos): the pack index where the
+    document STARTS and its token offset inside that pack. A document
+    with pack_pos + n_tokens > budget straddles into the next pack(s) —
+    the consumer decides whether to wrap or truncate.
+
+    ``tokens_col`` names a precomputed token-count column (e.g. real BPE
+    counts); default is the whitespace ``token_count`` so the result is
+    exactly mirrorable in SQL. ``order_col`` defaults to ``id_col``;
+    production mixes typically pass a hash-derived shuffle key.
+
+    Scale shape: the cumulative sum is the bucketed two-phase prefix
+    scan from operators/rolling.py — per-bucket window + an O(buckets)
+    driver carry — so packing 100 TB never creates a global sort
+    partition. Everything else is scan-stage arithmetic."""
+    from ..operators.rolling import cumsum_col
+
+    order_col = order_col or id_col
+    n_tok = (
+        F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    ).cast("long")
+    slim = df.select(F.col(id_col), F.col(order_col).alias("__ord"), n_tok.alias("n_tokens"))
+    cum = cumsum_col(slim, "n_tokens", on="__ord", out_name="__cum", num_buckets=num_buckets)
+    start = F.col("__cum") - F.col("n_tokens")
+    return cum.select(
+        id_col,
+        "n_tokens",
+        F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
+        (start % F.lit(budget)).cast("long").alias("pack_pos"),
+    )

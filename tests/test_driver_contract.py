@@ -35,7 +35,7 @@ def test_window_covers_every_operator_family():
     """One representative of each family must sit inside the window."""
     f = set(m._RECORD_FIRST)
     families = {
-        "relational": {"groupby_agg_dict", "join_dims_broadcast", "q1_pricing_summary"},
+        "relational": {"q3_shipping_priority", "topk_orders", "query_string_filter"},
         "explainers": {"fedex_filter_explain", "outlier_explain", "metainsight_explain"},
         "explainer_kernels": {
             "fedex_filter_kernel", "fedex_join_kernel", "shapley_kernel",
@@ -48,6 +48,7 @@ def test_window_covers_every_operator_family():
         "streaming": {"windowed_events", "sessionize_events", "drift_scores_events"},
         "multimodal": {"multimodal_features"},
         "mini_language": {"mini_language_query"},
+        "training_mix": {"redact_pii", "stratified_sample_lang", "pack_sequences"},
     }
     for fam, members in families.items():
         assert members & f, f"family {fam!r} has no representative in the window"

@@ -499,3 +499,129 @@ def test_quantized_topk_recall_floor(spark):
     ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.8, f"recall {recall}"
+
+
+# ---------------------------------------------------------------- training mix
+def test_redact_pii_planted(spark):
+    from pd_explain_spark.functions.mixing import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.com or call 555-123-4567."),
+            (2, "ssn 123-45-6789 server 10.0.0.1 and 192.168.255.3"),
+            (3, "clean text, no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["text"] == "mail me at <EMAIL> or call <PHONE>."
+    assert rows[1]["pii_email_count"] == 1 and rows[1]["pii_phone_count"] == 1
+    assert rows[2]["text"] == "ssn <SSN> server <IP> and <IP>"
+    assert rows[2]["pii_ssn_count"] == 1 and rows[2]["pii_ipv4_count"] == 2
+    # the SSN must NOT also be counted as a phone or IP
+    assert rows[2]["pii_phone_count"] == 0 and rows[2]["pii_email_count"] == 0
+    assert rows[3]["text"] == "clean text, no pii at all"
+    assert all(rows[3][f"pii_{k}_count"] == 0 for k in ("email", "ssn", "phone", "ipv4"))
+
+
+def test_redact_pii_matches_oracle(documents, duck):
+    """Differential vs the staged DuckDB mirror on the real corpus (counts
+    taken after prior patterns replaced, exactly like the Spark chain)."""
+    from pd_explain_spark.functions.mixing import redact_pii
+
+    out = redact_pii(documents).selectExpr(
+        "doc_id", "md5(text) AS redacted_md5",
+        "pii_email_count", "pii_ssn_count", "pii_phone_count", "pii_ipv4_count",
+    )
+    sql = r"""
+      WITH s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS pii_email_count,
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+        FROM documents),
+      s2 AS (
+        SELECT doc_id, pii_email_count,
+               len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::INT AS pii_ssn_count,
+               regexp_replace(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS text
+        FROM s1),
+      s3 AS (
+        SELECT doc_id, pii_email_count, pii_ssn_count,
+               len(regexp_extract_all(text, '\+?\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))::INT AS pii_phone_count,
+               regexp_replace(text, '\+?\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS text
+        FROM s2),
+      s4 AS (
+        SELECT doc_id, pii_email_count, pii_ssn_count, pii_phone_count,
+               len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::INT AS pii_ipv4_count,
+               regexp_replace(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS text
+        FROM s3)
+      SELECT doc_id, md5(text) AS redacted_md5,
+             pii_email_count, pii_ssn_count, pii_phone_count, pii_ipv4_count
+      FROM s4
+    """
+    assert_df_equal(out, duck.sql(sql))
+
+
+def test_stratified_sample_matches_naive_definition(documents, duck):
+    from pd_explain_spark.functions.mixing import stratified_sample
+
+    out = stratified_sample(documents, by="lang", quota=20, seed=7).select("doc_id", "lang")
+    sql = """
+      SELECT doc_id, lang FROM documents
+      QUALIFY row_number() OVER (
+        PARTITION BY lang ORDER BY md5(doc_id::VARCHAR || '-7'), doc_id) <= 20
+    """
+    assert_df_equal(out, duck.sql(sql))
+
+
+def test_stratified_sample_dict_quota_whitelist(documents):
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.mixing import stratified_sample
+
+    out = stratified_sample(documents, by="lang", quota={"en": 5, "de": 3}, seed=1)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {"en": 5, "de": 3}  # other strata dropped entirely
+
+
+def test_stratified_sample_deterministic_and_seed_sensitive(documents):
+    from pd_explain_spark.functions.mixing import stratified_sample
+
+    a = {r["doc_id"] for r in stratified_sample(documents, quota=10, seed=3).collect()}
+    b = {r["doc_id"] for r in stratified_sample(documents, quota=10, seed=3).collect()}
+    c = {r["doc_id"] for r in stratified_sample(documents, quota=10, seed=4).collect()}
+    assert a == b
+    assert a != c
+
+
+def test_pack_sequences_matches_oracle(documents, duck):
+    from pd_explain_spark.functions.mixing import pack_sequences
+
+    out = pack_sequences(documents, budget=512, num_buckets=5)
+    sql = r"""
+      SELECT doc_id, n_tokens,
+             CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+             CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_pos
+      FROM (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM (SELECT doc_id,
+                     len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents))
+    """
+    assert_df_equal(out, duck.sql(sql))
+
+
+def test_pack_sequences_invariants(documents):
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.mixing import pack_sequences
+
+    out = pack_sequences(documents, budget=1000, num_buckets=4)
+    bad = out.filter(
+        (F.col("pack_pos") < 0) | (F.col("pack_pos") >= 1000) | (F.col("pack_id") < 0)
+    )
+    assert bad.count() == 0
+    # pack ids are dense from 0 and monotone in stream order
+    first = out.orderBy("doc_id").first()
+    assert first["pack_id"] == 0 and first["pack_pos"] == 0
