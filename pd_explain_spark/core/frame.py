@@ -1065,6 +1065,12 @@ class _Rolling:
     def std(self, column: str):
         return self._agg(column, "std")
 
+    def var(self, column: str):
+        return self._agg(column, "var")
+
+    def median(self, column: str):
+        return self._agg(column, "median")
+
 
 _PANDAS_TO_SPARK_TYPE = {
     "int64": "bigint", "int32": "int", "int16": "smallint", "int8": "tinyint",

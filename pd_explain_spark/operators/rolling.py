@@ -45,7 +45,22 @@ _FUNCS = {
     "max": F.max,
     "count": lambda c: F.count(c),
     "std": F.stddev_samp,
+    "var": F.var_samp,
 }
+
+
+def _median_over(c, w):
+    """Rolling median: Spark's median()/percentile() aggregates reject
+    ORDER BY window frames, so collect the frame into a sorted array and
+    take the middle. lo==hi for odd counts, so one expression covers both
+    parities; NULLs are skipped by collect_list (pandas semantics) and an
+    empty frame yields NULL. Memory is O(window) per row — the same cost
+    class as pandas' own rolling median, fine for bounded windows."""
+    arr = F.sort_array(F.collect_list(c).over(w))
+    n = F.size(arr)
+    lo = F.get(arr, ((n - F.lit(1)) / 2).cast("int"))
+    hi = F.get(arr, (n / 2).cast("int"))
+    return (lo.cast("double") + hi.cast("double")) / 2
 
 
 def _order_num(df: DataFrame, on: str):
@@ -172,9 +187,12 @@ def rolling_agg(
 
     cols = {}
     for out_name, (src, func) in aggs.items():
-        if func not in _FUNCS:
+        if func == "median":
+            expr = _median_over(F.col(src), w)
+        elif func not in _FUNCS:
             raise ValueError(f"unsupported rolling func {func!r}")
-        expr = _FUNCS[func](F.col(src)).over(w)
+        else:
+            expr = _FUNCS[func](F.col(src)).over(w)
         if min_periods > 1:
             expr = F.when(F.count(F.col(src)).over(w) >= min_periods, expr)
         cols[out_name] = expr

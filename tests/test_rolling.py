@@ -345,3 +345,25 @@ def test_bucketed_ops_survive_high_bucket_counts(events, duck_events):
     # chars of CASE WHEN nesting otherwise)
     plan = got._jdf.queryExecution().analyzed().toString()
     assert plan.count("CASE WHEN") < 10
+
+
+def test_rolling_var_and_median(events, duck_events):
+    """pandas rolling(...).var() / .median() parity — var_samp and exact
+    median are both plain Spark window aggregates, so they ride the same
+    partitioned-window plan as sum/mean (no extra pass, no UDF)."""
+    got = rolling_agg(
+        events, on="ts", window="1 hour",
+        aggs={"roll_var": ("cents", "var"), "roll_med": ("cents", "median")},
+        by="event_type",
+    ).select("event_id", "roll_var", "roll_med")
+    assert_df_equal(
+        got,
+        duck_events.sql(
+            """SELECT event_id,
+                      var_samp(cents) OVER w AS roll_var,
+                      median(cents) OVER w AS roll_med
+               FROM ev
+               WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+        ),
+    )
