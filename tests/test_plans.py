@@ -230,3 +230,48 @@ def test_metainsight_kernel_one_shuffle_for_all_pairs(spark, sf_dir, lineitem):
     final = _final(_plan(t))
     assert final.count("Scan parquet") == 1
     assert "Expand" in final  # grouping sets share the scan via Expand
+
+
+def test_redact_pii_zero_shuffle_scan_stage(spark, sf_dir):
+    """PII redaction must be pure scan-stage work: regexp_count/replace
+    evaluate inside the file scan's projection — zero Exchange, and the
+    scan reads only the referenced columns."""
+    from pd_explain_spark import load_table
+    from pd_explain_spark.functions.mixing import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").df
+    out = redact_pii(docs).select("doc_id", "text", "pii_email_count")
+    final = _final(_plan(out))
+    assert final.count("Exchange") == 0, final
+
+
+def test_stratified_sample_two_phase_topn(spark, sf_dir):
+    """The quota sampler is exactly two window passes: phase 1 partitions
+    by (stratum, salt) — parallel even for a hot stratum — phase 2 ranks
+    the <= quota*salts survivors per stratum. Two Exchanges, and the
+    phase-2 window must consume phase-1's FILTERED output (never a
+    stratum-wide row_number over the raw corpus)."""
+    from pd_explain_spark import load_table
+    from pd_explain_spark.functions.mixing import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").df
+    out = stratified_sample(docs, by="lang", quota=10)
+    final = _final(_plan(out))
+    assert final.count("Exchange") == 2, final
+    assert final.count("Window [row_number") == 2, final
+    # Spark's WindowGroupLimit must kick in: per-partition top-k runs
+    # BEFORE each Exchange, so the shuffles carry <= quota rows per
+    # (stratum[, salt]) group, not the whole corpus
+    assert final.count("WindowGroupLimit") >= 2, final
+
+
+def test_pack_sequences_no_global_sort_partition(spark, sf_dir):
+    """Sequence packing rides the bucketed prefix sum: every Exchange is
+    hash/round-robin — a single-partition sort Exchange would mean the
+    whole corpus funnels through one task."""
+    from pd_explain_spark import load_table
+    from pd_explain_spark.functions.mixing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").df
+    final = _final(_plan(pack_sequences(docs, budget=512)))
+    assert "SinglePartition" not in final, final
