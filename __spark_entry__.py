@@ -409,6 +409,122 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 @_q(
+    "q4_priority_count",
+    """SELECT o.o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate)
+       GROUP BY 1""",
+)
+def q4_priority_count(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to the trimmed schema: shipped-after-order
+    instead of received-after-commit): EXISTS lowers to a LEFT SEMI join
+    with a non-equi residual — orders rows shuffle once, lineitem never
+    duplicates orders rows however many lines match."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "q10_returned_revenue",
+    """SELECT c.c_custkey, c.c_name,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_returnflag = 'R'
+       GROUP BY 1, 2
+       ORDER BY revenue DESC, c.c_custkey
+       LIMIT 20""",
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20. The
+    returnflag filter pushes to the lineitem scan, the customer dim
+    broadcasts, and the final cut is TakeOrderedAndProject (heap), never
+    a global sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q12_priority_lines",
+    """SELECT year(l.l_shipdate) AS ship_year,
+              CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate >= o.o_orderdate
+       GROUP BY 1""",
+)
+def q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: priority-class line counts by ship year —
+    the trimmed schema has no shipmode): one equi-join with a residual
+    date predicate, conditional sums combine map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate >= o.o_orderdate))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                     THEN l.l_extendedprice * (1 - l.l_discount)
+                                     ELSE 0 END)
+                    / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l.l_shipdate < TIMESTAMP '1996-02-01'""",
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one month. The date range
+    pushes to the lineitem scan, part broadcasts, and both conditional
+    sums share the single aggregation pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@_q(
     "sliding_windows",
     """WITH f AS (
          SELECT event_type, value,

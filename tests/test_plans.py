@@ -275,3 +275,19 @@ def test_pack_sequences_no_global_sort_partition(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").df
     final = _final(_plan(pack_sequences(docs, budget=512)))
     assert "SinglePartition" not in final, final
+
+
+@pytest.mark.parametrize(
+    "entry,needle",
+    [
+        ("q4_priority_count", "LeftSemi"),          # EXISTS -> semi join, orders never duplicate
+        ("q10_returned_revenue", "TakeOrderedAndProject"),  # top-20 is a heap, not a sort
+        ("q14_promo_revenue", "BroadcastHashJoin"),  # part dim broadcasts
+    ],
+)
+def test_tpch_shapes_plan_properties(spark, sf_dir, entry, needle):
+    import __spark_entry__ as m
+
+    df = m.queries()[entry](spark, sf_dir)
+    final = _final(_plan(df))
+    assert needle in final, final
