@@ -937,6 +937,37 @@ def cumsum_events(spark, sf_dir):
 
 
 @_q(
+    "expanding_stats_events",
+    """SELECT event_id,
+              CAST(sum(cents) OVER w AS BIGINT) AS exp_sum,
+              round(CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w, 6) AS exp_mean,
+              count(cents) OVER w AS exp_n
+       FROM (SELECT event_id, ts,
+                    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+       WINDOW w AS (ORDER BY ts, event_id, cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def expanding_stats_events(spark, sf_dir):
+    """pandas expanding().sum/mean/count WITHOUT a single-partition
+    window: all three cumulative primitives share ONE bucketed prefix
+    scan (operators/rolling.py expanding_agg / cumagg_multi)."""
+    from pd_explain_spark.operators.rolling import expanding_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = expanding_agg(
+        ev, on="ts",
+        aggs={"exp_sum": ("cents", "sum"), "exp_mean": ("cents", "mean"),
+              "exp_n": ("cents", "count")},
+    )
+    return out.select(
+        "event_id", "exp_sum", F.round("exp_mean", 6).alias("exp_mean"), "exp_n"
+    )
+
+
+@_q(
     "shift_events",
     """SELECT event_id,
               lag(CAST(round(value * 100) AS BIGINT), 3) OVER (ORDER BY ts, event_id)

@@ -774,9 +774,17 @@ class ExplainableDataFrame:
     def rolling(self, window, on: str, by=None, min_periods: int = 1) -> "_Rolling":
         """pandas rolling: ``window`` is an int (trailing rows) or a
         duration string ('1 hour') over the ``on`` column. Returns a
-        helper exposing mean/sum/min/max/count/std. See
+        helper exposing mean/sum/min/max/count/std/var/median. See
         operators/rolling.py for the partitioned/bucketed window design."""
         return _Rolling(self, window, on, by, min_periods)
+
+    def expanding(self, on: str, by=None, min_periods: int = 1) -> "_Expanding":
+        """pandas expanding (cumulative-from-start) windows in ``on``
+        order: helper exposing sum/mean/min/max/count/std/var. Keyless
+        frames ride the bucketed two-phase prefix scan; all metrics of
+        one call share a single pass (operators/rolling.py
+        expanding_agg)."""
+        return _Expanding(self, on, by, min_periods)
 
     def shift(self, column: str, on: str, periods: int = 1, by=None) -> "ExplainableDataFrame":
         """pandas shift (lag) in ``on`` order; adds ``<column>_shift``."""
@@ -1070,6 +1078,46 @@ class _Rolling:
 
     def median(self, column: str):
         return self._agg(column, "median")
+
+
+class _Expanding:
+    """Expanding-window helper returned by ExplainableDataFrame.expanding."""
+
+    def __init__(self, frame: "ExplainableDataFrame", on: str, by, min_periods: int):
+        self._frame, self._on, self._by, self._mp = frame, on, by, min_periods
+
+    def _agg(self, column: str, func: str) -> "ExplainableDataFrame":
+        from ..operators.rolling import expanding_agg
+
+        out = expanding_agg(
+            self._frame.df,
+            on=self._on,
+            aggs={f"{column}_exp_{func}": (column, func)},
+            by=self._by,
+            min_periods=self._mp,
+        )
+        return ExplainableDataFrame(out, name=self._frame.name)
+
+    def sum(self, column: str):
+        return self._agg(column, "sum")
+
+    def mean(self, column: str):
+        return self._agg(column, "mean")
+
+    def min(self, column: str):
+        return self._agg(column, "min")
+
+    def max(self, column: str):
+        return self._agg(column, "max")
+
+    def count(self, column: str):
+        return self._agg(column, "count")
+
+    def std(self, column: str):
+        return self._agg(column, "std")
+
+    def var(self, column: str):
+        return self._agg(column, "var")
 
 
 _PANDAS_TO_SPARK_TYPE = {

@@ -314,6 +314,73 @@ _CUM_FOLD = {
 }
 
 
+def cumagg_multi(
+    df: DataFrame,
+    on: str,
+    aggs: dict[str, tuple[str, str]],
+    by: str | list[str] | None = None,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Several cumulative aggregates in ONE pass: ``aggs`` maps output
+    column -> (source column, agg) with agg in sum/max/min/count. Without
+    ``by``: per-bucket prefix aggregates + a driver scan over the
+    <= num_buckets bucket totals — the textbook two-phase parallel prefix
+    scan (works for any associative agg), never a global sort partition.
+    All requested aggregates share the single bucket shuffle and the
+    single totals job, which is what makes derived metrics (expanding
+    mean/var = three cumulative primitives) cost one pass, not three."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    for out_name, (_src, agg) in aggs.items():
+        if agg not in _CUM_AGGS:
+            raise ValueError(
+                f"cumulative agg must be one of {sorted(_CUM_AGGS)}, got {agg!r}"
+            )
+    tie = [c for c in df.columns if c != on]
+
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on), *[F.col(c) for c in tie])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumns(
+            {o: _CUM_AGGS[a][0](F.col(s)).over(w) for o, (s, a) in aggs.items()}
+        )
+
+    base, bounds = _bucketize(df, on, num_buckets)
+    w = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(F.col(on), *[F.col(c) for c in tie])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = base.withColumns(
+        {o: _CUM_AGGS[a][0](F.col(s)).over(w) for o, (s, a) in aggs.items()}
+    )
+    totals = {
+        r[_BUCKET]: r
+        for r in base.groupBy(_BUCKET)
+        .agg(*[_CUM_AGGS[a][1](F.col(s)).alias(f"__t_{o}") for o, (s, a) in aggs.items()])
+        .collect()
+    }
+    from .bucketing import bucket_lookup
+
+    merged_cols = {}
+    for o, (_s, a) in aggs.items():
+        fold, combine = _CUM_FOLD[a], _CUM_AGGS[a][2]
+        carries: list = []
+        running = None
+        for b in range(len(bounds) + 1):
+            carries.append(running if b > 0 else None)
+            row = totals.get(b)
+            if row is not None and row[f"__t_{o}"] is not None:
+                running = fold(running, row[f"__t_{o}"])
+        carry_expr = bucket_lookup(carries, F.col(_BUCKET))
+        merged_cols[o] = F.when(carry_expr.isNull(), F.col(o)).otherwise(
+            combine(carry_expr, F.col(o))
+        )
+    return part.withColumns(merged_cols).drop(_BUCKET, _ONUM)
+
+
 def cumagg_col(
     df: DataFrame,
     column: str,
@@ -323,51 +390,84 @@ def cumagg_col(
     out_name: str | None = None,
     num_buckets: int = 64,
 ) -> DataFrame:
-    """pandas cumsum/cummax/cummin/cumcount in ``on`` order. Without
-    ``by``: per-bucket prefix aggregates + a driver scan over the
-    <= num_buckets bucket totals — the textbook two-phase parallel prefix
-    scan (works for any associative agg), never a global sort partition."""
-    if agg not in _CUM_AGGS:
-        raise ValueError(f"cumulative agg must be one of {sorted(_CUM_AGGS)}, got {agg!r}")
-    by = [by] if isinstance(by, str) else list(by or [])
+    """pandas cumsum/cummax/cummin/cumcount in ``on`` order — single-agg
+    wrapper over ``cumagg_multi``."""
     out_name = out_name or f"{column}_cum{agg}"
-    tie = [c for c in df.columns if c != on]
-    win_fn, tot_fn, combine = _CUM_AGGS[agg]
-
-    if by:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on), *[F.col(c) for c in tie])
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return df.withColumn(out_name, win_fn(F.col(column)).over(w))
-
-    base, bounds = _bucketize(df, on, num_buckets)
-    w = (
-        Window.partitionBy(_BUCKET)
-        .orderBy(F.col(on), *[F.col(c) for c in tie])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return cumagg_multi(
+        df, on, {out_name: (column, agg)}, by=by, num_buckets=num_buckets
     )
-    part = base.withColumn(out_name, win_fn(F.col(column)).over(w))
-    totals = {
-        r[_BUCKET]: r["t"]
-        for r in base.groupBy(_BUCKET).agg(tot_fn(F.col(column)).alias("t")).collect()
-    }
-    fold = _CUM_FOLD[agg]
-    carries: list = []
-    running = None
-    for b in range(len(bounds) + 1):
-        carries.append(running if b > 0 else None)
-        t = totals.get(b)
-        if t is not None:
-            running = fold(running, t)
-    from .bucketing import bucket_lookup
 
-    carry_expr = bucket_lookup(carries, F.col(_BUCKET))
-    merged = F.when(carry_expr.isNull(), F.col(out_name)).otherwise(
-        combine(carry_expr, F.col(out_name))
-    )
-    return part.withColumn(out_name, merged).drop(_BUCKET, _ONUM)
+
+# pandas expanding(): func -> the cumulative primitives it needs and the
+# final expression over them (None = direct passthrough of one primitive)
+_EXPANDING_FUNCS = ("sum", "mean", "min", "max", "count", "std", "var")
+
+
+def expanding_agg(
+    df: DataFrame,
+    on: str,
+    aggs: dict[str, tuple[str, str]],
+    by: str | list[str] | None = None,
+    min_periods: int = 1,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """pandas ``expanding().{sum,mean,min,max,count,std,var}`` in ``on``
+    order (cumulative from the start of the frame / group).
+
+    With ``by``: plain partitioned unbounded-preceding windows. Without:
+    every requested metric is decomposed into cumulative PRIMITIVES
+    (sum, count, sum-of-squares) and all primitives run through ONE
+    ``cumagg_multi`` pass — expanding mean/std/var over 100 TB costs the
+    same single bucket shuffle as a cumsum. var/std use the
+    sum-of-squares identity var = (s2 - s1^2/n) / (n - 1); NULL below
+    ``min_periods`` observations (and below 2 for var/std), mirroring
+    pandas. The identity cancels catastrophically when mean >> std —
+    scale value columns (e.g. cents ints) for exact work."""
+    for out, (_src, func) in aggs.items():
+        if func not in _EXPANDING_FUNCS:
+            raise ValueError(
+                f"expanding func must be one of {_EXPANDING_FUNCS}, got {func!r}"
+            )
+
+    primitives: dict[str, tuple[str, str]] = {}
+    sq_cols: dict[str, str] = {}  # src -> squared temp column name
+    finals: dict[str, object] = {}
+
+    def _need(src: str, agg: str, tag: str) -> str:
+        name = f"__exp_{tag}_{src}"
+        primitives[name] = (src, agg)
+        return name
+
+    for out, (src, func) in aggs.items():
+        if min_periods > 1:
+            _need(src, "count", "n")  # the observation count gating the mask
+        if func in ("sum", "min", "max", "count"):
+            name = _need(src, func, func)
+            finals[out] = (F.col(name), src)
+            continue
+        s1 = F.col(_need(src, "sum", "s1"))
+        n = F.col(_need(src, "count", "n"))
+        if func == "mean":
+            finals[out] = (F.when(n > 0, s1 / n), src)
+        else:  # var / std
+            if src not in sq_cols:
+                sq_cols[src] = f"__exp_sq_{src}"
+            s2 = F.col(_need(sq_cols[src], "sum", "s2"))
+            var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
+            finals[out] = (F.sqrt(var) if func == "std" else var, src)
+
+    base = df
+    for src, sq in sq_cols.items():
+        base = base.withColumn(sq, F.col(src) * F.col(src))
+    cum = cumagg_multi(base, on, primitives, by=by, num_buckets=num_buckets)
+
+    out_cols = {}
+    for out, (expr, src) in finals.items():
+        if min_periods > 1:
+            expr = F.when(F.col(f"__exp_n_{src}") >= min_periods, expr)
+        out_cols[out] = expr
+    result = cum.withColumns(out_cols)
+    return result.drop(*[c for c in primitives], *sq_cols.values())
 
 
 def cumsum_col(
@@ -393,22 +493,41 @@ def rank_col(
     out_name: str | None = None,
     num_buckets: int = 64,
 ) -> DataFrame:
-    """pandas Series.rank (min / dense / first) as a GLOBAL rank without a
-    global sort partition. Buckets are a function of the VALUE, so tied
-    values always share a bucket and every earlier-bucket row is strictly
-    smaller: global rank = within-bucket rank + carry, where carry is a
-    driver scan over per-bucket row counts (min/first) or distinct-value
-    counts (dense)."""
-    if method not in ("min", "dense", "first"):
-        raise ValueError(f"rank method must be min/dense/first, got {method!r}")
+    """pandas Series.rank (min / max / average / dense / first) as a
+    GLOBAL rank without a global sort partition. Buckets are a function
+    of the VALUE, so tied values always share a bucket and every
+    earlier-bucket row is strictly smaller: global rank = within-bucket
+    rank + carry, where carry is a driver scan over per-bucket row counts
+    (min/max/average/first) or distinct-value counts (dense).
+
+    max and average derive from min in the same window pass: with t =
+    rows tied on the value (a peer count — RANGE frame currentRow..
+    currentRow over the SAME window spec, so no second shuffle),
+    max = min + t - 1 and average = min + (t - 1) / 2."""
+    if method not in ("min", "max", "average", "dense", "first"):
+        raise ValueError(
+            f"rank method must be min/max/average/dense/first, got {method!r}"
+        )
     out_name = out_name or f"{column}_rank"
 
     base, bounds = _bucketize(df, column, num_buckets)
     order = F.col(column).asc() if ascending else F.col(column).desc()
     tie = [F.col(c) for c in df.columns if c != column]
-    if method == "min":
+    if method in ("min", "max", "average"):
         w = Window.partitionBy(_BUCKET).orderBy(order)
         within = F.rank().over(w)
+        if method != "min":
+            # RANGE currentRow..currentRow = the ORDER BY peer group, i.e.
+            # exactly the rows tied on `column` — rides the same sorted
+            # partition as the rank itself
+            peers = F.count(F.lit(1)).over(
+                w.rangeBetween(Window.currentRow, Window.currentRow)
+            )
+            within = (
+                within + peers - 1
+                if method == "max"
+                else within + (peers - F.lit(1)) / 2.0
+            )
         carry_agg = F.count(F.lit(1))
     elif method == "dense":
         w = Window.partitionBy(_BUCKET).orderBy(order)

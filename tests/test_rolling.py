@@ -367,3 +367,104 @@ def test_rolling_var_and_median(events, duck_events):
                             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
         ),
     )
+
+
+def test_rank_max_and_average(events, duck_events):
+    """pandas rank(method='max'/'average') — derived from the min rank
+    plus the ORDER BY peer count in the same window pass. cents has real
+    ties at sf0.001, so the tie arithmetic is actually exercised."""
+    from pd_explain_spark.operators.rolling import rank_col
+
+    got = rank_col(events, "cents", method="max", num_buckets=6).select(
+        "event_id", "cents_rank"
+    )
+    assert_df_equal(
+        got,
+        duck_events.sql(
+            """SELECT event_id,
+                      CAST(rank() OVER (ORDER BY cents) + count(*) OVER (PARTITION BY cents) - 1
+                           AS INT) AS cents_rank
+               FROM ev"""
+        ),
+    )
+    got = rank_col(events, "cents", method="average", num_buckets=6).select(
+        "event_id", "cents_rank"
+    )
+    assert_df_equal(
+        got,
+        duck_events.sql(
+            """SELECT event_id,
+                      rank() OVER (ORDER BY cents)
+                        + (count(*) OVER (PARTITION BY cents) - 1) / 2.0 AS cents_rank
+               FROM ev"""
+        ),
+    )
+
+
+def test_expanding_bucketed_no_by(events, duck_events):
+    """Keyless expanding sum/mean/count: one cumagg_multi pass (bucketed
+    prefix scan), mean derived as s1/n."""
+    from pd_explain_spark.operators.rolling import expanding_agg
+
+    got = expanding_agg(
+        events, on="ts",
+        aggs={
+            "exp_sum": ("cents", "sum"),
+            "exp_mean": ("cents", "mean"),
+            "exp_n": ("cents", "count"),
+        },
+        num_buckets=6,
+    ).select("event_id", "exp_sum", F.round("exp_mean", 6).alias("exp_mean"), "exp_n")
+    assert_df_equal(
+        got,
+        duck_events.sql(
+            """SELECT event_id,
+                      CAST(sum(cents) OVER w AS BIGINT) AS exp_sum,
+                      round(CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w, 6) AS exp_mean,
+                      count(cents) OVER w AS exp_n
+               FROM ev
+               WINDOW w AS (ORDER BY ts, event_id, cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        ),
+    )
+
+
+def test_expanding_var_std_by_key(events, duck_events):
+    """Per-key expanding var/std via the sum-of-squares identity vs
+    DuckDB's exact window var_samp/stddev_samp (round to absorb the
+    identity's FP cancellation)."""
+    from pd_explain_spark.operators.rolling import expanding_agg
+
+    got = expanding_agg(
+        events, on="ts",
+        aggs={"exp_var": ("cents", "var"), "exp_std": ("cents", "std")},
+        by="event_type",
+    ).select(
+        "event_id", F.round("exp_var", 4).alias("exp_var"), F.round("exp_std", 4).alias("exp_std")
+    )
+    assert_df_equal(
+        got,
+        duck_events.sql(
+            """SELECT event_id,
+                      round(var_samp(cents) OVER w, 4) AS exp_var,
+                      round(stddev_samp(cents) OVER w, 4) AS exp_std
+               FROM ev
+               WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id, cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        ),
+    )
+
+
+def test_expanding_min_periods_masks_early_rows(events):
+    from pd_explain_spark.operators.rolling import expanding_agg
+
+    out = expanding_agg(
+        events, on="ts", aggs={"m": ("cents", "mean")}, by="event_type", min_periods=5
+    )
+    # each group's first 4 rows must be NULL, later rows populated
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("ts", "event_id", "cents")
+    flagged = out.withColumn("__rn", F.row_number().over(w))
+    assert flagged.filter((F.col("__rn") < 5) & F.col("m").isNotNull()).count() == 0
+    assert flagged.filter((F.col("__rn") >= 5) & F.col("m").isNull()).count() == 0
