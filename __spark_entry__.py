@@ -968,6 +968,32 @@ def expanding_stats_events(spark, sf_dir):
 
 
 @_q(
+    "range_join_events",
+    """SELECT e.event_id, b.band FROM events e
+       JOIN (VALUES ('p0', 0.0, 25.0), ('p25', 25.0, 50.0),
+                    ('p50', 50.0, 75.0), ('p75', 75.0, 1e9),
+                    ('upper_half', 50.0, 1e9)) AS b(band, lo, hi)
+         ON e.value >= b.lo AND e.value < b.hi""",
+)
+def range_join_events(spark, sf_dir):
+    """Distributed range join (value-in-interval): intervals replicate to
+    only the value-buckets they overlap, then a hash equi-join on the
+    bucket id + exact residual — never the BroadcastNestedLoopJoin Spark
+    plans for naked inequality joins. operators/rangejoin.py."""
+    from pd_explain_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("p0", 0.0, 25.0), ("p25", 25.0, 50.0), ("p50", 50.0, 75.0),
+         ("p75", 75.0, 1e9), ("upper_half", 50.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return range_join(
+        ev, bands, on="value", lo="lo", hi="hi", closed="left"
+    ).select("event_id", "band")
+
+
+@_q(
     "shift_events",
     """SELECT event_id,
               lag(CAST(round(value * 100) AS BIGINT), 3) OVER (ORDER BY ts, event_id)

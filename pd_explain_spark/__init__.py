@@ -21,6 +21,7 @@ from .core.operations import (
 )
 from .core.series import ExplainableColumn, ExplainablePredicate
 from .operators.asof import merge_asof
+from .operators.rangejoin import range_join
 from .operators.partitioning import count_distinct_skew_safe, salted_join
 from .config import GLOBALS, toggle_sampling
 from .functions.dedup import dedup_near, duplicate_components
@@ -37,6 +38,7 @@ __all__ = [
     "ExplainableDataFrame",
     "concat",
     "merge_asof",
+    "range_join",
     "ExplainableColumn",
     "ExplainablePredicate",
     "Operation",

@@ -102,3 +102,72 @@ def test_merge_asof_suffix_and_missing_key(spark):
     assert "v_right" in out.columns and "v" in out.columns
     with pytest.raises(KeyError):
         merge_asof(l, r, on="nope")
+
+
+# ---------------------------------------------------------------- range join
+def test_range_join_matches_inequality_join(spark, duck, sf_dir):
+    """Bucketed range join == DuckDB's naive inequality join, including an
+    interval spanning many buckets and overlapping intervals (a value in
+    two bands matches both)."""
+    import os
+
+    from pd_explain_spark.operators.rangejoin import range_join
+    from pd_explain_spark.sources.readers import read_parquet_df
+    from pyspark.sql import functions as F
+
+    ev = read_parquet_df(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "value"
+    )
+    bands = spark.createDataFrame(
+        [
+            ("tiny", 0.0, 5.0),
+            ("low", 5.0, 20.0),
+            ("mid", 20.0, 60.0),
+            ("wide", 10.0, 90.0),   # spans several buckets AND overlaps low/mid/high
+            ("high", 60.0, 100.0),
+            ("all", -1e9, 1e9),     # covers every bucket
+        ],
+        "band string, lo double, hi double",
+    )
+    got = range_join(ev, bands, on="value", lo="lo", hi="hi", closed="left", num_buckets=8)
+    duck.execute("CREATE OR REPLACE TABLE bands(band VARCHAR, lo DOUBLE, hi DOUBLE)")
+    duck.execute(
+        """INSERT INTO bands VALUES ('tiny',0,5),('low',5,20),('mid',20,60),
+           ('wide',10,90),('high',60,100),('all',-1e9,1e9)"""
+    )
+    from tests.conftest import assert_df_equal
+
+    assert_df_equal(
+        got.select("event_id", "band"),
+        duck.sql(
+            """SELECT e.event_id, b.band FROM events e
+               JOIN bands b ON e.value >= b.lo AND e.value < b.hi"""
+        ),
+    )
+    # left join keeps non-matching rows with NULL band
+    narrow = bands.filter(F.col("band") == "tiny")
+    lgot = range_join(ev, narrow, on="value", lo="lo", hi="hi", how="left", closed="left")
+    assert lgot.count() >= ev.count()
+    assert lgot.filter(F.col("band").isNull()).count() == ev.filter(
+        ~((F.col("value") >= 0.0) & (F.col("value") < 5.0))
+    ).count()
+
+
+def test_range_join_never_nested_loop(spark, sf_dir):
+    """The plan must be a hash equi-join on the bucket id — never
+    BroadcastNestedLoopJoin / CartesianProduct, which is what naked
+    inequality predicates plan as and what dies at 100 TB."""
+    import os
+
+    from pd_explain_spark.operators.rangejoin import range_join
+    from pd_explain_spark.sources.readers import read_parquet_df
+
+    ev = read_parquet_df(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "value"
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 50.0), ("b", 50.0, 100.0)], "band string, lo double, hi double"
+    )
+    out = range_join(ev, bands, on="value", lo="lo", hi="hi")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
