@@ -786,6 +786,12 @@ class ExplainableDataFrame:
         expanding_agg)."""
         return _Expanding(self, on, by, min_periods)
 
+    def ewm(self, alpha: float, on: str, by=None) -> "_Ewm":
+        """pandas ewm(alpha=..., adjust=True) in ``on`` order — helper
+        exposing mean(). Tiled trailing-N window construction, exact to
+        double precision (operators/ewm.py)."""
+        return _Ewm(self, alpha, on, by)
+
     def shift(self, column: str, on: str, periods: int = 1, by=None) -> "ExplainableDataFrame":
         """pandas shift (lag) in ``on`` order; adds ``<column>_shift``."""
         from ..operators.rolling import shift_col
@@ -1118,6 +1124,21 @@ class _Expanding:
 
     def var(self, column: str):
         return self._agg(column, "var")
+
+
+class _Ewm:
+    """ewm helper returned by ExplainableDataFrame.ewm."""
+
+    def __init__(self, frame: "ExplainableDataFrame", alpha: float, on: str, by):
+        self._frame, self._alpha, self._on, self._by = frame, alpha, on, by
+
+    def mean(self, column: str) -> "ExplainableDataFrame":
+        from ..operators.ewm import ewm_mean
+
+        out = ewm_mean(
+            self._frame.df, column, on=self._on, alpha=self._alpha, by=self._by
+        )
+        return ExplainableDataFrame(out, name=self._frame.name)
 
 
 _PANDAS_TO_SPARK_TYPE = {

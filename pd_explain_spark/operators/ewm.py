@@ -1,0 +1,139 @@
+"""Distributed exponentially-weighted mean (pandas ``ewm(alpha).mean()``,
+adjust=True).
+
+ewm is a RECURSIVE statistic (y_i depends on y_{i-1}), which window
+functions cannot express directly, and the naive rewrite
+``w^i * cumsum(x_j w^{-j})`` overflows double for any realistic row
+count. The construction here makes it a plain window computation:
+
+ 1. **Truncate to the last N rows**, N chosen so w^N = rtol (1e-16):
+    older rows carry weight below double-precision epsilon relative to
+    the total, so the truncated result is bit-indistinguishable from the
+    exact recursion. Crucially the same N ALSO bounds every exponent the
+    algorithm needs (w^{-r} <= w^{-N} = 1/rtol ~ 1e16, far from the
+    1e308 overflow line) — precision and overflow are solved by the one
+    constant.
+ 2. **Tile each partition into fixed blocks of N rows.** A trailing-N
+    window spans at most two tiles, so
+
+       numer_i = P_i + w^{r_i+1} * S(prev tile, after position r_i)
+
+    where r_i = position in tile, P_i = within-tile weighted prefix
+    (w^{r_i} * cumsum(x_j w^{-r_j}) — exponents in [0, N)), and S is the
+    within-tile weighted suffix (sum of x_j w^{N-1-r_j} over rows after
+    a position). The row exactly N back in the partition is the prev
+    tile at the SAME position, so S arrives as ``lag(suffix, N)`` — one
+    more window function, no join, no recursion, no driver round-trip.
+ 3. The denominator runs the same algebra over the not-NULL indicator
+    (pandas skips missing values' weights).
+
+Shuffle budget: ONE Exchange for the by-key flavor — hash(partition)
+already co-locates the (partition, tile) windows, so Spark satisfies
+their clustering requirement without a second shuffle (plan-pinned).
+Without ``by`` keys the order domain is range-bucketed
+(operators/bucketing.py) and each bucket receives the last N rows of
+earlier buckets as ghost rows (operators/rolling.py ghost machinery) —
+never a global sort partition. Validated against pandas.ewm to ~1e-14
+absolute.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .rolling import _BUCKET, _GHOST, _ONUM, _bucketize, _row_ghosts
+
+_TILE = "__ewm_tile"
+_R = "__ewm_r"
+
+
+def _trunc_rows(alpha: float, rtol: float) -> int:
+    w = 1.0 - alpha
+    return max(2, int(math.ceil(math.log(rtol) / math.log(w))))
+
+
+def ewm_mean(
+    df: DataFrame,
+    column: str,
+    on: str,
+    alpha: float,
+    by: str | list[str] | None = None,
+    out_name: str | None = None,
+    num_buckets: int = 64,
+    rtol: float = 1e-16,
+) -> DataFrame:
+    """pandas ``ewm(alpha=..., adjust=True).mean()`` of ``column`` in
+    ``on`` order (optionally per ``by`` group), exact to ``rtol``
+    relative truncation (default: below double-precision epsilon).
+
+    ``alpha`` in (0, 1). Very small alphas make the effective memory
+    N = log(rtol)/log(1-alpha) large (alpha=1e-4 -> N~370k); the lag
+    buffer and keyless ghost fan-out grow with N, so loosen ``rtol``
+    for long-memory smoothing at extreme scale."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    by = [by] if isinstance(by, str) else list(by or [])
+    out_name = out_name or f"{column}_ewm"
+    w = 1.0 - alpha
+    n = _trunc_rows(alpha, rtol)
+    tie = [c for c in df.columns if c != on]
+
+    ghosts_used = False
+    if by:
+        base, part = df, by
+    else:
+        base, _bounds = _bucketize(df, on, num_buckets)
+        part = [_BUCKET]
+        wdesc = Window.partitionBy(_BUCKET).orderBy(
+            F.col(on).desc(), *[F.col(c).desc() for c in tie]
+        )
+        tails = (
+            base.withColumn("__rn_d", F.row_number().over(wdesc))
+            .filter(F.col("__rn_d") <= n)
+            .drop("__rn_d")
+        )
+        base = base.withColumn(_GHOST, F.lit(0)).unionByName(
+            _row_ghosts(base, tails, n).withColumn(_GHOST, F.lit(1))
+        )
+        ghosts_used = True
+
+    order = [F.col(on), *[F.col(c) for c in tie]]
+    wp = Window.partitionBy(*part).orderBy(*order)
+    rn = F.row_number().over(wp) - 1
+    base = base.withColumns({_TILE: F.floor(rn / n), _R: rn % n})
+
+    x = F.col(column).cast("double")
+    have = x.isNotNull().cast("double")
+    # within-tile weighted prefix / suffix building blocks; exponents all
+    # live in [0, N) by construction
+    r_d = F.col(_R).cast("double")
+    u_num = x * F.pow(F.lit(w), -r_d)
+    u_den = have * F.pow(F.lit(w), -r_d)
+    v_num = x * F.pow(F.lit(w), F.lit(float(n - 1)) - r_d)
+    v_den = have * F.pow(F.lit(w), F.lit(float(n - 1)) - r_d)
+
+    wt = Window.partitionBy(*part, _TILE).orderBy(*order)
+    pre = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    suf = wt.rowsBetween(1, Window.unboundedFollowing)
+    stepped = base.withColumns(
+        {
+            "__p_num": F.pow(F.lit(w), r_d) * F.sum(u_num).over(pre),
+            "__p_den": F.pow(F.lit(w), r_d) * F.sum(u_den).over(pre),
+            "__s_num": F.sum(v_num).over(suf),
+            "__s_den": F.sum(v_den).over(suf),
+        }
+    )
+    carry_w = F.pow(F.lit(w), r_d + 1)
+    lag_num = F.coalesce(F.lag("__s_num", n).over(wp), F.lit(0.0))
+    lag_den = F.coalesce(F.lag("__s_den", n).over(wp), F.lit(0.0))
+    numer = F.coalesce(F.col("__p_num"), F.lit(0.0)) + carry_w * lag_num
+    denom = F.coalesce(F.col("__p_den"), F.lit(0.0)) + carry_w * lag_den
+    out = stepped.withColumn(
+        out_name, F.when(denom > 0, numer / denom)
+    ).drop("__p_num", "__p_den", "__s_num", "__s_den", _TILE, _R)
+    if ghosts_used:
+        out = out.filter(F.col(_GHOST) == 0).drop(_GHOST, _BUCKET, _ONUM)
+    return out

@@ -291,3 +291,21 @@ def test_tpch_shapes_plan_properties(spark, sf_dir, entry, needle):
     df = m.queries()[entry](spark, sf_dir)
     final = _final(_plan(df))
     assert needle in final, final
+
+
+def test_ewm_never_single_partition(spark, sf_dir):
+    """ewm must plan as partitioned windows only: one Exchange for the
+    by-key flavor (hash(part) already co-locates the (part, tile)
+    windows), and the keyless flavor rides range buckets — a
+    SinglePartition Exchange anywhere means the recursion leaked into a
+    global sort."""
+    from pd_explain_spark import load_table
+    from pd_explain_spark.operators.ewm import ewm_mean
+
+    ev = load_table(spark, sf_dir, "events").df
+    by = _final(_plan(ewm_mean(ev, "value", on="ts", alpha=0.3, by="event_type")))
+    assert by.count("Exchange") == 1 and "SinglePartition" not in by, by
+    keyless = _final(
+        _plan(ewm_mean(ev.select("event_id", "ts", "value"), "value", on="ts", alpha=0.3))
+    )
+    assert "SinglePartition" not in keyless, keyless

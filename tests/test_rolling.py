@@ -468,3 +468,63 @@ def test_expanding_min_periods_masks_early_rows(events):
     flagged = out.withColumn("__rn", F.row_number().over(w))
     assert flagged.filter((F.col("__rn") < 5) & F.col("m").isNotNull()).count() == 0
     assert flagged.filter((F.col("__rn") >= 5) & F.col("m").isNull()).count() == 0
+
+
+def test_ewm_mean_matches_pandas_by_key(events):
+    """Distributed ewm vs pandas' exact recursion, per event_type."""
+    import pandas as pd
+
+    from pd_explain_spark.operators.ewm import ewm_mean
+
+    got = (
+        ewm_mean(events, "cents", on="ts", alpha=0.25, by="event_type")
+        .select("event_id", "event_type", "ts", "cents", "cents_ewm")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"], ignore_index=True)
+    )
+    want = (
+        got[["event_id", "event_type", "ts", "cents"]]
+        .assign(
+            ref=lambda d: d.groupby("event_type")["cents"].transform(
+                lambda s: s.ewm(alpha=0.25, adjust=True).mean()
+            )
+        )
+    )
+    assert (got["cents_ewm"] - want["ref"]).abs().max() < 1e-9
+
+
+def test_ewm_mean_matches_pandas_keyless_bucketed(events):
+    """Keyless global ewm: bucketed + ghost-row lookback, vs pandas over
+    the fully sorted stream. Small num_buckets so the cross-bucket ghost
+    path is really exercised."""
+    from pd_explain_spark.operators.ewm import ewm_mean
+
+    got = (
+        ewm_mean(events, "cents", on="ts", alpha=0.4, num_buckets=5)
+        .select("event_id", "ts", "cents", "cents_ewm")
+        .toPandas()
+        .sort_values(["ts", "event_id"], ignore_index=True)
+    )
+    ref = got["cents"].ewm(alpha=0.4, adjust=True).mean()
+    assert (got["cents_ewm"] - ref).abs().max() < 1e-9
+
+
+def test_ewm_mean_skips_nulls_like_pandas(spark):
+    import pandas as pd
+
+    from pd_explain_spark.operators.ewm import ewm_mean
+
+    pdf = pd.DataFrame(
+        {"i": range(12), "x": [1.0, None, 3.0, None, None, 6.0, 7.0, None, 9.0, 10.0, None, 12.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        ewm_mean(df, "x", on="i", alpha=0.5, num_buckets=3)
+        .select("i", "x_ewm")
+        .toPandas()
+        .sort_values("i", ignore_index=True)
+    )
+    ref = pdf["x"].ewm(alpha=0.5, adjust=True, ignore_na=False).mean()
+    import numpy as np
+
+    assert np.allclose(got["x_ewm"].to_numpy(), ref.to_numpy(), atol=1e-12, equal_nan=True)
