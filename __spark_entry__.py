@@ -1476,6 +1476,26 @@ def stratified_sample_lang_q(spark, sf_dir):
 
 
 @_q(
+    "assign_splits",
+    """SELECT doc_id,
+              CASE WHEN h < 980000 THEN 'train'
+                   WHEN h < 990000 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+                    ('0x' || substr(md5(doc_id::VARCHAR || '-42'), 1, 8))::BIGINT % 1000000 AS h
+             FROM documents)""",
+)
+def assign_splits_q(spark, sf_dir):
+    """Deterministic hash train/val/test assignment (98/1/1): a pure
+    function of (id, seed), so membership survives reruns and corpus
+    growth. Scan-stage expression, zero shuffle. functions/mixing.py."""
+    from pd_explain_spark.functions.mixing import assign_splits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_splits(docs).select("doc_id", "split")
+
+
+@_q(
     "pack_sequences",
     """SELECT doc_id, n_tokens,
               CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,

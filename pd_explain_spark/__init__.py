@@ -26,7 +26,7 @@ from .operators.partitioning import count_distinct_skew_safe, salted_join
 from .config import GLOBALS, toggle_sampling
 from .functions.dedup import dedup_near, duplicate_components
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
-from .functions.mixing import pack_sequences, redact_pii, stratified_sample
+from .functions.mixing import assign_splits, pack_sequences, redact_pii, stratified_sample
 from .functions.similarity import IvfIndex, ivf_build, ivf_query
 from .functions.text import curation_pipeline, repetition_signals
 from .session import get_spark
@@ -74,4 +74,5 @@ __all__ = [
     "redact_pii",
     "stratified_sample",
     "pack_sequences",
+    "assign_splits",
 ]

@@ -66,6 +66,53 @@ def redact_pii(
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment: adds
+    ``out_col`` with the split name. Default weights
+    {'train': .98, 'val': .01, 'test': .01}.
+
+    Assignment is a pure function of (id, seed) — md5 hex prefix mapped
+    to [0, 1e6) and cut at the cumulative weight boundaries — so
+    membership is stable across reruns, cluster sizes, AND corpus
+    growth: adding documents never moves an existing document between
+    splits (the property random-number splits lack). Scan-stage
+    expression, zero shuffle; the same arithmetic runs verbatim in SQL
+    (DuckDB: ('0x' || substr(md5(..), 1, 8))::BIGINT)."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bound = int(round(cum * 1_000_000))
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
 def _sample_key(id_col: str, seed: int) -> Column:
     """Deterministic per-row ordering key, identical on Spark and DuckDB:
     md5 of "<id>-<seed>" (both engines hash the same bytes to the same

@@ -625,3 +625,37 @@ def test_pack_sequences_invariants(documents):
     # pack ids are dense from 0 and monotone in stream order
     first = out.orderBy("doc_id").first()
     assert first["pack_id"] == 0 and first["pack_pos"] == 0
+
+
+def test_assign_splits_matches_oracle_and_is_stable(documents, duck):
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.mixing import assign_splits
+
+    out = assign_splits(documents, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=9)
+    got = out.select("doc_id", "split")
+    sql = """
+      SELECT doc_id,
+             CASE WHEN h < 800000 THEN 'train'
+                  WHEN h < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR || '-9'), 1, 8))::BIGINT % 1000000 AS h
+            FROM documents)
+    """
+    assert_df_equal(got, duck.sql(sql))
+    # growth stability: assignment of existing ids is unchanged when the
+    # corpus doubles (hash of id, not position/count)
+    grown = documents.unionByName(
+        documents.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    re = assign_splits(grown, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=9).select(
+        "doc_id", "split"
+    )
+    assert re.join(got.withColumnRenamed("split", "s0"), "doc_id").filter(
+        F.col("split") != F.col("s0")
+    ).count() == 0
+    # rough proportions
+    n = documents.count()
+    train = out.filter(F.col("split") == "train").count()
+    assert abs(train / n - 0.8) < 0.06
