@@ -71,6 +71,13 @@ HEADLINE = [
     "redact_pii",
     "stratified_sample_lang",
     "pack_sequences",
+    "assign_splits",
+    # round-5 additions: TPC-H plan shapes + interval/cumulative ops
+    "q4_priority_count",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "range_join_events",
+    "expanding_stats_events",
 ]
 
 

@@ -106,3 +106,80 @@ def test_rolling_rows_bucketed_matches_pandas(spark, rows, width):
     spdf = pdf.sort_values(["k", "rid", "v"]).reset_index(drop=True)
     want = dict(zip(spdf["rid"], spdf["v"].rolling(width, min_periods=1).sum().astype(int)))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=ROWS,
+    alpha=st.sampled_from([0.05, 0.3, 0.7, 0.95]),
+    method=st.sampled_from(["max", "average"]),
+)
+def test_rank_max_average_bucketed_matches_pandas(spark, rows, alpha, method):
+    df, pdf = _frame(spark, rows)
+    got = {
+        r["rid"]: r["out"]
+        for r in rank_col(df, "v", method=method, out_name="out", num_buckets=4).collect()
+    }
+    want = dict(zip(pdf["rid"], pdf["v"].rank(method=method)))
+    assert {k: float(v) for k, v in got.items()} == {
+        k: float(v) for k, v in want.items()
+    }
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=ROWS, alpha=st.sampled_from([0.05, 0.3, 0.7, 0.95]))
+def test_ewm_bucketed_matches_pandas(spark, rows, alpha):
+    """Keyless ewm (buckets + ghosts + tiles + lag carry) vs pandas'
+    exact recursion, under heavy order-key ties and tiny buckets."""
+    from pd_explain_spark.operators.ewm import ewm_mean
+
+    df, pdf = _frame(spark, rows)
+    got = {
+        r["rid"]: r["out"]
+        for r in ewm_mean(
+            df, "v", on="k", alpha=alpha, out_name="out", num_buckets=3
+        ).collect()
+    }
+    spdf = pdf.sort_values(["k", "rid", "v"]).reset_index(drop=True)
+    want = dict(zip(spdf["rid"], spdf["v"].ewm(alpha=alpha, adjust=True).mean()))
+    for rid, w in want.items():
+        assert abs(got[rid] - w) < 1e-9, (rid, got[rid], w)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=ROWS,
+    intervals=st.lists(
+        st.tuples(st.integers(-5, 12), st.integers(0, 8)),
+        min_size=1,
+        max_size=6,
+    ),
+    closed=st.sampled_from(["both", "left", "right", "neither"]),
+)
+def test_range_join_matches_naive(spark, rows, intervals, closed):
+    """Bucketed range join vs an in-memory nested loop over the same
+    rows, across all four closures, degenerate (lo == hi) and empty
+    intervals included."""
+    from pd_explain_spark.operators.rangejoin import range_join
+
+    df, pdf = _frame(spark, rows)
+    iv = [(i, float(lo), float(lo + width)) for i, (lo, width) in enumerate(intervals)]
+    ivdf = spark.createDataFrame(iv, "iid long, lo double, hi double")
+    got = {
+        (r["rid"], r["iid"])
+        for r in range_join(
+            df, ivdf, on="v", lo="lo", hi="hi", closed=closed, num_buckets=3
+        ).collect()
+    }
+    lo_op = {"both": "<=", "left": "<=", "right": "<", "neither": "<"}[closed]
+    hi_op = {"both": "<=", "left": "<", "right": "<=", "neither": "<"}[closed]
+    import operator
+
+    ops = {"<=": operator.le, "<": operator.lt}
+    want = {
+        (rid, iid)
+        for rid, v in zip(pdf["rid"], pdf["v"])
+        for iid, lo, hi in iv
+        if ops[lo_op](lo, v) and ops[hi_op](v, hi)
+    }
+    assert got == want
