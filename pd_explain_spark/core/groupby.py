@@ -53,12 +53,27 @@ class ExplainableGroupedData:
         return ExplainableGroupedData(self.frame, self.keys, cols)
 
     # -- agg machinery ------------------------------------------------------
-    def _value_columns(self, agg: str) -> list[str]:
+    def _value_columns(self, agg: str, numeric_only: bool | None = None) -> list[str]:
+        """``numeric_only`` follows the reference contract
+        (ref tests/test_exp_series.py:48-115): True filters to numeric
+        columns, False keeps the selection but RAISES TypeError when a
+        numeric-only aggregate hits a non-numeric column (pandas 2.x),
+        None (default) silently filters — the existing behavior."""
         schema = {f.name: f.dataType for f in self.frame.df.schema.fields}
         if self.selected is not None:
             cols = [c for c in self.selected if c not in self.keys]
         else:
             cols = [c for c in self.frame.df.columns if c not in self.keys]
+        if numeric_only:
+            return [c for c in cols if is_numeric_type(schema[c])]
+        if numeric_only is False and agg in NUMERIC_ONLY:
+            bad = [c for c in cols if not is_numeric_type(schema[c])]
+            if bad:
+                raise TypeError(
+                    f"agg function failed [how->{agg}]: column(s) {bad} are not numeric "
+                    "(numeric_only=False)"
+                )
+            return cols
         if agg in NUMERIC_ONLY:
             cols = [c for c in cols if is_numeric_type(schema[c])]
         return cols
@@ -92,43 +107,45 @@ class ExplainableGroupedData:
             result, name=f"{self.frame.name}_groupby_{agg_label}", operation=op
         )
 
-    def _named(self, agg: str, ddof: int = 1) -> "ExplainableDataFrame":
+    def _named(
+        self, agg: str, ddof: int = 1, numeric_only: bool | None = None
+    ) -> "ExplainableDataFrame":
         if agg == "size":
             return self._run({}, size=True)
-        cols = self._value_columns(agg)
+        cols = self._value_columns(agg, numeric_only=numeric_only)
         if not cols:
             raise ValueError(f"no applicable columns for agg {agg!r}")
         return self._run({c: [agg] for c in cols}, ddof=ddof)
 
-    def mean(self):
-        return self._named("mean")
+    def mean(self, numeric_only: bool | None = None):
+        return self._named("mean", numeric_only=numeric_only)
 
-    def median(self):
-        return self._named("median")
+    def median(self, numeric_only: bool | None = None):
+        return self._named("median", numeric_only=numeric_only)
 
-    def std(self, ddof: int = 1):
-        return self._named("std", ddof=ddof)
+    def std(self, ddof: int = 1, numeric_only: bool | None = None):
+        return self._named("std", ddof=ddof, numeric_only=numeric_only)
 
-    def var(self, ddof: int = 1):
-        return self._named("var", ddof=ddof)
+    def var(self, ddof: int = 1, numeric_only: bool | None = None):
+        return self._named("var", ddof=ddof, numeric_only=numeric_only)
 
-    def sem(self, ddof: int = 1):
-        return self._named("sem", ddof=ddof)
+    def sem(self, ddof: int = 1, numeric_only: bool | None = None):
+        return self._named("sem", ddof=ddof, numeric_only=numeric_only)
 
     def size(self):
         return self._named("size")
 
-    def sum(self):
-        return self._named("sum")
+    def sum(self, numeric_only: bool | None = None):
+        return self._named("sum", numeric_only=numeric_only)
 
-    def prod(self):
-        return self._named("prod")
+    def prod(self, numeric_only: bool | None = None):
+        return self._named("prod", numeric_only=numeric_only)
 
-    def min(self):
-        return self._named("min")
+    def min(self, numeric_only: bool | None = None):
+        return self._named("min", numeric_only=numeric_only)
 
-    def max(self):
-        return self._named("max")
+    def max(self, numeric_only: bool | None = None):
+        return self._named("max", numeric_only=numeric_only)
 
     def count(self):
         return self._named("count")

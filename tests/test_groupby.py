@@ -244,3 +244,27 @@ def test_query_string_matches_bracket_filter(lineitem):
         lineitem.query("__import__('os').system('true')")
     with _pytest.raises(QueryStringError):
         lineitem.query("no_such_column > 3")
+
+
+def test_numeric_only_contract_matches_reference(lineitem):
+    """Reference contract (ref tests/test_exp_series.py:48-115):
+    numeric_only=True filters to numeric columns; numeric_only=False on a
+    numeric selection works; numeric_only=False on a non-numeric column
+    raises TypeError; min/max accept strings either way."""
+    import pytest
+
+    g = lineitem.groupby("l_returnflag")
+    cols_true = set(g.mean(numeric_only=True).df.columns)
+    assert "l_linestatus_mean" not in cols_true  # string col filtered
+    assert "l_quantity_mean" in cols_true
+
+    ok = g["l_quantity"].mean(numeric_only=False)
+    assert "l_quantity_mean" in ok.df.columns
+
+    with pytest.raises(TypeError):
+        g["l_linestatus"].mean(numeric_only=False)
+    with pytest.raises(TypeError):
+        g["l_linestatus"].sem(numeric_only=False)
+
+    # min/max are not numeric-only aggs: strings pass through both ways
+    assert "l_linestatus_max" in g["l_linestatus"].max(numeric_only=False).df.columns
