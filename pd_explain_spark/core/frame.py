@@ -943,12 +943,32 @@ class ExplainableDataFrame:
         partition_by: list[str] | str | None = None,
         mode: str = "error",
         max_records_per_file: int | None = None,
+        cluster_by: list[str] | str | None = None,
+        cluster_partitions: int | None = None,
     ) -> None:
         """pandas ``to_parquet`` → distributed parquet write. ``partition_by``
         produces hive-style directory partitioning (the layout that gives
         downstream readers partition pruning for free);
-        ``max_records_per_file`` bounds file sizes at scale."""
-        w = self.df.write.mode(mode)
+        ``max_records_per_file`` bounds file sizes at scale.
+
+        ``cluster_by`` writes globally range-clustered, within-file sorted
+        data (``repartitionByRange`` + ``sortWithinPartitions`` — a
+        parallel range Exchange, never a single-partition sort): each
+        parquet file covers a disjoint key range and its row-group
+        min/max stats are tight, so downstream point/range predicates on
+        those keys skip whole files and row groups."""
+        out = self.df
+        if cluster_by:
+            ccols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+            # explicit cluster_partitions pins the output file count (AQE
+            # otherwise coalesces small data to one file, which is right
+            # for bytes but wrong when the caller wants a fixed layout)
+            if cluster_partitions:
+                out = out.repartitionByRange(cluster_partitions, *ccols)
+            else:
+                out = out.repartitionByRange(*ccols)
+            out = out.sortWithinPartitions(*ccols)
+        w = out.write.mode(mode)
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", max_records_per_file)
         cols = [partition_by] if isinstance(partition_by, str) else partition_by

