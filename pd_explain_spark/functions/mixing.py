@@ -177,7 +177,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     order_col: str | None = None,
     tokens_col: str | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Assign each document a position in a stream of fixed token-budget
     packs (the "sequence packing" step that turns a curated corpus into

@@ -45,7 +45,7 @@ def merge_asof(
     tolerance: float | None = None,
     suffixes: tuple[str, str] = ("", "_right"),
     allow_exact_matches: bool = True,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """pandas ``merge_asof`` semantics: for every left row, attach the
     single right row whose ``on`` is the closest at-or-before (backward),
@@ -100,8 +100,9 @@ def merge_asof(
         # range-bucket the on-domain so the sort shuffle stays parallel;
         # assignment is a JVM binary search (operators/bucketing.py) so
         # num_buckets scales without growing plan depth
-        from .bucketing import assign_buckets
+        from .bucketing import assign_buckets, resolve_num_buckets
 
+        num_buckets = resolve_num_buckets(left, num_buckets)
         fracs = [i / num_buckets for i in range(1, num_buckets)]
         bounds = sorted(set(left.select(on_num.alias("v")).approxQuantile("v", fracs, 0.001)))
         uni = assign_buckets(uni, on_num, bounds, _BUCKET)

@@ -36,6 +36,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def resolve_num_buckets(df: DataFrame, num_buckets: int | None) -> int:
+    """Default bucket count for the global-order operators: explicit
+    wins; otherwise max(64, 2x cluster parallelism), so the same code
+    that runs 64-way on local[32] runs (say) 8000-way on a 4000-core
+    cluster without the caller changing anything. The flat lookups in
+    this module keep per-row cost O(1) at any count; the driver carry
+    scans stay O(num_buckets) rows."""
+    if num_buckets is not None:
+        return num_buckets
+    return max(64, 2 * df.sparkSession.sparkContext.defaultParallelism)
+
+
 def assign_buckets(df: DataFrame, onum: Column, bounds: list[float], out_col: str) -> DataFrame:
     """Attach ``out_col`` = range-bucket id of ``onum`` over the sorted,
     strictly-increasing ``bounds`` (len(bounds)+1 buckets). Rows exactly

@@ -62,7 +62,7 @@ def ewm_mean(
     alpha: float,
     by: str | list[str] | None = None,
     out_name: str | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     rtol: float = 1e-16,
 ) -> DataFrame:
     """pandas ``ewm(alpha=..., adjust=True).mean()`` of ``column`` in

@@ -37,7 +37,7 @@ def range_join(
     hi: str,
     how: str = "inner",
     closed: str = "both",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Join ``left`` rows to ``right`` interval rows with
     lo <= left[on] <= hi (``closed`` in both/left/right/neither picks the
@@ -54,8 +54,9 @@ def range_join(
     lo_ok = {"both": "<=", "left": "<=", "right": "<", "neither": "<"}[closed]
     hi_ok = {"both": "<=", "left": "<", "right": "<=", "neither": "<"}[closed]
 
-    from .bucketing import assign_buckets
+    from .bucketing import assign_buckets, resolve_num_buckets
 
+    num_buckets = resolve_num_buckets(left, num_buckets)
     fracs = [i / num_buckets for i in range(1, num_buckets)]
     val = F.col(on).cast("double")
     bounds = sorted(set(left.select(val.alias("v")).approxQuantile("v", fracs, 0.001)))

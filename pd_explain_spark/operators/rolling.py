@@ -78,15 +78,16 @@ def _order_num(df: DataFrame, on: str):
     return F.col(on).cast("double")
 
 
-def _bucketize(df: DataFrame, on: str, num_buckets: int):
+def _bucketize(df: DataFrame, on: str, num_buckets: int | None):
     """Assign range buckets over the on-domain; returns (df, boundaries).
     The order number is materialized ONCE as ``_ONUM`` so downstream
     window/ghost logic references a plain column instead of re-evaluating
     the ordering expression per consumer. Assignment is a JVM binary
     search (operators/bucketing.py), so num_buckets can scale to the
     thousands a large cluster wants without growing plan depth."""
-    from .bucketing import assign_buckets
+    from .bucketing import assign_buckets, resolve_num_buckets
 
+    num_buckets = resolve_num_buckets(df, num_buckets)
     if _ONUM not in df.columns:
         df = df.withColumn(_ONUM, _order_num(df.drop(_ONUM), on))
     onum = F.col(_ONUM)
@@ -118,7 +119,7 @@ def rolling_agg(
     aggs: dict[str, tuple[str, str]],
     by: str | list[str] | None = None,
     min_periods: int = 1,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Rolling aggregates: ``aggs`` maps output column -> (source column,
     func) with func in mean/sum/min/max/count/std. ``window`` is an int
@@ -209,7 +210,7 @@ def shift_col(
     periods: int = 1,
     by: str | list[str] | None = None,
     out_name: str | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """pandas shift (lag) of ``column`` by ``periods`` rows in ``on``
     order. Ordering ties are broken by all remaining columns to keep the
@@ -287,7 +288,7 @@ def diff_col(
     periods: int = 1,
     by: str | list[str] | None = None,
     out_name: str | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """pandas diff: value minus its lag."""
     out_name = out_name or f"{column}_diff"
@@ -319,7 +320,7 @@ def cumagg_multi(
     on: str,
     aggs: dict[str, tuple[str, str]],
     by: str | list[str] | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Several cumulative aggregates in ONE pass: ``aggs`` maps output
     column -> (source column, agg) with agg in sum/max/min/count. Without
@@ -388,7 +389,7 @@ def cumagg_col(
     agg: str = "sum",
     by: str | list[str] | None = None,
     out_name: str | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """pandas cumsum/cummax/cummin/cumcount in ``on`` order — single-agg
     wrapper over ``cumagg_multi``."""
@@ -409,7 +410,7 @@ def expanding_agg(
     aggs: dict[str, tuple[str, str]],
     by: str | list[str] | None = None,
     min_periods: int = 1,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """pandas ``expanding().{sum,mean,min,max,count,std,var}`` in ``on``
     order (cumulative from the start of the frame / group).
@@ -476,7 +477,7 @@ def cumsum_col(
     on: str,
     by: str | list[str] | None = None,
     out_name: str | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """pandas cumsum — see cumagg_col."""
     return cumagg_col(
@@ -491,7 +492,7 @@ def rank_col(
     method: str = "min",
     ascending: bool = True,
     out_name: str | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """pandas Series.rank (min / max / average / dense / first) as a
     GLOBAL rank without a global sort partition. Buckets are a function
