@@ -147,6 +147,8 @@ class ExplainableDataFrame:
         on: str | list[str] | None = None,
         how: str = "inner",
         broadcast_right: bool = False,
+        indicator: bool | str = False,
+        validate: str | None = None,
     ) -> "ExplainableDataFrame":
         """Equi-join with the reference's column-prefix contract: non-key
         columns are prefixed ``<frame_name>_`` (reference prefixes with the
@@ -154,7 +156,13 @@ class ExplainableDataFrame:
 
         ``broadcast_right=True`` adds a broadcast hint for small dims —
         Catalyst/AQE auto-broadcasts below the threshold anyway.
-        """
+
+        ``indicator`` adds pandas' ``_merge`` column (``left_only`` /
+        ``right_only`` / ``both``) from presence flags carried through the
+        join — no extra pass. ``validate`` checks '1:1'/'1:m'/'m:1'/'m:m'
+        like pandas, via one tiny duplicate-key aggregate per constrained
+        side (``.limit(1)`` probe, not a full count), raising
+        ``MergeError``-style ValueError on violation."""
         if on is None:
             raise ValueError("merge requires `on` (equi-join keys); cross joins are not tracked")
         keys = [on] if isinstance(on, str) else list(on)
@@ -164,6 +172,24 @@ class ExplainableDataFrame:
             if k not in right.df.columns:
                 raise KeyError(f"join key {k!r} not in right frame")
 
+        if validate is not None:
+            if validate not in ("1:1", "1:m", "m:1", "m:m"):
+                raise ValueError(f"validate must be 1:1/1:m/m:1/m:m, got {validate!r}")
+            lcard, rcard = validate.split(":")
+            for side, card, df_side in (("left", lcard, self.df), ("right", rcard, right.df)):
+                if card != "1":
+                    continue
+                dup = (
+                    df_side.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1)
+                    .limit(1)
+                )
+                if dup.count() > 0:
+                    raise ValueError(
+                        f"merge validate={validate!r}: {side} side has duplicate join keys"
+                    )
+
         def prefixed(df: DataFrame, name: str) -> DataFrame:
             cols = [
                 F.col(c).alias(c if c in keys else f"{name}_{c}") for c in df.columns
@@ -172,9 +198,23 @@ class ExplainableDataFrame:
 
         l = prefixed(self.df, self.name)
         r = prefixed(right.df, right.name)
+        ind_col = "_merge" if indicator is True else indicator
+        if indicator:
+            l = l.withColumn("__l_present", F.lit(1))
+            r = r.withColumn("__r_present", F.lit(1))
         if broadcast_right:
             r = F.broadcast(r)
         result = l.join(r, on=keys, how=how)
+        if indicator:
+            result = result.withColumn(
+                ind_col,
+                F.when(
+                    F.col("__l_present").isNotNull() & F.col("__r_present").isNotNull(),
+                    F.lit("both"),
+                )
+                .when(F.col("__l_present").isNotNull(), F.lit("left_only"))
+                .otherwise(F.lit("right_only")),
+            ).drop("__l_present", "__r_present")
         op = JoinOp(
             source=self.df,
             result=result,

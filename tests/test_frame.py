@@ -607,3 +607,35 @@ def test_to_parquet_cluster_by_prunes_and_sorts(lineitem, tmp_path, spark):
     # round-trips exactly
     back = spark.read.parquet(target)
     assert back.count() == slim.df.count()
+
+
+def test_merge_indicator_and_validate(spark):
+    """pandas merge(indicator=, validate=) parity: _merge categories from
+    presence flags (no extra pass) and cardinality validation via a
+    limit-1 duplicate probe."""
+    import pytest
+
+    from pd_explain_spark.sources.readers import to_explainable
+
+    l = to_explainable(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, lv string"), name="l"
+    )
+    r = to_explainable(
+        spark.createDataFrame([(2, "x"), (3, "y"), (4, "z")], "k long, rv string"), name="r"
+    )
+    out = l.merge(r, on="k", how="outer", indicator=True)
+    got = {row["k"]: row["_merge"] for row in out.df.collect()}
+    assert got == {1: "left_only", 2: "both", 3: "both", 4: "right_only"}
+
+    named = l.merge(r, on="k", how="outer", indicator="origin")
+    assert "origin" in named.df.columns
+
+    # validate: right side unique -> m:1 passes; duplicate right -> m:1 raises
+    assert l.merge(r, on="k", validate="m:1").df.count() == 2
+    rdup = to_explainable(
+        spark.createDataFrame([(2, "x"), (2, "x2")], "k long, rv string"), name="rd"
+    )
+    with pytest.raises(ValueError, match="right side has duplicate"):
+        l.merge(rdup, on="k", validate="m:1")
+    with pytest.raises(ValueError, match="validate must be"):
+        l.merge(r, on="k", validate="one_to_one")
