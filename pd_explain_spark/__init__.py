@@ -22,6 +22,7 @@ from .core.operations import (
 from .core.series import ExplainableColumn, ExplainablePredicate
 from .operators.asof import merge_asof
 from .operators.rangejoin import range_join
+from .plans.audit import assert_scalable, scale_audit
 from .operators.partitioning import count_distinct_skew_safe, salted_join
 from .config import GLOBALS, toggle_sampling
 from .functions.dedup import dedup_near, duplicate_components
@@ -75,4 +76,6 @@ __all__ = [
     "stratified_sample",
     "pack_sequences",
     "assign_splits",
+    "scale_audit",
+    "assert_scalable",
 ]

@@ -309,3 +309,36 @@ def test_ewm_never_single_partition(spark, sf_dir):
         _plan(ewm_mean(ev.select("event_id", "ts", "value"), "value", on="ts", alpha=0.3))
     )
     assert "SinglePartition" not in keyless, keyless
+
+
+def test_scale_audit_flags_and_clears(spark, sf_dir, lineitem):
+    """The library's own plan auditor must flag the anti-patterns the
+    engine avoids (global sort, nested-loop join) and come back clean on
+    the engine's bucketed plans."""
+    from pyspark.sql import Window
+
+    from pd_explain_spark.plans.audit import assert_scalable, scale_audit
+
+    # a deliberately bad plan: unpartitioned window = SinglePartition sort
+    bad = lineitem.df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_orderkey"))
+    )
+    checks = {f.check for f in scale_audit(bad)}
+    assert "single-partition-exchange" in checks
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="not cluster-scalable"):
+        assert_scalable(bad)
+
+    # a non-equi join = nested loop
+    small = spark.createDataFrame([(1.0,), (2.0,)], "t double")
+    nl = lineitem.df.join(small, lineitem.df["l_quantity"] > small["t"])
+    assert "nested-loop-join" in {f.check for f in scale_audit(nl)}
+
+    # the engine's own keyless cumsum plan must pass
+    from pd_explain_spark.operators.rolling import cumsum_col
+
+    good = cumsum_col(
+        lineitem.df.select("l_orderkey", "l_quantity"), "l_quantity", on="l_orderkey"
+    )
+    assert assert_scalable(good) is not None  # no fatal findings
