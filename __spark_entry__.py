@@ -1639,17 +1639,23 @@ _QUERIES["simhash_near_dups"] = simhash_near_dups_q  # rows-only: xxhash64 bit v
        ), ranked AS (
          SELECT query_id, neighbor_id,
                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
-                round(sim, 6) AS cosine_sim
+                round(sim, 4) AS cosine_sim
          FROM scored
        )
        SELECT query_id, neighbor_id, rank::INT AS rank, cosine_sim
        FROM ranked WHERE rank <= 5""",
 )
 def similarity_topk(spark, sf_dir):
+    """Hash-compare hardening: the engines' FP summation orders differ by
+    ~1e-7, which can land a similarity exactly on a 6-decimal rounding
+    boundary (observed at sf0.01). Both sides round the RAW cosine once
+    to 4 decimals — 100x more boundary margin, and no double-rounding
+    (rounding an already-rounded x.xxxx5 value is rounding-mode-dependent
+    across engines)."""
     from pd_explain_spark.functions.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
+    return brute_force_topk(emb, emb.filter("vec_id < 10"), k=5, round_to=4)
 
 
 @_q(
@@ -1761,17 +1767,18 @@ _QUERIES["similarity_ivf_topk"] = similarity_ivf_q  # rows-only: KMeans index
        SELECT e.vec_id, e.label,
               round(list_dot_product(e.embedding::DOUBLE[], c.centroid)
                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                   * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS centroid_cos
+                   * sqrt(list_dot_product(c.centroid, c.centroid))), 4) AS centroid_cos
        FROM embeddings e JOIN cent c USING (label)""",
 )
 def embedding_centroid_dist_q(spark, sf_dir):
     """Embedding-space outlier detector: cosine of every vector to its
     label centroid (functions/similarity.py centroid_distances). Centroid
     assembly keys the shuffles on (label, dimension) with map-side
-    combine; the n_labels-row centroid frame broadcasts onto the scan."""
+    combine; the n_labels-row centroid frame broadcasts onto the scan.
+    Single-rounded to 4 decimals on both sides (see similarity_topk)."""
     from pd_explain_spark.functions.similarity import centroid_distances
 
-    return centroid_distances(_t(spark, sf_dir, "embeddings"))
+    return centroid_distances(_t(spark, sf_dir, "embeddings"), round_to=4)
 
 
 # ------------------------------------------------------- embedding near-dup
@@ -1780,18 +1787,20 @@ def embedding_centroid_dist_q(spark, sf_dir):
     """WITH e AS (
          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        )
-       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              round(list_dot_product(a.emb, b.emb)
-                / (sqrt(list_dot_product(a.emb, a.emb))
-                   * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine_sim
-       FROM e a JOIN e b ON a.vec_id < b.vec_id
-       WHERE list_dot_product(a.emb, b.emb)
-               / (sqrt(list_dot_product(a.emb, a.emb))
-                  * sqrt(list_dot_product(b.emb, b.emb))) >= 0.45""",
+       SELECT id_a, id_b, round(sim, 4) AS cosine_sim
+       FROM (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb))) AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       WHERE round(sim, 6) >= 0.45""",
 )
 def embedding_near_dups_exact_q(spark, sf_dir):
     """Exact all-pairs cosine near-dup (baseline path; the LSH variant below
-    is the 100 TB path — bucket join instead of O(n^2))."""
+    is the 100 TB path — bucket join instead of O(n^2)). Both engines
+    filter on the round-6 value and emit a SINGLE round of the raw
+    similarity to 4 decimals (boundary hardening, see similarity_topk)."""
     from pd_explain_spark.functions.similarity import cosine
 
     e = (
@@ -1799,14 +1808,17 @@ def embedding_near_dups_exact_q(spark, sf_dir):
         .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb"))
     )
     l, r = e.alias("l"), e.alias("r")
+    sim = cosine(F.col("l.emb"), F.col("r.emb"))
     return (
         l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
         .select(
             F.col("l.vec_id").alias("id_a"),
             F.col("r.vec_id").alias("id_b"),
-            F.round(cosine(F.col("l.emb"), F.col("r.emb")), 6).alias("cosine_sim"),
+            F.round(sim, 6).alias("__cos6"),
+            F.round(sim, 4).alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= 0.45)
+        .filter(F.col("__cos6") >= 0.45)
+        .drop("__cos6")
     )
 
 

@@ -42,6 +42,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int = 6,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -73,7 +74,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", "rank", F.round("sim", round_to).alias("cosine_sim"))
     )
 
 
@@ -139,6 +140,7 @@ def lsh_topk(
     n_tables: int = 8,
     dim: int | None = None,
     seed: int = 42,
+    round_to: int = 6,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH buckets.
 
@@ -176,7 +178,7 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", "rank", F.round("sim", round_to).alias("cosine_sim"))
     )
 
 
@@ -292,6 +294,7 @@ def ivf_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 4,
+    round_to: int = 6,
 ) -> DataFrame:
     """Approximate top-k against a built index: each query probes only
     its n_probe nearest centroid buckets. Centroids (n_centroids x dim)
@@ -328,7 +331,7 @@ def ivf_query(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", "rank", F.round("sim", round_to).alias("cosine_sim"))
     )
 
 
@@ -373,6 +376,7 @@ def centroid_distances(
     vec_col: str = "embedding",
     label_col: str = "label",
     id_col: str = "vec_id",
+    round_to: int = 6,
 ) -> DataFrame:
     """Cosine similarity of every vector to its OWN label centroid —
     the embedding-space outlier / mislabel detector (a vector far from
@@ -386,7 +390,7 @@ def centroid_distances(
     return j.select(
         id_col,
         label_col,
-        F.round(cosine(F.col("__v"), F.col("centroid")), 6).alias("centroid_cos"),
+        F.round(cosine(F.col("__v"), F.col("centroid")), round_to).alias("centroid_cos"),
     )
 
 
@@ -446,6 +450,7 @@ def quantized_topk(
     k: int = 5,
     id_col: str = "vec_id",
     codes_col: str = "codes",
+    round_to: int = 6,
 ) -> DataFrame:
     """Exact top-k cosine over int8 codes: the per-vector scale cancels
     out of cosine, so the ranking needs ONLY the integer codes — dot
@@ -474,5 +479,5 @@ def quantized_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", "rank", F.round("sim", round_to).alias("cosine_sim"))
     )

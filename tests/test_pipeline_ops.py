@@ -126,7 +126,10 @@ def test_brute_force_topk_matches_oracle(embeddings, duck):
       )
       SELECT query_id, neighbor_id, rank::INT AS rank, cosine_sim FROM ranked WHERE rank <= 3
     """
-    assert_df_equal(out, duck.sql(sql))
+    # tol absorbs round(,6) boundary flips: the engines' FP summation
+    # orders differ by ~1e-7, which can land a sim value on opposite
+    # sides of the 6-decimal rounding cut (seen at sf0.01)
+    assert_df_equal(out, duck.sql(sql), tol=2e-6)
 
 
 def test_lsh_topk_reasonable_recall(embeddings):
