@@ -968,6 +968,29 @@ def expanding_stats_events(spark, sf_dir):
 
 
 @_q(
+    "interval_join_events",
+    """SELECT v.event_id AS view_id, c.event_id AS click_id
+       FROM events v JOIN events c
+         ON v.user_id = c.user_id
+        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+       WHERE v.event_type = 'view' AND c.event_type = 'click'""",
+)
+def interval_join_events(spark, sf_dir):
+    """Event-time attribution join (view -> click within 10 min per
+    user) — batch flavor of the watermarked stream-stream interval join
+    (streaming/windows.py; exact stream/batch parity is pytest-pinned)."""
+    from pd_explain_spark.streaming.windows import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = interval_join(views, clicks, on="user_id", within="10 minutes")
+    return out.select(
+        F.col("event_id").alias("view_id"), F.col("event_id_r").alias("click_id")
+    )
+
+
+@_q(
     "range_join_events",
     """SELECT e.event_id, b.band FROM events e
        JOIN (VALUES ('p0', 0.0, 25.0), ('p25', 25.0, 50.0),

@@ -146,3 +146,42 @@ def test_stream_drift_scores_matches_batch(spark, events_dir):
         for r in drift_scores(batch, window="1 hour", num_bins=20).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream attribution join (views -> clicks within 10 min per
+    user, watermarked both sides) must reproduce the batch interval_join
+    row set exactly when the stream is replayed with availableNow."""
+    from pd_explain_spark.streaming.windows import interval_join, stream_interval_join
+
+    schema = spark.read.parquet(events_dir).schema
+    static = spark.read.parquet(events_dir)
+    views_b = static.filter("event_type = 'view'").select("event_id", "user_id", "ts")
+    clicks_b = static.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    batch = interval_join(views_b, clicks_b, on="user_id", within="10 minutes").select(
+        "event_id", "event_id_r"
+    )
+
+    views_s = (
+        spark.readStream.schema(schema).parquet(events_dir)
+        .filter("event_type = 'view'").select("event_id", "user_id", "ts")
+    )
+    clicks_s = (
+        spark.readStream.schema(schema).parquet(events_dir)
+        .filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    )
+    joined = stream_interval_join(
+        views_s, clicks_s, on="user_id", within="10 minutes", watermark="1 hour"
+    ).select("event_id", "event_id_r")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("ivj").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert len(want) > 0
+    assert got == want
