@@ -968,6 +968,37 @@ def expanding_stats_events(spark, sf_dir):
 
 
 @_q(
+    "ewm_events",
+    """WITH ordered AS (
+         SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                row_number() OVER (ORDER BY ts, event_id) AS rn
+         FROM events
+       ), pairs AS (
+         SELECT a.event_id, b.cents, a.rn - b.rn AS d
+         FROM ordered a JOIN ordered b
+           ON b.rn <= a.rn AND b.rn > a.rn - 54
+       )
+       SELECT event_id,
+              round(sum(cents * pow(0.5, d)) / sum(pow(0.5, d)), 4) AS cents_ewm
+       FROM pairs GROUP BY event_id""",
+)
+def ewm_events(spark, sf_dir):
+    """Global exponentially-weighted mean (alpha=0.5, adjust=True) with
+    NO single-partition window: buckets + ghost rows + the tiled lag(N)
+    construction (operators/ewm.py). The oracle mirrors the SAME
+    N=54-row truncation (w^54 < 1e-16 — below double epsilon, so both
+    sides equal the exact recursion) via a bounded rn self-join."""
+    from pd_explain_spark.operators.ewm import ewm_mean
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = ewm_mean(ev, "cents", on="ts", alpha=0.5)
+    return out.select("event_id", F.round("cents_ewm", 4).alias("cents_ewm"))
+
+
+@_q(
     "interval_join_events",
     """SELECT v.event_id AS view_id, c.event_id AS click_id
        FROM events v JOIN events c

@@ -78,6 +78,8 @@ HEADLINE = [
     "q14_promo_revenue",
     "range_join_events",
     "expanding_stats_events",
+    "ewm_events",
+    "interval_join_events",
 ]
 
 
