@@ -968,6 +968,31 @@ def expanding_stats_events(spark, sf_dir):
 
 
 @_q(
+    "ffill_events",
+    """SELECT event_id,
+              last_value(v IGNORE NULLS) OVER
+                (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+       FROM (SELECT event_id, ts,
+                    CASE WHEN event_id % 5 <> 0
+                         THEN CAST(round(value * 100) AS BIGINT) END AS v
+             FROM events)""",
+)
+def ffill_events(spark, sf_dir):
+    """Ordered forward-fill with NO single-partition window: per-bucket
+    IGNORE NULLS fills + an O(buckets) boundary carry
+    (operators/rolling.py fill_ordered). Every 5th value NULLed so the
+    fill actually crosses bucket boundaries."""
+    from pd_explain_spark.operators.rolling import fill_ordered
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        F.when(F.col("event_id") % 5 != 0,
+               F.round(F.col("value") * 100).cast("long")).alias("v"),
+    )
+    return fill_ordered(ev, "v", on="ts", method="ffill").select("event_id", "v")
+
+
+@_q(
     "ewm_events",
     """WITH ordered AS (
          SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,

@@ -826,6 +826,24 @@ class ExplainableDataFrame:
         expanding_agg)."""
         return _Expanding(self, on, by, min_periods)
 
+    def ffill(self, columns, on: str, by=None) -> "ExplainableDataFrame":
+        """pandas ffill in ``on`` order: NULLs take the nearest preceding
+        non-NULL value (operators/rolling.py fill_ordered — bucketed
+        boundary carry keyless, partitioned window with by-keys)."""
+        from ..operators.rolling import fill_ordered
+
+        return ExplainableDataFrame(
+            fill_ordered(self.df, columns, on=on, method="ffill", by=by), name=self.name
+        )
+
+    def bfill(self, columns, on: str, by=None) -> "ExplainableDataFrame":
+        """pandas bfill in ``on`` order (mirror of ffill)."""
+        from ..operators.rolling import fill_ordered
+
+        return ExplainableDataFrame(
+            fill_ordered(self.df, columns, on=on, method="bfill", by=by), name=self.name
+        )
+
     def ewm(self, alpha: float, on: str, by=None) -> "_Ewm":
         """pandas ewm(alpha=..., adjust=True) in ``on`` order — helper
         exposing mean(). Tiled trailing-N window construction, exact to

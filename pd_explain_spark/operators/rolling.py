@@ -555,3 +555,75 @@ def rank_col(
 
     carry_expr = bucket_lookup(carries, F.col(_BUCKET))
     return part.withColumn(out_name, F.col(out_name) + carry_expr).drop(_BUCKET, _ONUM)
+
+
+def fill_ordered(
+    df: DataFrame,
+    columns: str | list[str],
+    on: str,
+    method: str = "ffill",
+    by: str | list[str] | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """pandas ``ffill``/``bfill`` in ``on`` order (optionally per ``by``
+    group): NULLs take the nearest preceding (ffill) / following (bfill)
+    non-NULL value of the same column.
+
+    Scale shape: with ``by`` keys, one partitioned window with
+    last/first(ignorenulls) over the half-open frame. Without keys, the
+    bucketed construction: each bucket fills independently, and the
+    cross-bucket boundary value (last non-null of all earlier buckets /
+    first non-null of all later ones) comes from an O(num_buckets)
+    per-bucket ``max_by``/``min_by`` aggregate, prefix-scanned on the
+    driver and attached as a flat per-bucket literal
+    (bucketing.bucket_lookup) — never a global sort partition."""
+    if method not in ("ffill", "bfill"):
+        raise ValueError(f"method must be ffill/bfill, got {method!r}")
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    by = [by] if isinstance(by, str) else list(by or [])
+    tie = [c for c in df.columns if c != on]
+    back = method == "ffill"
+
+    def _fill_exprs(w):
+        if back:
+            frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            return {c: F.last(F.col(c), ignorenulls=True).over(frame) for c in cols}
+        frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        return {c: F.first(F.col(c), ignorenulls=True).over(frame) for c in cols}
+
+    if by:
+        w = Window.partitionBy(*by).orderBy(F.col(on), *[F.col(c) for c in tie])
+        return df.withColumns(_fill_exprs(w))
+
+    from .bucketing import bucket_lookup
+
+    base, bounds = _bucketize(df, on, num_buckets)
+    w = Window.partitionBy(_BUCKET).orderBy(F.col(on), *[F.col(c) for c in tie])
+    filled = base.withColumns(_fill_exprs(w))
+
+    # boundary value per (bucket, column): the last (ffill) / first
+    # (bfill) non-null in on-order, via max_by/min_by over a null-keyed
+    # ordering (rows where the column is NULL contribute a NULL key,
+    # which max_by/min_by ignore)
+    onum = F.col(_ONUM)
+    key_of = lambda c: F.when(F.col(c).isNotNull(), onum)
+    pick = F.max_by if back else F.min_by
+    rows = (
+        base.groupBy(_BUCKET)
+        .agg(*[pick(F.col(c), key_of(c)).alias(c) for c in cols])
+        .collect()
+    )
+    per_bucket = {r[_BUCKET]: r for r in rows}
+    n_buckets = len(bounds) + 1
+    merged = {}
+    for c in cols:
+        carries: list = [None] * n_buckets
+        run = None
+        ids = range(n_buckets) if back else range(n_buckets - 1, -1, -1)
+        for b in ids:
+            carries[b] = run  # value visible from OUTSIDE bucket b
+            r = per_bucket.get(b)
+            if r is not None and r[c] is not None:
+                run = r[c]
+        merged[c] = F.coalesce(F.col(c), bucket_lookup(carries, F.col(_BUCKET)))
+    return filled.withColumns(merged).drop(_BUCKET, _ONUM)

@@ -528,3 +528,51 @@ def test_ewm_mean_skips_nulls_like_pandas(spark):
     import numpy as np
 
     assert np.allclose(got["x_ewm"].to_numpy(), ref.to_numpy(), atol=1e-12, equal_nan=True)
+
+
+def test_fill_ordered_matches_oracle(spark, duck, sf_dir):
+    """ffill/bfill vs DuckDB's IGNORE NULLS window fills, on a column
+    with planted NULLs, keyless (bucketed + boundary carry) AND by-key."""
+    import os
+
+    from pd_explain_spark.operators.rolling import fill_ordered
+    from pd_explain_spark.sources.readers import read_parquet_df
+
+    ev = read_parquet_df(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "event_type",
+        F.when(F.col("event_id") % 3 != 0, F.round(F.col("value") * 100).cast("long")).alias("v"),
+    )
+    duck.execute(
+        f"""CREATE OR REPLACE VIEW evn AS
+            SELECT event_id, ts, event_type,
+                   CASE WHEN event_id % 3 <> 0 THEN CAST(round(value*100) AS BIGINT) END AS v
+            FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}')"""
+    )
+    for method, fn in (("ffill", "last_value"), ("bfill", "first_value")):
+        frame = (
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            if method == "ffill"
+            else "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+        )
+        got = fill_ordered(ev, "v", on="ts", method=method, num_buckets=5).select(
+            "event_id", "v"
+        )
+        assert_df_equal(
+            got,
+            duck.sql(
+                f"""SELECT event_id, {fn}(v IGNORE NULLS) OVER
+                      (ORDER BY ts, event_id, event_type, v {frame}) AS v
+                    FROM evn"""
+            ),
+        )
+        got_by = fill_ordered(ev, "v", on="ts", method=method, by="event_type").select(
+            "event_id", "v"
+        )
+        assert_df_equal(
+            got_by,
+            duck.sql(
+                f"""SELECT event_id, {fn}(v IGNORE NULLS) OVER
+                      (PARTITION BY event_type ORDER BY ts, event_id, v {frame}) AS v
+                    FROM evn"""
+            ),
+        )
