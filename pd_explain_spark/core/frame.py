@@ -844,6 +844,17 @@ class ExplainableDataFrame:
             fill_ordered(self.df, columns, on=on, method="bfill", by=by), name=self.name
         )
 
+    def interpolate(self, columns, on: str, by=None) -> "ExplainableDataFrame":
+        """pandas interpolate(method='time'/'index') in ``on`` order:
+        interior NULL runs linearly interpolated by actual ``on``
+        distance, leading NULLs kept, trailing forward-filled
+        (operators/rolling.py interpolate_ordered)."""
+        from ..operators.rolling import interpolate_ordered
+
+        return ExplainableDataFrame(
+            interpolate_ordered(self.df, columns, on=on, by=by), name=self.name
+        )
+
     def ewm(self, alpha: float, on: str, by=None) -> "_Ewm":
         """pandas ewm(alpha=..., adjust=True) in ``on`` order — helper
         exposing mean(). Tiled trailing-N window construction, exact to

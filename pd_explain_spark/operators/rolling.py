@@ -627,3 +627,56 @@ def fill_ordered(
                 run = r[c]
         merged[c] = F.coalesce(F.col(c), bucket_lookup(carries, F.col(_BUCKET)))
     return filled.withColumns(merged).drop(_BUCKET, _ONUM)
+
+
+def interpolate_ordered(
+    df: DataFrame,
+    columns: str | list[str],
+    on: str,
+    by: str | list[str] | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL runs in ``on`` order — pandas
+    ``interpolate(method='time')`` semantics (weights by the actual
+    ``on`` distance, not row position): an interior NULL becomes
+    prev + (next - prev) * (t - t_prev) / (t_next - t_prev); leading
+    NULLs stay NULL; trailing NULLs take the last valid value (pandas'
+    forward default).
+
+    Built from two ``fill_ordered`` passes (previous and next non-NULL
+    value + position), so the keyless flavor inherits the bucketed
+    boundary-carry construction — no global sort partition."""
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    base = df.withColumn("__io", _order_num(df, on).cast("double"))
+    pv = {c: f"__pv_{c}" for c in cols}
+    po = {c: f"__po_{c}" for c in cols}
+    nv = {c: f"__nv_{c}" for c in cols}
+    no = {c: f"__no_{c}" for c in cols}
+    for c in cols:
+        marked = F.when(F.col(c).isNotNull(), F.col("__io"))
+        base = (
+            base.withColumn(pv[c], F.col(c).cast("double"))
+            .withColumn(po[c], marked)
+            .withColumn(nv[c], F.col(c).cast("double"))
+            .withColumn(no[c], marked)
+        )
+    ff = fill_ordered(
+        base, [pv[c] for c in cols] + [po[c] for c in cols],
+        on=on, method="ffill", by=by, num_buckets=num_buckets,
+    )
+    bb = fill_ordered(
+        ff, [nv[c] for c in cols] + [no[c] for c in cols],
+        on=on, method="bfill", by=by, num_buckets=num_buckets,
+    )
+    out_cols = {}
+    for c in cols:
+        p, o1, n, o2 = F.col(pv[c]), F.col(po[c]), F.col(nv[c]), F.col(no[c])
+        lerp = p + (n - p) * (F.col("__io") - o1) / (o2 - o1)
+        out_cols[c] = (
+            F.when(F.col(c).isNotNull(), F.col(c).cast("double"))
+            .when(p.isNull(), F.lit(None))              # leading NULLs stay
+            .when(n.isNull() | (o2 == o1), p)           # trailing -> last valid
+            .otherwise(F.round(lerp, 6))
+        )
+    drop = ["__io"] + [d[c] for d in (pv, po, nv, no) for c in cols]
+    return bb.withColumns(out_cols).drop(*drop)

@@ -576,3 +576,36 @@ def test_fill_ordered_matches_oracle(spark, duck, sf_dir):
                     FROM evn"""
             ),
         )
+
+
+def test_interpolate_ordered_matches_pandas(spark):
+    """Linear (time-weighted) interpolation vs pandas interpolate
+    (method='time' on a numeric index == 'index'): interior NULL runs
+    lerped, leading NULLs kept, trailing NULLs forward-filled. Keyless
+    path with tiny buckets so NULL runs cross bucket boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from pd_explain_spark.operators.rolling import interpolate_ordered
+
+    rng = np.random.default_rng(7)
+    t = np.sort(rng.choice(np.arange(0, 3000), size=220, replace=False)).astype(float)
+    v = rng.normal(50, 10, 220)
+    mask = rng.random(220) < 0.35
+    mask[:3] = True   # leading NULL run
+    mask[-3:] = True  # trailing NULL run
+    v_masked = np.where(mask, np.nan, v)
+    pdf = pd.DataFrame({"t": t, "v": v_masked})
+    df = spark.createDataFrame(pdf)
+
+    got = (
+        interpolate_ordered(df, "v", on="t", num_buckets=4)
+        .toPandas()
+        .sort_values("t", ignore_index=True)
+    )
+    want = pdf.set_index("t")["v"].interpolate(method="index").reset_index(drop=True)
+    g = got["v"].to_numpy()
+    w = want.to_numpy()
+    assert np.isnan(g[:3]).all()  # leading stays NULL
+    both = ~np.isnan(w)
+    assert np.allclose(g[both], w[both], atol=1e-5)
