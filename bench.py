@@ -80,6 +80,7 @@ HEADLINE = [
     "expanding_stats_events",
     "ewm_events",
     "interval_join_events",
+    "ffill_events",
 ]
 
 
