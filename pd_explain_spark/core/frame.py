@@ -1014,6 +1014,7 @@ class ExplainableDataFrame:
         max_records_per_file: int | None = None,
         cluster_by: list[str] | str | None = None,
         cluster_partitions: int | None = None,
+        layout: str = "linear",
     ) -> None:
         """pandas ``to_parquet`` → distributed parquet write. ``partition_by``
         produces hive-style directory partitioning (the layout that gives
@@ -1025,18 +1026,35 @@ class ExplainableDataFrame:
         parallel range Exchange, never a single-partition sort): each
         parquet file covers a disjoint key range and its row-group
         min/max stats are tight, so downstream point/range predicates on
-        those keys skip whole files and row groups."""
+        those keys skip whole files and row groups.
+
+        ``layout='zorder'`` (multi-column ``cluster_by``) interleaves the
+        columns' rank bits instead of sorting lexicographically: files
+        cover small hyper-rectangles of the key space, so predicates on
+        ANY clustered column prune files — linear layout only prunes on
+        the leading column (operators/zorder.py)."""
+        if layout not in ("linear", "zorder"):
+            raise ValueError(f"layout must be linear/zorder, got {layout!r}")
         out = self.df
         if cluster_by:
             ccols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+            sort_cols = ccols
+            if layout == "zorder":
+                from ..operators.zorder import zorder_value
+
+                out, z = zorder_value(out, ccols)
+                out = out.withColumn("__zv", z)
+                sort_cols = ["__zv"]
             # explicit cluster_partitions pins the output file count (AQE
             # otherwise coalesces small data to one file, which is right
             # for bytes but wrong when the caller wants a fixed layout)
             if cluster_partitions:
-                out = out.repartitionByRange(cluster_partitions, *ccols)
+                out = out.repartitionByRange(cluster_partitions, *sort_cols)
             else:
-                out = out.repartitionByRange(*ccols)
-            out = out.sortWithinPartitions(*ccols)
+                out = out.repartitionByRange(*sort_cols)
+            out = out.sortWithinPartitions(*sort_cols)
+            if layout == "zorder":
+                out = out.drop("__zv", *[f"__z_{c}" for c in ccols])
         w = out.write.mode(mode)
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", max_records_per_file)

@@ -639,3 +639,36 @@ def test_merge_indicator_and_validate(spark):
         l.merge(rdup, on="k", validate="m:1")
     with pytest.raises(ValueError, match="validate must be"):
         l.merge(r, on="k", validate="one_to_one")
+
+
+def test_to_parquet_zorder_prunes_on_both_columns(lineitem, tmp_path):
+    """Z-order layout: each file covers a small hyper-rectangle, so the
+    NON-leading clustered column's per-file range must be materially
+    tighter than under linear (lexicographic) clustering, where every
+    file spans nearly the full secondary range."""
+    import duckdb
+
+    slim = lineitem[["l_orderkey", "l_partkey"]]
+    lin, zo = str(tmp_path / "lin"), str(tmp_path / "zo")
+    slim.to_parquet(lin, mode="overwrite", cluster_by=["l_orderkey", "l_partkey"],
+                    cluster_partitions=8)
+    slim.to_parquet(zo, mode="overwrite", cluster_by=["l_orderkey", "l_partkey"],
+                    cluster_partitions=8, layout="zorder")
+
+    def mean_span(path, col):
+        rows = duckdb.sql(
+            f"""SELECT max({col}) - min({col}) AS span
+                FROM read_parquet('{path}/*.parquet', filename=true)
+                GROUP BY filename"""
+        ).fetchall()
+        return sum(r[0] for r in rows) / len(rows), len(rows)
+
+    lin_span, n_lin = mean_span(lin, "l_partkey")
+    zo_span, n_zo = mean_span(zo, "l_partkey")
+    assert n_lin > 1 and n_zo > 1
+    # linear: secondary column spans ~full range per file; zorder: a
+    # fraction of it. 0.7 leaves headroom for quantile-boundary noise.
+    assert zo_span < 0.7 * lin_span, (zo_span, lin_span)
+    # exact round-trip
+    got = duckdb.sql(f"SELECT count(*) FROM read_parquet('{zo}/*.parquet')").fetchone()[0]
+    assert got == slim.df.count()
