@@ -1642,6 +1642,63 @@ def ngram_jaccard_q(spark, sf_dir):
 
 
 @_q(
+    "minhash_near_dups_md5",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), sh AS (
+         SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3
+       ), inv AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh
+       ), hashes AS (
+         SELECT doc_id, i,
+                min(('0x' || substr(md5(shingle || '-' || i), 1, 15))::BIGINT) AS h
+         FROM inv CROSS JOIN range(16) r(i)
+         GROUP BY 1, 2
+       ), sigs AS (
+         SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
+       ), bands AS (
+         SELECT doc_id, b,
+                md5(array_to_string(sig[b*4+1 : b*4+4], '-')) AS bucket
+         FROM sigs CROSS JOIN range(4) rb(b)
+       ), cands AS (
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         FROM bands a JOIN bands c
+           ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+       ), inter AS (
+         SELECT cd.id_a, cd.id_b, count(*) AS inter
+         FROM cands cd
+         JOIN inv x ON x.doc_id = cd.id_a
+         JOIN inv y ON y.doc_id = cd.id_b AND y.shingle = x.shingle
+         GROUP BY 1, 2
+       )
+       SELECT i.id_a, i.id_b,
+              round(i.inter / (la.n + lb.n - i.inter), 6) AS jaccard
+       FROM inter i
+       JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON la.doc_id = i.id_a
+       JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON lb.doc_id = i.id_b
+       WHERE round(i.inter / (la.n + lb.n - i.inter), 6) >= 0.2""",
+)
+def minhash_near_dups_md5(spark, sf_dir):
+    """The FULL MinHash+LSH pipeline — signatures, banded buckets,
+    candidate self-join, exact-Jaccard verify — oracle-checked end to
+    end: the md5 hash flavor hashes identical bytes on both engines, so
+    DuckDB reproduces every stage verbatim (the xxhash64 default entry
+    stays the fast path; this one proves the algorithm). 16 hashes x 4
+    bands, no df-pruning, threshold 0.2."""
+    from pd_explain_spark.functions.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16, bands=4, threshold=0.2, max_df=None, hash_fn="md5",
+    )
+
+
+@_q(
     "near_dup_components",
     """WITH toks AS (
          SELECT doc_id,

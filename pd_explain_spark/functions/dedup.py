@@ -242,9 +242,26 @@ def minhash_signatures(
     return _signatures_from_index(_shingle_index(df, text_col, id_col, n), num_hashes)
 
 
-def _signatures_from_index(inv: DataFrame, num_hashes: int) -> DataFrame:
+def _hash_expr(shingle, i: int, hash_fn: str):
+    """Per-slot shingle hash. ``xxhash64`` (default) is the fast JVM
+    intrinsic; ``md5`` takes the first 15 hex chars of
+    md5("<shingle>-<i>") as a 60-bit integer — 3-5x slower, but both
+    engines hash identical bytes to identical values, which makes the
+    WHOLE minhash pipeline (signatures -> bands -> candidates -> verify)
+    DuckDB-oracle-checkable (('0x' || substr(md5(..), 1, 15))::BIGINT)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(shingle, F.lit(i))
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("-", shingle, F.lit(str(i)))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def _signatures_from_index(
+    inv: DataFrame, num_hashes: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+        F.min(_hash_expr(F.col("shingle"), i, hash_fn)).alias(f"_h{i}")
+        for i in range(num_hashes)
     ]
     return (
         inv.groupBy("id")
@@ -268,21 +285,24 @@ def _finalize_release(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
 
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
-    _cache_registry: list | None = None,
+    _cache_registry: list | None = None, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature; docs sharing any (band, bucket) are candidates.
 
     Buckets are ``xxhash64`` over the band's signature longs directly
     (variadic, no string concat, no lambdas) — the banding projection
-    stays inside whole-stage codegen.
-    """
+    stays inside whole-stage codegen. The ``md5`` flavor buckets on
+    md5 of the dash-joined slot values (the form DuckDB reproduces
+    verbatim: md5(array_to_string(sig[a:b], '-')))."""
+
+    def _bucket(b: int):
+        slots = [F.col("sig").getItem(b * rows_per_band + j) for j in range(rows_per_band)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*slots)
+        return F.md5(F.concat_ws("-", *[s.cast("string") for s in slots]))
+
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col("sig").getItem(b * rows_per_band + j) for j in range(rows_per_band)]
-            ).alias("bucket"),
-        )
+        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
         for b in range(bands)
     ]
     banded = signatures.select(
@@ -312,7 +332,7 @@ def minhash_lsh_candidates(
 def minhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5,
-    max_df: float | None = 0.2,
+    max_df: float | None = 0.2, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the 100 TB dedup path:
     candidate generation never compares all pairs, verification touches
@@ -342,8 +362,10 @@ def minhash_near_duplicates(
     inv = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     cached: list[DataFrame] = [inv]
     sig_inv = _df_pruned(inv, max_df) if max_df is not None else inv
-    sigs = _signatures_from_index(sig_inv, num_hashes)
-    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands, _cache_registry=cached)
+    sigs = _signatures_from_index(sig_inv, num_hashes, hash_fn=hash_fn)
+    cands = minhash_lsh_candidates(
+        sigs, bands, num_hashes // bands, _cache_registry=cached, hash_fn=hash_fn
+    )
     return _finalize_release(
         _verify_pairs(cands, inv, threshold, _cache_registry=cached), cached
     )
