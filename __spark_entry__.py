@@ -1760,6 +1760,47 @@ _QUERIES["minhash_near_dups"] = minhash_near_dups_q  # rows-only: xxhash64 seeds
 _QUERIES["simhash_near_dups"] = simhash_near_dups_q  # rows-only: xxhash64 bit votes
 
 
+@_q(
+    "simhash_near_dups_md5",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_distinct(string_split_regex(
+                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+         FROM documents
+       ), h AS (
+         SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+       ), votes AS (
+         SELECT doc_id, b,
+                sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM h CROSS JOIN range(60) r(b)
+         GROUP BY 1, 2
+       ), sig AS (
+         SELECT doc_id,
+                sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS s
+         FROM votes GROUP BY 1
+       ), blocks AS (
+         SELECT doc_id, s, i, (s >> (i * 15)) & 32767 AS key
+         FROM sig CROSS JOIN range(4) rb(i)
+       )
+       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+              bit_count(xor(a.s, c.s)) AS hamming
+       FROM blocks a JOIN blocks c
+         ON a.i = c.i AND a.key = c.key AND a.doc_id < c.doc_id
+       WHERE bit_count(xor(a.s, c.s)) <= 10""",
+)
+def simhash_near_dups_md5(spark, sf_dir):
+    """The FULL SimHash pipeline — per-bit token votes, 4-block LSH,
+    exact Hamming verify — oracle-checked end to end via the 60-bit md5
+    token hash both engines compute identically (the 64-bit xxhash64
+    entry stays the fast path)."""
+    from pd_explain_spark.functions.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=10, hash_fn="md5"
+    )
+
+
 # ---------------------------------------------------------------- similarity search
 @_q(
     "similarity_topk",

@@ -499,24 +499,36 @@ def dedup_near(
 
 
 # ---------------------------------------------------------------- simhash
-def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash from token hashes, fully JVM-side:
-    bit b of the signature = sign of sum over tokens of (+1 if bit set else -1)."""
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash from token hashes, fully JVM-side: bit b of the signature
+    = sign of sum over tokens of (+1 if bit set else -1). 64 bits with
+    the default xxhash64 token hash; 60 bits with ``hash_fn='md5'`` (the
+    15-hex-char integer both engines can compute — makes the whole
+    pipeline DuckDB-oracle-checkable, same pattern as minhash)."""
+    bits = 64 if hash_fn == "xxhash64" else 60
     toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+    h = (
+        F.xxhash64("tok")
+        if hash_fn == "xxhash64"
+        else F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    )
     inv = _fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")
-    ).select("id", F.xxhash64("tok").alias("h"))
-    # 64 codegen'd sum aggregates (map-side combined): vote[b] = sum over
+    ).select("id", h.alias("h"))
+    # codegen'd sum aggregates (map-side combined): vote[b] = sum over
     # tokens of +-1 by bit b of the token hash. HOF F.aggregate over a
     # token-hash array is interpreted and recomputes the array per bit.
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.expr(f"shiftleft(1L, {b})")) != 0, 1).otherwise(-1)
         ).alias(f"_v{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         mask = F.expr(f"shiftleft(1L, {b})")
         sig = sig.bitwiseOR(
             F.when(F.col(f"_v{b}") > 0, mask).otherwise(F.lit(0).cast("long"))
@@ -525,15 +537,20 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Hamming-close pairs via 4x16-bit block LSH (a pair within distance
-    <= 3 must agree on at least one of 4 blocks), verified exactly."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    """Hamming-close pairs via 4-block LSH (a pair within distance <= 3
+    must agree on at least one of 4 blocks), verified exactly. Blocks
+    are 16 bits for the 64-bit xxhash64 flavor, 15 for the 60-bit md5
+    flavor."""
+    width = 16 if hash_fn == "xxhash64" else 15
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     block_structs = [
         F.struct(
             F.lit(i).alias("block"),
-            F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask)).alias("key"),
         )
         for i in range(4)
     ]
