@@ -1911,14 +1911,59 @@ def similarity_topk_int8(spark, sf_dir):
     return quantized_topk(codes, codes.filter("vec_id < 10"), k=5)
 
 
+def _lsh_oracle_sql(k=5, n_planes=4, n_tables=8, dim=64, seed=42) -> str:
+    """DuckDB mirror of the ENTIRE hyperplane-LSH pipeline: the seeded
+    hyperplanes are pure Python (similarity._hyperplanes), so their
+    constants inline as list literals and DuckDB reproduces bucketing,
+    the multi-table candidate union, and the exact cosine rank verbatim.
+    Both engines parse the same decimal literals to the same doubles;
+    a sign flip would need |projection| ~ 1e-16 (never observed).
+    dim=64 matches the driver's embeddings tables at every sf."""
+    from pd_explain_spark.functions.similarity import _hyperplanes
+
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t + 1)
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(float(x)) for x in p)
+            + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        tables.append(f"SELECT vec_id, {t} AS t, {terms} AS bucket FROM e")
+    buckets = "\n UNION ALL ".join(tables)
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       b AS ({buckets}),
+       qb AS (SELECT * FROM b WHERE vec_id < 10),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM qb q JOIN b c ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       ), scored AS (
+         SELECT cand.query_id, cand.neighbor_id,
+                list_dot_product(qe.v, ce.v)
+                  / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS sim
+         FROM cand
+         JOIN e qe ON qe.vec_id = cand.query_id
+         JOIN e ce ON ce.vec_id = cand.neighbor_id
+       ), ranked AS (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+                round(sim, 4) AS cosine_sim
+         FROM scored
+       )
+       SELECT query_id, neighbor_id, rank::INT AS rank, cosine_sim
+       FROM ranked WHERE rank <= {k}"""
+
+
+@_q("similarity_lsh_topk", _lsh_oracle_sql())
 def similarity_lsh_q(spark, sf_dir):
+    """Hyperplane-LSH top-k, now oracle-checked end to end: the seeded
+    plane constants inline into the DuckDB mirror (see _lsh_oracle_sql),
+    upgrading this entry from rows-only to a full pipeline hash check."""
     from pd_explain_spark.functions.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter("vec_id < 10"), k=5, n_planes=4)
-
-
-_QUERIES["similarity_lsh_topk"] = similarity_lsh_q  # rows-only: seeded hyperplanes
+    return lsh_topk(emb, emb.filter("vec_id < 10"), k=5, n_planes=4, round_to=4)
 
 
 def similarity_ivf_q(spark, sf_dir):
@@ -1999,19 +2044,54 @@ def embedding_near_dups_exact_q(spark, sf_dir):
     )
 
 
+def _embedding_near_dups_oracle_sql(
+    threshold=0.45, n_planes=4, n_tables=32, dim=64, seed=42
+) -> str:
+    """DuckDB mirror of the LSH near-dup pipeline with the seeded plane
+    constants inlined (same technique as _lsh_oracle_sql): multi-table
+    bucket self-join -> distinct pairs -> exact cosine verify, threshold
+    on the round-6 similarity, output single-rounded to 4."""
+    from pd_explain_spark.functions.similarity import _hyperplanes
+
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t + 1)
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(float(x)) for x in p)
+            + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        tables.append(f"SELECT vec_id, {t} AS t, {terms} AS bucket FROM e")
+    buckets = "\n UNION ALL ".join(tables)
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       b AS ({buckets}),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+       ), scored AS (
+         SELECT cand.id_a, cand.id_b,
+                list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+         FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
+       )
+       SELECT id_a, id_b, round(sim, 4) AS cosine_sim
+       FROM scored WHERE round(sim, 6) >= {threshold}"""
+
+
+@_q("embedding_near_dups", _embedding_near_dups_oracle_sql())
 def embedding_near_dups_q(spark, sf_dir):
     """32 OR'd hash tables: the test pairs sit right at the 0.45 threshold
     (cosine 0.452-0.513), where per-table collision is only ~18%; with 32
     tables the per-pair miss probability is ~2e-3, so recall vs the exact
-    entry is >=13/14 with probability ~0.9996 per run."""
+    entry is >=13/14 with probability ~0.9996 per run. Now oracle-checked
+    end to end — the plane constants inline into the DuckDB mirror."""
     from pd_explain_spark.functions.similarity import embedding_near_duplicates
 
     return embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=4, n_tables=32
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=4, n_tables=32,
+        round_to=4,
     )
-
-
-_QUERIES["embedding_near_dups"] = embedding_near_dups_q  # rows-only: seeded hyperplane LSH
 
 
 # ------------------------------------------------------- multimodal plumbing

@@ -190,8 +190,13 @@ def embedding_near_duplicates(
     n_planes: int = 4,
     n_tables: int = 16,
     seed: int = 42,
+    round_to: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-table LSH + exact verify.
+    The threshold always applies to the 6-decimal similarity (stable
+    contract); ``round_to`` controls the OUTPUT rounding — both are a
+    single round from the raw cosine (double-rounding is rounding-mode-
+    dependent across engines).
 
     Candidates = union over n_tables hash tables of same-bucket pairs
     (OR-amplification — see _table_bucket_struct), deduplicated, then
@@ -219,15 +224,18 @@ def embedding_near_duplicates(
     )
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(sim, 6).alias("__c6"),
+            F.round(sim, round_to).alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= threshold)
+        .filter(F.col("__c6") >= threshold)
+        .drop("__c6")
     )
 
 
