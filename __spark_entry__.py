@@ -2578,29 +2578,42 @@ _RECORD_FIRST = [
     # (r5: groupby_agg_dict / join_dims_broadcast / q1_pricing_summary —
     # green in both r2 and r4 — rotated out for the new training-mix
     # entries redact_pii / stratified_sample_lang / pack_sequences)
-    "q3_shipping_priority",
+    # (r5 mid-round rotation: entries green in two prior rounds —
+    # q3_shipping_priority, fedex_groupby_explain, text_profile,
+    # lang_id_counts, dedup_exact, ngram_jaccard, similarity_topk,
+    # embedding_near_dups_exact — plus the rows-only twins
+    # minhash_near_dups / simhash_near_dups / outlier_explain_std and the
+    # once-green windowed_events rotated out for the twelve oracle-backed
+    # entries that have never received a driver row: TPC-H q4/q10/q12/q14,
+    # expanding/ffill/ewm/interval-join/range-join, assign_splits, and the
+    # md5-flavored minhash/simhash pipelines which hash-check the full
+    # near-dup path end to end.)
     "topk_orders", "query_string_filter",
+    "q4_priority_count", "q10_returned_revenue", "q12_priority_lines", "q14_promo_revenue",
     "redact_pii", "stratified_sample_lang", "pack_sequences",
+    "assign_splits",
     # explanation operators (the analytical core, SURVEY §2.4)
-    "fedex_filter_explain", "fedex_filter_kernel", "fedex_groupby_explain", "fedex_join_explain",
+    "fedex_filter_explain", "fedex_filter_kernel", "fedex_join_explain",
     "shapley_explain", "shapley_filter_explain", "shapley_kernel",
     "fedex_join_kernel",
-    "outlier_explain", "outlier_explain_std", "outlier_kernel",
+    "outlier_explain", "outlier_kernel",
     "many_to_one_explain", "many_to_one_kernel",
     "metainsight_explain", "metainsight_kernel",
     # training-data pipeline extensions
-    "text_profile", "lang_id_counts", "curation_pipeline",
+    "curation_pipeline",
     "token_counts", "repetition_signals", "curate_documents",
-    "dedup_exact", "ngram_jaccard", "near_dup_components",
-    "minhash_near_dups", "simhash_near_dups",
-    "similarity_topk", "similarity_lsh_topk", "similarity_ivf_topk",
-    "embedding_near_dups_exact", "embedding_near_dups",
+    "near_dup_components",
+    "minhash_near_dups_md5", "simhash_near_dups_md5",
+    "similarity_lsh_topk", "similarity_ivf_topk",
+    "embedding_near_dups",
     "embedding_centroid_dist", "embedding_quantize", "similarity_topk_int8",
     "multimodal_features",
     # time-series / streaming surface
     "rolling_hour_events", "cumsum_events", "asof_join_events",
     "rank_events_dense", "resample_hourly", "pct_change_events",
-    "windowed_events", "drift_scores_events",
+    "expanding_stats_events", "ffill_events", "ewm_events",
+    "interval_join_events", "range_join_events",
+    "drift_scores_events",
     # constrained mini-language executor
     "mini_language_query",
 ]

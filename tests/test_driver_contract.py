@@ -41,7 +41,10 @@ def test_window_covers_every_operator_family():
             "fedex_filter_kernel", "fedex_join_kernel", "shapley_kernel",
             "outlier_kernel", "many_to_one_kernel", "metainsight_kernel",
         },
-        "dedup": {"dedup_exact", "ngram_jaccard", "minhash_near_dups"},
+        "dedup": {
+            "dedup_exact", "ngram_jaccard", "minhash_near_dups",
+            "minhash_near_dups_md5", "simhash_near_dups_md5", "near_dup_components",
+        },
         "similarity": {"similarity_topk", "similarity_lsh_topk"},
         "text": {"text_profile", "token_counts", "repetition_signals"},
         "timeseries": {"rolling_hour_events", "cumsum_events", "asof_join_events"},
