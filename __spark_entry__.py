@@ -1500,6 +1500,74 @@ def curate_documents_q(spark, sf_dir):
 
 
 @_q(
+    "segment_dedup_docs",
+    """WITH base AS (
+         SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents
+       ), segs AS (
+         SELECT doc_id, i AS seg_pos,
+                array_to_string(toks[i*3+1:i*3+3], ' ') AS segment
+         FROM base, unnest(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT))) AS t(i)
+       ), freq AS (
+         SELECT segment, count(DISTINCT doc_id) AS doc_freq FROM segs GROUP BY 1
+       ), marked AS (
+         SELECT s.*, f.doc_freq >= 5 AS boiler FROM segs s JOIN freq f USING (segment)
+       )
+       SELECT doc_id,
+              coalesce(string_agg(segment, ' ' ORDER BY seg_pos)
+                       FILTER (WHERE NOT boiler), '') AS text,
+              count(*) AS n_segments,
+              CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+       FROM marked GROUP BY doc_id""",
+)
+def segment_dedup_docs(spark, sf_dir):
+    """CCNet-style segment-level boilerplate removal: drop every 3-token
+    chunk shared by >= 5 documents, reassemble survivors in order.
+    functions/segments.py segment_dedup — one doc-frequency shuffle, the
+    frequent-segment set broadcast into the removal join."""
+    from pd_explain_spark.functions.segments import segment_dedup, token_chunk_segments
+
+    return segment_dedup(
+        _t(spark, sf_dir, "documents"),
+        segmenter=lambda c: token_chunk_segments(c, 3),
+        min_docs=5,
+        sep=" ",
+    )
+
+
+@_q(
+    "chunk_documents_overlap",
+    """WITH base AS (
+         SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents
+       ), chunks AS (
+         SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                toks[i*12+1:i*12+16] AS w
+         FROM base, unnest(range(0, CAST(ceil(len(toks)/12.0) AS BIGINT))) AS t(i)
+       )
+       SELECT doc_id, chunk_id,
+              array_to_string(w, ' ') AS chunk_text,
+              CAST(len(w) AS INT) AS n_tokens
+       FROM chunks WHERE len(w) >= 5""",
+)
+def chunk_documents_overlap(spark, sf_dir):
+    """Fixed-window training chunks: 16-token windows every 12 tokens
+    (4-token overlap), trailing fragments under 5 tokens dropped.
+    functions/segments.py chunk_documents — tokenize once, slice windows
+    in the scan stage, posexplode; zero shuffles."""
+    from pd_explain_spark.functions.segments import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=16,
+        overlap=4,
+        min_tokens=5,
+    )
+
+
+@_q(
     "redact_pii",
     """WITH s1 AS (
          SELECT doc_id,

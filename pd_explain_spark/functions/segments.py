@@ -1,0 +1,196 @@
+"""Segment-level corpus operators: boilerplate removal and chunking.
+
+Whole-document dedup (dedup.py) misses the dominant duplication mode in
+web-scale training corpora: the SAME navigation bar / footer / license
+paragraph repeated inside millions of otherwise-distinct documents.
+CCNet/RefinedWeb-style pipelines therefore dedup at *segment* level —
+split every document into segments (lines, paragraphs, or fixed token
+chunks), drop the segments whose corpus-wide document frequency exceeds
+a threshold, and reassemble the survivors in order.
+
+No reference counterpart (the reference is a tabular explainer); this is
+part of the training-data-pipeline extension surface alongside
+text.curate_documents and dedup.dedup_near.
+
+Scale shape (the 100 TB plan):
+  * segmentation is a scan-stage expression (split / slice / transform —
+    JVM codegen, no Python);
+  * document frequency is ONE map-side-combining shuffle keyed by
+    segment hash; `exact=False` switches the distinct-doc count to
+    HLL++ so hot segments (empty line, "All rights reserved") never
+    materialize their full id list;
+  * the frequent-segment set is tiny by construction (its size is
+    bounded by total_segments / min_docs), so the removal join
+    broadcasts it — the reassembly groupBy(doc_id) is the only other
+    exchange, and it carries just (id, pos, segment) survivor rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized_text
+
+__all__ = [
+    "line_segments",
+    "token_chunk_segments",
+    "segment_frequencies",
+    "segment_dedup",
+    "chunk_documents",
+]
+
+
+def line_segments(c: Column) -> Column:
+    """Non-blank lines of the raw text (the CCNet segmentation unit)."""
+    return F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != F.lit(""))
+
+
+def token_chunk_segments(c: Column, k: int) -> Column:
+    """Non-overlapping ``k``-token chunks of the normalized text.
+
+    The segmentation unit for corpora without line structure; the last
+    chunk keeps its natural (shorter) length. Pure slice/transform over
+    one tokenization — O(tokens) per row, JVM-side.
+    """
+    toks = F.split(normalized_text(c), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - F.lit(1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+    )
+
+
+def _segment_table(
+    df: DataFrame, text_col: str, id_col: str, segmenter: Callable[[Column], Column]
+) -> DataFrame:
+    """(id, seg_pos, segment) — one row per segment occurrence."""
+    return df.select(
+        F.col(id_col), F.posexplode(segmenter(F.col(text_col))).alias("seg_pos", "segment")
+    )
+
+
+def segment_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmenter: Optional[Callable[[Column], Column]] = None,
+    exact: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Corpus-wide document frequency per distinct segment.
+
+    One shuffle keyed by segment; the distinct-document count combines
+    map-side. ``exact=False`` uses HLL++ (relative error ``rsd``) so the
+    per-segment state is a constant-size sketch regardless of how many
+    documents share the segment — the right setting at 100 TB where a
+    boilerplate line can appear in 10^8 documents.
+    """
+    segmenter = segmenter or line_segments
+    segs = _segment_table(df, text_col, id_col, segmenter)
+    cnt = (
+        F.count_distinct(F.col(id_col))
+        if exact
+        else F.approx_count_distinct(F.col(id_col), rsd)
+    )
+    return segs.groupBy("segment").agg(cnt.alias("doc_freq"))
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmenter: Optional[Callable[[Column], Column]] = None,
+    min_docs: int = 10,
+    sep: str = "\n",
+    exact: bool = True,
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """Remove segments shared by >= ``min_docs`` documents; reassemble.
+
+    Returns one row per input document:
+      (id_col, text          -- surviving segments joined by ``sep``
+               , n_segments  -- segments before removal
+               , n_removed)  -- boilerplate segments dropped
+
+    A document whose every segment is boilerplate survives with
+    ``text = ''`` — dropping rows is the caller's policy decision.
+
+    The frequent-segment set is broadcast (size <= total_segments /
+    min_docs by pigeonhole); pass ``broadcast_frequent=False`` to let
+    AQE pick the join strategy when min_docs is small enough that the
+    set could outgrow the driver.
+    """
+    segmenter = segmenter or line_segments
+    segs = _segment_table(df, text_col, id_col, segmenter)
+    freq = segment_frequencies(
+        df, text_col, id_col, segmenter, exact=exact
+    )
+    boiler = freq.filter(F.col("doc_freq") >= min_docs).select(
+        "segment", F.lit(True).alias("__boiler")
+    )
+    if broadcast_frequent:
+        boiler = F.broadcast(boiler)
+    marked = segs.join(boiler, "segment", "left")
+    kept_struct = F.when(
+        F.col("__boiler").isNull(), F.struct(F.col("seg_pos"), F.col("segment"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                # collect_list drops the NULLs the when() produces for
+                # boilerplate occurrences; array_sort orders by the
+                # struct's first field (seg_pos) = original order.
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.segment,
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("__boiler").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split documents into fixed-size token windows for training.
+
+    Emits (id_col, chunk_id, chunk_text, n_tokens) with chunks of
+    ``chunk_tokens`` whitespace tokens starting every
+    ``chunk_tokens - overlap`` tokens (overlap keeps context across
+    boundaries, the standard pre-training window trick). Trailing
+    chunks shorter than ``min_tokens`` are dropped.
+
+    Scale shape: tokenize once, build all windows with slice/transform
+    inside the scan stage, posexplode — zero shuffles; output
+    partitioning follows the input, so a downstream repartition (or the
+    clustered sink) controls file sizes.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    # windows start at 0, stride, 2*stride, ... while start < n
+    n_windows = F.ceil(n / F.lit(float(stride))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_windows - F.lit(1), F.lit(0))),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__toks")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", F.col("__toks")).alias("chunk_text"),
+        F.size("__toks").alias("n_tokens"),
+    )
+    return out.filter(F.col("n_tokens") >= min_tokens)
