@@ -1567,6 +1567,68 @@ def chunk_documents_overlap(spark, sf_dir):
     )
 
 
+_CONTAM_GRAMS_CTE = """WITH base AS (
+         SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents
+       ), grams AS (
+         SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g
+         FROM base, unnest(range(0, greatest(len(toks)-2, 0))) t(i)
+       ), ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id < 20),
+       tr AS (SELECT doc_id AS train_id, g FROM grams WHERE doc_id >= 20),
+       es AS (SELECT eval_id, count(*) AS eval_ngrams FROM ev GROUP BY 1),
+       mt AS (SELECT train_id, eval_id, count(*) AS matched_ngrams
+              FROM tr JOIN ev USING (g) GROUP BY 1, 2),
+       pairs AS (
+         SELECT train_id, eval_id, matched_ngrams, eval_ngrams,
+                round(matched_ngrams * 1.0 / eval_ngrams, 6) AS containment
+         FROM mt JOIN es USING (eval_id)
+         WHERE matched_ngrams * 1.0 / eval_ngrams >= 0.1
+       )"""
+
+
+@_q(
+    "contamination_pairs_docs",
+    _CONTAM_GRAMS_CTE
+    + """
+       SELECT train_id, eval_id, matched_ngrams, eval_ngrams, containment
+       FROM pairs""",
+)
+def contamination_pairs_docs(spark, sf_dir):
+    """Benchmark-contamination scan: docs >= 20 as the corpus, docs < 20
+    as the eval suite; flag pairs where >= 10% of the eval doc's
+    distinct 3-gram set appears in the train doc. The eval index and
+    size table broadcast — functions/contamination.py."""
+    from pd_explain_spark.functions.contamination import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_pairs(
+        docs.filter("doc_id >= 20"), docs.filter("doc_id < 20"),
+        n=3, min_containment=0.1,
+    )
+
+
+@_q(
+    "decontaminate_docs",
+    _CONTAM_GRAMS_CTE
+    + """
+       SELECT d.* FROM documents d
+       WHERE d.doc_id >= 20
+         AND d.doc_id NOT IN (SELECT train_id FROM pairs)""",
+)
+def decontaminate_docs(spark, sf_dir):
+    """End-to-end decontamination: the flagged train ids become a
+    broadcast anti-join over the corpus — no shuffle of the documents
+    themselves."""
+    from pd_explain_spark.functions.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter("doc_id >= 20"), docs.filter("doc_id < 20"),
+        n=3, min_containment=0.1,
+    )
+
+
 @_q(
     "redact_pii",
     """WITH s1 AS (

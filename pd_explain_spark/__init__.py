@@ -28,6 +28,7 @@ from .config import GLOBALS, toggle_sampling
 from .functions.dedup import dedup_near, duplicate_components
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import assign_splits, pack_sequences, redact_pii, stratified_sample
+from .functions.contamination import contamination_pairs, decontaminate
 from .functions.segments import chunk_documents, segment_dedup, segment_frequencies
 from .functions.similarity import IvfIndex, ivf_build, ivf_query
 from .functions.text import curation_pipeline, repetition_signals
@@ -83,4 +84,6 @@ __all__ = [
     "segment_dedup",
     "segment_frequencies",
     "chunk_documents",
+    "contamination_pairs",
+    "decontaminate",
 ]
