@@ -1629,6 +1629,90 @@ def decontaminate_docs(spark, sf_dir):
     )
 
 
+_TOKS_CTE = """WITH toks AS (
+         SELECT id, term FROM (
+           SELECT doc_id AS id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+           FROM documents
+         ) WHERE term <> ''
+       )"""
+
+
+@_q(
+    "tfidf_docs",
+    _TOKS_CTE
+    + """, tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS nn FROM documents)
+       SELECT id, term, tf, df, round(tf * ln(nn / (df * 1.0)), 4) AS tfidf
+       FROM tf JOIN dfq USING (term) CROSS JOIN n""",
+)
+def tfidf_docs(spark, sf_dir):
+    """Corpus TF-IDF: one token explode, per-(doc, term) counts with
+    map-side combine, vocabulary-sized df table broadcast back.
+    functions/relevance.py tf_idf."""
+    from pd_explain_spark.functions.relevance import tf_idf
+
+    return tf_idf(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "bm25_docs",
+    _TOKS_CTE
+    + """, dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+       tf AS (SELECT id, term, count(*) AS tf FROM toks
+              WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2),
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS nn FROM documents),
+       ad AS (SELECT avg(dl) AS avgdl FROM dl)
+       SELECT id,
+              round(sum(
+                ln(1.0 + (nn - df + 0.5) / (df + 0.5))
+                * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+              ), 4) AS score
+       FROM tf JOIN dfq USING (term) JOIN dl USING (id)
+       CROSS JOIN n CROSS JOIN ad
+       GROUP BY id""",
+)
+def bm25_docs(spark, sf_dir):
+    """Okapi BM25 against a fixed seed-term query; the term filter runs
+    in the scan stage, corpus scalars (N, avgdl) ride as broadcast
+    literals. functions/relevance.py bm25_scores."""
+    from pd_explain_spark.functions.relevance import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "window", "join"]
+    )
+
+
+@_q(
+    "vocabulary_docs",
+    _TOKS_CTE
+    + """, per_term AS (
+         SELECT term, count(*) AS count, count(DISTINCT id) AS doc_freq
+         FROM toks GROUP BY 1
+       ), total AS (SELECT count(*) AS tt FROM toks),
+       ranked AS (
+         SELECT term, count, doc_freq,
+                row_number() OVER (ORDER BY count DESC, term) AS rank,
+                CAST(sum(count) OVER (ORDER BY count DESC, term
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM per_term
+       )
+       SELECT term, count, doc_freq, CAST(rank AS INT) AS rank,
+              round(cum * 1.0 / tt, 6) AS cum_coverage
+       FROM ranked CROSS JOIN total
+       WHERE rank <= 100""",
+)
+def vocabulary_docs(spark, sf_dir):
+    """Vocabulary builder: term counts + doc frequency, top-k through
+    TakeOrderedAndProject, rank/coverage window over only the k
+    survivors. functions/relevance.py build_vocabulary."""
+    from pd_explain_spark.functions.relevance import build_vocabulary
+
+    return build_vocabulary(_t(spark, sf_dir, "documents"), max_size=100)
+
+
 @_q(
     "redact_pii",
     """WITH s1 AS (

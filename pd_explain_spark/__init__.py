@@ -29,6 +29,7 @@ from .functions.dedup import dedup_near, duplicate_components
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import assign_splits, pack_sequences, redact_pii, stratified_sample
 from .functions.contamination import contamination_pairs, decontaminate
+from .functions.relevance import bm25_scores, build_vocabulary, tf_idf
 from .functions.segments import chunk_documents, segment_dedup, segment_frequencies
 from .functions.similarity import IvfIndex, ivf_build, ivf_query
 from .functions.text import curation_pipeline, repetition_signals
@@ -86,4 +87,7 @@ __all__ = [
     "chunk_documents",
     "contamination_pairs",
     "decontaminate",
+    "tf_idf",
+    "bm25_scores",
+    "build_vocabulary",
 ]

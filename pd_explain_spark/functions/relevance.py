@@ -1,0 +1,189 @@
+"""Corpus term statistics: TF-IDF, BM25, vocabulary building.
+
+Training-data pipelines need corpus-level term weighting for boilerplate
+scoring, keyword extraction, topic balancing, and retrieval-style
+filtering ("keep documents relevant to these seed terms"). These are
+the classic IR statistics expressed as Spark plans.
+
+No reference counterpart (the reference is a tabular explainer); part
+of the training-data-pipeline extension surface.
+
+Scale shape (the 100 TB plan):
+  * one explode of the token stream feeds everything; per-(doc, term)
+    counts are a single map-side-combining shuffle keyed by (doc, term);
+  * document frequencies reduce the SAME table again keyed by term —
+    no second pass over the raw text;
+  * the term-statistics table is vocabulary-sized (millions, not
+    billions), so joins back to per-doc rows broadcast;
+  * corpus scalars (N docs, average doc length) are one-row aggregates
+    cross-joined as literals — no driver round trip in the plan;
+  * vocabulary top-k goes through TakeOrderedAndProject (never a global
+    sort of the vocab); the rank/coverage window then runs over only
+    the k survivors.
+
+Float determinism: scores are rounded ONCE from the raw double to 4
+decimals — ln() differs by <= 1 ulp between JVM and C runtimes, and the
+4-decimal single round gives the same boundary margin the cosine
+entries use (see similarity.brute_force_topk).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalized_text
+
+__all__ = ["term_frequencies", "tf_idf", "bm25_scores", "build_vocabulary"]
+
+
+def _token_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) — one row per token OCCURRENCE (counting semantics,
+    unlike dedup's distinct shingle index)."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("term")
+    ).filter(F.col("term") != "")
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, term, tf) — raw term counts per document."""
+    return (
+        _token_table(df, text_col, id_col)
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+    broadcast_terms: bool = True,
+) -> DataFrame:
+    """(id, term, tf, df, tfidf) with tfidf = tf * ln(N / df).
+
+    N is the document count; df the number of distinct documents
+    containing the term (so 0 < df <= N and the log is always
+    defined and non-negative).
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_terms:
+        doc_freq = F.broadcast(doc_freq)
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    return (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df").cast("double")),
+                round_to,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """(id, score) — Okapi BM25 of each document against a term list.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5));
+    score  = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    The query-term filter lands in the scan stage (rows for other terms
+    never reach a shuffle); doc lengths ride along as a per-doc max —
+    no second text pass. Documents matching no query term are absent
+    (score would be 0).
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = _token_table(df, text_col, id_col)
+    # per-doc length over ALL terms (needed for normalization) — one
+    # groupBy(id); per-(id, query-term) tf filtered before its shuffle
+    doc_len = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    scalars = F.broadcast(
+        df.select(F.count(F.lit(1)).alias("__n")).crossJoin(
+            doc_len.select(F.avg("dl").alias("__avgdl"))
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm_tf = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    return (
+        tf.join(doc_freq, "term")
+        .join(doc_len, "id")
+        .crossJoin(scalars)
+        .groupBy("id")
+        .agg(F.round(F.sum(idf * norm_tf), round_to).alias("score"))
+    )
+
+
+def build_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_size: int = 50_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``max_size`` terms with counts, document frequency, rank and
+    cumulative token coverage.
+
+    (term, count, doc_freq, rank, cum_coverage) where cum_coverage is
+    the fraction of ALL token occurrences covered by ranks 1..rank —
+    the curve used to pick tokenizer vocab sizes.
+
+    The corpus-wide reduction is one shuffle keyed by term; the top-k
+    is TakeOrderedAndProject (O(k) per partition, no global sort); the
+    rank window then runs over only the k survivors. Ties broken by
+    term for determinism.
+    """
+    toks = _token_table(df, text_col, id_col)
+    per_term = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.count_distinct("id").alias("doc_freq"),
+    )
+    total = toks.select(F.count(F.lit(1)).alias("__total"))
+    top = per_term.orderBy(F.desc("count"), F.asc("term")).limit(max_size)
+    w = Window.orderBy(F.desc("count"), F.asc("term"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "count",
+            "doc_freq",
+            F.row_number().over(w).alias("rank"),
+            F.round(
+                F.sum("count").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                / F.col("__total").cast("double"),
+                round_to,
+            ).alias("cum_coverage"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""TF-IDF / BM25 / vocabulary: hand-computed values + plan shape."""
+
+import math
+
+import pytest
+
+from pd_explain_spark import load_table
+from pd_explain_spark.functions.relevance import (
+    bm25_scores,
+    build_vocabulary,
+    term_frequencies,
+    tf_idf,
+)
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").df
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+
+
+def test_term_frequencies_counts_occurrences(tiny):
+    tf = {(r["id"], r["term"]): r["tf"] for r in term_frequencies(tiny).collect()}
+    assert tf == {(1, "a"): 2, (1, "b"): 1, (2, "a"): 1, (2, "c"): 1}
+
+
+def test_tf_idf_hand_computed(tiny):
+    out = {(r["id"], r["term"]): r for r in tf_idf(tiny, round_to=6).collect()}
+    # 'a' appears in both docs: idf = ln(2/2) = 0
+    assert out[(1, "a")]["tfidf"] == 0.0
+    # 'b' only in doc 1: tfidf = 1 * ln(2/1)
+    assert out[(1, "b")]["tfidf"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out[(1, "b")]["df"] == 1
+
+
+def test_bm25_hand_computed(tiny):
+    # query = ['b']: only doc 1 matches. N=2, df=1, tf=1, dl=3, avgdl=2.5
+    out = bm25_scores(tiny, ["b"], k1=1.2, b=0.75, round_to=6).collect()
+    assert len(out) == 1 and out[0]["id"] == 1
+    idf = math.log(1 + (2 - 1 + 0.5) / (1 + 0.5))
+    norm = (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 3 / 2.5))
+    assert out[0]["score"] == pytest.approx(round(idf * norm, 6), abs=1e-6)
+
+
+def test_bm25_rewards_rarer_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "rare common"), (2, "common x"), (3, "common y"), (4, "common z")],
+        "doc_id long, text string",
+    )
+    scores = {r["id"]: r["score"] for r in bm25_scores(df, ["rare", "common"]).collect()}
+    # doc 1 matches both terms and 'rare' has higher idf
+    assert scores[1] > scores[2]
+
+
+def test_vocabulary_rank_and_coverage(tiny):
+    vocab = build_vocabulary(tiny, max_size=10).orderBy("rank").collect()
+    assert [r["term"] for r in vocab] == ["a", "b", "c"]  # 3,1,1; tie by term
+    assert [r["count"] for r in vocab] == [3, 1, 1]
+    assert vocab[0]["doc_freq"] == 2
+    assert vocab[-1]["cum_coverage"] == pytest.approx(1.0)
+    # coverage is monotone
+    covs = [r["cum_coverage"] for r in vocab]
+    assert covs == sorted(covs)
+
+
+def test_vocabulary_max_size_truncates(documents):
+    vocab = build_vocabulary(documents, max_size=5).collect()
+    assert len(vocab) == 5
+    assert {r["rank"] for r in vocab} == {1, 2, 3, 4, 5}
+
+
+def _final_plan(df) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_tf_idf_broadcasts_term_stats(documents):
+    plan = _final_plan(tf_idf(documents))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_vocabulary_topk_never_global_sorts_vocab(documents):
+    plan = _final_plan(build_vocabulary(documents, max_size=100))
+    assert "TakeOrderedAndProject" in plan, plan
