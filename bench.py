@@ -81,6 +81,14 @@ HEADLINE = [
     "ewm_events",
     "interval_join_events",
     "ffill_events",
+    # round-5 additions: segment dedup, chunking, contamination, term stats
+    "segment_dedup_docs",
+    "chunk_documents_overlap",
+    "contamination_pairs_docs",
+    "decontaminate_docs",
+    "tfidf_docs",
+    "bm25_docs",
+    "vocabulary_docs",
 ]
 
 
