@@ -24,7 +24,8 @@ from .operators.asof import merge_asof
 from .operators.rangejoin import range_join
 from .plans.audit import assert_scalable, scale_audit
 from .operators.partitioning import count_distinct_skew_safe, salted_join
-from .config import GLOBALS, toggle_sampling
+from .config import GLOBALS, get_use_sampling_value, toggle_sampling
+from .llm.client import LlmSetupMethods
 from .functions.dedup import dedup_near, duplicate_components
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import assign_splits, pack_sequences, redact_pii, stratified_sample
@@ -55,6 +56,8 @@ __all__ = [
     "NotExpr",
     "get_spark",
     "toggle_sampling",
+    "get_use_sampling_value",
+    "LlmSetupMethods",
     "GLOBALS",
     "read_csv",
     "read_parquet",

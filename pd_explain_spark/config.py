@@ -30,6 +30,12 @@ def toggle_sampling(value: bool | None = None) -> bool:
     return GLOBALS.use_sampling
 
 
+def get_use_sampling_value() -> bool:
+    """Current sampling flag (reference utils/global_values.py
+    get_use_sampling_value — same name, package top-level export)."""
+    return GLOBALS.use_sampling
+
+
 def resolve_sampling(kwarg_value: bool | None) -> bool:
     """An explainer's effective sampling flag: explicit kwarg wins, else
     the global."""

@@ -26,16 +26,55 @@ PROVIDER_ENV = {
     "google": "GOOGLE_API_KEY",
 }
 
+# Same env-var names the reference persists through its .env file
+# (llm_integrations/consts.py:1-12) so a user's existing configuration
+# carries over verbatim. Families: reasoning / beautification /
+# automated_exploration.
+_FAMILY_ENV = {
+    "reasoning": {
+        "key": "PD_EXPLAIN_LLM_REASONING_KEY",
+        "provider": "PD_EXPLAIN_REASONING_LLM_PROVIDER",
+        "model": "PD_EXPLAIN_REASONING_LLM_MODEL",
+        "url": "PD_EXPLAIN_REASONING_LLM_PROVIDER_URL",
+    },
+    "beautification": {
+        "key": "PD_EXPLAIN_BEAUTIFICATION_LLM_KEY",
+        "provider": "PD_EXPLAIN_BEAUTIFICATION_LLM_PROVIDER",
+        "model": "PD_EXPLAIN_BEAUTIFICATION_LLM_VISION_MODEL",
+        "url": "PD_EXPLAIN_BEAUTIFICATION_LLM_PROVIDER_URL",
+    },
+    "automated_exploration": {
+        "key": "PD_EXPLAIN_AUTOMATED_EXPLORATION_LLM_KEY",
+        "provider": "PD_EXPLAIN_AUTOMATED_EXPLORATION_LLM_PROVIDER",
+        "model": "PD_EXPLAIN_AUTOMATED_EXPLORATION_LLM_MODEL",
+        "url": "PD_EXPLAIN_AUTOMATED_EXPLORATION_LLM_PROVIDER_URL",
+    },
+}
+
 
 @dataclass
 class Client:
     provider: str = "openai"
     model: str = "gpt-4o-mini"
     api_key: str | None = None
+    base_url: str | None = None
 
     def __post_init__(self):
         if self.api_key is None:
             self.api_key = os.environ.get(PROVIDER_ENV.get(self.provider, ""), None)
+
+    @classmethod
+    def for_family(cls, family: str) -> "Client":
+        """Build a client from the per-family PD_EXPLAIN_* env vars the
+        reference's LlmSetupMethods writes (llm_integrations/__init__.py:30-170)."""
+        env = _FAMILY_ENV[family]
+        c = cls(
+            provider=os.environ.get(env["provider"], "openai"),
+            model=os.environ.get(env["model"], "gpt-4o-mini"),
+            api_key=os.environ.get(env["key"]) or None,
+            base_url=os.environ.get(env["url"]) or None,
+        )
+        return c
 
     @property
     def available(self) -> bool:
@@ -66,6 +105,71 @@ class Client:
             return resp.choices[0].message.content
         except Exception:
             return None
+
+
+class LlmSetupMethods:
+    """Static configuration writers matching the reference's setup API
+    name-for-name (llm_integrations/__init__.py:30-170). Documented
+    divergence: the reference also persists each value to a .env file
+    via python-dotenv; this environment has no dotenv, so values are
+    written to ``os.environ`` only — they last for the process, and
+    deployments persist them through their own environment management.
+    ``Client.for_family`` reads them back."""
+
+    @staticmethod
+    def _write(family: str, slot: str, value: str) -> None:
+        os.environ[_FAMILY_ENV[family][slot]] = value
+
+    # -- reasoning ----------------------------------------------------
+    @staticmethod
+    def write_reasoning_llm_api_key(api_key: str) -> None:
+        LlmSetupMethods._write("reasoning", "key", api_key)
+
+    @staticmethod
+    def write_reasoning_llm_provider(provider: str) -> None:
+        LlmSetupMethods._write("reasoning", "provider", provider)
+
+    @staticmethod
+    def write_reasoning_llm_model(model: str) -> None:
+        LlmSetupMethods._write("reasoning", "model", model)
+
+    @staticmethod
+    def write_reasoning_provider_url(provider_url: str) -> None:
+        LlmSetupMethods._write("reasoning", "url", provider_url)
+
+    # -- beautification -----------------------------------------------
+    @staticmethod
+    def write_beautification_model_api_key(api_key: str) -> None:
+        LlmSetupMethods._write("beautification", "key", api_key)
+
+    @staticmethod
+    def write_beautification_llm_provider(provider: str) -> None:
+        LlmSetupMethods._write("beautification", "provider", provider)
+
+    @staticmethod
+    def write_beautification_model_provider_url(provider_url: str) -> None:
+        LlmSetupMethods._write("beautification", "url", provider_url)
+
+    @staticmethod
+    def write_beautification_vision_model(vision_model: str) -> None:
+        LlmSetupMethods._write("beautification", "model", vision_model)
+
+    # -- automated exploration ----------------------------------------
+    @staticmethod
+    def write_automated_exploration_llm_api_key(api_key: str) -> None:
+        LlmSetupMethods._write("automated_exploration", "key", api_key)
+
+    @staticmethod
+    def write_automated_exploration_llm_provider(provider: str) -> None:
+        LlmSetupMethods._write("automated_exploration", "provider", provider)
+
+    @staticmethod
+    def write_automated_exploration_llm_provider_url(provider_url: str) -> None:
+        LlmSetupMethods._write("automated_exploration", "url", provider_url)
+
+    @staticmethod
+    def write_automated_exploration_llm_model(model: str) -> None:
+        LlmSetupMethods._write("automated_exploration", "model", model)
 
 
 def extract_tagged(text: str, tag: str) -> str | None:

@@ -385,3 +385,48 @@ def test_report_history_splitting_threads_summary(lineitem, monkeypatch):
     assert "summary v" in report
     assert len(calls) >= 3  # initial run report + >=2 parts here
     assert any("Existing summary so far" in c for c in calls)
+
+
+def test_llm_setup_methods_roundtrip_via_for_family(monkeypatch):
+    """Reference-parity setup API (llm_integrations/__init__.py:30-170):
+    the writers store per-family env vars and Client.for_family reads
+    them back."""
+    from pd_explain_spark.llm.client import Client, LlmSetupMethods, _FAMILY_ENV
+
+    for env in _FAMILY_ENV.values():
+        for var in env.values():
+            monkeypatch.delenv(var, raising=False)
+
+    LlmSetupMethods.write_reasoning_llm_api_key("k-reason")
+    LlmSetupMethods.write_reasoning_llm_provider("together")
+    LlmSetupMethods.write_reasoning_llm_model("m-reason")
+    LlmSetupMethods.write_reasoning_provider_url("https://example.test/v1")
+    c = Client.for_family("reasoning")
+    assert (c.api_key, c.provider, c.model, c.base_url) == (
+        "k-reason", "together", "m-reason", "https://example.test/v1"
+    )
+    assert c.available
+
+    LlmSetupMethods.write_beautification_vision_model("vis-model")
+    LlmSetupMethods.write_automated_exploration_llm_model("exp-model")
+    assert Client.for_family("beautification").model == "vis-model"
+    assert Client.for_family("automated_exploration").model == "exp-model"
+    # unset key -> unavailable, downstream degrades per reference contract
+    assert not Client.for_family("beautification").available
+
+    for env in _FAMILY_ENV.values():
+        for var in env.values():
+            monkeypatch.delenv(var, raising=False)
+
+
+def test_get_use_sampling_value_tracks_toggle():
+    from pd_explain_spark import get_use_sampling_value, toggle_sampling
+
+    start = get_use_sampling_value()
+    try:
+        assert toggle_sampling(True) is True
+        assert get_use_sampling_value() is True
+        assert toggle_sampling(False) is False
+        assert get_use_sampling_value() is False
+    finally:
+        toggle_sampling(start)
