@@ -171,6 +171,53 @@ class ExplainableColumn:
         right = narrowed(other) if isinstance(other, ExplainableColumn) else other
         return left.b_join(right, on=on, how=how)
 
+    def std_int(self, grouped, target) -> float:
+        """Standardized deviation of ``target``'s aggregated value from
+        the mean of all groups: |v_target - mean(v)| / std(v)
+        (reference core/explainable_series.py:103-104, which computes it
+        over a pandas Series of per-group means).
+
+        ``grouped`` is a two-column (group, value) result — an
+        ExplainableDataFrame (e.g. ``df.groupby(k)[v].mean()``) or a
+        plain Spark DataFrame. Computed in ONE aggregate pass (mean,
+        sample std and the target's value share a single job); returns
+        0.0 when the std is 0/undefined, like the reference's
+        error-swallowing contract."""
+        sdf = getattr(grouped, "df", grouped)
+        key_col, val_col = sdf.columns[0], sdf.columns[1]
+        row = sdf.agg(
+            F.avg(val_col).alias("m"),
+            F.stddev_samp(val_col).alias("s"),
+            F.max(
+                F.when(F.col(key_col).cast("string") == str(target), F.col(val_col))
+            ).alias("t"),
+        ).first()
+        if row["s"] is None or row["s"] == 0 or row["t"] is None or row["m"] is None:
+            return 0.0
+        return abs(row["t"] - row["m"]) / row["s"]
+
+    def calc_influence_std(self, df_agg, df_ex, g_att, g_agg, target) -> float:
+        """Influence of an exclusion on the target group's standardized
+        deviation (reference core/explainable_series.py:106-110):
+        |std_int(df_ex.groupby(g_att)[g_agg].mean(), target) -
+        std_int(df_agg, target)|; 0 on any failure, per the reference."""
+        try:
+            ex_sdf = getattr(df_ex, "df", df_ex)
+            regrouped = ex_sdf.groupBy(g_att).agg(F.avg(g_agg).alias(g_agg))
+            return abs(self.std_int(regrouped, target) - self.std_int(df_agg, target))
+        except Exception:
+            return 0.0
+
+    def explain_outlier(self, target, dir: str | int = "high", **kwargs):
+        """Convenience entry to the outlier explainer on the owning
+        grouped frame (reference core/explainable_series.py:165-220 runs
+        the bin-removal scan inline; here it routes to
+        explainers/outlier.py, which runs the same algebra as one
+        distributed aggregation over sum/count/sumsq partials)."""
+        return self.frame.explain(
+            explainer="outlier", target=target, dir=dir, **kwargs
+        )
+
     def value_counts(self, normalize: bool = False, ascending: bool = False):
         """Reference R15 (core/explainable_series.py:80-100):
         groupBy(col).count() ordered by count."""

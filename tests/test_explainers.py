@@ -387,3 +387,55 @@ def test_series_explain_and_to_html_passthrough(spark):
     assert exp.kind == "fedex-filter"
     html = out["cat"].to_html(n=5)
     assert "<table" in html and "cat" in html
+
+
+# ------------------------------------------- series-level outlier helpers (ref parity)
+def test_std_int_hand_computed(spark):
+    """Reference core/explainable_series.py:103-104 semantics on a
+    (group, mean) result: |v_t - mean| / sample_std."""
+    from pd_explain_spark import to_explainable
+
+    df = to_explainable(
+        spark.createDataFrame(
+            [("a", 10.0), ("a", 10.0), ("b", 20.0), ("c", 30.0)], ["g", "v"]
+        ),
+        name="si",
+    )
+    grouped = df.groupby("g")["v"].mean()  # a:10, b:20, c:30
+    s = df["v"]
+    import statistics
+
+    expected = abs(30 - 20) / statistics.stdev([10, 20, 30])
+    assert s.std_int(grouped, "c") == pytest.approx(expected)
+    # degenerate: all groups equal -> std 0 -> 0.0, not a crash
+    flat = df.groupby("g")["v"].mean().df.selectExpr("g", "1.0 AS v")
+    assert s.std_int(flat, "c") == 0.0
+
+
+def test_calc_influence_std_drops_when_outlier_rows_excluded(spark):
+    from pd_explain_spark import to_explainable
+
+    rows = [("a", 10.0), ("a", 12.0), ("b", 11.0), ("b", 9.0), ("z", 10.0), ("z", 90.0)]
+    df = to_explainable(spark.createDataFrame(rows, ["g", "v"]), name="ci")
+    grouped = df.groupby("g")["v"].mean()
+    s = df["v"]
+    # excluding the inflated row collapses z's deviation -> influence > 0
+    infl = s.calc_influence_std(grouped, df.df.filter("v < 80"), "g", "v", "z")
+    assert infl > 0
+    # excluding an irrelevant row barely moves it
+    infl_noop = s.calc_influence_std(grouped, df.df, "g", "v", "z")
+    assert infl_noop == pytest.approx(0.0, abs=1e-9)
+
+
+def test_series_explain_outlier_routes_to_explainer(spark):
+    from pd_explain_spark import to_explainable
+
+    rows = []
+    for g in ["a", "b", "c"]:
+        rows += [(g, 10.0, 1.0) for _ in range(50)]
+    rows += [("z", 10.0, 1.0) for _ in range(50)] + [("z", 80.0, 99.0) for _ in range(20)]
+    df = to_explainable(spark.createDataFrame(rows, ["g", "v", "flag"]), name="seo")
+    res = df.groupby("g")["v"].mean()
+    series = res["v"] if "v" in res.df.columns else res[res.df.columns[-1]]
+    exp = series.explain_outlier(target="z", dir="high")
+    assert exp.items and exp.items[0].influence > 0
