@@ -40,6 +40,9 @@ class ExplainableGroupedData:
         self.frame = frame
         self.keys = keys
         self.selected = selected  # None = all non-key columns
+        # last aggregated result, for the reference's groupby-level
+        # explain() contract (explainable_group_by_dataframe.py:487-497)
+        self._last_result = None
 
     # -- column projection on the grouped object ---------------------------
     def __getitem__(self, key):
@@ -103,9 +106,11 @@ class ExplainableGroupedData:
             column_mapping=column_mapping,
         )
         agg_label = "_".join(sorted({a for v in agg_dict.values() for a in v})) or "size"
-        return ExplainableDataFrame(
+        out = ExplainableDataFrame(
             result, name=f"{self.frame.name}_groupby_{agg_label}", operation=op
         )
+        self._last_result = out
+        return out
 
     def _named(
         self, agg: str, ddof: int = 1, numeric_only: bool | None = None
@@ -116,6 +121,27 @@ class ExplainableGroupedData:
         if not cols:
             raise ValueError(f"no applicable columns for agg {agg!r}")
         return self._run({c: [agg] for c in cols}, ddof=ddof)
+
+    def drop_duplicates(self):
+        """Per-group full-row dedup (reference
+        explainable_group_by_dataframe.py:453-456). Because the group
+        keys are part of every row, per-group dedup over all columns is
+        exactly global dedup — one distinct over the parent frame, with
+        partial aggregation before the shuffle."""
+        return self.frame.drop_duplicates()
+
+    def explain(self, **kwargs):
+        """Groupby-level explain (reference
+        explainable_group_by_dataframe.py:487-497): explains the LAST
+        aggregation run through this groupby; warns and returns None
+        when no aggregation has run yet — the reference prints 'no
+        operation was found.' for the same state."""
+        if self._last_result is None:
+            import warnings
+
+            warnings.warn("no operation was found.", stacklevel=2)
+            return None
+        return self._last_result.explain(**kwargs)
 
     def mean(self, numeric_only: bool | None = None):
         return self._named("mean", numeric_only=numeric_only)
@@ -243,6 +269,10 @@ class ExplainableGroupedData:
             return float(fn(s))
 
         return _udaf(F.col(col)), name
+
+    def aggregate(self, spec=None, ddof: int = 1, **kwargs):
+        """pandas alias (reference explainable_group_by_dataframe.py:22)."""
+        return self.agg(spec, ddof=ddof, **kwargs)
 
     def agg(self, spec=None, ddof: int = 1, **kwargs):
         """Generic agg: ``agg({'col': 'mean'})``, ``agg({'col': ['mean','sum']})``,

@@ -268,3 +268,38 @@ def test_numeric_only_contract_matches_reference(lineitem):
 
     # min/max are not numeric-only aggs: strings pass through both ways
     assert "l_linestatus_max" in g["l_linestatus"].max(numeric_only=False).df.columns
+
+
+def test_aggregate_alias_matches_agg(lineitem):
+    a = lineitem.groupby("l_returnflag").agg({"l_quantity": "mean"})
+    b = lineitem.groupby("l_returnflag").aggregate({"l_quantity": "mean"})
+    assert sorted(map(tuple, a.df.collect())) == sorted(map(tuple, b.df.collect()))
+
+
+def test_groupby_drop_duplicates_is_global_distinct(spark):
+    from pd_explain_spark import to_explainable
+
+    df = to_explainable(
+        spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2), ("b", 1)], ["g", "v"]
+        ),
+        name="gdd",
+    )
+    out = df.groupby("g").drop_duplicates()
+    assert sorted(map(tuple, out.df.collect())) == [("a", 1), ("a", 2), ("b", 1)]
+
+
+def test_groupby_explain_before_and_after_agg(lineitem):
+    import warnings
+
+    g = lineitem.groupby("l_returnflag")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert g.explain() is None
+        assert any("no operation" in str(x.message) for x in w)
+    g["l_quantity"].mean()
+    # the selected-column child shares no state; rebuild through the SAME object
+    g2 = lineitem.groupby("l_returnflag")
+    g2.mean(numeric_only=True)
+    exp = g2.explain()
+    assert exp is not None
