@@ -35,3 +35,12 @@ def create_explainer(name: str, frame, **kwargs) -> ExplainerBase:
         f"unknown explainer {name!r}; expected one of "
         "fedex/shapley/outlier/many_to_one/metainsight"
     )
+
+
+class ExplainerFactory:
+    """Class-shaped dispatch matching the reference's surface
+    (explainers/explainer_factory.py:15); delegates to
+    :func:`create_explainer`."""
+
+    def create_explainer(self, explainer: str, frame, **kwargs) -> ExplainerBase:
+        return create_explainer(explainer, frame, **kwargs)

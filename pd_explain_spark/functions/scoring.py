@@ -32,3 +32,10 @@ def interestingness(scores: dict[str, float] | list[float], top_n: int = TOP_N) 
     if any(v == 0 for v in top):
         return 0.0
     return math.exp(sum(math.log(v) for v in top) / len(top))
+
+
+def score_queries(scores: dict) -> float:
+    """Reference-named alias (experimental/query_recommenders/
+    query_score_functions.py:4): unified score for a measure's per-column
+    score dict — identical formula to :func:`interestingness`."""
+    return interestingness(scores)

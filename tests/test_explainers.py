@@ -439,3 +439,14 @@ def test_series_explain_outlier_routes_to_explainer(spark):
     series = res["v"] if "v" in res.df.columns else res[res.df.columns[-1]]
     exp = series.explain_outlier(target="z", dir="high")
     assert exp.items and exp.items[0].influence > 0
+
+
+def test_reference_named_shims(lineitem):
+    from pd_explain_spark.explainers.factory import ExplainerFactory, create_explainer
+    from pd_explain_spark.functions.scoring import interestingness, score_queries
+
+    assert score_queries({"a": 0.5, "b": 0.7}) == interestingness({"a": 0.5, "b": 0.7})
+    out = lineitem[lineitem["l_quantity"] > 45]
+    via_class = ExplainerFactory().create_explainer("fedex", out)
+    via_fn = create_explainer("fedex", out)
+    assert type(via_class) is type(via_fn)
