@@ -1714,6 +1714,31 @@ def vocabulary_docs(spark, sf_dir):
 
 
 @_q(
+    "temperature_sample_docs",
+    """WITH per AS (
+         SELECT source, count(*) AS cnt FROM documents GROUP BY 1
+       ), tot AS (SELECT sum(pow(cnt, 0.5)) AS t FROM per),
+       rates AS (
+         SELECT source, least(1.0, 300 * pow(cnt, 0.5) / t / cnt) AS rate
+         FROM per CROSS JOIN tot
+       )
+       SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       FROM documents d JOIN rates r USING (source)
+       WHERE ('0x' || substr(md5(d.doc_id || '-42'), 1, 15))::BIGINT
+             / 1152921504606846976.0 < r.rate""",
+)
+def temperature_sample_docs(spark, sf_dir):
+    """Temperature-scaled source mixing (alpha=0.5, ~300 rows): rates
+    from per-source counts, broadcast onto the corpus, deterministic
+    md5 threshold — functions/mixing.py temperature_sample."""
+    from pd_explain_spark.functions.mixing import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), by="source", alpha=0.5, target_rows=300
+    )
+
+
+@_q(
     "redact_pii",
     """WITH s1 AS (
          SELECT doc_id,

@@ -89,6 +89,7 @@ HEADLINE = [
     "tfidf_docs",
     "bm25_docs",
     "vocabulary_docs",
+    "temperature_sample_docs",
 ]
 
 

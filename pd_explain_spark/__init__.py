@@ -28,7 +28,8 @@ from .config import GLOBALS, get_use_sampling_value, toggle_sampling
 from .llm.client import LlmSetupMethods
 from .functions.dedup import dedup_near, duplicate_components
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
-from .functions.mixing import assign_splits, pack_sequences, redact_pii, stratified_sample
+from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
+                               stratified_sample, temperature_sample)
 from .functions.contamination import contamination_pairs, decontaminate
 from .functions.relevance import bm25_scores, build_vocabulary, tf_idf
 from .functions.segments import chunk_documents, segment_dedup, segment_frequencies
@@ -80,6 +81,7 @@ __all__ = [
     # round-5 training-mix surface
     "redact_pii",
     "stratified_sample",
+    "temperature_sample",
     "pack_sequences",
     "assign_splits",
     "scale_audit",

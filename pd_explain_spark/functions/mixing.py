@@ -170,6 +170,57 @@ def stratified_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    by: str = "source",
+    alpha: float = 0.7,
+    target_rows: int = 10_000,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/domain
+    alpha-sampling rule): stratum ``s`` receives a share of the output
+    proportional to ``count_s ** alpha``. ``alpha = 1`` reproduces the
+    natural distribution, ``alpha = 0`` uniform across strata; values
+    in between (0.5-0.8 in practice) lift low-resource strata without
+    letting the head domains dominate.
+
+    Each row is kept iff its deterministic hash fraction
+    u = md5("<id>-<seed>")[:15] / 16^15 is below the stratum's rate
+    min(1, target_rows * w_s / count_s) — the SAME md5 key contract as
+    ``stratified_sample``, so reruns and engine mirrors agree row for
+    row. Expected output size is ~``target_rows`` (exact per-stratum
+    quotas are ``stratified_sample``'s job). Rates clamp at 1 —
+    downsample-only; upsampling (rate > 1) is an epoch-repetition
+    decision for the data loader, not the corpus builder.
+
+    Scale shape: per-stratum counts are one map-side-combining shuffle
+    over the (tiny) stratum key; the rate table is O(#strata) and
+    broadcasts; the corpus itself is filtered in the scan stage of the
+    probe side — never shuffled.
+    """
+    per = df.groupBy(by).agg(F.count(F.lit(1)).alias("__cnt"))
+    tot = per.agg(F.sum(F.pow(F.col("__cnt"), F.lit(alpha))).alias("__tot"))
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        F.col(by),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_rows))
+            * F.pow(F.col("__cnt"), F.lit(alpha))
+            / F.col("__tot")
+            / F.col("__cnt"),
+        ).alias("__rate"),
+    )
+    u = F.conv(F.substring(_sample_key(id_col, seed), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**15))
+    return (
+        df.join(F.broadcast(rates), by)
+        .filter(u < F.col("__rate"))
+        .select(*df.columns)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 2048,

@@ -662,3 +662,47 @@ def test_assign_splits_matches_oracle_and_is_stable(documents, duck):
     n = documents.count()
     train = out.filter(F.col("split") == "train").count()
     assert abs(train / n - 0.8) < 0.06
+
+
+# ---------------------------------------------------------------- temperature mixing
+def test_temperature_sample_shares_follow_alpha(spark):
+    from pd_explain_spark.functions.mixing import temperature_sample
+
+    rows = [(i, "big") for i in range(3200)] + [(4000 + i, "small") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # alpha=1: natural shares -> big gets ~16x small's rows
+    nat = temperature_sample(df, by="source", alpha=1.0, target_rows=400).groupBy("source").count()
+    nat = {r["source"]: r["count"] for r in nat.collect()}
+    # alpha=0: uniform shares -> big and small get ~equal rows
+    uni = temperature_sample(df, by="source", alpha=0.0, target_rows=400).groupBy("source").count()
+    uni = {r["source"]: r["count"] for r in uni.collect()}
+    assert nat["big"] / max(nat.get("small", 1), 1) > 8
+    assert 0.5 < uni["big"] / uni["small"] < 2.0
+    # alpha between: shares between the two extremes
+    mid = temperature_sample(df, by="source", alpha=0.5, target_rows=400).groupBy("source").count()
+    mid = {r["source"]: r["count"] for r in mid.collect()}
+    assert uni["small"] >= mid["small"] >= nat.get("small", 0)
+
+
+def test_temperature_sample_deterministic_and_clamped(spark):
+    from pd_explain_spark.functions.mixing import temperature_sample
+
+    rows = [(i, "only") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # target far above the corpus: rate clamps at 1 -> identity
+    assert temperature_sample(df, target_rows=10_000).count() == 100
+    a = sorted(r["doc_id"] for r in temperature_sample(df, target_rows=50).collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(df, target_rows=50).collect())
+    assert a == b  # same seed -> same rows
+    c = sorted(r["doc_id"] for r in temperature_sample(df, target_rows=50, seed=7).collect())
+    assert a != c  # different seed -> different rows
+
+
+def test_temperature_sample_plan_broadcasts_rates(documents):
+    from pd_explain_spark.functions.mixing import temperature_sample
+
+    out = temperature_sample(documents, by="source", alpha=0.5, target_rows=300)
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert out.columns == documents.columns
