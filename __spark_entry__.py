@@ -1714,6 +1714,31 @@ def vocabulary_docs(spark, sf_dir):
 
 
 @_q(
+    "dedup_against_corpus",
+    """WITH fp AS (
+         SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+                text, lang, source, n_chars
+         FROM documents
+       ), corpus AS (SELECT DISTINCT h FROM fp WHERE doc_id < 250),
+       fresh AS (
+         SELECT f.* FROM fp f WHERE f.doc_id >= 250
+           AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = f.h)
+       ), ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM fresh
+       )
+       SELECT doc_id, text, lang, source, n_chars FROM ranked WHERE rn = 1""",
+)
+def dedup_against_corpus(spark, sf_dir):
+    """Incremental-ingest dedup: the new batch (docs >= 250) anti-joined
+    against the historical corpus's distinct fingerprint set (docs <
+    250), then deduped internally — functions/dedup.py dedup_against."""
+    from pd_explain_spark.functions.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_against(docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"))
+
+
+@_q(
     "temperature_sample_docs",
     """WITH per AS (
          SELECT source, count(*) AS cnt FROM documents GROUP BY 1

@@ -90,6 +90,7 @@ HEADLINE = [
     "bm25_docs",
     "vocabulary_docs",
     "temperature_sample_docs",
+    "dedup_against_corpus",
 ]
 
 

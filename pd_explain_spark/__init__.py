@@ -26,7 +26,7 @@ from .plans.audit import assert_scalable, scale_audit
 from .operators.partitioning import count_distinct_skew_safe, salted_join
 from .config import GLOBALS, get_use_sampling_value, toggle_sampling
 from .llm.client import LlmSetupMethods
-from .functions.dedup import dedup_near, duplicate_components
+from .functions.dedup import dedup_against, dedup_near, duplicate_components
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
                                stratified_sample, temperature_sample)
@@ -67,6 +67,7 @@ __all__ = [
     "load_table",
     # round-4 pipeline surface
     "dedup_near",
+    "dedup_against",
     "duplicate_components",
     "drift_scores",
     "reference_histogram",

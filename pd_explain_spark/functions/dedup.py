@@ -44,6 +44,41 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: keep only the rows of ``new_df``
+    whose normalized-text fingerprint does NOT already exist in
+    ``corpus_df``, then dedup the new batch internally (min id wins).
+    The daily-crawl-vs-historical-corpus operation — running
+    ``dedup_exact`` over corpus+batch unioned would rescan the full
+    corpus per batch; this touches the corpus once for its fingerprint
+    set only.
+
+    Scale shape: the corpus side is reduced to DISTINCT 1-column
+    fingerprints before the anti-join (partial aggregation, then one
+    hash shuffle of 32-char hashes — never the corpus text). At 100 TB
+    the fingerprint set outgrows a broadcast, so the anti-join is a
+    shuffled join keyed by fingerprint on both sides; the new batch's
+    internal dedup reuses the same hash partitioning. In production the
+    fingerprint set would be persisted (e.g. the clustered parquet
+    sink) and re-read per batch rather than recomputed.
+    """
+    h = F.md5(normalized_text(F.col(text_col)))
+    corpus_fp = corpus_df.select(h.alias("__fp")).distinct()
+    fresh = new_df.withColumn("__fp", h).join(corpus_fp, "__fp", "left_anti")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+        .select(*new_df.columns)
+    )
+
+
 # ---------------------------------------------------------------- shingles
 def shingles(text_col, n: int = 3):
     """Word n-gram shingles of the normalized text (distinct set semantics).

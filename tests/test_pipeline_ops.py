@@ -706,3 +706,30 @@ def test_temperature_sample_plan_broadcasts_rates(documents):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert out.columns == documents.columns
+
+
+# ---------------------------------------------------------------- incremental dedup
+def test_dedup_against_removes_corpus_and_batch_dupes(spark):
+    corpus = spark.createDataFrame(
+        [(1, "old doc about spark"), (2, "another historical page")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "OLD   doc ABOUT spark"),       # normalized dupe of corpus 1
+            (11, "a genuinely new document"),
+            (12, "a  genuinely NEW document"),   # internal dupe of 11
+            (13, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r["doc_id"] for r in D.dedup_against(new, corpus).collect())
+    assert out == [11, 13]
+
+
+def test_dedup_against_keeps_schema_and_all_fresh(spark):
+    corpus = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    new = spark.createDataFrame([(5, "a"), (6, "b")], "doc_id long, text string")
+    out = D.dedup_against(new, corpus)
+    assert out.columns == new.columns
+    assert out.count() == 2
