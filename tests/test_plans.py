@@ -342,3 +342,25 @@ def test_scale_audit_flags_and_clears(spark, sf_dir, lineitem):
         lineitem.df.select("l_orderkey", "l_quantity"), "l_quantity", on="l_orderkey"
     )
     assert assert_scalable(good) is not None  # no fatal findings
+
+
+def test_dedup_against_never_shuffles_corpus_text(spark, sf_dir):
+    """Incremental dedup reduces the corpus to distinct fingerprints
+    before the anti-join: the exchanges must carry only the 32-char
+    hash (+ batch rows), and the corpus text column must be pruned out
+    of the corpus-side scan."""
+    from pd_explain_spark import load_table
+    from pd_explain_spark.functions.dedup import dedup_against
+
+    docs = load_table(spark, sf_dir, "documents").df
+    out = dedup_against(docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"))
+    plan = _final(_plan(out))
+    assert "LeftAnti" in plan, plan
+    # corpus side: pruned to (doc_id for the split filter, text for the
+    # hash) — the corpus scan must NOT read lang/source/n_chars
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert len(schemas) >= 2
+    assert any("lang" not in s and "source" not in s and "n_chars" not in s
+               for s in schemas), plan
