@@ -185,3 +185,58 @@ def test_stream_interval_join_matches_batch(spark, events_dir):
     want = {tuple(r) for r in batch.collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_curation_gates_match_batch(spark, tmp_path):
+    """The curation scan stage (quality/token gates + profile columns)
+    is stateless, so it must run UNCHANGED on a readStream source and
+    agree with batch row for row — this is what makes the gates usable
+    in an ingest-time streaming pipeline before any dedup shuffle."""
+    import os
+    from pd_explain_spark.functions.text import text_profile
+    from pd_explain_spark.sources.readers import read_parquet_df
+
+    d = str(tmp_path / "docs_stream")
+    read_parquet_df(spark, "/root/testdata/sf0.001/documents.parquet").repartition(
+        4
+    ).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    gated = lambda df: text_profile(df).filter("quality >= 0.55 AND n_tokens >= 5")
+    q = (
+        gated(stream)
+        .writeStream.format("memory")
+        .queryName("curgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("curgate").collect()}
+    want = {tuple(r) for r in gated(spark.read.parquet(d)).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_stream_redact_pii_matches_batch(spark, tmp_path):
+    import os
+    from pd_explain_spark.functions.mixing import redact_pii
+    from pd_explain_spark.sources.readers import read_parquet_df
+
+    d = str(tmp_path / "docs_stream2")
+    read_parquet_df(spark, "/root/testdata/sf0.001/documents.parquet").repartition(
+        4
+    ).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        redact_pii(stream)
+        .writeStream.format("memory")
+        .queryName("redact")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("redact").count()
+    want = redact_pii(spark.read.parquet(d)).count()
+    assert got == want and want > 0
