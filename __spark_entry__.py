@@ -1738,6 +1738,64 @@ def dedup_against_corpus(spark, sf_dir):
     return dedup_against(docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"))
 
 
+_XCORPUS_JACCARD_CTE = """WITH base AS (
+         SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents
+       ), grams AS (
+         SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g
+         FROM base, unnest(range(0, greatest(len(toks)-2, 0))) t(i)
+       ), nw AS (SELECT doc_id AS new_id, g FROM grams WHERE doc_id >= 250),
+       cp AS (SELECT doc_id AS corpus_id, g FROM grams WHERE doc_id < 250),
+       sa AS (SELECT new_id, count(*) AS n_a FROM nw GROUP BY 1),
+       sb AS (SELECT corpus_id, count(*) AS n_b FROM cp GROUP BY 1),
+       it AS (SELECT new_id, corpus_id, count(*) AS i
+              FROM nw JOIN cp USING (g) GROUP BY 1, 2),
+       pairs AS (
+         SELECT new_id, corpus_id,
+                round(i * 1.0 / (n_a + n_b - i), 6) AS jaccard
+         FROM it JOIN sa USING (new_id) JOIN sb USING (corpus_id)
+       )"""
+
+
+@_q(
+    "near_dup_against_corpus",
+    _XCORPUS_JACCARD_CTE
+    + """
+       SELECT new_id, corpus_id, jaccard FROM pairs WHERE jaccard >= 0.5""",
+)
+def near_dup_against_corpus(spark, sf_dir):
+    """Cross-corpus near-dup scan: new batch (docs >= 250) vs historical
+    corpus (docs < 250) by exact 3-gram Jaccard over an inverted-index
+    join — functions/dedup.py near_dup_pairs_against."""
+    from pd_explain_spark.functions.dedup import near_dup_pairs_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_pairs_against(
+        docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"), threshold=0.5
+    )
+
+
+@_q(
+    "dedup_near_against_corpus",
+    _XCORPUS_JACCARD_CTE
+    + """
+       SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       FROM documents d
+       WHERE d.doc_id >= 250
+         AND d.doc_id NOT IN (SELECT new_id FROM pairs WHERE jaccard >= 0.5)""",
+)
+def dedup_near_against_corpus(spark, sf_dir):
+    """Incremental near-dedup end to end: flagged new ids removed via a
+    broadcast anti-join over the batch."""
+    from pd_explain_spark.functions.dedup import dedup_near_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_near_against(
+        docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"), threshold=0.5
+    )
+
+
 @_q(
     "temperature_sample_docs",
     """WITH per AS (

@@ -91,6 +91,7 @@ HEADLINE = [
     "vocabulary_docs",
     "temperature_sample_docs",
     "dedup_against_corpus",
+    "near_dup_against_corpus",
 ]
 
 

@@ -26,7 +26,8 @@ from .plans.audit import assert_scalable, scale_audit
 from .operators.partitioning import count_distinct_skew_safe, salted_join
 from .config import GLOBALS, get_use_sampling_value, toggle_sampling
 from .llm.client import LlmSetupMethods
-from .functions.dedup import dedup_against, dedup_near, duplicate_components
+from .functions.dedup import (dedup_against, dedup_near, dedup_near_against,
+                              duplicate_components, near_dup_pairs_against)
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
                                stratified_sample, temperature_sample)
@@ -68,6 +69,8 @@ __all__ = [
     # round-4 pipeline surface
     "dedup_near",
     "dedup_against",
+    "near_dup_pairs_against",
+    "dedup_near_against",
     "duplicate_components",
     "drift_scores",
     "reference_histogram",

@@ -259,6 +259,88 @@ def _jaccard_from_inter(inter: DataFrame, inv: DataFrame, threshold: float) -> D
     )
 
 
+def near_dup_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: float | None = None,
+) -> DataFrame:
+    """Cross-corpus exact n-gram Jaccard: (new_id, corpus_id, jaccard)
+    for every new-batch/corpus pair at or above ``threshold`` — the
+    near-duplicate complement of :func:`dedup_against` (which only
+    catches byte-identical normalized text).
+
+    Inverted-index join between the two shingle tables — never
+    new x corpus all-pairs; ``max_df`` prunes boilerplate shingles from
+    candidate discovery exactly as in :func:`ngram_jaccard_pairs`.
+    Set sizes are computed per side, so id collisions between the two
+    tables are harmless.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    new_inv = _shingle_index(new_df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corp_inv = _shingle_index(corpus_df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cached = [new_inv, corp_inv]
+    disc_a, disc_b = new_inv, corp_inv
+    if max_df is not None:
+        disc_a, disc_b = _df_pruned(new_inv, max_df), _df_pruned(corp_inv, max_df)
+    inter = (
+        disc_a.alias("a")
+        .join(disc_b.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = new_inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_a")).withColumnRenamed(
+        "id", "new_id"
+    )
+    sb = corp_inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_b")).withColumnRenamed(
+        "id", "corpus_id"
+    )
+    out = (
+        inter.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return _finalize_release(out, cached)
+
+
+def dedup_near_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: float | None = None,
+) -> DataFrame:
+    """New-batch rows with no near-duplicate in the corpus: the flagged
+    new-id set (tiny) becomes a broadcast anti-join over the batch."""
+    flagged = (
+        near_dup_pairs_against(
+            new_df, corpus_df, text_col, id_col, n, threshold, max_df
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
 # ---------------------------------------------------------------- minhash + lsh
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

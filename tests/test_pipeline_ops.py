@@ -733,3 +733,33 @@ def test_dedup_against_keeps_schema_and_all_fresh(spark):
     out = D.dedup_against(new, corpus)
     assert out.columns == new.columns
     assert out.count() == 2
+
+
+def test_near_dup_against_flags_planted_near_copy(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river"),  # near-copy
+            (11, "completely different content with no shared phrases at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.near_dup_pairs_against(new, corpus, n=3, threshold=0.5).collect()
+    assert [(r["new_id"], r["corpus_id"]) for r in pairs] == [(10, 1)]
+    assert pairs[0]["jaccard"] > 0.5
+    survivors = D.dedup_near_against(new, corpus, n=3, threshold=0.5)
+    assert [r["doc_id"] for r in survivors.collect()] == [11]
+    assert survivors.columns == new.columns
+
+
+def test_near_dup_against_id_collisions_are_harmless(spark):
+    # SAME ids on both sides must not cross-contaminate the set sizes
+    corpus = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")],
+                                   "doc_id long, text string")
+    new = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")],
+                                "doc_id long, text string")
+    pairs = D.near_dup_pairs_against(new, corpus, n=3, threshold=0.9).collect()
+    assert len(pairs) == 1 and pairs[0]["jaccard"] == 1.0
