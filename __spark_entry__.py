@@ -1797,6 +1797,61 @@ def dedup_near_against_corpus(spark, sf_dir):
 
 
 @_q(
+    "ingest_pipeline_docs",
+    """WITH gated AS (
+         SELECT doc_id, text,
+                len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                round(
+                  0.5 * least(1.0, len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) / 50.0)
+                + 0.3 * (1.0 - least(1.0, len(regexp_extract_all(text, '[.,!?;:]'))
+                    / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)))
+                + 0.2 * least(1.0, 4.0 * len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+                    / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)), 6) AS quality,
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         FROM documents WHERE doc_id >= 250
+       ), pass AS (
+         SELECT * FROM gated WHERE quality >= 0.55 AND n_tokens >= 5
+       ), corpus_fp AS (
+         SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         FROM documents WHERE doc_id < 250
+       ), fresh AS (
+         SELECT p.*, row_number() OVER (PARTITION BY p.fp ORDER BY p.doc_id) AS rn
+         FROM pass p WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.fp = p.fp)
+       ), batch AS (SELECT doc_id, text, n_tokens, quality FROM fresh WHERE rn = 1),
+       nb AS (
+         SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM batch
+       ), cb AS (
+         SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         FROM documents WHERE doc_id < 250
+       ), ng AS (
+         SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g
+         FROM nb, unnest(range(0, greatest(len(toks)-2, 0))) t(i)
+       ), cg AS (
+         SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g
+         FROM cb, unnest(range(0, greatest(len(toks)-2, 0))) t(i)
+       ), sa AS (SELECT doc_id, count(*) AS n_a FROM ng GROUP BY 1),
+       sb AS (SELECT doc_id AS cid, count(*) AS n_b FROM cg GROUP BY 1),
+       it AS (SELECT ng.doc_id, cg.doc_id AS cid, count(*) AS i
+              FROM ng JOIN cg USING (g) GROUP BY 1, 2),
+       flagged AS (
+         SELECT DISTINCT it.doc_id FROM it JOIN sa USING (doc_id) JOIN sb USING (cid)
+         WHERE i * 1.0 / (n_a + n_b - i) >= 0.5
+       )
+       SELECT doc_id, n_tokens, quality FROM batch
+       WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""",
+)
+def ingest_pipeline_docs(spark, sf_dir):
+    """End-to-end incremental ingest: gates in the batch scan stage,
+    exact dedup vs the corpus fingerprint set, near-dup removal vs the
+    corpus shingle index — functions/text.py ingest_pipeline."""
+    from pd_explain_spark.functions.text import ingest_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return ingest_pipeline(docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"))
+
+
+@_q(
     "temperature_sample_docs",
     """WITH per AS (
          SELECT source, count(*) AS cnt FROM documents GROUP BY 1

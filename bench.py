@@ -92,6 +92,7 @@ HEADLINE = [
     "temperature_sample_docs",
     "dedup_against_corpus",
     "near_dup_against_corpus",
+    "ingest_pipeline_docs",
 ]
 
 

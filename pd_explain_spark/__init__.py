@@ -35,7 +35,7 @@ from .functions.contamination import contamination_pairs, decontaminate
 from .functions.relevance import bm25_scores, build_vocabulary, tf_idf
 from .functions.segments import chunk_documents, segment_dedup, segment_frequencies
 from .functions.similarity import IvfIndex, ivf_build, ivf_query
-from .functions.text import curation_pipeline, repetition_signals
+from .functions.text import curation_pipeline, ingest_pipeline, repetition_signals
 from .session import get_spark
 from .sources.readers import load_table, read_csv, read_json, read_parquet, to_explainable
 
@@ -76,6 +76,7 @@ __all__ = [
     "reference_histogram",
     "stream_drift_scores",
     "curation_pipeline",
+    "ingest_pipeline",
     "repetition_signals",
     "ivf_build",
     "ivf_query",

@@ -330,3 +330,51 @@ def curation_pipeline(
     from .dedup import _finalize_release
 
     return _finalize_release(out, [exact_kept])
+
+
+def ingest_pipeline(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.55,
+    min_tokens: int = 5,
+    jaccard_threshold: float = 0.5,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Incremental ingest of a new batch against a historical corpus —
+    the streaming-era sibling of :func:`curation_pipeline`:
+
+      1. row-local gates on the NEW batch (quality score, token floor)
+         — stateless predicates in the batch's scan stage;
+      2. exact dedup against the corpus AND within the batch
+         (``dedup.dedup_against``: corpus contributes only its distinct
+         fingerprint set);
+      3. near-dup removal against the corpus
+         (``dedup.dedup_near_against``: cross-corpus inverted-index
+         Jaccard, broadcast anti-join removal).
+
+    Within-batch NEAR-dups are deliberately left to the next full
+    :func:`curation_pipeline` run — a daily batch is small relative to
+    the corpus, and running the pairwise step batch-internally every
+    ingest would redo work the periodic full pass already owns.
+
+    Returns (id_col, n_tokens, quality) for surviving new documents.
+    """
+    from .dedup import dedup_against, dedup_near_against
+
+    c = F.col(text_col)
+    gated = new_df.select(
+        F.col(id_col),
+        F.col(text_col),
+        token_count(c).alias("n_tokens"),
+        quality_score(c).alias("quality"),
+    ).filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    fresh = dedup_against(gated, corpus_df, text_col=text_col, id_col=id_col)
+    kept = dedup_near_against(
+        fresh, corpus_df, text_col=text_col, id_col=id_col,
+        n=ngram_n, threshold=jaccard_threshold,
+    )
+    return kept.select(id_col, "n_tokens", "quality")

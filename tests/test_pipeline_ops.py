@@ -763,3 +763,25 @@ def test_near_dup_against_id_collisions_are_harmless(spark):
                                 "doc_id long, text string")
     pairs = D.near_dup_pairs_against(new, corpus, n=3, threshold=0.9).collect()
     assert len(pairs) == 1 and pairs[0]["jaccard"] == 1.0
+
+
+def test_ingest_pipeline_stages_compose(spark):
+    from pd_explain_spark.functions.text import ingest_pipeline
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "x"),  # fails the token gate
+            (11, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact corpus dupe
+            (12, "the quick brown fox jumps over the lazy dog near a river"),  # near-dup of corpus
+            (13, "a fresh document in the corpus about window aggregation and joins"),
+            (14, "a FRESH  document in the corpus about window aggregation and joins"),  # exact dupe of 13
+        ],
+        "doc_id long, text string",
+    )
+    out = ingest_pipeline(new, corpus, jaccard_threshold=0.5)
+    assert [r["doc_id"] for r in out.collect()] == [13]
+    assert out.columns == ["doc_id", "n_tokens", "quality"]
