@@ -48,14 +48,52 @@ def _plan_strings(df: DataFrame) -> tuple[str, str]:
     return executed.split("== Initial Plan ==")[0], qe.analyzed().toString()
 
 
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+def _subtree_lines(lines: list[str], i: int) -> list[str]:
+    """Lines belonging to the subtree rooted at ``lines[i]`` (everything
+    below with strictly deeper tree-art indentation)."""
+    d = _indent(lines[i])
+    out = []
+    for line in lines[i + 1 :]:
+        if line.strip() and _indent(line) <= d:
+            break
+        out.append(line)
+    return out
+
+
+_GLOBAL_AGG = "HashAggregate(keys=[]"
+
+
 def scale_audit(df: DataFrame) -> list[Finding]:
     """Audit ``df``'s physical plan for patterns that break at cluster
     scale. Returns findings ordered fatal -> warning -> info (empty list
-    = clean)."""
+    = clean).
+
+    The scalar-augmentation idiom — a global (keyless) aggregate reduced
+    to ONE row and broadcast back via a cross join, e.g. N/avgdl in
+    BM25 or the rate table total in temperature sampling — prints as a
+    SinglePartition exchange plus a BroadcastNestedLoopJoin, but both
+    touch one row per upstream partition, not the dataset. The audit
+    recognizes it structurally (the exchange/build subtree is a
+    ``keys=[]`` aggregate) and reports it as info, keeping the fatal
+    severity for genuine global sorts and keyless joins."""
     final, _ = _plan_strings(df)
     findings: list[Finding] = []
+    lines = final.splitlines()
 
-    if "SinglePartition" in final:
+    sp_fatal = sp_scalar = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = next((l for l in lines[i + 1 :] if l.strip()), "")
+        if _GLOBAL_AGG in child or _GLOBAL_AGG in line:
+            sp_scalar += 1
+        else:
+            sp_fatal += 1
+    if sp_fatal:
         findings.append(
             Finding(
                 "single-partition-exchange",
@@ -65,17 +103,46 @@ def scale_audit(df: DataFrame) -> list[Finding]:
                 "(operators/rolling.py, operators/bucketing.py)",
             )
         )
-    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-        if node in final:
-            findings.append(
-                Finding(
-                    "nested-loop-join",
-                    "fatal",
-                    f"{node}: O(left x right) compares — give the join an "
-                    "equi key, broadcast a genuinely small side, or use "
-                    "range_join for interval predicates",
-                )
+    elif sp_scalar:
+        findings.append(
+            Finding(
+                "scalar-aggregate-exchange",
+                "info",
+                "SinglePartition exchange feeds a keys=[] aggregate "
+                "(one row per upstream partition) — the scalar-reduction "
+                "idiom, fine at any scale",
             )
+        )
+
+    nlj_fatal = nlj_scalar = 0
+    for i, line in enumerate(lines):
+        if "CartesianProduct" in line:
+            nlj_fatal += 1
+        elif "BroadcastNestedLoopJoin" in line:
+            sub = "\n".join(_subtree_lines(lines, i))
+            if _GLOBAL_AGG in sub:
+                nlj_scalar += 1
+            else:
+                nlj_fatal += 1
+    if nlj_fatal:
+        findings.append(
+            Finding(
+                "nested-loop-join",
+                "fatal",
+                "CartesianProduct/BroadcastNestedLoopJoin: O(left x right) "
+                "compares — give the join an equi key, broadcast a genuinely "
+                "small side, or use range_join for interval predicates",
+            )
+        )
+    elif nlj_scalar:
+        findings.append(
+            Finding(
+                "scalar-broadcast-join",
+                "info",
+                "nested-loop join against a broadcast one-row global "
+                "aggregate — the scalar cross-join idiom, O(rows x 1)",
+            )
+        )
     if "BatchEvalPython" in final:
         findings.append(
             Finding(

@@ -364,3 +364,31 @@ def test_dedup_against_never_shuffles_corpus_text(spark, sf_dir):
     assert len(schemas) >= 2
     assert any("lang" not in s and "source" not in s and "n_chars" not in s
                for s in schemas), plan
+
+
+ROUND5_WAVE3_ENTRIES = [
+    "segment_dedup_docs",
+    "chunk_documents_overlap",
+    "contamination_pairs_docs",
+    "decontaminate_docs",
+    "tfidf_docs",
+    "bm25_docs",
+    "temperature_sample_docs",
+    "dedup_against_corpus",
+    "near_dup_against_corpus",
+    "ingest_pipeline_docs",
+]
+
+
+@pytest.mark.parametrize("entry", ROUND5_WAVE3_ENTRIES)
+def test_wave3_entries_pass_scale_audit(spark, sf_dir, entry):
+    """No fatal cluster-scale anti-pattern (single-partition exchange,
+    nested-loop join, row-Python UDF, unpushed scan filter) in any of
+    the new pipeline entries. vocabulary_docs is excluded: its rank
+    window over the top-k survivors is single-partition BY DESIGN
+    (bounded at max_size rows), documented in relevance.py."""
+    import __spark_entry__ as m
+    from pd_explain_spark.plans.audit import assert_scalable
+
+    df = m.queries()[entry](spark, sf_dir)
+    assert_scalable(df)  # raises on fatal findings
