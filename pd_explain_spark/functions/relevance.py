@@ -112,13 +112,26 @@ def bm25_scores(
     no second text pass. Documents matching no query term are absent
     (score would be 0).
     """
+    import re as _re
+
     terms = [t.lower() for t in query_terms]
-    toks = _token_table(df, text_col, id_col)
-    # per-doc length over ALL terms (needed for normalization) — one
-    # groupBy(id); per-(id, query-term) tf filtered before its shuffle
-    doc_len = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # per-doc length is a SCAN-STAGE expression (array size), not an
+    # explode — the full corpus is never fanned out to token rows
+    toks_expr = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    doc_len = df.select(
+        F.col(id_col).alias("id"), F.size(toks_expr).alias("dl")
+    )
+    # only documents containing at least one query term reach the
+    # explode: a word-boundary rlike in the scan stage — at corpus
+    # scale the explode fan-out drops from every token to matching
+    # docs' tokens only
+    pattern = r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+    cand = df.filter(F.lower(F.col(text_col)).rlike(pattern))
     tf = (
-        toks.filter(F.col("term").isin(terms))
+        _token_table(cand, text_col, id_col)
+        .filter(F.col("term").isin(terms))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
