@@ -1686,6 +1686,32 @@ def bm25_docs(spark, sf_dir):
 
 
 @_q(
+    "top_terms_docs",
+    _TOKS_CTE
+    + """, tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS nn FROM documents),
+       scored AS (
+         SELECT id, term, round(tf * ln(nn / (df * 1.0)), 4) AS tfidf
+         FROM tf JOIN dfq USING (term) CROSS JOIN n
+       ), ranked AS (
+         SELECT id, term, tfidf,
+                row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rank
+         FROM scored
+       )
+       SELECT id, term, tfidf, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 5""",
+)
+def top_terms_docs(spark, sf_dir):
+    """Per-document keyword extraction: top-5 TF-IDF terms via a window
+    PARTITIONED by doc id (bounded per-key state, no global sort) —
+    functions/relevance.py top_terms_per_doc."""
+    from pd_explain_spark.functions.relevance import top_terms_per_doc
+
+    return top_terms_per_doc(_t(spark, sf_dir, "documents"), k=5)
+
+
+@_q(
     "vocabulary_docs",
     _TOKS_CTE
     + """, per_term AS (

@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_against_corpus",
     "near_dup_against_corpus",
     "ingest_pipeline_docs",
+    "top_terms_docs",
 ]
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .text import normalized_text
 
-__all__ = ["term_frequencies", "tf_idf", "bm25_scores", "build_vocabulary"]
+__all__ = ["term_frequencies", "tf_idf", "bm25_scores", "build_vocabulary", "top_terms_per_doc"]
 
 
 def _token_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -199,4 +199,27 @@ def build_vocabulary(
                 round_to,
             ).alias("cum_coverage"),
         )
+    )
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Keyword extraction: the ``k`` highest-TF-IDF terms per document
+    (id, term, tfidf, rank), ties broken by term for determinism.
+
+    The ranking is a window PARTITIONED by document — one shuffle keyed
+    by id with a bounded per-key state of k rows, never a global sort;
+    per-doc term counts are vocabulary-bounded, so no key is hot.
+    """
+    scored = tf_idf(df, text_col, id_col, round_to=round_to)
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tfidf", "rank")
     )

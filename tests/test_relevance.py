@@ -89,3 +89,31 @@ def test_tf_idf_broadcasts_term_stats(documents):
 def test_vocabulary_topk_never_global_sorts_vocab(documents):
     plan = _final_plan(build_vocabulary(documents, max_size=100))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_top_terms_per_doc_ranks_distinctive_terms(spark):
+    from pd_explain_spark.functions.relevance import top_terms_per_doc
+
+    df = spark.createDataFrame(
+        [(1, "shared shared rare"), (2, "shared common"), (3, "shared common")],
+        "doc_id long, text string",
+    )
+    out = top_terms_per_doc(df, k=2).collect()
+    doc1 = sorted((r["rank"], r["term"]) for r in out if r["id"] == 1)
+    # 'rare' (df=1) must outrank 'shared' (df=3, idf=0) for doc 1
+    assert doc1[0][1] == "rare"
+    assert all(r["rank"] <= 2 for r in out)
+
+
+def test_top_terms_per_doc_plan_is_partitioned_window(documents):
+    from pd_explain_spark.functions.relevance import top_terms_per_doc
+
+    out = top_terms_per_doc(documents, k=5)
+    plan = _final_plan(out)
+    # the rank window must be keyed by id (hashpartitioning); the only
+    # SinglePartition allowed is the N-docs scalar reduction, which the
+    # scale auditor classifies as the benign idiom
+    assert "hashpartitioning(id" in plan, plan
+    from pd_explain_spark.plans.audit import assert_scalable
+
+    assert_scalable(out)
