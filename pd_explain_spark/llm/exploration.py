@@ -235,3 +235,59 @@ class AutomatedDataExploration:
             for t in h["explanations"][:2]:
                 lines.append(f"    - {t}")
         return "\n".join(lines)
+
+
+class ExplorationVisualizer:
+    """Tabbed rendering of an exploration session (reference
+    automated_data_exploration/visualizer.py:12-445
+    ``AutomatedExplorationVisualizer.visualize_data_exploration`` →
+    widgets.Tab over report / queries / query tree).
+
+    Graceful degradation like explainers/visualize.py: without
+    ipywidgets the same three sections are returned as one plain-text
+    block (and printed), so the API works in scripts and CI."""
+
+    def __init__(self, session: ExplorationSession):
+        self.session = session
+
+    # -- text sections -------------------------------------------------
+    def _report_text(self) -> str:
+        return self.session.report or "(no report)"
+
+    def _queries_text(self) -> str:
+        lines = []
+        for h in sorted(self.session.history, key=lambda h: -h["score"]):
+            lines.append(f"Query {h['id']} (score {h['score']:.3f}): {h['query']}")
+            for t in h["explanations"][:3]:
+                lines.append(f"    - {t}")
+        return "\n".join(lines) or "(no queries executed)"
+
+    def _tree_text(self) -> str:
+        lines = []
+        for node_id, node in sorted(self.session.tree.items(), key=lambda kv: int(kv[0])):
+            parent = node.get("parent")
+            indent = "  " if parent is not None else ""
+            suffix = f"  [follow-up of Query {parent}]" if parent is not None else ""
+            lines.append(f"{indent}Query {node_id}: {node['query']}{suffix}")
+        return "\n".join(lines) or "(empty tree)"
+
+    def visualize_data_exploration(self):
+        """Reference-named entry point: ipywidgets Tab when available,
+        printed text block otherwise."""
+        sections = [
+            ("Summary report", self._report_text()),
+            ("Queries", self._queries_text()),
+            ("Query tree", self._tree_text()),
+        ]
+        try:
+            import ipywidgets as widgets
+        except ImportError:
+            block = "\n\n".join(f"=== {t} ===\n{s}" for t, s in sections)
+            print(block)
+            return block
+        tab = widgets.Tab(
+            children=[widgets.HTML(f"<pre>{s}</pre>") for _, s in sections]
+        )
+        for i, (t, _) in enumerate(sections):
+            tab.set_title(i, t)
+        return tab

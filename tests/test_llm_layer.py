@@ -430,3 +430,19 @@ def test_get_use_sampling_value_tracks_toggle():
         assert get_use_sampling_value() is False
     finally:
         toggle_sampling(start)
+
+
+def test_exploration_visualizer_sections(lineitem):
+    from pd_explain_spark.llm.exploration import ExplorationVisualizer
+
+    sess = lineitem.automated_data_exploration(num_iterations=2)
+    viz = ExplorationVisualizer(sess)
+    out = viz.visualize_data_exploration()
+    text = out if isinstance(out, str) else "".join(
+        getattr(c, "value", "") for c in out.children
+    )
+    assert "Query" in text
+    assert viz._tree_text() and viz._queries_text()
+    # follow-up nodes render with their parent citation
+    if any(n.get("parent") is not None for n in sess.tree.values()):
+        assert "follow-up of Query" in viz._tree_text()
