@@ -41,6 +41,9 @@ for name in [
     "fedex_filter_kernel",   # round-5 oracle kernels: window fns + createDataFrame
     "outlier_kernel",
     "metainsight_kernel",    # groupingSets + grouping_id under bare session
+    "segment_dedup_docs",    # round-5 wave 3: higher-order fns + broadcast join
+    "tfidf_docs",            # scalar cross-join idiom under bare session
+    "ingest_pipeline_docs",  # composed anti-joins + persist/localCheckpoint
 ]:
     n = m.queries()[name](spark, sf).count()
     assert n > 0, name
@@ -59,4 +62,4 @@ def test_driver_contract_under_bare_session():
         timeout=420,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    assert proc.stdout.count("ok ") == 10, proc.stdout
+    assert proc.stdout.count("ok ") == 14, proc.stdout
