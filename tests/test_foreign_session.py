@@ -62,4 +62,4 @@ def test_driver_contract_under_bare_session():
         timeout=420,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    assert proc.stdout.count("ok ") == 14, proc.stdout
+    assert proc.stdout.count("ok ") == 13, proc.stdout
