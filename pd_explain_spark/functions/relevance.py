@@ -29,7 +29,7 @@ entries use (see similarity.brute_force_topk).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
