@@ -525,6 +525,141 @@ def q14_promo_revenue(spark, sf_dir):
 
 
 @_q(
+    "q13_customer_distribution",
+    """SELECT c_count, count(*) AS custdist
+       FROM (
+         SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+         FROM customer c
+         LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+         GROUP BY 1
+       )
+       GROUP BY 1""",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (priority predicate standing in for the comment
+    filter of the trimmed schema): customer order-count distribution.
+    The join predicate filters BEFORE the outer join (no lost customer
+    rows), then two map-side-combining aggregations — first keyed by
+    customer, then by count."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "q18_large_orders",
+    """WITH big AS (
+         SELECT l_orderkey, sum(l_quantity) AS total_qty
+         FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+       )
+       SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+              round(o.o_totalprice, 2) AS o_totalprice,
+              round(b.total_qty, 2) AS total_qty
+       FROM big b
+       JOIN orders o ON o.o_orderkey = b.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey""",
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders. The HAVING-filtered
+    aggregate (one map-combining shuffle over lineitem) produces a
+    SMALL key set that then drives broadcast joins to orders and
+    customer — the fact table is aggregated before any join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 250)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("__qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@_q(
+    "q19_disjunctive_revenue",
+    """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 1 AND 20)
+          OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30
+              AND l.l_quantity BETWEEN 10 AND 35)
+          OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 20 AND 50
+              AND l.l_quantity BETWEEN 20 AND 50)""",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates. The
+    part-only disjuncts prune the broadcast side before the join; the
+    mixed residual evaluates inside the join's codegen — no fact-table
+    duplication, one aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@_q(
+    "q22_idle_balances",
+    """WITH avg_bal AS (
+         SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+       )
+       SELECT c.c_nationkey, count(*) AS numcust,
+              round(sum(c.c_acctbal), 2) AS totacctbal
+       FROM customer c CROSS JOIN avg_bal
+       WHERE c.c_acctbal > a
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+       GROUP BY 1""",
+)
+def q22_idle_balances(spark, sf_dir):
+    """TPC-H Q22 shape (no-urgent-orders standing in for no-orders on
+    this data): above-average balances among customers with no urgent
+    order. A keys=[] scalar aggregate broadcasts the average; the NOT
+    EXISTS lowers to a LEFT ANTI join against the filtered orders
+    keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@_q(
     "sliding_windows",
     """WITH f AS (
          SELECT event_type, value,

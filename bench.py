@@ -74,6 +74,10 @@ HEADLINE = [
     "assign_splits",
     # round-5 additions: TPC-H plan shapes + interval/cumulative ops
     "q4_priority_count",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_balances",
     "q10_returned_revenue",
     "q14_promo_revenue",
     "range_join_events",

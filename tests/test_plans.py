@@ -283,6 +283,10 @@ def test_pack_sequences_no_global_sort_partition(spark, sf_dir):
         ("q4_priority_count", "LeftSemi"),          # EXISTS -> semi join, orders never duplicate
         ("q10_returned_revenue", "TakeOrderedAndProject"),  # top-20 is a heap, not a sort
         ("q14_promo_revenue", "BroadcastHashJoin"),  # part dim broadcasts
+        ("q13_customer_distribution", "LeftOuter"),  # customers kept, predicate below the join
+        ("q18_large_orders", "BroadcastHashJoin"),   # aggregated key set drives broadcast joins
+        ("q19_disjunctive_revenue", "BroadcastHashJoin"),  # OR residual inside the broadcast join
+        ("q22_idle_balances", "LeftAnti"),           # NOT EXISTS -> anti join
     ],
 )
 def test_tpch_shapes_plan_properties(spark, sf_dir, entry, needle):
