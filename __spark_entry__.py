@@ -660,6 +660,88 @@ def q22_idle_balances(spark, sf_dir):
 
 
 @_q(
+    "q7_nation_trade_flow",
+    """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+              round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+       FROM lineitem l
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+       JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+       WHERE n1.n_nationkey <> n2.n_nationkey
+       GROUP BY 1, 2""",
+)
+def q7_nation_trade_flow(spark, sf_dir):
+    """TPC-H Q7 shape: cross-border revenue by (customer nation,
+    supplier nation). The fact table reaches BOTH dimension chains —
+    every dim (orders is fact-sized but customer/supplier/nation all
+    broadcast) joins without shuffling lineitem more than once; the
+    inequality runs as a join residual."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__ck"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__sk"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            # integer-cents partials: big per-group float sums diverge in
+            # accumulation order across engines (oracle-determinism recipe)
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                    .cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q2_min_price_part",
+    """WITH mn AS (
+         SELECT p_brand, min(p_retailprice) AS min_price
+         FROM part GROUP BY 1
+       )
+       SELECT p.p_brand, p.p_partkey, p.p_name,
+              round(p.p_retailprice, 2) AS p_retailprice
+       FROM part p JOIN mn ON p.p_brand = mn.p_brand
+        AND p.p_retailprice = mn.min_price""",
+)
+def q2_min_price_part(spark, sf_dir):
+    """TPC-H Q2's argmin join-back shape on the trimmed schema: the
+    cheapest part(s) per brand. The per-brand minimum is one
+    map-combining aggregate whose tiny result broadcasts back — the
+    standard min-per-group pattern without a window over the full
+    table."""
+    p = _t(spark, sf_dir, "part")
+    mn = p.groupBy(F.col("p_brand").alias("__b")).agg(
+        F.min("p_retailprice").alias("__mp")
+    )
+    return (
+        p.join(
+            F.broadcast(mn),
+            (p.p_brand == F.col("__b")) & (p.p_retailprice == F.col("__mp")),
+        )
+        .select(
+            "p_brand", "p_partkey", "p_name",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+    )
+
+
+@_q(
     "sliding_windows",
     """WITH f AS (
          SELECT event_type, value,

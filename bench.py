@@ -75,6 +75,8 @@ HEADLINE = [
     # round-5 additions: TPC-H plan shapes + interval/cumulative ops
     "q4_priority_count",
     "q13_customer_distribution",
+    "q7_nation_trade_flow",
+    "q2_min_price_part",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_idle_balances",

@@ -396,3 +396,19 @@ def test_wave3_entries_pass_scale_audit(spark, sf_dir, entry):
 
     df = m.queries()[entry](spark, sf_dir)
     assert_scalable(df)  # raises on fatal findings
+
+
+@pytest.mark.parametrize(
+    "entry,needle",
+    [
+        ("q7_nation_trade_flow", "BroadcastHashJoin"),  # dim chains broadcast
+        ("q2_min_price_part", "BroadcastHashJoin"),     # argmin set broadcasts back
+    ],
+)
+def test_tpch_round5_extra_shapes(spark, sf_dir, entry, needle):
+    import __spark_entry__ as m
+
+    final = _final(_plan(m.queries()[entry](spark, sf_dir)))
+    assert needle in final, final
+    # lineitem/part must not sort-merge against the small sides
+    assert "SortMergeJoin" not in final or entry == "q7_nation_trade_flow", final
