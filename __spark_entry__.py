@@ -1929,6 +1929,64 @@ def top_terms_docs(spark, sf_dir):
 
 
 @_q(
+    "hybrid_search_docs",
+    _TOKS_CTE
+    + """, dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+       tf AS (SELECT id, term, count(*) AS tf FROM toks
+              WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2),
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS nn FROM documents),
+       ad AS (SELECT avg(dl) AS avgdl FROM dl),
+       bm AS (
+         SELECT id,
+                round(sum(
+                  ln(1.0 + (nn - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                ), 4) AS score
+         FROM tf JOIN dfq USING (term) JOIN dl USING (id)
+         CROSS JOIN n CROSS JOIN ad GROUP BY id
+       ), bm_top AS (
+         SELECT id, row_number() OVER (ORDER BY score DESC, id) AS bm25_rank
+         FROM bm ORDER BY score DESC, id LIMIT 100
+       ), q AS (
+         SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+       ), cos AS (
+         SELECT e.vec_id AS id,
+                round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                  / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id < 500
+       ), cos_top AS (
+         SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS cos_rank
+         FROM cos ORDER BY sim DESC, id LIMIT 100
+       ), fused AS (
+         SELECT coalesce(b.id, c.id) AS id,
+                round(coalesce(1.0 / (60 + b.bm25_rank), 0)
+                      + coalesce(1.0 / (60 + c.cos_rank), 0), 6) AS fused_score,
+                CAST(b.bm25_rank AS INT) AS bm25_rank,
+                CAST(c.cos_rank AS INT) AS cos_rank
+         FROM bm_top b FULL OUTER JOIN cos_top c ON b.id = c.id
+       )
+       SELECT id, fused_score, bm25_rank, cos_rank
+       FROM fused ORDER BY fused_score DESC, id LIMIT 10""",
+)
+def hybrid_search_docs(spark, sf_dir):
+    """Hybrid lexical + dense retrieval with reciprocal-rank fusion:
+    BM25 over the documents, cosine of embedding 0 over the embedding
+    corpus (ids < 500 = the document id space), ranks within each
+    system's top-100, fused 1/(60+rank) — functions/relevance.py
+    hybrid_search."""
+    from pd_explain_spark.functions.relevance import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").filter("vec_id < 500")
+    qv = emb.filter("vec_id = 0").select("embedding").first()[0]
+    return hybrid_search(
+        docs, emb, ["spark", "window", "join"], qv, k=10, depth=100
+    )
+
+
+@_q(
     "vocabulary_docs",
     _TOKS_CTE
     + """, per_term AS (

@@ -100,6 +100,7 @@ HEADLINE = [
     "near_dup_against_corpus",
     "ingest_pipeline_docs",
     "top_terms_docs",
+    "hybrid_search_docs",
 ]
 
 

@@ -32,7 +32,8 @@ from .functions.drift import drift_scores, reference_histogram, stream_drift_sco
 from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
                                stratified_sample, temperature_sample)
 from .functions.contamination import contamination_pairs, decontaminate
-from .functions.relevance import bm25_scores, build_vocabulary, tf_idf, top_terms_per_doc
+from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
+                                  tf_idf, top_terms_per_doc)
 from .functions.segments import chunk_documents, segment_dedup, segment_frequencies
 from .functions.similarity import IvfIndex, ivf_build, ivf_query
 from .functions.text import curation_pipeline, ingest_pipeline, repetition_signals
@@ -101,4 +102,5 @@ __all__ = [
     "bm25_scores",
     "build_vocabulary",
     "top_terms_per_doc",
+    "hybrid_search",
 ]

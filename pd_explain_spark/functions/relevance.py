@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .text import normalized_text
 
-__all__ = ["term_frequencies", "tf_idf", "bm25_scores", "build_vocabulary", "top_terms_per_doc"]
+__all__ = ["term_frequencies", "tf_idf", "bm25_scores", "build_vocabulary", "top_terms_per_doc", "hybrid_search"]
 
 
 def _token_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -223,3 +223,86 @@ def top_terms_per_doc(
         .filter(F.col("rank") <= k)
         .select("id", "term", "tfidf", "rank")
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: Sequence[str],
+    query_vec,
+    k: int = 10,
+    rrf_k: int = 60,
+    depth: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical + dense retrieval with reciprocal-rank fusion —
+    the standard recipe for corpus search over training data (BM25
+    catches exact terms, the embedding side catches paraphrases):
+
+      score(d) = sum over systems of 1 / (rrf_k + rank_sys(d)),
+
+    ranks from :func:`bm25_scores` (desc, ties by id) and from cosine
+    similarity of ``query_vec`` against ``embeddings`` — a document
+    absent from one system simply contributes nothing for it. As in
+    every production RRF, ranks are taken WITHIN each system's
+    top-``depth`` list (that is the operator's contract, not an
+    approximation of some deeper list). RRF works on RANKS, so the two
+    systems' incomparable score scales never need calibration, and the
+    fusion arithmetic is exact in IEEE doubles (integer ranks), which
+    keeps the operation oracle-checkable.
+
+    Scale shape: each branch keeps its own scale-correct plan (BM25's
+    scan-stage term filter; one corpus pass for the dot products with
+    the query vector as a literal); each branch is then cut to
+    top-``depth`` through TakeOrderedAndProject BEFORE its rank window,
+    so the only unpartitioned window runs over <= depth rows (same
+    bounded pattern as build_vocabulary) and the full-outer fusion join
+    is depth-bounded too. Returns (id, fused_score, bm25_rank,
+    cos_rank) top-``k``.
+    """
+    bm = bm25_scores(docs, query_terms, text_col=text_col, id_col=id_col)
+    bm_top = bm.orderBy(F.desc("score"), F.asc("id")).limit(depth)
+    w_bm = Window.orderBy(F.desc("score"), F.asc("id"))
+    bm_r = bm_top.select("id", F.row_number().over(w_bm).alias("bm25_rank"))
+
+    qv = [float(x) for x in query_vec]
+    dim = len(qv)
+    qnorm = sum(x * x for x in qv) ** 0.5
+    emb = embeddings.select(
+        F.col(vec_id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__v"),
+            F.array(*[F.lit(x) for x in qv]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = F.when(vnorm > 0, dot / (vnorm * F.lit(qnorm))).otherwise(F.lit(-1.0))
+    cos = emb.filter(F.size("__v") == dim).select(
+        "id", F.round(sim, 4).alias("__sim")
+    )
+    cos_top = cos.orderBy(F.desc("__sim"), F.asc("id")).limit(depth)
+    w_cos = Window.orderBy(F.desc("__sim"), F.asc("id"))
+    cos_r = cos_top.select("id", F.row_number().over(w_cos).alias("cos_rank"))
+
+    fused = bm_r.join(cos_r, "id", "full").select(
+        "id",
+        F.round(
+            F.when(F.col("bm25_rank").isNotNull(), 1.0 / (rrf_k + F.col("bm25_rank"))).otherwise(0.0)
+            + F.when(F.col("cos_rank").isNotNull(), 1.0 / (rrf_k + F.col("cos_rank"))).otherwise(0.0),
+            6,
+        ).alias("fused_score"),
+        "bm25_rank",
+        "cos_rank",
+    )
+    return fused.orderBy(F.desc("fused_score"), F.asc("id")).limit(k)

@@ -117,3 +117,52 @@ def test_top_terms_per_doc_plan_is_partitioned_window(documents):
     from pd_explain_spark.plans.audit import assert_scalable
 
     assert_scalable(out)
+
+
+def test_hybrid_search_fuses_both_systems(spark):
+    from pd_explain_spark.functions.relevance import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join"),  # weaker lexical hit, weak dense
+            (2, "nothing relevant textually here at all"),  # dense hit only
+            (3, "spark join spark join spark join dense match"),  # top lexical + strong dense
+            (4, "unrelated filler content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.05]),
+            (3, [1.0, 0.1]),
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_search(docs, emb, ["spark", "join"], [1.0, 0.0], k=4).collect()
+    by_id = {r["id"]: r for r in out}
+    # doc 3 appears in both rank lists -> highest fused score
+    assert out[0]["id"] == 3
+    assert by_id[3]["bm25_rank"] is not None and by_id[3]["cos_rank"] is not None
+    # doc 2 has no lexical match -> bm25_rank NULL, still present via cosine
+    assert by_id[2]["bm25_rank"] is None and by_id[2]["cos_rank"] is not None
+    # doc 4 points away from the query -> worst cosine rank of the four
+    assert by_id[4]["cos_rank"] == max(
+        r["cos_rank"] for r in out if r["cos_rank"] is not None
+    )
+
+
+def test_hybrid_search_depth_bounds_ranks(documents, spark):
+    from pd_explain_spark import load_table
+    from pd_explain_spark.functions.relevance import hybrid_search
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").df.filter(
+        "vec_id < 500"
+    )
+    qv = emb.filter("vec_id = 0").select("embedding").first()[0]
+    out = hybrid_search(documents, emb, ["spark"], qv, k=10, depth=20).collect()
+    assert len(out) == 10
+    for r in out:
+        for rank in (r["bm25_rank"], r["cos_rank"]):
+            assert rank is None or rank <= 20
