@@ -39,6 +39,14 @@ from .text import normalized_text
 __all__ = ["term_frequencies", "tf_idf", "bm25_scores", "build_vocabulary", "top_terms_per_doc", "hybrid_search"]
 
 
+def _bounded_window(*order_cols) -> Window:
+    """Window over an input already cut to <= depth rows by limit():
+    a constant partition key keeps the (single-task, bounded) execution
+    identical while avoiding WindowExec's moves-all-data warning, which
+    would read as a scale bug in the logs when the input is k rows."""
+    return Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+
+
 def _token_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, term) — one row per token OCCURRENCE (counting semantics,
     unlike dedup's distinct shingle index)."""
@@ -183,7 +191,7 @@ def build_vocabulary(
     )
     total = toks.select(F.count(F.lit(1)).alias("__total"))
     top = per_term.orderBy(F.desc("count"), F.asc("term")).limit(max_size)
-    w = Window.orderBy(F.desc("count"), F.asc("term"))
+    w = _bounded_window(F.desc("count"), F.asc("term"))
     return (
         top.crossJoin(F.broadcast(total))
         .select(
@@ -265,7 +273,7 @@ def hybrid_search(
     """
     bm = bm25_scores(docs, query_terms, text_col=text_col, id_col=id_col)
     bm_top = bm.orderBy(F.desc("score"), F.asc("id")).limit(depth)
-    w_bm = Window.orderBy(F.desc("score"), F.asc("id"))
+    w_bm = _bounded_window(F.desc("score"), F.asc("id"))
     bm_r = bm_top.select("id", F.row_number().over(w_bm).alias("bm25_rank"))
 
     qv = [float(x) for x in query_vec]
@@ -292,7 +300,7 @@ def hybrid_search(
         "id", F.round(sim, 4).alias("__sim")
     )
     cos_top = cos.orderBy(F.desc("__sim"), F.asc("id")).limit(depth)
-    w_cos = Window.orderBy(F.desc("__sim"), F.asc("id"))
+    w_cos = _bounded_window(F.desc("__sim"), F.asc("id"))
     cos_r = cos_top.select("id", F.row_number().over(w_cos).alias("cos_rank"))
 
     fused = bm_r.join(cos_r, "id", "full").select(
