@@ -2802,6 +2802,50 @@ def multimodal_features_q(spark, sf_dir):
 _QUERIES["multimodal_features"] = multimodal_features_q  # rows-only: synthetic media
 
 
+@_q(
+    "multimodal_features_kernel",
+    """WITH m AS (
+         SELECT i AS media_id, (100 + i)::BIGINT AS n_bytes
+         FROM range(64) t(i)
+       ), f AS (
+         SELECT media_id, n_bytes,
+                [CAST(n_bytes AS DOUBLE),
+                 CAST(list_sum(list_transform(range(0, 64), j -> (media_id * 7 + j) % 256)) % 997 AS DOUBLE),
+                 CAST((media_id * 7) % 256 AS DOUBLE),
+                 CAST((media_id * 8 + 99) % 256 AS DOUBLE),
+                 CAST(n_bytes % 256 AS DOUBLE),
+                 CAST((n_bytes * 2654435761) % 1013 AS DOUBLE),
+                 CAST(list_min(list_transform(range(0, 32), j -> (media_id * 7 + j) % 256)) AS DOUBLE),
+                 CAST(list_max(list_transform(range(0, 32), j -> (media_id * 7 + j) % 256)) AS DOUBLE)] AS feats
+         FROM m
+       )
+       SELECT media_id, n_bytes, CAST(d AS INT) AS dim, feats[d] AS val
+       FROM f, (SELECT unnest(range(1, 9)) AS d) dims""",
+)
+def multimodal_features_kernel(spark, sf_dir):
+    """Hash-checked flavor of the multimodal plumbing: the SAME Arrow
+    mapInPandas fake-decoder path as multimodal_features, with the
+    feature vector posexploded to scalar rows so the driver's value
+    hash covers every component (array columns stringify differently
+    across engines; scalars don't). The oracle regenerates
+    make_demo_media's deterministic payload arithmetic in SQL
+    (functions/multimodal.py: payload[j] = (media_id*7+j) % 256,
+    n_bytes = 100 + media_id), so a hash match proves the whole
+    Python-side decode path computed the right values."""
+    from pd_explain_spark.functions.multimodal import extract_features, make_demo_media
+
+    media = make_demo_media(spark, n=64)
+    feats = extract_features(media, fake_decoder=True)
+    return feats.select(
+        "media_id", "n_bytes", F.posexplode("feature").alias("pos", "val")
+    ).select(
+        "media_id",
+        "n_bytes",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("val"),
+    )
+
+
 # ---------------------------------------------------------------- mini-language (§2.3)
 @_q(
     "mini_language_query",
@@ -3285,7 +3329,7 @@ _RECORD_FIRST = [
     "similarity_lsh_topk", "similarity_ivf_topk",
     "embedding_near_dups",
     "embedding_centroid_dist", "embedding_quantize", "similarity_topk_int8",
-    "multimodal_features",
+    "multimodal_features_kernel",
     # time-series / streaming surface
     "rolling_hour_events", "cumsum_events", "asof_join_events",
     "rank_events_dense", "resample_hourly", "pct_change_events",

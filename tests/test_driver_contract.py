@@ -49,7 +49,7 @@ def test_window_covers_every_operator_family():
         "text": {"text_profile", "token_counts", "repetition_signals"},
         "timeseries": {"rolling_hour_events", "cumsum_events", "asof_join_events"},
         "streaming": {"windowed_events", "sessionize_events", "drift_scores_events"},
-        "multimodal": {"multimodal_features"},
+        "multimodal": {"multimodal_features", "multimodal_features_kernel"},
         "mini_language": {"mini_language_query"},
         "training_mix": {"redact_pii", "stratified_sample_lang", "pack_sequences"},
     }
