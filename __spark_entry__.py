@@ -2655,6 +2655,74 @@ _QUERIES["similarity_ivf_topk"] = similarity_ivf_q  # rows-only: KMeans index
 
 
 @_q(
+    "similarity_ivf_fixed",
+    """WITH cast_emb AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       ), hashed AS (
+         SELECT vec_id, emb,
+                ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+         FROM cast_emb
+       ), cent AS (
+         SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS bucket,
+                emb AS cemb
+         FROM hashed ORDER BY h, vec_id LIMIT 16
+       ), adist AS (
+         SELECT e.vec_id, e.emb, c.bucket,
+                row_number() OVER (
+                  PARTITION BY e.vec_id
+                  ORDER BY list_dot_product(e.emb, e.emb)
+                           - 2 * list_dot_product(e.emb, c.cemb)
+                           + list_dot_product(c.cemb, c.cemb),
+                           c.bucket
+                ) AS pr
+         FROM cast_emb e, cent c
+       ), assigned AS (
+         SELECT vec_id AS neighbor_id, emb AS cv, bucket FROM adist WHERE pr = 1
+       ), probes AS (
+         SELECT q.vec_id AS query_id, q.emb AS qv, c.bucket,
+                row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY list_dot_product(q.emb, q.emb)
+                           - 2 * list_dot_product(q.emb, c.cemb)
+                           + list_dot_product(c.cemb, c.cemb),
+                           c.bucket
+                ) AS pr
+         FROM cast_emb q, cent c
+         WHERE q.vec_id < 10
+       ), qp AS (
+         SELECT query_id, qv, bucket FROM probes WHERE pr <= 4
+       ), scored AS (
+         SELECT qp.query_id, a.neighbor_id,
+                list_dot_product(qp.qv, a.cv)
+                  / (sqrt(list_dot_product(qp.qv, qp.qv))
+                     * sqrt(list_dot_product(a.cv, a.cv))) AS sim
+         FROM qp JOIN assigned a USING (bucket)
+         WHERE a.neighbor_id <> qp.query_id
+       ), ranked AS (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+                round(sim, 4) AS cosine_sim
+         FROM scored
+       )
+       SELECT query_id, neighbor_id, rank::INT AS rank, cosine_sim
+       FROM ranked WHERE rank <= 5""",
+)
+def similarity_ivf_fixed(spark, sf_dir):
+    """Hash-checked IVF: deterministic md5-seeded centroids
+    (functions/similarity.py ivf_build_fixed) + the standard probe/rank
+    query path. Distances use the dot-product identity so both engines
+    rank on bitwise-identical doubles; final cosine rounds once to 4
+    decimals (the similarity_topk determinism recipe). Proves the full
+    IVF mechanism — seed pick, bucket argmin, probe pruning, in-bucket
+    ranking — not just row counts."""
+    from pd_explain_spark.functions.similarity import ivf_build_fixed, ivf_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ivf_build_fixed(emb, n_centroids=16)
+    return ivf_query(index, emb.filter("vec_id < 10"), k=5, n_probe=4, round_to=4)
+
+
+@_q(
     "embedding_centroid_dist",
     """WITH ex AS (
          SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding)::DOUBLE AS v
@@ -3326,7 +3394,7 @@ _RECORD_FIRST = [
     "token_counts", "repetition_signals", "curate_documents",
     "near_dup_components",
     "minhash_near_dups_md5", "simhash_near_dups_md5",
-    "similarity_lsh_topk", "similarity_ivf_topk",
+    "similarity_lsh_topk", "similarity_ivf_fixed",
     "embedding_near_dups",
     "embedding_centroid_dist", "embedding_quantize", "similarity_topk_int8",
     "multimodal_features_kernel",

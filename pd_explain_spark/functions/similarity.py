@@ -272,6 +272,67 @@ def ivf_build(
     return IvfIndex(assigned=assigned, centroids=cent_df)
 
 
+def _sq_dist(a, b):
+    """Squared L2 via the dot-product identity ||a-b||^2 = a.a - 2a.b + b.b.
+
+    Used (instead of a zip_with (a-b)^2 fold) so the quantity is built
+    from the same left-fold dot product DuckDB's list_dot_product
+    reproduces bitwise — which makes rankings on it hash-checkable
+    cross-engine (see similarity_topk's oracle note). Only ever used for
+    ORDER BY, where the identity's different rounding error is harmless.
+    """
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def ivf_build_fixed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> "IvfIndex":
+    """Deterministic IVF build — the hash-checkable flavor of ivf_build.
+
+    Centroids are the n_centroids corpus vectors with the smallest
+    portable 60-bit hash of their id (('0x'||substr(md5(id),1,15)) in
+    DuckDB terms) — i.e. a uniform deterministic sample, the classic
+    "random seeds" KMeans init without the iterations. Bucket quality is
+    that of seed-init IVF (fine for candidate pruning, weaker than a
+    fitted KMeans); in exchange every step is closed-form, so the whole
+    index and any query over it reproduce bit-for-bit in any engine.
+
+    Scale shape matches ivf_build: the centroid pick is a
+    TakeOrderedAndProject over (hash, id) — O(n_centroids) per
+    partition, never a global sort — and assignment is one corpus pass
+    against the broadcast centroid table with a per-vector argmin
+    window (partitioned by vector id, so no skew).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    seeds = c.withColumn("__h", h).orderBy("__h", "neighbor_id").limit(n_centroids)
+    # bounded window: input is already limit()-cut to n_centroids rows
+    wb = Window.partitionBy(F.lit(0)).orderBy("__h", "neighbor_id")
+    cent_df = seeds.select(
+        (F.row_number().over(wb) - 1).cast("int").alias("bucket"),
+        F.col("cv").alias("centroid"),
+    )
+    wa = Window.partitionBy("neighbor_id").orderBy(
+        F.col("dist"), F.col("bucket")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cent_df))
+        .withColumn("dist", _sq_dist(F.col("cv"), F.col("centroid")))
+        .withColumn("pr", F.row_number().over(wa))
+        .filter(F.col("pr") == 1)
+        .select("neighbor_id", "cv", "bucket")
+    )
+    return IvfIndex(assigned=assigned, centroids=cent_df)
+
+
 class IvfIndex:
     """(assigned: neighbor_id, cv, bucket) + (centroids: bucket, centroid)."""
 
@@ -316,14 +377,7 @@ def ivf_query(
     probe_w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("bucket"))
     q_probes = (
         q.crossJoin(F.broadcast(index.centroids))
-        .withColumn(
-            "dist",
-            F.aggregate(
-                F.zip_with(F.col("qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
+        .withColumn("dist", _sq_dist(F.col("qv"), F.col("centroid")))
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "qv", "bucket")

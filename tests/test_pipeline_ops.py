@@ -203,6 +203,41 @@ def test_ivf_topk_should_work(spark):
     assert len(e & a) / len(e) >= 0.4  # ANN recall floor at tiny scale
 
 
+def test_ivf_fixed_deterministic_and_recall(spark):
+    """ivf_build_fixed: every vector lands in exactly one of n_centroids
+    buckets, two builds agree bit-for-bit (the property the DuckDB
+    oracle relies on), and recall vs brute force clears the ANN floor."""
+    from pd_explain_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_build_fixed,
+        ivf_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = ivf_build_fixed(emb, n_centroids=8)
+    counts = idx.assigned.groupBy().count().collect()[0][0]
+    assert counts == emb.count()  # every vector assigned exactly once
+    assert idx.centroids.count() == 8
+
+    a1 = sorted(map(tuple, idx.assigned.select("neighbor_id", "bucket").collect()))
+    a2 = sorted(
+        map(
+            tuple,
+            ivf_build_fixed(emb, n_centroids=8)
+            .assigned.select("neighbor_id", "bucket")
+            .collect(),
+        )
+    )
+    assert a1 == a2
+
+    q = emb.filter("vec_id < 5")
+    exact = brute_force_topk(emb, q, k=5).toPandas()
+    approx = ivf_query(idx, q, k=5, n_probe=3).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values.tolist()))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values.tolist()))
+    assert len(e & a) / len(e) >= 0.4
+
+
 def test_embedding_near_dup_lsh_recall(spark):
     """Multi-table LSH must recover (nearly) all exact near-dup pairs.
 
