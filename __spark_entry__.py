@@ -2422,6 +2422,74 @@ def near_dup_components_q(spark, sf_dir):
     return duplicate_components(pairs)
 
 
+@_q(
+    "near_dup_keep_longest",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), sh AS (
+         SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3
+       ), inv AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh
+       ), pre AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ), pairs AS (
+         SELECT id_a, id_b
+         FROM pre
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON la.doc_id = id_a
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON lb.doc_id = id_b
+         WHERE round(inter / (la.n + lb.n - inter), 6) >= 0.2
+       ), edges AS (
+         SELECT id_a AS s, id_b AS t FROM pairs
+         UNION SELECT id_b, id_a FROM pairs
+       ), reach AS (
+         WITH RECURSIVE r(s, t) AS (
+           SELECT s, t FROM edges
+           UNION
+           SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s
+         ) SELECT * FROM r
+       ), comp AS (
+         SELECT s AS id, least(s, min(t)) AS component FROM reach GROUP BY s
+       ), scored AS (
+         SELECT c.id, c.component,
+                len(list_filter(string_split_regex(trim(d.text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+         FROM comp c JOIN documents d ON d.doc_id = c.id
+       ), losers AS (
+         SELECT id FROM (
+           SELECT id, row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, id) AS r
+           FROM scored) WHERE r > 1
+       )
+       SELECT d.doc_id,
+              len(list_filter(string_split_regex(trim(d.text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+       FROM documents d
+       WHERE d.doc_id NOT IN (SELECT id FROM losers)""",
+)
+def near_dup_keep_longest_q(spark, sf_dir):
+    """Survivor-policy dedup: near-dup components over the exact n-gram
+    Jaccard pair list, then keep the LONGEST member of every cluster
+    (functions/dedup.py keep_best) instead of the min-id one — the
+    policy a production curation pipeline actually wants."""
+    from pd_explain_spark.functions.dedup import (
+        duplicate_components,
+        keep_best,
+        ngram_jaccard_pairs,
+    )
+    from pd_explain_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = duplicate_components(ngram_jaccard_pairs(docs, threshold=0.2))
+    out = keep_best(docs, comp, token_count(F.col("text")), id_col="doc_id")
+    return out.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+
+
 def minhash_near_dups_q(spark, sf_dir):
     from pd_explain_spark.functions.dedup import minhash_near_duplicates
 

@@ -101,6 +101,11 @@ HEADLINE = [
     "ingest_pipeline_docs",
     "top_terms_docs",
     "hybrid_search_docs",
+    # round-5 continuation: hash-checked IVF + multimodal kernels,
+    # survivor-policy dedup
+    "similarity_ivf_fixed",
+    "multimodal_features_kernel",
+    "near_dup_keep_longest",
 ]
 
 

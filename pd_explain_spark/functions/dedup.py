@@ -588,6 +588,38 @@ def duplicate_components(
     return labels
 
 
+def keep_best(
+    df: DataFrame,
+    components: DataFrame,
+    keep_by,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor selection over duplicate clusters: within every component
+    keep only the row maximizing ``keep_by`` (a column name or Column —
+    quality score, token count, recency...; ties → smallest id), drop the
+    rest. Rows absent from ``components`` are singletons and survive
+    untouched. This is the production dedup policy — "keep the best copy",
+    not "keep an arbitrary copy".
+
+    Scale shape: one broadcast-or-shuffle join of the (small) component
+    table against the id+score projection, then a window PARTITIONED BY
+    component — components are duplicate clusters, bounded and
+    skew-free; never a global sort. The loser anti-join is left to
+    Catalyst/AQE (loser set can be arbitrarily large on a
+    high-duplication corpus, so a broadcast hint would be wrong)."""
+    score = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+    scored = components.join(
+        df.select(F.col(id_col).alias("id"), score.alias("__keep")), "id"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("__keep"), F.asc("id"))
+    losers = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "anti")
+
+
 def dedup_near(
     df: DataFrame,
     text_col: str = "text",
@@ -597,9 +629,12 @@ def dedup_near(
     bands: int = 16,
     threshold: float = 0.5,
     max_df: float | None = 0.2,
+    keep_by=None,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash+LSH pairs → connected
-    components → keep the min-id document of every duplicate group.
+    components → keep one document per duplicate group (the min-id one
+    by default; the ``keep_by``-maximal one when a score column/Column is
+    given — see :func:`keep_best`).
     Returns the surviving rows of ``df``: an anti-join against the
     non-kept ids. Join strategy is left to Catalyst/AQE — the loser set
     is usually broadcastable, but a high-duplication corpus can make it
@@ -609,6 +644,8 @@ def dedup_near(
         threshold=threshold, max_df=max_df,
     )
     comp = duplicate_components(pairs)
+    if keep_by is not None:
+        return keep_best(df, comp, keep_by, id_col)
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

@@ -423,6 +423,32 @@ def test_dedup_near_keeps_one_per_cluster(spark):
     assert kept == [1, 4, 5]
 
 
+def test_dedup_near_keep_by_keeps_best_not_min_id(spark):
+    """keep_by flips the survivor from the min-id member to the
+    score-argmax member; singletons are untouched either way."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again yes truly"),  # longest dup
+        (3, "the quick brown fox jumps over the lazy dog again & again"),
+        (4, "completely different content about spark shuffle partitions"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    best = D.dedup_near(
+        df, threshold=0.5, max_df=None,
+        keep_by=F.size(F.split(F.trim("text"), r"\s+")),
+    )
+    kept = sorted(r["doc_id"] for r in best.select("doc_id").collect())
+    assert kept == [2, 4]  # min-id policy would keep 1
+
+    ties = D.keep_best(
+        df, D.duplicate_components(D.ngram_jaccard_pairs(df, threshold=0.5, max_df=None)),
+        F.lit(7),  # constant score: tie everywhere -> falls back to min id
+    )
+    assert sorted(r["doc_id"] for r in ties.select("doc_id").collect()) == [1, 4]
+
+
 def test_group_centroids_and_distances(spark):
     from pd_explain_spark.functions.similarity import centroid_distances, group_centroids
 
