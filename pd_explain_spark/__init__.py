@@ -27,7 +27,8 @@ from .operators.partitioning import count_distinct_skew_safe, salted_join
 from .config import GLOBALS, get_use_sampling_value, toggle_sampling
 from .llm.client import LlmSetupMethods
 from .functions.dedup import (dedup_against, dedup_near, dedup_near_against,
-                              duplicate_components, near_dup_pairs_against)
+                              duplicate_components, keep_best,
+                              near_dup_pairs_against)
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
                                stratified_sample, temperature_sample)
@@ -35,7 +36,7 @@ from .functions.contamination import contamination_pairs, decontaminate
 from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
                                   tf_idf, top_terms_per_doc)
 from .functions.segments import chunk_documents, segment_dedup, segment_frequencies
-from .functions.similarity import IvfIndex, ivf_build, ivf_query
+from .functions.similarity import IvfIndex, ivf_build, ivf_build_fixed, ivf_query
 from .functions.text import curation_pipeline, ingest_pipeline, repetition_signals
 from .session import get_spark
 from .sources.readers import load_table, read_csv, read_json, read_parquet, to_explainable
@@ -73,6 +74,7 @@ __all__ = [
     "near_dup_pairs_against",
     "dedup_near_against",
     "duplicate_components",
+    "keep_best",
     "drift_scores",
     "reference_histogram",
     "stream_drift_scores",
@@ -80,6 +82,7 @@ __all__ = [
     "ingest_pipeline",
     "repetition_signals",
     "ivf_build",
+    "ivf_build_fixed",
     "ivf_query",
     "IvfIndex",
     "salted_join",
