@@ -40,11 +40,13 @@ __all__ = ["term_frequencies", "tf_idf", "bm25_scores", "build_vocabulary", "top
 
 
 def _bounded_window(*order_cols) -> Window:
-    """Window over an input already cut to <= depth rows by limit():
-    a constant partition key keeps the (single-task, bounded) execution
-    identical while avoiding WindowExec's moves-all-data warning, which
-    would read as a scale bug in the logs when the input is k rows."""
-    return Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+    """Rank window over an input already cut to <= depth rows by limit():
+    single-partition BY DESIGN over O(k) rows. (A literal partition key
+    would be constant-folded back to SinglePartition by Catalyst, so
+    there is no plan-level way to mark this; get_spark quiets the
+    WindowExec warning logger instead, and plans/audit.py classifies
+    limit()-bounded single-partition exchanges as info, not fatal.)"""
+    return Window.orderBy(*order_cols)
 
 
 def _token_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

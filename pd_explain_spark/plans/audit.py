@@ -66,6 +66,30 @@ def _subtree_lines(lines: list[str], i: int) -> list[str]:
 
 _GLOBAL_AGG = "HashAggregate(keys=[]"
 
+# Operators that bound their output to a constant row count: a
+# single-partition exchange or broadcast build side fed by one of these
+# moves O(k) rows, not O(data) — the bounded-augmentation idiom (top-k
+# rank windows, seed/centroid tables), fine at any scale.
+_BOUNDED_OPS = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+
+
+def _is_bounded(subtree: str) -> bool:
+    return any(op in subtree for op in _BOUNDED_OPS)
+
+
+def _build_side_lines(lines: list[str], i: int) -> list[str]:
+    """Subtree of a join's build child: the first direct child for
+    BuildLeft, the last for BuildRight (Spark's tree renderer indents
+    direct children exactly 3 columns deeper). Falls back to the whole
+    subtree if the children can't be identified."""
+    sub = _subtree_lines(lines, i)
+    d = _indent(lines[i])
+    kids = [j for j, l in enumerate(sub) if l.strip() and _indent(l) == d + 3]
+    if not kids:
+        return sub
+    pick = kids[0] if "BuildLeft" in lines[i] else kids[-1]
+    return [sub[pick]] + _subtree_lines(sub, pick)
+
 
 def scale_audit(df: DataFrame) -> list[Finding]:
     """Audit ``df``'s physical plan for patterns that break at cluster
@@ -89,7 +113,8 @@ def scale_audit(df: DataFrame) -> list[Finding]:
         if "Exchange SinglePartition" not in line:
             continue
         child = next((l for l in lines[i + 1 :] if l.strip()), "")
-        if _GLOBAL_AGG in child or _GLOBAL_AGG in line:
+        sub = "\n".join(_subtree_lines(lines, i))
+        if _GLOBAL_AGG in child or _GLOBAL_AGG in line or _is_bounded(sub):
             sp_scalar += 1
         else:
             sp_fatal += 1
@@ -119,8 +144,10 @@ def scale_audit(df: DataFrame) -> list[Finding]:
         if "CartesianProduct" in line:
             nlj_fatal += 1
         elif "BroadcastNestedLoopJoin" in line:
-            sub = "\n".join(_subtree_lines(lines, i))
-            if _GLOBAL_AGG in sub:
+            # judge the BUILD side only — a limit or global aggregate on
+            # the streamed side must not excuse an unbounded build side
+            sub = "\n".join(_build_side_lines(lines, i))
+            if _GLOBAL_AGG in sub or _is_bounded(sub):
                 nlj_scalar += 1
             else:
                 nlj_fatal += 1
@@ -139,8 +166,9 @@ def scale_audit(df: DataFrame) -> list[Finding]:
             Finding(
                 "scalar-broadcast-join",
                 "info",
-                "nested-loop join against a broadcast one-row global "
-                "aggregate — the scalar cross-join idiom, O(rows x 1)",
+                "nested-loop join whose broadcast build side is a one-row "
+                "global aggregate or limit()-bounded — the scalar/bounded "
+                "cross-join idiom, O(rows x k)",
             )
         )
     if "BatchEvalPython" in final:

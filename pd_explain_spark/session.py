@@ -45,4 +45,19 @@ def get_spark(app_name: str = "pd_explain_spark", shuffle_partitions: int | None
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # WindowExec warns on every unpartitioned window, including the
+        # engine's bounded top-k rank windows (input pre-cut by limit(),
+        # O(k) rows — see plans/audit.py _BOUNDED_OPS). Spark constant-
+        # folds any literal partition key back to SinglePartition, so the
+        # only way to keep the log usable is to quiet this one logger;
+        # scale_audit still flags genuinely unbounded single-partition
+        # plans as fatal.
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j2 internals unavailable (e.g. connect mode): warnings stay
     return spark

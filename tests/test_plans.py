@@ -384,7 +384,18 @@ ROUND5_WAVE3_ENTRIES = [
 ]
 
 
-@pytest.mark.parametrize("entry", ROUND5_WAVE3_ENTRIES)
+ROUND5_CONT_ENTRIES = [
+    # hash-checked IVF: seed pick is TakeOrdered(16) + a bounded window;
+    # centroids broadcast; assignment window partitions by vector id
+    "similarity_ivf_fixed",
+    # Arrow mapInPandas fake-decoder path, posexploded
+    "multimodal_features_kernel",
+    # survivor-policy dedup: component-partitioned argmax window
+    "near_dup_keep_longest",
+]
+
+
+@pytest.mark.parametrize("entry", ROUND5_WAVE3_ENTRIES + ROUND5_CONT_ENTRIES)
 def test_wave3_entries_pass_scale_audit(spark, sf_dir, entry):
     """No fatal cluster-scale anti-pattern (single-partition exchange,
     nested-loop join, row-Python UDF, unpushed scan filter) in any of
