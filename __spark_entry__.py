@@ -2275,6 +2275,31 @@ def pack_sequences_q(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
 
 
+@_q(
+    "shuffle_shards_docs",
+    """WITH h AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(doc_id::VARCHAR || '-42'), 1, 15))::BIGINT AS hv
+         FROM documents
+       )
+       SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+              CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+                   AS BIGINT) AS pos
+       FROM h""",
+)
+def shuffle_shards_docs_q(spark, sf_dir):
+    """Deterministic global shuffle into fixed shards (functions/
+    mixing.py shuffle_assign): (shard, pos) is a reproducible uniform
+    pseudo-random total order — one hash shuffle + within-shard sort,
+    never a global sort or sampled range boundaries."""
+    from pd_explain_spark.functions.mixing import shuffle_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_assign(docs, n_shards=8, seed=42).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 # ---------------------------------------------------------------- dedup
 @_q(
     "dedup_exact",

@@ -106,6 +106,7 @@ HEADLINE = [
     "similarity_ivf_fixed",
     "multimodal_features_kernel",
     "near_dup_keep_longest",
+    "shuffle_shards_docs",
 ]
 
 

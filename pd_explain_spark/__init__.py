@@ -31,7 +31,8 @@ from .functions.dedup import (dedup_against, dedup_near, dedup_near_against,
                               near_dup_pairs_against)
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
-                               stratified_sample, temperature_sample)
+                               shuffle_assign, stratified_sample,
+                               temperature_sample, write_shards)
 from .functions.contamination import contamination_pairs, decontaminate
 from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
                                   tf_idf, top_terms_per_doc)
@@ -93,6 +94,8 @@ __all__ = [
     "temperature_sample",
     "pack_sequences",
     "assign_splits",
+    "shuffle_assign",
+    "write_shards",
     "scale_audit",
     "assert_scalable",
     # round-5 segment surface

@@ -264,3 +264,64 @@ def pack_sequences(
         F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
         (start % F.lit(budget)).cast("long").alias("pack_pos"),
     )
+
+
+def shuffle_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the step that
+    turns a curated corpus into globally-shuffled, fixed-shard training
+    input. Adds two columns:
+
+      shard = portable_hash(id, seed) mod n_shards
+      pos   = 0-based rank within the shard, ordered by (hash, id)
+
+    (shard asc, pos asc) is a uniform pseudo-random total order of the
+    corpus that any engine reproduces from (id, seed) alone — no RNG
+    state, no sampled range boundaries, re-runnable byte-for-byte. The
+    hash is the md5("<id>-<seed>") 60-bit key every sampling operator
+    here uses, so shuffle order and sampling decisions stay consistent.
+
+    Scale shape: ONE hash shuffle keyed by shard plus a within-shard
+    sort (each window partition is ~rows/n_shards); never a global sort
+    and never repartitionByRange (whose sampled boundaries differ run
+    to run). Size n_shards so a shard's rows fit a task comfortably —
+    at 100 TB that means thousands of shards, which this plan handles
+    unchanged."""
+    h = F.conv(F.substring(_sample_key(id_col, seed), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 64,
+    mode: str = "error",
+) -> None:
+    """Materialize the deterministic shuffle as hive-partitioned shard
+    directories: shard=K/ holds that shard's rows sorted by pos. A
+    training loader reads shard directories in order (or assigns them
+    round-robin to data-parallel workers) and gets the same byte stream
+    every run. One shuffle + per-partition sort + write — no driver
+    bottleneck, no global sort."""
+    out = shuffle_assign(df, id_col=id_col, seed=seed, n_shards=n_shards)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

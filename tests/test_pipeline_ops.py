@@ -725,6 +725,57 @@ def test_assign_splits_matches_oracle_and_is_stable(documents, duck):
     assert abs(train / n - 0.8) < 0.06
 
 
+def test_shuffle_assign_is_total_deterministic_order(documents):
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.mixing import shuffle_assign
+
+    out = shuffle_assign(documents, n_shards=8, seed=42)
+    n = documents.count()
+    assert out.count() == n
+    assert out.select("shard").distinct().count() == 8
+    # (shard, pos) is a dense total order: per-shard positions are 0..k-1
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("k"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    assert per.filter((F.col("mx") != F.col("k") - 1) | (F.col("mn") != 0)).count() == 0
+    # deterministic: two builds agree row for row
+    again = shuffle_assign(documents, n_shards=8, seed=42)
+    j = out.select("doc_id", "shard", "pos").join(
+        again.select(F.col("doc_id"), F.col("shard").alias("s2"), F.col("pos").alias("p2")),
+        "doc_id",
+    )
+    assert j.filter((F.col("shard") != F.col("s2")) | (F.col("pos") != F.col("p2"))).count() == 0
+    # a different seed produces a different permutation
+    other = shuffle_assign(documents, n_shards=8, seed=7)
+    diff = out.select("doc_id", "shard").join(
+        other.select(F.col("doc_id"), F.col("shard").alias("s2")), "doc_id"
+    ).filter(F.col("shard") != F.col("s2"))
+    assert diff.count() > 0
+
+
+def test_write_shards_round_trip(spark, documents, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.mixing import shuffle_assign, write_shards
+
+    path = str(tmp_path / "shards")
+    write_shards(documents, path, n_shards=8, seed=42)
+    back = spark.read.parquet(path)
+    want = shuffle_assign(documents, n_shards=8, seed=42)
+    assert back.count() == want.count()
+    j = back.select("doc_id", "shard", "pos").join(
+        want.select(F.col("doc_id"), F.col("shard").alias("s2"), F.col("pos").alias("p2")),
+        "doc_id",
+    )
+    assert j.filter((F.col("shard") != F.col("s2")) | (F.col("pos") != F.col("p2"))).count() == 0
+    # hive layout: one directory per shard -> a loader can read shard=K alone
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert len(dirs) == 8
+
+
 # ---------------------------------------------------------------- temperature mixing
 def test_temperature_sample_shares_follow_alpha(spark):
     from pd_explain_spark.functions.mixing import temperature_sample
