@@ -2276,6 +2276,24 @@ def pack_sequences_q(spark, sf_dir):
 
 
 @_q(
+    "corpus_stats_by_lang",
+    """SELECT lang,
+              count(*) AS n_docs,
+              CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+              CAST(sum(len(text)) AS BIGINT) AS total_chars,
+              round(CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT)
+                    / (count(*))::DOUBLE, 4) AS avg_tokens
+       FROM documents GROUP BY 1""",
+)
+def corpus_stats_by_lang_q(spark, sf_dir):
+    """Per-language corpus monitoring summary (functions/text.py
+    corpus_stats): one map-side-combining aggregate, no Python."""
+    from pd_explain_spark.functions.text import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"), by="lang")
+
+
+@_q(
     "shuffle_shards_docs",
     """WITH h AS (
          SELECT doc_id,

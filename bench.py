@@ -107,6 +107,7 @@ HEADLINE = [
     "multimodal_features_kernel",
     "near_dup_keep_longest",
     "shuffle_shards_docs",
+    "corpus_stats_by_lang",
 ]
 
 

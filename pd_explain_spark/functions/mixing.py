@@ -310,18 +310,20 @@ def write_shards(
     seed: int = 42,
     n_shards: int = 64,
     mode: str = "error",
+    fmt: str = "parquet",
 ) -> None:
     """Materialize the deterministic shuffle as hive-partitioned shard
     directories: shard=K/ holds that shard's rows sorted by pos. A
     training loader reads shard directories in order (or assigns them
     round-robin to data-parallel workers) and gets the same byte stream
     every run. One shuffle + per-partition sort + write — no driver
-    bottleneck, no global sort."""
+    bottleneck, no global sort. ``fmt='json'`` emits JSONL shards (the
+    common text-corpus interchange format); parquet is the default."""
     out = shuffle_assign(df, id_col=id_col, seed=seed, n_shards=n_shards)
-    (
+    writer = (
         out.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "pos")
         .write.mode(mode)
         .partitionBy("shard")
-        .parquet(path)
     )
+    writer.format(fmt).save(path)

@@ -378,3 +378,34 @@ def ingest_pipeline(
         n=ngram_n, threshold=jaccard_threshold,
     )
     return kept.select(id_col, "n_tokens", "quality")
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str | list[str] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """One-pass corpus monitoring summary — the table a pipeline run
+    logs after every stage (per language / source when ``by`` is given):
+    document count, token and character volume, mean document length.
+    A stage that silently drops a language or doubles mean length shows
+    up here before it poisons a training mix.
+
+    Scale shape: a single map-side-combining aggregate (groupBy ``by``,
+    or keys=[] for the global row); token counts are the JVM-side
+    whitespace expression — no Python, no second pass over text."""
+    c = F.col(text_col)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    return (
+        df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(c).cast("long")).alias("total_tokens"),
+            F.sum(F.length(c).cast("long")).alias("total_chars"),
+            F.round(
+                F.sum(token_count(c).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                round_to,
+            ).alias("avg_tokens"),
+        )
+    )

@@ -754,6 +754,23 @@ def test_shuffle_assign_is_total_deterministic_order(documents):
     assert diff.count() > 0
 
 
+def test_corpus_stats_planted(spark):
+    from pd_explain_spark.functions.text import corpus_stats
+
+    rows = [
+        (1, "one two three", "en"),
+        (2, "uno dos", "es"),
+        (3, "four five six seven", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r.asDict() for r in corpus_stats(df, by="lang").collect()}
+    assert got["en"]["n_docs"] == 2 and got["en"]["total_tokens"] == 7
+    assert got["en"]["avg_tokens"] == 3.5
+    assert got["es"]["total_chars"] == len("uno dos")
+    glob = corpus_stats(df).collect()[0]
+    assert glob["n_docs"] == 3 and glob["total_tokens"] == 9
+
+
 def test_write_shards_round_trip(spark, documents, tmp_path):
     from pyspark.sql import functions as F
 
