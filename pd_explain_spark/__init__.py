@@ -39,7 +39,7 @@ from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
 from .functions.segments import chunk_documents, segment_dedup, segment_frequencies
 from .functions.similarity import IvfIndex, ivf_build, ivf_build_fixed, ivf_query
 from .functions.text import (corpus_stats, curation_pipeline, ingest_pipeline,
-                             repetition_signals)
+                             repetition_signals, stream_corpus_stats)
 from .session import get_spark
 from .sources.readers import load_table, read_csv, read_json, read_parquet, to_explainable
 
@@ -98,6 +98,7 @@ __all__ = [
     "shuffle_assign",
     "write_shards",
     "corpus_stats",
+    "stream_corpus_stats",
     "scale_audit",
     "assert_scalable",
     # round-5 segment surface

@@ -395,17 +395,43 @@ def corpus_stats(
     Scale shape: a single map-side-combining aggregate (groupBy ``by``,
     or keys=[] for the global row); token counts are the JVM-side
     whitespace expression — no Python, no second pass over text."""
-    c = F.col(text_col)
     keys = [by] if isinstance(by, str) else list(by or [])
-    return (
-        df.groupBy(*keys).agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(token_count(c).cast("long")).alias("total_tokens"),
-            F.sum(F.length(c).cast("long")).alias("total_chars"),
-            F.round(
-                F.sum(token_count(c).cast("long"))
-                / F.count(F.lit(1)).cast("double"),
-                round_to,
-            ).alias("avg_tokens"),
-        )
+    return df.groupBy(*keys).agg(*_corpus_aggs(text_col, round_to))
+
+
+def _corpus_aggs(text_col: str, round_to: int):
+    c = F.col(text_col)
+    return [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(c).cast("long")).alias("total_tokens"),
+        F.sum(F.length(c).cast("long")).alias("total_chars"),
+        F.round(
+            F.sum(token_count(c).cast("long")) / F.count(F.lit(1)).cast("double"),
+            round_to,
+        ).alias("avg_tokens"),
+    ]
+
+
+def stream_corpus_stats(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    by: str | list[str] | None = None,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    round_to: int = 4,
+) -> DataFrame:
+    """Streaming twin of :func:`corpus_stats`: the same volume/length
+    aggregates per watermarked event-time window (plus ``by`` groups) —
+    live stage-boundary telemetry for an ingest stream. ONE stateful
+    aggregation; state is open windows x groups counter rows, bounded
+    by the watermark. The aggregate expressions are shared with the
+    batch flavor, so batch and stream report identical numbers over the
+    same rows (pinned by test_streaming)."""
+    from ..streaming.windows import _with_event_time
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    src = _with_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
+    return src.groupBy(F.window(F.col(ts_col), window), *keys).agg(
+        *_corpus_aggs(text_col, round_to)
     )

@@ -240,3 +240,47 @@ def test_stream_redact_pii_matches_batch(spark, tmp_path):
     got = spark.table("redact").count()
     want = redact_pii(spark.read.parquet(d)).count()
     assert got == want and want > 0
+
+
+def test_stream_corpus_stats_matches_batch(spark, tmp_path):
+    """Streaming corpus telemetry parity: the same aggregate expressions
+    run per watermarked window on a doc stream and agree with batch
+    window-group numbers exactly."""
+    import pyspark.sql.functions as F
+
+    from pd_explain_spark.functions.text import _corpus_aggs, stream_corpus_stats
+
+    d = str(tmp_path / "docs_ts")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestamp '2026-01-01 00:00:00' + "
+                "make_interval(0, 0, 0, 0, 0, CAST(doc_id % 180 AS INT), 0)"
+            ),
+        )
+    )
+    docs.repartition(4).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = stream_corpus_stats(stream, ts_col="ts", by="lang", window="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cstats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r["window"]["start"], r["lang"])
+    val = lambda r: (r["n_docs"], r["total_tokens"], r["total_chars"], r["avg_tokens"])
+    got = {key(r): val(r) for r in spark.table("cstats").collect()}
+    batch = spark.read.parquet(d)
+    want = {
+        key(r): val(r)
+        for r in batch.groupBy(F.window("ts", "1 hour"), "lang")
+        .agg(*_corpus_aggs("text", 4))
+        .collect()
+    }
+    assert got == want and len(want) >= 3  # 3 hourly windows x langs
