@@ -792,6 +792,15 @@ def test_write_shards_round_trip(spark, documents, tmp_path):
     dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
     assert len(dirs) == 8
 
+    # JSONL flavor: same layout, line-delimited text interchange
+    jpath = str(tmp_path / "shards_jsonl")
+    write_shards(documents.select("doc_id", "text"), jpath, n_shards=4, seed=42, fmt="json")
+    jdirs = sorted(d for d in os.listdir(jpath) if d.startswith("shard="))
+    assert len(jdirs) == 4
+    jback = spark.read.json(jpath)
+    assert jback.count() == documents.count()
+    assert {"doc_id", "text", "pos", "shard"} <= set(jback.columns)
+
 
 # ---------------------------------------------------------------- temperature mixing
 def test_temperature_sample_shares_follow_alpha(spark):
