@@ -611,7 +611,12 @@ def keep_best(
     scored = components.join(
         df.select(F.col(id_col).alias("id"), score.alias("__keep")), "id"
     )
-    w = Window.partitionBy("component").orderBy(F.desc("__keep"), F.asc("id"))
+    # desc_nulls_last: a NULL score must never beat a real one (it also
+    # matches SQL engines whose DESC default is NULLS FIRST, e.g. DuckDB,
+    # only when they say NULLS LAST explicitly — mirror accordingly)
+    w = Window.partitionBy("component").orderBy(
+        F.desc_nulls_last("__keep"), F.asc("id")
+    )
     losers = (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") > 1)

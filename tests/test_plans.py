@@ -423,3 +423,19 @@ def test_tpch_round5_extra_shapes(spark, sf_dir, entry, needle):
     assert needle in final, final
     # lineitem/part must not sort-merge against the small sides
     assert "SortMergeJoin" not in final or entry == "q7_nation_trade_flow", final
+
+
+def test_shuffle_assign_single_hash_exchange_no_global_sort(spark, sf_dir):
+    """The deterministic shuffle is ONE hash exchange keyed by shard plus
+    a within-partition sort — no SinglePartition exchange, no
+    repartitionByRange (sampled boundaries), no global sort."""
+    from pd_explain_spark import load_table
+    from pd_explain_spark.functions.mixing import shuffle_assign
+
+    docs = load_table(spark, sf_dir, "documents").df
+    final = _final(_plan(shuffle_assign(docs, n_shards=8, seed=42)))
+    assert "Exchange SinglePartition" not in final, final
+    assert "rangepartitioning" not in final, final
+    ex = [l for l in final.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1, final
+    assert "shard" in ex[0], ex[0]
