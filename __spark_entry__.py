@@ -59,6 +59,8 @@ _ORACLES: dict[str, str] = {}
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in _QUERIES:  # a duplicate would silently shadow an entry
+            raise ValueError(f"duplicate driver entry name: {name}")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
