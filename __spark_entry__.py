@@ -744,6 +744,214 @@ def q2_min_price_part(spark, sf_dir):
 
 
 @_q(
+    "q8_market_share",
+    """WITH rev AS (
+         SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents,
+                s.s_nationkey
+         FROM lineitem l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+         JOIN region r ON r.r_regionkey = nc.n_regionkey
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+           AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       )
+       SELECT o_year,
+              round(sum(CASE WHEN s_nationkey = 3 THEN cents ELSE 0 END)
+                    / sum(cents)::DOUBLE, 6) AS mkt_share,
+              round(sum(cents) / 100.0, 2) AS total_revenue
+       FROM rev GROUP BY 1""",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of ASIA-region PROMO revenue per
+    order year. Six joins — every dimension chain (customer→nation→
+    region, part, supplier) broadcasts; lineitem is scanned once and
+    never shuffled for a join. The share is a conditional-sum ratio of
+    exact integer-cents partials, divided once (IEEE division of two
+    exact ints — reproducible), so the hash check needs no tolerance."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    asia_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            cents.alias("cents"),
+            "s_nationkey",
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("s_nationkey") == 3, F.col("cents")).otherwise(F.lit(0)))
+            / F.sum("cents").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.sum("cents") / 100.0, 2).alias("total_revenue"),
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    """WITH rev AS (
+         SELECT l_suppkey,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1
+       ), mx AS (SELECT max(cents) AS m FROM rev)
+       SELECT s.s_suppkey, s.s_name, round(rev.cents / 100.0, 2) AS total_revenue
+       FROM rev JOIN mx ON rev.cents = mx.m
+       JOIN supplier s ON s.s_suppkey = rev.l_suppkey""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the revenue view for one quarter, then the
+    top supplier(s) by a scalar max joined back on EXACT integer cents
+    (equality on an exact int — no FP boundary). The view is one
+    map-combining aggregate; the max is a keys=[] scalar broadcast; the
+    supplier dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("__cents"))
+    mx = rev.agg(F.max("__cents").alias("__m"))
+    return (
+        rev.join(F.broadcast(mx), F.col("__cents") == F.col("__m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("__cents") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """WITH pl AS (
+         SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+                CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_type = 'SMALL'
+       ), stats AS (
+         SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sq, count(*) AS cnt
+         FROM pl GROUP BY 1
+       )
+       SELECT round(CAST(sum(pl.cents) AS BIGINT) / 700.0, 2) AS avg_weekly_revenue
+       FROM pl JOIN stats USING (l_partkey)
+       WHERE 5 * pl.qty * stats.cnt < stats.sq""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from below-one-fifth-of-part-average
+    quantities. The correlated per-part average is a groupBy whose
+    part-sized result broadcasts back; the threshold compare is the
+    integer cross-multiplication 5*qty*cnt < sum(qty) — exact, no FP
+    boundary (l_quantity is integral in this data)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("__qty"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("__cents"),
+        )
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__qty").alias("__sq"), F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        li.join(F.broadcast(stats), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.lit(5) * F.col("__qty") * F.col("__cnt") < F.col("__sq"))
+        .agg(F.round(F.sum("__cents") / 700.0, 2).alias("avg_weekly_revenue"))
+    )
+
+
+@_q(
+    "q21_late_blame",
+    """WITH per_os AS (
+         SELECT l.l_orderkey, l.l_suppkey,
+                max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 180 DAY
+                         THEN 1 ELSE 0 END) AS late
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         GROUP BY 1, 2
+       ), per_o AS (
+         SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+         FROM per_os GROUP BY 1
+       ), blamed AS (
+         SELECT p.l_suppkey
+         FROM per_os p JOIN per_o USING (l_orderkey)
+         WHERE p.late = 1 AND per_o.n_supp >= 2 AND per_o.n_late = 1
+       )
+       SELECT s.s_name, count(*) AS numwait
+       FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+       GROUP BY 1
+       ORDER BY numwait DESC, s_name LIMIT 10""",
+)
+def q21_late_blame(spark, sf_dir):
+    """TPC-H Q21 shape (late = shipped >180 days after order, on this
+    schema): suppliers who were the SOLE late supplier of a
+    multi-supplier order. The reference formulation's EXISTS/NOT EXISTS
+    branches become two levels of aggregate flags — per-(order,supplier)
+    lateness, then per-order counts — which distributes as two
+    map-combining shuffles instead of two extra self-joins; the final
+    top-10 is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("__late"))
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.count(F.lit(1)).alias("__n_supp"), F.sum("__late").alias("__n_late")
+    )
+    blamed = (
+        per_os.filter(F.col("__late") == 1)
+        .join(per_o, F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+    )
+    return (
+        blamed.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@_q(
     "sliding_windows",
     """WITH f AS (
          SELECT event_type, value,

@@ -108,6 +108,11 @@ HEADLINE = [
     "near_dup_keep_longest",
     "shuffle_shards_docs",
     "corpus_stats_by_lang",
+    # round-5 continuation: remaining TPC-H shapes
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_late_blame",
 ]
 
 

@@ -392,6 +392,12 @@ ROUND5_CONT_ENTRIES = [
     "multimodal_features_kernel",
     # survivor-policy dedup: component-partitioned argmax window
     "near_dup_keep_longest",
+    # remaining TPC-H shapes: conditional-ratio share, scalar-max
+    # join-back, per-key-average correlated filter, two-level blame flags
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_late_blame",
 ]
 
 
