@@ -952,6 +952,44 @@ def q21_late_blame(spark, sf_dir):
 
 
 @_q(
+    "q16_supplier_count",
+    """SELECT p.p_brand, p.p_type, p.p_size,
+              count(DISTINCT l.l_suppkey) AS supplier_cnt
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_size IN (1, 14, 23, 45) AND p.p_brand <> 'Brand#45'
+         AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY 1, 2, 3
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+       LIMIT 20""",
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (lineitem as the part↔supplier link on this
+    schema): distinct suppliers per part attribute, excluding
+    complaint suppliers (negative balance) via a broadcast anti join.
+    The part filter broadcasts into lineitem's scan stage; the distinct
+    count is the two-phase (keys, supp) → keys rewrite Catalyst
+    generates for count_distinct; the top-20 is TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 14, 23, 45) & (F.col("p_brand") != "Brand#45")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(20)
+    )
+
+
+@_q(
     "sliding_windows",
     """WITH f AS (
          SELECT event_type, value,

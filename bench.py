@@ -113,6 +113,7 @@ HEADLINE = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_late_blame",
+    "q16_supplier_count",
 ]
 
 

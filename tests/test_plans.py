@@ -398,6 +398,7 @@ ROUND5_CONT_ENTRIES = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_late_blame",
+    "q16_supplier_count",
 ]
 
 
