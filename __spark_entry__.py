@@ -768,11 +768,14 @@ def q2_min_price_part(spark, sf_dir):
 )
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: NATION_3's share of ASIA-region PROMO revenue per
-    order year. Six joins — every dimension chain (customer→nation→
-    region, part, supplier) broadcasts; lineitem is scanned once and
-    never shuffled for a join. The share is a conditional-sum ratio of
-    exact integer-cents partials, divided once (IEEE division of two
-    exact ints — reproducible), so the hash check needs no tolerance."""
+    order year. Six joins — the true dimensions (part, supplier, nation,
+    region) broadcast; the orders join and the customer-region semi
+    filter are O(table) on both sides (a two-year / one-of-five-regions
+    filter is still proportional to the table), so those two shuffle on
+    their keys — the correct shape at scale; AQE may still broadcast
+    them at small SF. The share is a conditional-sum ratio of exact
+    integer-cents partials, divided once (IEEE division of two exact
+    ints — reproducible), so the hash check needs no tolerance."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hashing import md5_int
 from .text import normalized_text
 
 
@@ -368,9 +369,7 @@ def _hash_expr(shingle, i: int, hash_fn: str):
     DuckDB-oracle-checkable (('0x' || substr(md5(..), 1, 15))::BIGINT)."""
     if hash_fn == "xxhash64":
         return F.xxhash64(shingle, F.lit(i))
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("-", shingle, F.lit(str(i)))), 1, 15), 16, 10
-    ).cast("bigint")
+    return md5_int(F.md5(F.concat_ws("-", shingle, F.lit(str(i)))))
 
 
 def _signatures_from_index(
@@ -672,7 +671,7 @@ def simhash_signatures(
     h = (
         F.xxhash64("tok")
         if hash_fn == "xxhash64"
-        else F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+        else md5_int(F.md5(F.col("tok")))
     )
     inv = _fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")

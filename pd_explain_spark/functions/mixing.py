@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hashing import md5_int
 from .text import token_count
 
 # Applied IN ORDER; counts for pattern i are taken on the text after
@@ -89,15 +90,10 @@ def assign_splits(
     if total <= 0:
         raise ValueError("split weights must sum to a positive value")
     h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("-", F.col(id_col).cast("string"), F.lit(str(seed)))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        md5_int(
+            F.md5(F.concat_ws("-", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            width=8,
+        )
         % 1_000_000
     )
     expr = None
@@ -211,9 +207,7 @@ def temperature_sample(
             / F.col("__cnt"),
         ).alias("__rate"),
     )
-    u = F.conv(F.substring(_sample_key(id_col, seed), 1, 15), 16, 10).cast(
-        "double"
-    ) / F.lit(float(16**15))
+    u = md5_int(_sample_key(id_col, seed)).cast("double") / F.lit(float(16**15))
     return (
         df.join(F.broadcast(rates), by)
         .filter(u < F.col("__rate"))
@@ -271,6 +265,7 @@ def shuffle_assign(
     id_col: str = "doc_id",
     seed: int = 42,
     n_shards: int = 64,
+    partition_to_shards: bool = False,
 ) -> DataFrame:
     """Deterministic global shuffle + shard assignment — the step that
     turns a curated corpus into globally-shuffled, fixed-shard training
@@ -290,15 +285,20 @@ def shuffle_assign(
     and never repartitionByRange (whose sampled boundaries differ run
     to run). Size n_shards so a shard's rows fit a task comfortably —
     at 100 TB that means thousands of shards, which this plan handles
-    unchanged."""
-    h = F.conv(F.substring(_sample_key(id_col, seed), 1, 15), 16, 10).cast(
-        "bigint"
+    unchanged. ``partition_to_shards=True`` places the one shuffle as an
+    explicit repartition(n_shards, shard) BEFORE the rank window — the
+    window's clustering requirement is then already satisfied (no second
+    exchange) and each output partition holds exactly one shard, which
+    is what a partitioned file sink wants (see write_shards)."""
+    h = md5_int(_sample_key(id_col, seed))
+    base = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
     )
+    if partition_to_shards:
+        base = base.repartition(n_shards, F.col("shard"))
     w = Window.partitionBy("shard").orderBy("__h", id_col)
     return (
-        df.withColumn("__h", h)
-        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
-        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        base.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("__h")
     )
 
@@ -316,13 +316,16 @@ def write_shards(
     directories: shard=K/ holds that shard's rows sorted by pos. A
     training loader reads shard directories in order (or assigns them
     round-robin to data-parallel workers) and gets the same byte stream
-    every run. One shuffle + per-partition sort + write — no driver
+    every run. ONE shuffle (the repartition-to-shards inside
+    shuffle_assign, which also satisfies the rank window's clustering —
+    no second exchange) + a per-partition sort + write; no driver
     bottleneck, no global sort. ``fmt='json'`` emits JSONL shards (the
     common text-corpus interchange format); parquet is the default."""
-    out = shuffle_assign(df, id_col=id_col, seed=seed, n_shards=n_shards)
+    out = shuffle_assign(
+        df, id_col=id_col, seed=seed, n_shards=n_shards, partition_to_shards=True
+    )
     writer = (
-        out.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "pos")
+        out.sortWithinPartitions("shard", "pos")
         .write.mode(mode)
         .partitionBy("shard")
     )

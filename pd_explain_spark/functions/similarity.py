@@ -21,6 +21,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hashing import md5_int
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -310,9 +312,7 @@ def ivf_build_fixed(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
+    h = md5_int(F.md5(F.col("neighbor_id").cast("string")))
     seeds = c.withColumn("__h", h).orderBy("__h", "neighbor_id").limit(n_centroids)
     # bounded rank window: input is already limit()-cut to n_centroids
     # rows, so the single partition is O(k) by design (audit-classified)

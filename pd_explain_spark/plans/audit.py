@@ -73,22 +73,63 @@ _GLOBAL_AGG = "HashAggregate(keys=[]"
 _BOUNDED_OPS = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
 
 
-def _is_bounded(subtree: str) -> bool:
-    return any(op in subtree for op in _BOUNDED_OPS)
+def _is_bounded(line: str) -> bool:
+    return any(op in line for op in _BOUNDED_OPS)
 
 
-def _build_side_lines(lines: list[str], i: int) -> list[str]:
-    """Subtree of a join's build child: the first direct child for
-    BuildLeft, the last for BuildRight (Spark's tree renderer indents
-    direct children exactly 3 columns deeper). Falls back to the whole
-    subtree if the children can't be identified."""
-    sub = _subtree_lines(lines, i)
+def _direct_children(lines: list[str], i: int) -> list[int]:
+    """Absolute indices of the direct children of the node at lines[i]
+    (Spark's tree renderer indents direct children exactly 3 columns
+    deeper than their parent)."""
     d = _indent(lines[i])
-    kids = [j for j, l in enumerate(sub) if l.strip() and _indent(l) == d + 3]
+    out = []
+    for j in range(i + 1, len(lines)):
+        l = lines[j]
+        if not l.strip():
+            continue
+        dj = _indent(l)
+        if dj <= d:
+            break
+        if dj == d + 3:
+            out.append(j)
+    return out
+
+
+# Operators that can re-expand a bounded input back to O(data) rows.
+_EXPANDING_OPS = ("Generate", "Expand", "Union", "CartesianProduct")
+
+
+def _bounded_node(lines: list[str], i: int, depth: int = 0) -> bool:
+    """True iff the subtree rooted at lines[i] provably produces a
+    bounded (O(k)) number of rows: a limit operator, a keys=[] global
+    aggregate, a join of all-bounded inputs, or a unary/row-reducing
+    chain over one of those. Leaf scans, expansion operators, and
+    anything unrecognized classify as unbounded — the conservative
+    direction (a bounded plan misread as unbounded fails loud in
+    assert_scalable; the reverse would hide an O(data) funnel)."""
+    if depth > 50:
+        return False
+    line = lines[i]
+    if _is_bounded(line) or _GLOBAL_AGG in line:
+        return True
+    if any(x in line for x in _EXPANDING_OPS):
+        return False
+    kids = _direct_children(lines, i)
     if not kids:
-        return sub
-    pick = kids[0] if "BuildLeft" in lines[i] else kids[-1]
-    return [sub[pick]] + _subtree_lines(sub, pick)
+        return False  # leaf (scan / reused exchange reference)
+    if "Join" in line or len(kids) > 1:
+        # bounded x bounded stays bounded; any unbounded side taints it
+        return all(_bounded_node(lines, k, depth + 1) for k in kids)
+    return _bounded_node(lines, kids[0], depth + 1)
+
+
+def _build_child(lines: list[str], i: int) -> int | None:
+    """Index of a join's build child: first direct child for BuildLeft,
+    last for BuildRight. None if the children can't be identified."""
+    kids = _direct_children(lines, i)
+    if not kids:
+        return None
+    return kids[0] if "BuildLeft" in lines[i] else kids[-1]
 
 
 def scale_audit(df: DataFrame) -> list[Finding]:
@@ -112,9 +153,11 @@ def scale_audit(df: DataFrame) -> list[Finding]:
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
-        child = next((l for l in lines[i + 1 :] if l.strip()), "")
-        sub = "\n".join(_subtree_lines(lines, i))
-        if _GLOBAL_AGG in child or _GLOBAL_AGG in line or _is_bounded(sub):
+        # bounded/scalar iff the exchange's INPUT subtree provably
+        # produces O(k) rows — a limit/global-agg anywhere below is not
+        # enough (a join could re-expand it back to O(data))
+        kids = _direct_children(lines, i)
+        if _GLOBAL_AGG in line or (kids and _bounded_node(lines, kids[0])):
             sp_scalar += 1
         else:
             sp_fatal += 1
@@ -146,8 +189,8 @@ def scale_audit(df: DataFrame) -> list[Finding]:
         elif "BroadcastNestedLoopJoin" in line:
             # judge the BUILD side only — a limit or global aggregate on
             # the streamed side must not excuse an unbounded build side
-            sub = "\n".join(_build_side_lines(lines, i))
-            if _GLOBAL_AGG in sub or _is_bounded(sub):
+            bi = _build_child(lines, i)
+            if bi is not None and _bounded_node(lines, bi):
                 nlj_scalar += 1
             else:
                 nlj_fatal += 1

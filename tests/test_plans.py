@@ -287,6 +287,12 @@ def test_pack_sequences_no_global_sort_partition(spark, sf_dir):
         ("q18_large_orders", "BroadcastHashJoin"),   # aggregated key set drives broadcast joins
         ("q19_disjunctive_revenue", "BroadcastHashJoin"),  # OR residual inside the broadcast join
         ("q22_idle_balances", "LeftAnti"),           # NOT EXISTS -> anti join
+        ("q8_market_share", "BroadcastHashJoin"),    # part/supplier dims broadcast
+        ("q15_top_supplier", "BroadcastHashJoin"),   # scalar max + supplier dim broadcast
+        ("q16_supplier_count", "LeftAnti"),          # NOT IN -> broadcast anti join
+        ("q16_supplier_count", "TakeOrderedAndProject"),  # top-20 is a heap
+        ("q17_small_quantity_revenue", "BroadcastHashJoin"),  # per-part stats broadcast back
+        ("q21_late_blame", "TakeOrderedAndProject"),  # top-10 is a heap, not a sort
     ],
 )
 def test_tpch_shapes_plan_properties(spark, sf_dir, entry, needle):
@@ -346,6 +352,22 @@ def test_scale_audit_flags_and_clears(spark, sf_dir, lineitem):
         lineitem.df.select("l_orderkey", "l_quantity"), "l_quantity", on="l_orderkey"
     )
     assert assert_scalable(good) is not None  # no fatal findings
+
+
+def test_scale_audit_rejects_reexpanded_bounded_limit(spark):
+    """A limit somewhere below a single-partition exchange must NOT
+    excuse it when a join re-expands the bounded rows back to O(data):
+    only the exchange's direct input path being provably bounded counts."""
+    from pyspark.sql import Window
+
+    from pd_explain_spark.plans.audit import scale_audit
+
+    huge = spark.range(100_000).select((F.col("id") % 10).alias("k"), "id")
+    small = spark.range(100).select(F.col("id").alias("k2")).orderBy("k2").limit(10)
+    joined = huge.join(F.broadcast(small), huge["k"] == small["k2"])
+    bad = joined.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    checks = {f.check for f in scale_audit(bad)}
+    assert "single-partition-exchange" in checks, checks
 
 
 def test_dedup_against_never_shuffles_corpus_text(spark, sf_dir):
@@ -440,9 +462,14 @@ def test_shuffle_assign_single_hash_exchange_no_global_sort(spark, sf_dir):
     from pd_explain_spark.functions.mixing import shuffle_assign
 
     docs = load_table(spark, sf_dir, "documents").df
-    final = _final(_plan(shuffle_assign(docs, n_shards=8, seed=42)))
-    assert "Exchange SinglePartition" not in final, final
-    assert "rangepartitioning" not in final, final
-    ex = [l for l in final.splitlines() if "Exchange hashpartitioning" in l]
-    assert len(ex) == 1, final
-    assert "shard" in ex[0], ex[0]
+    for to_shards in (False, True):
+        final = _final(
+            _plan(shuffle_assign(docs, n_shards=8, seed=42, partition_to_shards=to_shards))
+        )
+        assert "Exchange SinglePartition" not in final, final
+        assert "rangepartitioning" not in final, final
+        # the write_shards flavor's explicit repartition must also satisfy
+        # the rank window: still exactly ONE exchange, not two
+        ex = [l for l in final.splitlines() if "Exchange hashpartitioning" in l]
+        assert len(ex) == 1, final
+        assert "shard" in ex[0], ex[0]
