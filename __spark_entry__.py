@@ -955,6 +955,62 @@ def q21_late_blame(spark, sf_dir):
 
 
 @_q(
+    "q9_profit_rollup",
+    """WITH pr AS (
+         SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+                CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) * 10
+                  - CAST(round(p.p_retailprice * 100) AS BIGINT) * CAST(l.l_quantity AS BIGINT)
+                  AS profit_tenths
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE p.p_name LIKE '%widget%'
+       )
+       SELECT nation, o_year,
+              round(CAST(sum(profit_tenths) AS BIGINT) / 1000.0, 2) AS sum_profit
+       FROM pr GROUP BY 1, 2""",
+)
+def q9_profit_rollup(spark, sf_dir):
+    """TPC-H Q9 shape (p_retailprice/10 per unit standing in for the
+    absent partsupp supplycost): profit by supplier nation x order year
+    for one product line. Part/supplier/nation broadcast; the orders
+    join shuffles on the order key (both sides O(table) — correct at
+    scale). Profit accumulates in integer TENTHS-of-cents (revenue
+    cents x10 minus price-cents x quantity — no division anywhere in
+    the per-row path, sidestepping the int-vs-float division split
+    between engines), divided once at the end, so the rollup
+    hash-checks with no tolerance."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    rev_tenths = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+        * F.lit(10)
+    )
+    cost_tenths = F.round(F.col("p_retailprice") * 100).cast("bigint") * F.col(
+        "l_quantity"
+    ).cast("bigint")
+    pr = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (rev_tenths - cost_tenths).alias("profit_tenths"),
+        )
+    )
+    return pr.groupBy("nation", "o_year").agg(
+        F.round(F.sum("profit_tenths") / 1000.0, 2).alias("sum_profit")
+    )
+
+
+@_q(
     "q16_supplier_count",
     """SELECT p.p_brand, p.p_type, p.p_size,
               count(DISTINCT l.l_suppkey) AS supplier_cnt

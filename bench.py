@@ -114,6 +114,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q21_late_blame",
     "q16_supplier_count",
+    "q9_profit_rollup",
 ]
 
 

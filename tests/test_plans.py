@@ -293,6 +293,7 @@ def test_pack_sequences_no_global_sort_partition(spark, sf_dir):
         ("q16_supplier_count", "TakeOrderedAndProject"),  # top-20 is a heap
         ("q17_small_quantity_revenue", "BroadcastHashJoin"),  # per-part stats broadcast back
         ("q21_late_blame", "TakeOrderedAndProject"),  # top-10 is a heap, not a sort
+        ("q9_profit_rollup", "BroadcastHashJoin"),   # part/supplier/nation broadcast
     ],
 )
 def test_tpch_shapes_plan_properties(spark, sf_dir, entry, needle):
@@ -421,6 +422,7 @@ ROUND5_CONT_ENTRIES = [
     "q17_small_quantity_revenue",
     "q21_late_blame",
     "q16_supplier_count",
+    "q9_profit_rollup",
 ]
 
 
