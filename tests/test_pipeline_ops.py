@@ -923,3 +923,29 @@ def test_ingest_pipeline_stages_compose(spark):
     out = ingest_pipeline(new, corpus, jaccard_threshold=0.5)
     assert [r["doc_id"] for r in out.collect()] == [13]
     assert out.columns == ["doc_id", "n_tokens", "quality"]
+
+
+def test_md5_int_matches_duckdb_for_any_width(spark, duck):
+    """functions/hashing.py md5_int is the single source of the portable
+    hash wrapper; its Spark spelling must equal DuckDB's
+    ('0x' || substr(md5(x), 1, w))::BIGINT for every width used in the
+    codebase (8 for splits, 15 everywhere else) over varied byte
+    content (unicode, empties, separators, long strings)."""
+    import pyspark.sql.functions as F
+
+    from pd_explain_spark.functions.hashing import md5_int
+
+    vals = ["", "a", "doc-42", "x" * 500, "héllo wörld", "1-2-3", "\t\n ", "Ω≈ç√"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    for width in (8, 15):
+        got = {
+            r["s"]: r["h"]
+            for r in df.select("s", md5_int(F.md5("s"), width=width).alias("h")).collect()
+        }
+        want = {
+            v: duck.sql(
+                f"SELECT ('0x' || substr(md5(?), 1, {width}))::BIGINT", params=[v]
+            ).fetchone()[0]
+            for v in vals
+        }
+        assert got == want, (width, got, want)
