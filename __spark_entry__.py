@@ -1011,6 +1011,52 @@ def q9_profit_rollup(spark, sf_dir):
 
 
 @_q(
+    "q11_important_stock",
+    """WITH inv AS (
+         SELECT l.l_partkey,
+                CAST(sum(CAST(round(p.p_retailprice * 100) AS BIGINT) * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE n.n_name = 'NATION_7'
+         GROUP BY 1
+       ), tot AS (SELECT sum(value_cents) AS t FROM inv)
+       SELECT l_partkey, round(value_cents / 100.0, 2) AS part_value
+       FROM inv CROSS JOIN tot
+       WHERE value_cents * 10000 > t""",
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (lineitem x retail price standing in for the
+    absent partsupp supplycost x availqty): per-part inventory value for
+    one nation's suppliers, keeping parts above a FRACTION OF THE GLOBAL
+    TOTAL — the group-vs-scalar HAVING shape (q18's HAVING compares a
+    group to a constant; this compares to a one-row aggregate broadcast
+    back). Exact integer-cents values; the fraction test is the integer
+    cross-multiplication value*10000 > total (no division)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint") * F.col(
+        "l_quantity"
+    ).cast("bigint")
+    inv = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("__v"))
+    )
+    tot = inv.agg(F.sum("__v").alias("__t"))
+    return (
+        inv.crossJoin(F.broadcast(tot))
+        .filter(F.col("__v") * F.lit(10000) > F.col("__t"))
+        .select("l_partkey", F.round(F.col("__v") / 100.0, 2).alias("part_value"))
+    )
+
+
+@_q(
     "q16_supplier_count",
     """SELECT p.p_brand, p.p_type, p.p_size,
               count(DISTINCT l.l_suppkey) AS supplier_cnt

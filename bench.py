@@ -115,6 +115,7 @@ HEADLINE = [
     "q21_late_blame",
     "q16_supplier_count",
     "q9_profit_rollup",
+    "q11_important_stock",
 ]
 
 
