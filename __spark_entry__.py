@@ -1057,6 +1057,64 @@ def q11_important_stock(spark, sf_dir):
 
 
 @_q(
+    "q20_dominant_suppliers",
+    """WITH sq AS (
+         SELECT l.l_suppkey, l.l_partkey,
+                CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_type = 'PROMO'
+         GROUP BY 1, 2
+       ), pt AS (
+         SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS total_qty
+         FROM sq GROUP BY 1
+       ), dominant AS (
+         SELECT DISTINCT sq.l_suppkey
+         FROM sq JOIN pt USING (l_partkey)
+         WHERE 8 * sq.supp_qty >= pt.total_qty
+       )
+       SELECT s.s_suppkey, s.s_name
+       FROM supplier s
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       JOIN dominant d ON d.l_suppkey = s.s_suppkey
+       WHERE n.n_name = 'NATION_2'""",
+)
+def q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (shipped quantity standing in for the absent
+    partsupp availqty): one nation's suppliers responsible for at least
+    an eighth of some PROMO part's total shipped quantity (the
+    classic threshold is one half; this data's uniform supplier spread
+    makes 1/8 the selective-but-nonempty cut). Two stacked
+    aggregates over the same keys (per-(supplier, part), then per-part
+    totals joined back — the part-level table is small and broadcasts),
+    a DISTINCT supplier set, and a semi-join-shaped filter of the
+    supplier dim. The dominance test is the integer cross-multiplication
+    8*supp >= total — exact, no FP boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    sq = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("__sq"))
+    )
+    pt = sq.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__sq").alias("__tq")
+    )
+    dominant = (
+        sq.join(F.broadcast(pt), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.lit(8) * F.col("__sq") >= F.col("__tq"))
+        .select(F.col("l_suppkey").alias("__dk"))
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("__dk"))
+        .select("s_suppkey", "s_name")
+    )
+
+
+@_q(
     "q16_supplier_count",
     """SELECT p.p_brand, p.p_type, p.p_size,
               count(DISTINCT l.l_suppkey) AS supplier_cnt

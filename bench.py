@@ -116,6 +116,7 @@ HEADLINE = [
     "q16_supplier_count",
     "q9_profit_rollup",
     "q11_important_stock",
+    "q20_dominant_suppliers",
 ]
 
 

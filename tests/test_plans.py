@@ -295,6 +295,7 @@ def test_pack_sequences_no_global_sort_partition(spark, sf_dir):
         ("q21_late_blame", "TakeOrderedAndProject"),  # top-10 is a heap, not a sort
         ("q9_profit_rollup", "BroadcastHashJoin"),   # part/supplier/nation broadcast
         ("q11_important_stock", "BroadcastHashJoin"),  # dims broadcast; scalar total broadcast back
+        ("q20_dominant_suppliers", "BroadcastHashJoin"),  # part-total + dominant-set broadcast
     ],
 )
 def test_tpch_shapes_plan_properties(spark, sf_dir, entry, needle):
@@ -425,6 +426,7 @@ ROUND5_CONT_ENTRIES = [
     "q16_supplier_count",
     "q9_profit_rollup",
     "q11_important_stock",
+    "q20_dominant_suppliers",
 ]
 
 
