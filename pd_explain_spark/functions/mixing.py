@@ -287,9 +287,12 @@ def shuffle_assign(
     at 100 TB that means thousands of shards, which this plan handles
     unchanged. ``partition_to_shards=True`` places the one shuffle as an
     explicit repartition(n_shards, shard) BEFORE the rank window — the
-    window's clustering requirement is then already satisfied (no second
-    exchange) and each output partition holds exactly one shard, which
-    is what a partitioned file sink wants (see write_shards)."""
+    window's clustering requirement is then already satisfied (no
+    second exchange). Note Spark hash-partitions by murmur3(shard) mod
+    n_shards, NOT identity: a partition may hold a few shards and
+    others none, so task skew is bounded by a small constant factor of
+    the shard size (the file sink still splits files by shard VALUE via
+    partitionBy)."""
     h = md5_int(_sample_key(id_col, seed))
     base = df.withColumn("__h", h).withColumn(
         "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")

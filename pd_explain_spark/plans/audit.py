@@ -28,6 +28,7 @@ reads in ``df.explain('formatted')``:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -48,20 +49,15 @@ def _plan_strings(df: DataFrame) -> tuple[str, str]:
     return executed.split("== Initial Plan ==")[0], qe.analyzed().toString()
 
 
+# Executed plans prefix codegen'd nodes with "*(n) " — strip it before
+# measuring indent, or a codegen'd child sits 2+digits deeper than its
+# non-codegen siblings and the exact d+3 child matching misses it.
+_CODEGEN_RE = re.compile(r"\*\(\d+\)\s*")
+
+
 def _indent(line: str) -> int:
-    return len(line) - len(line.lstrip(" :+-*("))
-
-
-def _subtree_lines(lines: list[str], i: int) -> list[str]:
-    """Lines belonging to the subtree rooted at ``lines[i]`` (everything
-    below with strictly deeper tree-art indentation)."""
-    d = _indent(lines[i])
-    out = []
-    for line in lines[i + 1 :]:
-        if line.strip() and _indent(line) <= d:
-            break
-        out.append(line)
-    return out
+    line = _CODEGEN_RE.sub("", line)
+    return len(line) - len(line.lstrip(" :+-"))
 
 
 _GLOBAL_AGG = "HashAggregate(keys=[]"

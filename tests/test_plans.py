@@ -357,6 +357,20 @@ def test_scale_audit_flags_and_clears(spark, sf_dir, lineitem):
     assert assert_scalable(good) is not None  # no fatal findings
 
 
+def test_scale_audit_stable_across_execution(spark):
+    """Executed plans prefix codegen'd nodes with '*(n) '; the audit's
+    child-indent matching must classify the scalar-reduction idiom the
+    same before AND after the plan runs (the prefix once shifted the
+    child's measured indent and flipped info to fatal)."""
+    from pd_explain_spark.plans.audit import scale_audit
+
+    df = spark.range(100_000).agg(F.sum("id"))
+    pre = {(f.check, f.severity) for f in scale_audit(df)}
+    df.collect()
+    post = {(f.check, f.severity) for f in scale_audit(df)}
+    assert pre == post == {("scalar-aggregate-exchange", "info")}
+
+
 def test_scale_audit_rejects_reexpanded_bounded_limit(spark):
     """A limit somewhere below a single-partition exchange must NOT
     excuse it when a join re-expands the bounded rows back to O(data):
