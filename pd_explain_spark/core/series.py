@@ -374,8 +374,28 @@ class ExplainableColumn:
         edges[0] = edges[0] - abs(edges[0]) * 1e-3 - 1e-9
         return self.cut(edges, labels=labels)
 
-    def unique(self):
-        return [r[0] for r in self.frame.df.select(self.name).distinct().collect()]
+    def unique(self, limit: int | None = 1_000_000):
+        """Distinct values as a driver-side list (pandas ``Series.unique``
+        parity, which is inherently a materialization).
+
+        ``limit`` caps the collect so a high-cardinality column (doc ids,
+        timestamps) cannot OOM the driver at corpus scale — it raises if
+        the distinct count exceeds the cap rather than truncating
+        silently. Pass ``limit=None`` to opt out (you are asserting the
+        column is low-cardinality). Same escape-hatch contract as
+        ``get_dummies(values=...)``.
+        """
+        dist = self.frame.df.select(self.name).distinct()
+        if limit is not None:
+            rows = dist.limit(limit + 1).collect()
+            if len(rows) > limit:
+                raise ValueError(
+                    f"unique() on {self.name!r} exceeds limit={limit} distinct "
+                    "values; pass a higher limit or limit=None if the driver "
+                    "can hold them"
+                )
+            return [r[0] for r in rows]
+        return [r[0] for r in dist.collect()]
 
     def nunique(self) -> int:
         return self.frame.df.select(F.count_distinct(self.name)).first()[0]

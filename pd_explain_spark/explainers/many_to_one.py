@@ -17,9 +17,11 @@ Reference pipeline re-expressed Spark-first
  1. drop rows with null label; numeric labels with nunique > 6 are binned
     (uniform, n_bins=10) into interval labels (ibid:198-225).
  2. prune labels to <= max_labels (10) — strategies 'largest' (default) /
-    'smallest' / 'random' (ibid:240-309; the PCA/silhouette strategies are
-    driver-side sklearn in the reference and are not ported — documented
-    divergence).
+    'smallest' / 'random', plus the geometry strategies 'max_dist' /
+    'min_dist' / 'max_silhouette' / 'min_silhouette' / 'silhouette'
+    (ibid:240-309; implemented in _geometry_label_order below — PCA and
+    silhouette computed numpy-side on the same <= sample_size
+    deterministic sample the reference uses).
  3. optional deterministic sampling, seed 42, ~sample_size rows
     (ibid:311-333) — default ON to mirror the reference; full-data mode
     is one flag away and uses the same distributed passes.

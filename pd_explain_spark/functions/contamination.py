@@ -75,6 +75,11 @@ def contamination_pairs(
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("matched_ngrams"))
     )
+    # threshold on the RAW ratio (exact IEEE division of two ints, so it
+    # matches DuckDB bit-for-bit); the rounded column is display/hash
+    # normalization only. Filtering on the rounded value would flag a
+    # ratio within 5e-7 below the threshold that the oracle rejects.
+    raw = F.col("matched_ngrams") / F.col("eval_ngrams").cast("double")
     return (
         matched.join(eval_sizes, "eval_id")
         .select(
@@ -82,11 +87,11 @@ def contamination_pairs(
             "eval_id",
             "matched_ngrams",
             "eval_ngrams",
-            F.round(
-                F.col("matched_ngrams") / F.col("eval_ngrams").cast("double"), 6
-            ).alias("containment"),
+            raw.alias("__raw"),
+            F.round(raw, 6).alias("containment"),
         )
-        .filter(F.col("containment") >= min_containment)
+        .filter(F.col("__raw") >= min_containment)
+        .drop("__raw")
     )
 
 

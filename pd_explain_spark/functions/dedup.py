@@ -276,9 +276,12 @@ def near_dup_pairs_against(
 
     Inverted-index join between the two shingle tables — never
     new x corpus all-pairs; ``max_df`` prunes boilerplate shingles from
-    candidate discovery exactly as in :func:`ngram_jaccard_pairs`.
-    Set sizes are computed per side, so id collisions between the two
-    tables are harmless.
+    candidate discovery exactly as in :func:`ngram_jaccard_pairs`: a
+    candidate pair must share at least one sub-cap shingle, but the
+    intersection count (and therefore the Jaccard) is recomputed from
+    the *unpruned* per-side indexes, so values are exact even when the
+    overlap includes boilerplate shingles. Set sizes are computed per
+    side, so id collisions between the two tables are harmless.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -289,17 +292,49 @@ def near_dup_pairs_against(
         StorageLevel.MEMORY_AND_DISK
     )
     cached = [new_inv, corp_inv]
-    disc_a, disc_b = new_inv, corp_inv
-    if max_df is not None:
-        disc_a, disc_b = _df_pruned(new_inv, max_df), _df_pruned(corp_inv, max_df)
-    inter = (
-        disc_a.alias("a")
-        .join(disc_b.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
-        .groupBy(
-            F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id")
+    if max_df is None:
+        inter = (
+            new_inv.alias("a")
+            .join(corp_inv.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+            .groupBy(
+                F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    else:
+        # candidate discovery on the df-pruned indexes (bounds the join
+        # fan-out), exact verification on the full ones — the cross-corpus
+        # analogue of _verify_pairs
+        disc_a = _df_pruned(new_inv, max_df)
+        disc_b = _df_pruned(corp_inv, max_df)
+        cands = (
+            disc_a.alias("a")
+            .join(disc_b.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+            .select(
+                F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id")
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cached.append(cands)
+        ids_a = cands.select(F.col("new_id").alias("id")).distinct()
+        ids_b = cands.select(F.col("corpus_id").alias("id")).distinct()
+        va = new_inv.join(F.broadcast(ids_a), "id", "semi").select(
+            F.col("id").alias("new_id"), F.col("shingle").alias("sh_a")
+        )
+        vb = corp_inv.join(F.broadcast(ids_b), "id", "semi").select(
+            F.col("id").alias("__idb"), F.col("shingle").alias("sh_b")
+        )
+        inter = (
+            cands.join(va, "new_id")
+            .join(
+                vb,
+                (F.col("corpus_id") == F.col("__idb"))
+                & (F.col("sh_a") == F.col("sh_b")),
+            )
+            .groupBy("new_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = new_inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_a")).withColumnRenamed(
         "id", "new_id"
     )
@@ -617,6 +652,10 @@ def keep_best(
         F.desc_nulls_last("__keep"), F.asc("id")
     )
     losers = (
+        # scale-audit note: this filter sits above the row_number window,
+        # not above the parquet scan — it cannot be pushed down by design
+        # (the predicate is on a computed rank). A plan audit flagging an
+        # "unpushed filter" here is a false positive.
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") > 1)
         .select(F.col("id").alias(id_col))

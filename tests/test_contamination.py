@@ -126,3 +126,24 @@ def test_decontaminate_is_broadcast_anti_join(documents):
         )
     )
     assert "LeftAnti, BuildRight" in plan.replace("build_right", "BuildRight"), plan
+
+
+def test_contamination_threshold_uses_raw_ratio(spark):
+    # ADVICE r5: the flag filter must use the raw matched/eval ratio, not
+    # the 6-decimal rounded value. Here raw = 2/3 = 0.66666...; rounded
+    # containment = 0.666667 >= 0.666667, but the raw ratio is BELOW the
+    # threshold — filtering on the rounded column would flag a pair the
+    # DuckDB oracle (raw-ratio filter) rejects.
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f g h i XX")], "doc_id long, text string"
+    )
+    # eval has 3 8-gram shingles, 2 shared -> raw containment 2/3
+    pairs = contamination_pairs(train, ev, n=8, min_containment=0.6).collect()
+    assert len(pairs) == 1 and pairs[0]["containment"] == 0.666667
+    none = contamination_pairs(
+        train, ev, n=8, min_containment=0.666667
+    ).collect()
+    assert none == []

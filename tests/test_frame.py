@@ -672,3 +672,13 @@ def test_to_parquet_zorder_prunes_on_both_columns(lineitem, tmp_path):
     # exact round-trip
     got = duckdb.sql(f"SELECT count(*) FROM read_parquet('{zo}/*.parquet')").fetchone()[0]
     assert got == slim.df.count()
+
+
+def test_series_unique_cap_raises_not_truncates(customer):
+    col = customer["c_custkey"]
+    with pytest.raises(ValueError, match="exceeds limit"):
+        col.unique(limit=10)
+    # explicit opt-out and a sufficient cap both materialize fully
+    n = customer.df.select("c_custkey").distinct().count()
+    assert len(col.unique(limit=None)) == n
+    assert len(col.unique()) == n

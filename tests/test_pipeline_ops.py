@@ -949,3 +949,30 @@ def test_md5_int_matches_duckdb_for_any_width(spark, duck):
             for v in vals
         }
         assert got == want, (width, got, want)
+
+
+def test_near_dup_against_max_df_jaccard_is_exact(spark):
+    # ADVICE r5: with max_df set, candidate discovery uses the pruned
+    # index but the Jaccard must be recomputed from the FULL index.
+    # Here the near-copy's overlap is mostly boilerplate shingles (hot in
+    # all 5 corpus docs -> pruned); counting the intersection on the
+    # pruned tables would give 4/(7+7-4)=0.4 < threshold and silently
+    # drop the pair.
+    boiler = "terms of service apply here"
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} x{i} {boiler} y{i} z{i}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, f"w1 x1 {boiler} y1 z1")], "doc_id long, text string"
+    )
+    exact = D.near_dup_pairs_against(new, corpus, n=3, threshold=0.5).collect()
+    pruned = D.near_dup_pairs_against(
+        new, corpus, n=3, threshold=0.5, max_df=0.3
+    ).collect()
+    assert [(r["new_id"], r["corpus_id"], r["jaccard"]) for r in exact] == [
+        (10, 1, 1.0)
+    ]
+    assert [(r["new_id"], r["corpus_id"], r["jaccard"]) for r in pruned] == [
+        (10, 1, 1.0)
+    ]

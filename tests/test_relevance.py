@@ -166,3 +166,29 @@ def test_hybrid_search_depth_bounds_ranks(documents, spark):
     for r in out:
         for rank in (r["bm25_rank"], r["cos_rank"]):
             assert rank is None or rank <= 20
+
+
+def test_bm25_matches_terms_with_nonword_edges(spark):
+    # \b never matches at the edges of 'c++' / '.net'; the fallback
+    # array_contains path must still find the exact whitespace token
+    # (ADVICE r5)
+    df = spark.createDataFrame(
+        [(1, "we love c++ here"), (2, "python shop"), (3, "the .net stack")],
+        "doc_id long, text string",
+    )
+    got = {r["id"] for r in bm25_scores(df, ["c++", ".net"]).collect()}
+    assert got == {1, 3}
+    # mixed word + non-word query still unions both candidate paths
+    got2 = {r["id"] for r in bm25_scores(df, ["python", "c++"]).collect()}
+    assert got2 == {1, 2}
+
+
+def test_hybrid_search_rejects_zero_query_vector(spark):
+    from pd_explain_spark.functions.relevance import hybrid_search
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="all zeros"):
+        hybrid_search(docs, emb, ["a"], [0.0, 0.0])

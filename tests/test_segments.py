@@ -156,3 +156,16 @@ def test_segment_dedup_broadcasts_frequent_set(documents):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
     # doc-frequency agg + reassembly agg: hash partitioning only on those
     assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_segment_dedup_conserves_zero_segment_docs(spark):
+    # a whitespace-only document yields zero segments under line_segments;
+    # the id-spine left join must bring it back rather than dropping it
+    # (ADVICE r5: row-conservation contract)
+    rows = [(1, "keep me\nand me"), (2, "   \n  \n"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(df, min_docs=10).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["text"] == "" and out[2]["n_segments"] == 0 and out[2]["n_removed"] == 0
+    assert out[3]["text"] == "" and out[3]["n_segments"] == 0
+    assert out[1]["text"] == "keep me\nand me" and out[1]["n_segments"] == 2
