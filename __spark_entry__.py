@@ -3683,6 +3683,109 @@ def outlier_kernel(spark, sf_dir):
 
 
 @_q(
+    "outlier_explain_text",
+    """WITH src AS (
+         SELECT o_orderpriority AS grp,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                CAST(o_custkey AS DOUBLE) AS a1, CAST(o_orderkey AS DOUBLE) AS a2
+         FROM orders
+       ), prof AS (
+         SELECT min(a1) AS lo1, max(a1) AS hi1, min(a2) AS lo2, max(a2) AS hi2 FROM src
+       ), rng AS (
+         SELECT 'o_custkey' AS attr, lo1 AS lo, hi1 AS hi FROM prof
+         UNION ALL
+         SELECT 'o_orderkey', lo2, hi2 FROM prof
+       ), binned AS (
+         SELECT grp, cents, 'o_custkey' AS attr,
+                CAST(least(29, greatest(0, floor(((a1 - lo1) * 30) / (hi1 - lo1)))) AS INT) AS bin
+         FROM src, prof
+         UNION ALL
+         SELECT grp, cents, 'o_orderkey' AS attr,
+                CAST(least(29, greatest(0, floor(((a2 - lo2) * 30) / (hi2 - lo2)))) AS INT) AS bin
+         FROM src, prof
+       ), partials AS (
+         SELECT attr, bin, grp, count(*) AS cnt, count(cents) AS nn,
+                CAST(sum(cents) AS BIGINT) AS sm
+         FROM binned GROUP BY 1, 2, 3
+       ), totals AS (
+         SELECT grp, count(*) AS tot_cnt, count(cents) AS tot_nn,
+                CAST(sum(cents) AS BIGINT) AS tot_sm
+         FROM src GROUP BY 1
+       ), ntot AS (SELECT CAST(sum(tot_cnt) AS DOUBLE) AS n FROM totals
+       ), base_vals AS (
+         SELECT grp, CAST(tot_sm AS DOUBLE) / tot_nn AS val FROM totals WHERE tot_nn > 0
+       ), tgt AS (SELECT grp FROM base_vals ORDER BY val DESC, grp LIMIT 1
+       ), before_s AS (
+         SELECT avg(val) AS m, stddev_samp(val) AS sd, count(*) AS nf FROM base_vals
+       ), before AS (
+         SELECT CASE WHEN b.nf < 2 OR b.sd IS NULL OR b.sd = 0 OR tv.val IS NULL THEN 0.0
+                     ELSE (tv.val - b.m) / b.sd END AS sib
+         FROM before_s b
+         LEFT JOIN (SELECT v.val FROM base_vals v, tgt WHERE v.grp = tgt.grp) tv ON TRUE
+       ), grid AS (
+         SELECT p.attr, p.bin, t.grp,
+                t.tot_cnt - coalesce(q.cnt, 0) AS ex_cnt,
+                t.tot_nn - coalesce(q.nn, 0) AS ex_nn,
+                t.tot_sm - coalesce(q.sm, 0) AS ex_sm
+         FROM (SELECT DISTINCT attr, bin FROM partials WHERE bin >= 0) p
+         CROSS JOIN totals t
+         LEFT JOIN partials q ON q.attr = p.attr AND q.bin = p.bin AND q.grp = t.grp
+       ), per_bin AS (
+         SELECT g.attr, g.bin,
+                sum(ex_cnt) AS kept,
+                max(CASE WHEN g.grp = tgt.grp AND ex_cnt > 0 THEN 1 ELSE 0 END) AS t_present,
+                avg(CASE WHEN ex_cnt > 0 AND ex_nn > 0 THEN CAST(ex_sm AS DOUBLE) / ex_nn END) AS m,
+                stddev_samp(CASE WHEN ex_cnt > 0 AND ex_nn > 0 THEN CAST(ex_sm AS DOUBLE) / ex_nn END) AS sd,
+                count(CASE WHEN ex_cnt > 0 AND ex_nn > 0 THEN 1 END) AS nf,
+                max(CASE WHEN g.grp = tgt.grp AND ex_cnt > 0 AND ex_nn > 0
+                         THEN CAST(ex_sm AS DOUBLE) / ex_nn END) AS t_val
+         FROM grid g, tgt GROUP BY 1, 2
+       ), infl AS (
+         SELECT attr, bin,
+                (before.sib
+                 - CASE WHEN nf < 2 OR sd IS NULL OR sd = 0 OR t_val IS NULL THEN 0.0
+                        ELSE (t_val - m) / sd END)
+                * (CAST(kept AS DOUBLE) / ntot.n) AS influence,
+                abs(before.sib) AS score
+         FROM per_bin, before, ntot
+         WHERE kept > 0 AND t_present = 1
+       ), best AS (
+         SELECT i.attr, i.bin, i.influence, i.score, r.lo, r.hi
+         FROM infl i JOIN rng r ON r.attr = i.attr
+         ORDER BY i.influence DESC, i.attr ASC, i.bin ASC LIMIT 1
+       )
+       SELECT 1 AS rank, attr AS attribute,
+              '[' || printf('%.4g', lo + bin * ((hi - lo) / 30)) || ', '
+                  || printf('%.4g', lo + (bin + 1) * ((hi - lo) / 30))
+                  || CASE WHEN bin = 29 THEN ']' ELSE ')' END AS bin,
+              round(influence, 6) AS influence, round(score, 6) AS score,
+              'the outlier o_orderpriority = ' || tgt.grp
+                  || ' is not as significant when excluding rows with ' || attr
+                  || ' in [' || printf('%.4g', lo + bin * ((hi - lo) / 30)) || ', '
+                  || printf('%.4g', lo + (bin + 1) * ((hi - lo) / 30))
+                  || CASE WHEN bin = 29 THEN ']' ELSE ')' END AS explanation
+       FROM best, tgt""",
+)
+def outlier_explain_text(spark, sf_dir):
+    """E4 explain surface, hash-checked end to end: the single
+    (rank, attribute, bin-label, influence, score, explanation-string)
+    row .explain(explainer='outlier') produces — bin-removal search,
+    best-bin tie-break (max influence, then lexicographic (attr, bin)),
+    and the reference's phrasing template
+    (llm_integrations/explanation_reasoning.py:99-104). Integer-cents
+    measure keeps every partial exact across engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    e = to_explainable(o, name="orders_cents")
+    g = e.groupby("o_orderpriority")["cents"].mean()
+    target = g.df.orderBy(F.desc("cents_mean"), F.asc("o_orderpriority")).first()[0]
+    exp = g.explain(explainer="outlier", target=target, dir="high")
+    return exp.to_text_df(spark)
+
+
+@_q(
     "shapley_kernel",
     """WITH s AS (
          SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
@@ -3770,6 +3873,263 @@ def fedex_join_kernel(spark, sf_dir):
     o.name = "orders"
     j = li.merge(o, on="l_orderkey", how="inner")
     return join_kernel_table(j, ["l_extendedprice", "l_discount"], consider="left")
+
+
+# ---------------------------------------------------------------- explain-surface text oracles
+# The *_explain_text entries hash-check the EXPLANATION STRINGS users see —
+# template assembly from explainers/fedex.py _score_histogram and
+# explainers/outlier.py _finish (reference phrasing:
+# llm_integrations/explanation_reasoning.py:87-104) — not just the scoring
+# kernels. Portability rests on three facts: (1) _deviation accumulates
+# exact integer counts and divides once per prefix, so KS/influence floats
+# are single IEEE ops reproducible in DuckDB; (2) DuckDB printf('%.4g'/'%.2f')
+# matches Python's :.4g/:.2f formatting including half-even ties (verified);
+# (3) bin edges are the same left-associated expression lo + (hi-lo)*i/n in
+# both engines.
+
+def _fedex_text_branch(p: str, hist_body: str, side: str | None, n_bins: int = 20) -> str:
+    """CTE chain for one scored fedex branch: {p}hist (attribute, bin INT,
+    lo, hi, src_cnt, res_cnt) -> {p}rows (attribute, influence, score, bin
+    label, explanation) replaying _score_histogram exactly: integer-cumsum
+    KS, bin-removal influence with first-bin tie-break, ratio phrasing."""
+    suffix = f" (considering the {side} side)" if side else ""
+    last = n_bins - 1
+    return f"""{p}hist AS ({hist_body}),
+{p}tot AS (
+  SELECT attribute, CAST(sum(src_cnt) AS BIGINT) AS s_tot,
+         CAST(sum(res_cnt) AS BIGINT) AS r_tot
+  FROM {p}hist GROUP BY 1
+),
+{p}cumfull AS (
+  SELECT h.attribute,
+         CAST(sum(h.src_cnt) OVER w AS DOUBLE) / t.s_tot
+         - CAST(sum(h.res_cnt) OVER w AS DOUBLE) / t.r_tot AS cd
+  FROM {p}hist h JOIN {p}tot t USING (attribute)
+  WINDOW w AS (PARTITION BY h.attribute ORDER BY h.bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+{p}ks AS (SELECT attribute, max(abs(cd)) AS score FROM {p}cumfull GROUP BY 1),
+{p}excl AS (
+  SELECT h.attribute, x.bin AS xbin, h.bin, h.src_cnt, h.res_cnt,
+         t.s_tot - x.src_cnt AS s_wo, t.r_tot - x.res_cnt AS r_wo
+  FROM {p}hist h
+  JOIN {p}hist x ON x.attribute = h.attribute AND x.bin <> h.bin
+  JOIN {p}tot t ON t.attribute = h.attribute
+  WHERE t.s_tot - x.src_cnt > 0 AND t.r_tot - x.res_cnt > 0
+),
+{p}cumwo AS (
+  SELECT attribute, xbin,
+         CAST(sum(src_cnt) OVER w AS DOUBLE) / s_wo
+         - CAST(sum(res_cnt) OVER w AS DOUBLE) / r_wo AS cd
+  FROM {p}excl
+  WINDOW w AS (PARTITION BY attribute, xbin ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+{p}dwo AS (SELECT attribute, xbin, max(abs(cd)) AS d_wo FROM {p}cumwo GROUP BY 1, 2),
+{p}best AS (
+  SELECT d.attribute, d.xbin, k.score, k.score - d.d_wo AS influence,
+         row_number() OVER (PARTITION BY d.attribute
+                            ORDER BY abs(k.score - d.d_wo) DESC, d.xbin ASC) AS rn
+  FROM {p}dwo d JOIN {p}ks k USING (attribute)
+),
+{p}pick AS (
+  SELECT b.attribute, b.xbin, b.score, b.influence,
+         CAST(h.src_cnt AS DOUBLE) / t.s_tot AS pp,
+         CAST(h.res_cnt AS DOUBLE) / t.r_tot AS qq,
+         h.lo, h.hi
+  FROM {p}best b
+  JOIN {p}hist h ON h.attribute = b.attribute AND h.bin = b.xbin
+  JOIN {p}tot t ON t.attribute = b.attribute
+  WHERE b.rn = 1
+),
+{p}rows AS (
+  SELECT attribute, influence, score,
+         '[' || printf('%.4g', lo + (hi - lo) * xbin / {n_bins}) || ', '
+             || printf('%.4g', lo + (hi - lo) * (xbin + 1) / {n_bins})
+             || CASE WHEN xbin < {last} THEN ')' ELSE ']' END AS bin,
+         'property ' || attribute || ' value '
+             || '[' || printf('%.4g', lo + (hi - lo) * xbin / {n_bins}) || ', '
+             || printf('%.4g', lo + (hi - lo) * (xbin + 1) / {n_bins})
+             || CASE WHEN xbin < {last} THEN ')' ELSE ']' END || ' '
+             || CASE WHEN pp = 0 THEN 'appears inf times more than before'
+                     WHEN qq / pp >= 1 THEN 'appears ' || printf('%.2f', qq / pp) || ' times more than before'
+                     WHEN qq / pp > 0 THEN 'appears ' || printf('%.2f', 1.0 / (qq / pp)) || ' times less than before'
+                     ELSE 'disappears' END
+             || '{suffix}' AS explanation
+  FROM {p}pick
+)"""
+
+
+_TEXT_FINAL = """SELECT CAST(row_number() OVER (ORDER BY score DESC, attribute) AS INT) AS rank,
+       attribute, bin, round(influence, 6) AS influence,
+       round(score, 6) AS score, explanation
+FROM {src}"""
+
+_FILTER_TEXT_PRE = """fsrc AS (
+  SELECT l_extendedprice AS v1, l_discount AS v2, l_tax AS v3,
+         CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END AS keep
+  FROM lineitem
+), fprof AS (
+  SELECT CAST(min(v1) AS DOUBLE) AS lo1, CAST(max(v1) AS DOUBLE) AS hi1,
+         CAST(min(v2) AS DOUBLE) AS lo2, CAST(max(v2) AS DOUBLE) AS hi2,
+         CAST(min(v3) AS DOUBLE) AS lo3, CAST(max(v3) AS DOUBLE) AS hi3
+  FROM fsrc
+), fbinned AS (
+  SELECT 'l_extendedprice' AS attribute,
+         CAST(least(19, greatest(0, floor(((v1 - lo1) * 20) / (hi1 - lo1)))) AS INT) AS bin,
+         lo1 AS lo, hi1 AS hi, keep FROM fsrc, fprof
+  UNION ALL
+  SELECT 'l_discount',
+         CAST(least(19, greatest(0, floor(((v2 - lo2) * 20) / (hi2 - lo2)))) AS INT),
+         lo2, hi2, keep FROM fsrc, fprof
+  UNION ALL
+  SELECT 'l_tax',
+         CAST(least(19, greatest(0, floor(((v3 - lo3) * 20) / (hi3 - lo3)))) AS INT),
+         lo3, hi3, keep FROM fsrc, fprof
+)"""
+
+_FILTER_TEXT_HIST = """
+  SELECT attribute, bin, any_value(lo) AS lo, any_value(hi) AS hi,
+         count(*) AS src_cnt, CAST(sum(keep) AS BIGINT) AS res_cnt
+  FROM fbinned GROUP BY 1, 2
+"""
+
+
+@_q(
+    "fedex_filter_explain_text",
+    "WITH " + _FILTER_TEXT_PRE + ",\n"
+    + _fedex_text_branch("f", _FILTER_TEXT_HIST, side=None)
+    + "\n" + _TEXT_FINAL.format(src="frows"),
+)
+def fedex_filter_explain_text(spark, sf_dir):
+    """E1 filter explain surface, hash-checked end to end: the exact
+    (rank, attribute, bin-label, influence, score, explanation-string)
+    rows a user sees from .explain() on a tracked filter. corr_TH > 1
+    disables correlation pruning and use_sampling=False keeps the
+    histogram full-data so every float is engine-reproducible."""
+    li = _e(spark, sf_dir, "lineitem")
+    out = li[li["l_quantity"] > 45]
+    exp = out.explain(
+        top_k=3,
+        attributes=["l_extendedprice", "l_discount", "l_tax"],
+        corr_TH=1.1,
+        use_sampling=False,
+    )
+    return exp.to_text_df(spark)
+
+
+_JOIN_TEXT_PRE = """jsrc AS (
+  SELECT l_extendedprice AS v1, l_discount AS v2 FROM lineitem
+), jprof AS (
+  SELECT CAST(min(v1) AS DOUBLE) AS lo1, CAST(max(v1) AS DOUBLE) AS hi1,
+         CAST(min(v2) AS DOUBLE) AS lo2, CAST(max(v2) AS DOUBLE) AS hi2
+  FROM jsrc
+), jres AS (
+  SELECT l.l_extendedprice AS v1, l.l_discount AS v2
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), jbinned AS (
+  SELECT 'l_extendedprice' AS attribute,
+         CAST(least(19, greatest(0, floor(((v1 - lo1) * 20) / (hi1 - lo1)))) AS INT) AS bin,
+         lo1 AS lo, hi1 AS hi, 0 AS side FROM jsrc, jprof
+  UNION ALL
+  SELECT 'l_discount',
+         CAST(least(19, greatest(0, floor(((v2 - lo2) * 20) / (hi2 - lo2)))) AS INT),
+         lo2, hi2, 0 FROM jsrc, jprof
+  UNION ALL
+  SELECT 'l_extendedprice',
+         CAST(least(19, greatest(0, floor(((v1 - lo1) * 20) / (hi1 - lo1)))) AS INT),
+         lo1, hi1, 1 FROM jres, jprof
+  UNION ALL
+  SELECT 'l_discount',
+         CAST(least(19, greatest(0, floor(((v2 - lo2) * 20) / (hi2 - lo2)))) AS INT),
+         lo2, hi2, 1 FROM jres, jprof
+)"""
+
+_JOIN_TEXT_HIST = """
+  SELECT attribute, bin, any_value(lo) AS lo, any_value(hi) AS hi,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS src_cnt,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS res_cnt
+  FROM jbinned GROUP BY 1, 2
+"""
+
+
+def _join_text_frame(spark, sf_dir):
+    li = _e(spark, sf_dir, "lineitem")
+    o = _e(spark, sf_dir, "orders").rename({"o_orderkey": "l_orderkey"})
+    o = o[o["o_orderpriority"] == "1-URGENT"]
+    o.name = "orders"
+    return li.merge(o, on="l_orderkey", how="inner")
+
+
+@_q(
+    "fedex_join_explain_text",
+    "WITH " + _JOIN_TEXT_PRE + ",\n"
+    + _fedex_text_branch("j", _JOIN_TEXT_HIST, side="left")
+    + "\n" + _TEXT_FINAL.format(src="jrows"),
+)
+def fedex_join_explain_text(spark, sf_dir):
+    """E1 join explain surface (left side), hash-checked end to end
+    including the ' (considering the left side)' suffix: joining lineitem
+    to urgent-only orders shifts the left-side distributions."""
+    j = _join_text_frame(spark, sf_dir)
+    exp = j.explain(
+        top_k=2,
+        consider="left",
+        attributes=["l_extendedprice", "l_discount"],
+        use_sampling=False,
+    )
+    return exp.to_text_df(spark)
+
+
+_RIGHT_TEXT_PRE = """rsrc AS (
+  SELECT o_totalprice AS v1 FROM orders WHERE o_orderpriority = '1-URGENT'
+), rprof AS (
+  SELECT CAST(min(v1) AS DOUBLE) AS lo1, CAST(max(v1) AS DOUBLE) AS hi1 FROM rsrc
+), rres AS (
+  SELECT o.o_totalprice AS v1
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), rbinned AS (
+  SELECT 'o_totalprice' AS attribute,
+         CAST(least(19, greatest(0, floor(((v1 - lo1) * 20) / (hi1 - lo1)))) AS INT) AS bin,
+         lo1 AS lo, hi1 AS hi, 0 AS side FROM rsrc, rprof
+  UNION ALL
+  SELECT 'o_totalprice',
+         CAST(least(19, greatest(0, floor(((v1 - lo1) * 20) / (hi1 - lo1)))) AS INT),
+         lo1, hi1, 1 FROM rres, rprof
+)"""
+
+_RIGHT_TEXT_HIST = """
+  SELECT attribute, bin, any_value(lo) AS lo, any_value(hi) AS hi,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS src_cnt,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS res_cnt
+  FROM rbinned GROUP BY 1, 2
+"""
+
+
+@_q(
+    "shapley_join_explain_text",
+    "WITH " + _JOIN_TEXT_PRE + ",\n" + _RIGHT_TEXT_PRE + ",\n"
+    + _fedex_text_branch("j", _JOIN_TEXT_HIST, side="left") + ",\n"
+    + _fedex_text_branch("r", _RIGHT_TEXT_HIST, side="right")
+    + "\n"
+    + _TEXT_FINAL.format(
+        src="(SELECT * FROM jrows UNION ALL SELECT * FROM rrows)"
+    ),
+)
+def shapley_join_explain_text(spark, sf_dir):
+    """E3 join explain surface, hash-checked end to end: both sides'
+    deviation items merged and ranked by (-score, attribute), with each
+    side's ' (considering the ... side)' suffix in the template."""
+    j = _join_text_frame(spark, sf_dir)
+    exp = j.explain(
+        explainer="shapley",
+        top_k=3,
+        attributes=["l_extendedprice", "l_discount", "o_totalprice"],
+        use_sampling=False,
+    )
+    return exp.to_text_df(spark)
 
 
 @_q(

@@ -58,6 +58,32 @@ class Explanation:
         ]
         return spark.createDataFrame(rows, schema=EXPLANATION_SCHEMA)
 
+    def to_text_df(self, spark: SparkSession, round_to: int = 6) -> DataFrame:
+        """Oracle-checkable explain surface: (rank, attribute, bin,
+        influence, score, explanation) with the floats rounded via
+        Spark's HALF_UP ``F.round`` (matching DuckDB's ``round``; never
+        Python's HALF_EVEN ``round()``). The explanation strings are the
+        exact templates users see — this is the frame that lets the
+        driver hash-check the text assembly end to end, not just the
+        scoring kernels."""
+        from pyspark.sql import functions as F
+
+        rows = [
+            (i + 1, it.attribute, it.bin, float(it.influence), float(it.score), it.explanation)
+            for i, it in enumerate(self.items)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            schema="rank int, attribute string, bin string, influence double, "
+            "score double, explanation string",
+        )
+        return df.select(
+            "rank", "attribute", "bin",
+            F.round("influence", round_to).alias("influence"),
+            F.round("score", round_to).alias("score"),
+            "explanation",
+        )
+
     def get_explanation_in_textual_description(self, index: int = 0) -> str:
         """Reference E7: canonical natural-language form per item, with the
         reference's LaTeX cleanup applied (fedex_explainer.py:386-390)."""

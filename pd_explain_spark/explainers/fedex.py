@@ -407,7 +407,7 @@ class FedexExplainer(ExplainerBase):
             if s_tot == 0 or r_tot == 0:
                 continue
             p, q = src / s_tot, res / r_tot
-            score = self._deviation(p, q, ordered=prof.is_numeric)
+            score = self._deviation(src, res, s_tot, r_tot, ordered=prof.is_numeric)
             if not math.isfinite(score):
                 continue
             scores[attr] = score
@@ -418,7 +418,9 @@ class FedexExplainer(ExplainerBase):
                 ps, qs = src[mask], res[mask]
                 if ps.sum() == 0 or qs.sum() == 0:
                     continue
-                d_wo = self._deviation(ps / ps.sum(), qs / qs.sum(), ordered=prof.is_numeric)
+                d_wo = self._deviation(
+                    ps, qs, ps.sum(), qs.sum(), ordered=prof.is_numeric
+                )
                 infl = score - d_wo
                 if best_idx is None or abs(infl) > abs(best_infl):
                     best_idx, best_infl = b, infl
@@ -453,14 +455,25 @@ class FedexExplainer(ExplainerBase):
         return items, scores
 
     @staticmethod
-    def _deviation(p, q, ordered: bool) -> float:
+    def _deviation(src, res, s_tot, r_tot, ordered: bool) -> float:
         """KS statistic for ordered (numeric-binned) columns, total-variation
-        distance for categoricals — both in [0, 1]."""
+        distance for categoricals — both in [0, 1].
+
+        Engine-portability contract (what makes the explain-surface text
+        oracle-checkable end to end): the KS path accumulates exact INTEGER
+        counts first and divides by the totals once per prefix, so every
+        float is one IEEE division of exact values — a SQL engine running
+        ``cum(src)/s_tot - cum(res)/r_tot`` reproduces it bitwise. A float
+        running sum of per-bin ratios (the naive ``cumsum(p)``) is NOT
+        reproducible: summation order/ulps differ across engines."""
         import numpy as np
 
         if ordered:
-            return float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
-        return float(0.5 * np.sum(np.abs(p - q)))
+            # counts are integers < 2^53: cumsum in float64 is exact
+            return float(
+                np.max(np.abs(np.cumsum(src) / s_tot - np.cumsum(res) / r_tot))
+            )
+        return float(0.5 * np.sum(np.abs(src / s_tot - res / r_tot)))
 
 
 def filter_kernel_table(
