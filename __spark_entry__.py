@@ -4245,52 +4245,53 @@ _QUERIES["metainsight_explain"] = metainsight_explain    # rows-only: pattern mi
 # variants, reshape/accessor coverage) follow in registration order and
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
-    # relational core (r5 rotation: long-stable rows green in r2+r4 —
-    # filter_quantity, groupby_mean/nunique/multi_key, join_inner, where_mask,
-    # drop_duplicates_part, pivot_table_mean, melt_lineitem, corr_matrix —
-    # rotated out in favor of the ten entries that had never received a
-    # driver correctness row; their green history lives in CORRECTNESS_r{2,4})
-    # (r5: groupby_agg_dict / join_dims_broadcast / q1_pricing_summary —
-    # green in both r2 and r4 — rotated out for the new training-mix
-    # entries redact_pii / stratified_sample_lang / pack_sequences)
-    # (r5 mid-round rotation: entries green in two prior rounds —
-    # q3_shipping_priority, fedex_groupby_explain, text_profile,
-    # lang_id_counts, dedup_exact, ngram_jaccard, similarity_topk,
-    # embedding_near_dups_exact — plus the rows-only twins
-    # minhash_near_dups / simhash_near_dups / outlier_explain_std and the
-    # once-green windowed_events rotated out for the twelve oracle-backed
-    # entries that have never received a driver row: TPC-H q4/q10/q12/q14,
-    # expanding/ffill/ewm/interval-join/range-join, assign_splits, and the
-    # md5-flavored minhash/simhash pipelines which hash-check the full
-    # near-dup path end to end.)
-    "topk_orders", "query_string_filter",
-    "q4_priority_count", "q10_returned_revenue", "q12_priority_lines", "q14_promo_revenue",
-    "redact_pii", "stratified_sample_lang", "pack_sequences",
-    "assign_splits",
-    # explanation operators (the analytical core, SURVEY §2.4)
-    "fedex_filter_explain", "fedex_filter_kernel", "fedex_join_explain",
-    "shapley_explain", "shapley_filter_explain", "shapley_kernel",
-    "fedex_join_kernel",
-    "outlier_explain", "outlier_kernel",
-    "many_to_one_explain", "many_to_one_kernel",
-    "metainsight_explain", "metainsight_kernel",
-    # training-data pipeline extensions
-    "curation_pipeline",
-    "token_counts", "repetition_signals", "curate_documents",
-    "near_dup_components",
-    "minhash_near_dups_md5", "simhash_near_dups_md5",
-    "similarity_lsh_topk", "similarity_ivf_fixed",
-    "embedding_near_dups",
-    "embedding_centroid_dist", "embedding_quantize", "similarity_topk_int8",
-    "multimodal_features_kernel",
-    # time-series / streaming surface
-    "rolling_hour_events", "cumsum_events", "asof_join_events",
-    "rank_events_dense", "resample_hourly", "pct_change_events",
-    "expanding_stats_events", "ffill_events", "ewm_events",
-    "interval_join_events", "range_join_events",
-    "drift_scores_events",
-    # constrained mini-language executor
-    "mini_language_query",
+    # r6 rotation (VERDICT r5 task #1): the window is now 100%
+    # oracle-backed. Composition: the 35 oracle entries that had NEVER
+    # received a driver correctness row (31 flagged by the r5 judge —
+    # all judge-verified locally that round — plus the four new
+    # *_explain_text surfaces), and 15 re-checks of entries first green
+    # in r05, chosen so every operator family keeps a representative.
+    # The 7 rows-only textual explain surfaces (fedex_filter_explain,
+    # fedex_join_explain, shapley_explain, shapley_filter_explain,
+    # outlier_explain, many_to_one_explain, metainsight_explain) moved
+    # BELOW the window: their strings are now hash-checked by the
+    # *_explain_text entries and their math by the *_kernel entries, so
+    # they no longer need to burn window slots as guaranteed-red rows.
+    # Rotated-out green history lives in CORRECTNESS_r05 (q4/q10/q12/
+    # q14, expanding/ffill/ewm/interval/range, assign_splits,
+    # redact_pii/stratified/pack, query_string_filter, near-dup
+    # support entries).
+    #
+    # -- never-driver-checked: TPC-H shapes (q9/q11/q20 are documented
+    #    partsupp-free adaptations)
+    "q2_min_price_part", "q7_nation_trade_flow", "q8_market_share",
+    "q9_profit_rollup", "q11_important_stock", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
+    "q21_late_blame", "q22_idle_balances",
+    # -- never-driver-checked: documents-pipeline ops
+    "tfidf_docs", "bm25_docs", "vocabulary_docs", "top_terms_docs",
+    "hybrid_search_docs",
+    "segment_dedup_docs", "chunk_documents_overlap",
+    "contamination_pairs_docs", "decontaminate_docs",
+    "dedup_against_corpus", "near_dup_against_corpus",
+    "dedup_near_against_corpus", "near_dup_keep_longest",
+    "ingest_pipeline_docs", "temperature_sample_docs",
+    "corpus_stats_by_lang", "shuffle_shards_docs",
+    # -- never-driver-checked: explain-surface text (new this round —
+    #    the full string assembly hash-checked in DuckDB)
+    "fedex_filter_explain_text", "fedex_join_explain_text",
+    "shapley_join_explain_text", "outlier_explain_text",
+    # -- re-checks (first green in r05): one per operator family
+    "topk_orders",                                    # relational
+    "fedex_filter_kernel", "shapley_kernel",          # explainer kernels
+    "outlier_kernel", "many_to_one_kernel", "metainsight_kernel",
+    "minhash_near_dups_md5", "simhash_near_dups_md5",  # dedup
+    "similarity_lsh_topk", "similarity_ivf_fixed",     # similarity
+    "rolling_hour_events", "cumsum_events",            # time-series
+    "drift_scores_events",                             # streaming
+    "multimodal_features_kernel",                      # multimodal
+    "mini_language_query",                             # mini-language
 ]
 
 

@@ -36,7 +36,13 @@ def test_window_covers_every_operator_family():
     f = set(m._RECORD_FIRST)
     families = {
         "relational": {"q3_shipping_priority", "topk_orders", "query_string_filter"},
-        "explainers": {"fedex_filter_explain", "outlier_explain", "metainsight_explain"},
+        # the explain SURFACE is represented by the oracle-backed
+        # *_explain_text entries (full string assembly hash-checked);
+        # the rows-only *_explain twins live below the window
+        "explainers": {
+            "fedex_filter_explain_text", "fedex_join_explain_text",
+            "shapley_join_explain_text", "outlier_explain_text",
+        },
         "explainer_kernels": {
             "fedex_filter_kernel", "fedex_join_kernel", "shapley_kernel",
             "outlier_kernel", "many_to_one_kernel", "metainsight_kernel",
@@ -44,21 +50,30 @@ def test_window_covers_every_operator_family():
         "dedup": {
             "dedup_exact", "ngram_jaccard", "minhash_near_dups",
             "minhash_near_dups_md5", "simhash_near_dups_md5", "near_dup_components",
+            "near_dup_keep_longest", "dedup_against_corpus",
         },
-        "similarity": {"similarity_topk", "similarity_lsh_topk"},
-        "text": {"text_profile", "token_counts", "repetition_signals"},
+        "similarity": {"similarity_topk", "similarity_lsh_topk", "similarity_ivf_fixed"},
+        "text": {
+            "text_profile", "token_counts", "repetition_signals",
+            "corpus_stats_by_lang",
+        },
         "timeseries": {"rolling_hour_events", "cumsum_events", "asof_join_events"},
         "streaming": {"windowed_events", "sessionize_events", "drift_scores_events"},
         "multimodal": {"multimodal_features", "multimodal_features_kernel"},
         "mini_language": {"mini_language_query"},
-        "training_mix": {"redact_pii", "stratified_sample_lang", "pack_sequences"},
+        "training_mix": {
+            "redact_pii", "stratified_sample_lang", "pack_sequences",
+            "temperature_sample_docs", "shuffle_shards_docs",
+        },
     }
     for fam, members in families.items():
         assert members & f, f"family {fam!r} has no representative in the window"
 
 
-def test_window_oracle_share():
-    """At least 70% of the window must be oracle-backed (hash-checked)."""
+def test_window_is_fully_oracle_backed():
+    """Every window entry must have an oracle: a rows-only entry in the
+    window is a guaranteed-red driver row (VERDICT r5 'what's wrong' #4) —
+    rows-only surfaces belong below position 50."""
     oracles = m.oracle_sql()
-    n = sum(1 for k in m._RECORD_FIRST if k in oracles)
-    assert n >= 35, f"only {n}/50 window entries have oracles"
+    missing = [k for k in m._RECORD_FIRST if k not in oracles]
+    assert not missing, f"window entries without oracles: {missing}"
