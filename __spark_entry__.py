@@ -4174,6 +4174,81 @@ def many_to_one_kernel(spark, sf_dir):
 
 
 @_q(
+    "many_to_one_full_rules",
+    """WITH src AS (
+         SELECT coalesce(CAST(l_returnflag AS VARCHAR), '(null)') AS rf,
+                coalesce(CAST(l_linestatus AS VARCHAR), '(null)') AS ls,
+                CASE WHEN l_returnflag = 'R' THEN 'returned'
+                     WHEN l_returnflag = 'A' THEN 'accepted'
+                     ELSE 'none' END AS label
+         FROM lineitem
+       ), joint AS (
+         SELECT attribute, bin, label, count(*) AS cnt FROM (
+           SELECT 'l_returnflag' AS attribute, rf AS bin, label FROM src
+           UNION ALL
+           SELECT 'l_linestatus', ls, label FROM src
+         ) GROUP BY 1, 2, 3
+       ), sizes AS (
+         SELECT label, CAST(sum(cnt) AS BIGINT) AS size_c
+         FROM joint WHERE attribute = 'l_returnflag' GROUP BY 1
+       ), rulestats AS (
+         SELECT j.attribute, j.bin, j.label,
+                CAST(j.cnt AS DOUBLE) / s.size_c AS coverage,
+                CAST(sum(j.cnt) OVER (PARTITION BY j.attribute, j.bin) - j.cnt AS DOUBLE)
+                  / CAST(sum(j.cnt) OVER (PARTITION BY j.attribute, j.bin) AS DOUBLE)
+                  AS separation
+         FROM joint j JOIN sizes s ON s.label = j.label
+       ), passing AS (
+         SELECT label, attribute || ' == ' || bin AS rule,
+                round(coverage, 6) AS coverage,
+                round(separation, 6) AS separation_err
+         FROM rulestats
+         WHERE coverage >= 0.7 AND separation <= 0.3
+       ), picked AS (
+         SELECT *, row_number() OVER (
+                  PARTITION BY label
+                  ORDER BY separation_err ASC, coverage DESC, rule ASC) AS rn
+         FROM passing
+       )
+       SELECT CAST(row_number() OVER (ORDER BY label) AS INT) AS rank,
+              label AS attribute, rule AS bin,
+              coverage AS influence,
+              round(1.0 - separation_err, 6) AS score,
+              'the group ' || label || ' is characterized by (' || rule
+                  || ') — coverage ' || printf('%.0f', coverage * 100)
+                  || '%, separation error '
+                  || printf('%.0f', separation_err * 100) || '%' AS explanation
+       FROM picked WHERE rn = 1""",
+)
+def many_to_one_full_rules(spark, sf_dir):
+    """E5 with the DISTRIBUTED mining path hash-checked (VERDICT r5 task
+    #4): use_sampling=False runs the level-1 rule search through
+    _evaluate_rules (one batched groupBy(label) over the FULL table, not
+    the 5k driver sample) on a planted-rule dataset — label is a pure
+    function of l_returnflag, so 'l_returnflag == R' must surface with
+    coverage 1.0 / separation 0 for the 'returned' cluster. DuckDB
+    replays candidate stats, raw-ratio thresholds (cov >= 0.7,
+    sep <= 0.3), the rounded-value conciseness sort, per-cluster top-1,
+    and the percent-formatted explanation template. Reference budget
+    semantics: many_to_one_explainer.py:311-333."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "planted_label",
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_returnflag") == "A", "accepted")
+        .otherwise("none"),
+    )
+    e = to_explainable(li, name="lineitem_planted")
+    exp = e.explain(
+        explainer="many_to_one",
+        labels="planted_label",
+        use_sampling=False,
+        max_explanation_length=1,
+        attributes=["l_returnflag", "l_linestatus"],
+    )
+    return exp.to_text_df(spark)
+
+
+@_q(
     "metainsight_kernel",
     """WITH src AS (
          SELECT coalesce(CAST(l_linestatus AS VARCHAR), '(null)') AS l_linestatus,
@@ -4285,7 +4360,8 @@ _RECORD_FIRST = [
     # -- re-checks (first green in r05): one per operator family
     "topk_orders",                                    # relational
     "fedex_filter_kernel", "shapley_kernel",          # explainer kernels
-    "outlier_kernel", "many_to_one_kernel", "metainsight_kernel",
+    "outlier_kernel", "metainsight_kernel",
+    "many_to_one_full_rules",  # never-checked: distributed mining path
     "minhash_near_dups_md5", "simhash_near_dups_md5",  # dedup
     "similarity_lsh_topk", "similarity_ivf_fixed",     # similarity
     "rolling_hour_events", "cumsum_events",            # time-series
