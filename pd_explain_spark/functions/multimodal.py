@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side machinery here is real and tested — schema contract,
-Arrow-batched mapInPandas pipeline, partition sizing — while the actual
-codec work is stubbed (image/audio libraries are not in this container):
-``decode_image_batch`` raises NotImplementedError unless
-``fake_decoder=True``, which substitutes a deterministic length-based
-feature so the distributed plumbing can be exercised end-to-end.
+Arrow-batched mapInPandas pipeline, partition sizing. The codec step
+probes for Pillow at import time: when PIL is importable, image rows
+decode and resize for real inside the same Arrow batches; when it is not
+(this container ships no codec libraries), the real path raises
+NotImplementedError and ``fake_decoder=True`` substitutes a
+deterministic length-based feature so the distributed plumbing can be
+exercised (and oracle-checked) end-to-end either way.
 
 At scale: binary payloads stay columnar in parquet; mapInPandas streams
 Arrow record batches through Python with bounded memory
@@ -22,6 +24,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional dependency probe — Pillow is not baked into this container
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except Exception:  # pragma: no cover - environment-dependent
+    _PILImage = None
+    HAS_PIL = False
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -61,27 +71,61 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     ][:dim]
 
 
+def _pil_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Real image features via Pillow: dimensions, mode arity, and mean
+    channel intensities from a 32x32 thumbnail decode (bounded work per
+    row regardless of source resolution)."""
+    import io
+
+    if payload is None:
+        return [0.0] * dim
+    img = _PILImage.open(io.BytesIO(payload))
+    img.thumbnail((32, 32))
+    rgb = img.convert("RGB")
+    px = list(rgb.getdata())
+    n = max(len(px), 1)
+    means = [sum(c[i] for c in px) / n for i in range(3)]
+    feats = [
+        float(img.width),
+        float(img.height),
+        float(len(img.getbands())),
+        means[0],
+        means[1],
+        means[2],
+        float(max(means)),
+        float(min(means)),
+    ]
+    return feats[:dim] + [0.0] * max(0, dim - len(feats))
+
+
 def extract_features(df: DataFrame, fake_decoder: bool = False, batch_dim: int = 8) -> DataFrame:
     """Decode + featurize media payloads via Arrow-batched mapInPandas.
 
-    With ``fake_decoder=False`` this raises NotImplementedError at runtime
-    (no codec libs in this environment) — the STUB marker required by the
-    project brief. The Spark plumbing (schema, batching, partitioning) is
-    identical either way and is what gets tested.
+    With ``fake_decoder=False`` the real decode runs IF Pillow is
+    importable on the executors (optional dependency probe at module
+    import); otherwise it raises NotImplementedError — the documented
+    STUB marker for codec-less environments. The Spark plumbing (schema,
+    batching, partitioning) is identical on every path and is what gets
+    oracle-checked (fake path, multimodal_features_kernel).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decoder:
+            if fake_decoder:
+                feats = pdf["payload"].map(lambda p: _fake_features(p, batch_dim))
+            elif HAS_PIL:
+                feats = pdf["payload"].map(lambda p: _pil_features(p, batch_dim))
+            else:
                 raise NotImplementedError(
-                    "media decoding requires codec libraries not present in this "
-                    "environment; pass fake_decoder=True for the deterministic stub"
+                    "media decoding requires Pillow, which is not present in "
+                    "this environment; pass fake_decoder=True for the "
+                    "deterministic stub"
                 )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
-                    "feature": pdf["payload"].map(lambda p: _fake_features(p, batch_dim)),
+                    "feature": feats,
                 }
             )
             yield out
@@ -103,24 +147,36 @@ def resize_images(
     df: DataFrame, target_w: int = 224, target_h: int = 224, fake_decoder: bool = False
 ) -> DataFrame:
     """Resize image payloads to (target_w, target_h) via Arrow-batched
-    mapInPandas — same stub contract as extract_features: the codec step
-    raises NotImplementedError without ``fake_decoder=True`` (no image
-    libs in this container); the fake path emits a deterministic
-    truncated/padded payload so the schema, batch shape and partitioning
-    are exercised for real. Non-image rows are filtered JVM-side before
-    any Python runs."""
+    mapInPandas — same probe contract as extract_features: with Pillow
+    importable the real decode-resize-reencode (PNG) runs;
+    without it the codec step raises NotImplementedError unless
+    ``fake_decoder=True``, whose deterministic truncated/padded payload
+    exercises the schema, batch shape and partitioning for real.
+    Non-image rows are filtered JVM-side before any Python runs."""
+
+    def _pil_resize(payload: bytes) -> bytes:
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload or b""))
+        out = io.BytesIO()
+        img.resize((target_w, target_h)).save(out, format="PNG")
+        return out.getvalue()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = target_w * target_h // 64  # fake byte budget, deterministic
         for pdf in batches:
-            if not fake_decoder:
-                raise NotImplementedError(
-                    "image resizing requires codec libraries not present in this "
-                    "environment; pass fake_decoder=True for the deterministic stub"
+            if fake_decoder:
+                payloads = pdf["payload"].map(
+                    lambda p: (p or b"")[:size].ljust(size, b"\0")
                 )
-            payloads = pdf["payload"].map(
-                lambda p: (p or b"")[:size].ljust(size, b"\0")
-            )
+            elif HAS_PIL:
+                payloads = pdf["payload"].map(_pil_resize)
+            else:
+                raise NotImplementedError(
+                    "image resizing requires Pillow, which is not present in "
+                    "this environment; pass fake_decoder=True for the "
+                    "deterministic stub"
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

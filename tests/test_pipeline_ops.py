@@ -155,12 +155,33 @@ def test_multimodal_fake_decoder_roundtrip(spark):
 
 
 def test_multimodal_stub_raises_without_fake(spark):
-    from py4j.protocol import Py4JJavaError
-
+    if MM.HAS_PIL:
+        pytest.skip("Pillow present: the real decode path takes over")
     media = MM.make_demo_media(spark, n=4)
     with pytest.raises(Exception) as ei:
         MM.extract_features(media, fake_decoder=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_multimodal_real_decode_with_pillow(spark):
+    """Real path (importorskip-gated): when Pillow IS importable,
+    extract_features(fake_decoder=False) decodes actual image bytes and
+    resize_images re-encodes at the target size."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (16, 12), color=(200, 10, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(0, "image", png, "image/png", 16, 12, 0)], schema=MM.MEDIA_SCHEMA
+    )
+    row = MM.extract_features(media, fake_decoder=False).collect()[0]
+    assert row["feature"][:3] == [16.0, 12.0, 3.0]
+    assert abs(row["feature"][3] - 200.0) < 1.0  # mean red channel
+    rrow = MM.resize_images(media, 8, 8, fake_decoder=False).collect()[0]
+    rimg = PIL_Image.open(io.BytesIO(bytes(rrow["payload"])))
+    assert rimg.size == (8, 8)
 
 
 def test_frame_sampling_plan(spark):
