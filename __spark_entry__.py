@@ -3486,6 +3486,34 @@ def fedex_groupby_explain(spark, sf_dir):
     )
 
 
+@_q(
+    "fedex_groupby_explain_text",
+    """WITH g AS (
+         SELECT l_returnflag AS bin, avg(l_extendedprice) AS v FROM lineitem GROUP BY 1
+       ), s AS (
+         SELECT avg(v) AS m, stddev_samp(v) AS sd FROM g
+       ), top AS (
+         SELECT bin, (v - m) / sd AS z, abs(sd / m) AS cv
+         FROM g, s
+         ORDER BY abs((v - m) / sd) DESC, bin LIMIT 1
+       )
+       SELECT 1 AS rank, 'l_extendedprice_mean' AS attribute, bin,
+              round(z, 6) AS influence, round(cv, 6) AS score,
+              'groups with l_returnflag = ' || bin || ' have l_extendedprice_mean '
+                  || printf('%+.2f', z)
+                  || ' standard deviations from the mean' AS explanation
+       FROM top""",
+)
+def fedex_groupby_explain_text(spark, sf_dir):
+    """E2 group-by diversity SURFACE, hash-checked end to end: the
+    user-visible '<z> standard deviations from the mean' template
+    (reference explanation_reasoning.py:87-90) with the signed %+.2f
+    z-score formatted identically by Python and DuckDB printf."""
+    li = _e(spark, sf_dir, "lineitem")
+    res = li.groupby("l_returnflag")["l_extendedprice"].mean()
+    return res.explain(top_k=1).to_text_df(spark)
+
+
 def fedex_filter_explain(spark, sf_dir):
     li = _e(spark, sf_dir, "lineitem")
     out = li[li["l_quantity"] > 45]
@@ -4309,6 +4337,138 @@ def metainsight_explain(spark, sf_dir):
 _QUERIES["metainsight_explain"] = metainsight_explain    # rows-only: pattern mining
 
 
+@_q(
+    "metainsight_explain_text",
+    """WITH src AS (
+         SELECT o_orderpriority AS f,
+                CASE WHEN o_orderpriority = '5-LOW'
+                       THEN 'b' || CAST(o_orderkey % 3 AS VARCHAR)
+                     WHEN o_orderkey % 8 < 5 THEN 'b0'
+                     ELSE 'b' || CAST(1 + o_orderkey % 2 AS VARCHAR) END AS b,
+                o_orderkey
+         FROM orders
+       ), scope AS (
+         SELECT f, b, CAST(count(o_orderkey) AS DOUBLE) AS v FROM src GROUP BY 1, 2
+       ), tops AS (
+         SELECT f, b AS top_b, v AS top_v,
+                row_number() OVER (PARTITION BY f ORDER BY v DESC, b ASC) AS rn
+         FROM scope
+       ), top1 AS (SELECT f, top_b, top_v FROM tops WHERE rn = 1
+       ), s3 AS (
+         SELECT f, count(*) AS n, sum(v) AS total, min(v) AS vmin FROM scope GROUP BY 1
+       ), rest AS (
+         SELECT s.f, s.v FROM scope s JOIN top1 t ON t.f = s.f AND s.b <> t.top_b
+       ), reststats AS (SELECT f, avg(v) AS mu FROM rest GROUP BY 1
+       ), restsd AS (
+         SELECT r.f,
+                sqrt(sum((r.v - rs.mu) * (r.v - rs.mu)) / greatest(count(*) - 1, 1)) AS sd
+         FROM rest r JOIN reststats rs ON rs.f = r.f GROUP BY 1
+       ), pat AS (
+         -- detect_pattern for a 3-point series: only dominance /
+         -- outstanding-top / none are reachable (unimodal needs n>=5,
+         -- trend n>=4) — a structural bound of this entry's planted
+         -- 3-bucket breakdown, not a data assumption
+         SELECT t.f,
+                CASE
+                  WHEN s3.n < 3 THEN 'none'
+                  WHEN s3.total > 0 AND s3.vmin >= 0
+                       AND t.top_v / s3.total > 0.5 THEN 'dominance'
+                  WHEN sd.sd > 0 AND (t.top_v - rs.mu) / sd.sd > 2.5 THEN 'outstanding-top'
+                  WHEN sd.sd = 0 AND t.top_v > rs.mu THEN 'outstanding-top'
+                  ELSE 'none'
+                END AS kind,
+                t.top_b AS raw_hl
+         FROM top1 t
+         JOIN s3 ON s3.f = t.f
+         JOIN reststats rs ON rs.f = t.f
+         JOIN restsd sd ON sd.f = t.f
+       ), pat2 AS (
+         SELECT f, kind, CASE WHEN kind = 'none' THEN NULL ELSE raw_hl END AS hl
+         FROM pat
+       ), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_pat FROM pat2
+       ), bk AS (
+         SELECT kind FROM pat2 WHERE kind <> 'none'
+         GROUP BY 1 ORDER BY count(*) DESC, kind DESC LIMIT 1
+       ), holders AS (
+         SELECT p.* FROM pat2 p, bk WHERE p.kind = bk.kind
+       ), bh AS (
+         SELECT hl FROM holders GROUP BY 1 ORDER BY count(*) DESC, hl DESC LIMIT 1
+       ), comm AS (
+         SELECT round(count(*) / stats.n_pat, 6) AS c FROM holders, stats GROUP BY stats.n_pat
+       ), exc AS (
+         SELECT p.f,
+                CASE WHEN p.kind = bk.kind THEN 'highlight-change'
+                     WHEN p.kind = 'none' THEN 'no-pattern'
+                     ELSE 'type-change:' || p.kind END AS ekind,
+                CASE WHEN p.kind = 'none' THEN NULL ELSE p.hl END AS ehl
+         FROM pat2 p, bk, bh
+         WHERE NOT (p.kind = bk.kind AND p.hl = bh.hl)
+       ), excn AS (SELECT count(*) AS ne FROM exc
+       ), exctext AS (
+         SELECT coalesce(string_agg(
+                  'o_orderpriority = ' || f || ': ' || ekind
+                    || CASE WHEN ehl IS NOT NULL THEN ' at ' || ehl ELSE '' END,
+                  '; ' ORDER BY ekind, f), '') AS txt
+         FROM (SELECT *, row_number() OVER (ORDER BY ekind, f) AS rn FROM exc)
+         WHERE rn <= 3
+       ), scored AS (
+         SELECT comm.c,
+                round((comm.c_raw - 0.5 * (excn.ne / stats.n_pat))
+                      - 0.1 * (stats.n_pat / 24), 6) AS score
+         FROM (SELECT round(count(*) / stats.n_pat, 6) AS c,
+                      count(*) / stats.n_pat AS c_raw
+               FROM holders, stats GROUP BY stats.n_pat) comm, excn, stats
+       )
+       SELECT 1 AS rank,
+              'bucket|o_orderkey_count' AS attribute,
+              bk.kind || '@' || bh.hl AS bin,
+              scored.c AS influence, scored.score AS score,
+              'Common pattern ''' || bk.kind || ''' detected for over '
+                || printf('%.0f', scored.c * 100)
+                || '% of values of o_orderpriority, when grouping by bucket and '
+                || 'aggregating o_orderkey by count.'
+                || ' Highlight: bucket = ' || bh.hl || '.'
+                || CASE WHEN excn.ne > 0
+                        THEN ' Exceptions: ' || exctext.txt || '.'
+                        ELSE '' END AS explanation
+       FROM bk, bh, scored, excn, exctext""",
+)
+def metainsight_explain_text(spark, sf_dir):
+    """E6 explain SURFACE, hash-checked end to end on a planted pattern:
+    a 3-value breakdown where bucket b0 holds 5/8 of every priority
+    except 5-LOW (uniform thirds) — so the miner must report a
+    'dominance' pattern common to 4/5 scopes with 5-LOW as the
+    exception. DuckDB replays the scope cube, the n=3-reachable branches
+    of detect_pattern (dominance / outstanding-top / none — unimodal and
+    trend are structurally unreachable below n>=5/4), best-kind and
+    best-highlight vote ties, the exception list sort, the
+    commonness/exception/regularizer score algebra, and the full
+    reference text template (explanation_reasoning.py:119-127)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderpriority") == "5-LOW",
+            F.concat(F.lit("b"), (F.col("o_orderkey") % 3).cast("string")),
+        )
+        .when(F.col("o_orderkey") % 8 < 5, F.lit("b0"))
+        .otherwise(
+            F.concat(F.lit("b"), (F.lit(1) + F.col("o_orderkey") % 2).cast("string"))
+        )
+        .alias("bucket"),
+    )
+    e = to_explainable(o, name="orders_bucketed")
+    g = e.groupby("o_orderpriority")["o_orderkey"].count()
+    exp = g.explain(
+        explainer="metainsight",
+        filter_dimensions=["o_orderpriority"],
+        breakdown_dimensions=["bucket"],
+        measures=[("o_orderkey", "count")],
+        use_sampling=False,
+    )
+    return exp.to_text_df(spark)
+
+
 # ===========================================================================
 
 # The correctness harness records the FIRST 50 ``queries()`` entries, so
@@ -4357,14 +4517,15 @@ _RECORD_FIRST = [
     #    the full string assembly hash-checked in DuckDB)
     "fedex_filter_explain_text", "fedex_join_explain_text",
     "shapley_join_explain_text", "outlier_explain_text",
+    "fedex_groupby_explain_text", "metainsight_explain_text",
     # -- re-checks (first green in r05): one per operator family
     "topk_orders",                                    # relational
     "fedex_filter_kernel", "shapley_kernel",          # explainer kernels
     "outlier_kernel", "metainsight_kernel",
     "many_to_one_full_rules",  # never-checked: distributed mining path
-    "minhash_near_dups_md5", "simhash_near_dups_md5",  # dedup
+    "minhash_near_dups_md5",                           # dedup
     "similarity_lsh_topk", "similarity_ivf_fixed",     # similarity
-    "rolling_hour_events", "cumsum_events",            # time-series
+    "rolling_hour_events",                             # time-series
     "drift_scores_events",                             # streaming
     "multimodal_features_kernel",                      # multimodal
     "mini_language_query",                             # mini-language
