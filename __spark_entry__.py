@@ -3247,6 +3247,98 @@ def similarity_ivf_fixed(spark, sf_dir):
     return ivf_query(index, emb.filter("vec_id < 10"), k=5, n_probe=4, round_to=4)
 
 
+_SEMANTIC_ASSIGNED_CTE = """WITH cast_emb AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       ), hashed AS (
+         SELECT vec_id, emb,
+                ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+         FROM cast_emb
+       ), cent AS (
+         SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS bucket,
+                emb AS cemb
+         FROM hashed ORDER BY h, vec_id LIMIT 16
+       ), adist AS (
+         SELECT e.vec_id, e.emb, c.bucket,
+                row_number() OVER (
+                  PARTITION BY e.vec_id
+                  ORDER BY list_dot_product(e.emb, e.emb)
+                           - 2 * list_dot_product(e.emb, c.cemb)
+                           + list_dot_product(c.cemb, c.cemb),
+                           c.bucket
+                ) AS pr
+         FROM cast_emb e, cent c
+       ), assigned AS (
+         SELECT vec_id, emb, bucket FROM adist WHERE pr = 1
+       ), sem_pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb))) AS sim
+         FROM assigned a
+         JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       )"""
+
+
+@_q(
+    "semantic_dedup_pairs",
+    _SEMANTIC_ASSIGNED_CTE
+    + """
+       SELECT id_a, id_b, round(sim, 4) AS cosine_sim
+       FROM sem_pairs WHERE round(sim, 6) >= 0.45""",
+)
+def semantic_dedup_pairs_q(spark, sf_dir):
+    """SemDeDup-style semantic near-dup discovery (cluster embeddings,
+    compare only within clusters — functions/similarity.py
+    semantic_dedup_pairs), hash-checked end to end: the md5-seeded
+    deterministic centroids reproduce in DuckDB (same CTE as
+    similarity_ivf_fixed), so the bucket assignment, within-bucket
+    candidate join, and exact-cosine verify all mirror bit-for-bit.
+    Threshold on the round-6 cosine, output single-rounded to 4 (the
+    similarity_topk determinism recipe)."""
+    from pd_explain_spark.functions.similarity import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, threshold=0.45, n_centroids=16, round_to=4
+    )
+
+
+@_q(
+    "semantic_dedup_survivors",
+    _SEMANTIC_ASSIGNED_CTE
+    + """, edges AS (
+         SELECT id_a AS s, id_b AS t FROM sem_pairs WHERE round(sim, 6) >= 0.45
+         UNION
+         SELECT id_b, id_a FROM sem_pairs WHERE round(sim, 6) >= 0.45
+       ), reach AS (
+         WITH RECURSIVE r(s, t) AS (
+           SELECT s, t FROM edges
+           UNION
+           SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s
+         ) SELECT * FROM r
+       ), comp AS (
+         SELECT s AS id, least(s, min(t)) AS component FROM reach GROUP BY s
+       ), losers AS (
+         SELECT id FROM comp WHERE id <> component
+       )
+       SELECT vec_id, label FROM embeddings
+       WHERE vec_id NOT IN (SELECT id FROM losers)""",
+)
+def semantic_dedup_survivors_q(spark, sf_dir):
+    """End-to-end SemDeDup (functions/similarity.py semantic_dedup):
+    semantic pairs -> pointer-jumping connected components -> min-id
+    survivor per duplicate cluster, checked against DuckDB's recursive
+    transitive closure (the near_dup_components oracle pattern). Output
+    projects (vec_id, label) — the embedding array itself is excluded
+    from the hash because float-array string rendering is not portable
+    across engines."""
+    from pd_explain_spark.functions.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.45, n_centroids=16)
+    return out.select("vec_id", "label")
+
+
 @_q(
     "embedding_centroid_dist",
     """WITH ex AS (
@@ -4524,7 +4616,11 @@ _RECORD_FIRST = [
     "outlier_kernel", "metainsight_kernel",
     "many_to_one_full_rules",  # never-checked: distributed mining path
     "minhash_near_dups_md5",                           # dedup
-    "similarity_lsh_topk", "similarity_ivf_fixed",     # similarity
+    # similarity family: the two new never-checked SemDeDup entries take
+    # the slots of the r05-green similarity_lsh_topk/similarity_ivf_fixed
+    # re-checks (same family, and semantic_dedup_* exercises the
+    # ivf_build_fixed path those entries covered)
+    "semantic_dedup_pairs", "semantic_dedup_survivors",
     "rolling_hour_events",                             # time-series
     "drift_scores_events",                             # streaming
     "multimodal_features_kernel",                      # multimodal

@@ -39,7 +39,13 @@ ABS_FLOOR_SEC = 1.0
 
 
 def _prev_timings() -> tuple[dict[str, float], str | None]:
-    """Newest BENCH_r{N}.json in the repo directory, if any."""
+    """Newest BENCH_r{N}.json in the repo directory, if any.
+
+    Handles both our own raw format ({"queries": ...}) and the driver's
+    wrapper ({"n", "rc", "tail", "parsed"}): "parsed" holds the parsed
+    JSON line when the driver managed to parse it; otherwise "tail" is a
+    (possibly truncated) suffix of stdout from which the per-query
+    timings are recovered by regex."""
     here = os.path.dirname(os.path.abspath(__file__))
     best, best_n = None, -1
     for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -50,9 +56,23 @@ def _prev_timings() -> tuple[dict[str, float], str | None]:
         return {}, None
     try:
         with open(best) as fh:
-            return dict(json.load(fh).get("queries", {})), os.path.basename(best)
+            d = json.load(fh)
+        name = os.path.basename(best)
+        if isinstance(d.get("queries"), dict):
+            return dict(d["queries"]), name
+        parsed = d.get("parsed")
+        if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+            return dict(parsed["queries"]), name
+        tail = d.get("tail")
+        if isinstance(tail, str):
+            pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', tail)
+            skip = {"value", "sf", "n_entries", "regression_count", "rc", "n", "cpus"}
+            out = {k: float(v) for k, v in pairs if k not in skip}
+            if out:
+                return out, name
     except Exception:
-        return {}, None
+        pass
+    return {}, None
 
 
 def main() -> int:
@@ -87,7 +107,16 @@ def main() -> int:
         # connected-components queries) are freed by the ContextCleaner
         # once Python drops its references — gc.collect() makes that
         # happen now instead of mid-way through the next timed query.
+        # With 150 entries in one JVM, leftover persisted RDD blocks
+        # compound into a measurable per-entry tax late in the run —
+        # explicitly unpersist anything still registered.
         spark.catalog.clearCache()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                jmap[rid].unpersist(False)
+        except Exception:
+            pass
         import gc
 
         gc.collect()

@@ -414,6 +414,91 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------- centroids
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540 — cluster embeddings, compare only within
+    clusters): (id_a, id_b, cosine_sim) for same-bucket pairs at or
+    above ``threshold``. The threshold applies to the 6-decimal cosine
+    (single round from raw — the embedding_near_duplicates contract);
+    ``round_to`` controls output rounding.
+
+    Buckets come from :func:`ivf_build_fixed`'s md5-seeded deterministic
+    centroids with argmin assignment, so the whole pipeline is
+    hash-checkable in any engine. Scale shape: the candidate join keys
+    on bucket and carries IDS ONLY (work = sum of squared bucket sizes,
+    never corpus x corpus; vectors join in once for the verify); at
+    100 TB ``n_centroids`` grows with the corpus so bucket sizes stay
+    bounded — the same knob as every production SemDeDup. Semantic
+    recall caveat (inherent to SemDeDup, not this implementation): a
+    near-dup pair split across two buckets is missed; raising
+    n_centroids trades recall for cost exactly as in the paper.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    assigned = ivf_build_fixed(df, id_col, vec_col, n_centroids).assigned.persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ids = assigned.select("neighbor_id", "bucket")
+    l = ids.select(F.col("neighbor_id").alias("id_a"), "bucket")
+    r = ids.select(F.col("neighbor_id").alias("id_b"), "bucket")
+    cand = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    va = assigned.select(F.col("neighbor_id").alias("id_a"), F.col("cv").alias("va"))
+    vb = assigned.select(F.col("neighbor_id").alias("id_b"), F.col("cv").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(sim, 6).alias("__c6"),
+            F.round(sim, round_to).alias("cosine_sim"),
+        )
+        .filter(F.col("__c6") >= threshold)
+        .drop("__c6")
+    )
+    # materialize through the persisted assignment, then release it —
+    # same lifecycle pattern as dedup._finalize_release
+    from .dedup import _finalize_release
+
+    return _finalize_release(out, [assigned])
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    keep_by=None,
+) -> DataFrame:
+    """End-to-end SemDeDup: semantic pair discovery → connected
+    components → keep one row per duplicate cluster (min id, or the
+    ``keep_by``-maximal one — see dedup.keep_best). Returns the
+    surviving rows of ``df`` via an anti-join on the non-kept ids,
+    strategy left to Catalyst/AQE (the loser set can be arbitrarily
+    large on a high-duplication corpus)."""
+    from .dedup import duplicate_components, keep_best
+
+    pairs = semantic_dedup_pairs(df, id_col, vec_col, threshold, n_centroids)
+    comp = duplicate_components(pairs)
+    if keep_by is not None:
+        return keep_best(df, comp, keep_by, id_col)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "anti")
+
+
 def group_centroids(
     df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

@@ -52,7 +52,11 @@ def test_window_covers_every_operator_family():
             "minhash_near_dups_md5", "simhash_near_dups_md5", "near_dup_components",
             "near_dup_keep_longest", "dedup_against_corpus",
         },
-        "similarity": {"similarity_topk", "similarity_lsh_topk", "similarity_ivf_fixed"},
+        "similarity": {
+            "similarity_topk", "similarity_lsh_topk", "similarity_ivf_fixed",
+            # SemDeDup entries exercise the same ivf_build_fixed path
+            "semantic_dedup_pairs", "semantic_dedup_survivors",
+        },
         "text": {
             "text_profile", "token_counts", "repetition_signals",
             "corpus_stats_by_lang",

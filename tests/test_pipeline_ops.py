@@ -997,3 +997,69 @@ def test_near_dup_against_max_df_jaccard_is_exact(spark):
     assert [(r["new_id"], r["corpus_id"], r["jaccard"]) for r in pruned] == [
         (10, 1, 1.0)
     ]
+
+
+# ---------------------------------------------------------------- semantic dedup
+def test_semantic_dedup_pairs_subset_of_exact_no_false_positives(spark):
+    """SemDeDup pairs are exactly the EXACT-cosine near-dup pairs whose
+    members share a centroid bucket: every emitted pair must be a true
+    near-dup (exact verify), and pairs within one bucket must all be
+    found (no within-bucket misses)."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.similarity import (
+        cosine as _cos,
+        ivf_build_fixed,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    l, r = base.alias("l"), base.alias("r")
+    exact = {
+        (row["id_a"], row["id_b"])
+        for row in l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.round(_cos(F.col("l.v"), F.col("r.v")), 6).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.45)
+        .collect()
+    }
+    bucket_of = {
+        row["neighbor_id"]: row["bucket"]
+        for row in ivf_build_fixed(emb, n_centroids=8).assigned.collect()
+    }
+    got = {
+        (row["id_a"], row["id_b"])
+        for row in semantic_dedup_pairs(emb, threshold=0.45, n_centroids=8).collect()
+    }
+    assert got <= exact  # exact verify: no false positives
+    same_bucket = {p for p in exact if bucket_of[p[0]] == bucket_of[p[1]]}
+    assert got == same_bucket  # finds every within-bucket true pair
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    """Planted duplicate cluster: three near-identical vectors must
+    collapse to the min-id survivor; the distinct vector survives."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.similarity import semantic_dedup
+
+    # id 30 hashes below 1 < 2 < 3 (md5 order), so the two centroids are
+    # vec30 and vec1 — the planted cluster cannot be split across buckets
+    # (SemDeDup's inherent bucket-split caveat would otherwise apply)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.998, 0.02, 0.0, 0.0]),
+        (30, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, threshold=0.95, n_centroids=2)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 30]
+    # keep_by: keep the cluster member maximizing a score column instead
+    scored = emb.withColumn("quality", F.col("vec_id").cast("double"))
+    best = semantic_dedup(scored, threshold=0.95, n_centroids=2, keep_by="quality")
+    assert sorted(r["vec_id"] for r in best.collect()) == [3, 30]
