@@ -2947,6 +2947,89 @@ def near_dup_keep_longest_q(spark, sf_dir):
     )
 
 
+@_q(
+    "edit_distance_pairs_docs",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), sh AS (
+         SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3
+       ), inv AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh
+       ), cand AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ), nt AS (
+         SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         FROM documents
+       )
+       SELECT c.id_a, c.id_b, levenshtein(na.t, nb.t)::BIGINT AS edit_distance
+       FROM cand c
+       JOIN nt na ON na.doc_id = c.id_a
+       JOIN nt nb ON nb.doc_id = c.id_b
+       WHERE abs(len(na.t) - len(nb.t)) <= 40
+         AND levenshtein(na.t, nb.t) <= 40""",
+)
+def edit_distance_pairs_docs_q(spark, sf_dir):
+    """Fuzzy dedup pairs (functions/dedup.py edit_distance_pairs):
+    shared-shingle candidates verified by EXACT banded Levenshtein at
+    max_dist=40. Distances are exact integers, so both engines agree
+    bitwise — the only cross-engine assumption is character-level
+    unit-cost Levenshtein, which Spark and DuckDB share (texts are
+    whitespace-normalized ASCII)."""
+    from pd_explain_spark.functions.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(_t(spark, sf_dir, "documents"), max_dist=40)
+
+
+@_q(
+    "lm_score_docs",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                                   x -> x <> '')) AS tok
+         FROM documents
+       ), dt AS (
+         SELECT doc_id, tok, count(*)::BIGINT AS m FROM toks GROUP BY 1, 2
+       ), vocab_all AS (
+         SELECT tok, sum(m)::BIGINT AS c FROM dt GROUP BY 1
+       ), tot AS (
+         SELECT sum(c)::BIGINT AS n_total FROM vocab_all
+       ), vocab AS (
+         SELECT tok, c FROM vocab_all WHERE c >= 2
+       ), scored AS (
+         SELECT d.doc_id,
+                sum(d.m)::BIGINT AS n_tokens,
+                coalesce(sum(CASE WHEN v.tok IS NULL THEN d.m END), 0)::BIGINT AS n_oov,
+                round(ln((SELECT n_total FROM tot))
+                      - sum(CASE WHEN v.tok IS NOT NULL THEN d.m * ln(v.c) END)
+                        / sum(CASE WHEN v.tok IS NOT NULL THEN d.m END), 4) AS lm_score
+         FROM dt d LEFT JOIN vocab v USING (tok)
+         GROUP BY d.doc_id
+       )
+       SELECT doc.doc_id,
+              coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+              coalesce(s.n_oov, 0)::BIGINT AS n_oov,
+              s.lm_score
+       FROM documents doc LEFT JOIN scored s USING (doc_id)""",
+)
+def lm_score_docs_q(spark, sf_dir):
+    """CCNet-style unigram LM quality scores (functions/text.py
+    unigram_lm_scores, min_count=2 so the rare-token OOV path is
+    exercised): mean token surprisal under the in-corpus unigram model.
+    Portable because every float is ln of an exact integer count folded
+    over a document-length group (no revenue-scale float sums); both
+    engines round once to 4 decimals."""
+    from pd_explain_spark.functions.text import unigram_lm_scores
+
+    return unigram_lm_scores(_t(spark, sf_dir, "documents"), min_count=2)
+
+
 def minhash_near_dups_q(spark, sf_dir):
     from pd_explain_spark.functions.dedup import minhash_near_duplicates
 
@@ -4612,10 +4695,13 @@ _RECORD_FIRST = [
     "fedex_groupby_explain_text", "metainsight_explain_text",
     # -- re-checks (first green in r05): one per operator family
     "topk_orders",                                    # relational
-    "fedex_filter_kernel", "shapley_kernel",          # explainer kernels
+    "fedex_filter_kernel",                            # explainer kernels
     "outlier_kernel", "metainsight_kernel",
     "many_to_one_full_rules",  # never-checked: distributed mining path
-    "minhash_near_dups_md5",                           # dedup
+    # dedup/text: the never-checked fuzzy-dedup and LM-score entries take
+    # the slots of the r05-green shapley_kernel/minhash_near_dups_md5
+    # re-checks (both families keep other representatives in-window)
+    "edit_distance_pairs_docs", "lm_score_docs",
     # similarity family: the two new never-checked SemDeDup entries take
     # the slots of the r05-green similarity_lsh_topk/similarity_ivf_fixed
     # re-checks (same family, and semantic_dedup_* exercises the

@@ -27,8 +27,8 @@ from .operators.partitioning import count_distinct_skew_safe, salted_join
 from .config import GLOBALS, get_use_sampling_value, toggle_sampling
 from .llm.client import LlmSetupMethods
 from .functions.dedup import (dedup_against, dedup_near, dedup_near_against,
-                              duplicate_components, keep_best,
-                              near_dup_pairs_against)
+                              duplicate_components, edit_distance_pairs,
+                              fuzzy_dedup, keep_best, near_dup_pairs_against)
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
                                shuffle_assign, stratified_sample,
@@ -37,9 +37,12 @@ from .functions.contamination import contamination_pairs, decontaminate
 from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
                                   tf_idf, top_terms_per_doc)
 from .functions.segments import chunk_documents, segment_dedup, segment_frequencies
-from .functions.similarity import IvfIndex, ivf_build, ivf_build_fixed, ivf_query
+from .functions.similarity import (IvfIndex, ivf_build, ivf_build_fixed,
+                                   ivf_query, semantic_dedup,
+                                   semantic_dedup_pairs)
 from .functions.text import (corpus_stats, curation_pipeline, ingest_pipeline,
-                             repetition_signals, stream_corpus_stats)
+                             repetition_signals, stream_corpus_stats,
+                             unigram_lm_scores)
 from .session import get_spark
 from .sources.readers import load_table, read_csv, read_json, read_parquet, to_explainable
 
@@ -108,6 +111,12 @@ __all__ = [
     "contamination_pairs",
     "decontaminate",
     "tf_idf",
+    # round-6 surface: SemDeDup, fuzzy dedup, unigram LM scoring
+    "semantic_dedup",
+    "semantic_dedup_pairs",
+    "edit_distance_pairs",
+    "fuzzy_dedup",
+    "unigram_lm_scores",
     "bm25_scores",
     "build_vocabulary",
     "top_terms_per_doc",

@@ -695,6 +695,86 @@ def dedup_near(
     return df.join(losers, id_col, "anti")
 
 
+# ---------------------------------------------------------------- fuzzy (edit distance)
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 20,
+    n: int = 3,
+    max_df: float | None = None,
+) -> DataFrame:
+    """Fuzzy near-dup pairs verified by EXACT Levenshtein distance:
+    (id_a, id_b, edit_distance) for candidate pairs whose normalized
+    texts are within ``max_dist`` single-character edits. Candidates are
+    pairs sharing >= 1 word-``n``-gram shingle (the ngram_jaccard_pairs
+    inverted index, with the same ``max_df`` hot-shingle guard), so the
+    O(len * max_dist) Levenshtein runs on the bounded candidate list,
+    never corpus x corpus.
+
+    Two pre-verify cuts keep the expensive kernel off most candidates:
+    | len(a) - len(b) | lower-bounds the edit distance (cheap pushable
+    filter), and Spark's banded ``levenshtein(l, r, threshold)`` kernel
+    stops at ``max_dist`` instead of filling the full DP matrix.
+    Distances are exact integers — bit-portable across engines (both
+    Spark and DuckDB implement classic unit-cost Levenshtein over
+    characters; texts here are whitespace-normalized lowercase).
+
+    Complements the set-based Jaccard/MinHash family: edit distance
+    catches character-level corruption (OCR noise, typos, single-token
+    edits) that shingle sets under-weigh on short texts. For long
+    documents prefer the Jaccard family — Levenshtein cost grows with
+    document length even when banded.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    inv = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    disc = _df_pruned(inv, max_df) if max_df is not None else inv
+    a, b = disc.alias("a"), disc.alias("b")
+    cands = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    t = df.select(
+        F.col(id_col).alias("id"), normalized_text(F.col(text_col)).alias("__nt")
+    )
+    ta = t.select(F.col("id").alias("id_a"), F.col("__nt").alias("__ta"))
+    tb = t.select(F.col("id").alias("id_b"), F.col("__nt").alias("__tb"))
+    out = (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.abs(F.length("__ta") - F.length("__tb")) <= max_dist)
+        .withColumn("__d", F.levenshtein("__ta", "__tb", max_dist))
+        .filter(F.col("__d") >= 0)  # banded kernel returns -1 past the cap
+        .select("id_a", "id_b", F.col("__d").cast("bigint").alias("edit_distance"))
+    )
+    return _finalize_release(out, [inv])
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 20,
+    n: int = 3,
+    max_df: float | None = None,
+    keep_by=None,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: edit-distance pairs → connected
+    components → keep one document per duplicate group (min id, or the
+    ``keep_by``-maximal one — see :func:`keep_best`). Returns the
+    surviving rows of ``df`` via an anti-join on the non-kept ids."""
+    pairs = edit_distance_pairs(df, text_col, id_col, max_dist, n, max_df)
+    comp = duplicate_components(pairs)
+    if keep_by is not None:
+        return keep_best(df, comp, keep_by, id_col)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "anti")
+
+
 # ---------------------------------------------------------------- simhash
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -435,3 +435,87 @@ def stream_corpus_stats(
     return src.groupBy(F.window(F.col(ts_col), window), *keys).agg(
         *_corpus_aggs(text_col, round_to)
     )
+
+
+# ---------------------------------------------------------------- unigram LM scoring
+def unigram_lm_scores(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    round_to: int = 4,
+) -> DataFrame:
+    """CCNet-style language-model quality proxy from a unigram model.
+
+    Trains token frequencies on ``reference`` (default: ``df`` itself —
+    in-corpus scoring) over the normalized text, then scores every
+    document by its mean token surprisal  ``mean(-ln p(t))``  with
+    ``p(t) = c(t) / N``  (``N`` = total reference tokens, counted BEFORE
+    vocabulary pruning — pruned tokens are "unknown to the model", they
+    don't change the model's denominator). Tokens with reference count
+    below ``min_count`` are out-of-vocabulary: counted in ``n_oov`` and
+    excluded from the mean. High score = improbable text (gibberish,
+    boilerplate soup, wrong language); low = fluent under the reference
+    distribution — the perplexity-filter stage of a curation pipeline
+    (CCNet filters on a 5-gram KenLM trained on Wikipedia; the unigram
+    flavor keeps the math closed-form and engine-portable).
+
+    Returns one row per input document — ``(id, n_tokens, n_oov,
+    lm_score)``; a document with zero tokens (or zero in-vocab tokens)
+    keeps its row with ``lm_score`` NULL, so row-conservation checks
+    over the stage hold.
+
+    Scale shape: reference token counts are one map-combining aggregate;
+    the per-(doc, token) table joins the vocabulary keyed on token (1:1
+    per distinct doc-token, so hot tokens like "the" fan no rows out),
+    then one doc-keyed aggregate folds the mean. The scalar ``N`` enters
+    as a broadcast single-row frame. Numerics: the only floats are
+    ``ln`` of exact integer counts combined per document (hundreds of
+    terms), so the round-``round_to`` value is stable across engines —
+    the large-float-sum hazard of revenue-style aggregates does not
+    arise at document length.
+    """
+    ref = reference if reference is not None else df
+    rtoks = ref.select(
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok")
+    )
+    vocab_all = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab_all.agg(F.sum("c").cast("bigint").alias("n_total"))
+    vocab = vocab_all.filter(F.col("c") >= min_count)
+    dt = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"),
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    in_vocab = F.col("c").isNotNull()
+    scored = (
+        dt.join(vocab, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.sum(F.when(~in_vocab, F.col("m"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.log(F.max("n_total"))
+                - F.sum(F.when(in_vocab, F.col("m") * F.log("c")))
+                / F.sum(F.when(in_vocab, F.col("m"))),
+                round_to,
+            ).alias("lm_score"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            "lm_score",
+        )
+    )

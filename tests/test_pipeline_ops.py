@@ -1063,3 +1063,56 @@ def test_semantic_dedup_keeps_one_per_cluster(spark):
     scored = emb.withColumn("quality", F.col("vec_id").cast("double"))
     best = semantic_dedup(scored, threshold=0.95, n_centroids=2, keep_by="quality")
     assert sorted(r["vec_id"] for r in best.collect()) == [3, 30]
+
+
+# ---------------------------------------------------------------- fuzzy dedup / LM score
+def test_edit_distance_pairs_and_fuzzy_dedup_planted(spark):
+    """Planted typo pair: exact banded Levenshtein finds it with the
+    true distance; the unrelated doc never pairs; fuzzy_dedup keeps one
+    survivor per cluster (min id / keep_by-max)."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.dedup import edit_distance_pairs, fuzzy_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumped over the lazy dog"),   # 2 edits
+        (3, "completely different content about spark engines here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = edit_distance_pairs(docs, max_dist=10).collect()
+    assert [(r["id_a"], r["id_b"], r["edit_distance"]) for r in pairs] == [(1, 2, 2)]
+    assert sorted(r["doc_id"] for r in fuzzy_dedup(docs, max_dist=10).collect()) == [1, 3]
+    scored = docs.withColumn("q", F.col("doc_id").cast("double"))
+    best = fuzzy_dedup(scored, max_dist=10, keep_by="q")
+    assert sorted(r["doc_id"] for r in best.collect()) == [2, 3]
+    # past the cap: no pair survives the banded kernel
+    assert edit_distance_pairs(docs, max_dist=1).count() == 0
+
+
+def test_unigram_lm_scores_known_values(spark):
+    """Hand-computed unigram surprisals; min_count prunes to OOV; a
+    zero-token doc keeps its row (NULL score) — row conservation."""
+    import math
+
+    from pd_explain_spark.functions.text import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "   ")], "doc_id long, text string"
+    )
+    # corpus: a x3, b x1, c x1 -> N = 5
+    out = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    ln = math.log
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 0
+    assert out[1]["lm_score"] == round((2 * ln(5 / 3) + ln(5)) / 3, 4)
+    assert out[2]["lm_score"] == round((ln(5 / 3) + ln(5)) / 2, 4)
+    assert out[3]["n_tokens"] == 0 and out[3]["lm_score"] is None
+    # min_count=2: b and c leave the vocabulary -> OOV, excluded from mean
+    out2 = {r["doc_id"]: r for r in unigram_lm_scores(docs, min_count=2).collect()}
+    assert out2[1]["n_oov"] == 1 and out2[1]["lm_score"] == round(ln(5 / 3), 4)
+    assert out2[2]["n_oov"] == 1 and out2[2]["lm_score"] == round(ln(5 / 3), 4)
+    # external reference: score df against corpus 2's distribution
+    ref = spark.createDataFrame([(9, "a b b b")], "doc_id long, text string")
+    out3 = {r["doc_id"]: r for r in unigram_lm_scores(docs, reference=ref).collect()}
+    assert out3[2]["n_oov"] == 1  # 'c' unseen in reference
+    assert out3[1]["lm_score"] == round((2 * ln(4) + ln(4 / 3)) / 3, 4)
