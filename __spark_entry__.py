@@ -2492,6 +2492,30 @@ def near_dup_against_corpus(spark, sf_dir):
 
 
 @_q(
+    "near_dup_index_bucketed",
+    _XCORPUS_JACCARD_CTE
+    + """
+       SELECT new_id, corpus_id, jaccard FROM pairs WHERE jaccard >= 0.5""",
+)
+def near_dup_index_bucketed_q(spark, sf_dir):
+    """The incremental near-dup scan through the PERSISTED bucketed
+    corpus index (functions/dedup.py NearDupIndex): build + save the
+    corpus side as a shingle-bucketed external table, reload, then run
+    the same exact-Jaccard join — the ingest-loop shape where the corpus
+    never re-shuffles (plan pinned by
+    test_pipeline_ops::test_neardup_index_bucketed_parity_and_plan).
+    Same oracle as near_dup_against_corpus: the index changes the
+    physical layout, never the math."""
+    from pd_explain_spark.functions.dedup import NearDupIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = NearDupIndex.build(docs.filter("doc_id < 250")).save(
+        "/tmp/spark_graft_ndidx", buckets=16, mode="overwrite"
+    )
+    return idx.pairs_against(docs.filter("doc_id >= 250"), threshold=0.5)
+
+
+@_q(
     "dedup_near_against_corpus",
     _XCORPUS_JACCARD_CTE
     + """

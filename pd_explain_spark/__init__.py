@@ -26,9 +26,10 @@ from .plans.audit import assert_scalable, scale_audit
 from .operators.partitioning import count_distinct_skew_safe, salted_join
 from .config import GLOBALS, get_use_sampling_value, toggle_sampling
 from .llm.client import LlmSetupMethods
-from .functions.dedup import (dedup_against, dedup_near, dedup_near_against,
-                              duplicate_components, edit_distance_pairs,
-                              fuzzy_dedup, keep_best, near_dup_pairs_against)
+from .functions.dedup import (NearDupIndex, dedup_against, dedup_near,
+                              dedup_near_against, duplicate_components,
+                              edit_distance_pairs, fuzzy_dedup, keep_best,
+                              near_dup_pairs_against)
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
                                shuffle_assign, stratified_sample,
@@ -117,6 +118,7 @@ __all__ = [
     "edit_distance_pairs",
     "fuzzy_dedup",
     "unigram_lm_scores",
+    "NearDupIndex",
     "bm25_scores",
     "build_vocabulary",
     "top_terms_per_doc",

@@ -292,6 +292,23 @@ def near_dup_pairs_against(
         StorageLevel.MEMORY_AND_DISK
     )
     cached = [new_inv, corp_inv]
+    return _cross_corpus_pairs(new_inv, corp_inv, threshold, max_df, cached)
+
+
+def _cross_corpus_pairs(
+    new_inv: DataFrame,
+    corp_inv: DataFrame,
+    threshold: float,
+    max_df: float | None,
+    cached: list,
+    corp_sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Shared cross-corpus Jaccard math over two (id, shingle) indexes —
+    the body of :func:`near_dup_pairs_against`, also reused by
+    :class:`NearDupIndex` where the corpus index is a persisted bucketed
+    table (and ``corp_sizes`` its precomputed per-doc set sizes)."""
+    from pyspark.storagelevel import StorageLevel
+
     if max_df is None:
         inter = (
             new_inv.alias("a")
@@ -338,9 +355,16 @@ def near_dup_pairs_against(
     sa = new_inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_a")).withColumnRenamed(
         "id", "new_id"
     )
-    sb = corp_inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_b")).withColumnRenamed(
-        "id", "corpus_id"
-    )
+    if corp_sizes is not None:
+        sb = corp_sizes.select(
+            F.col("id").alias("corpus_id"), F.col("n_sh").alias("n_b")
+        )
+    else:
+        sb = (
+            corp_inv.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_b"))
+            .withColumnRenamed("id", "corpus_id")
+        )
     out = (
         inter.join(sa, "new_id")
         .join(sb, "corpus_id")
@@ -375,6 +399,149 @@ def dedup_near_against(
         .distinct()
     )
     return new_df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------- persisted index
+class NearDupIndex:
+    """Persisted inverted shingle index of a reference corpus for
+    INCREMENTAL near-dup checks — the ingest-loop shape at 100 TB.
+
+    :func:`near_dup_pairs_against` re-tokenizes and re-shuffles the full
+    corpus on every ingest batch. This class builds the corpus side ONCE
+    and saves it as a Spark BUCKETED table (``bucketBy(shingle)`` +
+    ``sortBy``), so every subsequent batch joins against it with NO
+    exchange on the corpus side: the bucketed file scan satisfies the
+    join's distribution requirement, and only the (small) new-batch
+    shingle table shuffles to match the bucket layout
+    (``SelectedBucketsCount`` / absence of a corpus-side
+    ``ShuffleExchange`` is pinned by test_pipeline_ops). Per-doc set
+    sizes are precomputed at build time — the Jaccard denominator never
+    touches the big table again.
+
+    Same exact-Jaccard semantics as :func:`near_dup_pairs_against`
+    (shared math: ``_cross_corpus_pairs``), including the ``max_df``
+    candidate-discovery guard — whose hot-shingle doc-frequency
+    aggregate also rides the bucket layout (groupBy on the bucket
+    column needs no exchange).
+    """
+
+    def __init__(self, inv: DataFrame, sizes: DataFrame, n: int):
+        self.inv = inv
+        self.sizes = sizes
+        self.n = n
+
+    @classmethod
+    def build(
+        cls,
+        corpus_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+    ) -> "NearDupIndex":
+        inv = _shingle_index(corpus_df, text_col, id_col, n)
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        return cls(inv, sizes, n)
+
+    def save(
+        self, path: str, buckets: int = 64, mode: str = "errorifexists"
+    ) -> "NearDupIndex":
+        """Write the index under ``path``: the inverted index as a
+        BUCKETED external table (parquet files at ``path/inv`` plus a
+        catalog entry named after the path), sizes and meta as plain
+        parquet. Returns the reloaded table-backed index so subsequent
+        joins use the bucket layout.
+
+        Bucketing needs a catalog entry (plain parquet files carry no
+        bucket spec), but the default session catalog is in-memory —
+        :meth:`load` therefore re-registers the external table from
+        ``path`` when a fresh session doesn't know it, so the index
+        survives across sessions/clusters like any warehouse table."""
+        spark = self.inv.sparkSession
+        name = self._table_name(path)
+        if mode == "overwrite":
+            # saveAsTable(overwrite) on an existing external table keeps
+            # the OLD bucket spec; drop first so `buckets` takes effect
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            self.inv.write.mode(mode)
+            .option("path", f"{path}/inv")
+            .bucketBy(buckets, "shingle")
+            .sortBy("shingle")
+            .saveAsTable(name)
+        )
+        self.sizes.write.mode(mode).parquet(f"{path}/sizes")
+        spark.createDataFrame(
+            [(int(self.n), int(buckets))], "n int, buckets int"
+        ).write.mode(mode).parquet(f"{path}/meta")
+        return NearDupIndex.load(spark, path)
+
+    @staticmethod
+    def _table_name(path: str) -> str:
+        import re as _re
+
+        return "neardup_idx_" + _re.sub(r"[^A-Za-z0-9]+", "_", path).strip("_").lower()
+
+    @classmethod
+    def load(cls, spark, path: str) -> "NearDupIndex":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        name = cls._table_name(path)
+        if not spark.catalog.tableExists(name):
+            # fresh session: re-register the bucketed external table.
+            # The files were written by a bucketed writer (bucket id is
+            # encoded in the file names), so an identical CLUSTERED BY
+            # spec restores the exchange-free join property.
+            schema = spark.read.parquet(f"{path}/inv").schema
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (shingle) SORTED BY (shingle) "
+                f"INTO {int(meta['buckets'])} BUCKETS LOCATION '{path}/inv'"
+            )
+        return cls(
+            spark.table(name), spark.read.parquet(f"{path}/sizes"), int(meta["n"])
+        )
+
+    def pairs_against(
+        self,
+        new_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+        max_df: float | None = None,
+    ) -> DataFrame:
+        """(new_id, corpus_id, jaccard) for every new-batch/corpus pair
+        at or above ``threshold`` — :func:`near_dup_pairs_against`
+        against the persisted index."""
+        from pyspark.storagelevel import StorageLevel
+
+        new_inv = _shingle_index(new_df, text_col, id_col, self.n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # the corpus side is NOT persisted: it is a materialized bucketed
+        # table — re-reading it is a columnar scan, and caching it would
+        # discard the bucket distribution AQE uses to elide the exchange
+        return _cross_corpus_pairs(
+            new_inv, self.inv, threshold, max_df, [new_inv], corp_sizes=self.sizes
+        )
+
+    def dedup(
+        self,
+        new_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+        max_df: float | None = None,
+    ) -> DataFrame:
+        """New-batch rows with no near-duplicate in the indexed corpus
+        (the :func:`dedup_near_against` shape over the index)."""
+        flagged = (
+            self.pairs_against(new_df, text_col, id_col, threshold, max_df)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        return new_df.join(F.broadcast(flagged), id_col, "left_anti")
 
 
 # ---------------------------------------------------------------- minhash + lsh

