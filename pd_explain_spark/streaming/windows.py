@@ -306,3 +306,162 @@ def stream_interval_join(
     )
     out = lf.join(rf, cond, "inner")
     return out.drop(*[rf[rmap[k]] for k in keys])
+
+
+# ---------------------------------------------------------------- near-dup flags
+def _duration_ms(s: str) -> int:
+    """'2 hours' / '30 minutes' / '10 seconds' / '1 day' -> milliseconds."""
+    num, unit = s.strip().split()
+    mult = {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit.lower()]
+    return int(float(num) * mult)
+
+
+def minhash_band_keys(
+    text_col, n: int = 3, num_hashes: int = 16, bands: int = 4
+):
+    """Expression-only MinHash+LSH band keys:
+    ``array<struct<band int, bucket bigint>>`` per document.
+
+    Bit-identical to the batch pipeline (``dedup.minhash_signatures`` →
+    ``minhash_lsh_candidates``): slot i = min over distinct shingles of
+    ``xxhash64(shingle, i)``; bucket = ``xxhash64`` over the band's
+    slots. The batch flavor computes slots with a groupBy over the
+    exploded shingle index (map-side-combining aggregate — the 100 TB
+    batch path); that aggregation would become a second STATEFUL
+    operator inside a streaming query, so here the min folds over the
+    per-row shingle array instead (interpreted higher-order function —
+    acceptable at micro-batch volume, wrong for a 100 TB backfill: use
+    the batch path for backfills). Returns an empty array for documents
+    with fewer than ``n`` tokens (no shingles → no buckets), matching
+    the batch pipeline which drops them from the index."""
+    from ..functions.dedup import shingles
+
+    sh = shingles(text_col, n)
+    rows_per_band = num_hashes // bands
+    slots = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*slots[b * rows_per_band : (b + 1) * rows_per_band]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return F.when(F.size(sh) > 0, F.array(*band_structs)).otherwise(
+        F.array().cast("array<struct<band:int,bucket:bigint>>")
+    )
+
+
+def stream_near_dup_flags(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming NEAR-dup detection for a document ingest pipeline — the
+    LSH complement of :func:`stream_dedup_exact` (which only catches
+    byte-identical normalized text).
+
+    Emits one row per (document, LSH band): ``(band, bucket, doc_id, ts,
+    is_collision, first_id)`` where ``is_collision`` marks that an
+    earlier document already occupied this band bucket and ``first_id``
+    is that document. A document is a near-duplicate iff ANY of its
+    bands collides (the standard streaming-LSH drop rule — collapse with
+    :func:`near_dup_flag_summary`, e.g. inside ``foreachBatch``). This
+    matches the batch candidate rule exactly: the flagged set equals the
+    ``id_b`` side of ``dedup.minhash_lsh_candidates`` under
+    arrival-order ids (parity pinned by test_streaming).
+
+    State: ONE (first_id, first_ts) pair per occupied band bucket —
+    O(distinct buckets), not O(documents × signature); buckets idle
+    longer than ``watermark`` are evicted via event-time timeout, which
+    is what keeps continuous ingest feasible (the same bounded-state
+    property as ``dropDuplicatesWithinWatermark``). Within a micro-batch
+    arrivals are ordered by (ts, doc_id), so replays are deterministic.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms = _duration_ms(watermark)
+    out_schema = T.StructType(
+        [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("is_collision", T.BooleanType()),
+            T.StructField("first_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("first_id", T.LongType()), T.StructField("first_ts", T.LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = state.get if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(["ts", "doc_id"], kind="mergesort")
+        out = []
+        max_ts_ms = 0
+        for row in batch.itertuples(index=False):
+            ts_ms = int(pd.Timestamp(row.ts).value // 1_000_000)
+            max_ts_ms = max(max_ts_ms, ts_ms)
+            if first is None:
+                first = (int(row.doc_id), ts_ms)
+                out.append((key[0], key[1], int(row.doc_id), row.ts, False, int(row.doc_id)))
+            else:
+                out.append((key[0], key[1], int(row.doc_id), row.ts, True, first[0]))
+        state.update(first)
+        # evict when the watermark passes last-activity + ttl (must be
+        # strictly ahead of the current watermark to be accepted)
+        state.setTimeoutTimestamp(
+            max(max_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            out,
+            columns=["band", "bucket", "doc_id", "ts", "is_collision", "first_id"],
+        )
+
+    src = _with_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
+    banded = src.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        F.explode(minhash_band_keys(F.col(text_col), n, num_hashes, bands)).alias("bb"),
+    ).select("doc_id", "ts", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def near_dup_flag_summary(flags_df: DataFrame) -> DataFrame:
+    """Collapse :func:`stream_near_dup_flags` band rows to one row per
+    document: ``(doc_id, is_near_dup, matched_id)`` with ``matched_id``
+    the smallest colliding first-document id. Batch aggregation — run it
+    on a materialized flags table or inside ``foreachBatch`` (chaining a
+    second stateful aggregate behind applyInPandasWithState inside one
+    streaming query is exactly the multi-stateful-operator shape Spark
+    restricts)."""
+    return flags_df.groupBy("doc_id").agg(
+        F.max("is_collision").alias("is_near_dup"),
+        F.min(F.when(F.col("is_collision"), F.col("first_id"))).alias("matched_id"),
+    )

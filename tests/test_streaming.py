@@ -284,3 +284,63 @@ def test_stream_corpus_stats_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) >= 3  # 3 hourly windows x langs
+
+
+def test_stream_near_dup_flags_matches_batch_candidates(spark, tmp_path):
+    """Streaming LSH near-dup flags: the flagged doc set must equal the
+    id_b side of the BATCH MinHash+LSH candidate pairs (ids assigned in
+    arrival order), with state carried ACROSS micro-batches — the
+    near-dup of doc 0 arriving in a later file must still collide."""
+    import datetime as dt
+
+    from pd_explain_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from pd_explain_spark.streaming.windows import (
+        near_dup_flag_summary,
+        stream_near_dup_flags,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "home tonight before dawn breaks over the quiet sleeping town"
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [
+        (0, base, t0),
+        (1, base.replace("tonight", "today"), t0 + dt.timedelta(minutes=1)),
+        (2, "completely different text about spark structured streaming state stores and checkpoints working hard", t0 + dt.timedelta(minutes=2)),
+    ]
+    rows2 = [(3, base.replace("runs", "walks"), t0 + dt.timedelta(minutes=10))]
+    schema = "doc_id long, text string, ts timestamp"
+    src = str(tmp_path / "neardup_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    flags = stream_near_dup_flags(stream, watermark="2 hours")
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("neardup_flags")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("neardup_flags")
+    summary = {r["doc_id"]: r for r in near_dup_flag_summary(got).collect()}
+    assert set(summary) == {0, 1, 2, 3}  # every doc reports
+
+    batch_docs = spark.createDataFrame(rows1 + rows2, schema)
+    cands = minhash_lsh_candidates(
+        minhash_signatures(batch_docs, num_hashes=16), bands=4, rows_per_band=4
+    )
+    expect_flagged = {r["id_b"] for r in cands.collect()}
+    assert expect_flagged  # the planted near-dups must actually collide
+    assert {d for d, r in summary.items() if r["is_near_dup"]} == expect_flagged
+    # matched_id points at an earlier arrival
+    for d, r in summary.items():
+        if r["is_near_dup"]:
+            assert r["matched_id"] < d
+    assert not summary[2]["is_near_dup"]  # the distinct doc survives
