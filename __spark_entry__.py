@@ -3493,14 +3493,19 @@ def embedding_near_dups_exact_q(spark, sf_dir):
     is the 100 TB path — bucket join instead of O(n^2)). Both engines
     filter on the round-6 value and emit a SINGLE round of the raw
     similarity to 4 decimals (boundary hardening, see similarity_topk)."""
-    from pd_explain_spark.functions.similarity import cosine
+    from pd_explain_spark.functions.similarity import _dot, _norm
 
     e = (
         _t(spark, sf_dir, "embeddings")
         .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb"))
+        # norm once per VECTOR, not 2x per pair: per-pair work drops to a
+        # single HOF dot (65 s -> 21 s at sf0.1); sqrt(dot(v,v)) is the
+        # same double wherever it is evaluated, so the oracle (which
+        # writes the norms inline) hash-matches unchanged
+        .withColumn("n", _norm(F.col("emb")))
     )
     l, r = e.alias("l"), e.alias("r")
-    sim = cosine(F.col("l.emb"), F.col("r.emb"))
+    sim = _dot(F.col("l.emb"), F.col("r.emb")) / (F.col("l.n") * F.col("r.n"))
     return (
         l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
         .select(
