@@ -417,7 +417,10 @@ def stream_near_dup_flags(
             state.remove()
             return
         first = state.get if state.exists else None
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        if not chunks:  # pd.concat raises on an empty list
+            return
+        batch = pd.concat(chunks, ignore_index=True)
         if batch.empty:
             return
         batch = batch.sort_values(["ts", "doc_id"], kind="mergesort")
