@@ -4725,7 +4725,11 @@ _RECORD_FIRST = [
     # -- re-checks (first green in r05): one per operator family
     "topk_orders",                                    # relational
     "fedex_filter_kernel",                            # explainer kernels
-    "outlier_kernel", "metainsight_kernel",
+    "metainsight_kernel",
+    # never-checked: the bucketed-index flavor of the incremental
+    # near-dup join (takes the r05-green outlier_kernel re-check slot;
+    # the family keeps fedex_filter_kernel + metainsight_kernel)
+    "near_dup_index_bucketed",
     "many_to_one_full_rules",  # never-checked: distributed mining path
     # dedup/text: the never-checked fuzzy-dedup and LM-score entries take
     # the slots of the r05-green shapley_kernel/minhash_near_dups_md5
