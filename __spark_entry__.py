@@ -2168,6 +2168,58 @@ def segment_dedup_docs(spark, sf_dir):
 
 
 @_q(
+    "span_dedup_docs",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), occ0 AS (
+         SELECT doc_id,
+                unnest([{'start': i - 1,
+                         'g': md5(array_to_string(t[i:i+7], ' '))}
+                        FOR i IN range(1, len(t) - 8 + 2)]) AS s
+         FROM toks WHERE len(t) >= 8
+       ), occ AS (
+         SELECT doc_id, s.start AS start, s.g AS g FROM occ0
+       ), dup AS (
+         SELECT g FROM occ GROUP BY g HAVING count(*) >= 2
+       ), covered AS (
+         SELECT DISTINCT o.doc_id, o.start + r.range AS pos
+         FROM occ o JOIN dup USING (g) CROSS JOIN range(8) r
+       ), tokpos AS (
+         SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+         FROM toks
+       ), kept AS (
+         SELECT tp.doc_id, tp.pos, tp.tok, c.pos IS NOT NULL AS cov
+         FROM tokpos tp
+         LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+       ), agged AS (
+         SELECT doc_id,
+                string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY pos) AS text,
+                count(*)::BIGINT AS n_tokens,
+                sum(CASE WHEN cov THEN 1 ELSE 0 END)::BIGINT AS n_removed
+         FROM kept GROUP BY doc_id
+       )
+       SELECT d.doc_id,
+              coalesce(a.text, '') AS text,
+              coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+              coalesce(a.n_removed, 0)::BIGINT AS n_removed
+       FROM documents d LEFT JOIN agged a USING (doc_id)""",
+)
+def span_dedup_docs(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee et al. 2022 ExactSubstr —
+    functions/segments.py span_dedup): every token covered by an 8-token
+    span occurring >= 2 times corpus-wide is removed, survivors
+    reassembled in order. Fully integer/string arithmetic — md5 span
+    hashes and position sets reproduce exactly in DuckDB, including the
+    within-document repetition case."""
+    from pd_explain_spark.functions.segments import span_dedup
+
+    return span_dedup(_t(spark, sf_dir, "documents"), n=8, min_count=2)
+
+
+@_q(
     "chunk_documents_overlap",
     """WITH base AS (
          SELECT doc_id,
@@ -4724,8 +4776,11 @@ _RECORD_FIRST = [
     "fedex_groupby_explain_text", "metainsight_explain_text",
     # -- re-checks (first green in r05): one per operator family
     "topk_orders",                                    # relational
-    "fedex_filter_kernel",                            # explainer kernels
-    "metainsight_kernel",
+    "metainsight_kernel",                             # explainer kernels
+    # never-checked: span-level ExactSubstr dedup (takes the r05-green
+    # fedex_filter_kernel re-check slot; metainsight_kernel keeps the
+    # kernel family represented)
+    "span_dedup_docs",
     # never-checked: the bucketed-index flavor of the incremental
     # near-dup join (takes the r05-green outlier_kernel re-check slot;
     # the family keeps fedex_filter_kernel + metainsight_kernel)

@@ -37,7 +37,8 @@ from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
 from .functions.contamination import contamination_pairs, decontaminate
 from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
                                   tf_idf, top_terms_per_doc)
-from .functions.segments import chunk_documents, segment_dedup, segment_frequencies
+from .functions.segments import (chunk_documents, segment_dedup,
+                                 segment_frequencies, span_dedup)
 from .functions.similarity import (IvfIndex, ivf_build, ivf_build_fixed,
                                    ivf_query, semantic_dedup,
                                    semantic_dedup_pairs)
@@ -107,6 +108,7 @@ __all__ = [
     "assert_scalable",
     # round-5 segment surface
     "segment_dedup",
+    "span_dedup",
     "segment_frequencies",
     "chunk_documents",
     "contamination_pairs",

@@ -1167,3 +1167,28 @@ def test_neardup_index_bucketed_parity_and_plan(spark, tmp_path):
     assert sorted(r["doc_id"] for r in idx2.dedup(new, threshold=0.2).collect()) == sorted(
         r["doc_id"] for r in dedup_near_against(new, corp, threshold=0.2).collect()
     )
+
+
+# ---------------------------------------------------------------- span dedup
+def test_span_dedup_exact_substring_semantics(spark):
+    """Lee et al. ExactSubstr semantics: a 6-token span shared by two
+    docs is cut from BOTH; within-doc repetition is also cut; untouched
+    and zero-token docs keep their rows."""
+    from pd_explain_spark.functions.segments import span_dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta THE COMMON SPAN OF SIX TOKENS tail one"),
+        (2, "different head words here THE COMMON SPAN OF SIX TOKENS and more trailing text"),
+        (3, "x y z x y z x y z x y z"),
+        (4, "totally unique document with no duplicated spans anywhere at all"),
+        (5, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(docs, n=6, min_count=2).collect()}
+    assert out[1]["text"] == "alpha beta gamma delta epsilon zeta tail one"
+    assert out[2]["text"] == "different head words here and more trailing text"
+    assert (out[1]["n_removed"], out[2]["n_removed"]) == (6, 6)
+    # "x y z" x4: spans of 6 repeat at starts 0/3/6 -> every token covered
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 12
+    assert out[4]["n_removed"] == 0 and out[4]["n_tokens"] == 10
+    assert out[5]["text"] == "" and out[5]["n_tokens"] == 0  # row conserved
