@@ -3106,6 +3106,60 @@ def lm_score_docs_q(spark, sf_dir):
     return unigram_lm_scores(_t(spark, sf_dir, "documents"), min_count=2)
 
 
+@_q(
+    "lm2_score_docs",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), pairs0 AS (
+         SELECT doc_id,
+                unnest([{'prev': CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END,
+                         'w': t[i]} FOR i IN range(1, len(t) + 1)]) AS s
+         FROM toks WHERE len(t) > 0
+       ), p2 AS (
+         SELECT doc_id, s.prev AS prev, s.w AS w FROM pairs0
+       ), dpw AS (
+         SELECT doc_id, prev, w, count(*)::BIGINT AS m FROM p2 GROUP BY 1, 2, 3
+       ), c2 AS (
+         SELECT prev, w, count(*)::BIGINT AS c2 FROM p2 GROUP BY 1, 2
+       ), c1p AS (
+         SELECT prev, count(*)::BIGINT AS cp FROM p2 GROUP BY 1
+       ), c1w AS (
+         SELECT w, count(*)::BIGINT AS c FROM p2 GROUP BY 1
+       ), tot AS (
+         SELECT count(*)::BIGINT AS n FROM p2
+       ), scored AS (
+         SELECT d.doc_id,
+                sum(d.m)::BIGINT AS n_tokens,
+                round(-(sum(d.m * ln(0.5 * coalesce(c2.c2 / c1p.cp, 0)
+                                     + 0.5 * (c1w.c / t.n)))) / sum(d.m), 4) AS lm2_score
+         FROM dpw d
+         JOIN c2 USING (prev, w)
+         JOIN c1p USING (prev)
+         JOIN c1w USING (w)
+         CROSS JOIN tot t
+         GROUP BY d.doc_id
+       )
+       SELECT doc.doc_id,
+              coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+              0::BIGINT AS n_oov,
+              s.lm2_score
+       FROM documents doc LEFT JOIN scored s USING (doc_id)""",
+)
+def lm2_score_docs_q(spark, sf_dir):
+    """Interpolated BIGRAM LM scores (functions/text.py
+    bigram_lm_scores, Jelinek-Mercer alpha=0.5, <s> sentinel): mean
+    token surprisal under the in-corpus bigram model — sees word-order
+    anomalies the unigram entry cannot. Self-referenced, so n_oov is
+    structurally zero (mirrored as a literal in the oracle); every
+    probability is one IEEE expression over exact integer counts."""
+    from pd_explain_spark.functions.text import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
 def minhash_near_dups_q(spark, sf_dir):
     from pd_explain_spark.functions.dedup import minhash_near_duplicates
 
@@ -4774,6 +4828,8 @@ _RECORD_FIRST = [
     "fedex_filter_explain_text", "fedex_join_explain_text",
     "shapley_join_explain_text", "outlier_explain_text",
     "fedex_groupby_explain_text", "metainsight_explain_text",
+    # r7 rotation note: lm2_score_docs (added late in r6) is the ONE
+    # oracle entry without driver evidence — rotate it in next round.
     # -- re-checks (first green in r05): one per operator family
     "topk_orders",                                    # relational
     "metainsight_kernel",                             # explainer kernels

@@ -42,9 +42,9 @@ from .functions.segments import (chunk_documents, segment_dedup,
 from .functions.similarity import (IvfIndex, ivf_build, ivf_build_fixed,
                                    ivf_query, semantic_dedup,
                                    semantic_dedup_pairs)
-from .functions.text import (corpus_stats, curation_pipeline, ingest_pipeline,
-                             repetition_signals, stream_corpus_stats,
-                             unigram_lm_scores)
+from .functions.text import (bigram_lm_scores, corpus_stats, curation_pipeline,
+                             ingest_pipeline, repetition_signals,
+                             stream_corpus_stats, unigram_lm_scores)
 from .session import get_spark
 from .sources.readers import load_table, read_csv, read_json, read_parquet, to_explainable
 
@@ -120,6 +120,7 @@ __all__ = [
     "edit_distance_pairs",
     "fuzzy_dedup",
     "unigram_lm_scores",
+    "bigram_lm_scores",
     "NearDupIndex",
     "bm25_scores",
     "build_vocabulary",

@@ -523,3 +523,114 @@ def unigram_lm_scores(
             "lm_score",
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Interpolated BIGRAM language-model scores — the n-gram step up
+    from :func:`unigram_lm_scores` toward CCNet's 5-gram KenLM filter.
+
+    Model (Jelinek-Mercer smoothing):
+        p(w | prev) = alpha * c(prev, w)/c(prev)  +  (1-alpha) * c(w)/N
+    with a ``<s>`` sentinel as ``prev`` for each document's first token
+    (so position 1 is conditioned on "document start", the standard
+    n-gram convention; c(<s>) = number of non-empty reference docs).
+    Score = mean over token positions of -ln p — low for text whose
+    local transitions match the reference corpus, high for shuffled or
+    alien word order that unigram statistics cannot see.
+
+    Tokens unseen in the reference are counted in ``n_oov`` and excluded
+    from the mean; an unseen ``prev`` degrades gracefully to the pure
+    unigram backoff term. One row per input document (NULL score for
+    zero-token docs). Portability: every probability is one IEEE
+    expression over exact integer counts, summed per document — the
+    same determinism envelope as the unigram flavor.
+
+    Scale shape: pair extraction is a scan-stage expression; bigram /
+    unigram / context counts are three map-side-combining aggregates;
+    the per-doc pair table joins them keyed on (prev, w) / prev / w —
+    1:1 per distinct doc-pair, no fan-out — then one doc-keyed
+    aggregate folds the mean.
+    """
+    ref = reference if reference is not None else df
+
+    def _pairs(frame, keep_id: bool):
+        # materialize the token array behind a repartition barrier BEFORE
+        # the pair lambda runs: the lambda references the array twice
+        # (element + its predecessor), and without the barrier projection
+        # collapse inlines the tokenization into every element —
+        # O(tokens^2) per doc, interpreted (same trap _shingle_index
+        # documents)
+        from .dedup import _fan_out
+
+        cols = [F.col(id_col)] if keep_id else []
+        base = _fan_out(
+            frame.select(
+                *cols, tokens(normalized_text(F.col(text_col))).alias("__t")
+            )
+        )
+        t = F.col("__t")
+        pair_structs = F.transform(
+            t,
+            lambda w, i: F.struct(
+                F.when(i == F.lit(0), F.lit("<s>"))
+                .otherwise(F.element_at(t, i))  # 1-based: index i = previous token
+                .alias("prev"),
+                w.alias("w"),
+            ),
+        )
+        return base.select(
+            *([id_col] if keep_id else []), F.explode(pair_structs).alias("s")
+        ).select(
+            *([id_col] if keep_id else []),
+            F.col("s.prev").alias("prev"),
+            F.col("s.w").alias("w"),
+        )
+
+    base_pairs = _pairs(df, keep_id=True)
+    ref_pairs = (
+        base_pairs.select("prev", "w") if ref is df else _pairs(ref, keep_id=False)
+    )
+    c2 = ref_pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    c1w = ref_pairs.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    c1p = ref_pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    tot = ref_pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+
+    dpw = base_pairs.groupBy(id_col, "prev", "w").agg(F.count(F.lit(1)).alias("m"))
+    j = (
+        dpw.join(c2, ["prev", "w"], "left")
+        .join(c1p, "prev", "left")
+        .join(c1w, "w", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    in_vocab = F.col("c").isNotNull()
+    p = F.lit(float(alpha)) * F.coalesce(
+        F.col("c2") / F.col("cp"), F.lit(0.0)
+    ) + F.lit(1.0 - float(alpha)) * (F.col("c") / F.col("n_total"))
+    scored = j.groupBy(id_col).agg(
+        F.sum("m").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(~in_vocab, F.col("m"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(
+            -F.sum(F.when(in_vocab, F.col("m") * F.log(p)))
+            / F.sum(F.when(in_vocab, F.col("m"))),
+            round_to,
+        ).alias("lm2_score"),
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            "lm2_score",
+        )
+    )

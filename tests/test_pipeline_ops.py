@@ -1192,3 +1192,34 @@ def test_span_dedup_exact_substring_semantics(spark):
     assert out[3]["text"] == "" and out[3]["n_removed"] == 12
     assert out[4]["n_removed"] == 0 and out[4]["n_tokens"] == 10
     assert out[5]["text"] == "" and out[5]["n_tokens"] == 0  # row conserved
+
+
+def test_bigram_lm_scores_known_values(spark):
+    """Hand-computed interpolated bigram surprisals with the <s>
+    sentinel: corpus {doc1: 'a b a b', doc2: 'b a'} gives pair counts
+    c2={(<s>,a):1,(a,b):2,(b,a):2,(<s>,b):1}, prev counts
+    {<s>:2,a:2,b:2}, unigram {a:3,b:3}, N=6."""
+    import math
+
+    from pd_explain_spark.functions.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, " ")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs, alpha=0.5).collect()}
+    ln = math.log
+    p_sa = 0.5 * (1 / 2) + 0.5 * (3 / 6)   # (<s>, a)
+    p_ab = 0.5 * (2 / 2) + 0.5 * (3 / 6)   # (a, b)
+    p_ba = 0.5 * (2 / 2) + 0.5 * (3 / 6)   # (b, a)
+    p_sb = 0.5 * (1 / 2) + 0.5 * (3 / 6)   # (<s>, b)
+    assert out[1]["lm2_score"] == round(-(ln(p_sa) + 2 * ln(p_ab) + ln(p_ba)) / 4, 4)
+    assert out[2]["lm2_score"] == round(-(ln(p_sb) + ln(p_ba)) / 2, 4)
+    assert out[3]["n_tokens"] == 0 and out[3]["lm2_score"] is None
+    # external reference: 'c' unseen -> OOV, excluded from the mean
+    ref = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    o2 = {r["doc_id"]: r for r in
+          bigram_lm_scores(spark.createDataFrame([(1, "a c")], "doc_id long, text string"),
+                           reference=ref, alpha=0.5).collect()}
+    assert o2[1]["n_oov"] == 1
+    # ref pairs: (<s>,a),(a,b); N=2; scoring 'a' after <s>: p = .5*(1/1)+.5*(1/2)
+    assert o2[1]["lm2_score"] == round(-math.log(0.5 * 1 + 0.5 * 0.5) / 1, 4)
