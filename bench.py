@@ -65,9 +65,23 @@ def _prev_timings() -> tuple[dict[str, float], str | None]:
             return dict(parsed["queries"]), name
         tail = d.get("tail")
         if isinstance(tail, str):
+            # the tail may be a truncated SUFFIX of our own JSON line, so
+            # it can contain the "vs_prev"/"regressions" objects whose
+            # per-query RATIOS would otherwise shadow the timings
+            # (duplicate names, dict-comprehension last-wins). Cut at the
+            # first post-queries marker and keep the FIRST occurrence of
+            # each name.
+            for marker in ('"vs_prev"', '"regressions"', '"n_entries"'):
+                tail = tail.split(marker)[0]
             pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', tail)
-            skip = {"value", "sf", "n_entries", "regression_count", "rc", "n", "cpus"}
-            out = {k: float(v) for k, v in pairs if k not in skip}
+            skip = {
+                "value", "sf", "n_entries", "regression_count", "rc", "n",
+                "cpus", "prev", "now", "ratio",
+            }
+            out: dict[str, float] = {}
+            for k, v in pairs:
+                if k not in skip and k not in out:
+                    out[k] = float(v)
             if out:
                 return out, name
     except Exception:

@@ -189,9 +189,12 @@ def ngram_jaccard_pairs(
     )
 
 
-def _df_pruned(inv: DataFrame, max_df: float) -> DataFrame:
-    """Drop shingles occurring in more than max_df of the docs (min cap 2)."""
-    n_docs = inv.select(F.countDistinct("id")).first()[0]
+def _df_pruned(inv: DataFrame, max_df: float, n_docs: int | None = None) -> DataFrame:
+    """Drop shingles occurring in more than max_df of the docs (min cap 2).
+    ``n_docs`` skips the countDistinct scan when the caller already knows
+    the document count (NearDupIndex precomputes per-doc sizes)."""
+    if n_docs is None:
+        n_docs = inv.select(F.countDistinct("id")).first()[0]
     cap = max(int(n_docs * max_df), 2)
     hot = (
         inv.groupBy("shingle")
@@ -302,6 +305,7 @@ def _cross_corpus_pairs(
     max_df: float | None,
     cached: list,
     corp_sizes: DataFrame | None = None,
+    corp_n_docs: int | None = None,
 ) -> DataFrame:
     """Shared cross-corpus Jaccard math over two (id, shingle) indexes —
     the body of :func:`near_dup_pairs_against`, also reused by
@@ -323,7 +327,9 @@ def _cross_corpus_pairs(
         # fan-out), exact verification on the full ones — the cross-corpus
         # analogue of _verify_pairs
         disc_a = _df_pruned(new_inv, max_df)
-        disc_b = _df_pruned(corp_inv, max_df)
+        # corp_n_docs (from the index's tiny sizes table) keeps the
+        # hot-shingle cap from re-scanning the big corpus index per batch
+        disc_b = _df_pruned(corp_inv, max_df, corp_n_docs)
         cands = (
             disc_a.alias("a")
             .join(disc_b.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
@@ -522,8 +528,10 @@ class NearDupIndex:
         # the corpus side is NOT persisted: it is a materialized bucketed
         # table — re-reading it is a columnar scan, and caching it would
         # discard the bucket distribution AQE uses to elide the exchange
+        corp_n_docs = self.sizes.count() if max_df is not None else None
         return _cross_corpus_pairs(
-            new_inv, self.inv, threshold, max_df, [new_inv], corp_sizes=self.sizes
+            new_inv, self.inv, threshold, max_df, [new_inv],
+            corp_sizes=self.sizes, corp_n_docs=corp_n_docs,
         )
 
     def dedup(

@@ -72,29 +72,30 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def _pil_features(payload: bytes, dim: int = 8) -> list[float]:
-    """Real image features via Pillow: dimensions, mode arity, and mean
-    channel intensities from a 32x32 thumbnail decode (bounded work per
-    row regardless of source resolution)."""
+    """Real image features via Pillow: SOURCE dimensions, mode arity,
+    and mean channel intensities from a 32x32 thumbnail decode (bounded
+    work per row regardless of source resolution). Null or non-decodable
+    payloads zero-fill instead of failing the stage — a corrupt row must
+    not kill a corpus-scale job."""
     import io
 
-    if payload is None:
+    if not payload:
         return [0.0] * dim
-    img = _PILImage.open(io.BytesIO(payload))
-    img.thumbnail((32, 32))
-    rgb = img.convert("RGB")
-    px = list(rgb.getdata())
+    try:
+        img = _PILImage.open(io.BytesIO(payload))
+        # capture source dimensions BEFORE thumbnail(): it resizes the
+        # image IN PLACE, so reading width/height afterwards would cap
+        # the dimension features at 32
+        src_w, src_h = float(img.width), float(img.height)
+        bands = float(len(img.getbands()))
+        img.thumbnail((32, 32))
+        px = list(img.convert("RGB").getdata())
+    except Exception:
+        return [0.0] * dim
     n = max(len(px), 1)
     means = [sum(c[i] for c in px) / n for i in range(3)]
-    feats = [
-        float(img.width),
-        float(img.height),
-        float(len(img.getbands())),
-        means[0],
-        means[1],
-        means[2],
-        float(max(means)),
-        float(min(means)),
-    ]
+    feats = [src_w, src_h, bands, means[0], means[1], means[2],
+             float(max(means)), float(min(means))]
     return feats[:dim] + [0.0] * max(0, dim - len(feats))
 
 
@@ -114,7 +115,21 @@ def extract_features(df: DataFrame, fake_decoder: bool = False, batch_dim: int =
             if fake_decoder:
                 feats = pdf["payload"].map(lambda p: _fake_features(p, batch_dim))
             elif HAS_PIL:
-                feats = pdf["payload"].map(lambda p: _pil_features(p, batch_dim))
+                # only image rows go through the PIL decoder — audio /
+                # video payloads are not images and would raise
+                # UnidentifiedImageError; they keep the deterministic
+                # byte-level features (resize_images filters kind
+                # JVM-side; this operator contracts one output row per
+                # input row, so it routes per-row instead)
+                feats = pd.Series(
+                    [
+                        _pil_features(p, batch_dim)
+                        if k == "image"
+                        else _fake_features(p, batch_dim)
+                        for k, p in zip(pdf["kind"], pdf["payload"])
+                    ],
+                    index=pdf.index,
+                )
             else:
                 raise NotImplementedError(
                     "media decoding requires Pillow, which is not present in "
@@ -154,10 +169,12 @@ def resize_images(
     exercises the schema, batch shape and partitioning for real.
     Non-image rows are filtered JVM-side before any Python runs."""
 
-    def _pil_resize(payload: bytes) -> bytes:
+    def _pil_resize(payload: bytes) -> bytes | None:
         import io
 
-        img = _PILImage.open(io.BytesIO(payload or b""))
+        if not payload:
+            return None  # no payload in, no payload out (nullable binary)
+        img = _PILImage.open(io.BytesIO(payload))
         out = io.BytesIO()
         img.resize((target_w, target_h)).save(out, format="PNG")
         return out.getvalue()

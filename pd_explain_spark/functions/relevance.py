@@ -141,7 +141,11 @@ def bm25_scores(
     # \b...\b); terms outside that shape fall back to an
     # array_contains over the normalized token split, which is still a
     # scan-stage expression.
-    word_terms = [t for t in terms if _re.fullmatch(r"\w+", t)]
+    # re.ASCII: Java regex \b is ASCII-word-boundary, but Python \w is
+    # unicode-aware by default — "café" fullmatches Python \w+ yet can
+    # never match Spark's \b...\b (é is not a Java word char). Routing
+    # must agree with the ENGINE that evaluates the boundary.
+    word_terms = [t for t in terms if _re.fullmatch(r"\w+", t, _re.ASCII)]
     odd_terms = [t for t in terms if t not in word_terms]
     conds = []
     if word_terms:
@@ -149,10 +153,13 @@ def bm25_scores(
         conds.append(F.lower(F.col(text_col)).rlike(pattern))
     for t in odd_terms:
         conds.append(F.array_contains(toks_expr, t))
-    cand_filter = conds[0]
-    for c in conds[1:]:
-        cand_filter = cand_filter | c
-    cand = df.filter(cand_filter)
+    if not conds:  # empty query: empty result, not IndexError
+        cand = df.filter(F.lit(False))
+    else:
+        cand_filter = conds[0]
+        for c in conds[1:]:
+            cand_filter = cand_filter | c
+        cand = df.filter(cand_filter)
     tf = (
         _token_table(cand, text_col, id_col)
         .filter(F.col("term").isin(terms))

@@ -310,15 +310,24 @@ def stream_interval_join(
 
 # ---------------------------------------------------------------- near-dup flags
 def _duration_ms(s: str) -> int:
-    """'2 hours' / '30 minutes' / '10 seconds' / '1 day' -> milliseconds."""
-    num, unit = s.strip().split()
+    """Spark CalendarInterval-style duration string -> milliseconds.
+    Handles every unit withWatermark accepts down to milliseconds and
+    multi-part strings like '1 hour 30 minutes'."""
     mult = {
-        "second": 1_000, "seconds": 1_000,
-        "minute": 60_000, "minutes": 60_000,
-        "hour": 3_600_000, "hours": 3_600_000,
-        "day": 86_400_000, "days": 86_400_000,
-    }[unit.lower()]
-    return int(float(num) * mult)
+        "microsecond": 0.001, "millisecond": 1,
+        "second": 1_000, "minute": 60_000, "hour": 3_600_000,
+        "day": 86_400_000, "week": 7 * 86_400_000,
+    }
+    parts = s.strip().split()
+    if len(parts) % 2 != 0 or not parts:
+        raise ValueError(f"unparseable duration: {s!r}")
+    total = 0.0
+    for num, unit in zip(parts[::2], parts[1::2]):
+        key = unit.lower().rstrip("s")
+        if key not in mult:
+            raise ValueError(f"unsupported duration unit {unit!r} in {s!r}")
+        total += float(num) * mult[key]
+    return int(total)
 
 
 def minhash_band_keys(

@@ -182,6 +182,26 @@ def test_multimodal_real_decode_with_pillow(spark):
     rrow = MM.resize_images(media, 8, 8, fake_decoder=False).collect()[0]
     rimg = PIL_Image.open(io.BytesIO(bytes(rrow["payload"])))
     assert rimg.size == (8, 8)
+    # SOURCE dimensions must survive for images LARGER than the 32px
+    # thumbnail (PIL.thumbnail mutates in place — regression guard)
+    buf2 = io.BytesIO()
+    PIL_Image.new("RGB", (64, 48), color=(5, 5, 5)).save(buf2, format="PNG")
+    big = spark.createDataFrame(
+        [(1, "image", buf2.getvalue(), "image/png", 64, 48, 0)], schema=MM.MEDIA_SCHEMA
+    )
+    brow = MM.extract_features(big, fake_decoder=False).collect()[0]
+    assert brow["feature"][:2] == [64.0, 48.0]
+    # non-image rows must NOT hit the PIL decoder: mixed media table
+    # keeps deterministic byte features for audio/video, and a null
+    # payload yields a null resized payload instead of a crash
+    mixed = MM.make_demo_media(spark, n=6)
+    feats = MM.extract_features(mixed, fake_decoder=False).collect()
+    assert len(feats) == mixed.count()
+    nullrow = spark.createDataFrame(
+        [(2, "image", None, "image/png", 0, 0, 0)], schema=MM.MEDIA_SCHEMA
+    )
+    nr = MM.resize_images(nullrow, 8, 8, fake_decoder=False).collect()[0]
+    assert nr["payload"] is None
 
 
 def test_frame_sampling_plan(spark):
@@ -1223,3 +1243,17 @@ def test_bigram_lm_scores_known_values(spark):
     assert o2[1]["n_oov"] == 1
     # ref pairs: (<s>,a),(a,b); N=2; scoring 'a' after <s>: p = .5*(1/1)+.5*(1/2)
     assert o2[1]["lm2_score"] == round(-math.log(0.5 * 1 + 0.5 * 0.5) / 1, 4)
+
+
+def test_bm25_empty_and_unicode_terms(spark):
+    """Empty query returns an empty frame (no IndexError); a unicode
+    term routes through array_contains, not the ASCII \\b prefilter."""
+    from pd_explain_spark.functions.relevance import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "der café ist gut"), (2, "no match here")],
+        "doc_id long, text string",
+    )
+    assert bm25_scores(docs, []).count() == 0
+    got = bm25_scores(docs, ["café"]).collect()
+    assert [r["id"] for r in got] == [1]  # output schema is (id, score)

@@ -344,3 +344,16 @@ def test_stream_near_dup_flags_matches_batch_candidates(spark, tmp_path):
         if r["is_near_dup"]:
             assert r["matched_id"] < d
     assert not summary[2]["is_near_dup"]  # the distinct doc survives
+
+
+def test_duration_ms_units():
+    from pd_explain_spark.streaming.windows import _duration_ms
+
+    assert _duration_ms("2 hours") == 7_200_000
+    assert _duration_ms("500 milliseconds") == 500
+    assert _duration_ms("1 week") == 604_800_000
+    assert _duration_ms("1 hour 30 minutes") == 5_400_000
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _duration_ms("3 fortnights")
