@@ -3553,6 +3553,70 @@ def semantic_dedup_survivors_q(spark, sf_dir):
 
 
 @_q(
+    "semantic_dedup_against_corpus",
+    """WITH cast_emb AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       ), corp AS (
+         SELECT * FROM cast_emb WHERE vec_id < 250
+       ), newb AS (
+         SELECT * FROM cast_emb WHERE vec_id >= 250
+       ), hashed AS (
+         SELECT vec_id, emb,
+                ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+         FROM corp
+       ), cent AS (
+         SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS bucket,
+                emb AS cemb
+         FROM hashed ORDER BY h, vec_id LIMIT 16
+       ), ac AS (
+         SELECT vec_id, emb, bucket FROM (
+           SELECT e.vec_id, e.emb, c.bucket,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_dot_product(e.emb, e.emb)
+                             - 2 * list_dot_product(e.emb, c.cemb)
+                             + list_dot_product(c.cemb, c.cemb),
+                             c.bucket
+                  ) AS pr
+           FROM corp e, cent c) WHERE pr = 1
+       ), an AS (
+         SELECT vec_id, emb, bucket FROM (
+           SELECT e.vec_id, e.emb, c.bucket,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_dot_product(e.emb, e.emb)
+                             - 2 * list_dot_product(e.emb, c.cemb)
+                             + list_dot_product(c.cemb, c.cemb),
+                             c.bucket
+                  ) AS pr
+           FROM newb e, cent c) WHERE pr = 1
+       ), pairs AS (
+         SELECT an.vec_id AS new_id, ac.vec_id AS corpus_id,
+                list_dot_product(an.emb, ac.emb)
+                  / (sqrt(list_dot_product(an.emb, an.emb))
+                     * sqrt(list_dot_product(ac.emb, ac.emb))) AS sim
+         FROM an JOIN ac USING (bucket)
+       )
+       SELECT new_id, corpus_id, round(sim, 4) AS cosine_sim
+       FROM pairs WHERE round(sim, 6) >= 0.45""",
+)
+def semantic_dedup_against_corpus_q(spark, sf_dir):
+    """Cross-corpus SemDeDup (functions/similarity.py
+    semantic_dedup_pairs_against): new batch (vec_id >= 250) vs corpus
+    (< 250) by within-bucket exact cosine, centroids md5-seeded from
+    the CORPUS side only so bucket boundaries stay stable as batches
+    arrive. The semantic member of the incremental-ingest dedup family
+    (exact: dedup_against_corpus; n-gram: near_dup_against_corpus)."""
+    from pd_explain_spark.functions.similarity import semantic_dedup_pairs_against
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs_against(
+        emb.filter("vec_id >= 250"), emb.filter("vec_id < 250"),
+        threshold=0.45, n_centroids=16, round_to=4,
+    )
+
+
+@_q(
     "embedding_centroid_dist",
     """WITH ex AS (
          SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding)::DOUBLE AS v
@@ -4828,8 +4892,9 @@ _RECORD_FIRST = [
     "fedex_filter_explain_text", "fedex_join_explain_text",
     "shapley_join_explain_text", "outlier_explain_text",
     "fedex_groupby_explain_text", "metainsight_explain_text",
-    # r7 rotation note: lm2_score_docs (added late in r6) is the ONE
-    # oracle entry without driver evidence — rotate it in next round.
+    # r7 rotation note: lm2_score_docs and semantic_dedup_against_corpus
+    # (added late in r6) are the TWO oracle entries without driver
+    # evidence — rotate them in next round.
     # -- re-checks (first green in r05): one per operator family
     "topk_orders",                                    # relational
     "metainsight_kernel",                             # explainer kernels

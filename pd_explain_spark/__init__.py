@@ -41,7 +41,9 @@ from .functions.segments import (chunk_documents, segment_dedup,
                                  segment_frequencies, span_dedup)
 from .functions.similarity import (IvfIndex, ivf_build, ivf_build_fixed,
                                    ivf_query, semantic_dedup,
-                                   semantic_dedup_pairs)
+                                   semantic_dedup_against,
+                                   semantic_dedup_pairs,
+                                   semantic_dedup_pairs_against)
 from .functions.text import (bigram_lm_scores, corpus_stats, curation_pipeline,
                              ingest_pipeline, repetition_signals,
                              stream_corpus_stats, unigram_lm_scores)
@@ -117,6 +119,8 @@ __all__ = [
     # round-6 surface: SemDeDup, fuzzy dedup, unigram LM scoring
     "semantic_dedup",
     "semantic_dedup_pairs",
+    "semantic_dedup_against",
+    "semantic_dedup_pairs_against",
     "edit_distance_pairs",
     "fuzzy_dedup",
     "unigram_lm_scores",

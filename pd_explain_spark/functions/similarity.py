@@ -336,17 +336,21 @@ def ivf_build_fixed(
         (F.row_number().over(wb) - 1).cast("int").alias("bucket"),
         F.col("cv").alias("centroid"),
     )
-    wa = Window.partitionBy("neighbor_id").orderBy(
-        F.col("dist"), F.col("bucket")
-    )
-    assigned = (
+    return IvfIndex(assigned=_assign_buckets(c, cent_df), centroids=cent_df)
+
+
+def _assign_buckets(c: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Argmin centroid assignment: (neighbor_id, cv) x broadcast
+    centroids -> (neighbor_id, cv, bucket). One pass, per-vector
+    row_number window (partitioned by vector id — no skew)."""
+    wa = Window.partitionBy("neighbor_id").orderBy(F.col("dist"), F.col("bucket"))
+    return (
         c.crossJoin(F.broadcast(cent_df))
         .withColumn("dist", _sq_dist(F.col("cv"), F.col("centroid")))
         .withColumn("pr", F.row_number().over(wa))
         .filter(F.col("pr") == 1)
         .select("neighbor_id", "cv", "bucket")
     )
-    return IvfIndex(assigned=assigned, centroids=cent_df)
 
 
 class IvfIndex:
@@ -520,6 +524,84 @@ def semantic_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "anti")
+
+
+def semantic_dedup_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cross-corpus SemDeDup: (new_id, corpus_id, cosine_sim) for every
+    new-batch/corpus pair sharing a centroid bucket at or above
+    ``threshold`` — the semantic member of the incremental-ingest family
+    (exact: ``dedup.dedup_against``; n-gram: ``near_dup_pairs_against``;
+    embeddings: this). Centroids come from the CORPUS side only
+    (md5-seeded deterministic, :func:`ivf_build_fixed`), so bucket
+    boundaries are stable as batches arrive and the whole pipeline
+    hash-checks in DuckDB.
+
+    Scale shape: the corpus is assigned once per call (persist the
+    index via ``ivf_build_fixed(...).save`` for a real ingest loop);
+    the candidate join keys on bucket — work is
+    Σ(new_bucket × corpus_bucket), never new × corpus — and norms are
+    precomputed per vector, so per-pair work is a single fold dot.
+    Same recall caveat as in-corpus SemDeDup: a true pair split across
+    buckets is missed; ``n_centroids`` is the recall/cost knob.
+    """
+    index = ivf_build_fixed(corpus_df, id_col, vec_col, n_centroids)
+    corp = index.assigned.withColumn("n", _norm(F.col("cv")))
+    new = _assign_buckets(
+        new_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        index.centroids,
+    ).withColumn("n", _norm(F.col("cv")))
+    a = new.select(
+        F.col("neighbor_id").alias("new_id"), "bucket",
+        F.col("cv").alias("va"), F.col("n").alias("na"),
+    )
+    b = corp.select(
+        F.col("neighbor_id").alias("corpus_id"), "bucket",
+        F.col("cv").alias("vb"), F.col("n").alias("nb"),
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "bucket")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(sim, 6).alias("__c6"),
+            F.round(sim, round_to).alias("cosine_sim"),
+        )
+        .filter(F.col("__c6") >= threshold)
+        .drop("__c6")
+    )
+
+
+def semantic_dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """New-batch rows with no semantic near-duplicate in the corpus:
+    the flagged new-id set (tiny) becomes a broadcast anti-join over the
+    batch — the ``dedup_near_against`` shape for embeddings."""
+    flagged = (
+        semantic_dedup_pairs_against(
+            new_df, corpus_df, id_col, vec_col, threshold, n_centroids
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(F.broadcast(flagged), id_col, "left_anti")
 
 
 def group_centroids(

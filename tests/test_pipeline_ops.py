@@ -1257,3 +1257,66 @@ def test_bm25_empty_and_unicode_terms(spark):
     assert bm25_scores(docs, []).count() == 0
     got = bm25_scores(docs, ["café"]).collect()
     assert [r["id"] for r in got] == [1]  # output schema is (id, score)
+
+
+def test_semantic_dedup_against_subset_of_exact(spark):
+    """Cross-corpus SemDeDup pairs = exactly the true cross-cosine
+    near-dup pairs whose members share a corpus-centroid bucket: no
+    false positives, and no within-bucket misses; the anti-join wrapper
+    removes exactly the flagged new rows."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.similarity import (
+        _assign_buckets,
+        cosine as _cos,
+        ivf_build_fixed,
+        semantic_dedup_against,
+        semantic_dedup_pairs_against,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    new, corp = emb.filter("vec_id >= 250"), emb.filter("vec_id < 250")
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in semantic_dedup_pairs_against(
+            new, corp, threshold=0.45, n_centroids=8
+        ).collect()
+    }
+    base = lambda d: d.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    exact = {
+        (r["new_id"], r["corpus_id"])
+        for r in base(new).alias("l")
+        .crossJoin(base(corp).alias("r"))
+        .select(
+            F.col("l.vec_id").alias("new_id"),
+            F.col("r.vec_id").alias("corpus_id"),
+            F.round(_cos(F.col("l.v"), F.col("r.v")), 6).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.45)
+        .collect()
+    }
+    idx = ivf_build_fixed(corp, n_centroids=8)
+    bucket_of = {
+        r["neighbor_id"]: r["bucket"]
+        for r in idx.assigned.select("neighbor_id", "bucket").collect()
+    }
+    bucket_of.update(
+        {
+            r["neighbor_id"]: r["bucket"]
+            for r in _assign_buckets(
+                new.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").cast("array<double>").alias("cv"),
+                ),
+                idx.centroids,
+            ).select("neighbor_id", "bucket").collect()
+        }
+    )
+    same_bucket = {p for p in exact if bucket_of[p[0]] == bucket_of[p[1]]}
+    assert got <= exact and got == same_bucket
+    flagged = {p[0] for p in got}
+    survivors = {r["vec_id"] for r in
+                 semantic_dedup_against(new, corp, threshold=0.45, n_centroids=8).collect()}
+    assert survivors == {r["vec_id"] for r in new.collect()} - flagged
