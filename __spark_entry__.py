@@ -3064,6 +3064,50 @@ def edit_distance_pairs_docs_q(spark, sf_dir):
 
 
 @_q(
+    "edit_distance_against_corpus",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), sh AS (
+         SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3
+       ), inv AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh
+       ), cand AS (
+         SELECT a.doc_id AS new_id, b.doc_id AS corpus_id
+         FROM inv a JOIN inv b ON a.shingle = b.shingle
+         WHERE a.doc_id >= 250 AND b.doc_id < 250
+         GROUP BY 1, 2
+       ), nt AS (
+         SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         FROM documents
+       )
+       SELECT c.new_id, c.corpus_id,
+              levenshtein(na.t, nb.t)::BIGINT AS edit_distance
+       FROM cand c
+       JOIN nt na ON na.doc_id = c.new_id
+       JOIN nt nb ON nb.doc_id = c.corpus_id
+       WHERE abs(len(na.t) - len(nb.t)) <= 40
+         AND levenshtein(na.t, nb.t) <= 40""",
+)
+def edit_distance_against_corpus_q(spark, sf_dir):
+    """Cross-corpus fuzzy pairs (functions/dedup.py
+    edit_distance_pairs_against): new batch (docs >= 250) vs corpus
+    (< 250), shared-shingle candidates verified by exact banded
+    Levenshtein at max_dist=40 — the edit-distance member of the
+    incremental-ingest dedup family."""
+    from pd_explain_spark.functions.dedup import edit_distance_pairs_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs_against(
+        docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"), max_dist=40
+    )
+
+
+@_q(
     "lm_score_docs",
     """WITH toks AS (
          SELECT doc_id,
@@ -4892,9 +4936,9 @@ _RECORD_FIRST = [
     "fedex_filter_explain_text", "fedex_join_explain_text",
     "shapley_join_explain_text", "outlier_explain_text",
     "fedex_groupby_explain_text", "metainsight_explain_text",
-    # r7 rotation note: lm2_score_docs and semantic_dedup_against_corpus
-    # (added late in r6) are the TWO oracle entries without driver
-    # evidence — rotate them in next round.
+    # r7 rotation note: lm2_score_docs, semantic_dedup_against_corpus and
+    # edit_distance_against_corpus (added late in r6) are the THREE
+    # oracle entries without driver evidence — rotate them in next round.
     # -- re-checks (first green in r05): one per operator family
     "topk_orders",                                    # relational
     "metainsight_kernel",                             # explainer kernels

@@ -28,7 +28,8 @@ from .config import GLOBALS, get_use_sampling_value, toggle_sampling
 from .llm.client import LlmSetupMethods
 from .functions.dedup import (NearDupIndex, dedup_against, dedup_near,
                               dedup_near_against, duplicate_components,
-                              edit_distance_pairs, fuzzy_dedup, keep_best,
+                              edit_distance_pairs, edit_distance_pairs_against,
+                              fuzzy_dedup, fuzzy_dedup_against, keep_best,
                               near_dup_pairs_against)
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
@@ -123,6 +124,8 @@ __all__ = [
     "semantic_dedup_pairs_against",
     "edit_distance_pairs",
     "fuzzy_dedup",
+    "edit_distance_pairs_against",
+    "fuzzy_dedup_against",
     "unigram_lm_scores",
     "bigram_lm_scores",
     "NearDupIndex",

@@ -927,6 +927,79 @@ def edit_distance_pairs(
     return _finalize_release(out, [inv])
 
 
+def edit_distance_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 20,
+    n: int = 3,
+    max_df: float | None = None,
+) -> DataFrame:
+    """Cross-corpus fuzzy pairs: (new_id, corpus_id, edit_distance) for
+    new-batch/corpus pairs within ``max_dist`` edits — the edit-distance
+    member of the incremental-ingest family (exact: ``dedup_against``;
+    n-gram: ``near_dup_pairs_against``; semantic:
+    ``similarity.semantic_dedup_pairs_against``). Candidates share >= 1
+    shingle across the two inverted indexes; verification is the exact
+    banded Levenshtein with the |len| lower-bound cut, as in
+    :func:`edit_distance_pairs`."""
+    from pyspark.storagelevel import StorageLevel
+
+    new_inv = _shingle_index(new_df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corp_inv = _shingle_index(corpus_df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    disc_a = _df_pruned(new_inv, max_df) if max_df is not None else new_inv
+    disc_b = _df_pruned(corp_inv, max_df) if max_df is not None else corp_inv
+    cands = (
+        disc_a.alias("a")
+        .join(disc_b.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id"))
+        .distinct()
+    )
+    tn = new_df.select(
+        F.col(id_col).alias("new_id"), normalized_text(F.col(text_col)).alias("__ta")
+    )
+    tc = corpus_df.select(
+        F.col(id_col).alias("corpus_id"), normalized_text(F.col(text_col)).alias("__tb")
+    )
+    out = (
+        cands.join(tn, "new_id")
+        .join(tc, "corpus_id")
+        .filter(F.abs(F.length("__ta") - F.length("__tb")) <= max_dist)
+        .withColumn("__d", F.levenshtein("__ta", "__tb", max_dist))
+        .filter(F.col("__d") >= 0)
+        .select(
+            "new_id", "corpus_id", F.col("__d").cast("bigint").alias("edit_distance")
+        )
+    )
+    return _finalize_release(out, [new_inv, corp_inv])
+
+
+def fuzzy_dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 20,
+    n: int = 3,
+    max_df: float | None = None,
+) -> DataFrame:
+    """New-batch rows with no fuzzy (edit-distance) duplicate in the
+    corpus: broadcast anti-join on the flagged new-id set."""
+    flagged = (
+        edit_distance_pairs_against(
+            new_df, corpus_df, text_col, id_col, max_dist, n, max_df
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
 def fuzzy_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -520,6 +520,10 @@ def semantic_dedup(
     comp = duplicate_components(pairs)
     if keep_by is not None:
         return keep_best(df, comp, keep_by, id_col)
+    # scale-audit note: this filter compares two COMPUTED columns of the
+    # component table (id vs propagated min-label) — structurally not
+    # pushable to any scan; an "unpushed filter" finding here is a
+    # false positive
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

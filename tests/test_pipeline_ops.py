@@ -1320,3 +1320,28 @@ def test_semantic_dedup_against_subset_of_exact(spark):
     survivors = {r["vec_id"] for r in
                  semantic_dedup_against(new, corp, threshold=0.45, n_centroids=8).collect()}
     assert survivors == {r["vec_id"] for r in new.collect()} - flagged
+
+
+def test_edit_distance_against_planted(spark):
+    """Cross-corpus fuzzy: the typo'd new doc pairs with its corpus
+    original at the true distance; unrelated docs don't pair; the
+    anti-join wrapper drops exactly the flagged new rows."""
+    from pd_explain_spark.functions.dedup import (
+        edit_distance_pairs_against,
+        fuzzy_dedup_against,
+    )
+
+    corp = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumped over the lazy dog tonight"),  # 2 edits
+            (11, "entirely unrelated content about query optimizers and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = edit_distance_pairs_against(new, corp, max_dist=10).collect()
+    assert [(r["new_id"], r["corpus_id"], r["edit_distance"]) for r in pairs] == [(10, 1, 2)]
+    assert sorted(r["doc_id"] for r in fuzzy_dedup_against(new, corp, max_dist=10).collect()) == [11]
