@@ -216,17 +216,24 @@ def embedding_near_duplicates(
     table is sum-of-squared-bucket-sizes, and the distinct() collapses
     multi-table duplicates before the (vector-carrying) verify join.
     """
+    from pyspark.storagelevel import StorageLevel
+
     first = df.select(F.size(vec_col)).first()
     dim = int(first[0])
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # persist: the self-join below references this frame on BOTH sides —
+    # without it the (n_tables x n_planes)-literal bucket expression (a
+    # ~100 KB plan subtree that alone costs seconds to analyze) is
+    # inlined and evaluated twice (same reason minhash_lsh_candidates
+    # persists its banded frame)
     hashed = base.select(
         "id",
         F.explode(
             _table_bucket_struct(F.col("v"), dim, n_planes, n_tables, seed)
         ).alias("tb"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l, r = hashed.alias("l"), hashed.alias("r")
     cand = (
         l.join(r, (F.col("l.tb") == F.col("r.tb")) & (F.col("l.id") < F.col("r.id")))
@@ -242,7 +249,7 @@ def embedding_near_duplicates(
     va = nb.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
     vb = nb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -254,6 +261,9 @@ def embedding_near_duplicates(
         .filter(F.col("__c6") >= threshold)
         .drop("__c6")
     )
+    from .dedup import _finalize_release
+
+    return _finalize_release(out, [hashed])
 
 
 def ivf_build(
