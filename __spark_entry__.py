@@ -3217,6 +3217,22 @@ def simhash_near_dups_q(spark, sf_dir):
 
 
 _QUERIES["minhash_near_dups"] = minhash_near_dups_q  # rows-only: xxhash64 seeds
+
+
+def bpe_merges_docs_q(spark, sf_dir):
+    """Distributed BPE vocabulary induction (functions/bpe.py train_bpe,
+    Sennrich et al. 2016): the learned merge table over the documents
+    corpus. Genuinely iterative (each round's argmax feeds the next), so
+    no single-statement SQL oracle exists — rows-only driver check;
+    correctness is pinned by the differential pytest against the paper's
+    pure-Python algorithm (test_train_bpe_matches_reference)."""
+    from pd_explain_spark.functions.bpe import train_bpe
+
+    merges, _ = train_bpe(_t(spark, sf_dir, "documents"), num_merges=10)
+    return merges
+
+
+_QUERIES["bpe_merges_docs"] = bpe_merges_docs_q  # rows-only: iterative algorithm
 _QUERIES["simhash_near_dups"] = simhash_near_dups_q  # rows-only: xxhash64 bit votes
 
 

@@ -45,6 +45,7 @@ from .functions.similarity import (IvfIndex, ivf_build, ivf_build_fixed,
                                    semantic_dedup_against,
                                    semantic_dedup_pairs,
                                    semantic_dedup_pairs_against)
+from .functions.bpe import bpe_encode, train_bpe
 from .functions.text import (bigram_lm_scores, corpus_stats, curation_pipeline,
                              ingest_pipeline, repetition_signals,
                              stream_corpus_stats, unigram_lm_scores)
@@ -128,6 +129,8 @@ __all__ = [
     "fuzzy_dedup_against",
     "unigram_lm_scores",
     "bigram_lm_scores",
+    "train_bpe",
+    "bpe_encode",
     "NearDupIndex",
     "bm25_scores",
     "build_vocabulary",

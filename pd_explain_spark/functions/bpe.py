@@ -1,0 +1,173 @@
+"""Distributed byte-pair-encoding vocabulary induction.
+
+Sennrich, Haddow & Birch 2016 ("Neural Machine Translation of Rare
+Words with Subword Units", arXiv:1508.07909): learn ``num_merges``
+subword merges by repeatedly fusing the most frequent adjacent symbol
+pair. No reference counterpart (the reference is a tabular explainer);
+this is the tokenizer-training stage of the training-data-pipeline
+extension surface, next to ``text.bpe_token_count`` (which only
+*estimates* token counts with the GPT-2 pre-tokenizer regex — this
+module actually LEARNS the vocabulary).
+
+Scale shape — the key fact is that BPE trains on the DISTINCT-WORD
+frequency table, not the corpus:
+
+  * the corpus is touched ONCE (tokenize -> word counts, one
+    map-side-combining shuffle); everything after runs on the vocabulary
+    table, which is bounded (a 100 TB web corpus has ~10^7 distinct
+    normalized words, kilobytes per row);
+  * each merge round is ONE map-combining aggregate over that table
+    (adjacent-pair counts weighted by word frequency) plus an O(1)
+    driver collect of the argmax pair — driver traffic per round is one
+    row, never the table;
+  * the symbol rewrite is an expression-level left fold per word
+    (greedy leftmost merge, the reference semantics); lineage is
+    truncated with localCheckpoint every ``checkpoint_every`` rounds so
+    round k's plan does not embed k nested folds;
+  * encoding does NOT replay merges: the trained word table already
+    holds each word's final segmentation, so ``bpe_encode`` is a
+    tokenize + join (broadcast-or-shuffle, Catalyst's choice) + explode
+    — the same "train once, apply by lookup" shape production
+    tokenizers use.
+
+The merge loop is a genuinely iterative algorithm (each round depends on
+the previous argmax), so there is no single-statement SQL oracle; the
+driver entry is rows-only and correctness is pinned by a differential
+pytest against a pure-Python reference BPE on planted corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized_text, tokens
+
+END = "</w>"
+
+
+def _word_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt, syms) — distinct normalized words with frequencies,
+    split into characters + the end-of-word marker."""
+    words = (
+        df.select(F.explode(tokens(normalized_text(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.filter(F.split(F.col("w"), ""), lambda x: x != F.lit(""))
+    return words.withColumn(
+        "syms", F.concat(chars, F.array(F.lit(END)))
+    )
+
+
+def _adjacent_pairs(syms):
+    """array<struct<a,b>> of adjacent symbol pairs (empty when < 2 symbols)."""
+    k = F.size(syms) - F.lit(1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("a"), F.element_at(syms, i + 1).alias("b")
+        ),
+    )
+    return F.when(k > 0, grams).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+
+
+def _merge_fold(syms, a: str, b: str):
+    """Greedy leftmost merge of adjacent (a, b) -> a||b, the reference
+    BPE rewrite: scan left to right, fuse when the accumulator's last
+    symbol is ``a`` and the incoming one is ``b`` (a freshly fused token
+    never re-fuses with the next symbol unless it literally equals
+    ``a`` again — 'aaa' under (a,a) becomes [aa, a])."""
+    la, lb = F.lit(a), F.lit(b)
+    merged = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, word_syms)``:
+      * ``merges`` — (rank, left, right, merged, pair_count): the merge
+        table in learned order (the tokenizer artifact);
+      * ``word_syms`` — (w, cnt, syms): every distinct word's final
+        segmentation, the lookup table :func:`bpe_encode` joins against.
+
+    Stops early when no remaining pair reaches ``min_pair_count``.
+    Ties break deterministically (highest count, then lexicographic
+    (left, right)), so the learned vocabulary is reproducible."""
+    wt = _word_table(df, text_col).localCheckpoint()
+    merges: list[tuple] = []
+    for r in range(num_merges):
+        top = (
+            wt.select(F.col("cnt"), F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        a, b, n = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["n"])
+        merges.append((r, a, b, a + b, n))
+        wt = wt.withColumn("syms", _merge_fold(F.col("syms"), a, b))
+        # truncate lineage: without this, round k's plan nests k folds
+        if (r + 1) % checkpoint_every == 0:
+            wt = wt.localCheckpoint()
+    spark = df.sparkSession
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    ) if merges else spark.createDataFrame(
+        [], "rank int, left string, right string, merged string, pair_count bigint"
+    )
+    return merges_df, wt.localCheckpoint()
+
+
+def bpe_encode(
+    df: DataFrame,
+    word_syms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a trained segmentation table:
+    (id, token, pos) — one row per subword token, in document order.
+
+    Tokenize once, join each word against its trained segmentation
+    (join strategy left to Catalyst — the word table broadcasts when it
+    fits), explode the subwords. Words unseen at training time fall
+    back to character + ``</w>`` segmentation (the classic OOV rule)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(normalized_text(F.col(text_col)))).alias("wpos", "w"),
+    )
+    seg = word_syms.select("w", F.col("syms").alias("__seg"))
+    chars = F.filter(F.split(F.col("w"), ""), lambda x: x != F.lit(""))
+    fallback = F.concat(chars, F.array(F.lit(END)))
+    return (
+        toks.join(seg, "w", "left")
+        .select(
+            id_col,
+            "wpos",
+            F.posexplode(F.coalesce(F.col("__seg"), fallback)).alias("spos", "token"),
+        )
+        .select(
+            id_col,
+            F.col("token"),
+            (F.col("wpos") * F.lit(100000) + F.col("spos")).alias("pos"),
+        )
+    )

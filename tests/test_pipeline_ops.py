@@ -1345,3 +1345,67 @@ def test_edit_distance_against_planted(spark):
     pairs = edit_distance_pairs_against(new, corp, max_dist=10).collect()
     assert [(r["new_id"], r["corpus_id"], r["edit_distance"]) for r in pairs] == [(10, 1, 2)]
     assert sorted(r["doc_id"] for r in fuzzy_dedup_against(new, corp, max_dist=10).collect()) == [11]
+
+
+# ---------------------------------------------------------------- BPE
+def _reference_bpe(word_counts, num_merges):
+    """Pure-Python Sennrich BPE (the paper's algorithm verbatim):
+    returns (merge list, final segmentation dict)."""
+    segs = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for w, cnt in word_counts.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + cnt
+        if not pairs:
+            break
+        best = max(pairs, key=lambda p: (pairs[p], [-ord(c) for c in p[0]], ))
+        # deterministic tie-break: max count, then lexicographically
+        # smallest (a, b) — mirror the Spark orderBy
+        bestn = max(pairs.values())
+        best = min(p for p, n in pairs.items() if n == bestn)
+        if bestn < 2:
+            break
+        a, b = best
+        merges.append((a, b, a + b, bestn))
+        for w in segs:
+            s, out = segs[w], []
+            for sym in s:
+                if out and out[-1] == a and sym == b:
+                    out[-1] = a + b
+                else:
+                    out.append(sym)
+            segs[w] = out
+    return merges, segs
+
+
+def test_train_bpe_matches_reference(spark):
+    """Differential: distributed BPE must learn the SAME merge sequence
+    and final segmentations as the pure-Python paper algorithm,
+    including greedy-leftmost rewrites ('aaaa') and tie-breaks."""
+    from pd_explain_spark.functions.bpe import bpe_encode, train_bpe
+
+    corpora = [
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3},
+        {"aaaa": 3, "aab": 2, "ba": 4},   # greedy-leftmost + ties
+    ]
+    for wc in corpora:
+        text = " ".join(w for w, c in wc.items() for _ in range(c))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        merges, wt = train_bpe(docs, num_merges=6)
+        got = [(r["left"], r["right"], r["merged"], r["pair_count"]) for r in merges.collect()]
+        exp_merges, exp_segs = _reference_bpe(wc, 6)
+        assert got == exp_merges, (wc, got, exp_merges)
+        got_segs = {r["w"]: list(r["syms"]) for r in wt.collect()}
+        assert got_segs == exp_segs
+    # encode: trained words use their segmentation, OOV falls back to chars
+    docs = spark.createDataFrame([(1, "low low newest")], "doc_id long, text string")
+    merges, wt = train_bpe(docs, num_merges=4)
+    enc = bpe_encode(
+        spark.createDataFrame([(7, "low zap")], "doc_id long, text string"), wt
+    )
+    toks = [r["token"] for r in enc.orderBy("pos").collect()]
+    seg_low = {r["w"]: list(r["syms"]) for r in wt.collect()}["low"]
+    assert toks == seg_low + ["z", "a", "p", "</w>"]
