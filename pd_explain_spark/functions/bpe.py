@@ -46,6 +46,14 @@ from .text import normalized_text, tokens
 END = "</w>"
 
 
+def _char_syms(w):
+    """Character + end-of-word-marker segmentation of a word column —
+    the BPE starting point and the OOV fallback (one definition, both
+    sites)."""
+    chars = F.filter(F.split(w, ""), lambda x: x != F.lit(""))
+    return F.concat(chars, F.array(F.lit(END)))
+
+
 def _word_table(df: DataFrame, text_col: str) -> DataFrame:
     """(word, cnt, syms) — distinct normalized words with frequencies,
     split into characters + the end-of-word marker."""
@@ -54,10 +62,7 @@ def _word_table(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    chars = F.filter(F.split(F.col("w"), ""), lambda x: x != F.lit(""))
-    return words.withColumn(
-        "syms", F.concat(chars, F.array(F.lit(END)))
-    )
+    return words.withColumn("syms", _char_syms(F.col("w")))
 
 
 def _adjacent_pairs(syms):
@@ -127,7 +132,8 @@ def train_bpe(
         merges.append((r, a, b, a + b, n))
         wt = wt.withColumn("syms", _merge_fold(F.col("syms"), a, b))
         # truncate lineage: without this, round k's plan nests k folds
-        if (r + 1) % checkpoint_every == 0:
+        # (checkpoint_every=0/None disables checkpointing entirely)
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
             wt = wt.localCheckpoint()
     spark = df.sparkSession
     merges_df = spark.createDataFrame(
@@ -156,18 +162,23 @@ def bpe_encode(
         F.posexplode(tokens(normalized_text(F.col(text_col)))).alias("wpos", "w"),
     )
     seg = word_syms.select("w", F.col("syms").alias("__seg"))
-    chars = F.filter(F.split(F.col("w"), ""), lambda x: x != F.lit(""))
-    fallback = F.concat(chars, F.array(F.lit(END)))
     return (
         toks.join(seg, "w", "left")
         .select(
             id_col,
             "wpos",
-            F.posexplode(F.coalesce(F.col("__seg"), fallback)).alias("spos", "token"),
+            F.posexplode(
+                F.coalesce(F.col("__seg"), _char_syms(F.col("w")))
+            ).alias("spos", "token"),
         )
         .select(
             id_col,
             F.col("token"),
-            (F.col("wpos") * F.lit(100000) + F.col("spos")).alias("pos"),
+            # BIGINT arithmetic: wpos is a 32-bit int from posexplode, so
+            # int math would overflow (wrap or, under ANSI, throw) at
+            # ~21k words/doc; the 1e9 subword stride is unreachable by
+            # any real token (a word of L chars has <= L+1 subwords)
+            (F.col("wpos").cast("long") * F.lit(1_000_000_000).cast("long")
+             + F.col("spos").cast("long")).alias("pos"),
         )
     )

@@ -205,6 +205,36 @@ def _df_pruned(inv: DataFrame, max_df: float, n_docs: int | None = None) -> Data
     return inv.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+def _flagged_anti_join(
+    new_df: DataFrame, flagged_ids: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared incremental-dedup tail: distinct flagged new-ids (tiny by
+    construction) broadcast into a left_anti join over the batch — one
+    definition for the exact/n-gram/fuzzy/semantic *_against wrappers so
+    a future change cannot drift between them."""
+    flagged = flagged_ids.distinct().withColumnRenamed(
+        flagged_ids.columns[0], id_col
+    )
+    return new_df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def _levenshtein_verify(
+    cands: DataFrame, ta: DataFrame, tb: DataFrame,
+    a_id: str, b_id: str, max_dist: int,
+) -> DataFrame:
+    """Shared fuzzy verify: join normalized texts onto the candidate
+    pairs, cut by the |len| lower bound, then the banded levenshtein
+    kernel. ``ta``/``tb`` are (id, __nt) frames keyed by ``a_id``/``b_id``."""
+    return (
+        cands.join(ta.select(F.col(a_id), F.col("__nt").alias("__ta")), a_id)
+        .join(tb.select(F.col(b_id), F.col("__nt").alias("__tb")), b_id)
+        .filter(F.abs(F.length("__ta") - F.length("__tb")) <= max_dist)
+        .withColumn("__d", F.levenshtein("__ta", "__tb", max_dist))
+        .filter(F.col("__d") >= 0)  # banded kernel returns -1 past the cap
+        .select(a_id, b_id, F.col("__d").cast("bigint").alias("edit_distance"))
+    )
+
+
 def _verify_pairs(
     cands: DataFrame, inv: DataFrame, threshold: float,
     _cache_registry: list | None = None,
@@ -397,14 +427,10 @@ def dedup_near_against(
 ) -> DataFrame:
     """New-batch rows with no near-duplicate in the corpus: the flagged
     new-id set (tiny) becomes a broadcast anti-join over the batch."""
-    flagged = (
-        near_dup_pairs_against(
-            new_df, corpus_df, text_col, id_col, n, threshold, max_df
-        )
-        .select(F.col("new_id").alias(id_col))
-        .distinct()
+    pairs = near_dup_pairs_against(
+        new_df, corpus_df, text_col, id_col, n, threshold, max_df
     )
-    return new_df.join(F.broadcast(flagged), id_col, "left_anti")
+    return _flagged_anti_join(new_df, pairs.select("new_id"), id_col)
 
 
 # ---------------------------------------------------------------- persisted index
@@ -914,16 +940,9 @@ def edit_distance_pairs(
     t = df.select(
         F.col(id_col).alias("id"), normalized_text(F.col(text_col)).alias("__nt")
     )
-    ta = t.select(F.col("id").alias("id_a"), F.col("__nt").alias("__ta"))
-    tb = t.select(F.col("id").alias("id_b"), F.col("__nt").alias("__tb"))
-    out = (
-        cands.join(ta, "id_a")
-        .join(tb, "id_b")
-        .filter(F.abs(F.length("__ta") - F.length("__tb")) <= max_dist)
-        .withColumn("__d", F.levenshtein("__ta", "__tb", max_dist))
-        .filter(F.col("__d") >= 0)  # banded kernel returns -1 past the cap
-        .select("id_a", "id_b", F.col("__d").cast("bigint").alias("edit_distance"))
-    )
+    ta = t.select(F.col("id").alias("id_a"), "__nt")
+    tb = t.select(F.col("id").alias("id_b"), "__nt")
+    out = _levenshtein_verify(cands, ta, tb, "id_a", "id_b", max_dist)
     return _finalize_release(out, [inv])
 
 
@@ -961,21 +980,12 @@ def edit_distance_pairs_against(
         .distinct()
     )
     tn = new_df.select(
-        F.col(id_col).alias("new_id"), normalized_text(F.col(text_col)).alias("__ta")
+        F.col(id_col).alias("new_id"), normalized_text(F.col(text_col)).alias("__nt")
     )
     tc = corpus_df.select(
-        F.col(id_col).alias("corpus_id"), normalized_text(F.col(text_col)).alias("__tb")
+        F.col(id_col).alias("corpus_id"), normalized_text(F.col(text_col)).alias("__nt")
     )
-    out = (
-        cands.join(tn, "new_id")
-        .join(tc, "corpus_id")
-        .filter(F.abs(F.length("__ta") - F.length("__tb")) <= max_dist)
-        .withColumn("__d", F.levenshtein("__ta", "__tb", max_dist))
-        .filter(F.col("__d") >= 0)
-        .select(
-            "new_id", "corpus_id", F.col("__d").cast("bigint").alias("edit_distance")
-        )
-    )
+    out = _levenshtein_verify(cands, tn, tc, "new_id", "corpus_id", max_dist)
     return _finalize_release(out, [new_inv, corp_inv])
 
 
@@ -990,14 +1000,10 @@ def fuzzy_dedup_against(
 ) -> DataFrame:
     """New-batch rows with no fuzzy (edit-distance) duplicate in the
     corpus: broadcast anti-join on the flagged new-id set."""
-    flagged = (
-        edit_distance_pairs_against(
-            new_df, corpus_df, text_col, id_col, max_dist, n, max_df
-        )
-        .select(F.col("new_id").alias(id_col))
-        .distinct()
+    pairs = edit_distance_pairs_against(
+        new_df, corpus_df, text_col, id_col, max_dist, n, max_df
     )
-    return new_df.join(F.broadcast(flagged), id_col, "left_anti")
+    return _flagged_anti_join(new_df, pairs.select("new_id"), id_col)
 
 
 def fuzzy_dedup(

@@ -566,14 +566,32 @@ def semantic_dedup_pairs_against(
     Same recall caveat as in-corpus SemDeDup: a true pair split across
     buckets is missed; ``n_centroids`` is the recall/cost knob.
     """
-    index = ivf_build_fixed(corpus_df, id_col, vec_col, n_centroids)
-    corp = index.assigned.withColumn("n", _norm(F.col("cv")))
+    # materialize the <= n_centroids centroid rows ONCE: both sides'
+    # _assign_buckets broadcast the centroid frame, and without this the
+    # seed subtree (full corpus scan + per-row md5 + TakeOrdered) would
+    # re-execute per broadcast — the double-evaluation class the LSH
+    # near-dup persist fix addressed. Python-float roundtrip is IEEE
+    # exact, so the oracle's inline seed pick still matches bitwise.
+    cent_rows = ivf_build_fixed(
+        corpus_df, id_col, vec_col, n_centroids
+    ).centroids.collect()
+    cent_df = corpus_df.sparkSession.createDataFrame(
+        [(int(r["bucket"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
+        "bucket int, centroid array<double>",
+    )
+    corp = _assign_buckets(
+        corpus_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ),
+        cent_df,
+    ).withColumn("n", _norm(F.col("cv")))
     new = _assign_buckets(
         new_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         ),
-        index.centroids,
+        cent_df,
     ).withColumn("n", _norm(F.col("cv")))
     a = new.select(
         F.col("neighbor_id").alias("new_id"), "bucket",
@@ -608,14 +626,12 @@ def semantic_dedup_against(
     """New-batch rows with no semantic near-duplicate in the corpus:
     the flagged new-id set (tiny) becomes a broadcast anti-join over the
     batch — the ``dedup_near_against`` shape for embeddings."""
-    flagged = (
-        semantic_dedup_pairs_against(
-            new_df, corpus_df, id_col, vec_col, threshold, n_centroids
-        )
-        .select(F.col("new_id").alias(id_col))
-        .distinct()
+    from .dedup import _flagged_anti_join
+
+    pairs = semantic_dedup_pairs_against(
+        new_df, corpus_df, id_col, vec_col, threshold, n_centroids
     )
-    return new_df.join(F.broadcast(flagged), id_col, "left_anti")
+    return _flagged_anti_join(new_df, pairs.select("new_id"), id_col)
 
 
 def group_centroids(

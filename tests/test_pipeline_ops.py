@@ -1361,7 +1361,6 @@ def _reference_bpe(word_counts, num_merges):
                 pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + cnt
         if not pairs:
             break
-        best = max(pairs, key=lambda p: (pairs[p], [-ord(c) for c in p[0]], ))
         # deterministic tie-break: max count, then lexicographically
         # smallest (a, b) — mirror the Spark orderBy
         bestn = max(pairs.values())
