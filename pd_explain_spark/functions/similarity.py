@@ -385,6 +385,56 @@ class IvfIndex:
             centroids=spark.read.parquet(f"{path}/centroids"),
         )
 
+    def add(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        """Incremental ingestion: assign new vectors to the EXISTING
+        centroids and return an index containing both — the standard IVF
+        maintenance contract (centroids are fixed at build time; bucket
+        quality degrades only if the data distribution drifts, at which
+        point you rebuild). One pass over the new batch against the
+        broadcast centroid table; the existing assignments are not
+        touched or re-shuffled."""
+        new_assigned = _assign_buckets(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            ),
+            self.centroids,
+        )
+        return IvfIndex(
+            assigned=self.assigned.unionByName(new_assigned),
+            centroids=self.centroids,
+        )
+
+    def append_save(
+        self,
+        path: str,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        """Ingest a batch INTO a persisted index: assign against the
+        saved centroids and APPEND the new rows to the hive-partitioned
+        ``assigned`` layout — each batch writes only its own files into
+        the affected bucket directories, existing data is never
+        rewritten, and probe-time partition pruning keeps working.
+        Returns the reloaded (table-backed) index."""
+        new_assigned = _assign_buckets(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            ),
+            self.centroids,
+        )
+        new_assigned.write.mode("append").partitionBy("bucket").parquet(
+            f"{path}/assigned"
+        )
+        return IvfIndex.load(vectors.sparkSession, path)
+
 
 def ivf_query(
     index: "IvfIndex",

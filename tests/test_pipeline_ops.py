@@ -1408,3 +1408,53 @@ def test_train_bpe_matches_reference(spark):
     toks = [r["token"] for r in enc.orderBy("pos").collect()]
     seg_low = {r["w"]: list(r["syms"]) for r in wt.collect()}["low"]
     assert toks == seg_low + ["z", "a", "p", "</w>"]
+
+
+def test_ivf_index_add_and_append_save(spark, tmp_path):
+    """Incremental IVF ingestion: vectors added to an existing index are
+    findable by ivf_query with the same results as an index built with
+    _assign_buckets over the union (centroids FIXED — the maintenance
+    contract); append_save writes only new files and keeps probe-time
+    partition pruning intact."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.similarity import (
+        IvfIndex,
+        _assign_buckets,
+        ivf_build_fixed,
+        ivf_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    first, second = emb.filter("vec_id < 250"), emb.filter("vec_id >= 250")
+    idx = ivf_build_fixed(first, n_centroids=8)
+    grown = idx.add(second)
+    assert grown.assigned.count() == emb.count()
+    # equivalent to assigning the union against the SAME centroids
+    ref = _assign_buckets(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        ),
+        idx.centroids,
+    )
+    assert {(r["neighbor_id"], r["bucket"]) for r in grown.assigned.collect()} == {
+        (r["neighbor_id"], r["bucket"]) for r in ref.collect()
+    }
+    q = emb.filter("vec_id >= 495")  # queries drawn from the ADDED batch
+    got = ivf_query(grown, q, k=3, n_probe=3, round_to=4).collect()
+    assert len(got) == q.count() * 3
+    # persisted flavor: save the initial index, append the second batch
+    path = str(tmp_path / "ivf_grow")
+    idx.save(path)
+    loaded = IvfIndex.append_save(IvfIndex.load(spark, path), path, second)
+    assert loaded.assigned.count() == emb.count()
+    want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got}
+    have = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_query(loaded, q, k=3, n_probe=3, round_to=4).collect()
+    }
+    assert have == want
+    # pruning survives the append: probing a subset selects a partition filter
+    plan = loaded.assigned.filter(F.col("bucket") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
