@@ -509,14 +509,40 @@ class NearDupIndex:
 
     @staticmethod
     def _table_name(path: str) -> str:
+        import hashlib
         import re as _re
 
-        return "neardup_idx_" + _re.sub(r"[^A-Za-z0-9]+", "_", path).strip("_").lower()
+        # distinct paths can collapse to one slug (/tmp/a/b and /tmp/a_b)
+        # — a raw-path hash keeps one catalog entry per physical index
+        slug = _re.sub(r"[^A-Za-z0-9]+", "_", path).strip("_").lower()
+        digest = hashlib.md5(path.encode("utf-8")).hexdigest()[:8]
+        return f"neardup_idx_{slug}_{digest}"
+
+    @staticmethod
+    def _norm_location(p: str) -> str:
+        from urllib.parse import urlparse
+
+        u = urlparse(p)
+        return (u.path or p).rstrip("/")
 
     @classmethod
     def load(cls, spark, path: str) -> "NearDupIndex":
         meta = spark.read.parquet(f"{path}/meta").first()
         name = cls._table_name(path)
+        if spark.catalog.tableExists(name):
+            # never trust a same-named entry blindly: if its LOCATION is
+            # not this path's inv/ directory (stale catalog, collided
+            # name), joining it would silently pair another index's
+            # inverted table with this path's sizes/meta
+            loc = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+                .where("col_name = 'Location'")
+                .first()
+            )
+            if loc is None or cls._norm_location(
+                loc["data_type"]
+            ) != cls._norm_location(f"{path}/inv"):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
         if not spark.catalog.tableExists(name):
             # fresh session: re-register the bucketed external table.
             # The files were written by a bucketed writer (bucket id is

@@ -174,10 +174,16 @@ def resize_images(
 
         if not payload:
             return None  # no payload in, no payload out (nullable binary)
-        img = _PILImage.open(io.BytesIO(payload))
-        out = io.BytesIO()
-        img.resize((target_w, target_h)).save(out, format="PNG")
-        return out.getvalue()
+        try:
+            img = _PILImage.open(io.BytesIO(payload))
+            out = io.BytesIO()
+            img.resize((target_w, target_h)).save(out, format="PNG")
+            return out.getvalue()
+        except Exception:
+            # a corrupt/truncated payload must not kill a corpus-scale
+            # job — same contract as _pil_features' zero-fill fallback;
+            # None marks the row undecodable (nullable binary output)
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = target_w * target_h // 64  # fake byte budget, deterministic

@@ -385,19 +385,9 @@ class IvfIndex:
             centroids=spark.read.parquet(f"{path}/centroids"),
         )
 
-    def add(
-        self,
-        vectors: DataFrame,
-        id_col: str = "vec_id",
-        vec_col: str = "embedding",
-    ) -> "IvfIndex":
-        """Incremental ingestion: assign new vectors to the EXISTING
-        centroids and return an index containing both — the standard IVF
-        maintenance contract (centroids are fixed at build time; bucket
-        quality degrades only if the data distribution drifts, at which
-        point you rebuild). One pass over the new batch against the
-        broadcast centroid table; the existing assignments are not
-        touched or re-shuffled."""
+    def _assign_new(
+        self, vectors: DataFrame, id_col: str, vec_col: str, dedup_ids: bool
+    ) -> DataFrame:
         new_assigned = _assign_buckets(
             vectors.select(
                 F.col(id_col).alias("neighbor_id"),
@@ -405,8 +395,38 @@ class IvfIndex:
             ),
             self.centroids,
         )
+        if dedup_ids:
+            # re-running the same batch (e.g. retry after a partial
+            # failure) must not append duplicate rows that would inflate
+            # ivf_query candidate sets with duplicate neighbors. The
+            # anti-join's corpus side is column-pruned to neighbor_id —
+            # one narrow scan of the assignments, no rewrite.
+            new_assigned = new_assigned.join(
+                self.assigned.select("neighbor_id"), "neighbor_id", "left_anti"
+            )
+        return new_assigned
+
+    def add(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dedup_ids: bool = True,
+    ) -> "IvfIndex":
+        """Incremental ingestion: assign new vectors to the EXISTING
+        centroids and return an index containing both — the standard IVF
+        maintenance contract (centroids are fixed at build time; bucket
+        quality degrades only if the data distribution drifts, at which
+        point you rebuild). One pass over the new batch against the
+        broadcast centroid table; the existing assignments are not
+        touched or re-shuffled. ``dedup_ids`` (default) anti-joins the
+        batch against already-indexed ids so ingestion is idempotent per
+        vector id; pass False only when ids are known fresh and the
+        narrow assignments scan should be skipped."""
         return IvfIndex(
-            assigned=self.assigned.unionByName(new_assigned),
+            assigned=self.assigned.unionByName(
+                self._assign_new(vectors, id_col, vec_col, dedup_ids)
+            ),
             centroids=self.centroids,
         )
 
@@ -416,20 +436,18 @@ class IvfIndex:
         vectors: DataFrame,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        dedup_ids: bool = True,
     ) -> "IvfIndex":
         """Ingest a batch INTO a persisted index: assign against the
         saved centroids and APPEND the new rows to the hive-partitioned
         ``assigned`` layout — each batch writes only its own files into
         the affected bucket directories, existing data is never
         rewritten, and probe-time partition pruning keeps working.
+        With ``dedup_ids`` (default) already-indexed ids are anti-joined
+        out first, so re-running a batch after a partial failure is
+        idempotent instead of silently double-indexing those vectors.
         Returns the reloaded (table-backed) index."""
-        new_assigned = _assign_buckets(
-            vectors.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).cast("array<double>").alias("cv"),
-            ),
-            self.centroids,
-        )
+        new_assigned = self._assign_new(vectors, id_col, vec_col, dedup_ids)
         new_assigned.write.mode("append").partitionBy("bucket").parquet(
             f"{path}/assigned"
         )

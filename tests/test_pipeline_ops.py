@@ -1458,3 +1458,91 @@ def test_ivf_index_add_and_append_save(spark, tmp_path):
     # pruning survives the append: probing a subset selects a partition filter
     plan = loaded.assigned.filter(F.col("bucket") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
+
+
+# ---------------------------------------------------------------- r7 advice regressions
+def test_resize_images_survives_corrupt_payload(spark):
+    """ADVICE r7: one corrupt/truncated image payload must not kill the
+    whole resize job — the row comes back with payload=None (the same
+    corpus-scale contract _pil_features honors via zero-fill)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (16, 12), color=(1, 2, 3)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [
+            (0, "image", png, "image/png", 16, 12, 0),
+            (1, "image", b"\x89PNG\r\n\x1a\nnot-really", "image/png", 0, 0, 0),
+            (2, "image", png[: len(png) // 2], "image/png", 16, 12, 0),
+        ],
+        schema=MM.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in MM.resize_images(media, 8, 8).collect()}
+    assert len(rows) == 3  # no row lost, no job crash
+    assert rows[0]["payload"] is not None
+    assert rows[1]["payload"] is None and rows[2]["payload"] is None
+
+
+def test_neardup_index_distinct_paths_distinct_tables(spark, tmp_path):
+    """ADVICE r7: /tmp/a/b and /tmp/a_b must not collapse to one catalog
+    name, and load() must not trust a same-named entry whose LOCATION is
+    some other path's index."""
+    from pd_explain_spark.functions.dedup import NearDupIndex
+
+    pa = str(tmp_path / "a" / "b")
+    pb = str(tmp_path / "a_b")
+    assert NearDupIndex._table_name(pa) != NearDupIndex._table_name(pb)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corp_a, corp_b = docs.filter("doc_id < 40"), docs.filter("doc_id >= 40")
+    new = docs.filter("doc_id < 10")
+    NearDupIndex.build(corp_a).save(pa, buckets=4)
+    NearDupIndex.build(corp_b).save(pb, buckets=4)
+
+    def corpus_ids(idx):
+        return {r["id"] for r in idx.inv.select("id").distinct().collect()}
+
+    ids_a = corpus_ids(NearDupIndex.load(spark, pa))
+    ids_b = corpus_ids(NearDupIndex.load(spark, pb))
+    assert ids_a == {r["doc_id"] for r in corp_a.select("doc_id").collect()}
+    assert ids_b == {r["doc_id"] for r in corp_b.select("doc_id").collect()}
+
+    # stale catalog entry under pb's name pointing at pa's files: load(pb)
+    # must detect the LOCATION mismatch and re-register, not silently
+    # serve corpus A's inverted table with corpus B's sizes
+    name_b = NearDupIndex._table_name(pb)
+    spark.sql(f"DROP TABLE IF EXISTS {name_b}")
+    schema = spark.read.parquet(f"{pb}/inv").schema
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE {name_b} ({ddl}) USING PARQUET "
+        f"CLUSTERED BY (shingle) SORTED BY (shingle) INTO 4 BUCKETS "
+        f"LOCATION '{pa}/inv'"
+    )
+    assert corpus_ids(NearDupIndex.load(spark, pb)) == ids_b
+
+
+def test_ivf_append_save_idempotent_per_batch(spark, tmp_path):
+    """ADVICE r7: re-running append_save on the same batch (retry after a
+    partial failure) must not append duplicate assignment rows or inflate
+    ivf_query candidate sets with duplicate neighbors."""
+    from pd_explain_spark.functions.similarity import IvfIndex, ivf_build_fixed, ivf_query
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    first, second = emb.filter("vec_id < 250"), emb.filter("vec_id >= 250")
+    path = str(tmp_path / "ivf_idem")
+    ivf_build_fixed(first, n_centroids=8).save(path)
+    once = IvfIndex.append_save(IvfIndex.load(spark, path), path, second)
+    n_total = emb.count()
+    assert once.assigned.count() == n_total
+    twice = IvfIndex.append_save(IvfIndex.load(spark, path), path, second)
+    assert twice.assigned.count() == n_total  # idempotent re-ingest
+    assert twice.assigned.select("neighbor_id").distinct().count() == n_total
+    q = emb.filter("vec_id >= 495")
+    got = ivf_query(twice, q, k=3, n_probe=3, round_to=4).collect()
+    assert len(got) == q.count() * 3  # no duplicate neighbors in top-k
+    # in-memory flavor: add() twice is also a no-op the second time
+    grown = ivf_build_fixed(first, n_centroids=8).add(second).add(second)
+    assert grown.assigned.count() == n_total

@@ -118,7 +118,11 @@ def test_unigram_lm_scores_match_python_reference(spark, docs):
             assert got[i]["lm_score"] is None
             continue
         expect = math.log(N) - sum(math.log(counts[x]) for x in t) / len(t)
-        assert got[i]["lm_score"] == round(expect, 4)
+        # Spark sums the logs in a different order and rounds HALF_UP vs
+        # Python's HALF_EVEN — bitwise equality on the rounded values can
+        # flake on a Hypothesis-found near-tie at the 4th decimal, so
+        # compare with a one-ulp-of-the-rounding tolerance instead
+        assert abs(got[i]["lm_score"] - expect) <= 1e-4 + 1e-9
 
 
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
