@@ -664,6 +664,7 @@ def _finalize_release(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
     _cache_registry: list | None = None, hash_fn: str = "xxhash64",
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Band the signature; docs sharing any (band, bucket) are candidates.
 
@@ -671,7 +672,18 @@ def minhash_lsh_candidates(
     (variadic, no string concat, no lambdas) — the banding projection
     stays inside whole-stage codegen. The ``md5`` flavor buckets on
     md5 of the dash-joined slot values (the form DuckDB reproduces
-    verbatim: md5(array_to_string(sig[a:b], '-')))."""
+    verbatim: md5(array_to_string(sig[a:b], '-'))).
+
+    ``max_pairs_per_doc`` is the pair-explosion budget: on an
+    adversarially duplicated corpus (a verbatim cluster of d docs) the
+    candidate list grows as d^2/2 — with a budget, each doc keeps only
+    its top-N partners by band-collision count (ties by partner id), so
+    output is bounded by n_docs x N. The rank filter compiles to
+    WindowGroupLimit (per-partition top-N, no full sort) and the
+    strongest matches collide in the most bands, so recall loss is
+    confined to docs with more than N near-twins — which the budget
+    exists to degrade gracefully. Default None = exact candidate set
+    (oracle parity)."""
 
     def _bucket(b: int):
         slots = [F.col("sig").getItem(b * rows_per_band + j) for j in range(rows_per_band)]
@@ -695,15 +707,33 @@ def minhash_lsh_candidates(
     if _cache_registry is not None:
         _cache_registry.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    if max_pairs_per_doc is None:
+        return joined.distinct()
+    return _budget_pairs(
+        joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("__n_shared")),
+        max_pairs_per_doc,
+    )
+
+
+def _budget_pairs(scored: DataFrame, max_pairs_per_doc: int) -> DataFrame:
+    """Top-``max_pairs_per_doc`` partners per left id from a
+    (id_a, id_b, __n_shared) table, strongest evidence first (band
+    collisions / shared shingles), deterministic ties by partner id.
+    row_number-then-filter compiles to WindowGroupLimit: each shuffle
+    partition keeps a bounded heap per id, never a full per-id sort."""
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("__n_shared"), F.asc("id_b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_pairs_per_doc)
+        .select("id_a", "id_b")
     )
 
 
@@ -711,6 +741,7 @@ def minhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5,
     max_df: float | None = 0.2, hash_fn: str = "xxhash64",
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the 100 TB dedup path:
     candidate generation never compares all pairs, verification touches
@@ -742,7 +773,8 @@ def minhash_near_duplicates(
     sig_inv = _df_pruned(inv, max_df) if max_df is not None else inv
     sigs = _signatures_from_index(sig_inv, num_hashes, hash_fn=hash_fn)
     cands = minhash_lsh_candidates(
-        sigs, bands, num_hashes // bands, _cache_registry=cached, hash_fn=hash_fn
+        sigs, bands, num_hashes // bands, _cache_registry=cached, hash_fn=hash_fn,
+        max_pairs_per_doc=max_pairs_per_doc,
     )
     return _finalize_release(
         _verify_pairs(cands, inv, threshold, _cache_registry=cached), cached
@@ -930,6 +962,7 @@ def edit_distance_pairs(
     max_dist: int = 20,
     n: int = 3,
     max_df: float | None = None,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Fuzzy near-dup pairs verified by EXACT Levenshtein distance:
     (id_a, id_b, edit_distance) for candidate pairs whose normalized
@@ -952,17 +985,29 @@ def edit_distance_pairs(
     edits) that shingle sets under-weigh on short texts. For long
     documents prefer the Jaccard family — Levenshtein cost grows with
     document length even when banded.
+
+    ``max_pairs_per_doc`` caps pair explosion under verbatim-duplicated
+    corpora (a cluster of d identical docs otherwise yields d^2/2
+    Levenshtein verifications): each doc keeps only its top-N candidate
+    partners by shared-shingle count (ties by partner id) through a
+    WindowGroupLimit, so verify work is bounded by n_docs x N. Default
+    None = exact candidate set (oracle parity).
     """
     from pyspark.storagelevel import StorageLevel
 
     inv = _shingle_index(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     disc = _df_pruned(inv, max_df) if max_df is not None else inv
     a, b = disc.alias("a"), disc.alias("b")
-    cands = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    joined = a.join(
+        b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    if max_pairs_per_doc is None:
+        cands = joined.distinct()
+    else:
+        cands = _budget_pairs(
+            joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("__n_shared")),
+            max_pairs_per_doc,
+        )
     t = df.select(
         F.col(id_col).alias("id"), normalized_text(F.col(text_col)).alias("__nt")
     )
