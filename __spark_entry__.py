@@ -5013,70 +5013,44 @@ def metainsight_explain_text(spark, sf_dir):
 # variants, reshape/accessor coverage) follow in registration order and
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
-    # r6 rotation (VERDICT r5 task #1): the window is now 100%
-    # oracle-backed. Composition: the 35 oracle entries that had NEVER
-    # received a driver correctness row (31 flagged by the r5 judge —
-    # all judge-verified locally that round — plus the four new
-    # *_explain_text surfaces), and 15 re-checks of entries first green
-    # in r05, chosen so every operator family keeps a representative.
-    # The 7 rows-only textual explain surfaces (fedex_filter_explain,
-    # fedex_join_explain, shapley_explain, shapley_filter_explain,
-    # outlier_explain, many_to_one_explain, metainsight_explain) moved
-    # BELOW the window: their strings are now hash-checked by the
-    # *_explain_text entries and their math by the *_kernel entries, so
-    # they no longer need to burn window slots as guaranteed-red rows.
-    # Rotated-out green history lives in CORRECTNESS_r05 (q4/q10/q12/
-    # q14, expanding/ffill/ewm/interval/range, assign_splits,
-    # redact_pii/stratified/pack, query_string_filter, near-dup
-    # support entries).
+    # r7 rotation (VERDICT r6 task #2): still 100% oracle-backed.
+    # Composition: the 5 oracle entries with no driver evidence (the 3
+    # added after the r6 window froze — edit_distance_against_corpus,
+    # lm2_score_docs, semantic_dedup_against_corpus — plus this round's
+    # shards_roundtrip sink read-back and the newly oracle-ized
+    # bpe_merges_docs), then 45 re-checks weighted to staleness: all 27
+    # entries last driver-green in r03, 16 last green in r04, and 2
+    # family-forced r5/r6 holdovers (multimodal_features_kernel,
+    # mini_language_query — their families have no staler oracle-backed
+    # member). Everything green in r5/r6 and not family-required rotated
+    # BELOW the window; its green history lives in CORRECTNESS_r05/r06.
     #
-    # -- never-driver-checked: TPC-H shapes (q9/q11/q20 are documented
-    #    partsupp-free adaptations)
-    "q2_min_price_part", "q7_nation_trade_flow", "q8_market_share",
-    "q9_profit_rollup", "q11_important_stock", "q13_customer_distribution",
-    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
-    "q21_late_blame", "q22_idle_balances",
-    # -- never-driver-checked: documents-pipeline ops
-    "tfidf_docs", "bm25_docs", "vocabulary_docs", "top_terms_docs",
-    "hybrid_search_docs",
-    "segment_dedup_docs", "chunk_documents_overlap",
-    "contamination_pairs_docs", "decontaminate_docs",
-    "dedup_against_corpus", "near_dup_against_corpus",
-    "dedup_near_against_corpus", "near_dup_keep_longest",
-    "ingest_pipeline_docs", "temperature_sample_docs",
-    "corpus_stats_by_lang", "shuffle_shards_docs",
-    # -- never-driver-checked: explain-surface text (new this round —
-    #    the full string assembly hash-checked in DuckDB)
-    "fedex_filter_explain_text", "fedex_join_explain_text",
-    "shapley_join_explain_text", "outlier_explain_text",
-    "fedex_groupby_explain_text", "metainsight_explain_text",
-    # r7 rotation note: lm2_score_docs, semantic_dedup_against_corpus and
-    # edit_distance_against_corpus (added late in r6) are the THREE
-    # oracle entries without driver evidence — rotate them in next round.
-    # -- re-checks (first green in r05): one per operator family
-    "topk_orders",                                    # relational
-    "metainsight_kernel",                             # explainer kernels
-    # never-checked: span-level ExactSubstr dedup (takes the r05-green
-    # fedex_filter_kernel re-check slot; metainsight_kernel keeps the
-    # kernel family represented)
-    "span_dedup_docs",
-    # never-checked: the bucketed-index flavor of the incremental
-    # near-dup join (takes the r05-green outlier_kernel re-check slot;
-    # the family keeps fedex_filter_kernel + metainsight_kernel)
-    "near_dup_index_bucketed",
-    "many_to_one_full_rules",  # never-checked: distributed mining path
-    # dedup/text: the never-checked fuzzy-dedup and LM-score entries take
-    # the slots of the r05-green shapley_kernel/minhash_near_dups_md5
-    # re-checks (both families keep other representatives in-window)
-    "edit_distance_pairs_docs", "lm_score_docs",
-    # similarity family: the two new never-checked SemDeDup entries take
-    # the slots of the r05-green similarity_lsh_topk/similarity_ivf_fixed
-    # re-checks (same family, and semantic_dedup_* exercises the
-    # ivf_build_fixed path those entries covered)
-    "semantic_dedup_pairs", "semantic_dedup_survivors",
-    "rolling_hour_events",                             # time-series
-    "drift_scores_events",                             # streaming
+    # -- never-driver-checked (added late r6 / new r7)
+    "edit_distance_against_corpus", "lm2_score_docs",
+    "semantic_dedup_against_corpus", "shards_roundtrip", "bpe_merges_docs",
+    # -- re-checks: last green r03 (the stalest driver evidence)
+    "astype_clip", "crosstab_counts", "cut_quantity", "describe_stats",
+    "dt_parts_events", "fillna_after_where", "filter_in_between",
+    "filter_negation", "filter_status", "frame_nunique", "frame_quantile",
+    "get_dummies_status", "groupby_count", "groupby_filter_groups",
+    "groupby_max", "groupby_min", "groupby_prod", "groupby_sem",
+    "groupby_size", "groupby_std", "groupby_sum", "groupby_transform_mean",
+    "groupby_var", "month_season_bins", "rename_drop_project",
+    "str_ops_part", "value_counts_region",
+    # -- re-checks: last green r04, chosen for family spread
+    "q1_pricing_summary", "q3_shipping_priority",      # relational flagship
+    "join_dims_broadcast",                             # join family
+    "pivot_table_mean", "corr_matrix",                 # reshape / stats
+    "fedex_groupby_explain",                           # explainer surface
+    "dedup_exact", "ngram_jaccard",                    # dedup
+    "similarity_topk", "embedding_near_dups_exact",    # similarity
+    "text_profile", "lang_id_counts",                  # text
+    "windowed_events", "sessionize_events",            # streaming
+    # -- re-checks: last green r05 (family-stalest members)
+    "outlier_kernel",                                  # explainer kernels
+    "asof_join_events",                                # time-series
+    # -- family-forced holdovers (green r6; no staler oracle-backed
+    #    member exists for these families)
     "multimodal_features_kernel",                      # multimodal
     "mini_language_query",                             # mini-language
 ]

@@ -2,16 +2,27 @@
   {"metric": "total_wall_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1,
    "vs_prev": {name: ratio, ...}, "regressions": {...},
-   "regression_count": N}
+   "regression_count": N, "retimes": {...}, "false_flags": {...}}
 
 Every ``queries()`` entry is timed (VERDICT r5 task #3: the bench is the
 regression harness, not a sampler). ``vs_prev`` compares each entry to
-the newest BENCH_r*.json in the repo; an entry is flagged as a
-regression when it is BOTH >1.5x slower and >1.0s absolute slower —
-the absolute floor keeps sub-second entries (which swing 2-3x on JVM
-state) from producing flaky findings. ``--gate`` exits nonzero when any
-regression is flagged (for local pre-commit use; the driver run stays
-rc=0 so the bench record is never lost to a slow entry).
+the newest BENCH_r*.json in the repo; an entry is PROVISIONALLY flagged
+when it is BOTH >1.5x slower and >1.0s absolute slower — the absolute
+floor keeps sub-second entries (which swing 2-3x on JVM state) from
+producing flaky findings.
+
+A provisional flag is NOT recorded as a regression until it reproduces
+in a FRESH JVM (VERDICT r6 task #4: the r6 gate cried wolf 4/159 times
+from GC/JIT pressure of benching 160 entries in one JVM): each flagged
+entry is re-timed warm in its own subprocess (one untimed pass, then
+the timed one); only entries whose isolated time still crosses both
+thresholds land in ``regressions`` (with the isolated time attached as
+``fresh``). Cleared flags are preserved in ``false_flags`` so the noise
+itself stays observable. ``queries`` always holds the in-run times —
+comparable round-to-round because every round measures under the same
+full-suite pressure. ``--gate`` exits nonzero when any confirmed
+regression (or error) remains (for local pre-commit use; the driver run
+stays rc=0 so the bench record is never lost to a slow entry).
 
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 cores from $SPARK_GRAFT_CPUS. Each query is executed to completion
@@ -89,8 +100,49 @@ def _prev_timings() -> tuple[dict[str, float], str | None]:
     return {}, None
 
 
+def _retime_isolated(names: list[str], cap: int = 8) -> dict[str, float | None]:
+    """Warm re-time of each entry in its own fresh JVM (subprocess
+    running ``bench.py --one NAME``): the confirmation step that
+    separates a real regression from in-run GC/JIT pressure. Capped —
+    a broken round that flags everything must not 8x the bench wall."""
+    import subprocess
+
+    out: dict[str, float | None] = {}
+    for name in names[:cap]:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+            )
+            line = r.stdout.strip().splitlines()[-1]
+            out[name] = float(json.loads(line)["sec"])
+        except Exception as e:
+            print(f"# retime {name}: FAILED {e}", file=sys.stderr)
+            out[name] = None
+    return out
+
+
+def _run_one(name: str) -> int:
+    """--one NAME: fresh-JVM warm timing of a single entry. One untimed
+    pass absorbs session start/codegen/footer reads, the second is the
+    measurement — the same 'isolated warm re-time' adjudication r5/r6
+    did by hand."""
+    spark = get_spark("bench_one")
+    fn = entrymod.queries()[name]
+    fn(spark, SF_DIR).count()
+    t0 = time.time()
+    fn(spark, SF_DIR).count()
+    print(json.dumps({"name": name, "sec": round(time.time() - t0, 3)}))
+    return 0
+
+
 def main() -> int:
     gate = "--gate" in sys.argv
+    if "--one" in sys.argv:
+        return _run_one(sys.argv[sys.argv.index("--one") + 1])
     spark = get_spark("bench")
     qs = entrymod.queries()
     names = list(qs)
@@ -136,7 +188,7 @@ def main() -> int:
         gc.collect()
     prev, prev_file = _prev_timings()
     vs_prev: dict[str, float] = {}
-    regressions: dict[str, dict[str, float]] = {}
+    provisional: dict[str, dict[str, float]] = {}
     for name, sec in timings.items():
         p = prev.get(name)
         if not p:
@@ -144,14 +196,44 @@ def main() -> int:
         ratio = round(sec / p, 3)
         vs_prev[name] = ratio
         if ratio > RATIO_TH and (sec - p) > ABS_FLOOR_SEC:
-            regressions[name] = {"prev": p, "now": sec, "ratio": ratio}
+            provisional[name] = {"prev": p, "now": sec, "ratio": ratio}
+    regressions: dict[str, dict[str, float]] = {}
+    false_flags: dict[str, dict[str, float]] = {}
+    retimes: dict[str, float | None] = {}
+    if provisional:
+        print(
+            f"# {len(provisional)} provisional flag(s) vs {prev_file}; "
+            "confirming in fresh JVMs...",
+            file=sys.stderr,
+        )
+        order = sorted(provisional, key=lambda n: -provisional[n]["ratio"])
+        retimes = _retime_isolated(order)
+        for name in order:
+            r = dict(provisional[name])
+            fresh = retimes.get(name)
+            if fresh is not None:
+                r["fresh"] = fresh
+            p = r["prev"]
+            # unconfirmable (retime failed) counts as a regression: a
+            # crash in isolation is worse news than a slow entry
+            if fresh is None or (fresh / p > RATIO_TH and (fresh - p) > ABS_FLOOR_SEC):
+                regressions[name] = r
+            else:
+                false_flags[name] = r
     if regressions:
-        print(f"# REGRESSIONS vs {prev_file}:", file=sys.stderr)
+        print(f"# REGRESSIONS (fresh-JVM confirmed) vs {prev_file}:", file=sys.stderr)
         for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
             print(
-                f"#   {name}: {r['prev']:.2f}s -> {r['now']:.2f}s ({r['ratio']:.2f}x)",
+                f"#   {name}: {r['prev']:.2f}s -> {r['now']:.2f}s in-run "
+                f"({r['ratio']:.2f}x), fresh {r.get('fresh', float('nan')):.2f}s",
                 file=sys.stderr,
             )
+    for name, r in false_flags.items():
+        print(
+            f"# false flag: {name} {r['prev']:.2f}s -> {r['now']:.2f}s in-run "
+            f"but {r['fresh']:.2f}s isolated (JVM pressure, not a regression)",
+            file=sys.stderr,
+        )
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     out = {
@@ -165,6 +247,8 @@ def main() -> int:
         "prev_file": prev_file,
         "regressions": regressions,
         "regression_count": len(regressions),
+        "retimes": retimes,
+        "false_flags": false_flags,
     }
     if errors:
         out["errors"] = errors

@@ -37,11 +37,13 @@ def test_window_covers_every_operator_family():
     families = {
         "relational": {"q3_shipping_priority", "topk_orders", "query_string_filter"},
         # the explain SURFACE is represented by the oracle-backed
-        # *_explain_text entries (full string assembly hash-checked);
-        # the rows-only *_explain twins live below the window
+        # *_explain_text entries (full string assembly hash-checked) or
+        # the oracle-backed fedex_groupby_explain table; the rows-only
+        # *_explain twins live below the window
         "explainers": {
             "fedex_filter_explain_text", "fedex_join_explain_text",
             "shapley_join_explain_text", "outlier_explain_text",
+            "fedex_groupby_explain",
         },
         "explainer_kernels": {
             "fedex_filter_kernel", "fedex_join_kernel", "shapley_kernel",
@@ -68,6 +70,7 @@ def test_window_covers_every_operator_family():
         "training_mix": {
             "redact_pii", "stratified_sample_lang", "pack_sequences",
             "temperature_sample_docs", "shuffle_shards_docs",
+            "shards_roundtrip",
         },
     }
     for fam, members in families.items():
