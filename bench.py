@@ -80,18 +80,20 @@ def _timings_from_record(d: dict) -> dict[str, float] | None:
 
 
 def _prev_timings() -> tuple[dict[str, float], str | None]:
-    """Most recent usable per-query record: the newest recoverable
-    BENCH_r{N}.json, else BENCH_LOCAL.json (the full record this script
-    writes on every run, committed per round exactly because the
-    driver's 2000-char wrapper can no longer hold 160 entries)."""
+    """Most recent usable per-query record. BENCH_LOCAL.json first — the
+    full record this script writes on every run and commits per round —
+    because the newest RECOVERABLE driver BENCH_r{N}.json can be many
+    rounds stale (the 2000-char wrapper stopped fitting the queries dict
+    at ~160 entries), and a 4-round-old baseline adjudicates against
+    long-gone code. Driver records newest-first as the fallback."""
     here = os.path.dirname(os.path.abspath(__file__))
     ranked = []
     for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", f)
         if m:
             ranked.append((int(m.group(1)), f))
-    candidates = [f for _, f in sorted(ranked, reverse=True)]
-    candidates.append(os.path.join(here, "BENCH_LOCAL.json"))
+    candidates = [os.path.join(here, "BENCH_LOCAL.json")]
+    candidates += [f for _, f in sorted(ranked, reverse=True)]
     for f in candidates:
         try:
             with open(f) as fh:
