@@ -2588,6 +2588,78 @@ def dedup_near_against_corpus(spark, sf_dir):
 
 
 @_q(
+    "minhash_against_corpus",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), sh AS (
+         SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3
+       ), inv_new AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 250
+       ), inv_corp AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id < 250
+       ), cap AS (
+         SELECT greatest(CAST(floor(count(*) * 0.5) AS BIGINT), 2) AS cap
+         FROM sh WHERE doc_id < 250
+       ), hot AS (
+         SELECT shingle FROM inv_corp, cap
+         GROUP BY shingle, cap HAVING count(*) > any_value(cap)
+       ), sig_inv AS (
+         SELECT doc_id, shingle FROM inv_new WHERE shingle NOT IN (SELECT shingle FROM hot)
+         UNION ALL
+         SELECT doc_id, shingle FROM inv_corp WHERE shingle NOT IN (SELECT shingle FROM hot)
+       ), hashes AS (
+         SELECT doc_id, i,
+                min(('0x' || substr(md5(shingle || '-' || i), 1, 15))::BIGINT) AS h
+         FROM sig_inv CROSS JOIN range(16) r(i)
+         GROUP BY 1, 2
+       ), sigs AS (
+         SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
+       ), bands AS (
+         SELECT doc_id, b,
+                md5(array_to_string(sig[b*4+1 : b*4+4], '-')) AS bucket
+         FROM sigs CROSS JOIN range(4) rb(b)
+       ), cands AS (
+         SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS corpus_id
+         FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+         WHERE a.doc_id >= 250 AND c.doc_id < 250
+       ), inter AS (
+         SELECT cd.new_id, cd.corpus_id, count(*) AS inter
+         FROM cands cd
+         JOIN inv_new x ON x.doc_id = cd.new_id
+         JOIN inv_corp y ON y.doc_id = cd.corpus_id AND y.shingle = x.shingle
+         GROUP BY 1, 2
+       )
+       SELECT i.new_id, i.corpus_id,
+              round(i.inter / (la.n + lb.n - i.inter), 6) AS jaccard
+       FROM inter i
+       JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON la.doc_id = i.new_id
+       JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON lb.doc_id = i.corpus_id
+       WHERE round(i.inter / (la.n + lb.n - i.inter), 6) >= 0.2""",
+)
+def minhash_against_corpus_q(spark, sf_dir):
+    """Cross-corpus MinHash+LSH incremental dedup (functions/dedup.py
+    minhash_pairs_against) — the sub-quadratic member of the
+    incremental-ingest family, oracle-checked END TO END in its
+    production configuration: corpus-hot shingles (df > 0.5) pruned from
+    BOTH signature paths, band collisions across the two signature
+    tables, exact-Jaccard verification against the UNPRUNED indexes.
+    md5 flavor (identical bytes on both engines); 16 hashes x 4 bands,
+    threshold 0.2."""
+    from pd_explain_spark.functions.dedup import minhash_pairs_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_pairs_against(
+        docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"),
+        num_hashes=16, bands=4, threshold=0.2, max_df=0.5, hash_fn="md5",
+    )
+
+
+@_q(
     "ingest_pipeline_docs",
     """WITH gated AS (
          SELECT doc_id, text,

@@ -30,6 +30,7 @@ from .functions.dedup import (NearDupIndex, dedup_against, dedup_near,
                               dedup_near_against, duplicate_components,
                               edit_distance_pairs, edit_distance_pairs_against,
                               fuzzy_dedup, fuzzy_dedup_against, keep_best,
+                              minhash_dedup_against, minhash_pairs_against,
                               near_dup_pairs_against)
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
@@ -126,6 +127,8 @@ __all__ = [
     "edit_distance_pairs",
     "fuzzy_dedup",
     "edit_distance_pairs_against",
+    "minhash_pairs_against",
+    "minhash_dedup_against",
     "fuzzy_dedup_against",
     "unigram_lm_scores",
     "bigram_lm_scores",

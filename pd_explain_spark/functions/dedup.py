@@ -352,6 +352,7 @@ def _cross_corpus_pairs(
             )
             .agg(F.count(F.lit(1)).alias("inter"))
         )
+        out = _cross_jaccard_tail(inter, new_inv, corp_inv, threshold, corp_sizes)
     else:
         # candidate discovery on the df-pruned indexes (bounds the join
         # fan-out), exact verification on the full ones — the cross-corpus
@@ -370,24 +371,55 @@ def _cross_corpus_pairs(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         cached.append(cands)
-        ids_a = cands.select(F.col("new_id").alias("id")).distinct()
-        ids_b = cands.select(F.col("corpus_id").alias("id")).distinct()
-        va = new_inv.join(F.broadcast(ids_a), "id", "semi").select(
-            F.col("id").alias("new_id"), F.col("shingle").alias("sh_a")
+        out = _verified_cross_jaccard(
+            cands, new_inv, corp_inv, threshold, corp_sizes
         )
-        vb = corp_inv.join(F.broadcast(ids_b), "id", "semi").select(
-            F.col("id").alias("__idb"), F.col("shingle").alias("sh_b")
+    return _finalize_release(out, cached)
+
+
+def _verified_cross_jaccard(
+    cands: DataFrame,
+    new_inv: DataFrame,
+    corp_inv: DataFrame,
+    threshold: float,
+    corp_sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard for a given (new_id, corpus_id) candidate list,
+    verified against the UNPRUNED per-side indexes: the verify sides are
+    semi-joined to the candidate id sets (broadcast — tiny by
+    construction) so non-candidate docs never shuffle. Shared by the
+    n-gram max_df path and the cross-corpus MinHash flavor."""
+    ids_a = cands.select(F.col("new_id").alias("id")).distinct()
+    ids_b = cands.select(F.col("corpus_id").alias("id")).distinct()
+    va = new_inv.join(F.broadcast(ids_a), "id", "semi").select(
+        F.col("id").alias("new_id"), F.col("shingle").alias("sh_a")
+    )
+    vb = corp_inv.join(F.broadcast(ids_b), "id", "semi").select(
+        F.col("id").alias("__idb"), F.col("shingle").alias("sh_b")
+    )
+    inter = (
+        cands.join(va, "new_id")
+        .join(
+            vb,
+            (F.col("corpus_id") == F.col("__idb"))
+            & (F.col("sh_a") == F.col("sh_b")),
         )
-        inter = (
-            cands.join(va, "new_id")
-            .join(
-                vb,
-                (F.col("corpus_id") == F.col("__idb"))
-                & (F.col("sh_a") == F.col("sh_b")),
-            )
-            .groupBy("new_id", "corpus_id")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _cross_jaccard_tail(inter, new_inv, corp_inv, threshold, corp_sizes)
+
+
+def _cross_jaccard_tail(
+    inter: DataFrame,
+    new_inv: DataFrame,
+    corp_inv: DataFrame,
+    threshold: float,
+    corp_sizes: DataFrame | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id, inter) -> thresholded exact Jaccard, with set
+    sizes computed per side from the unpruned indexes (or the index's
+    precomputed sizes table)."""
     sa = new_inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_a")).withColumnRenamed(
         "id", "new_id"
     )
@@ -401,7 +433,7 @@ def _cross_corpus_pairs(
             .agg(F.count(F.lit(1)).alias("n_b"))
             .withColumnRenamed("id", "corpus_id")
         )
-    out = (
+    return (
         inter.join(sa, "new_id")
         .join(sb, "corpus_id")
         .select(
@@ -413,7 +445,6 @@ def _cross_corpus_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return _finalize_release(out, cached)
 
 
 def dedup_near_against(
@@ -661,6 +692,29 @@ def _finalize_release(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
     return out
 
 
+def _banded(
+    signatures: DataFrame, bands: int, rows_per_band: int, hash_fn: str
+) -> DataFrame:
+    """(id, band, bucket) banding projection of a (id, sig) signature
+    table — one codegen'd explode, shared by the within-corpus and
+    cross-corpus LSH flavors (identical bucketing is what makes a
+    cross-side collision meaningful)."""
+
+    def _bucket(b: int):
+        slots = [F.col("sig").getItem(b * rows_per_band + j) for j in range(rows_per_band)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*slots)
+        return F.md5(F.concat_ws("-", *[s.cast("string") for s in slots]))
+
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
     _cache_registry: list | None = None, hash_fn: str = "xxhash64",
@@ -685,19 +739,7 @@ def minhash_lsh_candidates(
     exists to degrade gracefully. Default None = exact candidate set
     (oracle parity)."""
 
-    def _bucket(b: int):
-        slots = [F.col("sig").getItem(b * rows_per_band + j) for j in range(rows_per_band)]
-        if hash_fn == "xxhash64":
-            return F.xxhash64(*slots)
-        return F.md5(F.concat_ws("-", *[s.cast("string") for s in slots]))
-
-    band_structs = [
-        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
-        for b in range(bands)
-    ]
-    banded = signatures.select(
-        "id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded(signatures, bands, rows_per_band, hash_fn)
     # the self-join below would otherwise evaluate the full signature
     # subtree (64 hash aggs over every shingle) once per side — persist
     # the banded frame (num_docs x bands rows, 3 small columns) instead
@@ -779,6 +821,119 @@ def minhash_near_duplicates(
     return _finalize_release(
         _verify_pairs(cands, inv, threshold, _cache_registry=cached), cached
     )
+
+
+def minhash_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_df: float | None = 0.2,
+    hash_fn: str = "xxhash64",
+    max_pairs_per_doc: int | None = None,
+) -> DataFrame:
+    """Cross-corpus MinHash+LSH: (new_id, corpus_id, jaccard) for
+    new-batch/corpus pairs at or above ``threshold`` — the sub-quadratic
+    member of the incremental-ingest family (exact: ``dedup_against``;
+    exact n-gram: ``near_dup_pairs_against``; fuzzy:
+    ``edit_distance_pairs_against``; semantic:
+    ``similarity.semantic_dedup_pairs_against``). At 100 TB the exact
+    inverted-index join's fan-out grows with shared-shingle mass; this
+    flavor bounds candidate generation to LSH band collisions, exactly
+    like :func:`minhash_near_duplicates` does within one corpus.
+
+    Both sides' signatures use the SAME per-slot hash seeds and the same
+    banding, so a cross-side collision means the same thing as a
+    within-corpus one. ``max_df`` prunes CORPUS-hot shingles (corpus
+    statistics define boilerplate — the production shape, where corpus
+    document frequencies are known and the new batch streams in) from
+    BOTH signature paths; verification recomputes exact Jaccard from the
+    unpruned per-side indexes via the shared `_verified_cross_jaccard`,
+    so reported values are exact and a boilerplate-heavy true near-dup
+    cannot be under-scored (same guarantee the r6 max_df fix gave the
+    n-gram flavor)."""
+    from pyspark.storagelevel import StorageLevel
+
+    new_inv = _shingle_index(new_df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corp_inv = _shingle_index(corpus_df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cached = [new_inv, corp_inv]
+    if max_df is not None:
+        n_corp = corp_inv.select(F.countDistinct("id")).first()[0]
+        cap = max(int(n_corp * max_df), 2)
+        hot = (
+            corp_inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") > cap)
+            .select("shingle")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cached.append(hot)
+        sig_new = new_inv.join(F.broadcast(hot), "shingle", "left_anti")
+        sig_corp = corp_inv.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sig_new, sig_corp = new_inv, corp_inv
+    rows_per_band = num_hashes // bands
+    ba = _banded(
+        _signatures_from_index(sig_new, num_hashes, hash_fn=hash_fn),
+        bands, rows_per_band, hash_fn,
+    )
+    bb = _banded(
+        _signatures_from_index(sig_corp, num_hashes, hash_fn=hash_fn),
+        bands, rows_per_band, hash_fn,
+    )
+    joined = ba.alias("a").join(
+        bb.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket")),
+    ).select(F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id"))
+    if max_pairs_per_doc is None:
+        cands = joined.distinct()
+    else:
+        scored = joined.groupBy("new_id", "corpus_id").agg(
+            F.count(F.lit(1)).alias("__n_shared")
+        )
+        cands = (
+            _budget_pairs(
+                scored.withColumnRenamed("new_id", "id_a")
+                .withColumnRenamed("corpus_id", "id_b"),
+                max_pairs_per_doc,
+            )
+            .withColumnRenamed("id_a", "new_id")
+            .withColumnRenamed("id_b", "corpus_id")
+        )
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(cands)
+    out = _verified_cross_jaccard(cands, new_inv, corp_inv, threshold)
+    return _finalize_release(out, cached)
+
+
+def minhash_dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_df: float | None = 0.2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """New-batch rows with no LSH-discovered near-duplicate in the
+    corpus (the ``dedup_near_against`` shape at MinHash scale)."""
+    pairs = minhash_pairs_against(
+        new_df, corpus_df, text_col, id_col, n, num_hashes, bands,
+        threshold, max_df, hash_fn,
+    )
+    return _flagged_anti_join(new_df, pairs.select("new_id"), id_col)
 
 
 # ---------------------------------------------------------------- components

@@ -1607,3 +1607,47 @@ def test_pair_budget_bounds_explosive_dedup(spark):
         .agg(F.count(F.lit(1)).alias("__n_shared"))
     )
     assert "WindowGroupLimit" in _budget_pairs(scored, 3)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_pairs_against_subset_and_boilerplate_exact(spark):
+    """Cross-corpus MinHash (r7): LSH candidates verified exactly, so
+    (1) every reported pair also appears in the exact cross-corpus
+    Jaccard scan with the SAME value, (2) a boilerplate-heavy true
+    near-dup keeps its exact (not underestimated) Jaccard even with
+    max_df pruning the hot shingles from the signature path, and
+    (3) minhash_dedup_against removes exactly the flagged new ids."""
+    from pd_explain_spark.functions.dedup import (
+        minhash_dedup_against,
+        minhash_pairs_against,
+        near_dup_pairs_against,
+    )
+
+    boiler = "all rights reserved contact us terms of service apply here"
+    corpus = [(i, f"corpus document {i} body text {i} " + boiler) for i in range(20)]
+    # new doc 100 is a near-dup of corpus doc 3 (shares body + boilerplate)
+    new = [(100, f"corpus document 3 body text 3 " + boiler),
+           (101, "a completely fresh document about spark adaptive execution")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+
+    exact = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in near_dup_pairs_against(ndf, cdf, threshold=0.3).collect()
+    }
+    mh = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in minhash_pairs_against(
+            ndf, cdf, num_hashes=16, bands=8, threshold=0.3, max_df=0.5
+        ).collect()
+    }
+    assert mh  # the planted near-dup is found
+    for pair, j in mh.items():
+        assert exact.get(pair) == j  # exact verify: same value, no underestimate
+    assert (100, 3) in mh and mh[(100, 3)] == 1.0
+    survivors = {
+        r["doc_id"]
+        for r in minhash_dedup_against(
+            ndf, cdf, num_hashes=16, bands=8, threshold=0.3, max_df=0.5
+        ).collect()
+    }
+    assert survivors == {101}
