@@ -2714,6 +2714,91 @@ def ingest_pipeline_docs(spark, sf_dir):
     return ingest_pipeline(docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"))
 
 
+_DSIR_CTE = """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), grams AS (
+         SELECT doc_id,
+                unnest(t || [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+         FROM toks
+       ), bg AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(gram), 1, 15))::BIGINT % 256 AS bucket
+         FROM grams
+       ), cr AS (
+         SELECT bucket, count(*)::BIGINT AS c FROM bg WHERE doc_id >= 100 GROUP BY 1
+       ), ct AS (
+         SELECT bucket, count(*)::BIGINT AS c FROM bg WHERE doc_id < 100 GROUP BY 1
+       ), tr AS (SELECT count(*)::BIGINT AS n FROM bg WHERE doc_id >= 100
+       ), tt AS (SELECT count(*)::BIGINT AS n FROM bg WHERE doc_id < 100
+       ), ratio AS (
+         SELECT coalesce(cr.bucket, ct.bucket) AS bucket,
+                ln((coalesce(ct.c, 0) + 1.0) / (tt.n + 256.0))
+                - ln((coalesce(cr.c, 0) + 1.0) / (tr.n + 256.0)) AS lr
+         FROM cr FULL JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tr CROSS JOIN tt
+       ), perdoc AS (
+         SELECT doc_id, bucket, count(*)::BIGINT AS cnt
+         FROM bg WHERE doc_id >= 100 GROUP BY 1, 2
+       ), scored AS (
+         SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+                round(sum(cnt * lr), 4) AS log_weight
+         FROM perdoc JOIN ratio USING (bucket) GROUP BY 1
+       ), weights AS (
+         SELECT d.doc_id,
+                coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+                coalesce(s.log_weight, 0.0) AS log_weight
+         FROM documents d LEFT JOIN scored s USING (doc_id)
+         WHERE d.doc_id >= 100
+       )"""
+
+
+@_q(
+    "dsir_weights_docs",
+    _DSIR_CTE + """
+       SELECT doc_id, n_grams, log_weight FROM weights""",
+)
+def dsir_weights_docs_q(spark, sf_dir):
+    """DSIR importance weights (functions/mixing.py dsir_weights; Xie et
+    al. 2023, arXiv:2302.03169): per-doc log w = sum of hashed-ngram
+    ln(p_target/p_raw) under the 256-bucket bag-of-ngrams model, raw =
+    docs >= 100 scored toward target = docs < 100. The whole model —
+    hashed buckets, Laplace smoothing, per-bucket integer counts — is
+    md5/ln arithmetic both engines evaluate identically."""
+    from pd_explain_spark.functions.mixing import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.filter("doc_id >= 100"), docs.filter("doc_id < 100"), n_buckets=256
+    )
+
+
+@_q(
+    "dsir_sample_docs",
+    _DSIR_CTE + """
+       SELECT doc_id, log_weight,
+              round(log_weight
+                    - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || '-42'), 1, 15))::BIGINT + 0.5)
+                             / power(16, 15))), 4) AS gumbel_key
+       FROM weights
+       ORDER BY gumbel_key DESC, doc_id
+       LIMIT 50""",
+)
+def dsir_sample_docs_q(spark, sf_dir):
+    """DSIR selection: Gumbel top-k over the importance weights —
+    sampling WITHOUT replacement proportional to w, deterministic
+    because the Gumbel noise is md5(id, seed) arithmetic. The only
+    ordered operator is the k-heap top-k (TakeOrderedAndProject)."""
+    from pd_explain_spark.functions.mixing import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_sample(
+        docs.filter("doc_id >= 100"), docs.filter("doc_id < 100"),
+        k=50, n_buckets=256,
+    ).select("doc_id", "log_weight", "gumbel_key")
+
+
 @_q(
     "temperature_sample_docs",
     """WITH per AS (

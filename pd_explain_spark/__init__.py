@@ -33,7 +33,8 @@ from .functions.dedup import (NearDupIndex, dedup_against, dedup_near,
                               minhash_dedup_against, minhash_pairs_against,
                               near_dup_pairs_against)
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
-from .functions.mixing import (assign_splits, pack_sequences, redact_pii,
+from .functions.mixing import (assign_splits, dsir_log_ratios, dsir_sample,
+                               dsir_weights, pack_sequences, redact_pii,
                                shuffle_assign, stratified_sample,
                                temperature_sample, write_shards)
 from .functions.contamination import contamination_pairs, decontaminate
@@ -129,6 +130,9 @@ __all__ = [
     "edit_distance_pairs_against",
     "minhash_pairs_against",
     "minhash_dedup_against",
+    "dsir_log_ratios",
+    "dsir_weights",
+    "dsir_sample",
     "fuzzy_dedup_against",
     "unigram_lm_scores",
     "bigram_lm_scores",

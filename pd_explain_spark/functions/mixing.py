@@ -333,3 +333,157 @@ def write_shards(
         .partitionBy("shard")
     )
     writer.format(fmt).save(path)
+
+
+# ------------------------------------------------------------------ DSIR
+def _hashed_gram_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) — one row per word unigram AND bigram OCCURRENCE,
+    hashed into ``n_buckets`` (the DSIR feature space, Xie et al. 2023,
+    arXiv:2302.03169). md5-bucketing so the DuckDB oracle reproduces the
+    exact assignment: ('0x'||substr(md5(gram),1,15))::BIGINT % B."""
+    from .text import normalized_text, tokens
+
+    toks_df = df.select(
+        F.col(id_col).alias("id"),
+        tokens(normalized_text(F.col(text_col))).alias("toks"),
+    )
+    k = F.size("toks") - F.lit(1)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    grams = F.concat(
+        F.col("toks"), F.when(k > 0, bigrams).otherwise(F.array().cast("array<string>"))
+    )
+    return toks_df.select(
+        "id", F.explode(grams).alias("gram")
+    ).select(
+        "id", F.pmod(md5_int(F.md5(F.col("gram"))), F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def dsir_log_ratios(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(bucket, log_ratio) — per-bucket ln(p_target / p_raw) under the
+    hashed bag-of-ngrams model with add-``smoothing`` Laplace smoothing.
+    At most ``n_buckets`` + absent-bucket default rows; broadcast-sized
+    by construction regardless of corpus size (the DSIR design point:
+    the model is O(buckets), the corpora are only ever scanned once).
+
+    The two corpus scans are map-side-combining bucket counts; the two
+    totals are O(1) scalar collects."""
+    gr = _hashed_gram_buckets(raw_df, text_col, "doc_id", n_buckets)
+    gt = _hashed_gram_buckets(target_df, text_col, "doc_id", n_buckets)
+    cr = gr.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    ct = gt.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    tot_r = gr.count()
+    tot_t = gt.count()
+    b = float(n_buckets) * smoothing
+    joined = cr.join(ct, "bucket", "full").select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(smoothing))
+                / F.lit(tot_t + b)
+            )
+            - F.log(
+                (F.coalesce(F.col("c_raw"), F.lit(0)) + F.lit(smoothing))
+                / F.lit(tot_r + b)
+            )
+        ).alias("log_ratio"),
+    )
+    return joined
+
+
+def dsir_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    ratios: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR log importance weight (Xie et al. 2023,
+    arXiv:2302.03169): log w(x) = sum over the doc's hashed n-gram
+    occurrences of ln(p_target[bucket]/p_raw[bucket]). Returns
+    (id_col, n_grams, log_weight[4dp]) with one row per raw doc —
+    zero-gram docs carry log_weight 0.0 (weight 1: the model has no
+    evidence either way).
+
+    Scale shape: one explode over the raw corpus -> integer counts per
+    (doc, bucket) (map-side combine) -> broadcast join against the
+    O(buckets) ratio table -> one map-combining per-doc sum. The target
+    corpus is touched once to fit the ratio table; pass a precomputed
+    ``ratios`` (from :func:`dsir_log_ratios`) to score many batches
+    against one fitted model."""
+    if ratios is None:
+        ratios = dsir_log_ratios(raw_df, target_df, text_col, n_buckets, smoothing)
+    per_bucket = (
+        _hashed_gram_buckets(raw_df, text_col, id_col, n_buckets)
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scored = (
+        per_bucket.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 4).alias("log_weight"),
+        )
+    )
+    return (
+        raw_df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_sample(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    temperature: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Importance-resample ``k`` raw docs toward the target distribution:
+    Gumbel top-k over log_weight/temperature — the exact equivalent of
+    sampling WITHOUT replacement with probability proportional to
+    w^(1/temperature). The Gumbel noise is a pure function of (id, seed)
+    through md5, so the sample is deterministic and the DuckDB oracle
+    reproduces the draw bit-for-bit. Returns the sampled raw rows with
+    (log_weight, gumbel_key) attached.
+
+    Scale: the only ordered operator is a top-k (TakeOrderedAndProject —
+    a k-heap per partition, never a global sort). For k beyond heap
+    comfort (~10^6), select by a quantile threshold on gumbel_key
+    instead; the weights path is unchanged."""
+    w = dsir_weights(raw_df, target_df, text_col, id_col, n_buckets, smoothing)
+    u = (md5_int(_sample_key(id_col, seed)).cast("double") + F.lit(0.5)) / F.lit(
+        float(16**15)
+    )
+    keyed = w.withColumn(
+        "gumbel_key",
+        F.round(
+            F.col("log_weight") / F.lit(float(temperature)) - F.log(-F.log(u)), 4
+        ),
+    )
+    top = keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k)
+    return raw_df.join(F.broadcast(top), id_col).select(
+        raw_df["*"], top["log_weight"], top["gumbel_key"]
+    )

@@ -1651,3 +1651,42 @@ def test_minhash_pairs_against_subset_and_boilerplate_exact(spark):
         ).collect()
     }
     assert survivors == {101}
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR (r7): docs sharing the target corpus's vocabulary must score
+    higher log-weights than off-distribution docs; resampling pulls the
+    mix toward the target; a fitted ratio table is reusable across
+    batches; zero-gram docs survive with weight 0."""
+    from pd_explain_spark.functions.mixing import (
+        dsir_log_ratios,
+        dsir_sample,
+        dsir_weights,
+    )
+
+    target = [(i, "spark catalyst optimizer shuffles partitions adaptively " * 3) for i in range(20)]
+    raw = (
+        [(100 + i, "spark catalyst optimizer shuffles partitions adaptively " * 3) for i in range(10)]
+        + [(200 + i, "cooking pasta requires salted boiling water and patience " * 3) for i in range(10)]
+        + [(300, "   ")]  # zero grams
+    )
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    w = {r["doc_id"]: r for r in dsir_weights(rdf, tdf, n_buckets=128).collect()}
+    assert len(w) == 21  # row conservation incl. the zero-gram doc
+    assert w[300]["n_grams"] == 0 and w[300]["log_weight"] == 0.0
+    on = [w[100 + i]["log_weight"] for i in range(10)]
+    off = [w[200 + i]["log_weight"] for i in range(10)]
+    assert min(on) > max(off)  # target-like beats off-distribution
+    # resampling: a k=8 draw is dominated by target-like docs
+    picked = {r["doc_id"] for r in dsir_sample(rdf, tdf, k=8, n_buckets=128).collect()}
+    assert len(picked) == 8
+    assert sum(1 for d in picked if d < 200) >= 6
+    # precomputed ratio table gives identical weights (the score-many-
+    # batches-against-one-model contract)
+    ratios = dsir_log_ratios(rdf, tdf, n_buckets=128)
+    w2 = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(rdf, tdf, n_buckets=128, ratios=ratios).collect()
+    }
+    assert w2 == {k: v["log_weight"] for k, v in w.items()}
