@@ -3417,18 +3417,16 @@ def simhash_near_dups_q(spark, sf_dir):
 _QUERIES["minhash_near_dups"] = minhash_near_dups_q  # rows-only: xxhash64 seeds
 
 
-@_q(
-    "bpe_merges_docs",
-    # The iterative merge loop IS SQL-expressible for fixed K: a
-    # recursive CTE carries the word table's segmentations between
-    # rounds, encoding each word's symbol list as a delimiter-wrapped
-    # string (chr(31) cannot occur in tokenized text). The greedy
-    # leftmost merge is then a plain replace(): string replace scans
-    # left to right over non-overlapping occurrences, which is exactly
-    # the Sennrich rewrite ('aaa' under (a,a) -> [aa, a]); wrapping
-    # every symbol as SEP||sym||SEP makes matches symbol-exact and
-    # keeps consecutive occurrences from sharing a delimiter.
-    """WITH RECURSIVE words AS (
+# The iterative BPE merge loop IS SQL-expressible for fixed K: a
+# recursive CTE carries the word table's segmentations between rounds,
+# encoding each word's symbol list as a delimiter-wrapped string
+# (chr(31) cannot occur in tokenized text). The greedy leftmost merge is
+# then a plain replace(): string replace scans left to right over
+# non-overlapping occurrences, which is exactly the Sennrich rewrite
+# ('aaa' under (a,a) -> [aa, a]); wrapping every symbol as SEP||sym||SEP
+# makes matches symbol-exact and keeps consecutive occurrences from
+# sharing a delimiter. Shared by the merge-table and encode oracles.
+_BPE_TRAIN_CTE = """WITH RECURSIVE words AS (
          SELECT w, count(*)::BIGINT AS cnt
          FROM (SELECT unnest(list_filter(
                         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
@@ -3459,7 +3457,13 @@ _QUERIES["minhash_near_dups"] = minhash_near_dups_q  # rows-only: xxhash64 seeds
            LIMIT 1
          ) best
          WHERE iter < 10 AND best.n >= 2
-       ), all_pairs AS (
+       )"""
+
+
+@_q(
+    "bpe_merges_docs",
+    _BPE_TRAIN_CTE + """
+       , all_pairs AS (
          SELECT iter, p.a AS a, p.b AS b, sum(cnt)::BIGINT AS n
          FROM (SELECT iter, cnt,
                       unnest([{'a': sym[i], 'b': sym[i+1]} FOR i IN range(1, len(sym))]) AS p
@@ -3489,6 +3493,42 @@ def bpe_merges_docs_q(spark, sf_dir):
 
     merges, _ = train_bpe(_t(spark, sf_dir, "documents"), num_merges=10)
     return merges
+
+
+@_q(
+    "bpe_encode_docs",
+    _BPE_TRAIN_CTE + """
+       , final AS (
+         SELECT w, string_split(trim(s, chr(31)), chr(31) || chr(31)) AS syms
+         FROM st WHERE iter = (SELECT max(iter) FROM st)
+       ), dtoks AS (
+         SELECT doc_id,
+                unnest([{'wpos': i - 1, 'w': t[i]} FOR i IN range(1, len(t) + 1)]) AS p
+         FROM (SELECT doc_id,
+                      list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                                  x -> x <> '') AS t
+               FROM documents)
+       )
+       SELECT d.doc_id, e.q['token'] AS token,
+              CAST(d.p['wpos'] AS BIGINT) * 1000000000 + e.q['spos'] AS pos
+       FROM dtoks d
+       JOIN final f ON f.w = d.p['w'],
+       unnest([{'spos': CAST(j - 1 AS BIGINT), 'token': f.syms[j]} FOR j IN range(1, len(f.syms) + 1)]) AS e(q)""",
+)
+def bpe_encode_docs_q(spark, sf_dir):
+    """Tokenizer APPLICATION at corpus scale (functions/bpe.py
+    bpe_encode): encode every document with the vocabulary trained by
+    bpe_merges_docs — tokenize once, join each word against its trained
+    segmentation, explode subwords with a (word, subword)-stride
+    position. The oracle reuses the training CTE's final-state
+    segmentations, so train AND encode are hash-checked end to end;
+    the OOV char-fallback path is pinned by pytest (encoding the
+    training corpus can't contain unseen words by construction)."""
+    from pd_explain_spark.functions.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    _, wt = train_bpe(docs, num_merges=10)
+    return bpe_encode(docs, wt)
 _QUERIES["simhash_near_dups"] = simhash_near_dups_q  # rows-only: xxhash64 bit votes
 
 
