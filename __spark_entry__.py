@@ -5222,17 +5222,21 @@ _RECORD_FIRST = [
     # member). Everything green in r5/r6 and not family-required rotated
     # BELOW the window; its green history lives in CORRECTNESS_r05/r06.
     #
-    # -- never-driver-checked (added late r6 / new r7)
+    # -- never-driver-checked (added late r6 / new r7: the cross-corpus
+    #    MinHash, DSIR, and BPE-encode entries took the slots of four
+    #    r03 groupby re-checks whose family keeps 6 other members)
     "edit_distance_against_corpus", "lm2_score_docs",
     "semantic_dedup_against_corpus", "shards_roundtrip", "bpe_merges_docs",
+    "minhash_against_corpus", "dsir_weights_docs", "dsir_sample_docs",
+    "bpe_encode_docs",
     # -- re-checks: last green r03 (the stalest driver evidence)
     "astype_clip", "crosstab_counts", "cut_quantity", "describe_stats",
     "dt_parts_events", "fillna_after_where", "filter_in_between",
     "filter_negation", "filter_status", "frame_nunique", "frame_quantile",
     "get_dummies_status", "groupby_count", "groupby_filter_groups",
-    "groupby_max", "groupby_min", "groupby_prod", "groupby_sem",
-    "groupby_size", "groupby_std", "groupby_sum", "groupby_transform_mean",
-    "groupby_var", "month_season_bins", "rename_drop_project",
+    "groupby_max", "groupby_min",
+    "groupby_std", "groupby_sum", "groupby_transform_mean",
+    "month_season_bins", "rename_drop_project",
     "str_ops_part", "value_counts_region",
     # -- re-checks: last green r04, chosen for family spread
     "q1_pricing_summary", "q3_shipping_priority",      # relational flagship
