@@ -1,0 +1,138 @@
+"""Property-based invariants of the round-7 operators.
+
+Hypothesis builds small corpora from a tiny alphabet (dense hash/shingle
+collisions in few examples) and checks the distributed operators against
+pure-Python reference math on EVERY example — the same standard the
+round-6 dedup/LM operators carry (tests/test_property_dedup6.py).
+"""
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["aa", "ab", "ba", "bb", "cc"])
+_doc = st.lists(_word, min_size=0, max_size=10).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=5)
+
+
+def _md5_int(s: str, width: int = 15) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:width], 16)
+
+
+def _grams(text: str) -> list:
+    t = text.split()
+    return t + [f"{t[i]} {t[i + 1]}" for i in range(len(t) - 1)]
+
+
+def _py_dsir_weights(raw, target, n_buckets, smoothing=1.0):
+    """Pure-Python mirror of functions/mixing.py dsir_weights."""
+
+    def buckets(docs):
+        out = []
+        for _, text in docs:
+            out.append([_md5_int(g) % n_buckets for g in _grams(text)])
+        return out
+
+    braw, btgt = buckets(raw), buckets(target)
+    cr, ct = {}, {}
+    for bs in braw:
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+    for bs in btgt:
+        for b in bs:
+            ct[b] = ct.get(b, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    B = n_buckets * smoothing
+    lr = {
+        b: math.log((ct.get(b, 0) + smoothing) / (tt + B))
+        - math.log((cr.get(b, 0) + smoothing) / (tr + B))
+        for b in set(cr) | set(ct)
+    }
+    out = {}
+    for (i, _), bs in zip(raw, braw):
+        # mirror the engine shape: integer count per bucket, then sum
+        cnt = {}
+        for b in bs:
+            cnt[b] = cnt.get(b, 0) + 1
+        w = sum(c * lr[b] for b, c in sorted(cnt.items()))
+        out[i] = (len(bs), w)
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus, _corpus)
+def test_dsir_weights_match_python_reference(spark, raw_docs, target_docs):
+    """Per-doc DSIR log weights equal the closed-form hashed-ngram
+    importance model for arbitrary corpora (rows conserved, zero-gram
+    docs at 0.0)."""
+    from pd_explain_spark.functions.mixing import dsir_weights
+
+    raw = list(enumerate(raw_docs))
+    target = [(100 + i, d) for i, d in enumerate(target_docs)]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dsir_weights(rdf, tdf, n_buckets=64).collect()}
+    expect = _py_dsir_weights(raw, target, 64)
+    assert set(got) == {i for i, _ in raw}
+    for i, (n_grams, w) in expect.items():
+        assert got[i]["n_grams"] == n_grams
+        # round-tolerant compare: engine sums in a different order
+        assert abs(got[i]["log_weight"] - round(w, 4)) <= 1e-4 + 1e-9
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus, _corpus)
+def test_minhash_against_subset_of_exact_with_equal_values(spark, new_docs, corp_docs):
+    """Cross-corpus MinHash pairs are a subset of the exact cross-corpus
+    Jaccard pairs with IDENTICAL values (LSH only generates candidates;
+    verification is exact), under both pruned and unpruned signatures."""
+    from pd_explain_spark.functions.dedup import (
+        minhash_pairs_against,
+        near_dup_pairs_against,
+    )
+
+    new = [(100 + i, d) for i, d in enumerate(new_docs)]
+    corp = list(enumerate(corp_docs))
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    cdf = spark.createDataFrame(corp, "doc_id long, text string")
+    exact = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in near_dup_pairs_against(ndf, cdf, threshold=0.2).collect()
+    }
+    for max_df in (None, 0.6):
+        mh = {
+            (r["new_id"], r["corpus_id"]): r["jaccard"]
+            for r in minhash_pairs_against(
+                ndf, cdf, num_hashes=8, bands=4, threshold=0.2,
+                max_df=max_df, hash_fn="md5",
+            ).collect()
+        }
+        for pair, j in mh.items():
+            assert exact.get(pair) == j, (pair, j, max_df)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus)
+def test_pair_budget_is_superset_safe(spark, docs):
+    """max_pairs_per_doc never invents pairs: the budgeted candidate set
+    is a subset of the unbudgeted one, and with a budget >= the max
+    per-doc partner count it is EQUAL (the cap only sheds, never adds)."""
+    from pd_explain_spark.functions.dedup import edit_distance_pairs
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["id_a"], r["id_b"]) for r in edit_distance_pairs(df, max_dist=30).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df, max_dist=30, max_pairs_per_doc=2).collect()
+    }
+    assert capped <= full
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df, max_dist=30, max_pairs_per_doc=100).collect()
+    }
+    assert wide == full
