@@ -56,6 +56,12 @@ ENTRIES = [
     "edit_distance_pairs_docs",
     "lm_score_docs",
     "near_dup_index_bucketed",
+    # round-7 additions: cross-corpus LSH (verbatim duplication inflates
+    # cross-side band collisions), DSIR (two corpus scans + O(buckets)
+    # model), and whole-corpus BPE encoding (train + join + explode)
+    "minhash_against_corpus",
+    "dsir_weights_docs",
+    "bpe_encode_docs",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
