@@ -2292,6 +2292,49 @@ def contamination_pairs_docs(spark, sf_dir):
 
 
 @_q(
+    "novelty_scores_docs",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), sh AS (
+         SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3
+       ), new_inv AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 250
+       ), corp_grams AS (
+         SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 250
+       ), scored AS (
+         SELECT doc_id,
+                count(*)::BIGINT AS total_ngrams,
+                sum(CASE WHEN shingle IN (SELECT shingle FROM corp_grams)
+                         THEN 0 ELSE 1 END)::BIGINT AS novel_ngrams
+         FROM new_inv GROUP BY 1
+       )
+       SELECT d.doc_id,
+              coalesce(s.total_ngrams, 0)::BIGINT AS total_ngrams,
+              coalesce(s.novel_ngrams, 0)::BIGINT AS novel_ngrams,
+              round(s.novel_ngrams / s.total_ngrams::DOUBLE, 6) AS novelty
+       FROM documents d LEFT JOIN scored s USING (doc_id)
+       WHERE d.doc_id >= 250""",
+)
+def novelty_scores_docs_q(spark, sf_dir):
+    """Per-doc n-gram novelty of the new batch (docs >= 250) against the
+    corpus (docs < 250): share of each doc's distinct 3-grams that
+    appear nowhere in the corpus — the curation complement of
+    containment (functions/contamination.py novelty_scores). The corpus
+    collapses to one distinct gram column; one keyed semi-join."""
+    from pd_explain_spark.functions.contamination import novelty_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return novelty_scores(
+        docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"), n=3
+    )
+
+
+@_q(
     "decontaminate_docs",
     _CONTAM_GRAMS_CTE
     + """

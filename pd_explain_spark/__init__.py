@@ -37,7 +37,8 @@ from .functions.mixing import (assign_splits, dsir_log_ratios, dsir_sample,
                                dsir_weights, pack_sequences, redact_pii,
                                shuffle_assign, stratified_sample,
                                temperature_sample, write_shards)
-from .functions.contamination import contamination_pairs, decontaminate
+from .functions.contamination import (contamination_pairs, decontaminate,
+                                      novelty_scores)
 from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
                                   tf_idf, top_terms_per_doc)
 from .functions.segments import (chunk_documents, segment_dedup,
@@ -133,6 +134,7 @@ __all__ = [
     "dsir_log_ratios",
     "dsir_weights",
     "dsir_sample",
+    "novelty_scores",
     "fuzzy_dedup_against",
     "unigram_lm_scores",
     "bigram_lm_scores",

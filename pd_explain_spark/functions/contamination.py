@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _shingle_index
 
-__all__ = ["contamination_pairs", "decontaminate"]
+__all__ = ["contamination_pairs", "decontaminate", "novelty_scores"]
 
 
 def contamination_pairs(
@@ -115,3 +115,57 @@ def decontaminate(
         train_df, eval_df, text_col, id_col, n, min_containment, broadcast_eval
     ).select(F.col("train_id").alias(id_col)).distinct()
     return train_df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def novelty_scores(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-NEW-doc n-gram novelty against the corpus: the fraction of
+    the doc's distinct word ``n``-grams that appear NOWHERE in the
+    corpus — the complement of containment, used to PREFER novel data
+    when growing a training mix (a batch doc that mostly restates
+    corpus content adds little signal even when no single corpus doc
+    contains it, which is why pairwise dedup/contamination can't see
+    it). Returns (id_col, total_ngrams, novel_ngrams, novelty[6dp]);
+    docs with fewer than ``n`` tokens have no grams and carry NULL
+    novelty (no evidence either way) with zero counts.
+
+    Scale shape: the corpus collapses to a DISTINCT single-column gram
+    set (text never shuffles); the probe is one keyed semi-join of the
+    batch's grams against it plus a map-combining per-doc count — the
+    corpus-side set is the big side of exactly one hash join, never
+    replicated, never collected."""
+    new_idx = _shingle_index(new_df, text_col, id_col, n)
+    corp_grams = (
+        _shingle_index(corpus_df, text_col, id_col, n).select("shingle").distinct()
+    )
+    seen = new_idx.join(corp_grams, "shingle", "semi").groupBy("id").agg(
+        F.count(F.lit(1)).alias("seen_ngrams")
+    )
+    totals = new_idx.groupBy("id").agg(F.count(F.lit(1)).alias("total_ngrams"))
+    scored = totals.join(seen, "id", "left").select(
+        "id",
+        "total_ngrams",
+        (F.col("total_ngrams") - F.coalesce(F.col("seen_ngrams"), F.lit(0))).alias(
+            "novel_ngrams"
+        ),
+        F.round(
+            (F.col("total_ngrams") - F.coalesce(F.col("seen_ngrams"), F.lit(0)))
+            / F.col("total_ngrams"),
+            6,
+        ).alias("novelty"),
+    )
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("total_ngrams"), F.lit(0)).cast("bigint").alias("total_ngrams"),
+            F.coalesce(F.col("novel_ngrams"), F.lit(0)).cast("bigint").alias("novel_ngrams"),
+            F.col("novelty"),
+        )
+    )

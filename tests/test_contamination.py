@@ -147,3 +147,31 @@ def test_contamination_threshold_uses_raw_ratio(spark):
         train, ev, n=8, min_containment=0.666667
     ).collect()
     assert none == []
+
+
+def test_novelty_scores_planted(spark):
+    """novelty_scores (r7): a doc restating corpus vocabulary scores ~0,
+    a fresh doc scores 1.0, a half-and-half doc lands in between; short
+    docs carry NULL novelty with zero counts; rows conserved."""
+    from pd_explain_spark.functions.contamination import novelty_scores
+
+    corpus = [(i, "spark shuffles data across executor partitions efficiently always") for i in range(5)]
+    new = [
+        (100, "spark shuffles data across executor partitions efficiently always"),  # all seen
+        (101, "quantum chemistry simulations need basis sets and functionals"),      # all novel
+        (102, "spark shuffles data across quantum chemistry simulations need"),      # mixed
+        (103, "too short"),                                                          # < n tokens
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in novelty_scores(ndf, cdf, n=3).collect()}
+    assert set(got) == {100, 101, 102, 103}
+    assert got[100]["novelty"] == 0.0
+    assert got[101]["novelty"] == 1.0
+    assert 0.0 < got[102]["novelty"] < 1.0
+    assert got[103]["novelty"] is None
+    assert got[103]["total_ngrams"] == 0 and got[103]["novel_ngrams"] == 0
+    # counts are consistent
+    for d in (100, 101, 102):
+        r = got[d]
+        assert 0 <= r["novel_ngrams"] <= r["total_ngrams"]
