@@ -3791,6 +3791,23 @@ def similarity_ivf_q(spark, sf_dir):
 _QUERIES["similarity_ivf_topk"] = similarity_ivf_q  # rows-only: KMeans index
 
 
+def similarity_topk_arrow_q(spark, sf_dir):
+    """Arrow/BLAS dense fast path of brute-force cosine top-k
+    (functions/similarity.py brute_force_topk_arrow): per-Arrow-batch
+    matmul + per-partition partial top-k. Rows-only by design — BLAS
+    sums in a different order than the fold (and than DuckDB), so the
+    last bits of the raw doubles are not cross-engine hashable; identity
+    with the oracle-backed similarity_topk flavor is pytest-pinned
+    (test_brute_force_topk_arrow_matches_jvm_flavor)."""
+    from pd_explain_spark.functions.similarity import brute_force_topk_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk_arrow(emb, emb.filter("vec_id < 10"), k=5)
+
+
+_QUERIES["similarity_topk_arrow"] = similarity_topk_arrow_q  # rows-only: BLAS sums
+
+
 @_q(
     "similarity_ivf_fixed",
     """WITH cast_emb AS (

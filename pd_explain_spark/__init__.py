@@ -43,7 +43,8 @@ from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
                                   tf_idf, top_terms_per_doc)
 from .functions.segments import (chunk_documents, segment_dedup,
                                  segment_frequencies, span_dedup)
-from .functions.similarity import (IvfIndex, ivf_build, ivf_build_fixed,
+from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
+                                   ivf_build, ivf_build_fixed,
                                    ivf_query, semantic_dedup,
                                    semantic_dedup_against,
                                    semantic_dedup_pairs,
@@ -135,6 +136,7 @@ __all__ = [
     "dsir_weights",
     "dsir_sample",
     "novelty_scores",
+    "brute_force_topk_arrow",
     "fuzzy_dedup_against",
     "unigram_lm_scores",
     "bigram_lm_scores",

@@ -832,3 +832,86 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", round_to).alias("cosine_sim"))
     )
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Arrow/numpy fast path of :func:`brute_force_topk` — identical
+    contract ((query_id, neighbor_id, rank, cosine_sim), self excluded,
+    ties by neighbor id), different physics: each Arrow batch of the
+    corpus becomes ONE BLAS matmul against the broadcast query matrix
+    instead of per-pair expression evaluation.
+
+    This is the documented division of labor for dense math: the
+    JVM-expression flavor stays the ORACLE twin (its fold arithmetic is
+    reproducible in DuckDB, bit for bit), this flavor is the THROUGHPUT
+    twin (BLAS sums in a different order, so its doubles can differ in
+    the last bits — equality is asserted up to 1e-9 by the parity test,
+    not hashed cross-engine).
+
+    Scale shape: queries collected once (the query set is small by the
+    same contract brute_force_topk broadcasts it under); corpus streamed
+    through mapInPandas in Arrow batches; each PARTITION emits only its
+    own top-k per query (k x n_queries rows), so the final global
+    WindowGroupLimit merge sees partitions x queries x k rows — never
+    the full similarity matrix."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine_sim double"
+        )
+    qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    if (qn == 0).any():
+        raise ValueError("zero-norm query vector: cosine undefined")
+    Qn = Q / qn
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(X, axis=1, keepdims=True)
+            xn[xn == 0] = np.inf  # zero-norm corpus rows rank last, like -1 sim
+            S = (X / xn) @ Qn.T  # (batch, n_queries)
+            top = min(k + 1, S.shape[0])  # +1 absorbs a potential self-match
+            idx = np.argpartition(-S, top - 1, axis=0)[:top]
+            out_q, out_n, out_s = [], [], []
+            for j in range(S.shape[1]):
+                rows = idx[:, j]
+                out_q.extend([qids[j]] * len(rows))
+                out_n.extend(ids[rows])
+                out_s.extend(S[rows, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    partials = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).mapInPandas(part, schema="query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partials.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("sim", round_to).alias("cosine_sim"),
+        )
+    )

@@ -1690,3 +1690,33 @@ def test_dsir_weights_prefer_target_like_docs(spark):
         for r in dsir_weights(rdf, tdf, n_buckets=128, ratios=ratios).collect()
     }
     assert w2 == {k: v["log_weight"] for k, v in w.items()}
+
+
+def test_brute_force_topk_arrow_matches_jvm_flavor(spark, embeddings):
+    """Arrow/BLAS dense fast path (r7): identical (query, neighbor,
+    rank) sets and 6dp-equal sims vs the oracle-backed JVM-expression
+    flavor; zero-norm queries raise; empty query set yields an empty
+    frame with the contract schema."""
+    import pytest as _pytest
+
+    from pd_explain_spark.functions.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    q = embeddings.filter("vec_id < 10")
+    a = brute_force_topk(embeddings, q, k=4).collect()
+    b = brute_force_topk_arrow(embeddings, q, k=4).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in a} == {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in b
+    }
+    sims_a = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in a}
+    for r in b:
+        assert sims_a[(r["query_id"], r["neighbor_id"])] == r["cosine_sim"]
+    empty = brute_force_topk_arrow(embeddings, q.filter("vec_id < 0"), k=4)
+    assert empty.count() == 0 and empty.columns == [
+        "query_id", "neighbor_id", "rank", "cosine_sim",
+    ]
+    zq = q.selectExpr("vec_id", "transform(embedding, x -> float(0.0)) AS embedding")
+    with _pytest.raises(ValueError):
+        brute_force_topk_arrow(embeddings, zq, k=4)
