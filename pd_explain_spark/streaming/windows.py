@@ -477,3 +477,42 @@ def near_dup_flag_summary(flags_df: DataFrame) -> DataFrame:
         F.max("is_collision").alias("is_near_dup"),
         F.min(F.when(F.col("is_collision"), F.col("first_id"))).alias("matched_id"),
     )
+
+
+def stream_ingest_dedup(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Continuous ingest dedup: the streaming flavor of
+    ``functions.text.ingest_pipeline``'s exact-dedup stages — keep each
+    arriving doc only if (1) it is the FIRST arrival of its normalized
+    fingerprint within the watermark (within-stream dedup, state
+    evicted by ``dropDuplicatesWithinWatermark``) and (2) its
+    fingerprint does not already exist in the historical corpus
+    (stream-static LEFT ANTI join against the corpus's DISTINCT
+    fingerprint set — the static side is re-read per micro-batch, so a
+    periodically refreshed corpus table is picked up without restarting
+    the query).
+
+    State/scale: within-stream state is bounded by the watermark; the
+    anti-join's static side is one distinct fingerprint column (the
+    corpus TEXT never enters the stream), exactly the reduction
+    ``dedup_against`` uses in batch — a backfill job and this stream
+    agree on what counts as a duplicate because both sides share the
+    same md5(normalized_text) identity."""
+    from ..functions.text import fingerprint
+
+    corpus_fp = corpus_df.select(
+        fingerprint(F.col(text_col)).alias("__fp")
+    ).distinct()
+    deduped = (
+        _with_event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .withColumn("__fp", fingerprint(F.col(text_col)))
+        .dropDuplicatesWithinWatermark(["__fp"])
+    )
+    return deduped.join(corpus_fp, "__fp", "left_anti").drop("__fp")

@@ -357,3 +357,47 @@ def test_duration_ms_units():
 
     with _pt.raises(ValueError):
         _duration_ms("3 fortnights")
+
+
+def test_stream_ingest_dedup_matches_batch(spark, tmp_path):
+    """stream_ingest_dedup (r7): the surviving doc set equals the batch
+    composition (first-arrival within-stream dedup, then dedup_against
+    the corpus) when replayed with availableNow across micro-batches —
+    a corpus dup arriving in a later file is still removed, and the
+    within-stream dup keeps only its first arrival."""
+    import datetime as dt
+
+    from pd_explain_spark.streaming.windows import stream_ingest_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    corpus = spark.createDataFrame(
+        [(900, "existing corpus document about shuffle partitions"),
+         (901, "another historical document on catalyst optimization")],
+        "doc_id long, text string",
+    )
+    rows1 = [
+        (0, "a genuinely new document about watermarks", t0),
+        (1, "Existing   corpus document ABOUT shuffle partitions", t0),  # corpus dup (normalized)
+        (2, "a second new document about state stores", t0 + dt.timedelta(minutes=1)),
+    ]
+    rows2 = [
+        (3, "A GENUINELY new document about watermarks", t0 + dt.timedelta(minutes=5)),  # stream dup of 0
+        (4, "another historical document on catalyst optimization", t0 + dt.timedelta(minutes=6)),  # corpus dup
+        (5, "a third new document entirely fresh content", t0 + dt.timedelta(minutes=7)),
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    src = str(tmp_path / "ingest_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_ingest_dedup(stream, corpus, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("ingest_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table("ingest_dedup").collect()}
+    assert got == {0, 2, 5}
+    # schema passthrough: original columns survive, no helper columns
+    assert set(spark.table("ingest_dedup").columns) == {"doc_id", "text", "ts"}
