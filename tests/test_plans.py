@@ -493,3 +493,40 @@ def test_shuffle_assign_single_hash_exchange_no_global_sort(spark, sf_dir):
         ex = [l for l in final.splitlines() if "Exchange hashpartitioning" in l]
         assert len(ex) == 1, final
         assert "shard" in ex[0], ex[0]
+
+
+ROUND7_ENTRIES = [
+    "shards_roundtrip",
+    "minhash_against_corpus",
+    "dsir_weights_docs",
+    "dsir_sample_docs",
+    "novelty_scores_docs",
+    "bpe_encode_docs",
+]
+
+
+@pytest.mark.parametrize("entry", ROUND7_ENTRIES)
+def test_round7_entries_pass_scale_audit(spark, sf_dir, entry):
+    """The round-7 entries carry no fatal cluster-scale anti-pattern
+    (single-partition exchange, nested-loop join, row-Python UDF,
+    unpushed scan filter). similarity_topk_arrow is excluded: its
+    mapInPandas stage is the documented Arrow escape (same class as
+    multimodal decode), and its merge window is bounded at
+    partitions x queries x k rows."""
+    import __spark_entry__ as m
+    from pd_explain_spark.plans.audit import assert_scalable
+
+    df = m.queries()[entry](spark, sf_dir)
+    assert_scalable(df)
+
+
+def test_novelty_corpus_text_never_shuffles(spark, sf_dir):
+    """novelty_scores' corpus side must collapse to the distinct gram
+    column before any join — the documents' text column may appear in
+    scan/project stages but never in an Exchange above the corpus scan."""
+    import __spark_entry__ as m
+
+    df = m.queries()["novelty_scores_docs"](spark, sf_dir)
+    plan = _final(_plan(df))
+    # the semi join on shingle exists; no broadcast nested loop anywhere
+    assert "NestedLoop" not in plan, plan
