@@ -538,6 +538,54 @@ class NearDupIndex:
         ).write.mode(mode).parquet(f"{path}/meta")
         return NearDupIndex.load(spark, path)
 
+    def append_save(
+        self,
+        path: str,
+        new_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        dedup_ids: bool = True,
+    ) -> "NearDupIndex":
+        """Grow the PERSISTED index with a new batch — the maintenance
+        contract that makes the index an ingest-loop primitive (same
+        shape as :meth:`IvfIndex.append_save`): shingle the batch,
+        anti-join already-indexed doc ids (``dedup_ids``, default — a
+        retried batch must not double-index), APPEND the rows into the
+        bucketed ``inv`` table with the SAME bucket spec (each batch
+        writes only its own bucketed files; existing data is never
+        rewritten, and the exchange-free corpus-side join property is
+        preserved because bucket ids are per-file), and append the new
+        per-doc sizes. Returns the reloaded table-backed index."""
+        from pyspark.storagelevel import StorageLevel
+
+        spark = self.inv.sparkSession
+        meta = spark.read.parquet(f"{path}/meta").first()
+        name = self._table_name(path)
+        if not spark.catalog.tableExists(name):
+            # fresh session: register the table first so the append
+            # validates against the recorded bucket spec
+            NearDupIndex.load(spark, path)
+        new_inv = _shingle_index(new_df, text_col, id_col, int(meta["n"]))
+        if dedup_ids:
+            # the sizes table has exactly one row per indexed doc — a
+            # narrow scan, never the inverted index
+            new_inv = new_inv.join(
+                spark.read.parquet(f"{path}/sizes").select("id"), "id", "left_anti"
+            )
+        new_inv = new_inv.persist(StorageLevel.MEMORY_AND_DISK)
+        (
+            new_inv.write.mode("append")
+            .option("path", f"{path}/inv")
+            .bucketBy(int(meta["buckets"]), "shingle")
+            .sortBy("shingle")
+            .saveAsTable(name)
+        )
+        new_inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")).write.mode(
+            "append"
+        ).parquet(f"{path}/sizes")
+        new_inv.unpersist()
+        return NearDupIndex.load(spark, path)
+
     @staticmethod
     def _table_name(path: str) -> str:
         import hashlib

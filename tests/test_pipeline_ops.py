@@ -1720,3 +1720,36 @@ def test_brute_force_topk_arrow_matches_jvm_flavor(spark, embeddings):
     zq = q.selectExpr("vec_id", "transform(embedding, x -> float(0.0)) AS embedding")
     with _pytest.raises(ValueError):
         brute_force_topk_arrow(embeddings, zq, k=4)
+
+
+def test_neardup_index_append_save_grows_and_is_idempotent(spark, tmp_path):
+    """NearDupIndex.append_save (r7): appending a batch yields the same
+    pairs as an index rebuilt over the full corpus; re-appending the
+    same batch is a no-op (idempotent retry); the catalog table keeps
+    its bucket spec after the append."""
+    from pd_explain_spark.functions.dedup import NearDupIndex, near_dup_pairs_against
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    first, second = docs.filter("doc_id < 150"), docs.filter("doc_id >= 150 AND doc_id < 250")
+    probe = docs.filter("doc_id >= 250")
+    path = str(tmp_path / "nd_grow")
+    idx = NearDupIndex.build(first).save(path, buckets=8)
+    grown = idx.append_save(path, second)
+
+    def pairset(df):
+        return {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in df.collect()}
+
+    expect = pairset(
+        near_dup_pairs_against(probe, docs.filter("doc_id < 250"), threshold=0.2)
+    )
+    assert pairset(grown.pairs_against(probe, threshold=0.2)) == expect
+    n_docs = grown.sizes.count()
+    again = grown.append_save(path, second)  # retry: must not double-index
+    assert again.sizes.count() == n_docs
+    assert pairset(again.pairs_against(probe, threshold=0.2)) == expect
+    # bucket spec survives the append
+    desc = spark.sql(
+        f"DESCRIBE TABLE EXTENDED {NearDupIndex._table_name(path)}"
+    ).collect()
+    txt = "\n".join(f"{r['col_name']} {r['data_type']}" for r in desc)
+    assert "8" in txt and "Bucket" in txt, txt
