@@ -5271,16 +5271,25 @@ def metainsight_explain_text(spark, sf_dir):
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
     # r7 rotation (VERDICT r6 task #2): still 100% oracle-backed.
-    # Composition: the 5 oracle entries with no driver evidence (the 3
-    # added after the r6 window froze — edit_distance_against_corpus,
+    # Composition: 9 oracle entries with no driver evidence (the 3 added
+    # after the r6 window froze — edit_distance_against_corpus,
     # lm2_score_docs, semantic_dedup_against_corpus — plus this round's
-    # shards_roundtrip sink read-back and the newly oracle-ized
-    # bpe_merges_docs), then 45 re-checks weighted to staleness: all 27
-    # entries last driver-green in r03, 16 last green in r04, and 2
-    # family-forced r5/r6 holdovers (multimodal_features_kernel,
+    # shards_roundtrip, bpe_merges_docs, minhash_against_corpus,
+    # dsir_weights_docs, dsir_sample_docs, bpe_encode_docs), then 41
+    # re-checks weighted to staleness: 23 entries last driver-green in
+    # r03 (4 r03 groupby slots went to the new never-checked entries;
+    # groupby keeps 6 members), 14 last green in r04, 2 r05
+    # family-stalest members (outlier_kernel, asof_join_events), and 2
+    # family-forced r6 holdovers (multimodal_features_kernel,
     # mini_language_query — their families have no staler oracle-backed
     # member). Everything green in r5/r6 and not family-required rotated
     # BELOW the window; its green history lives in CORRECTNESS_r05/r06.
+    # r8 rotation pool: the remaining r04-stale oracle entries
+    # (drop_duplicates_part, filter_compound, filter_quantity,
+    # groupby_agg_dict/mean/median/multi_key/nunique, join_inner,
+    # join_left_agg, melt_lineitem, q5, q6, shift_events,
+    # sliding_windows, where_mask, groupby_prod/sem/size/var) plus any
+    # entries added in r8.
     #
     # -- never-driver-checked (added late r6 / new r7: the cross-corpus
     #    MinHash, DSIR, and BPE-encode entries took the slots of four

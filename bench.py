@@ -16,13 +16,18 @@ in a FRESH JVM (VERDICT r6 task #4: the r6 gate cried wolf 4/159 times
 from GC/JIT pressure of benching 160 entries in one JVM): each flagged
 entry is re-timed warm in its own subprocess (one untimed pass, then
 the timed one); only entries whose isolated time still crosses both
-thresholds land in ``regressions`` (with the isolated time attached as
-``fresh``). Cleared flags are preserved in ``false_flags`` so the noise
-itself stays observable. ``queries`` always holds the in-run times —
+thresholds — or whose retime subprocess CRASHED — land in
+``regressions`` (with the isolated time attached as ``fresh``).
+Cleared flags are preserved in ``false_flags``; flags beyond the
+retime cap (never attempted in isolation) go to ``unconfirmed``, never
+to ``regressions``. ``queries`` always holds the in-run times —
 comparable round-to-round because every round measures under the same
 full-suite pressure. ``--gate`` exits nonzero when any confirmed
 regression (or error) remains (for local pre-commit use; the driver run
-stays rc=0 so the bench record is never lost to a slow entry).
+stays rc=0 so the bench record is never lost to a slow entry). The
+full record is written to BENCH_LOCAL.json ONLY on plain (non---gate)
+runs, so iterating with the gate cannot slide the baseline under
+itself.
 
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 cores from $SPARK_GRAFT_CPUS. Each query is executed to completion
@@ -70,9 +75,12 @@ def _timings_from_record(d: dict) -> dict[str, float] | None:
         for marker in ('"vs_prev"', '"regressions"', '"n_entries"', '"prev_file"'):
             tail = tail.split(marker)[0]
         pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', tail)
+        # sibling scalar keys ("sf", "cpus", old-format "value"...) can
+        # survive the marker cuts and would masquerade as query timings
+        skip = {"value", "sf", "n_entries", "regression_count", "rc", "n", "cpus"}
         out: dict[str, float] = {}
         for k, v in pairs:
-            if k not in out:
+            if k not in skip and k not in out:
                 out[k] = float(v)
         if out:
             return out
@@ -204,6 +212,7 @@ def main() -> int:
             provisional[name] = {"prev": p, "now": sec, "ratio": ratio}
     regressions: dict[str, dict[str, float]] = {}
     false_flags: dict[str, dict[str, float]] = {}
+    unconfirmed: dict[str, dict[str, float]] = {}
     retimes: dict[str, float | None] = {}
     if provisional:
         print(
@@ -215,12 +224,19 @@ def main() -> int:
         retimes = _retime_isolated(order)
         for name in order:
             r = dict(provisional[name])
-            fresh = retimes.get(name)
+            p = r["prev"]
+            if name not in retimes:
+                # beyond the retime cap: never attempted in isolation —
+                # recording it as CONFIRMED would recreate exactly the
+                # cried-wolf noise the retime step exists to remove.
+                # Kept visible in its own bucket instead.
+                unconfirmed[name] = r
+                continue
+            fresh = retimes[name]
             if fresh is not None:
                 r["fresh"] = fresh
-            p = r["prev"]
-            # unconfirmable (retime failed) counts as a regression: a
-            # crash in isolation is worse news than a slow entry
+            # a retime that CRASHED (subprocess error/timeout) counts as
+            # a regression: failing in isolation is worse than being slow
             if fresh is None or (fresh / p > RATIO_TH and (fresh - p) > ABS_FLOOR_SEC):
                 regressions[name] = r
             else:
@@ -239,6 +255,12 @@ def main() -> int:
             f"but {r['fresh']:.2f}s isolated (JVM pressure, not a regression)",
             file=sys.stderr,
         )
+    for name, r in unconfirmed.items():
+        print(
+            f"# unconfirmed (beyond retime cap): {name} "
+            f"{r['prev']:.2f}s -> {r['now']:.2f}s in-run",
+            file=sys.stderr,
+        )
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     out = {
@@ -254,20 +276,28 @@ def main() -> int:
         "regression_count": len(regressions),
         "retimes": retimes,
         "false_flags": false_flags,
+        "unconfirmed": unconfirmed,
     }
     if errors:
         out["errors"] = errors
     # full record on disk: the driver's wrapper keeps only the last
     # 2000 chars of stdout, which no longer fits 160 entries — committed
-    # per round, this file is what the next round's vs_prev reads
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-            "w",
-        ) as fh:
-            json.dump(out, fh)
-    except Exception:
-        pass
+    # per round, this file is what the next round's vs_prev reads.
+    # NOT written under --gate: iterating locally with the gate must not
+    # slide the baseline under itself (a gradual regression would stop
+    # flagging once each intermediate run normalizes into the baseline);
+    # only the plain recording run (the driver's) refreshes it.
+    if not gate:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+                ),
+                "w",
+            ) as fh:
+                json.dump(out, fh)
+        except Exception:
+            pass
     print(json.dumps(out))
     if gate and (regressions or errors):
         return 1

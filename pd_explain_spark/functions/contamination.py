@@ -143,21 +143,27 @@ def novelty_scores(
     corp_grams = (
         _shingle_index(corpus_df, text_col, id_col, n).select("shingle").distinct()
     )
-    seen = new_idx.join(corp_grams, "shingle", "semi").groupBy("id").agg(
-        F.count(F.lit(1)).alias("seen_ngrams")
-    )
-    totals = new_idx.groupBy("id").agg(F.count(F.lit(1)).alias("total_ngrams"))
-    scored = totals.join(seen, "id", "left").select(
-        "id",
-        "total_ngrams",
-        (F.col("total_ngrams") - F.coalesce(F.col("seen_ngrams"), F.lit(0))).alias(
-            "novel_ngrams"
-        ),
-        F.round(
-            (F.col("total_ngrams") - F.coalesce(F.col("seen_ngrams"), F.lit(0)))
-            / F.col("total_ngrams"),
-            6,
-        ).alias("novelty"),
+    # ONE pass over the batch's (unpersisted) shingle index: the left
+    # join marks corpus-known grams, a single per-doc aggregation counts
+    # total and seen together — a semi-join + separate totals branch
+    # would tokenize and shingle the batch twice
+    scored = (
+        new_idx.join(corp_grams.withColumn("__seen", F.lit(1)), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count("__seen").alias("seen_ngrams"),
+        )
+        .select(
+            "id",
+            "total_ngrams",
+            (F.col("total_ngrams") - F.col("seen_ngrams")).alias("novel_ngrams"),
+            F.round(
+                (F.col("total_ngrams") - F.col("seen_ngrams"))
+                / F.col("total_ngrams"),
+                6,
+            ).alias("novelty"),
+        )
     )
     return (
         new_df.select(F.col(id_col).alias("id"))

@@ -189,19 +189,26 @@ def ngram_jaccard_pairs(
     )
 
 
-def _df_pruned(inv: DataFrame, max_df: float, n_docs: int | None = None) -> DataFrame:
-    """Drop shingles occurring in more than max_df of the docs (min cap 2).
-    ``n_docs`` skips the countDistinct scan when the caller already knows
-    the document count (NearDupIndex precomputes per-doc sizes)."""
+def _hot_shingles(inv: DataFrame, max_df: float, n_docs: int | None = None) -> DataFrame:
+    """Shingles occurring in more than ``max_df`` of the docs (min cap
+    2) — the ONE definition of the boilerplate cap (boundary and floor),
+    shared by within-corpus pruning and the cross-corpus flavors that
+    prune BOTH sides by the corpus's statistics. ``n_docs`` skips the
+    countDistinct scan when the caller already knows the count."""
     if n_docs is None:
         n_docs = inv.select(F.countDistinct("id")).first()[0]
     cap = max(int(n_docs * max_df), 2)
-    hot = (
+    return (
         inv.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_cnt"))
         .filter(F.col("df_cnt") > cap)
         .select("shingle")
     )
+
+
+def _df_pruned(inv: DataFrame, max_df: float, n_docs: int | None = None) -> DataFrame:
+    """Drop shingles occurring in more than max_df of the docs (min cap 2)."""
+    hot = _hot_shingles(inv, max_df, n_docs)
     return inv.join(F.broadcast(hot), "shingle", "left_anti")
 
 
@@ -565,24 +572,34 @@ class NearDupIndex:
             # fresh session: register the table first so the append
             # validates against the recorded bucket spec
             NearDupIndex.load(spark, path)
-        new_inv = _shingle_index(new_df, text_col, id_col, int(meta["n"]))
+        new_inv = _shingle_index(new_df, text_col, id_col, int(meta["n"])).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        inv_to_write = new_inv
         if dedup_ids:
-            # the sizes table has exactly one row per indexed doc — a
-            # narrow scan, never the inverted index
-            new_inv = new_inv.join(
-                spark.read.parquet(f"{path}/sizes").select("id"), "id", "left_anti"
-            )
-        new_inv = new_inv.persist(StorageLevel.MEMORY_AND_DISK)
+            # anti-join against the INV TABLE's own ids, not the sizes
+            # file: the two writes below are not atomic together, and a
+            # retry after a crash between them must neither re-append
+            # inv rows (sizes-keyed dedup would: the crashed run wrote
+            # inv but not sizes) nor skip the batch wholesale. Keying
+            # each write off its OWN destination makes the retry
+            # self-healing: inv skips already-written ids, the sizes
+            # write below independently adds whatever ids sizes lacks.
+            indexed = spark.table(name).select("id").distinct()
+            inv_to_write = new_inv.join(indexed, "id", "left_anti")
         (
-            new_inv.write.mode("append")
+            inv_to_write.write.mode("append")
             .option("path", f"{path}/inv")
             .bucketBy(int(meta["buckets"]), "shingle")
             .sortBy("shingle")
             .saveAsTable(name)
         )
-        new_inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")).write.mode(
-            "append"
-        ).parquet(f"{path}/sizes")
+        batch_sizes = new_inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        if dedup_ids:
+            batch_sizes = batch_sizes.join(
+                spark.read.parquet(f"{path}/sizes").select("id"), "id", "left_anti"
+            )
+        batch_sizes.write.mode("append").parquet(f"{path}/sizes")
         new_inv.unpersist()
         return NearDupIndex.load(spark, path)
 
@@ -914,15 +931,7 @@ def minhash_pairs_against(
     )
     cached = [new_inv, corp_inv]
     if max_df is not None:
-        n_corp = corp_inv.select(F.countDistinct("id")).first()[0]
-        cap = max(int(n_corp * max_df), 2)
-        hot = (
-            corp_inv.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_cnt"))
-            .filter(F.col("df_cnt") > cap)
-            .select("shingle")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        hot = _hot_shingles(corp_inv, max_df).persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(hot)
         sig_new = new_inv.join(F.broadcast(hot), "shingle", "left_anti")
         sig_corp = corp_inv.join(F.broadcast(hot), "shingle", "left_anti")

@@ -379,14 +379,31 @@ def dsir_log_ratios(
 
     The two corpus scans are map-side-combining bucket counts; the two
     totals are O(1) scalar collects."""
-    gr = _hashed_gram_buckets(raw_df, text_col, "doc_id", n_buckets)
-    gt = _hashed_gram_buckets(target_df, text_col, "doc_id", n_buckets)
-    cr = gr.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
-    ct = gt.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
-    tot_r = gr.count()
-    tot_t = gt.count()
+    cr = (
+        _hashed_gram_buckets(raw_df, text_col, "doc_id", n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_raw"))
+    )
+    ct = (
+        _hashed_gram_buckets(target_df, text_col, "doc_id", n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    return _ratios_from_counts(cr, ct, n_buckets, smoothing)
+
+
+def _ratios_from_counts(
+    cr: DataFrame, ct: DataFrame, n_buckets: int, smoothing: float
+) -> DataFrame:
+    """(bucket, log_ratio) from the two per-bucket count tables. The
+    corpus totals come from summing the O(buckets) tables — exactly the
+    gram counts, with NO second scan of either corpus (deriving totals
+    with a separate .count() would re-run the tokenize/explode subtree,
+    the operator's dominant cost)."""
+    tot_r = cr.agg(F.sum("c_raw")).first()[0] or 0
+    tot_t = ct.agg(F.sum("c_tgt")).first()[0] or 0
     b = float(n_buckets) * smoothing
-    joined = cr.join(ct, "bucket", "full").select(
+    return cr.join(ct, "bucket", "full").select(
         "bucket",
         (
             F.log(
@@ -399,7 +416,6 @@ def dsir_log_ratios(
             )
         ).alias("log_ratio"),
     )
-    return joined
 
 
 def dsir_weights(
@@ -418,19 +434,33 @@ def dsir_weights(
     zero-gram docs carry log_weight 0.0 (weight 1: the model has no
     evidence either way).
 
-    Scale shape: one explode over the raw corpus -> integer counts per
-    (doc, bucket) (map-side combine) -> broadcast join against the
-    O(buckets) ratio table -> one map-combining per-doc sum. The target
-    corpus is touched once to fit the ratio table; pass a precomputed
-    ``ratios`` (from :func:`dsir_log_ratios`) to score many batches
-    against one fitted model."""
-    if ratios is None:
-        ratios = dsir_log_ratios(raw_df, target_df, text_col, n_buckets, smoothing)
+    Scale shape: ONE explode over each corpus, total. The raw corpus's
+    per-(doc, bucket) integer count table (map-side combine) is the
+    shared intermediate: the raw side of the ratio model is its
+    per-bucket re-aggregation (docs x buckets rows in, buckets rows
+    out), the per-doc weights are its broadcast join against the
+    O(buckets) ratio table + one map-combining per-doc sum, and the
+    corpus totals are sums over the count tables — no .count() job ever
+    re-runs a tokenize/explode subtree. The target corpus is touched
+    once to fit; pass a precomputed ``ratios`` (from
+    :func:`dsir_log_ratios`) to score many batches against one fitted
+    model."""
+    from pyspark.storagelevel import StorageLevel
+
     per_bucket = (
         _hashed_gram_buckets(raw_df, text_col, id_col, n_buckets)
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if ratios is None:
+        cr = per_bucket.groupBy("bucket").agg(F.sum("cnt").alias("c_raw"))
+        ct = (
+            _hashed_gram_buckets(target_df, text_col, "doc_id", n_buckets)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c_tgt"))
+        )
+        ratios = _ratios_from_counts(cr, ct, n_buckets, smoothing)
     scored = (
         per_bucket.join(F.broadcast(ratios), "bucket")
         .groupBy("id")
@@ -439,7 +469,7 @@ def dsir_weights(
             F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 4).alias("log_weight"),
         )
     )
-    return (
+    out = (
         raw_df.select(F.col(id_col).alias("id"))
         .join(scored, "id", "left")
         .select(
@@ -448,6 +478,11 @@ def dsir_weights(
             F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
         )
     )
+    # same long-session cache hygiene as the dedup entry points: one
+    # weight row per raw doc materializes, the shared gram cache frees
+    from .dedup import _finalize_release
+
+    return _finalize_release(out, [per_bucket])
 
 
 def dsir_sample(

@@ -884,17 +884,29 @@ def brute_force_topk_arrow(
                 continue
             ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
-            xn = np.linalg.norm(X, axis=1, keepdims=True)
-            xn[xn == 0] = np.inf  # zero-norm corpus rows rank last, like -1 sim
-            S = (X / xn) @ Qn.T  # (batch, n_queries)
+            xn = np.linalg.norm(X, axis=1)
+            # zero-norm corpus rows have no defined cosine: EXCLUDE them
+            # (the JVM twin's contract assumes none exist — under ANSI it
+            # would raise on the division; silently ranking them anywhere
+            # would diverge from it)
+            valid = xn > 0
+            if not valid.any():
+                continue
+            ids, X, xn = ids[valid], X[valid], xn[valid]
+            S = (X / xn[:, None]) @ Qn.T  # (batch, n_queries)
             top = min(k + 1, S.shape[0])  # +1 absorbs a potential self-match
-            idx = np.argpartition(-S, top - 1, axis=0)[:top]
             out_q, out_n, out_s = [], [], []
             for j in range(S.shape[1]):
-                rows = idx[:, j]
-                out_q.extend([qids[j]] * len(rows))
-                out_n.extend(ids[rows])
-                out_s.extend(S[rows, j])
+                # truncation must respect the FULL ordering contract
+                # (-sim, neighbor_id): argpartition alone keeps an
+                # arbitrary subset of rows tied at the cutoff sim, which
+                # drops smaller-id neighbors the JVM flavor returns on
+                # duplicate-embedding corpora (exactly the data this
+                # library targets). lexsort: last key is primary.
+                order = np.lexsort((ids, -S[:, j]))[:top]
+                out_q.extend([qids[j]] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(S[order, j])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
             )

@@ -1720,6 +1720,27 @@ def test_brute_force_topk_arrow_matches_jvm_flavor(spark, embeddings):
     zq = q.selectExpr("vec_id", "transform(embedding, x -> float(0.0)) AS embedding")
     with _pytest.raises(ValueError):
         brute_force_topk_arrow(embeddings, zq, k=4)
+    # tie-break contract under duplicate embeddings (the near-dup corpus
+    # shape): >= k+2 identical vectors in one batch must keep the
+    # SMALLEST neighbor ids, exactly like the JVM flavor's
+    # (-sim, neighbor_id) ordering — a bare argpartition truncation
+    # keeps an arbitrary tied subset and failed this
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in (30, 20, 40, 10, 50, 60)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    qd = dup.filter("vec_id = 60")
+    a2 = brute_force_topk(dup, qd, k=2).collect()
+    b2 = brute_force_topk_arrow(dup, qd, k=2).collect()
+    want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in a2}
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in b2} == want
+    assert {r["neighbor_id"] for r in b2} == {10, 20}
+    # zero-norm CORPUS rows are excluded (cosine undefined), never ranked
+    zc = dup.unionByName(
+        spark.createDataFrame([(5, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    )
+    b3 = brute_force_topk_arrow(zc, qd, k=6).collect()
+    assert 5 not in {r["neighbor_id"] for r in b3}
 
 
 def test_neardup_index_append_save_grows_and_is_idempotent(spark, tmp_path):
@@ -1753,3 +1774,24 @@ def test_neardup_index_append_save_grows_and_is_idempotent(spark, tmp_path):
     ).collect()
     txt = "\n".join(f"{r['col_name']} {r['data_type']}" for r in desc)
     assert "8" in txt and "Bucket" in txt, txt
+
+    # crash between the two writes: simulate a run that appended the inv
+    # rows but died before the sizes write — the retry must NOT
+    # double-index those inv rows AND must backfill the missing sizes
+    from pd_explain_spark.functions.dedup import _shingle_index
+
+    third = docs.filter("doc_id >= 250 AND doc_id < 300")
+    path2 = str(tmp_path / "nd_crash")
+    NearDupIndex.build(first).save(path2, buckets=8)
+    name2 = NearDupIndex._table_name(path2)
+    (
+        _shingle_index(third, "text", "doc_id", 3)
+        .write.mode("append").option("path", f"{path2}/inv")
+        .bucketBy(8, "shingle").sortBy("shingle").saveAsTable(name2)
+    )
+    healed = NearDupIndex.load(spark, path2).append_save(path2, third)
+    full_ref = NearDupIndex.build(docs.filter("doc_id < 150 OR (doc_id >= 250 AND doc_id < 300)"))
+    # inv has exactly one copy of every (id, shingle) row
+    assert healed.inv.count() == full_ref.inv.count()
+    # sizes were backfilled for the crashed batch
+    assert healed.sizes.count() == full_ref.sizes.count()
