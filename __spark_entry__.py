@@ -2489,7 +2489,10 @@ def hybrid_search_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings").filter("vec_id < 500")
-    qv = emb.filter("vec_id = 0").select("embedding").first()[0]
+    qrow = emb.filter("vec_id = 0").select("embedding").first()
+    # empty embeddings table: any constant direction works — the doc side
+    # is empty too, so the result is an empty frame either way
+    qv = list(qrow[0]) if qrow is not None else [1.0] * 64
     return hybrid_search(
         docs, emb, ["spark", "window", "join"], qv, k=10, depth=100
     )
@@ -3040,7 +3043,13 @@ def shards_roundtrip_q(spark, sf_dir):
         "spark_graft_shards_rt_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     write_shards(docs, path, n_shards=8, seed=42, mode="overwrite")
-    return spark.read.parquet(path).select(
+    # explicit schema: a zero-row corpus writes partition dirs with no
+    # parquet footers, and schema inference would fail on the read-back
+    from pd_explain_spark.functions.mixing import shuffle_assign
+
+    return spark.read.schema(shuffle_assign(docs, n_shards=8).schema).parquet(
+        path
+    ).select(
         "doc_id",
         F.col("shard").cast("int").alias("shard"),
         "pos",
@@ -4404,7 +4413,10 @@ def many_to_one_explain(spark, sf_dir):
 def outlier_explain(spark, sf_dir):
     o = _e(spark, sf_dir, "orders")
     g = o.groupby("o_orderpriority")["o_totalprice"].mean()
-    target = g.df.orderBy(F.desc("o_totalprice_mean")).first()[0]
+    trow = g.df.orderBy(F.desc("o_totalprice_mean")).first()
+    if trow is None:
+        raise ValueError("outlier explain: empty input has no target group")
+    target = trow[0]
     return g.explain(explainer="outlier", target=target, dir="high").to_df(spark)
 
 
@@ -4413,7 +4425,10 @@ def outlier_explain_std(spark, sf_dir):
     one-pass bin-removal algebra (explainers/outlier.py)."""
     o = _e(spark, sf_dir, "orders")
     g = o.groupby("o_orderpriority")["o_totalprice"].std()
-    target = g.df.orderBy(F.desc("o_totalprice_std")).first()[0]
+    trow = g.df.orderBy(F.desc("o_totalprice_std")).first()
+    if trow is None:
+        raise ValueError("outlier explain: empty input has no target group")
+    target = trow[0]
     return g.explain(explainer="outlier", target=target, dir="high").to_df(spark)
 
 
@@ -4494,7 +4509,10 @@ def outlier_kernel(spark, sf_dir):
     )
     e = to_explainable(o, name="orders_cents")
     g = e.groupby("o_orderpriority")["cents"].mean()
-    target = g.df.orderBy(F.desc("cents_mean"), F.asc("o_orderpriority")).first()[0]
+    trow = g.df.orderBy(F.desc("cents_mean"), F.asc("o_orderpriority")).first()
+    if trow is None:
+        raise ValueError("outlier explain: empty input has no target group")
+    target = trow[0]
     return outlier_kernel_table(
         g, target=target, dir="high", attributes=["o_custkey", "o_orderkey"]
     )
@@ -4598,7 +4616,10 @@ def outlier_explain_text(spark, sf_dir):
     )
     e = to_explainable(o, name="orders_cents")
     g = e.groupby("o_orderpriority")["cents"].mean()
-    target = g.df.orderBy(F.desc("cents_mean"), F.asc("o_orderpriority")).first()[0]
+    trow = g.df.orderBy(F.desc("cents_mean"), F.asc("o_orderpriority")).first()
+    if trow is None:
+        raise ValueError("outlier explain: empty input has no target group")
+    target = trow[0]
     exp = g.explain(explainer="outlier", target=target, dir="high")
     return exp.to_text_df(spark)
 

@@ -154,6 +154,11 @@ def lsh_topk(
     """
     if dim is None:
         first = corpus.select(F.size(vec_col)).first()
+        if first is None:  # empty corpus: empty result, not a crash —
+            # an ingest loop's empty micro-batch must flow through
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, rank int, cosine_sim double"
+            )
         dim = int(first[0])
     # norms ride along from before the explode — one norm per VECTOR,
     # not per (vector, table) row or per candidate pair; same doubles,
@@ -219,6 +224,10 @@ def embedding_near_duplicates(
     from pyspark.storagelevel import StorageLevel
 
     first = df.select(F.size(vec_col)).first()
+    if first is None:  # empty input: no pairs, not a crash
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
     dim = int(first[0])
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -286,6 +295,10 @@ def ivf_build(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
+    if train.isEmpty():
+        # KMeans.fit on zero rows dies deep in the summarizer with an
+        # opaque executor error; an index over nothing is a caller bug
+        raise ValueError("ivf_build requires a non-empty corpus")
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="__v", predictionCol="bucket"
     ).fit(train.select(array_to_vector(F.col("cv")).alias("__v")))
