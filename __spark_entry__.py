@@ -3061,9 +3061,12 @@ def shards_roundtrip_q(spark, sf_dir):
 # ---------------------------------------------------------------- dedup
 @_q(
     "dedup_exact",
+    # the CASE key mirrors the engine's null-safe grouping: NULL-text
+    # docs are each their own group, never duplicates of each other
     """SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
               count(*) AS dup_count, min(doc_id) AS keep_id
-       FROM documents GROUP BY 1""",
+       FROM documents
+       GROUP BY 1, CASE WHEN text IS NULL THEN doc_id END""",
 )
 def dedup_exact_q(spark, sf_dir):
     from pd_explain_spark.functions.dedup import exact_duplicates

@@ -29,19 +29,35 @@ from .text import normalized_text
 
 
 # ---------------------------------------------------------------- exact
+def _null_safe_key(h, id_col: str):
+    """Secondary grouping key that isolates NULL-fingerprint rows: two
+    docs with NULL text share no content and must never be treated as
+    duplicates of each other (SQL GROUP BY / window partitioning treats
+    NULL = NULL, which silently collapsed them before r7). Non-null
+    rows get a constant (grouping stays by hash alone); null rows get
+    their own id."""
+    return F.when(h.isNull(), F.col(id_col)).otherwise(F.lit(None).cast("long"))
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical (normalized) texts: (text_hash, dup_count, keep_id)."""
+    """Groups of byte-identical (normalized) texts: (text_hash, dup_count,
+    keep_id). NULL-text rows are each their own group (never duplicates
+    of each other); empty/whitespace-only texts DO group together —
+    byte-identical (empty) content is still identical content."""
     h = F.md5(normalized_text(F.col(text_col)))
     return (
         df.select(h.alias("text_hash"), F.col(id_col))
-        .groupBy("text_hash")
+        .groupBy("text_hash", _null_safe_key(F.col("text_hash"), id_col).alias("__nk"))
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .drop("__nk")
     )
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep exactly one row (min id) per normalized text."""
-    w = Window.partitionBy(F.md5(normalized_text(F.col(text_col)))).orderBy(F.col(id_col))
+    """Keep exactly one row (min id) per normalized text; NULL-text rows
+    all survive (no content, no duplicate evidence)."""
+    h = F.md5(normalized_text(F.col(text_col)))
+    w = Window.partitionBy(h, _null_safe_key(h, id_col)).orderBy(F.col(id_col))
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
@@ -70,8 +86,14 @@ def dedup_against(
     """
     h = F.md5(normalized_text(F.col(text_col)))
     corpus_fp = corpus_df.select(h.alias("__fp")).distinct()
+    # NULL-fingerprint batch rows pass the anti-join untouched (NULL
+    # never equals a corpus key) and must ALSO survive the internal
+    # dedup below — the null-safe partition key keeps each in its own
+    # window partition
     fresh = new_df.withColumn("__fp", h).join(corpus_fp, "__fp", "left_anti")
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    w = Window.partitionBy(
+        F.col("__fp"), _null_safe_key(F.col("__fp"), id_col)
+    ).orderBy(F.col(id_col))
     return (
         fresh.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -221,12 +221,20 @@ def stream_dedup_exact(
     """
     from ..functions.text import normalized_text
 
-    return (
-        _with_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
+    hashed = (
+        _with_event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
         .withColumn("__text_hash", F.md5(normalized_text(F.col(text_col))))
-        .dropDuplicatesWithinWatermark(["__text_hash"])
-        .drop("__text_hash")
     )
+    # NULL-text rows carry no content: they must never dedup against
+    # each other (dropDuplicates treats NULL keys as equal), so they
+    # bypass the stateful operator entirely
+    deduped = hashed.filter(F.col("__text_hash").isNotNull()).dropDuplicatesWithinWatermark(
+        ["__text_hash"]
+    )
+    return deduped.unionByName(
+        hashed.filter(F.col("__text_hash").isNull())
+    ).drop("__text_hash")
 
 
 def interval_join(
@@ -509,10 +517,15 @@ def stream_ingest_dedup(
     corpus_fp = corpus_df.select(
         fingerprint(F.col(text_col)).alias("__fp")
     ).distinct()
-    deduped = (
+    hashed = (
         _with_event_time(stream_df, ts_col)
         .withWatermark(ts_col, watermark)
         .withColumn("__fp", fingerprint(F.col(text_col)))
-        .dropDuplicatesWithinWatermark(["__fp"])
     )
+    # NULL-fingerprint rows bypass the stateful dedup (no content, no
+    # duplicate evidence — dropDuplicates would collapse them) and the
+    # anti-join passes them anyway (NULL never equals a corpus key)
+    deduped = hashed.filter(F.col("__fp").isNotNull()).dropDuplicatesWithinWatermark(
+        ["__fp"]
+    ).unionByName(hashed.filter(F.col("__fp").isNull()))
     return deduped.join(corpus_fp, "__fp", "left_anti").drop("__fp")

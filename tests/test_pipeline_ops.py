@@ -1795,3 +1795,30 @@ def test_neardup_index_append_save_grows_and_is_idempotent(spark, tmp_path):
     assert healed.inv.count() == full_ref.inv.count()
     # sizes were backfilled for the crashed batch
     assert healed.sizes.count() == full_ref.sizes.count()
+
+
+def test_null_text_docs_are_never_mutual_duplicates(spark):
+    """NULL-text rows share no content: exact dedup must keep them ALL
+    (r7 fix — SQL NULL-equality grouping silently collapsed them),
+    while genuinely identical texts (including empty-after-normalize)
+    still dedup; the incremental flavor behaves the same."""
+    from pd_explain_spark.functions.dedup import (
+        dedup_against,
+        dedup_exact,
+        exact_duplicates,
+    )
+
+    d = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same text"), (4, "same text"),
+         (5, "   "), (6, "")],
+        "doc_id long, text string",
+    )
+    survivors = sorted(r["doc_id"] for r in dedup_exact(d).collect())
+    # both NULLs live; one of {3,4}; one of {5,6} (empty == empty content)
+    assert survivors == [1, 2, 3, 5]
+    groups = exact_duplicates(d).collect()
+    null_groups = [g for g in groups if g["text_hash"] is None]
+    assert len(null_groups) == 2 and all(g["dup_count"] == 1 for g in null_groups)
+    corp = spark.createDataFrame([(100, "corpus doc")], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_against(d, corp).collect())
+    assert kept == [1, 2, 3, 5]
