@@ -924,10 +924,18 @@ def brute_force_topk_arrow(
                 {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
             )
 
-    partials = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).mapInPandas(part, schema="query_id long, neighbor_id long, sim double")
+    partials = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        # NULL vectors have no cosine and would poison the batch matmul
+        # (np.asarray over a list containing None yields an object
+        # array); filtered JVM-side so no Python ever sees them — the
+        # JVM twin's NULL sims sort last and never reach top-k either
+        .filter(F.col("cv").isNotNull())
+        .mapInPandas(part, schema="query_id long, neighbor_id long, sim double")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )

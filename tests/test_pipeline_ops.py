@@ -1822,3 +1822,27 @@ def test_null_text_docs_are_never_mutual_duplicates(spark):
     corp = spark.createDataFrame([(100, "corpus doc")], "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in dedup_against(d, corp).collect())
     assert kept == [1, 2, 3, 5]
+
+
+def test_brute_force_topk_arrow_tolerates_null_vectors(spark, embeddings):
+    """A NULL embedding row (dirty corpus) must not crash the Arrow
+    matmul batch — it is filtered JVM-side, matching the JVM flavor
+    where NULL sims sort last and never reach top-k."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    base = embeddings.select("vec_id", "embedding")
+    dirty = base.unionByName(
+        spark.createDataFrame([(9001, None)], "vec_id long, embedding array<float>")
+    )
+    q = base.filter("vec_id < 5")
+    a = {(r["query_id"], r["neighbor_id"], r["rank"])
+         for r in brute_force_topk(dirty, q, k=3).collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"])
+         for r in brute_force_topk_arrow(dirty, q, k=3).collect()}
+    assert a == b
+    assert 9001 not in {n for _, n, _ in b}
