@@ -2846,6 +2846,75 @@ def dsir_sample_docs_q(spark, sf_dir):
 
 
 @_q(
+    "quality_score_fixed",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), grams AS (
+         SELECT doc_id,
+                unnest(t || [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+         FROM toks
+       ), bg AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(gram), 1, 15))::BIGINT % 256 AS bucket
+         FROM grams
+       ), per AS (
+         SELECT doc_id, bucket, count(*)::BIGINT AS cnt FROM bg GROUP BY 1, 2
+       ), coef AS (
+         SELECT b::BIGINT AS bucket, ((b * 7919) % 13 - 6) / 10.0 AS w
+         FROM (SELECT unnest(range(0, 256, 3)) AS b)
+       ), scored AS (
+         SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+                sum(cnt * coalesce(w, 0.0)) AS z
+         FROM per LEFT JOIN coef USING (bucket) GROUP BY 1
+       )
+       SELECT d.doc_id,
+              coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+              round(1.0 / (1.0 + exp(-(coalesce(s.z, 0.0) + (-0.5)))), 6) AS quality_prob
+       FROM documents d LEFT JOIN scored s USING (doc_id)""",
+)
+def quality_score_fixed_q(spark, sf_dir):
+    """The quality-classifier SCORING path hash-checked end to end
+    (functions/classifier.py score_quality): probability = sigmoid of a
+    sparse linear model over the hashed-ngram count space. A planted
+    deterministic coefficient table stands in for a trained one —
+    identical arithmetic, reproducible in SQL — so the oracle proves the
+    feature hashing + sparse dot + sigmoid pipeline; the iterative
+    LogisticRegression FIT stays rows-only (quality_classifier_docs)."""
+    from pd_explain_spark.functions.classifier import QualityModel, score_quality
+
+    model = QualityModel(
+        intercept=-0.5,
+        coef={b: ((b * 7919) % 13 - 6) / 10.0 for b in range(0, 256, 3)},
+        n_buckets=256,
+    )
+    return score_quality(_t(spark, sf_dir, "documents"), model)
+
+
+def quality_classifier_docs_q(spark, sf_dir):
+    """End-to-end fasttext-style quality filter: train reference-vs-raw
+    (docs < 100 as the reference) and score the full corpus. Rows-only:
+    the LogisticRegression fit is iterative (L-BFGS) with no SQL
+    equivalent; the scoring arithmetic is oracle-proven by
+    quality_score_fixed and the separation semantics by pytest."""
+    from pd_explain_spark.functions.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_quality_classifier(
+        docs.filter("doc_id >= 100"), docs.filter("doc_id < 100"), n_buckets=256
+    )
+    return score_quality(docs, model)
+
+
+_QUERIES["quality_classifier_docs"] = quality_classifier_docs_q  # rows-only: L-BFGS fit
+
+
+@_q(
     "temperature_sample_docs",
     """WITH per AS (
          SELECT source, count(*) AS cnt FROM documents GROUP BY 1

@@ -37,6 +37,8 @@ from .functions.mixing import (assign_splits, dsir_log_ratios, dsir_sample,
                                dsir_weights, pack_sequences, redact_pii,
                                shuffle_assign, stratified_sample,
                                temperature_sample, write_shards)
+from .functions.classifier import (QualityModel, score_quality,
+                                   train_quality_classifier)
 from .functions.contamination import (contamination_pairs, decontaminate,
                                       novelty_scores)
 from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
@@ -137,6 +139,9 @@ __all__ = [
     "dsir_sample",
     "novelty_scores",
     "brute_force_topk_arrow",
+    "train_quality_classifier",
+    "score_quality",
+    "QualityModel",
     "fuzzy_dedup_against",
     "unigram_lm_scores",
     "bigram_lm_scores",

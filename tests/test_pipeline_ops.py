@@ -1846,3 +1846,38 @@ def test_brute_force_topk_arrow_tolerates_null_vectors(spark, embeddings):
          for r in brute_force_topk_arrow(dirty, q, k=3).collect()}
     assert a == b
     assert 9001 not in {n for _, n, _ in b}
+
+
+def test_quality_classifier_separates_reference_like_docs(spark):
+    """fasttext-style quality filter (r7): reference-like raw docs score
+    strictly above off-distribution docs; scoring is row-conserving
+    (zero-gram docs at sigmoid(intercept)); an empty reference raises."""
+    import pytest as _pytest
+
+    from pd_explain_spark.functions.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "spark catalyst optimizer shuffles partitions adaptively with codegen " * 2) for i in range(30)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(100 + i, "spark catalyst optimizer shuffles partitions adaptively with codegen " * 2) for i in range(10)]
+        + [(200 + i, "buy cheap pills now click here winner casino bonus free money " * 2) for i in range(10)]
+        + [(300, "   ")],
+        "doc_id long, text string",
+    )
+    m = train_quality_classifier(raw, ref, n_buckets=256)
+    got = {r["doc_id"]: r for r in score_quality(raw, m).collect()}
+    assert len(got) == 21
+    on = [got[100 + i]["quality_prob"] for i in range(10)]
+    off = [got[200 + i]["quality_prob"] for i in range(10)]
+    assert min(on) > max(off)
+    import math
+
+    expect_zero = round(1.0 / (1.0 + math.exp(-m.intercept)), 6)
+    assert got[300]["n_grams"] == 0 and abs(got[300]["quality_prob"] - expect_zero) < 1e-9
+    with _pytest.raises(ValueError):
+        train_quality_classifier(raw, ref.filter("doc_id < 0"))
