@@ -5364,14 +5364,15 @@ def metainsight_explain_text(spark, sf_dir):
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
     # r7 rotation (VERDICT r6 task #2): still 100% oracle-backed.
-    # Composition: 9 oracle entries with no driver evidence (the 3 added
+    # Composition: 10 oracle entries with no driver evidence (the 3 added
     # after the r6 window froze — edit_distance_against_corpus,
     # lm2_score_docs, semantic_dedup_against_corpus — plus this round's
     # shards_roundtrip, bpe_merges_docs, minhash_against_corpus,
-    # dsir_weights_docs, dsir_sample_docs, bpe_encode_docs), then 41
-    # re-checks weighted to staleness: 23 entries last driver-green in
-    # r03 (4 r03 groupby slots went to the new never-checked entries;
-    # groupby keeps 6 members), 14 last green in r04, 2 r05
+    # dsir_weights_docs, dsir_sample_docs, bpe_encode_docs,
+    # quality_score_fixed), then 40 re-checks weighted to staleness: 22
+    # entries last driver-green in r03 (5 r03 groupby slots went to the
+    # new never-checked entries; groupby keeps 5 members), 14 last green
+    # in r04, 2 r05
     # family-stalest members (outlier_kernel, asof_join_events), and 2
     # family-forced r6 holdovers (multimodal_features_kernel,
     # mini_language_query — their families have no staler oracle-backed
@@ -5390,13 +5391,13 @@ _RECORD_FIRST = [
     "edit_distance_against_corpus", "lm2_score_docs",
     "semantic_dedup_against_corpus", "shards_roundtrip", "bpe_merges_docs",
     "minhash_against_corpus", "dsir_weights_docs", "dsir_sample_docs",
-    "bpe_encode_docs",
+    "bpe_encode_docs", "quality_score_fixed",
     # -- re-checks: last green r03 (the stalest driver evidence)
     "astype_clip", "crosstab_counts", "cut_quantity", "describe_stats",
     "dt_parts_events", "fillna_after_where", "filter_in_between",
     "filter_negation", "filter_status", "frame_nunique", "frame_quantile",
     "get_dummies_status", "groupby_count", "groupby_filter_groups",
-    "groupby_max", "groupby_min",
+    "groupby_min",
     "groupby_std", "groupby_sum", "groupby_transform_mean",
     "month_season_bins", "rename_drop_project",
     "str_ops_part", "value_counts_region",
