@@ -2490,9 +2490,16 @@ def hybrid_search_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings").filter("vec_id < 500")
     qrow = emb.filter("vec_id = 0").select("embedding").first()
-    # empty embeddings table: any constant direction works — the doc side
-    # is empty too, so the result is an empty frame either way
-    qv = list(qrow[0]) if qrow is not None else [1.0] * 64
+    if qrow is not None:
+        qv = list(qrow[0])
+    elif emb.isEmpty():
+        # fully-empty mirror (robustness sweep): any constant direction
+        # works — the doc side is empty too, so the result is empty
+        qv = [1.0] * 64
+    else:
+        # non-empty table without the expected anchor vector: a silent
+        # dimension-mismatched constant would NULL every dense cosine
+        raise ValueError("hybrid_search_docs: embeddings table lacks vec_id=0")
     return hybrid_search(
         docs, emb, ["spark", "window", "join"], qv, k=10, depth=100
     )

@@ -47,18 +47,24 @@ class QualityModel:
         self.n_buckets = int(n_buckets)
 
 
-def _bucket_count_vectors(df: DataFrame, text_col: str, id_col: str, n_buckets: int):
-    """(id, features: sparse vector of bucket counts) via one explode +
-    one map-combining aggregate; docs with zero grams keep an empty
-    sparse vector (left join back to the id spine)."""
-    from pyspark.ml.functions import array_to_vector  # noqa: F401  (probe)
-    from pyspark.sql import types as T
-
-    per_bucket = (
+def _per_bucket_counts(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket, cnt) — the ONE definition of the classifier feature
+    space (training vectors and scoring sums must count identically, and
+    the quality_score_fixed oracle pins exactly this shape)."""
+    return (
         _hashed_gram_buckets(df, text_col, id_col, n_buckets)
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _bucket_count_vectors(df: DataFrame, text_col: str, id_col: str, n_buckets: int):
+    """(id, features: sparse vector of bucket counts) via one explode +
+    one map-combining aggregate; docs with zero grams keep an empty
+    sparse vector (left join back to the id spine)."""
+    per_bucket = _per_bucket_counts(df, text_col, id_col, n_buckets)
     assembled = per_bucket.groupBy("id").agg(
         F.sort_array(
             F.collect_list(
@@ -146,16 +152,8 @@ def score_quality(
     JVM-side. Zero-gram docs score sigmoid(intercept)."""
     spark = df.sparkSession
     coef_rows = [(b, w) for b, w in sorted(model.coef.items())]
-    coef_df = (
-        spark.createDataFrame(coef_rows, "bucket long, w double")
-        if coef_rows
-        else spark.createDataFrame([], "bucket long, w double")
-    )
-    per_bucket = (
-        _hashed_gram_buckets(df, text_col, id_col, model.n_buckets)
-        .groupBy("id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    coef_df = spark.createDataFrame(coef_rows, "bucket long, w double")
+    per_bucket = _per_bucket_counts(df, text_col, id_col, model.n_buckets)
     scored = (
         per_bucket.join(F.broadcast(coef_df), "bucket", "left")
         .groupBy("id")

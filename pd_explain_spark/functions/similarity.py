@@ -55,14 +55,26 @@ def brute_force_topk(
     # collapse across the join boundary), so the per-pair work is a single
     # dot product + one divide — round 1 re-evaluated both norms for every
     # (corpus, query) pair
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cn", _norm(F.col("cv")))
+    # NULL vectors have no cosine: a NULL-embedding doc must never be
+    # reported as someone's nearest neighbor (it used to surface with a
+    # NULL sim once fewer than k valid neighbors existed), and a NULL
+    # query has no ranking — both filtered, matching the Arrow flavor
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .filter(F.col("qv").isNotNull())
+        .withColumn("qn", _norm(F.col("qv")))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .filter(F.col("cv").isNotNull())
+        .withColumn("cn", _norm(F.col("cv")))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
