@@ -397,24 +397,30 @@ def _ratios_from_counts(
 ) -> DataFrame:
     """(bucket, log_ratio) from the two per-bucket count tables. The
     corpus totals come from summing the O(buckets) tables — exactly the
-    gram counts, with NO second scan of either corpus (deriving totals
-    with a separate .count() would re-run the tokenize/explode subtree,
-    the operator's dominant cost)."""
-    tot_r = cr.agg(F.sum("c_raw")).first()[0] or 0
-    tot_t = ct.agg(F.sum("c_tgt")).first()[0] or 0
+    gram counts — as LAZY broadcast scalars (the scalar-augmentation
+    idiom scale_audit classifies as info): a driver-side .first() per
+    total would add two extra jobs re-materializing the count subtrees,
+    which r7's bench measured as a 3.4x regression on this entry."""
     b = float(n_buckets) * smoothing
-    return cr.join(ct, "bucket", "full").select(
-        "bucket",
-        (
-            F.log(
-                (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(smoothing))
-                / F.lit(tot_t + b)
-            )
-            - F.log(
-                (F.coalesce(F.col("c_raw"), F.lit(0)) + F.lit(smoothing))
-                / F.lit(tot_r + b)
-            )
-        ).alias("log_ratio"),
+    tot = cr.agg(F.sum("c_raw").alias("__tr")).crossJoin(
+        ct.agg(F.sum("c_tgt").alias("__tt"))
+    )
+    return (
+        cr.join(ct, "bucket", "full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(smoothing))
+                    / (F.coalesce(F.col("__tt"), F.lit(0)) + F.lit(b))
+                )
+                - F.log(
+                    (F.coalesce(F.col("c_raw"), F.lit(0)) + F.lit(smoothing))
+                    / (F.coalesce(F.col("__tr"), F.lit(0)) + F.lit(b))
+                )
+            ).alias("log_ratio"),
+        )
     )
 
 
@@ -445,13 +451,10 @@ def dsir_weights(
     once to fit; pass a precomputed ``ratios`` (from
     :func:`dsir_log_ratios`) to score many batches against one fitted
     model."""
-    from pyspark.storagelevel import StorageLevel
-
     per_bucket = (
         _hashed_gram_buckets(raw_df, text_col, id_col, n_buckets)
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if ratios is None:
         cr = per_bucket.groupBy("bucket").agg(F.sum("cnt").alias("c_raw"))
@@ -469,7 +472,11 @@ def dsir_weights(
             F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 4).alias("log_weight"),
         )
     )
-    out = (
+    # per_bucket feeds both the ratio fit and the scoring join as the
+    # SAME aggregate subtree: ReuseExchange dedups the shuffle in the
+    # single-action plan, so no persist (and no eager checkpoint — the
+    # r7 bench measured persist+checkpoint at 3.4x the lazy plan here)
+    return (
         raw_df.select(F.col(id_col).alias("id"))
         .join(scored, "id", "left")
         .select(
@@ -478,11 +485,6 @@ def dsir_weights(
             F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
         )
     )
-    # same long-session cache hygiene as the dedup entry points: one
-    # weight row per raw doc materializes, the shared gram cache frees
-    from .dedup import _finalize_release
-
-    return _finalize_release(out, [per_bucket])
 
 
 def dsir_sample(
