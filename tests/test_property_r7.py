@@ -136,3 +136,33 @@ def test_pair_budget_is_superset_safe(spark, docs):
         for r in edit_distance_pairs(df, max_dist=30, max_pairs_per_doc=100).collect()
     }
     assert wide == full
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus, _corpus)
+def test_novelty_scores_match_python_reference(spark, new_docs, corp_docs):
+    """Per-doc n-gram novelty equals the closed-form set computation for
+    arbitrary corpora (rows conserved; <n-token docs NULL)."""
+    from pd_explain_spark.functions.contamination import novelty_scores
+
+    def tri(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    new = [(100 + i, d) for i, d in enumerate(new_docs)]
+    corp = list(enumerate(corp_docs))
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    cdf = spark.createDataFrame(corp, "doc_id long, text string")
+    corp_grams = set().union(*(tri(d) for _, d in corp)) if corp else set()
+    got = {r["doc_id"]: r for r in novelty_scores(ndf, cdf, n=3).collect()}
+    assert set(got) == {i for i, _ in new}
+    for i, d in new:
+        g = tri(d)
+        r = got[i]
+        assert r["total_ngrams"] == len(g)
+        if not g:
+            assert r["novelty"] is None and r["novel_ngrams"] == 0
+        else:
+            novel = len(g - corp_grams)
+            assert r["novel_ngrams"] == novel
+            assert r["novelty"] == round(novel / len(g), 6)
