@@ -2853,6 +2853,56 @@ def dsir_sample_docs_q(spark, sf_dir):
 
 
 @_q(
+    "hashed_embeddings_docs",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), grams AS (
+         SELECT doc_id,
+                unnest(t || [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+         FROM toks
+       ), sc AS (
+         SELECT doc_id,
+                CAST(h % 64 AS INT) AS coord,
+                CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+         FROM (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM grams)
+       ), agg AS (
+         SELECT doc_id, coord, sum(sign)::DOUBLE AS val FROM sc GROUP BY 1, 2
+       ), m0 AS (
+         SELECT doc_id, map_from_entries(list((coord, val))) AS m FROM agg GROUP BY doc_id
+       ), dense AS (
+         SELECT doc_id, [coalesce(m[j][1], 0.0)::DOUBLE FOR j IN range(0, 64)] AS raw
+         FROM m0
+       ), normed AS (
+         SELECT doc_id,
+                sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm, raw
+         FROM dense
+       )
+       SELECT d.doc_id,
+              CASE WHEN n.nrm > 0
+                   THEN list_transform(n.raw, x -> round(x / n.nrm, 6))
+                   ELSE [0.0 FOR j IN range(0, 64)]
+              END AS embedding
+       FROM documents d LEFT JOIN normed n USING (doc_id)""",
+)
+def hashed_embeddings_docs_q(spark, sf_dir):
+    """Feature-hashed text embeddings (functions/text.py
+    hashed_embeddings; Weinberger et al. 2009): signed md5 hashing of
+    unigram+bigram occurrences into 64 coordinates, L2-normalized —
+    the model-free bridge from raw text into the dense similarity /
+    SemDeDup stack (and the cheap first-pass filter before paying for
+    model inference at 100 TB). Coordinate sums are exact integers, the
+    norm folds the 64 coordinates in a fixed order, and the single
+    6-decimal round happens after the one division — fully
+    hash-reproducible in SQL."""
+    from pd_explain_spark.functions.text import hashed_embeddings
+
+    return hashed_embeddings(_t(spark, sf_dir, "documents"), dim=64)
+
+
+@_q(
     "quality_score_fixed",
     """WITH toks AS (
          SELECT doc_id,
@@ -5389,8 +5439,9 @@ _RECORD_FIRST = [
     # (drop_duplicates_part, filter_compound, filter_quantity,
     # groupby_agg_dict/mean/median/multi_key/nunique, join_inner,
     # join_left_agg, melt_lineitem, q5, q6, shift_events,
-    # sliding_windows, where_mask, groupby_prod/sem/size/var) plus any
-    # entries added in r8.
+    # sliding_windows, where_mask, groupby_prod/sem/size/var/max) plus
+    # the late-r7 never-checked hashed_embeddings_docs and any entries
+    # added in r8.
     #
     # -- never-driver-checked (added late r6 / new r7: the cross-corpus
     #    MinHash, DSIR, and BPE-encode entries took the slots of four

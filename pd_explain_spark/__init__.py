@@ -53,8 +53,9 @@ from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
                                    semantic_dedup_pairs_against)
 from .functions.bpe import bpe_encode, train_bpe
 from .functions.text import (bigram_lm_scores, corpus_stats, curation_pipeline,
-                             ingest_pipeline, repetition_signals,
-                             stream_corpus_stats, unigram_lm_scores)
+                             hashed_embeddings, ingest_pipeline,
+                             repetition_signals, stream_corpus_stats,
+                             unigram_lm_scores)
 from .session import get_spark
 from .sources.readers import load_table, read_csv, read_json, read_parquet, to_explainable
 
@@ -142,6 +143,7 @@ __all__ = [
     "train_quality_classifier",
     "score_quality",
     "QualityModel",
+    "hashed_embeddings",
     "fuzzy_dedup_against",
     "unigram_lm_scores",
     "bigram_lm_scores",

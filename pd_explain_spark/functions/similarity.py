@@ -66,6 +66,7 @@ def brute_force_topk(
         )
         .filter(F.col("qv").isNotNull())
         .withColumn("qn", _norm(F.col("qv")))
+        .filter(F.col("qn") > 0)
     )
     c = (
         corpus.select(
@@ -74,6 +75,11 @@ def brute_force_topk(
         )
         .filter(F.col("cv").isNotNull())
         .withColumn("cn", _norm(F.col("cv")))
+        # zero-norm rows have no cosine — under ANSI the division would
+        # throw, under non-ANSI they'd surface with NULL sims; excluded
+        # on both sides (hashed_embeddings emits the zero vector for
+        # zero-gram docs precisely expecting this contract)
+        .filter(F.col("cn") > 0)
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -182,7 +188,7 @@ def lsh_topk(
         F.explode(
             _table_bucket_struct(F.col(vec_col), dim, n_planes, n_tables, seed)
         ).alias("tb"),
-    )
+    ).filter(F.col("cn") > 0)
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -190,7 +196,7 @@ def lsh_topk(
         F.explode(
             _table_bucket_struct(F.col(vec_col), dim, n_planes, n_tables, seed)
         ).alias("tb"),
-    )
+    ).filter(F.col("qn") > 0)
     scored = (
         cb.join(F.broadcast(qb), "tb")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -266,7 +272,7 @@ def embedding_near_duplicates(
     # where it is evaluated — so the DuckDB oracle is unaffected); the
     # per-pair work drops from three interpreted-HOF dot products to one
     # (measured 3x on the all-pairs baseline)
-    nb = base.withColumn("n", _norm(F.col("v")))
+    nb = base.withColumn("n", _norm(F.col("v"))).filter(F.col("n") > 0)
     va = nb.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
     vb = nb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
@@ -579,7 +585,10 @@ def semantic_dedup_pairs(
     cand = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b"
     )
-    an = assigned.withColumn("n", _norm(F.col("cv")))
+    # zero-norm vectors (e.g. hashed_embeddings of zero-gram docs) have
+    # no cosine: excluded from the verify sides so the ANSI division
+    # can't throw and they can never pair with anything
+    an = assigned.withColumn("n", _norm(F.col("cv"))).filter(F.col("n") > 0)
     va = an.select(F.col("neighbor_id").alias("id_a"), F.col("cv").alias("va"), F.col("n").alias("na"))
     vb = an.select(F.col("neighbor_id").alias("id_b"), F.col("cv").alias("vb"), F.col("n").alias("nb"))
     # one HOF dot per pair; norms precomputed per vector (same doubles)

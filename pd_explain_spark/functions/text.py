@@ -634,3 +634,97 @@ def bigram_lm_scores(
             "lm2_score",
         )
     )
+
+
+def hashed_embeddings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic feature-hashed text embeddings (Weinberger et al.
+    2009 hashing trick): v[j] = sum over the doc's unigram+bigram
+    occurrences that hash to coordinate j of a +/-1 sign, L2-normalized.
+    Bridges RAW TEXT into the dense-similarity stack — semantic_dedup /
+    brute_force_topk / IvfIndex run unchanged on the output — when no
+    model embeddings exist (or as the cheap first-pass filter before
+    paying for model inference at 100 TB).
+
+    Both the coordinate and the sign come from the same md5 the rest of
+    the engine uses (coordinate = h % dim, sign = +1 iff bit below), so
+    the vectors are bit-reproducible in SQL. One explode + a
+    map-combining (doc, coord) signed-count aggregate + an id-keyed
+    assembly; zero-gram docs get the zero vector (callers treat
+    zero-norm as 'no cosine', per the r7 contract)."""
+    from .hashing import md5_int
+
+    if dim <= 0 or dim & (dim - 1):
+        raise ValueError("dim must be a power of two (sign bit = h >> log2(dim))")
+    _dim_bits = dim.bit_length() - 1
+    toks_df = df.select(
+        F.col(id_col).alias("id"),
+        tokens(normalized_text(F.col(text_col))).alias("toks"),
+    )
+    k = F.size("toks") - F.lit(1)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    grams = F.concat(
+        F.col("toks"), F.when(k > 0, bigrams).otherwise(F.array().cast("array<string>"))
+    )
+    h = md5_int(F.md5(F.col("gram")))
+    signed = (
+        toks_df.select("id", F.explode(grams).alias("gram"))
+        .select(
+            "id",
+            F.pmod(h, F.lit(dim)).cast("int").alias("coord"),
+            # bit just above the coordinate: independent of coord for
+            # dim a power of two, portable ((h // dim) % 2 in SQL).
+            # INTEGER arithmetic only — h is 60 bits, double division
+            # (floor(h/dim)) loses the low bits past 2^53 and flips
+            # signs vs the exact SQL integer division
+            F.when(
+                F.pmod(F.shiftright(h, _dim_bits), F.lit(2)) == 0, F.lit(1.0)
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("sign"),
+        )
+        .groupBy("id", "coord")
+        .agg(F.sum("sign").alias("val"))
+    )
+    assembled = (
+        signed.groupBy("id")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("coord"), F.collect_list("val")
+            ).alias("__m")
+        )
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.coalesce(
+                    F.element_at(F.col("__m"), j.cast("int")), F.lit(0.0)
+                ),
+            ).alias("__raw"),
+        )
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("__raw"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    vec = F.when(
+        nrm > 0, F.transform(F.col("__raw"), lambda x: F.round(x / nrm, 6))
+    ).otherwise(F.transform(F.col("__raw"), lambda x: x * F.lit(0.0)))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(assembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(
+                vec,
+                F.transform(F.sequence(F.lit(1), F.lit(dim)), lambda _: F.lit(0.0)),
+            ).alias(out_col),
+        )
+    )

@@ -1881,3 +1881,34 @@ def test_quality_classifier_separates_reference_like_docs(spark):
     assert got[300]["n_grams"] == 0 and abs(got[300]["quality_prob"] - expect_zero) < 1e-9
     with _pytest.raises(ValueError):
         train_quality_classifier(raw, ref.filter("doc_id < 0"))
+
+
+def test_hashed_embeddings_feed_the_similarity_stack(spark):
+    """Feature-hashed text embeddings (r7): near-identical texts land
+    cosine-near, unrelated texts far; the output drops straight into
+    semantic_dedup_pairs; zero-gram docs get the zero vector; non-power-
+    of-two dims are rejected (the sign bit is h >> log2(dim))."""
+    import pytest as _pytest
+
+    from pd_explain_spark.functions.similarity import brute_force_topk, semantic_dedup_pairs
+    from pd_explain_spark.functions.text import hashed_embeddings
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today"),
+         (2, "the quick brown fox jumps over the lazy dog again tonight"),
+         (3, "completely different content about database query optimization"),
+         (4, "   ")],
+        "doc_id long, text string",
+    )
+    e = hashed_embeddings(d, dim=64).withColumnRenamed("doc_id", "vec_id")
+    rows = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+    assert set(rows) == {1, 2, 3, 4} and all(len(v) == 64 for v in rows.values())
+    assert rows[4] == [0.0] * 64
+    tk = {r["neighbor_id"]: r["cosine_sim"]
+          for r in brute_force_topk(e, e.filter("vec_id = 1"), k=2).collect()}
+    assert tk[2] > 0.8 > tk.get(3, -1.0)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in semantic_dedup_pairs(e, threshold=0.6, n_centroids=1).collect()}
+    assert pairs == {(1, 2)}
+    with _pytest.raises(ValueError):
+        hashed_embeddings(d, dim=60)
