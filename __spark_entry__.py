@@ -5421,15 +5421,15 @@ def metainsight_explain_text(spark, sf_dir):
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
     # r7 rotation (VERDICT r6 task #2): still 100% oracle-backed.
-    # Composition: 10 oracle entries with no driver evidence (the 3 added
+    # Composition: 11 oracle entries with no driver evidence (the 3 added
     # after the r6 window froze — edit_distance_against_corpus,
     # lm2_score_docs, semantic_dedup_against_corpus — plus this round's
     # shards_roundtrip, bpe_merges_docs, minhash_against_corpus,
     # dsir_weights_docs, dsir_sample_docs, bpe_encode_docs,
-    # quality_score_fixed), then 40 re-checks weighted to staleness: 22
-    # entries last driver-green in r03 (5 r03 groupby slots went to the
-    # new never-checked entries; groupby keeps 5 members), 14 last green
-    # in r04, 2 r05
+    # quality_score_fixed, hashed_embeddings_docs), then 39 re-checks
+    # weighted to staleness: 21 entries last driver-green in r03 (6 r03
+    # groupby slots went to the new never-checked entries; groupby keeps
+    # 4 members incl. transform/filter_groups), 14 last green in r04, 2 r05
     # family-stalest members (outlier_kernel, asof_join_events), and 2
     # family-forced r6 holdovers (multimodal_features_kernel,
     # mini_language_query — their families have no staler oracle-backed
@@ -5439,9 +5439,8 @@ _RECORD_FIRST = [
     # (drop_duplicates_part, filter_compound, filter_quantity,
     # groupby_agg_dict/mean/median/multi_key/nunique, join_inner,
     # join_left_agg, melt_lineitem, q5, q6, shift_events,
-    # sliding_windows, where_mask, groupby_prod/sem/size/var/max) plus
-    # the late-r7 never-checked hashed_embeddings_docs and any entries
-    # added in r8.
+    # sliding_windows, where_mask, groupby_prod/sem/size/var/max/min)
+    # plus any entries added in r8.
     #
     # -- never-driver-checked (added late r6 / new r7: the cross-corpus
     #    MinHash, DSIR, and BPE-encode entries took the slots of four
@@ -5449,13 +5448,12 @@ _RECORD_FIRST = [
     "edit_distance_against_corpus", "lm2_score_docs",
     "semantic_dedup_against_corpus", "shards_roundtrip", "bpe_merges_docs",
     "minhash_against_corpus", "dsir_weights_docs", "dsir_sample_docs",
-    "bpe_encode_docs", "quality_score_fixed",
+    "bpe_encode_docs", "quality_score_fixed", "hashed_embeddings_docs",
     # -- re-checks: last green r03 (the stalest driver evidence)
     "astype_clip", "crosstab_counts", "cut_quantity", "describe_stats",
     "dt_parts_events", "fillna_after_where", "filter_in_between",
     "filter_negation", "filter_status", "frame_nunique", "frame_quantile",
     "get_dummies_status", "groupby_count", "groupby_filter_groups",
-    "groupby_min",
     "groupby_std", "groupby_sum", "groupby_transform_mean",
     "month_season_bins", "rename_drop_project",
     "str_ops_part", "value_counts_region",
