@@ -5427,9 +5427,10 @@ _RECORD_FIRST = [
     # shards_roundtrip, bpe_merges_docs, minhash_against_corpus,
     # dsir_weights_docs, dsir_sample_docs, bpe_encode_docs,
     # quality_score_fixed, hashed_embeddings_docs), then 39 re-checks
-    # weighted to staleness: 21 entries last driver-green in r03 (6 r03
-    # groupby slots went to the new never-checked entries; groupby keeps
-    # 4 members incl. transform/filter_groups), 14 last green in r04, 2 r05
+    # weighted to staleness: 21 entries last driver-green in r03 (6 of the
+    # 11 r03 groupby slots went to the new never-checked entries —
+    # prod/sem/size/var/max/min rotated out; count/std/sum/transform/
+    # filter_groups remain), 14 last green in r04, 2 r05
     # family-stalest members (outlier_kernel, asof_join_events), and 2
     # family-forced r6 holdovers (multimodal_features_kernel,
     # mini_language_query — their families have no staler oracle-backed
@@ -5439,8 +5440,8 @@ _RECORD_FIRST = [
     # (drop_duplicates_part, filter_compound, filter_quantity,
     # groupby_agg_dict/mean/median/multi_key/nunique, join_inner,
     # join_left_agg, melt_lineitem, q5, q6, shift_events,
-    # sliding_windows, where_mask, groupby_prod/sem/size/var/max/min)
-    # plus any entries added in r8.
+    # sliding_windows, where_mask) plus the six r03-stale groupby
+    # rotations (prod/sem/size/var/max/min) and any entries added in r8.
     #
     # -- never-driver-checked (added late r6 / new r7: the cross-corpus
     #    MinHash, DSIR, and BPE-encode entries took the slots of four

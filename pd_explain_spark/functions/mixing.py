@@ -343,23 +343,9 @@ def _hashed_gram_buckets(
     hashed into ``n_buckets`` (the DSIR feature space, Xie et al. 2023,
     arXiv:2302.03169). md5-bucketing so the DuckDB oracle reproduces the
     exact assignment: ('0x'||substr(md5(gram),1,15))::BIGINT % B."""
-    from .text import normalized_text, tokens
+    from .text import unigram_bigram_grams
 
-    toks_df = df.select(
-        F.col(id_col).alias("id"),
-        tokens(normalized_text(F.col(text_col))).alias("toks"),
-    )
-    k = F.size("toks") - F.lit(1)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
-    )
-    grams = F.concat(
-        F.col("toks"), F.when(k > 0, bigrams).otherwise(F.array().cast("array<string>"))
-    )
-    return toks_df.select(
-        "id", F.explode(grams).alias("gram")
-    ).select(
+    return unigram_bigram_grams(df, text_col, id_col).select(
         "id", F.pmod(md5_int(F.md5(F.col("gram"))), F.lit(n_buckets)).alias("bucket")
     )
 

@@ -512,11 +512,20 @@ def ivf_query(
         .select("query_id", "qv", "bucket")
     )
     probed_buckets = q_probes.select("bucket").distinct()
-    corpus_side = index.assigned.join(
-        F.broadcast(probed_buckets), "bucket", "semi"
-    ).withColumn("cn", _norm(F.col("cv")))
+    corpus_side = (
+        index.assigned.join(F.broadcast(probed_buckets), "bucket", "semi")
+        .withColumn("cn", _norm(F.col("cv")))
+        # zero-norm vectors (hashed_embeddings of zero-gram docs) have
+        # no cosine: excluded on both sides, or the ANSI division throws
+        .filter(F.col("cn") > 0)
+    )
     scored = (
-        corpus_side.join(F.broadcast(q_probes.withColumn("qn", _norm(F.col("qv")))), "bucket")
+        corpus_side.join(
+            F.broadcast(
+                q_probes.withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
+            ),
+            "bucket",
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -687,14 +696,14 @@ def semantic_dedup_pairs_against(
             F.col(vec_col).cast("array<double>").alias("cv"),
         ),
         cent_df,
-    ).withColumn("n", _norm(F.col("cv")))
+    ).withColumn("n", _norm(F.col("cv"))).filter(F.col("n") > 0)
     new = _assign_buckets(
         new_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         ),
         cent_df,
-    ).withColumn("n", _norm(F.col("cv")))
+    ).withColumn("n", _norm(F.col("cv"))).filter(F.col("n") > 0)
     a = new.select(
         F.col("neighbor_id").alias("new_id"), "bucket",
         F.col("cv").alias("va"), F.col("n").alias("na"),
@@ -772,10 +781,18 @@ def centroid_distances(
     j = df.select(
         id_col, label_col, F.col(vec_col).cast("array<double>").alias("__v")
     ).join(F.broadcast(cent), label_col)
+    # a zero vector (or a label averaging to the zero centroid) has no
+    # cosine: NULL, never an ANSI divide-by-zero — this is a per-row
+    # scoring op, so the row is kept (unlike the topk/dedup consumers,
+    # which drop zero-norm rows from candidate sets)
+    denom = _norm(F.col("__v")) * _norm(F.col("centroid"))
     return j.select(
         id_col,
         label_col,
-        F.round(cosine(F.col("__v"), F.col("centroid")), round_to).alias("centroid_cos"),
+        F.round(
+            F.when(denom > 0, _dot(F.col("__v"), F.col("centroid")) / denom),
+            round_to,
+        ).alias("centroid_cos"),
     )
 
 
@@ -903,11 +920,24 @@ def brute_force_topk_arrow(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, cosine_sim double"
         )
+    # zero-norm / NULL queries have no ranking: dropped, matching the
+    # JVM flavor's filters (a whole-job ValueError would abort sibling
+    # queries over one blank doc in the batch)
+    q_rows = [r for r in q_rows if r[1] is not None]
     qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
-    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    Q = (
+        np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, 1))
+    )
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
-    if (qn == 0).any():
-        raise ValueError("zero-norm query vector: cosine undefined")
+    keep = qn[:, 0] > 0
+    qids, Q, qn = qids[keep], Q[keep], qn[keep]
+    if Q.shape[0] == 0:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine_sim double"
+        )
     Qn = Q / qn
 
     def part(batches):

@@ -636,6 +636,29 @@ def bigram_lm_scores(
     )
 
 
+def unigram_bigram_grams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) — one row per word unigram AND bigram OCCURRENCE of
+    the normalized text. The ONE definition of the hashed-feature gram
+    space shared by DSIR (mixing._hashed_gram_buckets), the quality
+    classifier, and hashed_embeddings: their feature spaces must never
+    drift apart."""
+    toks_df = df.select(
+        F.col(id_col).alias("id"),
+        tokens(normalized_text(F.col(text_col))).alias("toks"),
+    )
+    k = F.size("toks") - F.lit(1)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    grams = F.concat(
+        F.col("toks"), F.when(k > 0, bigrams).otherwise(F.array().cast("array<string>"))
+    )
+    return toks_df.select("id", F.explode(grams).alias("gram"))
+
+
 def hashed_embeddings(
     df: DataFrame,
     text_col: str = "text",
@@ -662,21 +685,9 @@ def hashed_embeddings(
     if dim <= 0 or dim & (dim - 1):
         raise ValueError("dim must be a power of two (sign bit = h >> log2(dim))")
     _dim_bits = dim.bit_length() - 1
-    toks_df = df.select(
-        F.col(id_col).alias("id"),
-        tokens(normalized_text(F.col(text_col))).alias("toks"),
-    )
-    k = F.size("toks") - F.lit(1)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
-    )
-    grams = F.concat(
-        F.col("toks"), F.when(k > 0, bigrams).otherwise(F.array().cast("array<string>"))
-    )
     h = md5_int(F.md5(F.col("gram")))
     signed = (
-        toks_df.select("id", F.explode(grams).alias("gram"))
+        unigram_bigram_grams(df, text_col, id_col)
         .select(
             "id",
             F.pmod(h, F.lit(dim)).cast("int").alias("coord"),

@@ -1718,8 +1718,10 @@ def test_brute_force_topk_arrow_matches_jvm_flavor(spark, embeddings):
         "query_id", "neighbor_id", "rank", "cosine_sim",
     ]
     zq = q.selectExpr("vec_id", "transform(embedding, x -> float(0.0)) AS embedding")
-    with _pytest.raises(ValueError):
-        brute_force_topk_arrow(embeddings, zq, k=4)
+    # zero-norm queries have no ranking: dropped on BOTH flavors (an
+    # all-zero query set yields the empty frame, not a whole-job error)
+    assert brute_force_topk_arrow(embeddings, zq, k=4).count() == 0
+    assert brute_force_topk(embeddings, zq, k=4).count() == 0
     # tie-break contract under duplicate embeddings (the near-dup corpus
     # shape): >= k+2 identical vectors in one batch must keep the
     # SMALLEST neighbor ids, exactly like the JVM flavor's
