@@ -2879,13 +2879,16 @@ def dsir_sample_docs_q(spark, sf_dir):
          SELECT doc_id,
                 sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm, raw
          FROM dense
+       ), emb AS (
+         SELECT d.doc_id,
+                CASE WHEN n.nrm > 0
+                     THEN list_transform(n.raw, x -> round(x / n.nrm, 6))
+                     ELSE [0.0 FOR j IN range(0, 64)]
+                END AS embedding
+         FROM documents d LEFT JOIN normed n USING (doc_id)
        )
-       SELECT d.doc_id,
-              CASE WHEN n.nrm > 0
-                   THEN list_transform(n.raw, x -> round(x / n.nrm, 6))
-                   ELSE [0.0 FOR j IN range(0, 64)]
-              END AS embedding
-       FROM documents d LEFT JOIN normed n USING (doc_id)""",
+       SELECT e.doc_id, CAST(p.j AS INT) AS pos, e.embedding[p.j + 1] AS val
+       FROM emb e, range(0, 64) p(j)""",
 )
 def hashed_embeddings_docs_q(spark, sf_dir):
     """Feature-hashed text embeddings (functions/text.py
@@ -2896,10 +2899,18 @@ def hashed_embeddings_docs_q(spark, sf_dir):
     model inference at 100 TB). Coordinate sums are exact integers, the
     norm folds the 64 coordinates in a fixed order, and the single
     6-decimal round happens after the one division — fully
-    hash-reproducible in SQL."""
+    hash-reproducible in SQL.
+
+    The API (functions/text.py) returns the `array<double>` column the
+    similarity stack consumes; the DRIVER entry posexplodes it to
+    (doc_id, pos, val) scalar rows because the correctness harness
+    canonicalizes with pandas sort_values, which cannot sort list
+    values (the r7 red row — VERDICT r7 'what's wrong' #1)."""
     from pd_explain_spark.functions.text import hashed_embeddings
 
-    return hashed_embeddings(_t(spark, sf_dir, "documents"), dim=64)
+    return hashed_embeddings(_t(spark, sf_dir, "documents"), dim=64).select(
+        "doc_id", F.posexplode("embedding").alias("pos", "val")
+    )
 
 
 @_q(

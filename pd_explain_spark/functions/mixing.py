@@ -359,9 +359,13 @@ def dsir_log_ratios(
 ) -> DataFrame:
     """(bucket, log_ratio) — per-bucket ln(p_target / p_raw) under the
     hashed bag-of-ngrams model with add-``smoothing`` Laplace smoothing.
-    At most ``n_buckets`` + absent-bucket default rows; broadcast-sized
-    by construction regardless of corpus size (the DSIR design point:
-    the model is O(buckets), the corpora are only ever scanned once).
+    Exactly ``n_buckets`` rows — one per bucket in [0, n_buckets),
+    including the smoothed-default rows for buckets neither fit corpus
+    produced — broadcast-sized by construction regardless of corpus size
+    (the DSIR design point: the model is O(buckets), the corpora are
+    only ever scanned once). The complete spine is what makes the
+    fit-once/score-many path exact: scoring joins on bucket and every
+    bucket a future batch can hash to is present.
 
     The two corpus scans are map-side-combining bucket counts; the two
     totals are O(1) scalar collects."""
@@ -391,8 +395,15 @@ def _ratios_from_counts(
     tot = cr.agg(F.sum("c_raw").alias("__tr")).crossJoin(
         ct.agg(F.sum("c_tgt").alias("__tt"))
     )
+    # full bucket spine [0, n_buckets): buckets absent from BOTH fit
+    # corpora still get their smoothed default ln((tr+B)/(tt+B)) row, so
+    # a precomputed `ratios` table scores ANY batch completely — the
+    # fit-once/score-many path must not silently drop grams that hash to
+    # a bucket the fit corpora never produced (ADVICE r7 medium). The
+    # spine is O(n_buckets) rows — broadcast-sized by construction.
+    spine = cr.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
     return (
-        cr.join(ct, "bucket", "full")
+        spine.join(cr.join(ct, "bucket", "full"), "bucket", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",
@@ -435,8 +446,13 @@ def dsir_weights(
     corpus totals are sums over the count tables — no .count() job ever
     re-runs a tokenize/explode subtree. The target corpus is touched
     once to fit; pass a precomputed ``ratios`` (from
-    :func:`dsir_log_ratios`) to score many batches against one fitted
-    model."""
+    :func:`dsir_log_ratios`, fitted with the SAME ``n_buckets``) to
+    score many batches against one fitted model — the ratio table
+    carries the full [0, n_buckets) spine including smoothed-default
+    rows for buckets the fit corpora never produced, so the scoring
+    join is exact for any batch (grams hashing to fit-unseen buckets
+    contribute the Laplace default ln((tr+B)/(tt+B)), never silently
+    drop)."""
     per_bucket = (
         _hashed_gram_buckets(raw_df, text_col, id_col, n_buckets)
         .groupBy("id", "bucket")

@@ -36,6 +36,25 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _empty_result(df: DataFrame, id_col: str, fields: list[tuple[str, str]]) -> DataFrame:
+    """Empty result frame whose id-typed columns derive from the INPUT's
+    ``id_col`` type. The empty-input early returns used to hardcode
+    ``long`` ids (ADVICE r7 low): with int or string ids the empty
+    path's schema differed from the non-empty path's, breaking a
+    downstream unionByName that works on non-empty inputs. ``fields``
+    maps output name -> "id" (inherit id_col's type) or a DDL type."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    idt = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField(n, idt if t == "id" else _parse_datatype_string(t))
+            for n, t in fields
+        ]
+    )
+    return df.sparkSession.createDataFrame([], schema)
+
+
 
 
 def brute_force_topk(
@@ -174,8 +193,10 @@ def lsh_topk(
         first = corpus.select(F.size(vec_col)).first()
         if first is None:  # empty corpus: empty result, not a crash —
             # an ingest loop's empty micro-batch must flow through
-            return corpus.sparkSession.createDataFrame(
-                [], "query_id long, neighbor_id long, rank int, cosine_sim double"
+            return _empty_result(
+                corpus, id_col,
+                [("query_id", "id"), ("neighbor_id", "id"),
+                 ("rank", "int"), ("cosine_sim", "double")],
             )
         dim = int(first[0])
     # norms ride along from before the explode — one norm per VECTOR,
@@ -243,8 +264,9 @@ def embedding_near_duplicates(
 
     first = df.select(F.size(vec_col)).first()
     if first is None:  # empty input: no pairs, not a crash
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine_sim double"
+        return _empty_result(
+            df, id_col,
+            [("id_a", "id"), ("id_b", "id"), ("cosine_sim", "double")],
         )
     dim = int(first[0])
     base = df.select(
@@ -913,13 +935,26 @@ def brute_force_topk_arrow(
     WindowGroupLimit merge sees partitions x queries x k rows — never
     the full similarity matrix."""
     import numpy as np
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    # integral-id contract: ids ride through numpy as int64 inside the
+    # matmul kernel; the OUTPUT schema (and both empty early returns)
+    # derives from the input id type so int-id corpora round-trip as int
+    # (Arrow down-casts the int64 batch safely) and the empty path's
+    # schema always equals the non-empty path's (ADVICE r7 low)
+    idt = corpus.schema[id_col].dataType
+    if not isinstance(idt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"brute_force_topk_arrow requires an integral {id_col!r} "
+            f"(got {idt.simpleString()}); use brute_force_topk for other id types"
+        )
+    _id_ddl = idt.simpleString()
+    _empty = [("query_id", "id"), ("neighbor_id", "id"),
+              ("rank", "int"), ("cosine_sim", "double")]
 
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, cosine_sim double"
-        )
+        return _empty_result(corpus, id_col, _empty)
     # zero-norm / NULL queries have no ranking: dropped, matching the
     # JVM flavor's filters (a whole-job ValueError would abort sibling
     # queries over one blank doc in the batch)
@@ -934,10 +969,7 @@ def brute_force_topk_arrow(
     keep = qn[:, 0] > 0
     qids, Q, qn = qids[keep], Q[keep], qn[keep]
     if Q.shape[0] == 0:
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, cosine_sim double"
-        )
+        return _empty_result(corpus, id_col, _empty)
     Qn = Q / qn
 
     def part(batches):
@@ -985,7 +1017,9 @@ def brute_force_topk_arrow(
         # array); filtered JVM-side so no Python ever sees them — the
         # JVM twin's NULL sims sort last and never reach top-k either
         .filter(F.col("cv").isNotNull())
-        .mapInPandas(part, schema="query_id long, neighbor_id long, sim double")
+        .mapInPandas(
+            part, schema=f"query_id {_id_ddl}, neighbor_id {_id_ddl}, sim double"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")

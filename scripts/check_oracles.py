@@ -22,6 +22,12 @@ from pd_explain_spark import get_spark
 
 def value_hash(pdf) -> str:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    # driver parity: the driver's _canon runs pandas sort_values over all
+    # columns before hashing, which raises on unhashable cell values
+    # (lists/arrays) — the r7 hashed_embeddings_docs red row passed HERE
+    # because itertuples+str never sorts. Reproduce the driver's failure
+    # mode locally so an unhashable output shape can never reach a round.
+    pdf.sort_values(sorted(pdf.columns))
     rows = []
     for tup in pdf.itertuples(index=False):
         rows.append("|".join(_norm(v) for v in tup))

@@ -74,3 +74,43 @@ def test_pipeline_entries_flow_empty_through(spark, empty_dir, entry):
 def test_model_entries_raise_clear_error_on_empty(spark, empty_dir, entry):
     with pytest.raises(ValueError):
         m.queries()[entry](spark, empty_dir).count()
+
+
+def test_empty_result_schema_inherits_id_type(spark):
+    """Empty early returns must carry the SAME schema as the non-empty
+    path for any id type (ADVICE r7 low: hardcoded 'long' DDL broke
+    unionByName for int/string ids that work on non-empty inputs)."""
+    from pd_explain_spark.functions.similarity import (
+        brute_force_topk_arrow,
+        embedding_near_duplicates,
+        lsh_topk,
+    )
+
+    empty_int = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    out = lsh_topk(empty_int, empty_int, k=3)
+    assert out.schema["query_id"].dataType.simpleString() == "int"
+    assert out.schema["neighbor_id"].dataType.simpleString() == "int"
+    assert out.count() == 0
+
+    empty_str = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    pairs = embedding_near_duplicates(empty_str)
+    assert pairs.schema["id_a"].dataType.simpleString() == "string"
+    assert pairs.count() == 0
+
+    # arrow flavor: int ids round-trip as int on BOTH paths...
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id int, embedding array<double>"
+    )
+    nonempty = brute_force_topk_arrow(corpus, corpus, k=1)
+    empty_q = brute_force_topk_arrow(
+        corpus, spark.createDataFrame([], "vec_id int, embedding array<double>"), k=1
+    )
+    # names + types must agree (nullability differences union-reconcile)
+    assert [(f.name, f.dataType) for f in nonempty.schema] == [
+        (f.name, f.dataType) for f in empty_q.schema
+    ]
+    assert nonempty.schema["neighbor_id"].dataType.simpleString() == "int"
+    assert nonempty.count() == 2
+    # ...and non-integral ids fail the contract loudly, not deep in numpy
+    with pytest.raises(TypeError, match="integral"):
+        brute_force_topk_arrow(empty_str, empty_str, k=1)

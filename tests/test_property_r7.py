@@ -166,3 +166,63 @@ def test_novelty_scores_match_python_reference(spark, new_docs, corp_docs):
             novel = len(g - corp_grams)
             assert r["novel_ngrams"] == novel
             assert r["novelty"] == round(novel / len(g), 6)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from(["aa", "ab"]), min_size=1, max_size=6).map(" ".join).map(lambda d: [d]),
+    _corpus,
+    _corpus,
+)
+def test_dsir_precomputed_ratios_cover_fit_unseen_buckets(
+    spark, scored_extra, raw_docs, target_docs
+):
+    """The fit-once/score-many path is EXACT for batches whose grams hash
+    to buckets the fit corpora never produced (ADVICE r7 medium: the
+    scoring join used to silently drop them, undercounting n_grams and
+    omitting the smoothed default ln((tr+B)/(tt+B))). The ratio table
+    carries the full [0, n_buckets) spine, so scoring a wider-alphabet
+    batch equals the closed-form model with Laplace defaults."""
+    from pd_explain_spark.functions.mixing import dsir_log_ratios, dsir_weights
+
+    n_buckets = 16  # small: unseen-bucket scoring hit on nearly every draw
+    raw = list(enumerate(raw_docs))
+    target = [(100 + i, d) for i, d in enumerate(target_docs)]
+    # the scored batch mixes fit-alphabet words with words ("zz", "qq",
+    # "zz qq" bigram) the fit corpora cannot produce
+    batch = [(200, "zz qq " + scored_extra[0]), (201, "qq zz zz")]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+
+    ratios = dsir_log_ratios(rdf, tdf, n_buckets=n_buckets)
+    # spine contract: exactly n_buckets rows, every bucket present
+    rrows = ratios.collect()
+    assert sorted(r["bucket"] for r in rrows) == list(range(n_buckets))
+
+    got = {
+        r["doc_id"]: r
+        for r in dsir_weights(bdf, None, n_buckets=n_buckets, ratios=ratios).collect()
+    }
+
+    # pure-Python closed form: defaults come from the FIT totals
+    def bcounts(docs):
+        c = {}
+        for _, text in docs:
+            for g in _grams(text):
+                b = _md5_int(g) % n_buckets
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    cr, ct = bcounts(raw), bcounts(target)
+    tr, tt = sum(cr.values()), sum(ct.values())
+    B = float(n_buckets)
+    for i, text in batch:
+        grams = _grams(text)
+        w = sum(
+            math.log((ct.get(_md5_int(g) % n_buckets, 0) + 1.0) / (tt + B))
+            - math.log((cr.get(_md5_int(g) % n_buckets, 0) + 1.0) / (tr + B))
+            for g in grams
+        )
+        assert got[i]["n_grams"] == len(grams), (i, got[i])
+        assert abs(got[i]["log_weight"] - round(w, 4)) <= 1e-4 + 1e-9
