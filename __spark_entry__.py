@@ -2852,9 +2852,10 @@ def dsir_sample_docs_q(spark, sf_dir):
     ).select("doc_id", "log_weight", "gumbel_key")
 
 
-@_q(
-    "hashed_embeddings_docs",
-    """WITH toks AS (
+# hashed-embedding mirror: produces emb(doc_id, embedding DOUBLE[64]) —
+# shared by hashed_embeddings_docs (posexploded projection) and
+# text_semantic_dedup_docs (chained into the SemDeDup mirror)
+_HASHED_EMB_CTE = """WITH toks AS (
          SELECT doc_id,
                 list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
                             x -> x <> '') AS t
@@ -2886,7 +2887,13 @@ def dsir_sample_docs_q(spark, sf_dir):
                      ELSE [0.0 FOR j IN range(0, 64)]
                 END AS embedding
          FROM documents d LEFT JOIN normed n USING (doc_id)
-       )
+       )"""
+
+
+@_q(
+    "hashed_embeddings_docs",
+    _HASHED_EMB_CTE
+    + """
        SELECT e.doc_id, CAST(p.j AS INT) AS pos, e.embedding[p.j + 1] AS val
        FROM emb e, range(0, 64) p(j)""",
 )
@@ -2911,6 +2918,81 @@ def hashed_embeddings_docs_q(spark, sf_dir):
     return hashed_embeddings(_t(spark, sf_dir, "documents"), dim=64).select(
         "doc_id", F.posexplode("embedding").alias("pos", "val")
     )
+
+
+@_q(
+    "text_semantic_dedup_docs",
+    _HASHED_EMB_CTE
+    + """, hashed AS (
+         SELECT doc_id, embedding,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+         FROM emb
+       ), cent AS (
+         SELECT CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS INT) AS bucket,
+                embedding AS cemb
+         FROM hashed ORDER BY h, doc_id LIMIT 16
+       ), adist AS (
+         SELECT e.doc_id, e.embedding, c.bucket,
+                row_number() OVER (
+                  PARTITION BY e.doc_id
+                  ORDER BY list_dot_product(e.embedding, e.embedding)
+                           - 2 * list_dot_product(e.embedding, c.cemb)
+                           + list_dot_product(c.cemb, c.cemb),
+                           c.bucket
+                ) AS pr
+         FROM emb e, cent c
+       ), assigned AS (
+         SELECT doc_id, embedding, bucket FROM adist WHERE pr = 1
+       ), nz AS (
+         SELECT * FROM assigned WHERE list_dot_product(embedding, embedding) > 0
+       ), sem_pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                list_dot_product(a.embedding, b.embedding)
+                  / (sqrt(list_dot_product(a.embedding, a.embedding))
+                     * sqrt(list_dot_product(b.embedding, b.embedding))) AS sim
+         FROM nz a JOIN nz b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       ), edges AS (
+         SELECT id_a AS s, id_b AS t FROM sem_pairs WHERE round(sim, 6) >= 0.9
+         UNION
+         SELECT id_b, id_a FROM sem_pairs WHERE round(sim, 6) >= 0.9
+       ), reach AS (
+         WITH RECURSIVE r(s, t) AS (
+           SELECT s, t FROM edges
+           UNION
+           SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s
+         ) SELECT * FROM r
+       ), comp AS (
+         SELECT s AS id, least(s, min(t)) AS component FROM reach GROUP BY s
+       ), losers AS (
+         SELECT id FROM comp WHERE id <> component
+       )
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT id FROM losers)""",
+)
+def text_semantic_dedup_docs_q(spark, sf_dir):
+    """End-to-end MODEL-FREE text semantic dedup — the pipeline the
+    brief's 100 TB curation run would actually execute when no model
+    embeddings exist: raw text -> feature-hashed embeddings
+    (functions/text.py hashed_embeddings) -> SemDeDup
+    (functions/similarity.py semantic_dedup: md5-seeded IVF buckets,
+    within-bucket exact cosine at >= 0.9, pointer-jumping components,
+    min-id survivor). Oracled by CHAINING the two existing mirrors
+    (the hashed-embedding CTE feeds the semantic_dedup_survivors CTE),
+    so the hash checks the whole composition, not the stages in
+    isolation. Zero-norm docs (no grams) never pair and always survive.
+
+    Scale shape: one tokenize/explode pass builds the vectors JVM-side;
+    candidate generation keys on the centroid bucket (work = sum of
+    squared bucket sizes, n_centroids grows with the corpus); text
+    itself never joins — only (id, vector) pairs shuffle."""
+    from pd_explain_spark.functions.similarity import semantic_dedup
+    from pd_explain_spark.functions.text import hashed_embeddings
+
+    emb = hashed_embeddings(_t(spark, sf_dir, "documents"), dim=64)
+    surv = semantic_dedup(
+        emb, id_col="doc_id", vec_col="embedding", threshold=0.9, n_centroids=16
+    )
+    return surv.select("doc_id")
 
 
 @_q(
@@ -3940,21 +4022,42 @@ def similarity_ivf_q(spark, sf_dir):
 _QUERIES["similarity_ivf_topk"] = similarity_ivf_q  # rows-only: KMeans index
 
 
+@_q(
+    "similarity_topk_arrow",
+    """WITH cast_emb AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       ), scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.emb, c.emb)
+                  / (sqrt(list_dot_product(q.emb, q.emb))
+                     * sqrt(list_dot_product(c.emb, c.emb))) AS sim
+         FROM cast_emb q JOIN cast_emb c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id < 10
+       ), ranked AS (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+                round(sim, 4) AS cosine_sim
+         FROM scored
+       )
+       SELECT query_id, neighbor_id, rank::INT AS rank, cosine_sim
+       FROM ranked WHERE rank <= 5""",
+)
 def similarity_topk_arrow_q(spark, sf_dir):
     """Arrow/BLAS dense fast path of brute-force cosine top-k
     (functions/similarity.py brute_force_topk_arrow): per-Arrow-batch
-    matmul + per-partition partial top-k. Rows-only by design — BLAS
-    sums in a different order than the fold (and than DuckDB), so the
-    last bits of the raw doubles are not cross-engine hashable; identity
-    with the oracle-backed similarity_topk flavor is pytest-pinned
-    (test_brute_force_topk_arrow_matches_jvm_flavor)."""
+    matmul + per-partition partial top-k. Upgraded from rows-only to
+    oracle-backed (VERDICT r7 task #3): ids and ranks are exact under
+    the (-sim, neighbor_id) lexsort contract even though BLAS sums the
+    dot products in a different order than the fold (differences are
+    ~1e-9 per the parity pytest, which cannot flip a 4-decimal rounding
+    on this data), so the 4dp projection hash-checks against the same
+    DuckDB mirror as the JVM twin. The 1e-9-tolerance parity pytest
+    (test_brute_force_topk_arrow_matches_jvm_flavor) remains the raw-
+    double guarantee."""
     from pd_explain_spark.functions.similarity import brute_force_topk_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    return brute_force_topk_arrow(emb, emb.filter("vec_id < 10"), k=5)
-
-
-_QUERIES["similarity_topk_arrow"] = similarity_topk_arrow_q  # rows-only: BLAS sums
+    return brute_force_topk_arrow(emb, emb.filter("vec_id < 10"), k=5, round_to=4)
 
 
 @_q(
