@@ -499,6 +499,8 @@ def dsir_sample(
     smoothing: float = 1.0,
     temperature: float = 1.0,
     seed: int = 42,
+    method: str = "auto",
+    heap_max_k: int = 1_000_000,
 ) -> DataFrame:
     """Importance-resample ``k`` raw docs toward the target distribution:
     Gumbel top-k over log_weight/temperature — the exact equivalent of
@@ -508,10 +510,20 @@ def dsir_sample(
     reproduces the draw bit-for-bit. Returns the sampled raw rows with
     (log_weight, gumbel_key) attached.
 
-    Scale: the only ordered operator is a top-k (TakeOrderedAndProject —
-    a k-heap per partition, never a global sort). For k beyond heap
-    comfort (~10^6), select by a quantile threshold on gumbel_key
-    instead; the weights path is unchanged."""
+    Two selection physics, same result set (pytest-pinned identical):
+
+    * ``method="heap"`` (auto for k <= ``heap_max_k``): top-k via
+      TakeOrderedAndProject — a k-heap per partition merged on the
+      driver. The only ordered operator; never a global sort.
+    * ``method="threshold"`` (auto for larger k): the driver-side
+      k-heap would hold k rows, so instead find the exact kth
+      gumbel_key by approx-quantile seeding + a count-only binary
+      search on the 4-decimal key grid (O(log spread) map-combining
+      counts over the persisted weights frame, O(1) driver state per
+      step), take every row strictly above it, and fix up the boundary
+      by ordering ONLY the rows tied at the cutoff value (ties at one
+      4dp value — ~n/distinct_keys rows, orders of magnitude below k).
+      No TakeOrdered ever sees more than the tie set."""
     w = dsir_weights(raw_df, target_df, text_col, id_col, n_buckets, smoothing)
     u = (md5_int(_sample_key(id_col, seed)).cast("double") + F.lit(0.5)) / F.lit(
         float(16**15)
@@ -522,7 +534,83 @@ def dsir_sample(
             F.col("log_weight") / F.lit(float(temperature)) - F.log(-F.log(u)), 4
         ),
     )
-    top = keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k)
-    return raw_df.join(F.broadcast(top), id_col).select(
+    if method == "auto":
+        method = "heap" if k <= heap_max_k else "threshold"
+    if method == "heap":
+        top = keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k)
+        return raw_df.join(F.broadcast(top), id_col).select(
+            raw_df["*"], top["log_weight"], top["gumbel_key"]
+        )
+    if method != "threshold":
+        raise ValueError(f"method must be auto|heap|threshold, got {method!r}")
+    top = _threshold_topk(keyed, k, id_col)
+    # no broadcast hint: top is k rows and k is large here — the join
+    # strategy (shuffle vs AQE-chosen) is Catalyst's call
+    return raw_df.join(top, id_col).select(
         raw_df["*"], top["log_weight"], top["gumbel_key"]
     )
+
+
+def _threshold_topk(
+    keyed: DataFrame, k: int, id_col: str, _materialize: bool = True
+) -> DataFrame:
+    """Exact top-k of ``keyed`` by (gumbel_key desc, id asc) WITHOUT a
+    k-size driver heap: binary-search the cutoff on the integer 4dp key
+    grid with count aggregates, then order only the cutoff ties.
+
+    gumbel_key is round(·, 4), so key*1e4 re-rounded to long is a
+    bijection of the distinct key values — the search space is exact
+    integers and termination is guaranteed in log2(spread) counts
+    (spread is the Gumbel range at 4dp, ~10^5-10^6 grid points). Every
+    count is a map-combining aggregate over the persisted weights frame;
+    driver state per step is one number."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import _finalize_release
+
+    ki = keyed.withColumn(
+        "__ki", F.round(F.col("gumbel_key") * F.lit(1e4)).cast("long")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = ki.count()
+    if n <= k:
+        return _finalize_release(ki.drop("__ki"), [ki])
+
+    def cnt_gt(t: int) -> int:
+        return ki.filter(F.col("__ki") > F.lit(t)).count()
+
+    bounds = ki.agg(
+        F.min("__ki").alias("lo"), F.max("__ki").alias("hi")
+    ).first()
+    lo, hi = int(bounds["lo"]) - 1, int(bounds["hi"])  # c(lo)=n>k, c(hi)=0<k
+    # approx-quantile seed: one pass narrows the bracket to the error
+    # band around the kth rank, cutting most binary-search iterations
+    t0 = ki.stat.approxQuantile("__ki", [max(0.0, 1.0 - k / n)], 0.001)
+    if t0:
+        t0 = int(t0[0])
+        if lo < t0 < hi:
+            if cnt_gt(t0) < k:
+                hi = t0
+            else:
+                lo = t0
+    # invariant: c(lo) >= k > c(hi); find t* = min{t : c(t) < k}
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if cnt_gt(mid) < k:
+            hi = mid
+        else:
+            lo = mid
+    t_star = hi
+    c_gt = cnt_gt(t_star)
+    sel = ki.filter(F.col("__ki") > F.lit(t_star))
+    # boundary fix-up: ties at exactly the cutoff key, smallest ids
+    # first (the TakeOrdered path's tie-break) — the ONLY ordered set,
+    # and it is the tie set, not k rows
+    boundary = (
+        ki.filter(F.col("__ki") == F.lit(t_star))
+        .orderBy(F.asc(id_col))
+        .limit(k - c_gt)
+    )
+    out = sel.unionByName(boundary).drop("__ki")
+    if not _materialize:  # test seam: lazy plan for pinning (caller
+        return out        # unpersists ki; the limit above is k - c_gt)
+    return _finalize_release(out, [ki])

@@ -1914,3 +1914,48 @@ def test_hashed_embeddings_feed_the_similarity_stack(spark):
     assert pairs == {(1, 2)}
     with _pytest.raises(ValueError):
         hashed_embeddings(d, dim=60)
+
+
+def test_dsir_sample_threshold_matches_heap(spark):
+    """The large-k threshold path (approx-quantile seed + exact binary
+    search on the 4dp key grid + tie-set boundary fix-up) returns the
+    IDENTICAL sample set — ids, weights, keys — as the TakeOrdered heap
+    path, at k = corpus/2 and around every edge (odd k, k = n-1, k = n,
+    k > n). VERDICT r7 task #5."""
+    from pd_explain_spark.functions.mixing import dsir_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw, tgt = docs.filter("doc_id >= 100"), docs.filter("doc_id < 100")
+    n = raw.count()
+    for k in (37, n // 2, n - 1, n, n + 50):
+        rows = lambda m: {
+            (r["doc_id"], r["log_weight"], r["gumbel_key"])
+            for r in dsir_sample(
+                raw, tgt, k=k, n_buckets=128, method=m
+            ).select("doc_id", "log_weight", "gumbel_key").collect()
+        }
+        heap, thr = rows("heap"), rows("threshold")
+        assert heap == thr, f"k={k}: threshold set diverges from heap set"
+        assert len(thr) == min(k, n)
+
+
+def test_train_bpe_driver_and_distributed_identical(spark):
+    """The driver-local fast trainer (r8) learns the SAME merge sequence
+    and segmentations as the distributed per-round loop — on real data
+    (sf0.001 documents) and on the adversarial greedy/tie corpus."""
+    from pd_explain_spark.functions.bpe import train_bpe
+
+    frames = [
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60),
+        spark.createDataFrame(
+            [(1, "aaaa aaaa aab ba ba ba")], "doc_id long, text string"
+        ),
+    ]
+    for docs in frames:
+        m_drv, wt_drv = train_bpe(docs, num_merges=12, strategy="driver")
+        m_dst, wt_dst = train_bpe(docs, num_merges=12, strategy="distributed")
+        assert [tuple(r) for r in m_drv.collect()] == [
+            tuple(r) for r in m_dst.collect()
+        ]
+        segs = lambda wt: {r["w"]: (r["cnt"], list(r["syms"])) for r in wt.collect()}
+        assert segs(wt_drv) == segs(wt_dst)

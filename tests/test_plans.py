@@ -530,3 +530,30 @@ def test_novelty_corpus_text_never_shuffles(spark, sf_dir):
     plan = _final(_plan(df))
     # the semi join on shingle exists; no broadcast nested loop anywhere
     assert "NestedLoop" not in plan, plan
+
+
+def test_dsir_threshold_topk_orders_only_the_tie_set(spark):
+    """The large-k selection never plans a k-size TakeOrdered: the only
+    ordered operator in the lazy threshold plan is the boundary fix-up,
+    whose limit is k - count(above cutoff) — the tie set at one 4dp key
+    value, orders of magnitude below k. No global sort, no
+    single-partition exchange (VERDICT r7 task #5 plan pin)."""
+    import re
+
+    from pd_explain_spark.functions.mixing import _threshold_topk
+
+    n, k = 2000, 1000
+    keyed = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0.0).alias("log_weight"),
+        F.round(F.rand(seed=7) * 10, 4).alias("gumbel_key"),
+    )
+    out = _threshold_topk(keyed, k, "doc_id", _materialize=False)
+    plan = _final(_plan(out))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert not re.search(r"\bSort\b(?!.*TakeOrdered)", plan.split("TakeOrdered")[0]), plan
+    limits = [int(m) for m in re.findall(r"TakeOrderedAndProject\(limit=(\d+)", plan)]
+    assert limits, plan  # the boundary fix-up is present...
+    assert all(l < k // 10 for l in limits), (limits, plan)  # ...and tiny
+    assert out.count() == k  # and still exactly k rows
+    spark.catalog.clearCache()
