@@ -5534,60 +5534,60 @@ def metainsight_explain_text(spark, sf_dir):
 # variants, reshape/accessor coverage) follow in registration order and
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
-    # r7 rotation (VERDICT r6 task #2): still 100% oracle-backed.
-    # Composition: 11 oracle entries with no driver evidence (the 3 added
-    # after the r6 window froze — edit_distance_against_corpus,
-    # lm2_score_docs, semantic_dedup_against_corpus — plus this round's
-    # shards_roundtrip, bpe_merges_docs, minhash_against_corpus,
-    # dsir_weights_docs, dsir_sample_docs, bpe_encode_docs,
-    # quality_score_fixed, hashed_embeddings_docs), then 39 re-checks
-    # weighted to staleness: 21 entries last driver-green in r03 (6 of the
-    # 11 r03 groupby slots went to the new never-checked entries —
-    # prod/sem/size/var/max/min rotated out; count/std/sum/transform/
-    # filter_groups remain), 14 last green in r04, 2 r05
-    # family-stalest members (outlier_kernel, asof_join_events), and 2
-    # family-forced r6 holdovers (multimodal_features_kernel,
-    # mini_language_query — their families have no staler oracle-backed
-    # member). Everything green in r5/r6 and not family-required rotated
-    # BELOW the window; its green history lives in CORRECTNESS_r05/r06.
-    # r8 rotation pool: the remaining r04-stale oracle entries
-    # (drop_duplicates_part, filter_compound, filter_quantity,
-    # groupby_agg_dict/mean/median/multi_key/nunique, join_inner,
-    # join_left_agg, melt_lineitem, q5, q6, shift_events,
-    # sliding_windows, where_mask) plus the six r03-stale groupby
-    # rotations (prod/sem/size/var/max/min) and any entries added in r8.
+    # r8 rotation (VERDICT r7 task #2): close the last evidence gaps.
+    # Composition: the 4 oracle-backed entries with NO driver row
+    # (novelty_scores_docs + the reshaped hashed_embeddings_docs + the
+    # two new r8 entries similarity_topk_arrow / text_semantic_dedup_docs),
+    # ONE rows-only entry the r7 judge explicitly asked to window for a
+    # rows+schema run (quality_classifier_docs — the allowlisted
+    # exception in test_window_is_fully_oracle_backed; its oracle-backed
+    # sibling quality_score_fixed went green r7), then 45 re-checks
+    # weighted to staleness: all 6 r03-stale groupby rotations, all 16
+    # r04-stale entries, 4 family-forced members (their family has no
+    # staler oracle-backed candidate), and 19 of the 35 r05-stale
+    # entries chosen for family spread. Everything green in r6/r7 and
+    # not family-required sits BELOW the window.
+    # r9 rotation pool: the 16 remaining r05-stale entries
+    # (assign_splits, curate_documents, embedding_centroid_dist,
+    # embedding_quantize, ewm_events, expanding_stats_events,
+    # ffill_events, interval_join_events, pct_change_events,
+    # q10_returned_revenue, q12_priority_lines, q14_promo_revenue,
+    # range_join_events, rank_events_dense, resample_hourly,
+    # similarity_topk_int8) plus r06-stale re-checks and any new r9
+    # entries.
     #
-    # -- never-driver-checked (added late r6 / new r7: the cross-corpus
-    #    MinHash, DSIR, and BPE-encode entries took the slots of four
-    #    r03 groupby re-checks whose family keeps 6 other members)
-    "edit_distance_against_corpus", "lm2_score_docs",
-    "semantic_dedup_against_corpus", "shards_roundtrip", "bpe_merges_docs",
-    "minhash_against_corpus", "dsir_weights_docs", "dsir_sample_docs",
-    "bpe_encode_docs", "quality_score_fixed", "hashed_embeddings_docs",
+    # -- never-driver-checked (oracle-backed)
+    "hashed_embeddings_docs", "novelty_scores_docs",
+    "text_semantic_dedup_docs", "similarity_topk_arrow",
+    # -- rows-only, judge-requested rows+schema run (VERDICT r7 task #2)
+    "quality_classifier_docs",
     # -- re-checks: last green r03 (the stalest driver evidence)
-    "astype_clip", "crosstab_counts", "cut_quantity", "describe_stats",
-    "dt_parts_events", "fillna_after_where", "filter_in_between",
-    "filter_negation", "filter_status", "frame_nunique", "frame_quantile",
-    "get_dummies_status", "groupby_count", "groupby_filter_groups",
-    "groupby_std", "groupby_sum", "groupby_transform_mean",
-    "month_season_bins", "rename_drop_project",
-    "str_ops_part", "value_counts_region",
-    # -- re-checks: last green r04, chosen for family spread
-    "q1_pricing_summary", "q3_shipping_priority",      # relational flagship
-    "join_dims_broadcast",                             # join family
-    "pivot_table_mean", "corr_matrix",                 # reshape / stats
-    "fedex_groupby_explain",                           # explainer surface
-    "dedup_exact", "ngram_jaccard",                    # dedup
-    "similarity_topk", "embedding_near_dups_exact",    # similarity
-    "text_profile", "lang_id_counts",                  # text
-    "windowed_events", "sessionize_events",            # streaming
-    # -- re-checks: last green r05 (family-stalest members)
-    "outlier_kernel",                                  # explainer kernels
-    "asof_join_events",                                # time-series
-    # -- family-forced holdovers (green r6; no staler oracle-backed
-    #    member exists for these families)
-    "multimodal_features_kernel",                      # multimodal
-    "mini_language_query",                             # mini-language
+    "groupby_max", "groupby_min", "groupby_prod", "groupby_sem",
+    "groupby_size", "groupby_var",
+    # -- re-checks: last green r04
+    "drop_duplicates_part", "filter_compound", "filter_quantity",
+    "groupby_agg_dict", "groupby_mean", "groupby_median",
+    "groupby_multi_key", "groupby_nunique", "join_inner", "join_left_agg",
+    "melt_lineitem", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "shift_events", "sliding_windows", "where_mask",
+    # -- family-forced (no staler oracle-backed member in the family)
+    "fedex_filter_explain_text",                       # explainer surface (r6)
+    "drift_scores_events",                             # streaming (r6)
+    "multimodal_features_kernel",                      # multimodal (r7)
+    "mini_language_query",                             # mini-language (r7)
+    # -- re-checks: last green r05, family spread
+    "query_string_filter",                             # relational
+    "q4_priority_count",                               # TPC-H
+    "fedex_filter_kernel", "fedex_join_kernel",        # explainer kernels
+    "shapley_kernel", "many_to_one_kernel",
+    "minhash_near_dups_md5", "simhash_near_dups_md5",  # dedup
+    "near_dup_components",
+    "similarity_lsh_topk", "similarity_ivf_fixed",     # similarity
+    "embedding_near_dups",
+    "token_counts", "repetition_signals",              # text
+    "cumsum_events",                                   # time-series
+    "redact_pii", "stratified_sample_lang",            # training mix
+    "pack_sequences", "curation_pipeline",
 ]
 
 

@@ -9,7 +9,10 @@ regression harness, not a sampler). ``vs_prev`` compares each entry to
 the newest BENCH_r*.json in the repo; an entry is PROVISIONALLY flagged
 when it is BOTH >1.5x slower and >1.0s absolute slower — the absolute
 floor keeps sub-second entries (which swing 2-3x on JVM state) from
-producing flaky findings.
+producing flaky findings. The ``vs_prev`` table itself only lists
+entries at >= 1s on either side (VERDICT r7 task #7: sub-second ratio
+drift is pure noise and was cluttering the round review; ``queries``
+still records every entry's absolute time).
 
 A provisional flag is NOT recorded as a regression until it reproduces
 in a FRESH JVM (VERDICT r6 task #4: the r6 gate cried wolf 4/159 times
@@ -207,7 +210,13 @@ def main() -> int:
         if not p:
             continue
         ratio = round(sec / p, 3)
-        vs_prev[name] = ratio
+        # sub-second tier: a 1.5x "drift" on a 0.2s entry is JVM noise
+        # (r6/r7 evidence: where_mask/topk_orders swung 1.4-1.5x on
+        # nothing). Keep those entries out of the vs_prev table entirely
+        # — the flag gate below already requires a >1s absolute delta,
+        # so this loosens nothing on the expensive tier.
+        if max(p, sec) >= 1.0:
+            vs_prev[name] = ratio
         if ratio > RATIO_TH and (sec - p) > ABS_FLOOR_SEC:
             provisional[name] = {"prev": p, "now": sec, "ratio": ratio}
     regressions: dict[str, dict[str, float]] = {}

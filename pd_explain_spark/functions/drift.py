@@ -101,8 +101,14 @@ def drift_scores(
     wtot = per.groupBy("window_start").agg(F.sum("__n").alias("__wt"))
     gbin = per.groupBy("__bin").agg(F.sum("__n").alias("__gn"))
     gtot = gbin.agg(F.sum("__gn").alias("__gt"))
-    gfrac = gbin.crossJoin(F.broadcast(gtot)).select(
-        "__bin", (F.col("__gn") / F.col("__gt")).alias("__gfrac")
+    # identity limit: __bin lives in [0, num_bins), so gfrac holds at
+    # most num_bins rows — but the checkpointed leaf hides that from the
+    # plan, and the broadcast below would audit as a fatal nested-loop
+    # join. The GlobalLimit states the O(bins) bound in the plan.
+    gfrac = (
+        gbin.crossJoin(F.broadcast(gtot))
+        .select("__bin", (F.col("__gn") / F.col("__gt")).alias("__gfrac"))
+        .limit(num_bins)
     )
     spine = wtot.crossJoin(F.broadcast(gfrac))
     wfrac = per.join(wtot, "window_start").select(

@@ -346,9 +346,14 @@ def ivf_build(
         train.select("neighbor_id", "cv", array_to_vector(F.col("cv")).alias("__v"))
     ).select("neighbor_id", "cv", "bucket")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    # identity limit over the <= n_centroids driver-literal rows: a
+    # createDataFrame leaf prints as an unbounded Scan ExistingRDD, so
+    # without it every broadcast of this frame reads as a fatal
+    # nested-loop join to plans.audit; the GlobalLimit states the O(k)
+    # contract in the plan itself
     cent_df = corpus.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], ["bucket", "centroid"]
-    )
+    ).limit(len(centroids))
     return IvfIndex(assigned=assigned, centroids=cent_df)
 
 
@@ -708,10 +713,12 @@ def semantic_dedup_pairs_against(
     cent_rows = ivf_build_fixed(
         corpus_df, id_col, vec_col, n_centroids
     ).centroids.collect()
+    # identity limit (see ivf_build): marks the driver-literal frame as
+    # O(k) in the plan so its broadcasts audit as the bounded idiom
     cent_df = corpus_df.sparkSession.createDataFrame(
         [(int(r["bucket"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
         "bucket int, centroid array<double>",
-    )
+    ).limit(len(cent_rows))
     corp = _assign_buckets(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),

@@ -65,8 +65,11 @@ _GLOBAL_AGG = "HashAggregate(keys=[]"
 # Operators that bound their output to a constant row count: a
 # single-partition exchange or broadcast build side fed by one of these
 # moves O(k) rows, not O(data) — the bounded-augmentation idiom (top-k
-# rank windows, seed/centroid tables), fine at any scale.
-_BOUNDED_OPS = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+# rank windows, seed/centroid tables), fine at any scale. LocalLimit
+# qualifies too: it emits <= k rows PER PARTITION, so the funnel above
+# it moves O(k x partitions) rows — the exact shape limit(k) plans to
+# (LocalLimit -> SinglePartition exchange -> GlobalLimit).
+_BOUNDED_OPS = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit")
 
 
 def _is_bounded(line: str) -> bool:

@@ -409,53 +409,50 @@ def test_dedup_against_never_shuffles_corpus_text(spark, sf_dir):
                for s in schemas), plan
 
 
-ROUND5_WAVE3_ENTRIES = [
-    "segment_dedup_docs",
-    "chunk_documents_overlap",
-    "contamination_pairs_docs",
-    "decontaminate_docs",
-    "tfidf_docs",
-    "bm25_docs",
-    "temperature_sample_docs",
-    "dedup_against_corpus",
-    "near_dup_against_corpus",
-    "ingest_pipeline_docs",
-]
+# Entries whose plan is ALLOWED to carry a fatal nested-loop-join
+# finding: the brute-force exact-similarity family is O(corpus x
+# queries) BY DESIGN — it is the documented verification baseline /
+# oracle twin of the sub-quadratic production paths (LSH, IVF, Arrow
+# partial top-k), never the path a 100 TB run would take. Every other
+# entry (and every entry's other checks) must audit clean; the test
+# below also asserts an allowlisted entry carries ONLY the
+# nested-loop-join fatal so new anti-patterns cannot hide behind it.
+AUDIT_NLJ_ALLOWED = {
+    "similarity_topk": "brute-force exact cosine baseline (scale path: "
+                       "similarity_lsh_topk / similarity_ivf_* / _arrow)",
+    "similarity_topk_int8": "brute-force over int8-quantized vectors "
+                            "(same deliberate baseline class)",
+    "embedding_near_dups_exact": "exact all-pairs verify twin of the "
+                                 "LSH near-dup path (oracle, not "
+                                 "production)",
+}
 
 
-ROUND5_CONT_ENTRIES = [
-    # hash-checked IVF: seed pick is TakeOrdered(16) + a bounded window;
-    # centroids broadcast; assignment window partitions by vector id
-    "similarity_ivf_fixed",
-    # Arrow mapInPandas fake-decoder path, posexploded
-    "multimodal_features_kernel",
-    # survivor-policy dedup: component-partitioned argmax window
-    "near_dup_keep_longest",
-    # remaining TPC-H shapes: conditional-ratio share, scalar-max
-    # join-back, per-key-average correlated filter, two-level blame flags
-    "q8_market_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_late_blame",
-    "q16_supplier_count",
-    "q9_profit_rollup",
-    "q11_important_stock",
-    "q20_dominant_suppliers",
-]
-
-
-@pytest.mark.parametrize("entry", ROUND5_WAVE3_ENTRIES + ROUND5_CONT_ENTRIES)
-def test_wave3_entries_pass_scale_audit(spark, sf_dir, entry):
-    """No fatal cluster-scale anti-pattern (single-partition exchange,
-    nested-loop join, row-Python UDF, unpushed scan filter) in any of
-    the new pipeline entries. vocabulary_docs is excluded: its rank
-    window over the top-k survivors is single-partition BY DESIGN
-    (bounded at max_size rows), documented in relevance.py."""
+def _all_entry_names():
     import __spark_entry__ as m
-    from pd_explain_spark.plans.audit import assert_scalable
+
+    return sorted(m.queries())
+
+
+@pytest.mark.parametrize("entry", _all_entry_names())
+def test_every_entry_passes_scale_audit(spark, sf_dir, entry):
+    """VERDICT r7 task #8: EVERY driver entry's physical plan must be
+    free of fatal cluster-scale anti-patterns (single-partition
+    exchange over unbounded input, nested-loop join with an unbounded
+    build side, CartesianProduct) — except the documented brute-force
+    baselines in AUDIT_NLJ_ALLOWED, which may carry exactly the
+    nested-loop-join finding and nothing else."""
+    import __spark_entry__ as m
+    from pd_explain_spark.plans.audit import scale_audit
 
     df = m.queries()[entry](spark, sf_dir)
-    assert_scalable(df)  # raises on fatal findings
+    fatal = {f.check for f in scale_audit(df) if f.severity == "fatal"}
+    if entry in AUDIT_NLJ_ALLOWED:
+        assert fatal <= {"nested-loop-join"}, (
+            f"{entry}: allowlisted for nested-loop-join only, got {fatal}"
+        )
+    else:
+        assert not fatal, f"{entry}: fatal plan findings {fatal}"
 
 
 @pytest.mark.parametrize(
@@ -493,31 +490,6 @@ def test_shuffle_assign_single_hash_exchange_no_global_sort(spark, sf_dir):
         ex = [l for l in final.splitlines() if "Exchange hashpartitioning" in l]
         assert len(ex) == 1, final
         assert "shard" in ex[0], ex[0]
-
-
-ROUND7_ENTRIES = [
-    "shards_roundtrip",
-    "minhash_against_corpus",
-    "dsir_weights_docs",
-    "dsir_sample_docs",
-    "novelty_scores_docs",
-    "bpe_encode_docs",
-]
-
-
-@pytest.mark.parametrize("entry", ROUND7_ENTRIES)
-def test_round7_entries_pass_scale_audit(spark, sf_dir, entry):
-    """The round-7 entries carry no fatal cluster-scale anti-pattern
-    (single-partition exchange, nested-loop join, row-Python UDF,
-    unpushed scan filter). similarity_topk_arrow is excluded: its
-    mapInPandas stage is the documented Arrow escape (same class as
-    multimodal decode), and its merge window is bounded at
-    partitions x queries x k rows."""
-    import __spark_entry__ as m
-    from pd_explain_spark.plans.audit import assert_scalable
-
-    df = m.queries()[entry](spark, sf_dir)
-    assert_scalable(df)
 
 
 def test_novelty_corpus_text_never_shuffles(spark, sf_dir):
