@@ -3145,6 +3145,50 @@ def stratified_sample_lang_q(spark, sf_dir):
 
 
 @_q(
+    "token_budget_mix",
+    """WITH t AS (
+         SELECT doc_id, lang,
+                md5(doc_id::VARCHAR || '-42') AS k,
+                COALESCE(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> ''))::BIGINT, 0) AS tok,
+                CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 800
+                          WHEN 'zh' THEN 500 END AS b
+         FROM documents
+       ), c AS (
+         SELECT doc_id, lang, tok, b,
+                sum(tok) OVER (PARTITION BY lang ORDER BY k, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS ct
+         FROM t WHERE b IS NOT NULL
+       )
+       SELECT doc_id, lang, tok AS n_tokens FROM c WHERE ct <= b""",
+)
+def token_budget_mix_q(spark, sf_dir):
+    """Token-budget mixing (functions/mixing.py token_budget_sample):
+    "at most N TOKENS per language" — the unit a pretraining mix spec
+    is actually priced in. Deterministic greedy prefix in md5 key order
+    under per-stratum budgets {en:2000, de:800, zh:500}; fr/es absent
+    from the spec are dropped (whitelist contract). The oracle is the
+    NAIVE one-window-per-stratum definition; the engine runs the
+    bucket-decomposed exact algorithm (whole buckets decided from a
+    broadcast prefix table, one boundary bucket per stratum windowed),
+    so a green row proves the decomposition is semantics-preserving."""
+    from pd_explain_spark.functions.mixing import token_budget_sample
+    from pd_explain_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = token_budget_sample(
+        docs, budget={"en": 2000, "de": 800, "zh": 500}, by="lang", seed=42
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.coalesce(token_count(F.col("text")).cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
+    )
+
+
+@_q(
     "assign_splits",
     """SELECT doc_id,
               CASE WHEN h < 980000 THEN 'train'
@@ -3275,6 +3319,57 @@ def shards_roundtrip_q(spark, sf_dir):
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
         "lang",
     )
+
+
+_DOCS_IDENTITY_SQL = """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+       FROM documents"""
+
+
+def _roundtrip(spark, sf_dir, fmt: str):
+    """Write documents in ``fmt``, read it back, project a hashable
+    identity view. The oracle is the source table itself, so a green
+    row proves the sink+source pair preserves every row and value
+    (md5(text) catches any encoding/escaping loss)."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{fmt}_rt_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    docs.write.mode("overwrite").format(fmt).save(path)
+    # explicit schema: json would otherwise pay a full inference pass
+    # (and fail on a zero-row corpus); orc reads the embedded schema but
+    # the explicit one keeps both paths uniform
+    back = spark.read.schema(docs.schema).format(fmt).load(path)
+    return back.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+@_q("jsonl_roundtrip", _DOCS_IDENTITY_SQL)
+def jsonl_roundtrip_q(spark, sf_dir):
+    """JSONL sink+source roundtrip (sources/readers.py read_json;
+    Spark's json source is line-delimited) — the text-corpus
+    interchange format. Value-level identity vs the source table:
+    UTF-8 text (incl. CJK), NULLs (json omits null fields on write;
+    the schema'd read restores them), and numeric types must all
+    survive the serialize/parse cycle to hash-match."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@_q("orc_roundtrip", _DOCS_IDENTITY_SQL)
+def orc_roundtrip_q(spark, sf_dir):
+    """ORC sink+source roundtrip (sources/readers.py read_orc) — the
+    other columnar format large Hive-era corpora arrive in. Same
+    identity oracle as jsonl_roundtrip."""
+    return _roundtrip(spark, sf_dir, "orc")
 
 
 # ---------------------------------------------------------------- dedup
@@ -4218,6 +4313,44 @@ def semantic_dedup_survivors_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = semantic_dedup(emb, threshold=0.45, n_centroids=16)
     return out.select("vec_id", "label")
+
+
+@_q(
+    "prototype_prune_emb",
+    _SEMANTIC_ASSIGNED_CTE
+    + """, scored AS (
+         SELECT a.vec_id, a.bucket,
+                round(list_dot_product(a.emb, c.cemb)
+                      / (sqrt(list_dot_product(a.emb, a.emb))
+                         * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS proto_score
+         FROM assigned a JOIN cent c USING (bucket)
+         WHERE sqrt(list_dot_product(a.emb, a.emb)) > 0
+           AND sqrt(list_dot_product(c.cemb, c.cemb)) > 0
+       ), ranked AS (
+         SELECT vec_id, bucket, proto_score,
+                row_number() OVER (PARTITION BY bucket
+                                   ORDER BY proto_score DESC, vec_id) AS pr,
+                count(*) OVER (PARTITION BY bucket) AS bn
+         FROM scored
+       )
+       SELECT e.vec_id, e.label, r.bucket, r.proto_score
+       FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+       WHERE r.pr > floor(0.3 * bn)""",
+)
+def prototype_prune_emb_q(spark, sf_dir):
+    """D4-style prototypicality pruning (functions/similarity.py
+    prototype_prune; Sorscher et al. 2022, Tirumala et al. 2023): score
+    every embedding by cosine to its md5-seeded deterministic cluster
+    centroid, drop the 30% most prototypical of each cluster, keep the
+    diverse tail. Reuses the SemDeDup assignment mirror, so seed pick,
+    argmin assignment, 6dp score, per-cluster rank and the integer
+    floor() cut all hash-check end to end. Composes with semantic_dedup
+    as the full D4 recipe (dedup, then prune prototypes)."""
+    from pd_explain_spark.functions.similarity import prototype_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = prototype_prune(emb, prune_fraction=0.3, n_centroids=16)
+    return out.select("vec_id", "label", "bucket", "proto_score")
 
 
 @_q(
@@ -5556,9 +5689,13 @@ _RECORD_FIRST = [
     # similarity_topk_int8) plus r06-stale re-checks and any new r9
     # entries.
     #
-    # -- never-driver-checked (oracle-backed)
+    # -- never-driver-checked (oracle-backed; the last four are new r8
+    #    entries — token-budget mixing, D4 prototype pruning, and the
+    #    jsonl/orc sink+source roundtrips)
     "hashed_embeddings_docs", "novelty_scores_docs",
     "text_semantic_dedup_docs", "similarity_topk_arrow",
+    "token_budget_mix", "prototype_prune_emb",
+    "jsonl_roundtrip", "orc_roundtrip",
     # -- rows-only, judge-requested rows+schema run (VERDICT r7 task #2)
     "quality_classifier_docs",
     # -- re-checks: last green r03 (the stalest driver evidence)
@@ -5578,16 +5715,19 @@ _RECORD_FIRST = [
     # -- re-checks: last green r05, family spread
     "query_string_filter",                             # relational
     "q4_priority_count",                               # TPC-H
-    "fedex_filter_kernel", "fedex_join_kernel",        # explainer kernels
+    "fedex_filter_kernel",                             # explainer kernels
     "shapley_kernel", "many_to_one_kernel",
-    "minhash_near_dups_md5", "simhash_near_dups_md5",  # dedup
+    "minhash_near_dups_md5",                           # dedup
     "near_dup_components",
     "similarity_lsh_topk", "similarity_ivf_fixed",     # similarity
     "embedding_near_dups",
-    "token_counts", "repetition_signals",              # text
+    "token_counts",                                    # text
     "cumsum_events",                                   # time-series
     "redact_pii", "stratified_sample_lang",            # training mix
-    "pack_sequences", "curation_pipeline",
+    "curation_pipeline",
+    # (fedex_join_kernel, simhash_near_dups_md5, pack_sequences and
+    #  repetition_signals ceded their slots to the four new r8 entries —
+    #  each family keeps in-window members; all four join the r9 pool)
 ]
 
 

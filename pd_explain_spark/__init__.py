@@ -36,7 +36,8 @@ from .functions.drift import drift_scores, reference_histogram, stream_drift_sco
 from .functions.mixing import (assign_splits, dsir_log_ratios, dsir_sample,
                                dsir_weights, pack_sequences, redact_pii,
                                shuffle_assign, stratified_sample,
-                               temperature_sample, write_shards)
+                               temperature_sample, token_budget_sample,
+                               write_shards)
 from .functions.classifier import (QualityModel, score_quality,
                                    train_quality_classifier)
 from .functions.contamination import (contamination_pairs, decontaminate,
@@ -50,14 +51,16 @@ from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
                                    ivf_query, semantic_dedup,
                                    semantic_dedup_against,
                                    semantic_dedup_pairs,
-                                   semantic_dedup_pairs_against)
+                                   semantic_dedup_pairs_against,
+                                   prototype_prune, prototype_scores)
 from .functions.bpe import bpe_encode, train_bpe
 from .functions.text import (bigram_lm_scores, corpus_stats, curation_pipeline,
                              hashed_embeddings, ingest_pipeline,
                              repetition_signals, stream_corpus_stats,
                              unigram_lm_scores)
 from .session import get_spark
-from .sources.readers import load_table, read_csv, read_json, read_parquet, to_explainable
+from .sources.readers import (load_table, read_csv, read_json, read_orc,
+                              read_parquet, to_explainable)
 
 __version__ = "0.1.0"
 
@@ -84,6 +87,7 @@ __all__ = [
     "read_csv",
     "read_parquet",
     "read_json",
+    "read_orc",
     "to_explainable",
     "load_table",
     # round-4 pipeline surface
@@ -109,6 +113,9 @@ __all__ = [
     "redact_pii",
     "stratified_sample",
     "temperature_sample",
+    "token_budget_sample",
+    "prototype_scores",
+    "prototype_prune",
     "pack_sequences",
     "assign_splits",
     "shuffle_assign",

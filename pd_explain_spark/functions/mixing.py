@@ -215,6 +215,99 @@ def temperature_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget: int | dict[str, int],
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Token-budget mixing — "give me at most N TOKENS per stratum", the
+    unit a training run is actually priced in (stratified_sample quotas
+    ROWS; a 100B-token mix spec quotas tokens). Deterministic greedy
+    prefix: within each stratum, rows are ordered by the corpus-wide
+    sampling key md5("<id>-<seed>") and a row is kept iff the stratum's
+    cumulative whitespace-token count THROUGH it stays <= its budget —
+    so a stratum's kept tokens never exceed the budget, and reruns /
+    engine mirrors agree row for row. ``budget`` may be one int or a
+    per-stratum dict (absent strata are dropped — a mix spec is a
+    whitelist, the stratified_sample contract).
+
+    Scale shape: the naive form is a running sum over ONE window per
+    stratum — the hottest stratum lands on one task. Instead the prefix
+    is decomposed by the key's leading byte(s): bucket b holds keys in
+    [b/B, (b+1)/B) of the hash space, so the stratum order is exactly
+    (bucket, key, id). Per-(stratum, bucket) token sums make a tiny
+    table (strata x ``n_buckets``) whose bucket-prefix cumsum broadcasts
+    back; a bucket wholly inside the budget keeps every row WITHOUT any
+    window, a bucket wholly past it drops scan-side, and only the ONE
+    boundary bucket per stratum (~1/n_buckets of the stratum) runs the
+    exact within-bucket running sum. Skew ceiling is stratum/n_buckets
+    rows per task — ``n_buckets`` is the knob, same trick as
+    dsir_sample's threshold path.
+    """
+    from .text import token_count
+
+    key = _sample_key(id_col, seed)
+    if isinstance(budget, dict):
+        b = F.lit(None).cast("long")
+        for stratum, n in sorted(budget.items()):
+            b = F.when(F.col(by) == stratum, F.lit(int(n))).otherwise(b)
+    else:
+        b = F.lit(int(budget))
+
+    base = (
+        df.withColumn("__key", key)
+        # NULL text counts as 0 tokens (kept for free if inside the
+        # prefix) — a NULL __tok would otherwise void whole-bucket sums
+        .withColumn(
+            "__tok", F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0))
+        )
+        .withColumn("__budget", b)
+        .filter(F.col("__budget").isNotNull())
+        # leading hex chars of the key = its position in the hash space;
+        # ordering by (bucket, key) IS ordering by key
+        .withColumn(
+            "__kb",
+            F.conv(F.substring("__key", 1, _hex_chars(n_buckets)), 16, 10).cast("int"),
+        )
+    )
+    per_bucket = base.groupBy(by, "__kb").agg(F.sum("__tok").alias("__bt"))
+    wb = (
+        Window.partitionBy(by)
+        .orderBy("__kb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = per_bucket.withColumn(
+        "__cb", F.coalesce(F.sum("__bt").over(wb), F.lit(0))
+    ).withColumn("__ct", F.col("__cb") + F.col("__bt"))
+    joined = base.join(F.broadcast(spans), [by, "__kb"])
+    whole = joined.filter(F.col("__ct") <= F.col("__budget"))
+    boundary = joined.filter(
+        (F.col("__cb") <= F.col("__budget")) & (F.col("__ct") > F.col("__budget"))
+    )
+    wrow = (
+        Window.partitionBy(by, "__kb")
+        .orderBy("__key", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cut = boundary.withColumn(
+        "__pre", F.col("__cb") + F.sum("__tok").over(wrow)
+    ).filter(F.col("__pre") <= F.col("__budget"))
+    return whole.select(*df.columns).unionByName(cut.select(*df.columns))
+
+
+def _hex_chars(n_buckets: int) -> int:
+    """Hex digits needed so md5-prefix buckets are at least n_buckets
+    (the bucket count actually used is 16^chars)."""
+    chars = 1
+    while 16**chars < n_buckets:
+        chars += 1
+    return chars
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 2048,

@@ -678,6 +678,81 @@ def semantic_dedup(
     return df.join(losers, id_col, "anti")
 
 
+def prototype_scores(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-vector prototypicality: cosine similarity to the assigned
+    cluster centroid — the ranking signal of SSL-prototype / D4-style
+    data pruning (Sorscher et al. 2022, arXiv:2206.14486; Tirumala et
+    al. 2023, arXiv:2308.12284): examples closest to their cluster
+    center are the most redundant, examples far from it the most
+    informative. Returns (id, bucket, proto_score).
+
+    Clusters are :func:`ivf_build_fixed`'s md5-seeded deterministic
+    centroids, so score and ranking reproduce bit-for-bit in any engine
+    (the SemDeDup oracle recipe). Scale shape: one corpus pass against
+    the broadcast centroid table (assignment) + one broadcast join back
+    for the score — no shuffle wider than the corpus scan. Zero-norm
+    vectors are excluded (no cosine — the hashed_embeddings contract).
+    """
+    idx = ivf_build_fixed(df, id_col, vec_col, n_centroids)
+    cents = idx.centroids.withColumn("zn", _norm(F.col("centroid"))).filter(
+        F.col("zn") > 0
+    )
+    return (
+        idx.assigned.withColumn("cn", _norm(F.col("cv")))
+        .filter(F.col("cn") > 0)
+        .join(F.broadcast(cents), "bucket")
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            "bucket",
+            F.round(
+                _dot(F.col("cv"), F.col("centroid")) / (F.col("cn") * F.col("zn")),
+                round_to,
+            ).alias("proto_score"),
+        )
+    )
+
+
+def prototype_prune(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prune_fraction: float = 0.3,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """D4-style prototypicality pruning: drop the ``prune_fraction``
+    most prototypical (closest-to-centroid) examples of EACH cluster,
+    keeping the diverse tail that scaling-law pruning shows carries the
+    learning signal. Returns the surviving rows of ``df`` with their
+    bucket and 4-decimal proto_score attached. Composes with
+    semantic_dedup as in D4 (dedup first, then prune prototypes).
+
+    Per-cluster cut: rank by (6-decimal proto_score desc, id) and drop
+    ranks <= floor(prune_fraction * cluster_size) — integer row counts
+    and a single raw->6dp round before ranking, so the survivor set is
+    exact and hash-checkable cross-engine. The rank window
+    partitions by bucket: per-cluster work is (n/k) log(n/k) and
+    ``n_centroids`` is the parallelism/skew knob exactly as in
+    semantic_dedup (a 100 TB run uses 10^4-10^5 clusters, not 16).
+    Vectors with no cosine (zero-norm) have no prototypicality and are
+    dropped with the prototypes — filter them upstream to keep them.
+    """
+    s = prototype_scores(df, id_col, vec_col, n_centroids, round_to=6)
+    w = Window.partitionBy("bucket").orderBy(F.desc("proto_score"), F.col(id_col))
+    ranked = s.withColumn("__pr", F.row_number().over(w)).withColumn(
+        "__bn", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    )
+    keep = ranked.filter(
+        F.col("__pr") > F.floor(F.lit(float(prune_fraction)) * F.col("__bn"))
+    ).select(id_col, "bucket", "proto_score")
+    return df.join(keep, id_col, "inner")
+
+
 def semantic_dedup_pairs_against(
     new_df: DataFrame,
     corpus_df: DataFrame,

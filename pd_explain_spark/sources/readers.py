@@ -60,7 +60,15 @@ def read_parquet_df(spark: SparkSession, path: str):
 
 
 def read_json(spark: SparkSession, path: str, name: str | None = None, **options) -> ExplainableDataFrame:
+    """JSON / JSONL (Spark's json source is line-delimited by default —
+    the text-corpus interchange format). Pass an explicit ``schema``
+    option for stability at scale: inference runs a full extra pass
+    over the files and types drift with the sampled lines."""
     return ExplainableDataFrame(spark.read.options(**options).json(path), name=name or _stem(path))
+
+
+def read_orc(spark: SparkSession, path: str, name: str | None = None) -> ExplainableDataFrame:
+    return ExplainableDataFrame(spark.read.orc(path), name=name or _stem(path))
 
 
 def to_explainable(df: DataFrame, name: str = "df") -> ExplainableDataFrame:

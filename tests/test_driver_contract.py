@@ -62,9 +62,10 @@ def test_window_covers_every_operator_family():
         "similarity": {
             "similarity_topk", "similarity_lsh_topk", "similarity_ivf_fixed",
             "similarity_topk_arrow",
-            # SemDeDup entries exercise the same ivf_build_fixed path
+            # SemDeDup / prototype entries exercise the same
+            # ivf_build_fixed path
             "semantic_dedup_pairs", "semantic_dedup_survivors",
-            "text_semantic_dedup_docs",
+            "text_semantic_dedup_docs", "prototype_prune_emb",
         },
         "text": {
             "text_profile", "token_counts", "repetition_signals",
@@ -77,8 +78,9 @@ def test_window_covers_every_operator_family():
         "training_mix": {
             "redact_pii", "stratified_sample_lang", "pack_sequences",
             "temperature_sample_docs", "shuffle_shards_docs",
-            "shards_roundtrip",
+            "token_budget_mix",
         },
+        "sinks": {"shards_roundtrip", "jsonl_roundtrip", "orc_roundtrip"},
     }
     for fam, members in families.items():
         assert members & f, f"family {fam!r} has no representative in the window"

@@ -1959,3 +1959,101 @@ def test_train_bpe_driver_and_distributed_identical(spark):
         ]
         segs = lambda wt: {r["w"]: (r["cnt"], list(r["syms"])) for r in wt.collect()}
         assert segs(wt_drv) == segs(wt_dst)
+
+
+def test_token_budget_sample_matches_naive_window(spark):
+    """The bucket-decomposed exact prefix (whole buckets from a broadcast
+    span table + one windowed boundary bucket per stratum) must return
+    EXACTLY the naive definition's rows: keep iff the stratum's running
+    token sum through the row (md5-key order) stays <= the budget."""
+    from pyspark.sql import Window, functions as F
+
+    from pd_explain_spark.functions.mixing import _sample_key, token_budget_sample
+    from pd_explain_spark.functions.text import token_count
+
+    rows = [(i, "a" if i % 3 else "b", "w " * (i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    got = {r.doc_id for r in token_budget_sample(df, budget=120, by="lang", seed=42).collect()}
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(_sample_key("doc_id", 42), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = (
+        df.withColumn("__t", F.coalesce(token_count(F.col("text")).cast("long"), F.lit(0)))
+        .withColumn("__ct", F.sum("__t").over(w))
+        .filter(F.col("__ct") <= 120)
+    )
+    want = {r.doc_id for r in naive.collect()}
+    assert got == want and got
+
+
+def test_token_budget_sample_budget_and_whitelist(spark):
+    """Kept tokens per stratum never exceed the budget; strata absent
+    from a dict spec are dropped; NULL text costs 0 tokens and can be
+    kept inside the prefix."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.mixing import token_budget_sample
+    from pd_explain_spark.functions.text import token_count
+
+    rows = [(i, ["en", "de", "fr"][i % 3], None if i == 0 else "tok " * 5) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = token_budget_sample(df, budget={"en": 37, "de": 10}, by="lang", seed=1)
+    per = (
+        out.withColumn("__t", F.coalesce(token_count(F.col("text")).cast("long"), F.lit(0)))
+        .groupBy("lang")
+        .agg(F.sum("__t").alias("t"))
+        .collect()
+    )
+    got = {r.lang: r.t for r in per}
+    assert set(got) <= {"en", "de"}          # fr whitelisted out
+    assert got.get("en", 0) <= 37 and got.get("de", 0) <= 10
+    # the doc_id=0 NULL-text row is in stratum en and hashes somewhere in
+    # the order; whether kept or not, a second run is identical
+    out2 = {r.doc_id for r in token_budget_sample(df, budget={"en": 37, "de": 10}, by="lang", seed=1).collect()}
+    assert out2 == {r.doc_id for r in out.collect()}
+
+
+def test_prototype_prune_cluster_cut_counts(spark, embeddings):
+    """Per cluster, prototype_prune keeps exactly bn - floor(f * bn)
+    rows (the least-prototypical tail), and every survivor is an input
+    row with its 6dp centroid cosine attached."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.similarity import prototype_prune, prototype_scores
+
+    emb = embeddings.df if hasattr(embeddings, "df") else embeddings
+    scored_n = {
+        r.bucket: r.n
+        for r in prototype_scores(emb, n_centroids=8)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept = prototype_prune(emb, prune_fraction=0.25, n_centroids=8)
+    kept_n = {
+        r.bucket: r.n
+        for r in kept.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert kept_n and set(kept_n) <= set(scored_n)
+    import math
+
+    for b, n in scored_n.items():
+        assert kept_n.get(b, 0) == n - math.floor(0.25 * n)
+    # survivors carry proto_score and are a subset of the corpus
+    assert kept.filter(F.col("proto_score").isNull()).count() == 0
+    assert kept.count() <= emb.count()
+
+
+def test_prototype_prune_after_semantic_dedup_composes(spark, embeddings):
+    """The D4 recipe: semantic_dedup then prototype_prune — the chained
+    plan builds, stays scalable, and prunes monotonically."""
+    from pd_explain_spark.functions.similarity import prototype_prune, semantic_dedup
+    from pd_explain_spark.plans.audit import assert_scalable
+
+    emb = embeddings.df if hasattr(embeddings, "df") else embeddings
+    dd = semantic_dedup(emb, threshold=0.45, n_centroids=8)
+    out = prototype_prune(dd, prune_fraction=0.3, n_centroids=8)
+    assert_scalable(out)
+    assert out.count() <= dd.count() <= emb.count()
