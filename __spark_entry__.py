@@ -1934,9 +1934,7 @@ def text_profile_q(spark, sf_dir):
     )
 
 
-@_q(
-    "curation_pipeline",
-    """WITH prof AS (
+_CURATION_CTE = """WITH prof AS (
          SELECT doc_id, text,
                 len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
                 round(
@@ -1983,7 +1981,13 @@ def text_profile_q(spark, sf_dir):
          ) SELECT * FROM r
        ), losers AS (
          SELECT s AS doc_id FROM reach GROUP BY s HAVING least(s, min(t)) <> s
-       )
+       )"""
+
+
+@_q(
+    "curation_pipeline",
+    _CURATION_CTE
+    + """
        SELECT k.doc_id, k.n_tokens, k.quality
        FROM exact_kept k
        WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)""",
@@ -1998,6 +2002,56 @@ def curation_pipeline_q(spark, sf_dir):
     from pd_explain_spark.functions.text import curation_pipeline
 
     return curation_pipeline(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "mix_pipeline_docs",
+    _CURATION_CTE
+    + """, kept AS (
+         SELECT k.doc_id, k.n_tokens FROM exact_kept k
+         WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
+       ), m AS (
+         SELECT kept.doc_id, d.lang, kept.n_tokens,
+                md5(kept.doc_id::VARCHAR || '-42') AS k2,
+                CASE d.lang WHEN 'en' THEN 1500 WHEN 'zh' THEN 600
+                            WHEN 'fr' THEN 400 END AS b
+         FROM kept JOIN documents d ON d.doc_id = kept.doc_id
+       ), budgeted AS (
+         SELECT doc_id, lang, n_tokens, b,
+                sum(n_tokens) OVER (PARTITION BY lang ORDER BY k2, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS ct
+         FROM m WHERE b IS NOT NULL
+       )
+       SELECT doc_id, lang, n_tokens,
+              CASE WHEN h < 980000 THEN 'train'
+                   WHEN h < 990000 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT *,
+                    ('0x' || substr(md5(doc_id::VARCHAR || '-42'), 1, 8))::BIGINT
+                      % 1000000 AS h
+             FROM budgeted WHERE ct <= b)""",
+)
+def mix_pipeline_docs_q(spark, sf_dir):
+    """The full corpus-to-training-mix flow in ONE composed plan —
+    what a 100 TB pretraining build actually runs: curation gates +
+    exact dedup + near-dup components (curation_pipeline) → per-language
+    TOKEN budgets via the deterministic greedy prefix
+    (token_budget_sample; es/de absent from the spec drop out) → stable
+    hash train/val/test assignment (assign_splits). Every stage's
+    mirror already exists; this entry chains them so the driver hashes
+    the composition, not just the parts."""
+    from pd_explain_spark.functions.mixing import assign_splits, token_budget_sample
+    from pd_explain_spark.functions.text import curation_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    surv = curation_pipeline(docs).select("doc_id", "n_tokens")
+    base = surv.join(docs.select("doc_id", "lang", "text"), "doc_id")
+    mixed = token_budget_sample(
+        base, budget={"en": 1500, "zh": 600, "fr": 400}, by="lang", seed=42
+    )
+    return assign_splits(mixed, seed=42).select(
+        "doc_id", "lang", "n_tokens", "split"
+    )
 
 
 @_q(
@@ -5695,7 +5749,7 @@ _RECORD_FIRST = [
     "hashed_embeddings_docs", "novelty_scores_docs",
     "text_semantic_dedup_docs", "similarity_topk_arrow",
     "token_budget_mix", "prototype_prune_emb",
-    "jsonl_roundtrip", "orc_roundtrip",
+    "jsonl_roundtrip", "orc_roundtrip", "mix_pipeline_docs",
     # -- rows-only, judge-requested rows+schema run (VERDICT r7 task #2)
     "quality_classifier_docs",
     # -- re-checks: last green r03 (the stalest driver evidence)
@@ -5724,10 +5778,11 @@ _RECORD_FIRST = [
     "token_counts",                                    # text
     "cumsum_events",                                   # time-series
     "redact_pii", "stratified_sample_lang",            # training mix
-    "curation_pipeline",
-    # (fedex_join_kernel, simhash_near_dups_md5, pack_sequences and
-    #  repetition_signals ceded their slots to the four new r8 entries —
-    #  each family keeps in-window members; all four join the r9 pool)
+    # (fedex_join_kernel, simhash_near_dups_md5, pack_sequences,
+    #  repetition_signals and curation_pipeline ceded their slots to the
+    #  five new r8 entries — mix_pipeline_docs strictly contains
+    #  curation_pipeline; every family keeps in-window members; the five
+    #  displaced re-checks join the r9 pool)
 ]
 
 

@@ -62,6 +62,11 @@ ENTRIES = [
     "minhash_against_corpus",
     "dsir_weights_docs",
     "bpe_encode_docs",
+    # round-8 additions: token-budget prefix (per-bucket sums + one
+    # boundary window) and prototype pruning (assignment pass + per-
+    # cluster rank) are both ~linear in corpus size at fixed knobs
+    "token_budget_mix",
+    "prototype_prune_emb",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
