@@ -34,8 +34,16 @@ itself.
 
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 cores from $SPARK_GRAFT_CPUS. Each query is executed to completion
-(count of the result) — wall-clock includes the Spark job, not plan
-construction only.
+with a ``noop``-format write — every column of every row is computed
+and serialized, nothing is collected. The previous action, ``count()``,
+let Catalyst PRUNE expensive expressions out of an entry's FINAL
+projection (no aggregate/generate above them): r7's
+``hashed_embeddings_docs`` "ran" in 0.30 s because count() never
+computed the embeddings at all, and the r8 posexplode reshape was then
+flagged as a 17x "regression" when the same work merely became
+observable. Entries whose cost lives in a terminal projection
+(redaction, scoring, vector assembly) jump to their honest time under
+the r8 re-baseline; aggregate-/join-rooted entries are unaffected.
 """
 
 from __future__ import annotations
@@ -141,6 +149,14 @@ def _retime_isolated(names: list[str], cap: int = 8) -> dict[str, float | None]:
     return out
 
 
+def _force(df) -> None:
+    """Execute ``df`` to completion: compute and serialize EVERY column
+    of every row, collect nothing. The noop sink is the only action that
+    cannot be column-pruned (see module docstring — count() silently
+    dropped terminal-projection work)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _run_one(name: str) -> int:
     """--one NAME: fresh-JVM warm timing of a single entry. One untimed
     pass absorbs session start/codegen/footer reads, the second is the
@@ -148,9 +164,9 @@ def _run_one(name: str) -> int:
     did by hand."""
     spark = get_spark("bench_one")
     fn = entrymod.queries()[name]
-    fn(spark, SF_DIR).count()
+    _force(fn(spark, SF_DIR))
     t0 = time.time()
-    fn(spark, SF_DIR).count()
+    _force(fn(spark, SF_DIR))
     print(json.dumps({"name": name, "sec": round(time.time() - t0, 3)}))
     return 0
 
@@ -166,7 +182,7 @@ def main() -> int:
     # untimed pass: round-1 showed filter_quantity at 9.5 s cold vs ~2 s
     # warm — the 7 s delta is session start, not the query.
     try:
-        qs[names[0]](spark, SF_DIR).count()
+        _force(qs[names[0]](spark, SF_DIR))
     except Exception:
         pass
     timings: dict[str, float] = {}
@@ -175,14 +191,13 @@ def main() -> int:
         fn = qs[name]
         t0 = time.time()
         try:
-            df = fn(spark, SF_DIR)
-            n = df.count()
+            _force(fn(spark, SF_DIR))
         except Exception as e:  # a broken entry must not kill the record
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
         # queries are independent: drop one query's scratch persists so
         # they don't eat executor memory from the queries after it.
         # clearCache only covers SQL cache; localCheckpoint blocks (the

@@ -913,13 +913,24 @@ class ExplainableDataFrame:
 
     def pct_change(self, column: str, on: str, periods: int = 1, by=None) -> "ExplainableDataFrame":
         """pandas pct_change: (v - lag) / lag in ``on`` order; adds
-        ``<column>_pct_change``."""
+        ``<column>_pct_change``. A zero lag follows pandas / IEEE-754
+        (v/0 -> +-inf, 0/0 -> NaN) spelled out explicitly: Spark 4 runs
+        ANSI mode, where a raw ``/`` RAISES on the first zero divisor —
+        which the old count()-based bench never executed (terminal
+        projection, column-pruned) and sf0.01 correctness never hit (no
+        zero values); the r8 noop-write bench surfaced it at sf0.1."""
         from ..operators.rolling import shift_col
 
         shifted = shift_col(self.df, column, on=on, periods=periods, by=by, out_name="__pc_lag")
+        v, lag = F.col(column), F.col("__pc_lag")
         out = shifted.withColumn(
             f"{column}_pct_change",
-            (F.col(column) - F.col("__pc_lag")) / F.col("__pc_lag"),
+            F.when(lag != 0, (v - lag) / lag).when(
+                lag.isNotNull() & v.isNotNull(),
+                F.when(v > 0, F.lit(float("inf")))
+                .when(v < 0, F.lit(float("-inf")))
+                .otherwise(F.lit(float("nan"))),
+            ),
         ).drop("__pc_lag")
         return ExplainableDataFrame(out, name=self.name)
 

@@ -609,3 +609,38 @@ def test_interpolate_ordered_matches_pandas(spark):
     assert np.isnan(g[:3]).all()  # leading stays NULL
     both = ~np.isnan(w)
     assert np.allclose(g[both], w[both], atol=1e-5)
+
+
+def test_pct_change_zero_lag_matches_pandas(spark):
+    """A zero previous value follows pandas / IEEE-754 instead of
+    raising under Spark 4's ANSI division: v/0 -> +-inf, 0/0 -> NaN,
+    null v or null lag -> null. Surfaced by the r8 noop-write bench at
+    sf0.1 (the count()-pruned bench and zero-free sf0.01 correctness
+    runs never executed the division)."""
+    import math
+
+    import pandas as pd
+
+    from pd_explain_spark import to_explainable
+
+    pdf = pd.DataFrame(
+        {
+            "ts": [1, 2, 3, 4, 5, 6],
+            "value": [0.0, 5.0, 0.0, -2.0, 0.0, 0.0],
+        }
+    )
+    want = pdf["value"].pct_change(fill_method=None).tolist()
+    got = (
+        to_explainable(spark.createDataFrame(pdf), "z")
+        .pct_change("value", on="ts")
+        .df.orderBy("ts")
+        .select("value_pct_change")
+        .collect()
+    )
+    got = [r[0] for r in got]
+    assert got[0] is None and math.isnan(want[0])
+    for g, w in zip(got[1:], want[1:]):
+        if math.isnan(w):
+            assert g is not None and math.isnan(g)
+        else:
+            assert g == w
