@@ -4277,6 +4277,101 @@ def similarity_ivf_fixed(spark, sf_dir):
     return ivf_query(index, emb.filter("vec_id < 10"), k=5, n_probe=4, round_to=4)
 
 
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2, scale: int = 1_000_000) -> str:
+    """DuckDB mirror of the ENTIRE Lloyd loop (functions/clustering.py
+    kmeans_fit/kmeans_assign), unrolled to ``n_iter`` CTE stages: md5-order
+    seed pick -> exact-integer argmin assignment -> HALF-UP centroid
+    re-mean, then the final assignment. Vectors quantize to integer
+    micro-units, so squared distances via the dot identity aa - 2ab + bb
+    are integers < 2^53 — the double arithmetic is exact and both engines
+    rank on identical values. Emptied clusters keep their previous
+    centroid (the coalesce), matching the Spark fit."""
+
+    def cd(src: str) -> str:
+        # add the double view + self-dot each centroid stage needs
+        return (
+            f"{src}d AS (SELECT cid, cq,"
+            f" list_transform(cq, x -> CAST(x AS DOUBLE)) AS cqd,"
+            f" list_dot_product(list_transform(cq, x -> CAST(x AS DOUBLE)),"
+            f" list_transform(cq, x -> CAST(x AS DOUBLE))) AS cc FROM {src})"
+        )
+
+    parts = [
+        f"""WITH q AS (
+         SELECT vec_id AS id,
+                list_transform(embedding::DOUBLE[],
+                               x -> CAST(round(x * {scale}) AS BIGINT)) AS v
+         FROM embeddings WHERE embedding IS NOT NULL
+       ), qd AS (
+         SELECT id, v, list_transform(v, x -> CAST(x AS DOUBLE)) AS vd,
+                list_dot_product(list_transform(v, x -> CAST(x AS DOUBLE)),
+                                 list_transform(v, x -> CAST(x AS DOUBLE))) AS vv
+         FROM q
+       ), dims AS (
+         SELECT DISTINCT unnest(generate_series(1, len(v))) AS j FROM q
+       ), seeds AS (
+         SELECT id, v,
+                ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
+         FROM q ORDER BY h, id LIMIT {k}
+       ), c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS INT) AS cid,
+                v AS cq
+         FROM seeds
+       ), {cd('c0')}"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f""", s{i} AS (
+         SELECT q.id, c.cid,
+                CAST(q.vv - 2 * list_dot_product(q.vd, c.cqd) + c.cc AS BIGINT) AS d2
+         FROM qd q CROSS JOIN c{i}d c
+       ), a{i} AS (
+         SELECT id, cid FROM (
+           SELECT id, cid,
+                  row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+           FROM s{i}) WHERE rn = 1
+       ), u{i} AS (
+         SELECT a.cid, dims.j,
+                CAST(round(sum(q.v[dims.j]) * 1.0 / count(q.v[dims.j]))
+                     AS BIGINT) AS c
+         FROM a{i} a JOIN q ON q.id = a.id CROSS JOIN dims
+         GROUP BY a.cid, dims.j
+       ), c{i + 1} AS (
+         SELECT p.cid, coalesce(u.cq, p.cq) AS cq
+         FROM c{i} p LEFT JOIN (
+           SELECT cid, list(c ORDER BY j) AS cq FROM u{i} GROUP BY cid) u
+           ON u.cid = p.cid
+       ), {cd(f'c{i + 1}')}"""
+        )
+    parts.append(
+        f""", sF AS (
+         SELECT q.id, c.cid,
+                CAST(q.vv - 2 * list_dot_product(q.vd, c.cqd) + c.cc AS BIGINT) AS d2
+         FROM qd q CROSS JOIN c{n_iter}d c
+       )
+       SELECT id AS vec_id, cid AS cluster, d2 AS dist2 FROM (
+         SELECT id, cid, d2,
+                row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         FROM sF) WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
+@_q("kmeans_clusters_emb", _kmeans_oracle_sql(k=4, n_iter=2))
+def kmeans_clusters_emb(spark, sf_dir):
+    """Fitted Lloyd's k-means over the embedding corpus
+    (functions/clustering.py): quantized-integer distances make the fit
+    bit-reproducible, so the FULL iterative clustering — seed pick, two
+    assignment/update rounds, final membership + exact integer dist2 —
+    hash-checks against DuckDB's unrolled mirror. Extends the
+    ivf_build_fixed seed-init family with real iterations (better bucket
+    quality for IVF/SemDeDup at the same query cost)."""
+    from pd_explain_spark import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=4, n_iter=2)
+
+
 _SEMANTIC_ASSIGNED_CTE = """WITH cast_emb AS (
          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        ), hashed AS (
@@ -5740,8 +5835,8 @@ _RECORD_FIRST = [
     # ffill_events, interval_join_events, pct_change_events,
     # q10_returned_revenue, q12_priority_lines, q14_promo_revenue,
     # range_join_events, rank_events_dense, resample_hourly,
-    # similarity_topk_int8) plus r06-stale re-checks and any new r9
-    # entries.
+    # similarity_topk_int8, stratified_sample_lang) plus r06-stale
+    # re-checks and any new r9 entries.
     #
     # -- never-driver-checked (oracle-backed; the last four are new r8
     #    entries — token-budget mixing, D4 prototype pruning, and the
@@ -5750,6 +5845,7 @@ _RECORD_FIRST = [
     "text_semantic_dedup_docs", "similarity_topk_arrow",
     "token_budget_mix", "prototype_prune_emb",
     "jsonl_roundtrip", "orc_roundtrip", "mix_pipeline_docs",
+    "kmeans_clusters_emb",
     # -- rows-only, judge-requested rows+schema run (VERDICT r7 task #2)
     "quality_classifier_docs",
     # -- re-checks: last green r03 (the stalest driver evidence)
@@ -5777,12 +5873,12 @@ _RECORD_FIRST = [
     "embedding_near_dups",
     "token_counts",                                    # text
     "cumsum_events",                                   # time-series
-    "redact_pii", "stratified_sample_lang",            # training mix
+    "redact_pii",                                      # training mix
     # (fedex_join_kernel, simhash_near_dups_md5, pack_sequences,
-    #  repetition_signals and curation_pipeline ceded their slots to the
-    #  five new r8 entries — mix_pipeline_docs strictly contains
-    #  curation_pipeline; every family keeps in-window members; the five
-    #  displaced re-checks join the r9 pool)
+    #  repetition_signals, curation_pipeline and stratified_sample_lang
+    #  ceded their slots to the six new r8 entries — mix_pipeline_docs
+    #  strictly contains curation_pipeline; every family keeps in-window
+    #  members; the six displaced re-checks join the r9 pool)
 ]
 
 

@@ -1,0 +1,141 @@
+"""Distributed Lloyd's k-means over embedding columns, exactly
+reproducible across engines.
+
+The similarity stack's ``ivf_build_fixed`` (similarity.py:372) stops at
+seed-init — "KMeans init without the iterations" — because float
+centroid means are summation-order-dependent and would never
+hash-match an external oracle. This module adds the iterations while
+keeping bit-reproducibility, so a FITTED clustering (better bucket
+quality for IVF / SemDeDup at the same query cost) can still be
+driver-verified:
+
+* vectors are quantized once to integer micro-units
+  (``round(x * scale)`` as BIGINT — the ``embedding_quantize``
+  precedent), so squared L2 distances are EXACT 64-bit integers with no
+  accumulation-order sensitivity;
+* assignment ties break on (dist2, centroid_id) — total order,
+  engine-independent;
+* centroid updates sum exact integers per coordinate (map-combining
+  groupBy, < 2^53 so the one double division is exact-input) and round
+  HALF_UP back to micro-units — the single rounding site per
+  iteration, same rule in Spark and DuckDB;
+* init is the md5-order seed pick shared with ``ivf_build_fixed``;
+  clusters that lose all members keep their previous centroid.
+
+Scale shape: per iteration one broadcast cross join (k rows) + a
+per-vector struct-min argmin (map-side combinable) + one (cid, coord)
+sum aggregate — k*dim rows collected to the driver, the same bounded
+O(k*dim) driver state MLlib's KMeans keeps. The corpus is scanned once
+per iteration and never shuffled by key; n_iter is a small constant.
+Reference scope: the reference engine ships no clustering operator —
+this extends SURVEY.md §2's similarity family (ivf_build_fixed,
+semantic_dedup) with the fitted-centroid flavor the 100 TB pipeline
+brief calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import md5_int
+
+__all__ = ["kmeans_fit", "kmeans_assign"]
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x * scale).cast("bigint")
+        ).alias("q"),
+    )
+
+
+def _assign(q: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """(id, q) x broadcast centroids -> (id, cid, q, dist2): exact
+    integer squared L2, argmin via one struct-min aggregate (ties to the
+    lowest centroid id)."""
+    spark = q.sparkSession
+    cdf = spark.createDataFrame(
+        sorted(cents.items()), "cid int, cq array<bigint>"
+    )
+    d2 = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.crossJoin(F.broadcast(cdf))
+        .select("id", "q", F.struct(d2.alias("d2"), "cid").alias("s"))
+        .groupBy("id")
+        # q is identical on every row of the group; max() just carries it
+        .agg(F.min("s").alias("m"), F.max("q").alias("q"))
+        .select(
+            "id", F.col("m.cid").alias("cid"), "q", F.col("m.d2").alias("d2")
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> dict[int, list[int]]:
+    """Fit k centroids with ``n_iter`` Lloyd iterations; returns
+    {centroid_id: [micro-unit BIGINT components]} — bounded O(k*dim)
+    driver state. Fewer than k non-null vectors seed fewer centroids.
+    Raises ValueError on an empty input (model-entry contract)."""
+    q = _quantized(df, id_col, vec_col, scale)
+    seeds = (
+        q.withColumn("__h", md5_int(F.md5(F.col("id").cast("string"))))
+        .orderBy("__h", "id")
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("kmeans_fit requires at least one non-null vector")
+    cents = {i: list(r.q) for i, r in enumerate(seeds)}
+    for _ in range(n_iter):
+        upd = (
+            _assign(q, cents)
+            .select("cid", F.posexplode("q").alias("j", "v"))
+            .groupBy("cid", "j")
+            .agg(F.round(F.sum("v") / F.count("v")).cast("bigint").alias("c"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in upd:
+            by_cid.setdefault(r.cid, {})[r.j] = r.c
+        cents = {
+            cid: [by_cid[cid][j] for j in range(len(old))]
+            if cid in by_cid
+            else old  # emptied cluster keeps its previous centroid
+            for cid, old in cents.items()
+        }
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    centroids: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """Cluster membership after a fitted (or supplied) k-means model:
+    (id_col, cluster INT, dist2 BIGINT) with dist2 the exact integer
+    squared L2 distance in micro^2 units — every value hash-portable."""
+    if centroids is None:
+        centroids = kmeans_fit(df, k, n_iter, id_col, vec_col, scale)
+    out = _assign(_quantized(df, id_col, vec_col, scale), centroids)
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("cid").alias("cluster"),
+        F.col("d2").alias("dist2"),
+    )

@@ -69,7 +69,20 @@ _GLOBAL_AGG = "HashAggregate(keys=[]"
 # qualifies too: it emits <= k rows PER PARTITION, so the funnel above
 # it moves O(k x partitions) rows — the exact shape limit(k) plans to
 # (LocalLimit -> SinglePartition exchange -> GlobalLimit).
-_BOUNDED_OPS = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit")
+_BOUNDED_OPS = (
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalLimit",
+    # a driver-local relation was by construction materialized on the
+    # driver — bounded however large the scan side is (the k-means
+    # broadcast centroid table idiom). PySpark's createDataFrame of a
+    # python list renders as "Scan ExistingRDD" (parallelized driver
+    # data); nothing else in this engine produces an ExistingRDD — every
+    # big-data path enters through a file source or an exchange.
+    "LocalTableScan",
+    "Scan ExistingRDD",
+)
 
 
 def _is_bounded(line: str) -> bool:

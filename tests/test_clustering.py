@@ -1,0 +1,134 @@
+"""Lloyd's k-means (functions/clustering.py): differential vs a pure-
+Python mirror, determinism/edge contracts, and the plan pin."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pd_explain_spark import kmeans_assign, kmeans_fit
+
+
+def _round_half_away(v: float) -> int:
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def _py_lloyd(vecs: dict, k: int, n_iter: int, scale: int = 1_000_000):
+    """Reference Lloyd on quantized ints, same init (md5 order of id),
+    same (dist2, cid) tie-break, same HALF_UP centroid rounding."""
+    import hashlib
+
+    q = {
+        i: [_round_half_away(x * scale) for x in v] for i, v in vecs.items()
+    }
+    order = sorted(
+        q, key=lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i)
+    )
+    cents = {c: list(q[i]) for c, i in enumerate(order[:k])}
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, cv)), c)
+                for c, cv in cents.items()
+            )
+            out[i] = best[1]
+        return out
+
+    for _ in range(n_iter):
+        a = assign()
+        for c in cents:
+            members = [q[i] for i, ci in a.items() if ci == c]
+            if members:
+                cents[c] = [
+                    _round_half_away(sum(col) / len(members))
+                    for col in zip(*members)
+                ]
+    a = assign()
+    return cents, a
+
+
+@pytest.fixture()
+def small_vecs():
+    # two clear blobs + a straggler; 3-decimal values so quantization is
+    # exact in every engine
+    return {
+        1: [0.100, 0.200, 0.300],
+        2: [0.110, 0.190, 0.310],
+        3: [0.105, 0.205, 0.295],
+        4: [0.900, 0.800, 0.700],
+        5: [0.910, 0.790, 0.710],
+        6: [0.500, 0.500, 0.500],
+    }
+
+
+def test_kmeans_matches_python_mirror(spark, small_vecs):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in small_vecs.items()], "vec_id long, embedding array<double>"
+    )
+    want_cents, want_assign = _py_lloyd(small_vecs, k=2, n_iter=3)
+    cents = kmeans_fit(df, k=2, n_iter=3)
+    assert cents == want_cents
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(df, k=2, n_iter=3).collect()
+    }
+    assert got == want_assign
+
+
+def test_kmeans_dist2_exact_and_deterministic(spark, small_vecs):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in small_vecs.items()], "vec_id long, embedding array<double>"
+    )
+    a1 = sorted(map(tuple, kmeans_assign(df, k=3, n_iter=2).collect()))
+    a2 = sorted(map(tuple, kmeans_assign(df, k=3, n_iter=2).collect()))
+    assert a1 == a2
+    # dist2 is an exact integer in micro^2 units
+    cents, assign = _py_lloyd(small_vecs, k=3, n_iter=2)
+    for vec_id, cluster, dist2 in a1:
+        q = [_round_half_away(x * 1_000_000) for x in small_vecs[vec_id]]
+        cv = cents[assign[vec_id]]
+        assert dist2 == sum((a - b) * (a - b) for a, b in zip(q, cv))
+
+
+def test_kmeans_inertia_never_increases(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    prev = None
+    for it in range(4):
+        cents = kmeans_fit(emb, k=4, n_iter=it)
+        total = (
+            kmeans_assign(emb, centroids=cents)
+            .agg(F.sum("dist2").alias("s"))
+            .first()
+            .s
+        )
+        if prev is not None:
+            # Lloyd monotonicity holds up to the per-iteration centroid
+            # rounding (+-1 micro-unit per coordinate); allow that slack
+            assert total <= prev * 1.001
+        prev = total
+
+
+def test_kmeans_edges(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        kmeans_fit(empty)
+    # fewer vectors than k: one centroid per vector, assignment total
+    two = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_assign(two, k=5, n_iter=2).collect()
+    assert sorted(r.dist2 for r in out) == [0, 0]
+    # null vectors are excluded, not crashed on
+    withnull = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    assert kmeans_assign(withnull, k=1, n_iter=1).count() == 1
+
+
+def test_kmeans_plan_is_scalable(spark, sf_dir):
+    from pd_explain_spark import assert_scalable
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert_scalable(kmeans_assign(emb, k=4, n_iter=1))
