@@ -4277,15 +4277,18 @@ def similarity_ivf_fixed(spark, sf_dir):
     return ivf_query(index, emb.filter("vec_id < 10"), k=5, n_probe=4, round_to=4)
 
 
-def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2, scale: int = 1_000_000) -> str:
+def _kmeans_cte(k: int = 4, n_iter: int = 2, scale: int = 1_000_000) -> str:
     """DuckDB mirror of the ENTIRE Lloyd loop (functions/clustering.py
-    kmeans_fit/kmeans_assign), unrolled to ``n_iter`` CTE stages: md5-order
-    seed pick -> exact-integer argmin assignment -> HALF-UP centroid
-    re-mean, then the final assignment. Vectors quantize to integer
-    micro-units, so squared distances via the dot identity aa - 2ab + bb
-    are integers < 2^53 — the double arithmetic is exact and both engines
-    rank on identical values. Emptied clusters keep their previous
-    centroid (the coalesce), matching the Spark fit."""
+    kmeans_fit), unrolled to ``n_iter`` CTE stages: md5-order seed pick
+    -> exact-integer argmin assignment -> HALF-UP centroid re-mean.
+    Vectors quantize to integer micro-units, so squared distances via
+    the dot identity aa - 2ab + bb are integers < 2^53 — the double
+    arithmetic is exact and both engines rank on identical values.
+    Emptied clusters keep their previous centroid (the coalesce),
+    matching the Spark fit. Returns the WITH chain ending at the fitted
+    centroid stages ``c{n_iter}`` / ``c{n_iter}d`` for a consumer to
+    extend (kmeans_clusters_emb's final assignment, the fitted-IVF
+    probe pipeline)."""
 
     def cd(src: str) -> str:
         # add the double view + self-dot each centroid stage needs
@@ -4343,8 +4346,15 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2, scale: int = 1_000_000) -> s
            ON u.cid = p.cid
        ), {cd(f'c{i + 1}')}"""
         )
-    parts.append(
-        f""", sF AS (
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2) -> str:
+    """Final assignment over the fitted centroids: exact integer d2 +
+    (d2, cid) argmin — mirrors clustering.kmeans_assign."""
+    return (
+        _kmeans_cte(k, n_iter)
+        + f""", sF AS (
          SELECT q.id, c.cid,
                 CAST(q.vv - 2 * list_dot_product(q.vd, c.cqd) + c.cc AS BIGINT) AS d2
          FROM qd q CROSS JOIN c{n_iter}d c
@@ -4354,7 +4364,6 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2, scale: int = 1_000_000) -> s
                 row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
          FROM sF) WHERE rn = 1"""
     )
-    return "".join(parts)
 
 
 @_q("kmeans_clusters_emb", _kmeans_oracle_sql(k=4, n_iter=2))
@@ -4370,6 +4379,78 @@ def kmeans_clusters_emb(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=4, n_iter=2)
+
+
+def _ivf_kmeans_oracle_sql(k: int = 16, n_iter: int = 2, scale: int = 1_000_000) -> str:
+    """Fitted-IVF pipeline on top of the Lloyd CTE: integer-argmin corpus
+    assignment (bit-identical to the fit), real-unit centroid doubles
+    (micro-units / scale — exact-input IEEE division both engines), then
+    the standard probe + in-bucket cosine rank of the similarity_ivf_fixed
+    oracle."""
+    return (
+        _kmeans_cte(k, n_iter)
+        + f""", cast_emb AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       ), centr AS (
+         SELECT cid AS bucket,
+                list_transform(cq, x -> CAST(x AS DOUBLE) / {scale}.0) AS cemb
+         FROM c{n_iter}
+       ), sA AS (
+         SELECT q.id, c.cid,
+                row_number() OVER (
+                  PARTITION BY q.id
+                  ORDER BY CAST(q.vv - 2 * list_dot_product(q.vd, c.cqd)
+                                + c.cc AS BIGINT), c.cid
+                ) AS rn
+         FROM qd q CROSS JOIN c{n_iter}d c
+       ), assigned AS (
+         SELECT s.id AS neighbor_id, e.emb AS cv, s.cid AS bucket
+         FROM sA s JOIN cast_emb e ON e.vec_id = s.id WHERE s.rn = 1
+       ), probes AS (
+         SELECT q.vec_id AS query_id, q.emb AS qv, c.bucket,
+                row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY list_dot_product(q.emb, q.emb)
+                           - 2 * list_dot_product(q.emb, c.cemb)
+                           + list_dot_product(c.cemb, c.cemb),
+                           c.bucket
+                ) AS pr
+         FROM cast_emb q, centr c
+         WHERE q.vec_id < 10
+       ), qp AS (
+         SELECT query_id, qv, bucket FROM probes WHERE pr <= 4
+       ), scored AS (
+         SELECT qp.query_id, a.neighbor_id,
+                list_dot_product(qp.qv, a.cv)
+                  / (sqrt(list_dot_product(qp.qv, qp.qv))
+                     * sqrt(list_dot_product(a.cv, a.cv))) AS sim
+         FROM qp JOIN assigned a USING (bucket)
+         WHERE a.neighbor_id <> qp.query_id
+       ), ranked AS (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+                round(sim, 4) AS cosine_sim
+         FROM scored
+       )
+       SELECT query_id, neighbor_id, rank::INT AS rank, cosine_sim
+       FROM ranked WHERE rank <= 5"""
+    )
+
+
+@_q("similarity_ivf_kmeans", _ivf_kmeans_oracle_sql(k=16, n_iter=2))
+def similarity_ivf_kmeans(spark, sf_dir):
+    """Hash-checked FITTED IVF (functions/similarity.py
+    ivf_build_kmeans): Lloyd-refined centroids instead of raw seed
+    vectors, same probe/rank query path as similarity_ivf_fixed. The
+    exact-integer fit (functions/clustering.py) plus real-unit centroid
+    division keep every ranking quantity bit-identical across engines,
+    so the full train -> index -> probe -> rank pipeline hash-checks."""
+    from pd_explain_spark import ivf_build_kmeans
+    from pd_explain_spark.functions.similarity import ivf_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ivf_build_kmeans(emb, n_centroids=16, n_iter=2)
+    return ivf_query(index, emb.filter("vec_id < 10"), k=5, n_probe=4, round_to=4)
 
 
 _SEMANTIC_ASSIGNED_CTE = """WITH cast_emb AS (
@@ -5845,7 +5926,7 @@ _RECORD_FIRST = [
     "text_semantic_dedup_docs", "similarity_topk_arrow",
     "token_budget_mix", "prototype_prune_emb",
     "jsonl_roundtrip", "orc_roundtrip", "mix_pipeline_docs",
-    "kmeans_clusters_emb",
+    "kmeans_clusters_emb", "similarity_ivf_kmeans",
     # -- rows-only, judge-requested rows+schema run (VERDICT r7 task #2)
     "quality_classifier_docs",
     # -- re-checks: last green r03 (the stalest driver evidence)
@@ -5869,16 +5950,17 @@ _RECORD_FIRST = [
     "shapley_kernel", "many_to_one_kernel",
     "minhash_near_dups_md5",                           # dedup
     "near_dup_components",
-    "similarity_lsh_topk", "similarity_ivf_fixed",     # similarity
+    "similarity_ivf_fixed",                            # similarity
     "embedding_near_dups",
     "token_counts",                                    # text
     "cumsum_events",                                   # time-series
     "redact_pii",                                      # training mix
     # (fedex_join_kernel, simhash_near_dups_md5, pack_sequences,
-    #  repetition_signals, curation_pipeline and stratified_sample_lang
-    #  ceded their slots to the six new r8 entries — mix_pipeline_docs
-    #  strictly contains curation_pipeline; every family keeps in-window
-    #  members; the six displaced re-checks join the r9 pool)
+    #  repetition_signals, curation_pipeline, stratified_sample_lang and
+    #  similarity_lsh_topk ceded their slots to the seven new r8 entries
+    #  — mix_pipeline_docs strictly contains curation_pipeline; every
+    #  family keeps in-window members; the seven displaced re-checks
+    #  join the r9 pool)
 ]
 
 

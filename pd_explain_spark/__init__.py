@@ -47,6 +47,7 @@ from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
 from .functions.segments import (chunk_documents, segment_dedup,
                                  segment_frequencies, span_dedup)
 from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
+                                   ivf_build_kmeans,
                                    ivf_build, ivf_build_fixed,
                                    ivf_query, semantic_dedup,
                                    semantic_dedup_against,
@@ -106,6 +107,7 @@ __all__ = [
     "repetition_signals",
     "ivf_build",
     "ivf_build_fixed",
+    "ivf_build_kmeans",
     "ivf_query",
     "IvfIndex",
     "kmeans_assign",

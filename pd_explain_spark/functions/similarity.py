@@ -421,6 +421,65 @@ def _assign_buckets(c: DataFrame, cent_df: DataFrame) -> DataFrame:
     )
 
 
+def ivf_build_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+) -> "IvfIndex":
+    """Fitted deterministic IVF: ivf_build_fixed's md5 seed pick refined
+    by ``n_iter`` exact-integer Lloyd iterations (functions/clustering.py
+    kmeans_fit) — the bucket quality of a trained KMeans with the
+    bit-reproducibility of the fixed flavor, so the index still
+    hash-checks in any engine.
+
+    Assignment reuses the kmeans integer argmin (quantized micro-unit
+    squared L2, ties to the lowest bucket — bit-identical to the fit's
+    own assignments); the probe-side centroid table carries
+    micro-units/scale doubles (exact-input IEEE division, reproducible
+    everywhere). Scale shape matches ivf_build_fixed: one corpus pass
+    against the broadcast centroid table per Lloyd iteration plus one
+    for the final assignment; driver state stays O(k*dim)."""
+    from .clustering import kmeans_fit
+
+    cents = kmeans_fit(
+        corpus, k=n_centroids, n_iter=n_iter, id_col=id_col,
+        vec_col=vec_col, scale=scale,
+    )
+    spark = corpus.sparkSession
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    # identity limit: states the O(k) bound in the plan (see ivf_build)
+    cdf = spark.createDataFrame(
+        sorted(cents.items()), "bucket int, cq array<bigint>"
+    ).limit(len(cents))
+    d2 = F.aggregate(
+        F.zip_with("v", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    wa = Window.partitionBy("neighbor_id").orderBy("d2", "bucket")
+    assigned = (
+        c.withColumn(
+            "v", F.transform(F.col("cv"), lambda x: F.round(x * scale).cast("bigint"))
+        )
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(wa))
+        .filter(F.col("pr") == 1)
+        .select("neighbor_id", "cv", "bucket")
+    )
+    cent_df = spark.createDataFrame(
+        [(cid, [x / scale for x in cq]) for cid, cq in sorted(cents.items())],
+        "bucket int, centroid array<double>",
+    ).limit(len(cents))
+    return IvfIndex(assigned=assigned, centroids=cent_df)
+
+
 class IvfIndex:
     """(assigned: neighbor_id, cv, bucket) + (centroids: bucket, centroid)."""
 
@@ -591,6 +650,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     n_centroids: int = 16,
     round_to: int = 6,
+    n_iter: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540 — cluster embeddings, compare only within
@@ -612,9 +672,15 @@ def semantic_dedup_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    assigned = ivf_build_fixed(df, id_col, vec_col, n_centroids).assigned.persist(
-        StorageLevel.MEMORY_AND_DISK
+    # n_iter > 0 swaps in Lloyd-fitted centroids (ivf_build_kmeans):
+    # tighter buckets -> higher within-bucket recall at the same
+    # sum-of-squared-bucket-sizes cost, still bit-reproducible
+    index = (
+        ivf_build_kmeans(df, id_col, vec_col, n_centroids, n_iter=n_iter)
+        if n_iter > 0
+        else ivf_build_fixed(df, id_col, vec_col, n_centroids)
     )
+    assigned = index.assigned.persist(StorageLevel.MEMORY_AND_DISK)
     ids = assigned.select("neighbor_id", "bucket")
     l = ids.select(F.col("neighbor_id").alias("id_a"), "bucket")
     r = ids.select(F.col("neighbor_id").alias("id_b"), "bucket")
@@ -655,6 +721,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_centroids: int = 16,
     keep_by=None,
+    n_iter: int = 0,
 ) -> DataFrame:
     """End-to-end SemDeDup: semantic pair discovery → connected
     components → keep one row per duplicate cluster (min id, or the
@@ -664,7 +731,7 @@ def semantic_dedup(
     large on a high-duplication corpus)."""
     from .dedup import duplicate_components, keep_best
 
-    pairs = semantic_dedup_pairs(df, id_col, vec_col, threshold, n_centroids)
+    pairs = semantic_dedup_pairs(df, id_col, vec_col, threshold, n_centroids, n_iter=n_iter)
     comp = duplicate_components(pairs)
     if keep_by is not None:
         return keep_best(df, comp, keep_by, id_col)

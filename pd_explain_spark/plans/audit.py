@@ -110,6 +110,14 @@ def _direct_children(lines: list[str], i: int) -> list[int]:
 # Operators that can re-expand a bounded input back to O(data) rows.
 _EXPANDING_OPS = ("Generate", "Expand", "Union", "CartesianProduct")
 
+# AQE renders the 2nd+ consumer of a materialized exchange as a LEAF
+# "ReusedExchange [...], BroadcastExchange ..., [plan_id=N]" — the
+# subtree that proves boundedness (e.g. the GlobalLimit under a
+# broadcast centroid table) only prints under the FIRST consumer. The
+# reference must be chased or an executed plan flips a clean audit to
+# fatal (observed on ivf_query's reused centroid broadcast).
+_REUSED_RE = re.compile(r"ReusedExchange\b.*\[plan_id=(\d+)\]")
+
 
 def _bounded_node(lines: list[str], i: int, depth: int = 0) -> bool:
     """True iff the subtree rooted at lines[i] provably produces a
@@ -124,6 +132,13 @@ def _bounded_node(lines: list[str], i: int, depth: int = 0) -> bool:
     line = lines[i]
     if _is_bounded(line) or _GLOBAL_AGG in line:
         return True
+    m = _REUSED_RE.search(line)
+    if m:
+        target = f"[plan_id={m.group(1)}]"
+        for j, other in enumerate(lines):
+            if j != i and target in other and "ReusedExchange" not in other:
+                return _bounded_node(lines, j, depth + 1)
+        return False
     if any(x in line for x in _EXPANDING_OPS):
         return False
     kids = _direct_children(lines, i)

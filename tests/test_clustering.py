@@ -132,3 +132,61 @@ def test_kmeans_plan_is_scalable(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assert_scalable(kmeans_assign(emb, k=4, n_iter=1))
+
+
+def test_ivf_kmeans_buckets_match_fit_assignment(spark, sf_dir):
+    """ivf_build_kmeans's integer argmin must reproduce the fit's own
+    cluster memberships exactly (same quantization, same tie-break)."""
+    from pd_explain_spark import ivf_build_kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = ivf_build_kmeans(emb, n_centroids=4, n_iter=2)
+    got = {r.neighbor_id: r.bucket for r in idx.assigned.collect()}
+    want = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(emb, k=4, n_iter=2).collect()
+    }
+    assert got == want
+    # centroid table carries real-unit doubles, one row per cluster
+    cents = idx.centroids.collect()
+    assert sorted(r.bucket for r in cents) == [0, 1, 2, 3]
+    assert all(max(abs(x) for x in r.centroid) < 100 for r in cents)
+
+
+def test_ivf_kmeans_query_and_plan(spark, sf_dir):
+    from pd_explain_spark import assert_scalable, ivf_build_kmeans
+    from pd_explain_spark.functions.similarity import ivf_query
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = ivf_build_kmeans(emb, n_centroids=8, n_iter=1)
+    out = ivf_query(idx, emb.filter("vec_id < 3"), k=3, n_probe=2)
+    rows = out.collect()
+    assert {r.query_id for r in rows} <= {0, 1, 2}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert_scalable(out)
+
+
+def test_semantic_dedup_fitted_flavor(spark, sf_dir):
+    """n_iter > 0 swaps Lloyd-fitted centroids into SemDeDup: pair
+    discovery still honors the threshold, survivors stay consistent
+    (survivors = corpus minus one side of each duplicate component)."""
+    from pd_explain_spark.functions.similarity import (
+        semantic_dedup, semantic_dedup_pairs)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = semantic_dedup_pairs(emb, threshold=0.45, n_centroids=8, n_iter=2)
+    p = pairs.collect()
+    assert all(r.cosine_sim >= 0.4499 for r in p)
+    assert all(r.id_a < r.id_b for r in p)
+    surv = semantic_dedup(emb, threshold=0.45, n_centroids=8, n_iter=2)
+    n_all, n_surv = emb.count(), surv.count()
+    dup_ids = {x for r in p for x in (r.id_a, r.id_b)}
+    if dup_ids:
+        # every component keeps >= 1 representative and drops >= 1 loser
+        assert n_all - len(dup_ids) + 1 <= n_surv < n_all
+    else:
+        assert n_surv == n_all
