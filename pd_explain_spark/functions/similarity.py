@@ -751,6 +751,7 @@ def prototype_scores(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     round_to: int = 6,
+    n_iter: int = 0,
 ) -> DataFrame:
     """Per-vector prototypicality: cosine similarity to the assigned
     cluster centroid — the ranking signal of SSL-prototype / D4-style
@@ -766,7 +767,11 @@ def prototype_scores(
     for the score — no shuffle wider than the corpus scan. Zero-norm
     vectors are excluded (no cosine — the hashed_embeddings contract).
     """
-    idx = ivf_build_fixed(df, id_col, vec_col, n_centroids)
+    idx = (
+        ivf_build_kmeans(df, id_col, vec_col, n_centroids, n_iter=n_iter)
+        if n_iter > 0
+        else ivf_build_fixed(df, id_col, vec_col, n_centroids)
+    )
     cents = idx.centroids.withColumn("zn", _norm(F.col("centroid"))).filter(
         F.col("zn") > 0
     )
@@ -791,6 +796,7 @@ def prototype_prune(
     vec_col: str = "embedding",
     prune_fraction: float = 0.3,
     n_centroids: int = 16,
+    n_iter: int = 0,
 ) -> DataFrame:
     """D4-style prototypicality pruning: drop the ``prune_fraction``
     most prototypical (closest-to-centroid) examples of EACH cluster,
@@ -809,7 +815,7 @@ def prototype_prune(
     Vectors with no cosine (zero-norm) have no prototypicality and are
     dropped with the prototypes — filter them upstream to keep them.
     """
-    s = prototype_scores(df, id_col, vec_col, n_centroids, round_to=6)
+    s = prototype_scores(df, id_col, vec_col, n_centroids, round_to=6, n_iter=n_iter)
     w = Window.partitionBy("bucket").orderBy(F.desc("proto_score"), F.col(id_col))
     ranked = s.withColumn("__pr", F.row_number().over(w)).withColumn(
         "__bn", F.count(F.lit(1)).over(Window.partitionBy("bucket"))

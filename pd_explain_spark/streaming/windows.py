@@ -529,3 +529,45 @@ def stream_ingest_dedup(
         ["__fp"]
     ).unionByName(hashed.filter(F.col("__fp").isNull()))
     return deduped.join(corpus_fp, "__fp", "left_anti").drop("__fp")
+
+
+def stream_kmeans_assign(
+    stream_df: DataFrame,
+    centroids: dict[int, list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stateless cluster assignment of a vector stream against a FITTED
+    k-means model (functions/clustering.py ``kmeans_fit`` — fit once in
+    batch, score the stream forever): each row evaluates the exact
+    integer squared distance to every centroid as pure expressions (the
+    micro-unit centroid components inline as literals) and picks the
+    (dist2, cid) argmin via ``array_min`` over structs — bit-identical
+    to the batch ``kmeans_assign`` on the same model (parity pytest).
+
+    Streaming/scale shape: zero state, zero shuffle — a narrow map over
+    each micro-batch, so any watermark/output mode composes downstream;
+    expression size grows O(k*dim), the same bound as the batch
+    broadcast table (for k*dim beyond literal comfort, re-fit buckets
+    coarser or assign in batch). NULL vectors pass through with NULL
+    cluster/dist2 rather than being dropped: a streaming sink must
+    account for every input row."""
+    d2s = []
+    for cid, cq in sorted(centroids.items()):
+        lit_cq = F.array(*[F.lit(int(x)).cast("bigint") for x in cq])
+        q = F.transform(
+            F.col(vec_col), lambda x: F.round(x * scale).cast("bigint")
+        )
+        d2 = F.aggregate(
+            F.zip_with(q, lit_cq, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        d2s.append(F.struct(d2.alias("d2"), F.lit(int(cid)).cast("int").alias("cid")))
+    m = F.array_min(F.array(*d2s))
+    return stream_df.select(
+        "*",
+        F.when(F.col(vec_col).isNotNull(), m["cid"]).alias("cluster"),
+        F.when(F.col(vec_col).isNotNull(), m["d2"]).alias("dist2"),
+    )

@@ -190,3 +190,18 @@ def test_semantic_dedup_fitted_flavor(spark, sf_dir):
         assert n_all - len(dup_ids) + 1 <= n_surv < n_all
     else:
         assert n_surv == n_all
+
+
+def test_prototype_prune_fitted_flavor(spark, sf_dir):
+    """n_iter > 0 swaps Lloyd-fitted centroids into D4 prototype
+    pruning: survivors are a proper per-cluster tail of the corpus."""
+    from pd_explain_spark.functions.similarity import prototype_prune, prototype_scores
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scores = prototype_scores(emb, n_centroids=4, n_iter=2)
+    assert scores.count() == emb.count()  # no zero-norm vectors here
+    kept = prototype_prune(emb, prune_fraction=0.5, n_centroids=4, n_iter=2)
+    n_all, n_kept = emb.count(), kept.count()
+    # floor(0.5*size) dropped per cluster: strictly fewer rows, at least
+    # ceil(size/2) kept per cluster -> at least half overall
+    assert n_all // 2 <= n_kept < n_all

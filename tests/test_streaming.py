@@ -401,3 +401,48 @@ def test_stream_ingest_dedup_matches_batch(spark, tmp_path):
     assert got == {0, 2, 5}
     # schema passthrough: original columns survive, no helper columns
     assert set(spark.table("ingest_dedup").columns) == {"doc_id", "text", "ts"}
+
+
+def test_stream_kmeans_assign_matches_batch(spark, tmp_path):
+    """stream_kmeans_assign is bit-identical to batch kmeans_assign on
+    the same fitted model, replayed across micro-batches; NULL vectors
+    pass through with NULL cluster instead of being dropped."""
+    from pd_explain_spark import kmeans_assign, kmeans_fit
+    from pd_explain_spark.streaming.windows import stream_kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit(emb, k=3, n_iter=2)
+
+    src = str(tmp_path / "vec_src")
+    half = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    half.coalesce(1).write.mode("append").parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = stream_kmeans_assign(stream, cents)
+    q = (
+        out.writeStream.format("memory").queryName("km_assign")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in spark.table("km_assign").collect()
+    }
+    want = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in kmeans_assign(emb, centroids=cents).collect()
+    }
+    assert got == want
+
+    # NULL vector: row survives with NULL assignment (batch drops it)
+    withnull = spark.createDataFrame(
+        [(9001, None)], "vec_id long, embedding array<double>"
+    )
+    r = stream_kmeans_assign(withnull, cents).collect()[0]
+    assert r["cluster"] is None and r["dist2"] is None
