@@ -834,6 +834,7 @@ def semantic_dedup_pairs_against(
     threshold: float = 0.95,
     n_centroids: int = 16,
     round_to: int = 6,
+    n_iter: int = 0,
 ) -> DataFrame:
     """Cross-corpus SemDeDup: (new_id, corpus_id, cosine_sim) for every
     new-batch/corpus pair sharing a centroid bucket at or above
@@ -858,9 +859,15 @@ def semantic_dedup_pairs_against(
     # re-execute per broadcast — the double-evaluation class the LSH
     # near-dup persist fix addressed. Python-float roundtrip is IEEE
     # exact, so the oracle's inline seed pick still matches bitwise.
-    cent_rows = ivf_build_fixed(
-        corpus_df, id_col, vec_col, n_centroids
-    ).centroids.collect()
+    # n_iter > 0 fits the centroids on the CORPUS with the exact-integer
+    # Lloyd loop (ivf_build_kmeans) — still corpus-side-only, so bucket
+    # boundaries stay stable across arriving batches
+    builder = (
+        (lambda d: ivf_build_kmeans(d, id_col, vec_col, n_centroids, n_iter=n_iter))
+        if n_iter > 0
+        else (lambda d: ivf_build_fixed(d, id_col, vec_col, n_centroids))
+    )
+    cent_rows = builder(corpus_df).centroids.collect()
     # identity limit (see ivf_build): marks the driver-literal frame as
     # O(k) in the plan so its broadcasts audit as the bounded idiom
     cent_df = corpus_df.sparkSession.createDataFrame(
@@ -910,6 +917,7 @@ def semantic_dedup_against(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_centroids: int = 16,
+    n_iter: int = 0,
 ) -> DataFrame:
     """New-batch rows with no semantic near-duplicate in the corpus:
     the flagged new-id set (tiny) becomes a broadcast anti-join over the
@@ -917,7 +925,8 @@ def semantic_dedup_against(
     from .dedup import _flagged_anti_join
 
     pairs = semantic_dedup_pairs_against(
-        new_df, corpus_df, id_col, vec_col, threshold, n_centroids
+        new_df, corpus_df, id_col, vec_col, threshold, n_centroids,
+        n_iter=n_iter,
     )
     return _flagged_anti_join(new_df, pairs.select("new_id"), id_col)
 

@@ -205,3 +205,27 @@ def test_prototype_prune_fitted_flavor(spark, sf_dir):
     # floor(0.5*size) dropped per cluster: strictly fewer rows, at least
     # ceil(size/2) kept per cluster -> at least half overall
     assert n_all // 2 <= n_kept < n_all
+
+
+def test_semantic_dedup_against_fitted_flavor(spark, sf_dir):
+    """n_iter > 0 fits Lloyd centroids on the CORPUS side of the
+    incremental SemDeDup: pairs honor the threshold and survivors are
+    exactly the new rows with no flagged corpus near-dup."""
+    from pd_explain_spark.functions.similarity import (
+        semantic_dedup_against, semantic_dedup_pairs_against)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    new, corp = emb.filter("vec_id >= 400"), emb.filter("vec_id < 400")
+    pairs = semantic_dedup_pairs_against(
+        new, corp, threshold=0.45, n_centroids=8, n_iter=2
+    )
+    p = pairs.collect()
+    assert all(r.cosine_sim >= 0.4499 for r in p)
+    assert all(r.new_id >= 400 > r.corpus_id for r in p)
+    surv = semantic_dedup_against(
+        new, corp, threshold=0.45, n_centroids=8, n_iter=2
+    )
+    flagged = {r.new_id for r in p}
+    got = {r.vec_id for r in surv.collect()}
+    want = {r.vec_id for r in new.collect()} - flagged
+    assert got == want
