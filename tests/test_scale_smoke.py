@@ -67,6 +67,11 @@ ENTRIES = [
     # cluster rank) are both ~linear in corpus size at fixed knobs
     "token_budget_mix",
     "prototype_prune_emb",
+    # fitted k-means: n_iter+1 corpus scans against a broadcast k-row
+    # centroid table + one (cid, coord) partial-sum aggregate — linear
+    # in corpus size at fixed (k, n_iter)
+    "kmeans_clusters_emb",
+    "similarity_ivf_kmeans",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
