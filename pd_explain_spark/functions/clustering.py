@@ -90,15 +90,22 @@ def kmeans_fit(
     driver state. Fewer than k non-null vectors seed fewer centroids.
     Raises ValueError on an empty input (model-entry contract)."""
     q = _quantized(df, id_col, vec_col, scale)
-    seeds = (
-        q.withColumn("__h", md5_int(F.md5(F.col("id").cast("string"))))
+    # two bounded driver jobs: seed IDS from an id-only TakeOrdered (the
+    # vector subtree prunes away), then the k seed VECTORS behind an IN
+    # filter that pushes to the scan — never a full vector pass just to
+    # pick seeds (the ivf_build_fixed materialize-once pattern)
+    seed_ids = [
+        r.id
+        for r in q.select("id")
+        .withColumn("__h", md5_int(F.md5(F.col("id").cast("string"))))
         .orderBy("__h", "id")
         .limit(k)
         .collect()
-    )
-    if not seeds:
+    ]
+    if not seed_ids:
         raise ValueError("kmeans_fit requires at least one non-null vector")
-    cents = {i: list(r.q) for i, r in enumerate(seeds)}
+    by_id = {r.id: list(r.q) for r in q.filter(F.col("id").isin(seed_ids)).collect()}
+    cents = {i: by_id[v] for i, v in enumerate(seed_ids)}
     for _ in range(n_iter):
         upd = (
             _assign(q, cents)

