@@ -391,6 +391,11 @@ def ivf_build_fixed(
     against the broadcast centroid table with a per-vector argmin
     window (partitioned by vector id, so no skew).
     """
+    # NO frame-level null filter here: a filter on the vector column
+    # would force the id-only seed job below to COMPUTE the vectors
+    # (defeating its pruning) when they come from a computed pipeline
+    # like hashed_embeddings; null vectors are instead dropped on the
+    # driver when the k seed rows materialize
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -414,19 +419,24 @@ def ivf_build_fixed(
         .limit(n_centroids)
         .collect()
     ]
-    order = {v: i for i, v in enumerate(seed_ids)}
     vec_rows = (
         c.filter(F.col("neighbor_id").isin(seed_ids)).collect() if seed_ids else []
     )
+    # a NULL-vector id can land in the seed pick (its hash is on the id
+    # alone): it cannot be a centroid — drop it here and renumber
+    # compactly in hash order, deterministic either way
+    by_id = {r["neighbor_id"]: r["cv"] for r in vec_rows}
+    seeds = [
+        (v, [float(x) for x in by_id[v]])
+        for v in seed_ids
+        if by_id.get(v) is not None
+    ]
     # identity limit (see ivf_build): marks the driver-literal frame as
     # O(k) in the plan so its broadcasts audit as the bounded idiom
     cent_df = corpus.sparkSession.createDataFrame(
-        sorted(
-            (order[r["neighbor_id"]], [float(x) for x in r["cv"]])
-            for r in vec_rows
-        ),
+        [(i, cv) for i, (_, cv) in enumerate(seeds)],
         "bucket int, centroid array<double>",
-    ).limit(max(len(vec_rows), 1))
+    ).limit(max(len(seeds), 1))
     return IvfIndex(assigned=_assign_buckets(c, cent_df), centroids=cent_df)
 
 
@@ -458,14 +468,16 @@ def ivf_build_kmeans(
     bit-reproducibility of the fixed flavor, so the index still
     hash-checks in any engine.
 
-    Assignment reuses the kmeans integer argmin (quantized micro-unit
-    squared L2, ties to the lowest bucket — bit-identical to the fit's
-    own assignments); the probe-side centroid table carries
-    micro-units/scale doubles (exact-input IEEE division, reproducible
-    everywhere). Scale shape matches ivf_build_fixed: one corpus pass
-    against the broadcast centroid table per Lloyd iteration plus one
-    for the final assignment; driver state stays O(k*dim)."""
-    from .clustering import kmeans_fit
+    Assignment reuses the fit's own argmin implementation
+    (clustering._assign with the corpus vector carried through), so the
+    bucket memberships are bit-identical to the fit by construction —
+    one shared definition of the quantization, distance, and tie-break.
+    The probe-side centroid table carries micro-units/scale doubles
+    (exact-input IEEE division, reproducible everywhere). Scale shape:
+    one corpus pass against the broadcast centroid table per Lloyd
+    iteration plus one for the final assignment; driver state stays
+    O(k*dim)."""
+    from .clustering import _assign, kmeans_fit
 
     cents = kmeans_fit(
         corpus, k=n_centroids, n_iter=n_iter, id_col=id_col,
@@ -473,28 +485,15 @@ def ivf_build_kmeans(
     )
     spark = corpus.sparkSession
     c = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("neighbor_id"),
+        F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * scale).cast("bigint"),
+        ).alias("q"),
     )
-    # identity limit: states the O(k) bound in the plan (see ivf_build)
-    cdf = spark.createDataFrame(
-        sorted(cents.items()), "bucket int, cq array<bigint>"
-    ).limit(len(cents))
-    d2 = F.aggregate(
-        F.zip_with("v", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    wa = Window.partitionBy("neighbor_id").orderBy("d2", "bucket")
-    assigned = (
-        c.withColumn(
-            "v", F.transform(F.col("cv"), lambda x: F.round(x * scale).cast("bigint"))
-        )
-        .crossJoin(F.broadcast(cdf))
-        .withColumn("d2", d2)
-        .withColumn("pr", F.row_number().over(wa))
-        .filter(F.col("pr") == 1)
-        .select("neighbor_id", "cv", "bucket")
+    assigned = _assign(c, cents, carry=("cv",)).select(
+        F.col("id").alias("neighbor_id"), "cv", F.col("cid").alias("bucket")
     )
     cent_df = spark.createDataFrame(
         [(cid, [x / scale for x in cq]) for cid, cq in sorted(cents.items())],

@@ -69,20 +69,15 @@ _GLOBAL_AGG = "HashAggregate(keys=[]"
 # qualifies too: it emits <= k rows PER PARTITION, so the funnel above
 # it moves O(k x partitions) rows — the exact shape limit(k) plans to
 # (LocalLimit -> SinglePartition exchange -> GlobalLimit).
-_BOUNDED_OPS = (
-    "TakeOrderedAndProject",
-    "GlobalLimit",
-    "CollectLimit",
-    "LocalLimit",
-    # a driver-local relation was by construction materialized on the
-    # driver — bounded however large the scan side is (the k-means
-    # broadcast centroid table idiom). PySpark's createDataFrame of a
-    # python list renders as "Scan ExistingRDD" (parallelized driver
-    # data); nothing else in this engine produces an ExistingRDD — every
-    # big-data path enters through a file source or an exchange.
-    "LocalTableScan",
-    "Scan ExistingRDD",
-)
+# NOTE deliberately absent: "Scan ExistingRDD" / "LocalTableScan".
+# PySpark renders BOTH driver-literal createDataFrame frames AND
+# corpus-sized localCheckpoint()/rdd-derived frames as Scan ExistingRDD,
+# so treating the leaf as bounded would classify an O(data) checkpointed
+# funnel as O(k) — the non-conservative direction. Driver-literal frames
+# state their bound explicitly with the identity .limit(len(rows)) idiom
+# (see ivf_build / semantic_dedup_pairs_against), which puts a
+# GlobalLimit in the plan and keeps the audit honest.
+_BOUNDED_OPS = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit")
 
 
 def _is_bounded(line: str) -> bool:

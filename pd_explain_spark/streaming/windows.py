@@ -553,21 +553,21 @@ def stream_kmeans_assign(
     coarser or assign in batch). NULL vectors pass through with NULL
     cluster/dist2 rather than being dropped: a streaming sink must
     account for every input row."""
-    d2s = []
-    for cid, cq in sorted(centroids.items()):
-        lit_cq = F.array(*[F.lit(int(x)).cast("bigint") for x in cq])
-        q = F.transform(
-            F.col(vec_col), lambda x: F.round(x * scale).cast("bigint")
+    from ..functions.clustering import argmin_struct
+
+    # quantize ONCE into a projected column — HOFs are not subject to
+    # subexpression elimination, so building the transform inside each
+    # centroid's distance expression would quantize every row k times
+    m = argmin_struct(centroids, qcol="__q")
+    return (
+        stream_df.withColumn(
+            "__q",
+            F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("bigint")),
         )
-        d2 = F.aggregate(
-            F.zip_with(q, lit_cq, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+        .select(
+            "*",
+            F.when(F.col(vec_col).isNotNull(), m["cid"]).alias("cluster"),
+            F.when(F.col(vec_col).isNotNull(), m["d2"]).alias("dist2"),
         )
-        d2s.append(F.struct(d2.alias("d2"), F.lit(int(cid)).cast("int").alias("cid")))
-    m = F.array_min(F.array(*d2s))
-    return stream_df.select(
-        "*",
-        F.when(F.col(vec_col).isNotNull(), m["cid"]).alias("cluster"),
-        F.when(F.col(vec_col).isNotNull(), m["d2"]).alias("dist2"),
+        .drop("__q")
     )

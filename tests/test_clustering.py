@@ -229,3 +229,43 @@ def test_semantic_dedup_against_fitted_flavor(spark, sf_dir):
     got = {r.vec_id for r in surv.collect()}
     want = {r.vec_id for r in new.collect()} - flagged
     assert got == want
+
+
+def test_kmeans_assign_id_contract(spark):
+    """The streaming flavor is per-row (duplicate ids each score their
+    own vector); the batch flavor's map-combining argmin collapses an
+    id group — the documented unique-id precondition. On unique ids the
+    two are bit-identical (the parity test); this pins the divergence
+    shape so a future edit cannot silently change either contract."""
+    from pd_explain_spark.streaming.windows import stream_kmeans_assign
+
+    cents = {0: [0, 0], 1: [1_000_000, 1_000_000]}
+    df = spark.createDataFrame(
+        [(7, [0.0, 0.0]), (7, [1.0, 1.0]), (8, [0.9, 1.1])],
+        "vec_id long, embedding array<double>",
+    )
+    stream_flavor = sorted(
+        (r.vec_id, r.cluster, r.dist2)
+        for r in stream_kmeans_assign(df, cents).collect()
+    )
+    assert stream_flavor == [(7, 0, 0), (7, 1, 0), (8, 1, 20000000000)]
+    batch = kmeans_assign(df, centroids=cents).collect()
+    assert len(batch) == 2  # one row per unique id (precondition)
+    assert {r.vec_id for r in batch} == {7, 8}
+
+
+def test_ivf_build_fixed_null_vector_seed_no_crash(spark):
+    """A NULL-vector row whose id lands in the seed pick must be
+    dropped from the centroid table (compact renumber), not crash the
+    driver-side seed materialization."""
+    from pd_explain_spark.functions.similarity import ivf_build_fixed
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, None), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = ivf_build_fixed(df, n_centroids=3)
+    cents = idx.centroids.collect()
+    assert len(cents) == 2
+    assert sorted(r.bucket for r in cents) == [0, 1]
+    assert all(r.centroid is not None for r in cents)

@@ -410,7 +410,7 @@ def test_stream_kmeans_assign_matches_batch(spark, tmp_path):
     from pd_explain_spark import kmeans_assign, kmeans_fit
     from pd_explain_spark.streaming.windows import stream_kmeans_assign
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     cents = kmeans_fit(emb, k=3, n_iter=2)
