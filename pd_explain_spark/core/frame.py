@@ -923,12 +923,19 @@ class ExplainableDataFrame:
 
         shifted = shift_col(self.df, column, on=on, periods=periods, by=by, out_name="__pc_lag")
         v, lag = F.col(column), F.col("__pc_lag")
+        # Spark comparisons treat -0.0 == 0.0, so the explicit zero-lag
+        # branch must recover the IEEE sign itself: v / -0.0 is the
+        # OPPOSITE infinity of v / 0.0 (string render of the double is
+        # the one portable negative-zero probe — only reached when
+        # lag == 0, where it reads "-0.0" or "0.0")
+        negz = lag.cast("string").startswith("-")
+        inf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
         out = shifted.withColumn(
             f"{column}_pct_change",
             F.when(lag != 0, (v - lag) / lag).when(
                 lag.isNotNull() & v.isNotNull(),
-                F.when(v > 0, F.lit(float("inf")))
-                .when(v < 0, F.lit(float("-inf")))
+                F.when(v > 0, F.when(negz, ninf).otherwise(inf))
+                .when(v < 0, F.when(negz, inf).otherwise(ninf))
                 .otherwise(F.lit(float("nan"))),
             ),
         ).drop("__pc_lag")

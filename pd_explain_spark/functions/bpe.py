@@ -189,13 +189,12 @@ def _train_bpe_driver(
     from collections import defaultdict
 
     spark = df.sparkSession
-    rows = (
-        df.select(F.explode(tokens(normalized_text(F.col(text_col)))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
-    words: list[list] = [[r["w"], int(r["cnt"]), list(r["w"]) + [END]] for r in rows]
+    # the SHARED word table (tokenize + count + _char_syms segmentation)
+    # — one definition with the distributed trainer, so the two
+    # strategies cannot silently diverge on tokenization or the
+    # character-split rule
+    rows = _word_table(df, text_col).collect()
+    words: list[list] = [[r["w"], int(r["cnt"]), list(r["syms"])] for r in rows]
     pair_counts: dict = defaultdict(int)
     where: dict = defaultdict(set)
     for idx, (_, cnt, syms) in enumerate(words):

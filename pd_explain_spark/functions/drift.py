@@ -29,8 +29,12 @@ from pyspark.sql import functions as F
 
 
 def _binned(df: DataFrame, value_col: str, lo_hi: DataFrame, num_bins: int):
-    """Attach __bin in [0, num_bins) from broadcast (lo, hi) bounds."""
-    b = df.crossJoin(F.broadcast(lo_hi))
+    """Attach __bin in [0, num_bins) from broadcast (lo, hi) bounds.
+    NULL measurements have no bin and are excluded HERE — letting them
+    through would mint a (num_bins+1)-th NULL group, and the identity
+    limit(num_bins) downstream would then drop one ARBITRARY histogram
+    row (nondeterministic TV scores)."""
+    b = df.filter(F.col(value_col).isNotNull()).crossJoin(F.broadcast(lo_hi))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(num_bins)
     raw = F.floor((F.col(value_col) - F.col("__lo")) / width)
     bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(

@@ -675,25 +675,28 @@ def _threshold_topk(
         F.min("__ki").alias("lo"), F.max("__ki").alias("hi")
     ).first()
     lo, hi = int(bounds["lo"]) - 1, int(bounds["hi"])  # c(lo)=n>k, c(hi)=0<k
+    c_hi = 0  # c(hi) tracked alongside hi — saves re-counting at t_star
     # approx-quantile seed: one pass narrows the bracket to the error
     # band around the kth rank, cutting most binary-search iterations
     t0 = ki.stat.approxQuantile("__ki", [max(0.0, 1.0 - k / n)], 0.001)
     if t0:
         t0 = int(t0[0])
         if lo < t0 < hi:
-            if cnt_gt(t0) < k:
-                hi = t0
+            c0 = cnt_gt(t0)
+            if c0 < k:
+                hi, c_hi = t0, c0
             else:
                 lo = t0
     # invariant: c(lo) >= k > c(hi); find t* = min{t : c(t) < k}
     while hi - lo > 1:
         mid = (lo + hi) // 2
-        if cnt_gt(mid) < k:
-            hi = mid
+        c_mid = cnt_gt(mid)
+        if c_mid < k:
+            hi, c_hi = mid, c_mid
         else:
             lo = mid
     t_star = hi
-    c_gt = cnt_gt(t_star)
+    c_gt = c_hi
     sel = ki.filter(F.col("__ki") > F.lit(t_star))
     # boundary fix-up: ties at exactly the cutoff key, smallest ids
     # first (the TakeOrdered path's tie-break) — the ONLY ordered set,

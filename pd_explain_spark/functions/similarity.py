@@ -787,12 +787,18 @@ def prototype_scores(
     (the SemDeDup oracle recipe). Scale shape: one corpus pass against
     the broadcast centroid table (assignment) + one broadcast join back
     for the score — no shuffle wider than the corpus scan. Zero-norm
-    vectors are excluded (no cosine — the hashed_embeddings contract).
+    vectors are excluded (no cosine — the hashed_embeddings contract),
+    and they are ALSO excluded from index building: a zero vector that
+    seeded a centroid would sit at distance 1 from every unit vector,
+    attract every example whose best real-centroid cosine is below 0.5,
+    and then the zn > 0 guard below would silently drop that whole
+    bucket instead of the one degenerate vector.
     """
+    nz = df.filter(_norm(F.col(vec_col).cast("array<double>")) > 0)
     idx = (
-        ivf_build_kmeans(df, id_col, vec_col, n_centroids, n_iter=n_iter)
+        ivf_build_kmeans(nz, id_col, vec_col, n_centroids, n_iter=n_iter)
         if n_iter > 0
-        else ivf_build_fixed(df, id_col, vec_col, n_centroids)
+        else ivf_build_fixed(nz, id_col, vec_col, n_centroids)
     )
     cents = idx.centroids.withColumn("zn", _norm(F.col("centroid"))).filter(
         F.col("zn") > 0
@@ -824,7 +830,7 @@ def prototype_prune(
     most prototypical (closest-to-centroid) examples of EACH cluster,
     keeping the diverse tail that scaling-law pruning shows carries the
     learning signal. Returns the surviving rows of ``df`` with their
-    bucket and 4-decimal proto_score attached. Composes with
+    bucket and 6-decimal proto_score attached. Composes with
     semantic_dedup as in D4 (dedup first, then prune prototypes).
 
     Per-cluster cut: rank by (6-decimal proto_score desc, id) and drop
@@ -1180,12 +1186,17 @@ def brute_force_topk_arrow(
             out_q, out_n, out_s = [], [], []
             for j in range(S.shape[1]):
                 # truncation must respect the FULL ordering contract
-                # (-sim, neighbor_id): argpartition alone keeps an
-                # arbitrary subset of rows tied at the cutoff sim, which
-                # drops smaller-id neighbors the JVM flavor returns on
-                # duplicate-embedding corpora (exactly the data this
-                # library targets). lexsort: last key is primary.
-                order = np.lexsort((ids, -S[:, j]))[:top]
+                # (-rounded_sim, neighbor_id): argpartition alone keeps
+                # an arbitrary subset of rows tied at the cutoff sim,
+                # which drops smaller-id neighbors the JVM flavor
+                # returns on duplicate-embedding corpora (exactly the
+                # data this library targets). Ranking on the ROUNDED sim
+                # (not raw) makes the order independent of BLAS's
+                # ~1e-9 summation-order noise — raw-sim ranks could swap
+                # two near-tied neighbors across engines even though the
+                # rounded VALUES match (the oracle ranks on the same
+                # rounded quantity). lexsort: last key is primary.
+                order = np.lexsort((ids, -np.round(S[:, j], round_to)))[:top]
                 out_q.extend([qids[j]] * len(order))
                 out_n.extend(ids[order])
                 out_s.extend(S[order, j])
@@ -1207,8 +1218,11 @@ def brute_force_topk_arrow(
             part, schema=f"query_id {_id_ddl}, neighbor_id {_id_ddl}, sim double"
         )
     )
+    # rank on the ROUNDED sim so the ordering is a function of values
+    # that are bit-identical across engines/BLAS orders; ties break on
+    # neighbor_id (total order)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
+        F.round("sim", round_to).desc(), F.col("neighbor_id")
     )
     return (
         partials.filter(F.col("neighbor_id") != F.col("query_id"))

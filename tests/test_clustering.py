@@ -269,3 +269,18 @@ def test_ivf_build_fixed_null_vector_seed_no_crash(spark):
     assert len(cents) == 2
     assert sorted(r.bucket for r in cents) == [0, 1]
     assert all(r.centroid is not None for r in cents)
+
+
+def test_prototype_scores_zero_norm_never_seeds(spark):
+    """A zero-norm vector whose id hashes into the seed set must not
+    become a centroid: previously the whole bucket it attracted was
+    silently dropped by the zn > 0 guard; now the index is built on
+    non-zero-norm vectors only and every scorable row keeps a score."""
+    from pd_explain_spark.functions.similarity import prototype_scores
+
+    rows = [(i, [0.1 * (i + 1), 0.2]) for i in range(6)] + [(6, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototype_scores(df, n_centroids=7)
+    got = {r.vec_id for r in out.collect()}
+    # all six non-zero vectors scored; only the zero vector excluded
+    assert got == set(range(6))

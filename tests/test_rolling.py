@@ -644,3 +644,42 @@ def test_pct_change_zero_lag_matches_pandas(spark):
             assert g is not None and math.isnan(g)
         else:
             assert g == w
+
+
+def test_pct_change_negative_zero_lag_sign(spark):
+    """A NEGATIVE-zero lag flips the infinity sign (IEEE v / -0.0), the
+    case Spark's -0.0 == 0.0 comparison semantics would otherwise fold
+    into the +0.0 branch — differential vs pandas."""
+    import math
+
+    import pandas as pd
+
+    from pd_explain_spark import to_explainable
+
+    pdf = pd.DataFrame(
+        {"ts": [1, 2, 3, 4, 5], "value": [-0.0, 5.0, -0.0, -2.0, 0.0]}
+    )
+    want = pdf["value"].pct_change(fill_method=None).tolist()
+    got = [
+        r[0]
+        for r in to_explainable(spark.createDataFrame(pdf), "nz")
+        .pct_change("value", on="ts")
+        .df.orderBy("ts")
+        .select("value_pct_change")
+        .collect()
+    ]
+    assert got[1] == want[1] == float("-inf")   # 5 / -0.0
+    assert got[3] == want[3] == float("inf")    # -2 / -0.0
+    assert got[4] == want[4] == -1.0            # (0 - -2) / -2
+    # 0 / -0.0 is NaN regardless of the zero's sign
+    pdf2 = pd.DataFrame({"ts": [1, 2], "value": [-0.0, 0.0]})
+    want2 = pdf2["value"].pct_change(fill_method=None).tolist()
+    got2 = [
+        r[0]
+        for r in to_explainable(spark.createDataFrame(pdf2), "nz2")
+        .pct_change("value", on="ts")
+        .df.orderBy("ts")
+        .select("value_pct_change")
+        .collect()
+    ]
+    assert math.isnan(got2[1]) and math.isnan(want2[1])

@@ -446,3 +446,27 @@ def test_stream_kmeans_assign_matches_batch(spark, tmp_path):
     )
     r = stream_kmeans_assign(withnull, cents).collect()[0]
     assert r["cluster"] is None and r["dist2"] is None
+
+
+def test_drift_scores_null_values_have_no_bin(spark):
+    """NULL measurements are excluded from the histograms instead of
+    minting a (num_bins+1)-th NULL group that the identity
+    limit(num_bins) would then truncate nondeterministically."""
+    import datetime as dt
+
+    from pd_explain_spark.functions.drift import drift_scores
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for w in range(2):
+        for i in range(40):
+            rows.append((t0 + dt.timedelta(hours=w, minutes=i), float(i % 10)))
+        rows.append((t0 + dt.timedelta(hours=w, minutes=55), None))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out1 = sorted(map(tuple, drift_scores(df, num_bins=10).collect()))
+    out2 = sorted(map(tuple, drift_scores(df, num_bins=10).collect()))
+    assert out1 == out2  # deterministic with NULLs present
+    # NULL rows are not counted as events
+    assert all(n == 40 for _, n, _ in out1)
+    # identical distributions across windows: zero total variation
+    assert all(tv == 0.0 for _, _, tv in out1)
