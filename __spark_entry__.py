@@ -4382,6 +4382,40 @@ def kmeans_clusters_emb(spark, sf_dir):
     return kmeans_assign(emb, k=4, n_iter=2)
 
 
+@_q(
+    "kmeans_stats_emb",
+    _kmeans_cte(4, 2)
+    + """, sF AS (
+         SELECT q.id, c.cid,
+                CAST(q.vv - 2 * list_dot_product(q.vd, c.cqd) + c.cc AS BIGINT) AS d2
+         FROM qd q CROSS JOIN c2d c
+       ), aF AS (
+         SELECT id, cid, d2 FROM (
+           SELECT id, cid, d2,
+                  row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+           FROM sF) WHERE rn = 1
+       )
+       SELECT cid AS cluster,
+              CAST(count(*) AS BIGINT) AS n_members,
+              CAST(sum(d2) AS BIGINT) AS total_dist2,
+              CAST(round(CAST(sum(d2) AS BIGINT) * 1.0 / count(*)) AS BIGINT) AS mean_dist2
+       FROM aF GROUP BY cid""",
+)
+def kmeans_stats_emb(spark, sf_dir):
+    """Per-cluster fit diagnostics of the Lloyd k-means
+    (functions/clustering.py kmeans_cluster_stats): sizes (bucket-skew
+    signal) + exact integer inertia + whole-unit mean — the quality report a
+    100 TB pipeline monitors before trusting the buckets for
+    IVF/SemDeDup. Hash-checked against the same unrolled-Lloyd CTE as
+    kmeans_clusters_emb plus one grouped aggregate; the mean divides
+    the SAME exact integers through the same double conversion in both
+    engines. r9 window pool (registered below position 50 this round)."""
+    from pd_explain_spark import kmeans_cluster_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_cluster_stats(emb, k=4, n_iter=2)
+
+
 def _ivf_kmeans_oracle_sql(k: int = 16, n_iter: int = 2, scale: int = 1_000_000) -> str:
     """Fitted-IVF pipeline on top of the Lloyd CTE: integer-argmin corpus
     assignment (bit-identical to the fit), real-unit centroid doubles

@@ -55,7 +55,8 @@ from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
                                    semantic_dedup_pairs_against,
                                    prototype_prune, prototype_scores)
 from .functions.bpe import bpe_encode, train_bpe
-from .functions.clustering import kmeans_assign, kmeans_fit
+from .functions.clustering import (kmeans_assign, kmeans_cluster_stats,
+                                   kmeans_fit)
 from .functions.text import (bigram_lm_scores, corpus_stats, curation_pipeline,
                              hashed_embeddings, ingest_pipeline,
                              repetition_signals, stream_corpus_stats,
@@ -111,6 +112,7 @@ __all__ = [
     "ivf_query",
     "IvfIndex",
     "kmeans_assign",
+    "kmeans_cluster_stats",
     "kmeans_fit",
     "salted_join",
     "count_distinct_skew_safe",

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from .hashing import md5_int
 
-__all__ = ["kmeans_fit", "kmeans_assign"]
+__all__ = ["kmeans_fit", "kmeans_assign", "kmeans_cluster_stats"]
 
 
 def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
@@ -191,4 +191,40 @@ def kmeans_assign(
         F.col("id").alias(id_col),
         F.col("cid").alias("cluster"),
         F.col("d2").alias("dist2"),
+    )
+
+
+def kmeans_cluster_stats(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    centroids: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """Per-cluster fit diagnostics: (cluster, n_members, total_dist2,
+    mean_dist2) — sizes expose bucket skew (the knob SemDeDup/IVF cost
+    depends on), total_dist2 is the exact integer inertia contribution
+    (micro^2 units), mean_dist2 = total/n rounded to 4 decimals. One
+    map-combining aggregate over the assignment; every value is
+    hash-portable — exact integers throughout (the mean rounds to a
+    whole micro^2 unit: 4-decimal rounding of a ~1e12 double is NOT
+    bit-stable across engines), so the whole fit quality report is
+    oracle-checkable."""
+    a = kmeans_assign(df, k, n_iter, id_col, vec_col, scale, centroids)
+    return (
+        a.groupBy(F.col("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist2").alias("total_dist2"),
+        )
+        .select(
+            "cluster",
+            F.col("n_members").cast("long").alias("n_members"),
+            "total_dist2",
+            F.round(F.col("total_dist2") / F.col("n_members"))
+            .cast("bigint")
+            .alias("mean_dist2"),
+        )
     )

@@ -284,3 +284,19 @@ def test_prototype_scores_zero_norm_never_seeds(spark):
     got = {r.vec_id for r in out.collect()}
     # all six non-zero vectors scored; only the zero vector excluded
     assert got == set(range(6))
+
+
+def test_kmeans_cluster_stats_consistent(spark, sf_dir):
+    """Stats reconcile with the assignment: sizes sum to the corpus,
+    total_dist2 sums to the global inertia, mean is the rounded ratio."""
+    from pd_explain_spark import kmeans_assign, kmeans_cluster_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stats = kmeans_cluster_stats(emb, k=4, n_iter=2).collect()
+    a = kmeans_assign(emb, k=4, n_iter=2)
+    assert sum(r.n_members for r in stats) == a.count()
+    assert sum(r.total_dist2 for r in stats) == a.agg(
+        F.sum("dist2")
+    ).first()[0]
+    for r in stats:
+        assert r.mean_dist2 == round(r.total_dist2 / r.n_members)
