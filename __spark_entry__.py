@@ -3996,6 +3996,52 @@ def simhash_near_dups_md5(spark, sf_dir):
     )
 
 
+@_q(
+    "simhash_against_corpus",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_distinct(string_split_regex(
+                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+         FROM documents
+       ), h AS (
+         SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+       ), votes AS (
+         SELECT doc_id, b,
+                sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM h CROSS JOIN range(60) r(b)
+         GROUP BY 1, 2
+       ), sig AS (
+         SELECT doc_id,
+                sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS s
+         FROM votes GROUP BY 1
+       ), blocks AS (
+         SELECT doc_id, s, i, (s >> (i * 15)) & 32767 AS key
+         FROM sig CROSS JOIN range(4) rb(i)
+       )
+       SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS corpus_id,
+              bit_count(xor(a.s, c.s)) AS hamming
+       FROM blocks a JOIN blocks c ON a.i = c.i AND a.key = c.key
+       WHERE a.doc_id >= 250 AND c.doc_id < 250
+         AND bit_count(xor(a.s, c.s)) <= 10""",
+)
+def simhash_against_corpus_q(spark, sf_dir):
+    """Cross-corpus SimHash incremental dedup (functions/dedup.py
+    simhash_pairs_against) — completes the incremental-ingest family's
+    cheapest member: the corpus collapses to ONE long per doc (the
+    persistable signature table), new-batch blocks join corpus blocks
+    on the shared 4-block LSH keys, exact bit_count XOR verify. md5
+    60-bit flavor (identical bytes on both engines), max_hamming=10 —
+    same knobs the batch entry `simhash_near_dups_md5` oracles."""
+    from pd_explain_spark.functions.dedup import simhash_pairs_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs_against(
+        docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"),
+        max_hamming=10, hash_fn="md5",
+    )
+
+
 # ---------------------------------------------------------------- similarity search
 @_q(
     "similarity_topk",

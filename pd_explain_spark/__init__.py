@@ -31,7 +31,8 @@ from .functions.dedup import (NearDupIndex, dedup_against, dedup_near,
                               edit_distance_pairs, edit_distance_pairs_against,
                               fuzzy_dedup, fuzzy_dedup_against, keep_best,
                               minhash_dedup_against, minhash_pairs_against,
-                              near_dup_pairs_against)
+                              near_dup_pairs_against, simhash_dedup_against,
+                              simhash_pairs_against)
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import (assign_splits, dsir_log_ratios, dsir_sample,
                                dsir_weights, pack_sequences, redact_pii,
@@ -149,6 +150,8 @@ __all__ = [
     "edit_distance_pairs_against",
     "minhash_pairs_against",
     "minhash_dedup_against",
+    "simhash_pairs_against",
+    "simhash_dedup_against",
     "dsir_log_ratios",
     "dsir_weights",
     "dsir_sample",

@@ -1372,17 +1372,13 @@ def simhash_signatures(
     return inv.groupBy("id").agg(*votes).select("id", sig.alias("simhash"))
 
 
-def simhash_near_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 3, hash_fn: str = "xxhash64",
-) -> DataFrame:
-    """Hamming-close pairs via 4-block LSH (a pair within distance <= 3
-    must agree on at least one of 4 blocks), verified exactly. Blocks
-    are 16 bits for the 64-bit xxhash64 flavor, 15 for the 60-bit md5
-    flavor."""
+def _simhash_blocks(sigs: DataFrame, hash_fn: str) -> DataFrame:
+    """(id, simhash, block, key) — the 4-block LSH keys of a signature
+    table. Shared by the batch and cross-corpus flavors so both sides of
+    an incremental join key identically. Blocks are 16 bits for the
+    64-bit xxhash64 flavor, 15 for the 60-bit md5 flavor."""
     width = 16 if hash_fn == "xxhash64" else 15
     mask = (1 << width) - 1
-    sigs = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     block_structs = [
         F.struct(
             F.lit(i).alias("block"),
@@ -1390,9 +1386,19 @@ def simhash_near_duplicates(
         )
         for i in range(4)
     ]
-    blocks = sigs.select(
+    return sigs.select(
         "id", "simhash", F.explode(F.array(*block_structs)).alias("bk")
     ).select("id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hamming-close pairs via 4-block LSH (a pair within distance <= 3
+    must agree on at least one of 4 blocks), verified exactly."""
+    sigs = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
+    blocks = _simhash_blocks(sigs, hash_fn)
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (
         a.join(
@@ -1410,3 +1416,66 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def simhash_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus SimHash: (new_id, corpus_id, hamming) for new-batch
+    docs within ``max_hamming`` bits of a corpus doc — the last member
+    of the incremental-ingest dedup family (exact: ``dedup_against``;
+    n-gram: ``near_dup_pairs_against``; MinHash: ``minhash_pairs_against``;
+    fuzzy: ``edit_distance_pairs_against``; semantic:
+    ``similarity.semantic_dedup_pairs_against``).
+
+    Scale posture: the corpus collapses to its (id, simhash) signature
+    table — ONE long per document, the cheapest persistable dedup index
+    in the family (a 100 TB / 10^10-doc corpus is an 80 GB signature
+    table; persist it once and every ingest batch re-derives only its
+    own side). Candidates come from the same 4-block LSH keys as the
+    batch flavor (both sides share `_simhash_blocks`, so a cross-side
+    block agreement means exactly what a within-corpus one does; the
+    pigeonhole guarantee — no pair within distance <= 3 is missed —
+    holds identically), verified with an exact `bit_count` XOR. The
+    corpus text never shuffles: only (id, simhash, block, key) rows
+    enter the join."""
+    sn = simhash_signatures(new_df, text_col, id_col, hash_fn=hash_fn)
+    sc = simhash_signatures(corpus_df, text_col, id_col, hash_fn=hash_fn)
+    a = _simhash_blocks(sn, hash_fn).alias("a")
+    b = _simhash_blocks(sc, hash_fn).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("corpus_id"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """New-batch rows with no Hamming-close SimHash twin in the corpus
+    (the ``dedup_near_against`` shape at SimHash cost: one long per
+    corpus doc, no shingle index)."""
+    pairs = simhash_pairs_against(
+        new_df, corpus_df, text_col, id_col, max_hamming, hash_fn
+    )
+    return _flagged_anti_join(new_df, pairs.select("new_id"), id_col)

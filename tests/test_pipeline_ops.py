@@ -1653,6 +1653,54 @@ def test_minhash_pairs_against_subset_and_boilerplate_exact(spark):
     assert survivors == {101}
 
 
+def test_simhash_pairs_against_planted_and_batch_parity(spark):
+    """Cross-corpus SimHash (r8): a one-token-off twin of a corpus doc
+    is flagged with the same Hamming distance the batch flavor reports
+    on the union; an unrelated doc is not; simhash_dedup_against keeps
+    exactly the unflagged new rows."""
+    from pd_explain_spark.functions.dedup import (
+        simhash_dedup_against,
+        simhash_near_duplicates,
+        simhash_pairs_against,
+    )
+
+    corpus = [(i, " ".join(f"w{i}t{j}" for j in range(40))) for i in range(5)]
+    base = " ".join(f"tok{j}" for j in range(60))
+    corpus.append((9, base))
+    new = [
+        (100, " ".join(f"tok{j}" for j in range(59)) + " tokX"),  # twin of 9
+        (101, " ".join(f"fresh{j}" for j in range(60))),
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+
+    cross = {
+        (r["new_id"], r["corpus_id"]): r["hamming"]
+        for r in simhash_pairs_against(ndf, cdf, max_hamming=8).collect()
+    }
+    assert (100, 9) in cross and (101, 9) not in cross
+    assert all(h <= 8 for h in cross.values())
+
+    # batch parity: the same pair set (and distances) falls out of the
+    # single-corpus flavor on the union, restricted to cross pairs
+    batch = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(cdf.union(ndf), max_hamming=8).collect()
+    }
+    new_ids, corp_ids = {100, 101}, {i for i, _ in corpus}
+    batch_cross = {
+        (max(p), min(p)): h
+        for p, h in batch.items()
+        if (p[0] in new_ids) != (p[1] in new_ids)
+    }
+    assert batch_cross == cross
+
+    survivors = {
+        r["doc_id"] for r in simhash_dedup_against(ndf, cdf, max_hamming=8).collect()
+    }
+    assert survivors == {101}
+
+
 def test_dsir_weights_prefer_target_like_docs(spark):
     """DSIR (r7): docs sharing the target corpus's vocabulary must score
     higher log-weights than off-distribution docs; resampling pulls the
