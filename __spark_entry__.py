@@ -4077,6 +4077,44 @@ def similarity_topk(spark, sf_dir):
 
 
 @_q(
+    "similarity_topk_filtered",
+    """WITH cast_emb AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+       ), scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.emb, c.emb)
+                  / (sqrt(list_dot_product(q.emb, q.emb))
+                     * sqrt(list_dot_product(c.emb, c.emb))) AS sim
+         FROM cast_emb q JOIN cast_emb c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id < 10 AND c.label % 2 = 0 AND c.label >= 2
+       ), ranked AS (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+                round(sim, 4) AS cosine_sim
+         FROM scored
+       )
+       SELECT query_id, neighbor_id, rank::INT AS rank, cosine_sim
+       FROM ranked WHERE rank <= 5""",
+)
+def similarity_topk_filtered(spark, sf_dir):
+    """Filtered vector search (functions/similarity.py brute_force_topk
+    where=/allowed=): top-k ranks only metadata-qualifying neighbors —
+    pre-filter semantics, so every query still gets k results when k
+    qualify. Exercises BOTH mechanisms composed: a predicate gated into
+    the corpus scan (label % 2 = 0) and an allowlist semi join derived
+    from a metadata filter (label >= 2). The same allowed= drives the
+    IVF probe for the approximate path (pytest parity)."""
+    from pd_explain_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, emb.filter("vec_id < 10"), k=5, round_to=4,
+        where="label % 2 = 0",
+        allowed=emb.filter("label >= 2").select("vec_id"),
+    )
+
+
+@_q(
     "embedding_quantize",
     """WITH m AS (
          SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -64,12 +64,23 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    where=None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, rank, cosine_sim). Excludes self-match.
     The query side is broadcast — corpus scan is a single distributed pass.
-    """
+
+    Filtered search (the "filtered ANN" shape production vector stores
+    struggle with): ``where`` is a Column or SQL-string predicate over
+    the CORPUS rows, applied before scoring — a scan-stage gate Catalyst
+    pushes into the parquet read, so top-k ranks only qualifying
+    neighbors (pre-filter semantics: every query still gets k results
+    when k qualify, unlike post-filtering a top-k). ``allowed`` is a
+    one-column DataFrame of permitted neighbor ids (derive it from any
+    metadata table — ITS filter pushes into the metadata scan), applied
+    as a semi join; both compose."""
     # norms are computed ONCE per row below the join (projections don't
     # collapse across the join boundary), so the per-pair work is a single
     # dot product + one divide — round 1 re-evaluated both norms for every
@@ -87,6 +98,8 @@ def brute_force_topk(
         .withColumn("qn", _norm(F.col("qv")))
         .filter(F.col("qn") > 0)
     )
+    if where is not None:
+        corpus = corpus.filter(where)
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -100,6 +113,11 @@ def brute_force_topk(
         # zero-gram docs precisely expecting this contract)
         .filter(F.col("cn") > 0)
     )
+    if allowed is not None:
+        # plain semi join: AQE broadcasts a small allowlist and shuffles
+        # a corpus-sized one — don't hardcode the strategy here
+        ids = allowed.select(F.col(allowed.columns[0]).alias("neighbor_id")).distinct()
+        c = c.join(ids, "neighbor_id", "semi")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -601,12 +619,20 @@ def ivf_query(
     vec_col: str = "embedding",
     n_probe: int = 4,
     round_to: int = 6,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k against a built index: each query probes only
     its n_probe nearest centroid buckets. Centroids (n_centroids x dim)
     and the probed query set are broadcast; the corpus side is filtered
     to the probed buckets BEFORE the join, so a partitioned on-disk index
-    reads only those directories."""
+    reads only those directories.
+
+    ``allowed`` (one-column DataFrame of permitted neighbor ids) makes
+    this a filtered-ANN probe: the semi join lands on the bucket-pruned
+    assigned rows, before scoring. Pre-filter semantics WITHIN the
+    probed buckets — under a selective filter raise ``n_probe`` (the
+    standard IVF recall/filter trade-off), or fall back to
+    :func:`brute_force_topk` with the same ``allowed`` for exactness."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -620,8 +646,12 @@ def ivf_query(
         .select("query_id", "qv", "bucket")
     )
     probed_buckets = q_probes.select("bucket").distinct()
+    assigned = index.assigned
+    if allowed is not None:
+        ids = allowed.select(F.col(allowed.columns[0]).alias("neighbor_id")).distinct()
+        assigned = assigned.join(ids, "neighbor_id", "semi")
     corpus_side = (
-        index.assigned.join(F.broadcast(probed_buckets), "bucket", "semi")
+        assigned.join(F.broadcast(probed_buckets), "bucket", "semi")
         .withColumn("cn", _norm(F.col("cv")))
         # zero-norm vectors (hashed_embeddings of zero-gram docs) have
         # no cosine: excluded on both sides, or the ANSI division throws
@@ -658,10 +688,14 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """One-shot convenience: ivf_build + ivf_query."""
     index = ivf_build(corpus, id_col, vec_col, n_centroids, seed)
-    return ivf_query(index, queries, k=k, id_col=id_col, vec_col=vec_col, n_probe=n_probe)
+    return ivf_query(
+        index, queries, k=k, id_col=id_col, vec_col=vec_col, n_probe=n_probe,
+        allowed=allowed,
+    )
 
 
 # ---------------------------------------------------------------- centroids

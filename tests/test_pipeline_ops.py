@@ -132,6 +132,43 @@ def test_brute_force_topk_matches_oracle(embeddings, duck):
     assert_df_equal(out, duck.sql(sql), tol=2e-6)
 
 
+def test_filtered_topk_brute_and_ivf(embeddings):
+    """Filtered vector search (r8): where=/allowed= restrict the
+    neighbor pool with pre-filter semantics — each query still ranks k
+    qualifying neighbors; a vacuous filter is a no-op; the same
+    allowed= drives the IVF probe and, at full probe width, agrees with
+    the filtered brute force exactly."""
+    queries = embeddings.filter("vec_id < 5")
+    plain = S.brute_force_topk(embeddings, queries, k=3)
+
+    # vacuous filters change nothing
+    vac = S.brute_force_topk(
+        embeddings, queries, k=3, where="label >= 0",
+        allowed=embeddings.select("vec_id"),
+    )
+    assert sorted(map(tuple, vac.collect())) == sorted(map(tuple, plain.collect()))
+
+    # real filter: neighbors all satisfy it, and each query still gets k
+    filt = S.brute_force_topk(embeddings, queries, k=3, where="label % 2 = 0")
+    even_ids = {r["vec_id"] for r in embeddings.filter("label % 2 = 0").collect()}
+    rows = filt.collect()
+    assert {r["neighbor_id"] for r in rows} <= even_ids
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(v == 3 for v in per_q.values()) and len(per_q) == 5
+
+    # IVF with allowed=: subset of allowed; full-probe == filtered exact
+    allowed = embeddings.filter("label % 2 = 0").select("vec_id")
+    ivf = S.ivf_topk(
+        embeddings, queries, k=3, n_centroids=4, n_probe=4, allowed=allowed
+    )
+    assert {r["neighbor_id"] for r in ivf.collect()} <= even_ids
+    assert sorted(map(tuple, ivf.collect())) == sorted(
+        map(tuple, S.brute_force_topk(embeddings, queries, k=3, where="label % 2 = 0").collect())
+    )
+
+
 def test_lsh_topk_reasonable_recall(embeddings):
     queries = embeddings.filter("vec_id < 20")
     exact = S.brute_force_topk(embeddings, queries, k=1).select("query_id", "neighbor_id")

@@ -422,6 +422,9 @@ AUDIT_NLJ_ALLOWED = {
                        "similarity_lsh_topk / similarity_ivf_* / _arrow)",
     "similarity_topk_int8": "brute-force over int8-quantized vectors "
                             "(same deliberate baseline class)",
+    "similarity_topk_filtered": "filtered search on the brute-force "
+                                "baseline (scale path: ivf_query with "
+                                "allowed=)",
     "embedding_near_dups_exact": "exact all-pairs verify twin of the "
                                  "LSH near-dup path (oracle, not "
                                  "production)",
