@@ -4500,6 +4500,40 @@ def kmeans_stats_emb(spark, sf_dir):
     return kmeans_cluster_stats(emb, k=4, n_iter=2)
 
 
+@_q(
+    "cluster_sample_emb",
+    _kmeans_cte(4, 2)
+    + """, sF AS (
+         SELECT q.id, c.cid,
+                CAST(q.vv - 2 * list_dot_product(q.vd, c.cqd) + c.cc AS BIGINT) AS d2
+         FROM qd q CROSS JOIN c2d c
+       ), aF AS (
+         SELECT id, cid, d2 FROM (
+           SELECT id, cid, d2,
+                  row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+           FROM sF) WHERE rn = 1
+       )
+       SELECT id AS vec_id, cid AS cluster, d2 AS dist2 FROM (
+         SELECT id, cid, d2,
+                row_number() OVER (PARTITION BY cid ORDER BY d2, id) AS rk
+         FROM aF) WHERE rk <= 30""",
+)
+def cluster_sample_emb(spark, sf_dir):
+    """Cluster-balanced diversity sampling (functions/clustering.py
+    cluster_balanced_sample, mode="central"): fit Lloyd k-means, keep
+    each cluster's 30 closest-to-centroid rows — the topic-coverage
+    selection step of embedding-based curation (dsir_sample balances by
+    target likeness, this by semantic coverage). Oracle = the unrolled
+    Lloyd CTE + final assignment + a per-cluster (dist2, id) rank; the
+    two-phase salted top-n produces EXACTLY the naive window's rows.
+    The random flavor shares stratified_sample's md5-seed contract
+    (pytest-pinned equal)."""
+    from pd_explain_spark import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(emb, k=4, n_iter=2, quota=30, mode="central")
+
+
 def _ivf_kmeans_oracle_sql(k: int = 16, n_iter: int = 2, scale: int = 1_000_000) -> str:
     """Fitted-IVF pipeline on top of the Lloyd CTE: integer-argmin corpus
     assignment (bit-identical to the fit), real-unit centroid doubles

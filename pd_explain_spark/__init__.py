@@ -56,8 +56,8 @@ from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
                                    semantic_dedup_pairs_against,
                                    prototype_prune, prototype_scores)
 from .functions.bpe import bpe_encode, train_bpe
-from .functions.clustering import (kmeans_assign, kmeans_cluster_stats,
-                                   kmeans_fit)
+from .functions.clustering import (cluster_balanced_sample, kmeans_assign,
+                                   kmeans_cluster_stats, kmeans_fit)
 from .functions.text import (bigram_lm_scores, corpus_stats, curation_pipeline,
                              hashed_embeddings, ingest_pipeline,
                              repetition_signals, stream_corpus_stats,
@@ -112,6 +112,7 @@ __all__ = [
     "ivf_build_kmeans",
     "ivf_query",
     "IvfIndex",
+    "cluster_balanced_sample",
     "kmeans_assign",
     "kmeans_cluster_stats",
     "kmeans_fit",

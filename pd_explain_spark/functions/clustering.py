@@ -49,7 +49,12 @@ from pyspark.sql import functions as F
 
 from .hashing import md5_int
 
-__all__ = ["kmeans_fit", "kmeans_assign", "kmeans_cluster_stats"]
+__all__ = [
+    "kmeans_fit",
+    "kmeans_assign",
+    "kmeans_cluster_stats",
+    "cluster_balanced_sample",
+]
 
 
 def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
@@ -227,4 +232,67 @@ def kmeans_cluster_stats(
             .cast("bigint")
             .alias("mean_dist2"),
         )
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    k: int = 8,
+    quota: int = 100,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    seed: int = 42,
+    mode: str = "random",
+    centroids: dict[int, list[int]] | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Diversity-balanced corpus sampling: fit (or reuse via
+    ``centroids=``) a k-means model over the embedding column, then keep
+    an EXACT per-cluster quota — the cluster-balanced selection step of
+    embedding-based curation (SemDeDup-style pipelines sample per
+    cluster to preserve semantic coverage; ``dsir_sample`` balances by
+    target likeness, this balances by topic coverage).
+
+    ``mode="random"``: within each cluster, rows ordered by the seeded
+    md5 key md5("<id>-<seed>") (ties by id) — an unbiased quota, the
+    ``stratified_sample`` contract with the fitted cluster as the
+    stratum. ``mode="central"``: closest-to-centroid first (exact
+    integer dist2, ties by id) — cluster prototypes, the summary
+    sample. Returns (id_col, cluster, dist2) for the selected rows;
+    join back on ``id_col`` for payloads.
+
+    Scale shape: assignment is one corpus scan against O(k*dim)
+    broadcast state (see module docstring); the quota is the two-phase
+    salted top-n (``stratified_sample``'s skew ceiling — phase 1 ranks
+    within (cluster, salt), phase 2 over <= quota*salt_buckets
+    survivors), so a cluster holding half the corpus never funnels into
+    one task and both phases compile to WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    if mode not in ("random", "central"):
+        raise ValueError(f"mode must be 'random' or 'central', got {mode!r}")
+    a = kmeans_assign(df, k, n_iter, id_col, vec_col, scale, centroids)
+    if mode == "random":
+        order = [
+            F.md5(F.concat_ws("-", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            F.col(id_col),
+        ]
+    else:
+        order = [F.col("dist2"), F.col(id_col)]
+    salted = a.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy("cluster", "__salt").orderBy(*order)
+    phase1 = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy("cluster").orderBy(*order)
+    return (
+        phase1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
     )

@@ -300,3 +300,48 @@ def test_kmeans_cluster_stats_consistent(spark, sf_dir):
     ).first()[0]
     for r in stats:
         assert r.mean_dist2 == round(r.total_dist2 / r.n_members)
+
+
+def test_cluster_balanced_sample_modes(spark, sf_dir):
+    """cluster_balanced_sample (r8): exact per-cluster quotas; random
+    mode == stratified_sample on the assignment (same md5-seed
+    contract); central mode keeps each cluster's lowest-dist2 rows;
+    deterministic across runs; WindowGroupLimit plan (no full per-key
+    sort)."""
+    from collections import Counter
+
+    from pd_explain_spark import cluster_balanced_sample, kmeans_assign, stratified_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = kmeans_assign(emb, k=4, n_iter=2)
+    sizes = {r["cluster"]: r["n"] for r in a.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    out = cluster_balanced_sample(emb, k=4, n_iter=2, quota=10, mode="random")
+    got = Counter(r["cluster"] for r in out.collect())
+    assert got == {c: min(10, n) for c, n in sizes.items() if min(10, n) > 0}
+
+    # random mode is exactly stratified_sample(by=cluster) on the assignment
+    strat = stratified_sample(a, by="cluster", quota=10, id_col="vec_id", seed=42)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, strat.collect()))
+
+    # central mode: per cluster, exactly the quota lowest dist2 values
+    cen = cluster_balanced_sample(emb, k=4, n_iter=2, quota=5, mode="central")
+    by_cluster = {}
+    for r in a.collect():
+        by_cluster.setdefault(r["cluster"], []).append((r["dist2"], r["vec_id"]))
+    expect = {
+        (vid, c, d2)
+        for c, rows in by_cluster.items()
+        for d2, vid in sorted(rows)[:5]
+    }
+    assert {(r["vec_id"], r["cluster"], r["dist2"]) for r in cen.collect()} == expect
+
+    # determinism + plan shape
+    assert sorted(map(tuple, cen.collect())) == sorted(
+        map(tuple, cluster_balanced_sample(emb, k=4, n_iter=2, quota=5, mode="central").collect())
+    )
+    plan = cen._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(emb, mode="weird")
