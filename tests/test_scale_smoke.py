@@ -72,6 +72,10 @@ ENTRIES = [
     # in corpus size at fixed (k, n_iter)
     "kmeans_clusters_emb",
     "similarity_ivf_kmeans",
+    # cross-corpus SimHash: 10x verbatim copies multiply cross-side
+    # block collisions ~10x (every copy Hamming-0 to its original's
+    # neighborhood); signatures themselves are one linear pass per side
+    "simhash_against_corpus",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
