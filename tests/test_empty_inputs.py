@@ -53,6 +53,8 @@ FLOW_THROUGH = [
     "tfidf_docs",
     "q1_pricing_summary",
     "rolling_hour_events",
+    "simhash_against_corpus",
+    "similarity_topk_filtered",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError
@@ -62,6 +64,7 @@ CLEAR_ERROR = [
     "outlier_explain_std",
     "outlier_explain_text",
     "similarity_ivf_topk",
+    "cluster_sample_emb",
 ]
 
 
