@@ -4042,6 +4042,28 @@ def simhash_against_corpus_q(spark, sf_dir):
     )
 
 
+@_q(
+    "simhash_index_roundtrip",
+    _ORACLES["simhash_against_corpus"],
+)
+def simhash_index_roundtrip_q(spark, sf_dir):
+    """The incremental SimHash scan through the PERSISTED block index
+    (functions/dedup.py SimHashIndex): build + save the corpus side as
+    a (block, key)-bucketed external table — FOUR small rows per doc,
+    the lightest persistable dedup index — reload, then probe with the
+    shared cross-pairs tail. Exchange-free corpus side pinned by
+    test_pipeline_ops::test_simhash_index_parity_reload_append_and_plan.
+    Same oracle as simhash_against_corpus: the index changes the
+    physical layout, never the math."""
+    from pd_explain_spark.functions.dedup import SimHashIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = SimHashIndex.build(docs.filter("doc_id < 250"), hash_fn="md5").save(
+        "/tmp/spark_graft_shidx", buckets=8, mode="overwrite"
+    )
+    return idx.pairs_against(docs.filter("doc_id >= 250"), max_hamming=10)
+
+
 # ---------------------------------------------------------------- similarity search
 @_q(
     "similarity_topk",

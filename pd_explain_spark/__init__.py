@@ -26,7 +26,7 @@ from .plans.audit import assert_scalable, scale_audit
 from .operators.partitioning import count_distinct_skew_safe, salted_join
 from .config import GLOBALS, get_use_sampling_value, toggle_sampling
 from .llm.client import LlmSetupMethods
-from .functions.dedup import (NearDupIndex, dedup_against, dedup_near,
+from .functions.dedup import (NearDupIndex, SimHashIndex, dedup_against, dedup_near,
                               dedup_near_against, duplicate_components,
                               edit_distance_pairs, edit_distance_pairs_against,
                               fuzzy_dedup, fuzzy_dedup_against, keep_best,
@@ -168,6 +168,7 @@ __all__ = [
     "train_bpe",
     "bpe_encode",
     "NearDupIndex",
+    "SimHashIndex",
     "bm25_scores",
     "build_vocabulary",
     "top_terms_per_doc",

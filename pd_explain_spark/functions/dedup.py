@@ -234,6 +234,63 @@ def _df_pruned(inv: DataFrame, max_df: float, n_docs: int | None = None) -> Data
     return inv.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+def _catalog_table_name(prefix: str, path: str) -> str:
+    """Deterministic catalog name for a path-backed index table.
+    Distinct paths can collapse to one slug (/tmp/a/b and /tmp/a_b) —
+    a raw-path hash keeps one catalog entry per physical index."""
+    import hashlib
+    import re as _re
+
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", path).strip("_").lower()
+    digest = hashlib.md5(path.encode("utf-8")).hexdigest()[:8]
+    return f"{prefix}_{slug}_{digest}"
+
+
+def _norm_catalog_location(p: str) -> str:
+    from urllib.parse import urlparse
+
+    u = urlparse(p)
+    return (u.path or p).rstrip("/")
+
+
+def _ensure_external_bucketed(
+    spark, name: str, data_path: str, cluster_cols: list[str],
+    buckets: int, sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Return the bucketed external table at ``data_path``, registering
+    it in the (in-memory) session catalog when a fresh session doesn't
+    know it. Never trusts a same-named entry blindly: if its LOCATION is
+    not ``data_path`` (stale catalog, collided name) the entry is
+    dropped and re-created, or a join would silently pair another
+    index's table with this path's sidecar files. The files were
+    written by a bucketed writer (bucket id is encoded in file names),
+    so an identical CLUSTERED BY spec restores the exchange-free join
+    property. Shared by every persisted index (NearDupIndex,
+    SimHashIndex)."""
+    if spark.catalog.tableExists(name):
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .where("col_name = 'Location'")
+            .first()
+        )
+        if loc is None or _norm_catalog_location(
+            loc["data_type"]
+        ) != _norm_catalog_location(data_path):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if not spark.catalog.tableExists(name):
+        schema = spark.read.parquet(data_path).schema
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        sort = f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(cluster_cols)}) {sort}"
+            f"INTO {int(buckets)} BUCKETS LOCATION '{data_path}'"
+        )
+    return spark.table(name)
+
+
 def _flagged_anti_join(
     new_df: DataFrame, flagged_ids: DataFrame, id_col: str
 ) -> DataFrame:
@@ -627,57 +684,20 @@ class NearDupIndex:
 
     @staticmethod
     def _table_name(path: str) -> str:
-        import hashlib
-        import re as _re
-
-        # distinct paths can collapse to one slug (/tmp/a/b and /tmp/a_b)
-        # — a raw-path hash keeps one catalog entry per physical index
-        slug = _re.sub(r"[^A-Za-z0-9]+", "_", path).strip("_").lower()
-        digest = hashlib.md5(path.encode("utf-8")).hexdigest()[:8]
-        return f"neardup_idx_{slug}_{digest}"
+        return _catalog_table_name("neardup_idx", path)
 
     @staticmethod
     def _norm_location(p: str) -> str:
-        from urllib.parse import urlparse
-
-        u = urlparse(p)
-        return (u.path or p).rstrip("/")
+        return _norm_catalog_location(p)
 
     @classmethod
     def load(cls, spark, path: str) -> "NearDupIndex":
         meta = spark.read.parquet(f"{path}/meta").first()
-        name = cls._table_name(path)
-        if spark.catalog.tableExists(name):
-            # never trust a same-named entry blindly: if its LOCATION is
-            # not this path's inv/ directory (stale catalog, collided
-            # name), joining it would silently pair another index's
-            # inverted table with this path's sizes/meta
-            loc = (
-                spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
-                .where("col_name = 'Location'")
-                .first()
-            )
-            if loc is None or cls._norm_location(
-                loc["data_type"]
-            ) != cls._norm_location(f"{path}/inv"):
-                spark.sql(f"DROP TABLE IF EXISTS {name}")
-        if not spark.catalog.tableExists(name):
-            # fresh session: re-register the bucketed external table.
-            # The files were written by a bucketed writer (bucket id is
-            # encoded in the file names), so an identical CLUSTERED BY
-            # spec restores the exchange-free join property.
-            schema = spark.read.parquet(f"{path}/inv").schema
-            ddl = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-            )
-            spark.sql(
-                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
-                f"CLUSTERED BY (shingle) SORTED BY (shingle) "
-                f"INTO {int(meta['buckets'])} BUCKETS LOCATION '{path}/inv'"
-            )
-        return cls(
-            spark.table(name), spark.read.parquet(f"{path}/sizes"), int(meta["n"])
+        inv = _ensure_external_bucketed(
+            spark, cls._table_name(path), f"{path}/inv",
+            ["shingle"], int(meta["buckets"]), ["shingle"],
         )
+        return cls(inv, spark.read.parquet(f"{path}/sizes"), int(meta["n"]))
 
     def pairs_against(
         self,
@@ -1446,8 +1466,18 @@ def simhash_pairs_against(
     enter the join."""
     sn = simhash_signatures(new_df, text_col, id_col, hash_fn=hash_fn)
     sc = simhash_signatures(corpus_df, text_col, id_col, hash_fn=hash_fn)
-    a = _simhash_blocks(sn, hash_fn).alias("a")
-    b = _simhash_blocks(sc, hash_fn).alias("b")
+    return _simhash_cross_pairs(
+        _simhash_blocks(sn, hash_fn), _simhash_blocks(sc, hash_fn), max_hamming
+    )
+
+
+def _simhash_cross_pairs(
+    new_blocks: DataFrame, corpus_blocks: DataFrame, max_hamming: int
+) -> DataFrame:
+    """Shared probe tail of the cross-corpus SimHash flavors: block-key
+    join, exact bit_count verify, distinct — one definition so the
+    live-corpus and persisted-index paths cannot drift."""
+    a, b = new_blocks.alias("a"), corpus_blocks.alias("b")
     return (
         a.join(
             b,
@@ -1479,3 +1509,138 @@ def simhash_dedup_against(
         new_df, corpus_df, text_col, id_col, max_hamming, hash_fn
     )
     return _flagged_anti_join(new_df, pairs.select("new_id"), id_col)
+
+
+class SimHashIndex:
+    """Persisted SimHash dedup index — the lightest member of the
+    persisted-index family (:class:`NearDupIndex` stores an inverted
+    shingle table; :class:`similarity.IvfIndex` stores vectors; this
+    stores FOUR small rows per document).
+
+    Layout: the exploded 4-block LSH table (id, simhash, block, key)
+    written as a bucketed external table CLUSTERED BY (block, key) —
+    exactly the probe join's keys, so the persisted corpus side joins
+    WITHOUT an exchange; only the (small) new-batch block table
+    shuffles to match the bucket layout. (Bucketing by the subset
+    ``key`` alone was tried first: the planner DISABLES the bucketed
+    scan rather than co-partition on a subset — pin the full key list.) A
+    10^10-doc corpus indexes to ~4x10^10 short rows (a few hundred GB
+    of parquet) probed by a scan+join, no corpus text ever read.
+
+    Same catalog/location-verification contract as NearDupIndex
+    (shared `_ensure_external_bucketed`); ``append_save`` grows the
+    index idempotently (already-indexed ids anti-joined out, so a
+    retried batch never double-indexes)."""
+
+    def __init__(self, blocks: DataFrame, hash_fn: str):
+        self.blocks = blocks
+        self.hash_fn = hash_fn
+
+    @classmethod
+    def build(
+        cls,
+        corpus_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        hash_fn: str = "xxhash64",
+    ) -> "SimHashIndex":
+        sigs = simhash_signatures(corpus_df, text_col, id_col, hash_fn=hash_fn)
+        return cls(_simhash_blocks(sigs, hash_fn), hash_fn)
+
+    @staticmethod
+    def _table_name(path: str) -> str:
+        return _catalog_table_name("simhash_idx", path)
+
+    def save(
+        self, path: str, buckets: int = 64, mode: str = "errorifexists"
+    ) -> "SimHashIndex":
+        """Write the block table bucketed by ``key`` under
+        ``path/blocks`` plus a meta sidecar; returns the reloaded
+        table-backed index so subsequent probes use the bucket
+        layout."""
+        spark = self.blocks.sparkSession
+        name = self._table_name(path)
+        if mode == "overwrite":
+            # saveAsTable(overwrite) on an existing external table keeps
+            # the OLD bucket spec; drop first so `buckets` takes effect
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            self.blocks.write.mode(mode)
+            .option("path", f"{path}/blocks")
+            .bucketBy(buckets, "block", "key")
+            .sortBy("block", "key")
+            .saveAsTable(name)
+        )
+        spark.createDataFrame(
+            [(self.hash_fn, int(buckets))], "hash_fn string, buckets int"
+        ).write.mode(mode).parquet(f"{path}/meta")
+        return SimHashIndex.load(spark, path)
+
+    def append_save(
+        self,
+        path: str,
+        new_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        dedup_ids: bool = True,
+    ) -> "SimHashIndex":
+        """Grow the persisted index with a new batch (the ingest-loop
+        maintenance contract, same shape as NearDupIndex.append_save):
+        each batch appends only its own bucketed files, existing data
+        is never rewritten, and ``dedup_ids`` keys the skip off the
+        block table's OWN ids so a crashed-and-retried batch is
+        self-healing."""
+        spark = self.blocks.sparkSession
+        meta = spark.read.parquet(f"{path}/meta").first()
+        name = self._table_name(path)
+        if not spark.catalog.tableExists(name):
+            SimHashIndex.load(spark, path)
+        sigs = simhash_signatures(new_df, text_col, id_col, hash_fn=meta["hash_fn"])
+        blocks = _simhash_blocks(sigs, meta["hash_fn"])
+        if dedup_ids:
+            indexed = spark.table(name).select("id").distinct()
+            blocks = blocks.join(indexed, "id", "left_anti")
+        (
+            blocks.write.mode("append")
+            .option("path", f"{path}/blocks")
+            .bucketBy(int(meta["buckets"]), "block", "key")
+            .sortBy("block", "key")
+            .saveAsTable(name)
+        )
+        return SimHashIndex.load(spark, path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SimHashIndex":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        blocks = _ensure_external_bucketed(
+            spark, cls._table_name(path), f"{path}/blocks",
+            ["block", "key"], int(meta["buckets"]), ["block", "key"],
+        )
+        return cls(blocks, meta["hash_fn"])
+
+    def pairs_against(
+        self,
+        new_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_hamming: int = 3,
+    ) -> DataFrame:
+        """(new_id, corpus_id, hamming) against the persisted corpus —
+        :func:`simhash_pairs_against` semantics, the index changes the
+        physical layout, never the math."""
+        sigs = simhash_signatures(new_df, text_col, id_col, hash_fn=self.hash_fn)
+        return _simhash_cross_pairs(
+            _simhash_blocks(sigs, self.hash_fn), self.blocks, max_hamming
+        )
+
+    def dedup(
+        self,
+        new_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_hamming: int = 3,
+    ) -> DataFrame:
+        """New-batch rows with no Hamming-close twin in the indexed
+        corpus."""
+        pairs = self.pairs_against(new_df, text_col, id_col, max_hamming)
+        return _flagged_anti_join(new_df, pairs.select("new_id"), id_col)

@@ -1226,6 +1226,85 @@ def test_neardup_index_bucketed_parity_and_plan(spark, tmp_path):
     )
 
 
+def test_simhash_index_parity_reload_append_and_plan(spark, tmp_path):
+    """SimHashIndex (r8) must (1) reproduce simhash_pairs_against
+    exactly, (2) reload from disk into a fresh catalog, (3) grow
+    idempotently via append_save (a retried batch never double-indexes,
+    so pair multiplicity is unchanged), and (4) probe with NO exchange
+    on the persisted corpus side — the table is bucketed on exactly the
+    (block, key) join keys."""
+    from pd_explain_spark.functions.dedup import (
+        SimHashIndex,
+        _simhash_blocks,
+        simhash_dedup_against,
+        simhash_pairs_against,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    corp, new = docs.filter("doc_id < 200"), docs.filter("doc_id >= 250")
+    batch2 = docs.filter("doc_id >= 200 AND doc_id < 250")
+    path = str(tmp_path / "shidx")
+    idx = SimHashIndex.build(corp, hash_fn="md5").save(path, buckets=8)
+
+    def pairset(df):
+        return {(r["new_id"], r["corpus_id"], r["hamming"]) for r in df.collect()}
+
+    expect = pairset(simhash_pairs_against(new, corp, max_hamming=10, hash_fn="md5"))
+    assert pairset(idx.pairs_against(new, max_hamming=10)) == expect
+
+    # fresh-catalog reload from the path alone
+    spark.sql(f"DROP TABLE {SimHashIndex._table_name(path)}")
+    idx2 = SimHashIndex.load(spark, path)
+    assert idx2.hash_fn == "md5"
+    assert pairset(idx2.pairs_against(new, max_hamming=10)) == expect
+
+    # append growth == rebuilding over the union; retry is a no-op
+    grown = idx2.append_save(path, batch2)
+    full = pairset(
+        simhash_pairs_against(
+            new, docs.filter("doc_id < 250"), max_hamming=10, hash_fn="md5"
+        )
+    )
+    assert pairset(grown.pairs_against(new, max_hamming=10)) == full
+    retried = grown.append_save(path, batch2)  # crashed-retry simulation
+    assert retried.blocks.count() == grown.blocks.count()
+
+    # survivor wrapper matches the live flavor over the grown corpus
+    assert sorted(
+        r["doc_id"] for r in retried.dedup(new, max_hamming=10).collect()
+    ) == sorted(
+        r["doc_id"]
+        for r in simhash_dedup_against(
+            new, docs.filter("doc_id < 250"), max_hamming=10, hash_fn="md5"
+        ).collect()
+    )
+
+    # plan pin under forced SMJ: persisted side bucketed, only the new
+    # batch's block table exchanges on the join keys
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = _simhash_blocks(
+            simhash_signatures(new, "text", "doc_id", hash_fn="md5"), "md5"
+        )
+        j = probe.alias("a").join(
+            retried.blocks.alias("b"),
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.key") == F.col("b.key")),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert "Bucketed: true" in plan and "SelectedBucketsCount: 8 out of 8" in plan
+    # exactly one (block, key) exchange — the probe side; the persisted
+    # side's bucketed scan needs none (the probe's own signature
+    # aggregate legitimately shuffles by id below the join)
+    assert plan.count("Exchange hashpartitioning(block") == 1
+
+
 # ---------------------------------------------------------------- span dedup
 def test_span_dedup_exact_substring_semantics(spark):
     """Lee et al. ExactSubstr semantics: a 6-token span shared by two
