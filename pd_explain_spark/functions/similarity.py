@@ -57,6 +57,24 @@ def _empty_result(df: DataFrame, id_col: str, fields: list[tuple[str, str]]) -> 
 
 
 
+def _apply_corpus_filter(
+    corpus: DataFrame, id_col: str, where, allowed: DataFrame | None
+) -> DataFrame:
+    """Shared filtered-search gate (uniform across every top-k flavor):
+    ``where`` (Column or SQL string) lands in the corpus scan stage —
+    Catalyst pushes it into the parquet read; ``allowed`` (one-column
+    DataFrame of permitted neighbor ids) applies as a semi join whose
+    strategy is left to AQE (broadcast when small, shuffle when
+    corpus-sized). Pre-filter semantics: ranking sees only qualifying
+    neighbors, so every query still gets k results when k qualify."""
+    if where is not None:
+        corpus = corpus.filter(where)
+    if allowed is not None:
+        ids = allowed.select(F.col(allowed.columns[0]).alias(id_col)).distinct()
+        corpus = corpus.join(ids, id_col, "semi")
+    return corpus
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -98,8 +116,7 @@ def brute_force_topk(
         .withColumn("qn", _norm(F.col("qv")))
         .filter(F.col("qn") > 0)
     )
-    if where is not None:
-        corpus = corpus.filter(where)
+    corpus = _apply_corpus_filter(corpus, id_col, where, allowed)
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -113,11 +130,6 @@ def brute_force_topk(
         # zero-gram docs precisely expecting this contract)
         .filter(F.col("cn") > 0)
     )
-    if allowed is not None:
-        # plain semi join: AQE broadcasts a small allowlist and shuffles
-        # a corpus-sized one — don't hardcode the strategy here
-        ids = allowed.select(F.col(allowed.columns[0]).alias("neighbor_id")).distinct()
-        c = c.join(ids, "neighbor_id", "semi")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -198,6 +210,8 @@ def lsh_topk(
     dim: int | None = None,
     seed: int = 42,
     round_to: int = 6,
+    where=None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH buckets.
 
@@ -206,7 +220,14 @@ def lsh_topk(
     exponentially in n_planes, amplification restores it while keeping
     the per-table candidate set at ~1/2^n_planes of the corpus. At
     100 TB the (table, bucket) pair is the shuffle key.
+
+    ``where``/``allowed`` filter the corpus BEFORE bucketing (shared
+    `_apply_corpus_filter` contract) — pre-filter semantics within the
+    LSH candidate set; a highly selective filter thins buckets, so
+    raise n_tables/lower n_planes or use brute_force_topk for
+    exactness (the standard filtered-ANN trade-off).
     """
+    corpus = _apply_corpus_filter(corpus, id_col, where, allowed)
     if dim is None:
         first = corpus.select(F.size(vec_col)).first()
         if first is None:  # empty corpus: empty result, not a crash —
@@ -1101,13 +1122,17 @@ def quantized_topk(
     id_col: str = "vec_id",
     codes_col: str = "codes",
     round_to: int = 6,
+    where=None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine over int8 codes: the per-vector scale cancels
     out of cosine, so the ranking needs ONLY the integer codes — dot
     products and squared norms are exact integer sums (order-independent
     in IEEE doubles below 2^53), making the scores bit-identical in any
-    engine. Same broadcast + TakeOrdered shape as ``brute_force_topk``.
+    engine. Same broadcast + TakeOrdered shape as ``brute_force_topk``,
+    including its ``where``/``allowed`` filtered-search contract.
     Returns (query_id, neighbor_id, rank, cosine_sim)."""
+    corpus_codes = _apply_corpus_filter(corpus_codes, id_col, where, allowed)
     dv = lambda col: F.transform(F.col(col), lambda c: c.cast("double"))
     q = query_codes.select(
         F.col(id_col).alias("query_id"), dv(codes_col).alias("qv")
@@ -1140,6 +1165,8 @@ def brute_force_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    where=None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Arrow/numpy fast path of :func:`brute_force_topk` — identical
     contract ((query_id, neighbor_id, rank, cosine_sim), self excluded,
@@ -1178,6 +1205,9 @@ def brute_force_topk_arrow(
     _empty = [("query_id", "id"), ("neighbor_id", "id"),
               ("rank", "int"), ("cosine_sim", "double")]
 
+    # same filtered-search contract as the JVM flavor: the gate lands
+    # before the Arrow scan, so filtered batches stream through matmul
+    corpus = _apply_corpus_filter(corpus, id_col, where, allowed)
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
         return _empty_result(corpus, id_col, _empty)

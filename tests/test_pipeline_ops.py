@@ -168,6 +168,20 @@ def test_filtered_topk_brute_and_ivf(embeddings):
         map(tuple, S.brute_force_topk(embeddings, queries, k=3, where="label % 2 = 0").collect())
     )
 
+    # uniform contract across the remaining flavors (shared
+    # _apply_corpus_filter): arrow agrees with the JVM flavor on
+    # ids/ranks under the same filter; lsh candidates stay inside the
+    # allowlist; quantized ranks only qualifying codes
+    arrow = S.brute_force_topk_arrow(embeddings, queries, k=3, where="label % 2 = 0")
+    assert sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in arrow.collect()) == sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in rows
+    )
+    lsh = S.lsh_topk(embeddings, queries, k=3, n_planes=2, allowed=allowed)
+    assert {r["neighbor_id"] for r in lsh.collect()} <= even_ids
+    codes = S.quantize_embeddings(embeddings)
+    qz = S.quantized_topk(codes, codes.filter("vec_id < 5"), k=3, where="vec_id % 2 = 0")
+    assert all(r["neighbor_id"] % 2 == 0 for r in qz.collect())
+
 
 def test_lsh_topk_reasonable_recall(embeddings):
     queries = embeddings.filter("vec_id < 20")
