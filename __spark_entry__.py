@@ -2185,6 +2185,53 @@ def curate_documents_q(spark, sf_dir):
 
 
 @_q(
+    "c4_clean_docs",
+    """WITH lined AS (
+         SELECT doc_id,
+                regexp_replace(text, '((\\S+\\s+){7}\\S+)\\s+',
+                               '\\1.' || chr(10), 'g') AS text
+         FROM documents
+       ), base AS (
+         SELECT doc_id, text,
+                list_filter(string_split(text, chr(10)), l ->
+                  regexp_matches(l, '[.!?"]\\s*$')
+                  AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                      w -> w <> '')) >= 5
+                  AND NOT contains(lower(l), 'javascript')) AS kept,
+                len(string_split(text, chr(10))) AS n_lines
+         FROM lined
+       )
+       SELECT doc_id,
+              array_to_string(kept, chr(10)) AS text,
+              len(kept)::INT AS n_lines_kept,
+              (n_lines - len(kept))::INT AS n_lines_removed
+       FROM base
+       WHERE len(kept) >= 3
+         AND NOT contains(lower(text), 'lorem ipsum')
+         AND NOT contains(text, '{')""",
+)
+def c4_clean_docs_q(spark, sf_dir):
+    """C4-rule cleaning (functions/text.py c4_clean — Raffel et al.
+    2020's published line/doc rules) hash-checked end to end. The
+    synthetic corpus is single-line/punctuation-free, so BOTH engines
+    first re-chunk each doc deterministically into 8-word lines with a
+    terminal period (one regexp_replace; the trailing partial line gets
+    no period, exercising the punctuation AND min-words drops), then
+    apply the rules: terminal-punct keep, >= 5 words, line blocklist,
+    >= 3 surviving lines. Every rule is a scan-stage expression — the
+    pytest pins zero Exchange/Generate in the plan."""
+    from pd_explain_spark import c4_clean
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((\S+\s+){7}\S+)\s+", "$1.\n"
+        ).alias("text"),
+    )
+    return c4_clean(docs, min_words_per_line=5, min_lines=3)
+
+
+@_q(
     "segment_dedup_docs",
     """WITH base AS (
          SELECT doc_id,

@@ -58,10 +58,10 @@ from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
 from .functions.bpe import bpe_encode, train_bpe
 from .functions.clustering import (cluster_balanced_sample, kmeans_assign,
                                    kmeans_cluster_stats, kmeans_fit)
-from .functions.text import (bigram_lm_scores, corpus_stats, curation_pipeline,
-                             hashed_embeddings, ingest_pipeline,
-                             repetition_signals, stream_corpus_stats,
-                             unigram_lm_scores)
+from .functions.text import (bigram_lm_scores, c4_clean, corpus_stats,
+                             curation_pipeline, hashed_embeddings,
+                             ingest_pipeline, repetition_signals,
+                             stream_corpus_stats, unigram_lm_scores)
 from .session import get_spark
 from .sources.readers import (load_table, read_csv, read_json, read_orc,
                               read_parquet, to_explainable)
@@ -105,6 +105,7 @@ __all__ = [
     "reference_histogram",
     "stream_drift_scores",
     "curation_pipeline",
+    "c4_clean",
     "ingest_pipeline",
     "repetition_signals",
     "ivf_build",

@@ -261,6 +261,64 @@ def curate_documents(
     )
 
 
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style line/document cleaning (Raffel et al. 2020, JMLR —
+    the published rules behind the C4 corpus, §2.2): keep only lines
+    that end in a terminal punctuation mark (. ! ? \") AND carry at
+    least ``min_words_per_line`` words AND contain none of
+    ``line_blocklist`` (case-insensitive); then drop the whole document
+    when fewer than ``min_lines`` lines survive or the RAW text
+    contains any of ``doc_blocklist`` (case-insensitive — C4 dropped
+    pages with "lorem ipsum" or a curly brace).
+
+    Scale shape: every rule is a stateless row expression — the line
+    split/filter/rejoin runs as array higher-order functions INSIDE the
+    scan stage, zero shuffles and no explode (exploding to one row per
+    line would shuffle every line of a 100 TB corpus just to reassemble
+    it). Returns (id_col, text_col cleaned, n_lines_kept,
+    n_lines_removed).
+    """
+    raw = F.col(text_col)
+    lines = F.split(raw, "\n")
+
+    def _n_words(l):
+        return F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
+
+    def _good(l):
+        cond = l.rlike('[.!?"]\\s*$') & (_n_words(l) >= min_words_per_line)
+        for term in line_blocklist:
+            cond = cond & ~F.lower(l).contains(term.lower())
+        return cond
+
+    kept = F.filter(lines, _good)
+    doc_ok = F.size(kept) >= min_lines
+    for term in doc_blocklist:
+        doc_ok = doc_ok & ~F.lower(raw).contains(term.lower())
+    return (
+        df.select(
+            F.col(id_col),
+            kept.alias("__kept"),
+            F.size(lines).alias("__n_lines"),
+            doc_ok.alias("__ok"),
+        )
+        .filter(F.col("__ok"))
+        .select(
+            id_col,
+            F.array_join("__kept", "\n").alias(text_col),
+            F.size("__kept").cast("int").alias("n_lines_kept"),
+            (F.col("__n_lines") - F.size("__kept")).cast("int").alias("n_lines_removed"),
+        )
+    )
+
+
 def curation_pipeline(
     df: DataFrame,
     text_col: str = "text",

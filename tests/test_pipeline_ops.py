@@ -1240,6 +1240,43 @@ def test_neardup_index_bucketed_parity_and_plan(spark, tmp_path):
     )
 
 
+def test_c4_clean_rules(spark):
+    """c4_clean (r8): each published C4 rule exercised on a planted doc —
+    terminal-punctuation line keep, min-words line drop, line blocklist,
+    doc blocklist (lorem ipsum / curly brace), min-surviving-lines doc
+    drop — and the plan stays scan-stage (no Exchange, no Generate)."""
+    from pd_explain_spark import c4_clean
+
+    good = "this line has five words."
+    rows = [
+        # doc 1: mixed lines — keeps only the qualifying ones
+        (1, "\n".join([
+            good,
+            "no terminal punctuation here at all",      # dropped: no . ! ? "
+            "short line.",                               # dropped: < 5 words
+            'a quoted line with enough words"',          # kept: quote terminal
+            "enable JavaScript to view this page.",      # dropped: blocklist
+            "another final line with plenty words!",     # kept
+        ])),
+        (2, "\n".join([good] * 2)),                      # dropped: < 3 kept lines
+        (3, "\n".join([good] * 3) + "\nlorem ipsum dolor sit amet."),  # doc blocklist
+        (4, "\n".join([good] * 3) + "\nvar x = { a: 1 }."),            # curly brace
+        (5, "\n".join([good] * 4)),                      # clean doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert set(out) == {1, 5}
+    assert out[1]["text"].split("\n") == [
+        good, 'a quoted line with enough words"',
+        "another final line with plenty words!",
+    ]
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_removed"]) == (3, 3)
+    assert out[5]["n_lines_kept"] == 4 and out[5]["n_lines_removed"] == 0
+
+    plan = c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
+
+
 def test_simhash_index_parity_reload_append_and_plan(spark, tmp_path):
     """SimHashIndex (r8) must (1) reproduce simhash_pairs_against
     exactly, (2) reload from disk into a fresh catalog, (3) grow
