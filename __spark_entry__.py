@@ -2185,6 +2185,65 @@ def curate_documents_q(spark, sf_dir):
 
 
 @_q(
+    "gopher_gates_docs",
+    """WITH w AS (
+         SELECT doc_id, text,
+                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words,
+                string_split(text, chr(10)) AS lines
+         FROM documents
+       ), sig AS (
+         SELECT doc_id,
+                len(words)::BIGINT AS n_words,
+                greatest(len(words), 1) AS nw,
+                coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS total_chars,
+                (len(text) - len(replace(text, '#', '')))
+                  + len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS n_symbols,
+                len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                greatest(len(lines), 1) AS n_lines,
+                len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])'))) AS n_bullet,
+                len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ellipsis,
+                (CASE WHEN regexp_matches(' ' || lower(text) || ' ', '\\sthe\\s') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(' ' || lower(text) || ' ', '\\sbe\\s') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(' ' || lower(text) || ' ', '\\sto\\s') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(' ' || lower(text) || ' ', '\\sof\\s') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(' ' || lower(text) || ' ', '\\sand\\s') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(' ' || lower(text) || ' ', '\\sthat\\s') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(' ' || lower(text) || ' ', '\\shave\\s') THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(' ' || lower(text) || ' ', '\\swith\\s') THEN 1 ELSE 0 END
+                ) AS n_stopwords
+         FROM w
+       ), rounded AS (
+         SELECT doc_id, n_words,
+                round(total_chars * 1.0 / nw, 4) AS mean_word_len,
+                round(n_symbols * 1.0 / nw, 4) AS symbol_ratio,
+                round(n_bullet * 1.0 / n_lines, 4) AS bullet_frac,
+                round(n_ellipsis * 1.0 / n_lines, 4) AS ellipsis_frac,
+                round(n_alpha * 1.0 / nw, 4) AS alpha_frac,
+                n_stopwords::INT AS n_stopwords
+         FROM sig
+       )
+       SELECT *,
+              (n_words BETWEEN 50 AND 100000
+               AND mean_word_len BETWEEN 3.0 AND 10.0
+               AND symbol_ratio <= 0.1
+               AND bullet_frac <= 0.9
+               AND ellipsis_frac <= 0.3
+               AND alpha_frac >= 0.8
+               AND n_stopwords >= 2) AS keep
+       FROM rounded""",
+)
+def gopher_gates_docs_q(spark, sf_dir):
+    """Gopher/MassiveWeb quality gates (functions/text.py gopher_gates —
+    Rae et al. 2021's published thresholds): the full per-doc signal
+    report plus the keep verdict, every ratio a single 4-decimal round
+    of exact integer counts so the whole filter hash-checks. One scan,
+    zero shuffles (plan pinned in the pytest)."""
+    from pd_explain_spark import gopher_gates
+
+    return gopher_gates(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "c4_clean_docs",
     """WITH lined AS (
          SELECT doc_id,

@@ -319,6 +319,86 @@ def c4_clean(
     )
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Table A1
+    — the MassiveWeb repetition-free filter set, the standard companion
+    to :func:`c4_clean`'s line rules): per-document signals plus a
+    ``keep`` verdict. Defaults are the paper's published thresholds —
+    50..100k words, mean word length 3..10, symbol(#/ellipsis)-to-word
+    ratio <= 0.1, <= 90% of lines bullet-led, <= 30% ellipsis-ended,
+    >= 80% of words containing an alphabetic character, and at least
+    two distinct common-English stopwords present.
+
+    Scale shape: every signal is a stateless expression over the text
+    column — one scan, zero shuffles (the repetition half of Gopher's
+    filters lives in :func:`repetition_signals`). Ratios round ONCE to
+    4 decimals from exact integer counts, so the whole report is
+    hash-portable. Returns (id_col, n_words, mean_word_len,
+    symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, n_stopwords,
+    keep)."""
+    raw = F.col(text_col)
+    words = F.filter(F.split(F.trim(raw), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1))
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = (
+        F.length(raw) - F.length(F.regexp_replace(raw, "#", ""))
+        + F.regexp_count(raw, F.lit(r"(\.\.\.|…)"))
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    lines = F.split(raw, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    lowered = F.concat(F.lit(" "), F.lower(raw), F.lit(" "))
+    n_stop = sum(
+        F.when(lowered.rlike(rf"\s{w}\s"), 1).otherwise(0)
+        for w in _GOPHER_STOPWORDS
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(total_chars / nw, 4).alias("mean_word_len"),
+        F.round(n_symbols / nw, 4).alias("symbol_ratio"),
+        F.round(n_bullet / n_lines, 4).alias("bullet_frac"),
+        F.round(n_ellipsis / n_lines, 4).alias("ellipsis_frac"),
+        F.round(n_alpha / nw, 4).alias("alpha_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn("keep", keep)
+
+
 def curation_pipeline(
     df: DataFrame,
     text_col: str = "text",

@@ -1277,6 +1277,37 @@ def test_c4_clean_rules(spark):
     assert "Exchange" not in plan and "Generate" not in plan
 
 
+def test_gopher_gates_rules(spark):
+    """gopher_gates (r8): each published Gopher/MassiveWeb threshold
+    exercised on a planted doc — word-count bounds, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
+    stopword presence — plus a scan-stage plan pin."""
+    from pd_explain_spark import gopher_gates
+
+    good = ("the quick brown fox and the lazy dog have fun with words "
+            "that be plenty of text to pass gates easily here ") * 5
+    rows = [
+        (1, good),                                       # passes everything
+        (2, "short doc with few words only"),            # < 50 words
+        (3, " ".join(["####"] * 60) + " the of and that have with be to"),  # symbols + mean len
+        (4, "\n".join(["- bullet line here"] * 10) + "\n" + good),  # >90% bullets
+        (5, " ".join(["12345"] * 80) + " the of and"),   # alpha_frac < 0.8
+        (6, " ".join([f"w{i}" for i in range(80)])),     # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_gates(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] < 50
+    assert out[3]["keep"] is False and out[3]["symbol_ratio"] > 0.1
+    assert out[4]["keep"] is False and out[4]["bullet_frac"] > 0.9
+    assert out[5]["keep"] is False and out[5]["alpha_frac"] < 0.8
+    assert out[6]["keep"] is False and out[6]["n_stopwords"] < 2
+    assert out[1]["n_stopwords"] >= 2 and 3.0 <= out[1]["mean_word_len"] <= 10.0
+
+    plan = gopher_gates(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
+
+
 def test_simhash_index_parity_reload_append_and_plan(spark, tmp_path):
     """SimHashIndex (r8) must (1) reproduce simhash_pairs_against
     exactly, (2) reload from disk into a fresh catalog, (3) grow
