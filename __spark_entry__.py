@@ -3878,6 +3878,71 @@ def lm_score_docs_q(spark, sf_dir):
 
 
 @_q(
+    "ccnet_buckets_docs",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                                   x -> x <> '')) AS tok
+         FROM documents
+       ), dt AS (
+         SELECT doc_id, tok, count(*)::BIGINT AS m FROM toks GROUP BY 1, 2
+       ), vocab_all AS (
+         SELECT tok, sum(m)::BIGINT AS c FROM dt GROUP BY 1
+       ), tot AS (
+         SELECT sum(c)::BIGINT AS n_total FROM vocab_all
+       ), vocab AS (
+         SELECT tok, c FROM vocab_all WHERE c >= 2
+       ), scored AS (
+         SELECT d.doc_id,
+                sum(d.m)::BIGINT AS n_tokens,
+                coalesce(sum(CASE WHEN v.tok IS NULL THEN d.m END), 0)::BIGINT AS n_oov,
+                round(ln((SELECT n_total FROM tot))
+                      - sum(CASE WHEN v.tok IS NOT NULL THEN d.m * ln(v.c) END)
+                        / sum(CASE WHEN v.tok IS NOT NULL THEN d.m END), 4) AS lm_score
+         FROM dt d LEFT JOIN vocab v USING (tok)
+         GROUP BY d.doc_id
+       ), allrows AS (
+         SELECT doc.doc_id, doc.lang,
+                coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+                coalesce(s.n_oov, 0)::BIGINT AS n_oov,
+                s.lm_score
+         FROM documents doc LEFT JOIN scored s USING (doc_id)
+       ), hist AS (
+         SELECT lang, lm_score, count(*)::BIGINT AS c
+         FROM allrows WHERE lm_score IS NOT NULL GROUP BY 1, 2
+       ), cum AS (
+         SELECT lang, lm_score,
+                sum(c) OVER (PARTITION BY lang ORDER BY lm_score
+                             ROWS UNBOUNDED PRECEDING) AS cm,
+                sum(c) OVER (PARTITION BY lang) AS n
+         FROM hist
+       ), cuts AS (
+         SELECT lang,
+                min(CASE WHEN cm >= (n + 2) // 3 THEN lm_score END) AS t1,
+                min(CASE WHEN cm >= (2 * n + 2) // 3 THEN lm_score END) AS t2
+         FROM cum GROUP BY 1
+       )
+       SELECT f.doc_id, f.lang, f.n_tokens, f.n_oov, f.lm_score,
+              CASE WHEN f.lm_score IS NULL THEN NULL
+                   WHEN f.lm_score <= c.t1 THEN 'head'
+                   WHEN f.lm_score <= c.t2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+       FROM allrows f LEFT JOIN cuts c USING (lang)""",
+)
+def ccnet_buckets_docs_q(spark, sf_dir):
+    """CCNet head/middle/tail perplexity mixing (functions/text.py
+    ccnet_buckets — Wenzek et al. 2020's bucketing stage on the unigram
+    proxy): per-LANGUAGE exact terciles of the surprisal scores. The
+    corpus is never sorted — cuts come from a per-(lang, quantized
+    score) histogram cumsum with integer-DIV tercile ranks, broadcast
+    back as an O(#langs) table; ties at a cut share its bucket, which
+    is what makes the split exact AND hash-portable."""
+    from pd_explain_spark import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"), min_count=2)
+
+
+@_q(
     "lm2_score_docs",
     """WITH toks AS (
          SELECT doc_id,

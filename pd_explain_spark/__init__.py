@@ -58,7 +58,7 @@ from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
 from .functions.bpe import bpe_encode, train_bpe
 from .functions.clustering import (cluster_balanced_sample, kmeans_assign,
                                    kmeans_cluster_stats, kmeans_fit)
-from .functions.text import (bigram_lm_scores, c4_clean, corpus_stats, gopher_gates,
+from .functions.text import (bigram_lm_scores, c4_clean, ccnet_buckets, corpus_stats, gopher_gates,
                              curation_pipeline, hashed_embeddings,
                              ingest_pipeline, repetition_signals,
                              stream_corpus_stats, unigram_lm_scores)
@@ -107,6 +107,7 @@ __all__ = [
     "curation_pipeline",
     "c4_clean",
     "gopher_gates",
+    "ccnet_buckets",
     "ingest_pipeline",
     "repetition_signals",
     "ivf_build",

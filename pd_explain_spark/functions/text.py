@@ -663,6 +663,75 @@ def unigram_lm_scores(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_count: int = 1,
+    round_to: int = 4,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document's mean token surprisal
+    under a reference unigram LM (:func:`unigram_lm_scores`), then
+    split each LANGUAGE into exact terciles — head = the most fluent
+    third (lowest surprisal), tail = the least. CCNet trains per-lang
+    KenLM models on Wikipedia and keeps head/middle for pretraining;
+    this is that mixing stage with the closed-form unigram proxy.
+
+    Exact deterministic thresholds at scale: the corpus is NEVER
+    sorted. Scores are already quantized (``round_to`` decimals), so a
+    per-(lang, score) histogram is bounded; the cumulative count runs
+    over the HISTOGRAM per language, and the tercile cut t_k is the
+    smallest score whose cumulative count reaches ceil(k*n/3) (integer
+    DIV arithmetic — engine-portable). Ties at a cut share its bucket,
+    so the split is exact, reproducible, and mirrorable. The O(#langs)
+    threshold table broadcasts back; the labeling pass is scan-stage.
+
+    Returns one row per input doc: (id_col, lang_col, n_tokens, n_oov,
+    lm_score, bucket) with bucket in head/middle/tail, NULL for docs
+    with no in-vocabulary tokens (no score — CCNet drops these).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_lm_scores(
+        df, reference, text_col, id_col, min_count, round_to
+    ).join(df.select(id_col, lang_col), id_col)
+    hist = (
+        scored.filter(F.col("lm_score").isNotNull())
+        .groupBy(lang_col, "lm_score")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy("lm_score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy(lang_col))
+    )
+    cuts = cum.groupBy(lang_col).agg(
+        F.min(
+            F.when(F.col("__cum") >= F.expr("(__n + 2) DIV 3"), F.col("lm_score"))
+        ).alias("__t1"),
+        F.min(
+            F.when(F.col("__cum") >= F.expr("(2 * __n + 2) DIV 3"), F.col("lm_score"))
+        ).alias("__t2"),
+    )
+    bucket = (
+        F.when(F.col("lm_score").isNull(), F.lit(None).cast("string"))
+        .when(F.col("lm_score") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("lm_score") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), lang_col, "left")
+        .withColumn("bucket", bucket)
+        .select(id_col, lang_col, "n_tokens", "n_oov", "lm_score", "bucket")
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     reference: DataFrame | None = None,

@@ -1277,6 +1277,50 @@ def test_c4_clean_rules(spark):
     assert "Exchange" not in plan and "Generate" not in plan
 
 
+def test_ccnet_buckets_exact_terciles(spark):
+    """ccnet_buckets (r8): per-language exact tercile split on the
+    surprisal scores — head gets the most reference-like docs; bucket
+    sizes are the integer-DIV terciles on distinct scores; zero-token
+    docs keep their row with a NULL bucket; a doc repeating the
+    reference's common words lands in head, gibberish in tail."""
+    from pd_explain_spark import ccnet_buckets
+
+    common = "the data table spark row value"
+    rows = []
+    for i in range(9):  # en: graded fluency — i common words, 9-i rare
+        txt = " ".join(common.split()[: max(1, min(6, 9 - i))] * (i + 1)) + " " + " ".join(
+            f"rare{i}x{j}" for j in range(i)
+        )
+        rows.append((i, txt, "en"))
+    rows.append((20, "zz1 zz2 zz3", "de"))
+    rows.append((21, "zz1 zz1 zz1 zz1", "de"))
+    rows.append((22, "zz2 zz9 zz9", "de"))
+    rows.append((30, "   ", "en"))  # zero tokens -> NULL bucket
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(docs).collect()}
+    assert out[30]["bucket"] is None and out[30]["n_tokens"] == 0
+
+    # per-lang bucket sizes follow the exact tercile ranks
+    from collections import Counter
+
+    en = Counter(out[i]["bucket"] for i in range(9))
+    assert en["head"] >= 3 and en["head"] + en["middle"] + en["tail"] == 9
+    de = Counter(out[i]["bucket"] for i in (20, 21, 22))
+    assert de["head"] == 1 and de["middle"] == 1 and de["tail"] == 1
+
+    # ordering property: every head score <= every middle <= every tail
+    for lang_ids in ([i for i in range(9)], [20, 21, 22]):
+        by = {}
+        for i in lang_ids:
+            by.setdefault(out[i]["bucket"], []).append(out[i]["lm_score"])
+        if {"head", "middle", "tail"} <= set(by):
+            assert max(by["head"]) <= min(by["middle"]) <= max(by["middle"]) <= min(by["tail"])
+
+    # determinism
+    again = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(docs).collect()}
+    assert again == {k: v["bucket"] for k, v in out.items()}
+
+
 def test_gopher_gates_rules(spark):
     """gopher_gates (r8): each published Gopher/MassiveWeb threshold
     exercised on a planted doc — word-count bounds, mean word length,
