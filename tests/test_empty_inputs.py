@@ -55,6 +55,10 @@ FLOW_THROUGH = [
     "rolling_hour_events",
     "simhash_against_corpus",
     "similarity_topk_filtered",
+    "gopher_gates_docs",
+    "c4_clean_docs",
+    "ccnet_buckets_docs",
+    "simhash_index_roundtrip",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError
