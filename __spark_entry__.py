@@ -6289,24 +6289,34 @@ _RECORD_FIRST = [
     "drift_scores_events",                             # streaming (r6)
     "multimodal_features_kernel",                      # multimodal (r7)
     "mini_language_query",                             # mini-language (r7)
+    # -- never-driver-checked: the seven r8-continuation entries
+    #    (each oracle-green locally via scripts/check_oracles.py)
+    "simhash_against_corpus", "simhash_index_roundtrip",   # dedup
+    "similarity_topk_filtered",                            # similarity
+    "cluster_sample_emb",                                  # clustering
+    "c4_clean_docs", "gopher_gates_docs",                  # text curation
+    "ccnet_buckets_docs",
     # -- re-checks: last green r05, family spread
     "query_string_filter",                             # relational
     "q4_priority_count",                               # TPC-H
     "fedex_filter_kernel",                             # explainer kernels
-    "shapley_kernel", "many_to_one_kernel",
+    "many_to_one_kernel",
     "minhash_near_dups_md5",                           # dedup
-    "near_dup_components",
-    "similarity_ivf_fixed",                            # similarity
-    "embedding_near_dups",
-    "token_counts",                                    # text
-    "cumsum_events",                                   # time-series
-    "redact_pii",                                      # training mix
     # (fedex_join_kernel, simhash_near_dups_md5, pack_sequences,
     #  repetition_signals, curation_pipeline, stratified_sample_lang and
     #  similarity_lsh_topk ceded their slots to the seven new r8 entries
-    #  — mix_pipeline_docs strictly contains curation_pipeline; every
-    #  family keeps in-window members; the seven displaced re-checks
-    #  join the r9 pool)
+    #  — mix_pipeline_docs strictly contains curation_pipeline; in the
+    #  continuation, seven MORE never-checked oracle entries took the
+    #  slots of the r05-green re-checks shapley_kernel,
+    #  near_dup_components, similarity_ivf_fixed, embedding_near_dups,
+    #  token_counts, cumsum_events and redact_pii (all have green r05
+    #  rows; every family keeps in-window members — dedup via
+    #  minhash_near_dups_md5 + the two simhash entries, similarity via
+    #  similarity_ivf_kmeans/similarity_topk_arrow/_filtered, text via
+    #  the three new curation entries, time-series via
+    #  shift_events/sliding_windows, training mix via
+    #  token_budget_mix/mix_pipeline_docs). All fourteen displaced
+    #  re-checks join the r9 pool)
 ]
 
 

@@ -58,6 +58,7 @@ def test_window_covers_every_operator_family():
             "dedup_exact", "ngram_jaccard", "minhash_near_dups",
             "minhash_near_dups_md5", "simhash_near_dups_md5", "near_dup_components",
             "near_dup_keep_longest", "dedup_against_corpus",
+            "simhash_against_corpus", "simhash_index_roundtrip",
         },
         "similarity": {
             "similarity_topk", "similarity_lsh_topk", "similarity_ivf_fixed",
@@ -66,12 +67,15 @@ def test_window_covers_every_operator_family():
             # ivf_build_fixed path
             "semantic_dedup_pairs", "semantic_dedup_survivors",
             "text_semantic_dedup_docs", "prototype_prune_emb",
+            "similarity_topk_filtered",
         },
         "text": {
             "text_profile", "token_counts", "repetition_signals",
-            "corpus_stats_by_lang",
+            "corpus_stats_by_lang", "c4_clean_docs", "gopher_gates_docs",
+            "ccnet_buckets_docs",
         },
-        "timeseries": {"rolling_hour_events", "cumsum_events", "asof_join_events"},
+        "timeseries": {"rolling_hour_events", "cumsum_events", "asof_join_events",
+                       "shift_events", "sliding_windows"},
         "streaming": {"windowed_events", "sessionize_events", "drift_scores_events"},
         "multimodal": {"multimodal_features", "multimodal_features_kernel"},
         "mini_language": {"mini_language_query"},
