@@ -58,7 +58,7 @@ from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
 from .functions.bpe import bpe_encode, train_bpe
 from .functions.clustering import (cluster_balanced_sample, kmeans_assign,
                                    kmeans_cluster_stats, kmeans_fit)
-from .functions.text import (bigram_lm_scores, c4_clean, ccnet_buckets, corpus_stats, gopher_gates,
+from .functions.text import (bigram_lm_scores, c4_clean, ccnet_buckets, ccnet_cuts, corpus_stats, gopher_gates,
                              curation_pipeline, hashed_embeddings,
                              ingest_pipeline, repetition_signals,
                              stream_corpus_stats, unigram_lm_scores)
@@ -108,6 +108,7 @@ __all__ = [
     "c4_clean",
     "gopher_gates",
     "ccnet_buckets",
+    "ccnet_cuts",
     "ingest_pipeline",
     "repetition_signals",
     "ivf_build",

@@ -663,6 +663,56 @@ def unigram_lm_scores(
     )
 
 
+def _cuts_from_scored(scored: DataFrame, lang_col: str) -> DataFrame:
+    """(lang, __t1, __t2) exact tercile cuts from a scored frame — the
+    per-(lang, quantized score) histogram cumsum with integer-DIV
+    ranks; shared by the in-corpus and fit-once flavors so thresholds
+    cannot drift between them."""
+    from pyspark.sql import Window
+
+    hist = (
+        scored.filter(F.col("lm_score").isNotNull())
+        .groupBy(lang_col, "lm_score")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy("lm_score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy(lang_col))
+    )
+    return cum.groupBy(lang_col).agg(
+        F.min(
+            F.when(F.col("__cum") >= F.expr("(__n + 2) DIV 3"), F.col("lm_score"))
+        ).alias("__t1"),
+        F.min(
+            F.when(F.col("__cum") >= F.expr("(2 * __n + 2) DIV 3"), F.col("lm_score"))
+        ).alias("__t2"),
+    )
+
+
+def ccnet_cuts(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_count: int = 1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Fit the per-language tercile threshold table (lang, __t1, __t2)
+    once on a corpus snapshot; pass it to ``ccnet_buckets(cuts=...)``
+    to label later batches with FIXED thresholds (stable bucket
+    membership across an ingest loop). O(#langs) rows — collect or
+    persist it like any model table."""
+    scored = unigram_lm_scores(
+        df, reference, text_col, id_col, min_count, round_to
+    ).join(df.select(id_col, lang_col), id_col)
+    return _cuts_from_scored(scored, lang_col)
+
+
 def ccnet_buckets(
     df: DataFrame,
     reference: DataFrame | None = None,
@@ -671,6 +721,7 @@ def ccnet_buckets(
     lang_col: str = "lang",
     min_count: int = 1,
     round_to: int = 4,
+    cuts: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
     arXiv:1911.00359): score every document's mean token surprisal
@@ -692,33 +743,18 @@ def ccnet_buckets(
     Returns one row per input doc: (id_col, lang_col, n_tokens, n_oov,
     lm_score, bucket) with bucket in head/middle/tail, NULL for docs
     with no in-vocabulary tokens (no score — CCNet drops these).
-    """
-    from pyspark.sql import Window
 
+    ``cuts=`` accepts a precomputed (lang, __t1, __t2) threshold table
+    from :func:`ccnet_cuts` — the fit-once/score-many shape (fit the
+    cuts on a corpus snapshot, label every subsequent batch with FIXED
+    thresholds so bucket membership is stable across batches, exactly
+    as CCNet labels shards against the Wikipedia-fitted model).
+    """
     scored = unigram_lm_scores(
         df, reference, text_col, id_col, min_count, round_to
     ).join(df.select(id_col, lang_col), id_col)
-    hist = (
-        scored.filter(F.col("lm_score").isNotNull())
-        .groupBy(lang_col, "lm_score")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    w = (
-        Window.partitionBy(lang_col)
-        .orderBy("lm_score")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
-        "__n", F.sum("__c").over(Window.partitionBy(lang_col))
-    )
-    cuts = cum.groupBy(lang_col).agg(
-        F.min(
-            F.when(F.col("__cum") >= F.expr("(__n + 2) DIV 3"), F.col("lm_score"))
-        ).alias("__t1"),
-        F.min(
-            F.when(F.col("__cum") >= F.expr("(2 * __n + 2) DIV 3"), F.col("lm_score"))
-        ).alias("__t2"),
-    )
+    if cuts is None:
+        cuts = _cuts_from_scored(scored, lang_col)
     bucket = (
         F.when(F.col("lm_score").isNull(), F.lit(None).cast("string"))
         .when(F.col("lm_score") <= F.col("__t1"), F.lit("head"))

@@ -1321,6 +1321,45 @@ def test_ccnet_buckets_exact_terciles(spark):
     assert again == {k: v["bucket"] for k, v in out.items()}
 
 
+def test_ccnet_cuts_fit_once_score_many(spark):
+    """ccnet_cuts + ccnet_buckets(cuts=): thresholds fitted on the
+    corpus snapshot stay FIXED when labeling a later batch — an
+    all-gibberish batch lands entirely in tail under the fitted cuts
+    (without cuts= the batch's own terciles would spread it), and a
+    clone of a head doc keeps its head label across batches."""
+    from pd_explain_spark import ccnet_buckets, ccnet_cuts
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cuts = ccnet_cuts(corpus)
+    base = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(corpus, cuts=cuts).collect()}
+    # in-corpus labeling with precomputed cuts == the one-shot flavor
+    one_shot = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(corpus).collect()}
+    assert base == one_shot
+
+    langs = {r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()}
+    head_id = next(i for i, b in base.items() if b == "head")
+    tail_id = next(i for i, b in base.items() if b == "tail" and langs[i] == langs[head_id])
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in corpus.filter(f"doc_id in ({head_id}, {tail_id})").collect()
+    }
+    batch = spark.createDataFrame(
+        [
+            (9001, texts[head_id], langs[head_id]),
+            (9002, texts[tail_id], langs[tail_id]),
+            (9003, " ".join(f"zzqx{i}" for i in range(40)), langs[head_id]),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    labeled = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_buckets(batch, reference=corpus, cuts=cuts).collect()
+    }
+    assert labeled[9001] == "head"   # clones keep their labels across batches
+    assert labeled[9002] == "tail"
+    assert labeled[9003] is None     # all-OOV: no score, CCNet-drop semantics
+
+
 def test_gopher_gates_rules(spark):
     """gopher_gates (r8): each published Gopher/MassiveWeb threshold
     exercised on a planted doc — word-count bounds, mean word length,

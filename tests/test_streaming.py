@@ -470,3 +470,39 @@ def test_drift_scores_null_values_have_no_bin(spark):
     assert all(n == 40 for _, n, _ in out1)
     # identical distributions across windows: zero total variation
     assert all(tv == 0.0 for _, _, tv in out1)
+
+
+def test_stream_curation_gates_match_batch(spark, tmp_path):
+    """The r8 curation rules are stateless row expressions, so they
+    compose with Structured Streaming unchanged: c4_clean and
+    gopher_gates applied to a doc stream produce exactly the batch
+    rows (the continuous-ingest shape — gate every micro-batch with
+    the same published rules)."""
+    import pyspark.sql.functions as F
+
+    from pd_explain_spark import c4_clean, gopher_gates
+
+    d = str(tmp_path / "docs_gate")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((\S+\s+){7}\S+)\s+", "$1.\n"
+        ).alias("text"),
+    )
+    docs.repartition(4).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+
+    for name, fn in [("c4gate", c4_clean), ("gophergate", gopher_gates)]:
+        q = (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.table(name).collect()))
+        want = sorted(map(tuple, fn(spark.read.parquet(d)).collect()))
+        assert got == want and len(want) > 0
