@@ -3509,6 +3509,71 @@ def assign_splits_q(spark, sf_dir):
 
 
 @_q(
+    "leakage_safe_splits_docs",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), sh AS (
+         SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3
+       ), inv AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh
+       ), pre AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ), pairs AS (
+         SELECT id_a, id_b
+         FROM pre
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON la.doc_id = id_a
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON lb.doc_id = id_b
+         WHERE round(inter / (la.n + lb.n - inter), 6) >= 0.2
+       ), edges AS (
+         SELECT id_a AS s, id_b AS t FROM pairs
+         UNION SELECT id_b, id_a FROM pairs
+       ), reach AS (
+         WITH RECURSIVE r(s, t) AS (
+           SELECT s, t FROM edges
+           UNION
+           SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s
+         ) SELECT * FROM r
+       ), comp AS (
+         SELECT s AS id, least(s, min(t))::BIGINT AS component
+         FROM reach GROUP BY s
+       ), rep AS (
+         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_rep
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       )
+       SELECT doc_id, split_rep,
+              CASE WHEN h < 980000 THEN 'train'
+                   WHEN h < 990000 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id, split_rep,
+                    ('0x' || substr(md5(split_rep::VARCHAR || '-42'), 1, 8))::BIGINT % 1000000 AS h
+             FROM rep)""",
+)
+def leakage_safe_splits_q(spark, sf_dir):
+    """Contamination-safe split assignment: near-dup connected components
+    (exact trigram Jaccard >= 0.2 — the near_dup_components pair list)
+    collapse to their min-id representative, and the 98/1/1 split hash
+    runs on the REPRESENTATIVE, so a duplicate cluster can never
+    straddle the train/test boundary. functions/mixing.py
+    leakage_safe_splits; oracle chains the components recursive CTE into
+    the assign_splits md5 arithmetic."""
+    from pd_explain_spark import leakage_safe_splits
+    from pd_explain_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return leakage_safe_splits(docs.select("doc_id"), pairs=pairs).select(
+        "doc_id", "split_rep", "split"
+    )
+
+
+@_q(
     "pack_sequences",
     """SELECT doc_id, n_tokens,
               CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
@@ -6439,8 +6504,11 @@ _RECORD_FIRST = [
     "web_curation_docs",   # flagship composition of the three + dedup
                            # (its slot from groupby_prod — groupby keeps
                            # ten in-window members)
+    "leakage_safe_splits_docs",  # contamination-safe splits (new this
+                                 # session; slot from query_string_filter
+                                 # — relational keeps filter/where/join
+                                 # members in-window)
     # -- re-checks: last green r05, family spread
-    "query_string_filter",                             # relational
     "q4_priority_count",                               # TPC-H
     "fedex_filter_kernel",                             # explainer kernels
     "many_to_one_kernel",

@@ -35,7 +35,8 @@ from .functions.dedup import (NearDupIndex, SimHashIndex, dedup_against, dedup_n
                               simhash_pairs_against)
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import (assign_splits, dsir_log_ratios, dsir_sample,
-                               dsir_weights, pack_sequences, redact_pii,
+                               dsir_weights, leakage_safe_splits,
+                               pack_sequences, redact_pii,
                                shuffle_assign, stratified_sample,
                                temperature_sample, token_budget_sample,
                                write_shards)
@@ -131,6 +132,7 @@ __all__ = [
     "prototype_prune",
     "pack_sequences",
     "assign_splits",
+    "leakage_safe_splits",
     "shuffle_assign",
     "write_shards",
     "corpus_stats",

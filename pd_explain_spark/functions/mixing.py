@@ -109,6 +109,55 @@ def assign_splits(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+    rep_col: str = "split_rep",
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """Train/val/test assignment where every near-duplicate CLUSTER lands
+    in one split: hash the duplicate-component representative (the min id
+    reachable through any chain of near-dup pairs) instead of the raw
+    document id.
+
+    Plain per-document hashing leaks: two near-copies of the same page
+    can straddle the train/test boundary, and the test half then scores
+    as memorized (the Lee et al. 2022 dedup paper's eval-contamination
+    finding). Routing the whole component to one side makes the split
+    boundary contamination-safe while keeping the assign_splits
+    stability guarantees — membership is a pure function of
+    (representative, seed), so adding unrelated documents never moves an
+    existing cluster.
+
+    ``pairs`` is a near-dup pair list (``id_a``/``id_b`` — any generator
+    in functions/dedup.py works); pass ``components`` instead to reuse an
+    already-computed (id, component) table. Scale shape: components only
+    contains documents that HAVE a near-duplicate — orders of magnitude
+    smaller than the corpus — so the join back is a broadcast hash join
+    and the split expression itself stays scan-stage; the corpus is
+    never shuffled.
+    """
+    from .dedup import duplicate_components
+
+    if components is None:
+        if pairs is None:
+            raise ValueError("leakage_safe_splits: pass pairs or components")
+        components = duplicate_components(pairs)
+    comp = components.select(
+        F.col("id").alias("__lsid"), F.col("component").alias("__lscomp")
+    )
+    out = (
+        df.join(F.broadcast(comp), df[id_col] == F.col("__lsid"), "left")
+        .withColumn(rep_col, F.coalesce(F.col("__lscomp"), F.col(id_col)))
+        .drop("__lsid", "__lscomp")
+    )
+    return assign_splits(out, weights=weights, id_col=rep_col, seed=seed, out_col=out_col)
+
+
 def _sample_key(id_col: str, seed: int) -> Column:
     """Deterministic per-row ordering key, identical on Spark and DuckDB:
     md5 of "<id>-<seed>" (both engines hash the same bytes to the same

@@ -35,7 +35,13 @@ def test_window_covers_every_operator_family():
     """One representative of each family must sit inside the window."""
     f = set(m._RECORD_FIRST)
     families = {
-        "relational": {"q3_shipping_priority", "topk_orders", "query_string_filter"},
+        "relational": {
+            "q3_shipping_priority", "topk_orders", "query_string_filter",
+            # filter/where/join re-checks are relational representatives
+            # too (query_string_filter ceded its r8 slot to
+            # leakage_safe_splits_docs)
+            "filter_compound", "filter_quantity", "where_mask", "join_inner",
+        },
         "groupby": {
             "groupby_count", "groupby_std", "groupby_sum", "groupby_mean",
             "groupby_max", "groupby_min", "groupby_prod", "groupby_sem",

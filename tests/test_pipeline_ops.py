@@ -817,6 +817,39 @@ def test_assign_splits_matches_oracle_and_is_stable(documents, duck):
     assert abs(train / n - 0.8) < 0.06
 
 
+def test_leakage_safe_splits_components_share_split(spark):
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark import assign_splits, leakage_safe_splits
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
+    # chain 1-2-3 (never emitted as (1,3)), cluster 5-6, singleton 4
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    out = leakage_safe_splits(
+        docs, pairs=pairs, weights={"train": 0.5, "test": 0.5}, seed=7
+    )
+    rows = {r["doc_id"]: (r["split_rep"], r["split"]) for r in out.collect()}
+    # whole component -> one representative -> one split, even across
+    # the transitive chain
+    assert rows[1] == rows[2] == rows[3] and rows[1][0] == 1
+    assert rows[5] == rows[6] and rows[5][0] == 5
+    # singletons keep the plain assign_splits behavior exactly
+    solo = assign_splits(
+        docs.filter("doc_id = 4"), {"train": 0.5, "test": 0.5}, seed=7
+    ).first()
+    assert rows[4] == (4, solo["split"])
+    # split is a function of the representative's hash, not the member's
+    rep_split = assign_splits(
+        spark.createDataFrame([(1,), (5,)], "doc_id bigint"),
+        {"train": 0.5, "test": 0.5},
+        seed=7,
+    ).collect()
+    expect = {r["doc_id"]: r["split"] for r in rep_split}
+    assert rows[2][1] == expect[1] and rows[6][1] == expect[5]
+
+
 def test_shuffle_assign_is_total_deterministic_order(documents):
     from pyspark.sql import functions as F
 
