@@ -2635,6 +2635,54 @@ def novelty_scores_docs_q(spark, sf_dir):
 
 
 @_q(
+    "cms_heavy_grams_docs",
+    """WITH toks AS (
+         SELECT list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), occ AS (
+         SELECT unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS gram
+         FROM toks WHERE len(t) >= 2
+       ), depths AS (
+         SELECT unnest(range(3)) AS d
+       ), sk AS (
+         SELECT d, ('0x' || substr(md5(gram || '-' || d::VARCHAR), 1, 15))::BIGINT % 512 AS bucket,
+                count(*)::BIGINT AS c
+         FROM occ CROSS JOIN depths GROUP BY 1, 2
+       ), est AS (
+         SELECT dg.gram, min(sk.c)::BIGINT AS est_count
+         FROM (SELECT DISTINCT gram FROM occ) dg
+         CROSS JOIN depths dd
+         JOIN sk ON sk.d = dd.d
+               AND sk.bucket = ('0x' || substr(md5(dg.gram || '-' || dd.d::VARCHAR), 1, 15))::BIGINT % 512
+         GROUP BY 1
+       ), cand AS (
+         SELECT gram, est_count FROM est WHERE est_count >= 30
+       ), exact AS (
+         SELECT occ.gram, count(*)::BIGINT AS exact_count
+         FROM occ JOIN cand USING (gram) GROUP BY 1
+       )
+       SELECT cand.gram, cand.est_count, exact.exact_count
+       FROM cand JOIN exact USING (gram)
+       WHERE exact.exact_count >= 30""",
+)
+def cms_heavy_grams_docs_q(spark, sf_dir):
+    """Count-min-sketch heavy hitters over word bigrams: the EXACT set
+    of grams occurring >= 30 times, found with a fixed 512x3 counter
+    table (shuffle bounded by the sketch, not the gram cardinality),
+    broadcast-join probes, and an exact re-verify of the surviving
+    candidates only (functions/sketches.py cms_heavy_grams). CMS never
+    undercounts, so the sketch bounds the WORK while the answer stays
+    exact — the at-scale replacement for a full gram groupBy when
+    hunting boilerplate."""
+    from pd_explain_spark.functions.sketches import cms_heavy_grams
+
+    return cms_heavy_grams(
+        _t(spark, sf_dir, "documents"), min_count=30, n=2, width=512, depth=3
+    )
+
+
+@_q(
     "decontaminate_docs",
     _CONTAM_GRAMS_CTE
     + """
@@ -6508,8 +6556,10 @@ _RECORD_FIRST = [
                                  # session; slot from query_string_filter
                                  # — relational keeps filter/where/join
                                  # members in-window)
+    "cms_heavy_grams_docs",  # CMS heavy hitters (new this session; slot
+                             # from q4_priority_count — TPC-H keeps
+                             # q5/q6 in-window)
     # -- re-checks: last green r05, family spread
-    "q4_priority_count",                               # TPC-H
     "fedex_filter_kernel",                             # explainer kernels
     "many_to_one_kernel",
     "minhash_near_dups_md5",                           # dedup

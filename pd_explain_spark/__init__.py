@@ -44,6 +44,7 @@ from .functions.classifier import (QualityModel, score_quality,
                                    train_quality_classifier)
 from .functions.contamination import (contamination_pairs, decontaminate,
                                       novelty_scores)
+from .functions.sketches import cms_build, cms_heavy_grams
 from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
                                   tf_idf, top_terms_per_doc)
 from .functions.segments import (chunk_documents, segment_dedup,
@@ -163,6 +164,8 @@ __all__ = [
     "dsir_weights",
     "dsir_sample",
     "novelty_scores",
+    "cms_build",
+    "cms_heavy_grams",
     "brute_force_topk_arrow",
     "train_quality_classifier",
     "score_quality",

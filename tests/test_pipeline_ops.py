@@ -2015,6 +2015,38 @@ def test_simhash_pairs_against_planted_and_batch_parity(spark):
     assert survivors == {101}
 
 
+def test_cms_heavy_grams_exact_despite_collisions(spark):
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark import cms_build, cms_heavy_grams
+
+    # planted counts: "a b" x5 (doc 1), "c d" x3 (doc 2), 8 singleton
+    # bigrams (doc 3 is one long distinct chain)
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["a b"] * 5)),
+            (2, "c d c d c d"),
+            (3, "e f g h i j k l m"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # width=2 forces heavy hash collisions: estimates inflate, the
+    # exact re-verify must still return exactly the true heavy set
+    out = cms_heavy_grams(docs, min_count=3, n=2, width=2, depth=2)
+    rows = {r["gram"]: (r["est_count"], r["exact_count"]) for r in out.collect()}
+    # true counts: "a b"=5, "b a"=4, "c d"=3, "d c"=2, chain grams =1
+    assert set(rows) == {"a b", "b a", "c d"}
+    assert rows["a b"][1] == 5 and rows["b a"][1] == 4 and rows["c d"][1] == 3
+    # CMS never undercounts
+    assert all(est >= exact for est, exact in rows.values())
+    # sketch is bounded: at most width*depth non-empty cells
+    assert cms_build(docs, n=2, width=2, depth=2).count() <= 4
+    # fit-once / probe-many: a caller-supplied sketch reproduces the result
+    sk = cms_build(docs, n=2, width=2, depth=2)
+    again = cms_heavy_grams(docs, min_count=3, n=2, width=2, depth=2, sketch=sk)
+    assert {r["gram"] for r in again.collect()} == set(rows)
+
+
 def test_dsir_weights_prefer_target_like_docs(spark):
     """DSIR (r7): docs sharing the target corpus's vocabulary must score
     higher log-weights than off-distribution docs; resampling pulls the
