@@ -4808,6 +4808,80 @@ def similarity_ivf_fixed(spark, sf_dir):
     return ivf_query(index, emb.filter("vec_id < 10"), k=5, n_probe=4, round_to=4)
 
 
+@_q(
+    "similarity_pq_topk",
+    """WITH cast_emb AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       ), hashed AS (
+         SELECT vec_id, emb,
+                ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+         FROM cast_emb
+       ), seeds AS (
+         SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS code,
+                emb
+         FROM hashed ORDER BY h, vec_id LIMIT 16
+       ), subs AS (
+         SELECT unnest(range(4))::INT AS sub
+       ), cb AS (
+         SELECT s.sub, seeds.code,
+                seeds.emb[s.sub * 16 + 1 : s.sub * 16 + 16] AS cent
+         FROM seeds CROSS JOIN subs s
+       ), encpre AS (
+         SELECT e.vec_id AS id, c.sub, c.code, c.cent,
+                e.emb[c.sub * 16 + 1 : c.sub * 16 + 16] AS sv
+         FROM cast_emb e CROSS JOIN cb c
+       ), enc AS (
+         SELECT id, sub, code FROM (
+           SELECT id, sub, code,
+                  row_number() OVER (
+                    PARTITION BY id, sub
+                    ORDER BY list_dot_product(sv, sv)
+                             - 2 * list_dot_product(sv, cent)
+                             + list_dot_product(cent, cent),
+                             code
+                  ) AS r
+           FROM encpre) WHERE r = 1
+       ), lutpre AS (
+         SELECT q.vec_id AS query_id, c.sub, c.code, c.cent,
+                q.emb[c.sub * 16 + 1 : c.sub * 16 + 16] AS qs
+         FROM cast_emb q CROSS JOIN cb c
+         WHERE q.vec_id < 10
+       ), lut AS (
+         SELECT query_id, sub, code,
+                CAST(round((list_dot_product(qs, qs)
+                            - 2 * list_dot_product(qs, cent)
+                            + list_dot_product(cent, cent)) * 1000000) AS BIGINT) AS d_int
+         FROM lutpre
+       ), scored AS (
+         SELECT l.query_id, e.id AS neighbor_id, sum(l.d_int)::BIGINT AS adc_int
+         FROM enc e JOIN lut l USING (sub, code)
+         WHERE e.id <> l.query_id
+         GROUP BY 1, 2
+       ), ranked AS (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_int, neighbor_id) AS rank,
+                round(adc_int / 1000000.0, 6) AS adc_dist
+         FROM scored
+       )
+       SELECT query_id, neighbor_id, rank::INT AS rank, adc_dist
+       FROM ranked WHERE rank <= 5""",
+)
+def similarity_pq_topk_q(spark, sf_dir):
+    """Product-quantization ANN (functions/similarity.py pq_build_fixed
+    / pq_encode / pq_topk): md5-seeded per-subspace codebooks, lossless
+    row-form encoding pass, and asymmetric-distance top-5 over the
+    compressed code table — the 100 TB storage/scan path where the
+    float corpus is replaced by m-byte codes. Per-sub lookup cells are
+    fixed-point integers so the ADC sums are order-independent and the
+    whole pipeline (seed pick, argmin encode, LUT, ranking) hash-checks
+    against the DuckDB mirror."""
+    from pd_explain_spark.functions.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter("vec_id < 10"), k=5, m=4, n_codes=16)
+
+
 def _kmeans_cte(k: int = 4, n_iter: int = 2, scale: int = 1_000_000) -> str:
     """DuckDB mirror of the ENTIRE Lloyd loop (functions/clustering.py
     kmeans_fit), unrolled to ``n_iter`` CTE stages: md5-order seed pick
@@ -6562,7 +6636,9 @@ _RECORD_FIRST = [
     # -- re-checks: last green r05, family spread
     "fedex_filter_kernel",                             # explainer kernels
     "many_to_one_kernel",
-    "minhash_near_dups_md5",                           # dedup
+    "similarity_pq_topk",  # product-quantization ANN (new this session;
+                           # slot from minhash_near_dups_md5 — dedup
+                           # keeps the two simhash entries in-window)
     # (fedex_join_kernel, simhash_near_dups_md5, pack_sequences,
     #  repetition_signals, curation_pipeline, stratified_sample_lang and
     #  similarity_lsh_topk ceded their slots to the seven new r8 entries

@@ -56,7 +56,8 @@ from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
                                    semantic_dedup_against,
                                    semantic_dedup_pairs,
                                    semantic_dedup_pairs_against,
-                                   prototype_prune, prototype_scores)
+                                   prototype_prune, prototype_scores,
+                                   pq_build_fixed, pq_encode, pq_topk)
 from .functions.bpe import bpe_encode, train_bpe
 from .functions.clustering import (cluster_balanced_sample, kmeans_assign,
                                    kmeans_cluster_stats, kmeans_fit)
@@ -167,6 +168,9 @@ __all__ = [
     "cms_build",
     "cms_heavy_grams",
     "brute_force_topk_arrow",
+    "pq_build_fixed",
+    "pq_encode",
+    "pq_topk",
     "train_quality_classifier",
     "score_quality",
     "QualityModel",

@@ -1297,3 +1297,182 @@ def brute_force_topk_arrow(
             F.round("sim", round_to).alias("cosine_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------- product quantization
+def pq_build_fixed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Deterministic product-quantization codebook (Jégou et al. 2011):
+    split the embedding space into ``m`` equal sub-spaces and give each
+    an ``n_codes``-entry codebook. Returns (sub, code, cent) with cent
+    an ``dim/m``-long array<double>.
+
+    Like ``ivf_build_fixed``, the "training" is a closed-form seed pick
+    instead of per-subspace KMeans: the ``n_codes`` corpus vectors with
+    the smallest portable md5 hash of their id donate their s-th
+    sub-vector to sub-space s's codebook (codes numbered in hash order).
+    Quantization quality is seed-init grade — fine for candidate
+    scoring, weaker than fitted KMeans — and in exchange the codebook,
+    every encoding, and every ADC ranking reproduce bit-for-bit in the
+    DuckDB oracle. ``dim`` must be divisible by ``m``.
+
+    Scale shape: one bounded id-only TakeOrdered for the seed ids, one
+    pruned scan for the seed vectors (the ivf_build_fixed recipe —
+    the lazy alternative re-runs any computed-vector subtree per use);
+    the codebook itself is m*n_codes rows, always broadcastable.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    h = md5_int(F.md5(F.col("id").cast("string")))
+    seed_ids = [
+        r["id"]
+        for r in c.select("id").withColumn("__h", h).orderBy("__h", "id").limit(n_codes).collect()
+    ]
+    rows = c.filter(F.col("id").isin(seed_ids)).collect() if seed_ids else []
+    by_id = {r["id"]: r["v"] for r in rows if r["v"] is not None}
+    ordered = [by_id[i] for i in seed_ids if i in by_id]
+    if not ordered:
+        raise ValueError("pq_build_fixed: corpus has no non-null vectors")
+    dim = len(ordered[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_build_fixed: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    spark = corpus.sparkSession
+    data = [
+        (s, code, list(vec[s * d_sub : (s + 1) * d_sub]))
+        for s in range(m)
+        for code, vec in enumerate(ordered)
+    ]
+    # identity limit = the repo's audit idiom for driver-literal frames:
+    # it plants a GlobalLimit so scale_audit can PROVE the broadcast
+    # build side is bounded (see the _BOUNDED_OPS note in plans/audit.py)
+    return spark.createDataFrame(
+        data, "sub int, code int, cent array<double>"
+    ).limit(len(data))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte-ish codes: per sub-space,
+    the codebook entry with the smallest L2 distance to the vector's
+    sub-vector (ties on the lower code). Returns the row-form code
+    table (id, sub, code) — the shape ADC scoring joins on, and 4-16x
+    smaller than the float corpus, which is the PQ storage win at
+    100 TB.
+
+    One corpus pass against the broadcast codebook (a bounded
+    m*n_codes build side — the ivf assignment shape) with a per
+    (vector, sub) argmin window; distances use the dot-product identity
+    so both engines rank on bitwise-identical doubles."""
+    cb = F.broadcast(codebook)
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull())
+    j = c.crossJoin(cb).withColumn(
+        "sv", F.slice(F.col("v"), F.col("sub") * F.size("cent") + F.lit(1), F.size("cent"))
+    )
+    dist = _dot(F.col("sv"), F.col("sv")) - 2 * _dot(F.col("sv"), F.col("cent")) + _dot(
+        F.col("cent"), F.col("cent")
+    )
+    w = Window.partitionBy("id", "sub").orderBy(F.col("__d").asc(), F.col("code").asc())
+    return (
+        j.withColumn("__d", dist)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("id", "sub", "code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: queries stay exact,
+    corpus vectors are looked up through their codes — the scan touches
+    the compressed code table, never the float corpus. Returns
+    (query_id, neighbor_id, rank, adc_dist) with adc_dist the ADC L2^2
+    estimate rounded to 6dp, self-matches excluded.
+
+    Distance bookkeeping is fixed-point: each per-sub lookup-table cell
+    is rounded to ``1/scale`` and summed as an INTEGER, so the
+    per-neighbor total is independent of Spark's partial-aggregation
+    order and reproduces exactly in SQL (the integer-cents recipe used
+    by every revenue oracle). The quantization error this adds
+    (<= m/scale) is far below PQ's own approximation error.
+
+    Scale shape: the lookup table is n_queries * m * n_codes rows
+    (broadcast — queries are a bounded probe batch), the ADC join is
+    one pass over the code table with map-combining partial sums keyed
+    (query, neighbor), and ranking is a bounded per-query window. At
+    corpus scale PQ composes with IVF bucketing (probe a few buckets,
+    ADC-score inside) — this function is the in-bucket scorer run
+    corpus-wide, the honest baseline flavor.
+    """
+    if codebook is None:
+        codebook = pq_build_fixed(corpus, id_col, vec_col, m, n_codes)
+    if codes is None:
+        codes = pq_encode(corpus, codebook, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).filter(F.col("qv").isNotNull())
+    lut = (
+        q.crossJoin(F.broadcast(codebook))
+        .withColumn(
+            "qs",
+            F.slice(F.col("qv"), F.col("sub") * F.size("cent") + F.lit(1), F.size("cent")),
+        )
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.round(
+                (
+                    _dot(F.col("qs"), F.col("qs"))
+                    - 2 * _dot(F.col("qs"), F.col("cent"))
+                    + _dot(F.col("cent"), F.col("cent"))
+                )
+                * F.lit(float(scale))
+            )
+            .cast("bigint")
+            .alias("d_int"),
+        )
+    )
+    scored = (
+        codes.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_int").alias("adc_int"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_int").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("adc_int") / F.lit(float(scale)), 6).alias("adc_dist"),
+        )
+    )

@@ -84,6 +84,29 @@ def _is_bounded(line: str) -> bool:
     return any(op in line for op in _BOUNDED_OPS)
 
 
+# A physical line STARTS a tree node iff it is indent (spaces/branch
+# colons) followed by a branch marker or a root/codegen node name.
+_NODE_RE = re.compile(r"^[ :]*(\+-|:-|[A-Za-z*!])")
+
+
+def _tree_lines(text: str) -> list[str]:
+    """splitlines() that survives literal newlines INSIDE expression
+    arguments. A plan that embeds chr(10) in an expression (e.g. a
+    regexp_replace replacement text, or split-on-newline) renders that
+    newline verbatim, so the node's text wraps and naive line splitting
+    yields continuation fragments with garbage indent — observed to hide
+    the build side of a BroadcastNestedLoopJoin behind a wrapped ccnet
+    expression, flipping a bounded-build join to a fatal finding. Glue
+    every non-node-looking line back onto its predecessor."""
+    out: list[str] = []
+    for ln in text.splitlines():
+        if out and not _NODE_RE.match(ln):
+            out[-1] += " " + ln
+        else:
+            out.append(ln)
+    return out
+
+
 def _direct_children(lines: list[str], i: int) -> list[int]:
     """Absolute indices of the direct children of the node at lines[i]
     (Spark's tree renderer indents direct children exactly 3 columns
@@ -169,7 +192,7 @@ def scale_audit(df: DataFrame) -> list[Finding]:
     severity for genuine global sorts and keyless joins."""
     final, _ = _plan_strings(df)
     findings: list[Finding] = []
-    lines = final.splitlines()
+    lines = _tree_lines(final)
 
     sp_fatal = sp_scalar = 0
     for i, line in enumerate(lines):

@@ -2015,6 +2015,44 @@ def test_simhash_pairs_against_planted_and_batch_parity(spark):
     assert survivors == {101}
 
 
+def test_pq_adc_exact_when_corpus_is_its_own_codebook(spark):
+    import itertools
+
+    from pd_explain_spark import pq_build_fixed, pq_encode, pq_topk
+
+    # n_codes = corpus size: every vector donates its sub-vectors to the
+    # codebook, so encoding is lossless and ADC == the true L2^2
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    cb = pq_build_fixed(df, m=2, n_codes=4)
+    assert cb.count() == 8  # m * n_codes
+    codes = pq_encode(df, cb)
+    # row-form code table: m rows per vector
+    assert codes.count() == 8
+    out = pq_topk(df, df, k=3, m=2, n_codes=4)
+    got = {(r["query_id"], r["neighbor_id"]): r["adc_dist"] for r in out.collect()}
+    expect = {
+        (qi, ni): sum((x - y) ** 2 for x, y in zip(qv, nv))
+        for (qi, qv), (ni, nv) in itertools.product(vecs, vecs)
+        if qi != ni
+    }
+    assert set(got) == set(expect)
+    assert all(abs(expect[k] - v) < 1e-6 for k, v in got.items())
+    # fit-once reuse: a supplied codebook + code table reproduce the run
+    again = pq_topk(df, df, k=3, m=2, n_codes=4, codebook=cb, codes=codes)
+    assert {(r["query_id"], r["neighbor_id"]) for r in again.collect()} == set(got)
+    # dim not divisible by m is a loud contract error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_build_fixed(df, m=3, n_codes=4)
+
+
 def test_cms_heavy_grams_exact_despite_collisions(spark):
     from pyspark.sql import functions as F
 

@@ -532,3 +532,30 @@ def test_dsir_threshold_topk_orders_only_the_tie_set(spark):
     assert all(l < k // 10 for l in limits), (limits, plan)  # ...and tiny
     assert out.count() == k  # and still exactly k rows
     spark.catalog.clearCache()
+
+
+def test_tree_lines_glues_wrapped_expression_newlines():
+    """A chr(10) literal inside an expression wraps the plan text; the
+    continuation fragment must be glued back or the indent parser loses
+    the node's later siblings (the web_curation_docs NLJ false-fatal)."""
+    from pd_explain_spark.plans.audit import _tree_lines
+
+    text = (
+        "AdaptiveSparkPlan isFinalPlan=true\n"
+        "+- BroadcastNestedLoopJoin BuildRight, Cross\n"
+        "   :- Project [regexp_replace(text#1, (x), $1.\n"
+        ", 1) AS text#2]\n"
+        "   :  +- Scan parquet [text#1]\n"
+        "   +- BroadcastExchange IdentityBroadcastMode\n"
+        "      +- HashAggregate(keys=[], functions=[count(1)])\n"
+    )
+    lines = _tree_lines(text)
+    assert sum(", 1) AS text#2]" in ln for ln in lines) == 1
+    assert any(ln.lstrip(" :+-").startswith("Project") and ", 1) AS" in ln for ln in lines)
+    # the build side is still discoverable as a direct child
+    from pd_explain_spark.plans.audit import _build_child, _bounded_node
+
+    i = next(j for j, ln in enumerate(lines) if "NestedLoopJoin" in ln)
+    bi = _build_child(lines, i)
+    assert bi is not None and "BroadcastExchange" in lines[bi]
+    assert _bounded_node(lines, bi)
