@@ -5393,6 +5393,44 @@ def embedding_near_dups_exact_q(spark, sf_dir):
     )
 
 
+def _random_projection_oracle_sql(out_dim=16, dim=64, seed=42) -> str:
+    """DuckDB mirror of the JL random projection: the seeded Gaussian
+    directions are pure Python (similarity._hyperplanes), inlined as
+    repr'd constants — list_dot_product then one shared scale multiply
+    reproduces the Spark fold bitwise; single 6-decimal round."""
+    import math as _math
+
+    from pd_explain_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, out_dim, seed)
+    scale = repr(1.0 / _math.sqrt(out_dim))
+    comps = ", ".join(
+        f"list_dot_product(v, [{', '.join(repr(float(x)) for x in p)}]) * {scale}"
+        for p in planes
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       proj AS (SELECT vec_id, [{comps}] AS y FROM e)
+       SELECT vec_id, CAST(p.j AS INT) AS pos, round(y[p.j + 1], 6) AS val
+       FROM proj, range(0, {out_dim}) p(j)"""
+
+
+@_q("random_projection_emb", _random_projection_oracle_sql())
+def random_projection_emb_q(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims
+    (functions/similarity.py random_projection): seeded Gaussian
+    directions inlined as codegen constants, pure scan-stage — the
+    bandwidth cut in front of the ANN stack at 100 TB. Posexploded to
+    (vec_id, pos, val) scalar rows for driver canonicalization (the
+    hashed_embeddings_docs lesson)."""
+    from pd_explain_spark import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, out_dim=16)
+    return out.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.round("val", 6).alias("val"))
+
+
 def _embedding_near_dups_oracle_sql(
     threshold=0.45, n_planes=4, n_tables=32, dim=64, seed=42
 ) -> str:
@@ -6635,7 +6673,9 @@ _RECORD_FIRST = [
                              # q5/q6 in-window)
     # -- re-checks: last green r05, family spread
     "fedex_filter_kernel",                             # explainer kernels
-    "many_to_one_kernel",
+    "random_projection_emb",  # JL projection (new this session; slot
+                              # from many_to_one_kernel — kernels keep
+                              # fedex_filter_kernel in-window)
     "similarity_pq_topk",  # product-quantization ANN (new this session;
                            # slot from minhash_near_dups_md5 — dedup
                            # keeps the two simhash entries in-window)

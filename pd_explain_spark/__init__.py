@@ -57,7 +57,8 @@ from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
                                    semantic_dedup_pairs,
                                    semantic_dedup_pairs_against,
                                    prototype_prune, prototype_scores,
-                                   pq_build_fixed, pq_encode, pq_topk)
+                                   pq_build_fixed, pq_encode, pq_topk,
+                                   random_projection)
 from .functions.bpe import bpe_encode, train_bpe
 from .functions.clustering import (cluster_balanced_sample, kmeans_assign,
                                    kmeans_cluster_stats, kmeans_fit)
@@ -171,6 +172,7 @@ __all__ = [
     "pq_build_fixed",
     "pq_encode",
     "pq_topk",
+    "random_projection",
     "train_quality_classifier",
     "score_quality",
     "QualityModel",

@@ -2015,6 +2015,50 @@ def test_simhash_pairs_against_planted_and_batch_parity(spark):
     assert survivors == {101}
 
 
+def test_random_projection_preserves_distances_roughly(spark, sf_dir):
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id < 40")
+    out = random_projection(emb, out_dim=32, out_col="proj")
+    rows = {
+        r["vec_id"]: (r["embedding"], r["proj"])
+        for r in out.select("vec_id", "embedding", "proj").collect()
+    }
+    assert all(len(p) == 32 for _, p in rows.values())
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = []
+    ids = sorted(rows)[:15]
+    for a, b in itertools.combinations(ids, 2):
+        d_hi = l2(rows[a][0], rows[b][0])
+        d_lo = l2(rows[a][1], rows[b][1])
+        if d_hi > 0:
+            ratios.append(d_lo / d_hi)
+    # JL at out_dim=32: distances preserved within a loose band, and
+    # unbiased on average
+    assert 0.8 < sum(ratios) / len(ratios) < 1.2
+    assert all(0.4 < r < 1.9 for r in ratios), sorted(ratios)[:3]
+    # deterministic under the seed; NULL vectors stay NULL
+    again = random_projection(emb, out_dim=32, out_col="proj")
+    assert again.select("vec_id", "proj").exceptAll(
+        out.select("vec_id", "proj")
+    ).count() == 0
+    withnull = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    nulled = random_projection(withnull, out_dim=8)
+    assert nulled.filter("vec_id = 0").first()["embedding"] is None
+    assert nulled.filter("vec_id = 1").first()["embedding"] is not None
+
+
 def test_pq_adc_exact_when_corpus_is_its_own_codebook(spark):
     import itertools
 
