@@ -59,6 +59,11 @@ FLOW_THROUGH = [
     "c4_clean_docs",
     "ccnet_buckets_docs",
     "simhash_index_roundtrip",
+    # r8 session additions
+    "web_curation_docs",
+    "leakage_safe_splits_docs",
+    "cms_heavy_grams_docs",
+    "random_projection_emb",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError
@@ -69,6 +74,8 @@ CLEAR_ERROR = [
     "outlier_explain_text",
     "similarity_ivf_topk",
     "cluster_sample_emb",
+    # PQ needs a non-empty corpus to donate codebook sub-vectors
+    "similarity_pq_topk",
 ]
 
 
