@@ -428,6 +428,10 @@ AUDIT_NLJ_ALLOWED = {
     "embedding_near_dups_exact": "exact all-pairs verify twin of the "
                                  "LSH near-dup path (oracle, not "
                                  "production)",
+    "projected_topk_emb": "exact cosine in the JL-reduced space — the "
+                          "same deliberate brute-force baseline class, "
+                          "demonstrating the projection composition "
+                          "(scale path: project then LSH/IVF)",
 }
 
 
