@@ -472,7 +472,7 @@ def test_drift_scores_null_values_have_no_bin(spark):
     assert all(tv == 0.0 for _, _, tv in out1)
 
 
-def test_stream_curation_gates_match_batch(spark, tmp_path):
+def test_stream_c4_gopher_gates_match_batch(spark, tmp_path):
     """The r8 curation rules are stateless row expressions, so they
     compose with Structured Streaming unchanged: c4_clean and
     gopher_gates applied to a doc stream produce exactly the batch
@@ -506,3 +506,34 @@ def test_stream_curation_gates_match_batch(spark, tmp_path):
         got = sorted(map(tuple, spark.table(name).collect()))
         want = sorted(map(tuple, fn(spark.read.parquet(d)).collect()))
         assert got == want and len(want) > 0
+
+
+def test_stream_cms_sketch_matches_batch(spark, tmp_path):
+    """The CMS sketch is a pure keyed aggregation over fixed cells, so
+    Structured Streaming maintains it incrementally with BOUNDED state
+    (width*depth counters, independent of stream length) — the
+    streaming-ingest flavor of heavy-hitter tracking. In complete mode
+    the maintained sketch must equal the batch cms_build cell for cell."""
+    from pd_explain_spark.functions.sketches import cms_build
+
+    d = str(tmp_path / "docs_cms")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(
+        4
+    ).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        cms_build(stream, n=2, width=64, depth=2)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["depth"], r["bucket"]): r["count"] for r in spark.table("cms_stream").collect()}
+    want = {
+        (r["depth"], r["bucket"]): r["count"]
+        for r in cms_build(spark.read.parquet(d), n=2, width=64, depth=2).collect()
+    }
+    assert got == want and len(want) > 0
