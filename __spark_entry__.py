@@ -2906,6 +2906,60 @@ def dedup_against_corpus(spark, sf_dir):
     return dedup_against(docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"))
 
 
+@_q(
+    "bloom_dedup_against_corpus",
+    """WITH nt AS (
+         SELECT doc_id, text, lang, source, n_chars,
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         FROM documents
+       ), corp AS (SELECT * FROM nt WHERE doc_id < 250),
+       newb AS (SELECT * FROM nt WHERE doc_id >= 250),
+       hashes AS (SELECT unnest(range(4))::INT AS i),
+       bloom AS (
+         SELECT DISTINCT
+                ('0x' || substr(md5(fp || '-' || i::VARCHAR), 1, 15))::BIGINT % 4096 AS pos
+         FROM corp CROSS JOIN hashes WHERE fp IS NOT NULL
+       ), probe AS (
+         SELECT n.doc_id,
+                ('0x' || substr(md5(n.fp || '-' || h.i::VARCHAR), 1, 15))::BIGINT % 4096 AS pos
+         FROM newb n CROSS JOIN hashes h WHERE n.fp IS NOT NULL
+       ), hits AS (
+         SELECT p.doc_id, count(b.pos) = 4 AS maybe
+         FROM probe p LEFT JOIN bloom b USING (pos) GROUP BY 1
+       ), marked AS (
+         SELECT n.*, coalesce(h.maybe, false) AS maybe
+         FROM newb n LEFT JOIN hits h USING (doc_id)
+       ), fresh AS (
+         SELECT * FROM marked WHERE NOT maybe
+         UNION ALL
+         SELECT m.* FROM marked m
+         WHERE m.maybe AND NOT EXISTS (SELECT 1 FROM corp c WHERE c.fp = m.fp)
+       ), ranked AS (
+         SELECT *, row_number() OVER (
+                  PARTITION BY fp, CASE WHEN fp IS NULL THEN doc_id END
+                  ORDER BY doc_id) AS rn
+         FROM fresh
+       )
+       SELECT doc_id, text, lang, source, n_chars FROM ranked WHERE rn = 1""",
+)
+def bloom_dedup_against_corpus_q(spark, sf_dir):
+    """Bloom-filtered incremental dedup (functions/sketches.py
+    bloom_build / bloom_dedup_against): the corpus collapses to a
+    <= m_bits set-bit table, rows missing ANY of their 4 bits pass as
+    definitely-novel without touching the corpus, and only the "maybe"
+    rows pay the exact fingerprint re-verify — no false negatives, so
+    the result EQUALS dedup_against. m_bits=4096 here deliberately
+    undersizes the filter (~real false positives at sf0.01) so the
+    oracle exercises the re-verify path, not just the happy path."""
+    from pd_explain_spark.functions.sketches import bloom_dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_dedup_against(
+        docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"),
+        m_bits=4096, k_hashes=4,
+    )
+
+
 _XCORPUS_JACCARD_CTE = """WITH base AS (
          SELECT doc_id,
                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
@@ -6691,7 +6745,11 @@ _RECORD_FIRST = [
     "groupby_agg_dict", "groupby_median",
     "groupby_multi_key", "groupby_nunique", "join_inner", "join_left_agg",
     "melt_lineitem", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "shift_events", "sliding_windows", "where_mask",
+    "shift_events", "where_mask",
+    "bloom_dedup_against_corpus",  # Bloom-filtered ingest dedup (new
+                                   # this session; slot from
+                                   # sliding_windows — timeseries keeps
+                                   # shift_events in-window)
     # -- family-forced (no staler oracle-backed member in the family)
     "fedex_filter_explain_text",                       # explainer surface (r6)
     "drift_scores_events",                             # streaming (r6)

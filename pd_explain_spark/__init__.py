@@ -44,7 +44,9 @@ from .functions.classifier import (QualityModel, score_quality,
                                    train_quality_classifier)
 from .functions.contamination import (contamination_pairs, decontaminate,
                                       novelty_scores)
-from .functions.sketches import cms_build, cms_heavy_grams
+from .functions.sketches import (bloom_build, bloom_dedup_against,
+                                 bloom_merge, cms_build, cms_heavy_grams,
+                                 cms_merge)
 from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
                                   tf_idf, top_terms_per_doc)
 from .functions.segments import (chunk_documents, segment_dedup,
@@ -168,6 +170,10 @@ __all__ = [
     "novelty_scores",
     "cms_build",
     "cms_heavy_grams",
+    "cms_merge",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_dedup_against",
     "brute_force_topk_arrow",
     "pq_build_fixed",
     "pq_encode",

@@ -160,3 +160,155 @@ def cms_heavy_grams(
         .filter(F.col("exact_count") >= F.lit(min_count))
     )
     return cand.join(exact, "gram").select("gram", "est_count", "exact_count")
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME (n, width, depth,
+    text normalization): cell-wise sum. CMS is a linear sketch, so the
+    merged table equals the sketch of the concatenated corpora — the
+    property that makes per-shard / per-day sketches combinable without
+    ever re-scanning history. Cost: a union of bounded (width*depth)
+    tables + one bounded groupBy."""
+    if not sketches:
+        raise ValueError("cms_merge: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("depth", "bucket").agg(
+        F.sum("count").cast("bigint").alias("count")
+    )
+
+
+# ---------------------------------------------------------------- bloom filter
+def _bloom_positions(fp, k_hashes: int, m_bits: int):
+    """array of the k bit positions for one fingerprint. DuckDB mirror:
+    ``('0x' || substr(md5(fp || '-<i>'), 1, 15))::BIGINT % m_bits``."""
+    return F.array(
+        *[
+            md5_int(F.md5(F.concat_ws("-", fp, F.lit(str(i))))) % F.lit(m_bits)
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 262144,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Sparse Bloom filter of the corpus's normalized-text fingerprints:
+    the DISTINCT set of bit positions, one row per set bit (pos
+    bigint). At most ``m_bits`` rows no matter how big the corpus —
+    the bounded membership state that lets a daily ingest batch ask
+    "which of these documents is definitely new?" without touching the
+    corpus at all. NULL-text rows set no bits (they are never corpus
+    members). Persist it like any small table and OR new days in with
+    ``bloom_merge``.
+
+    The build is one corpus pass: fingerprint (scan-stage md5), k
+    position expressions, explode, distinct — partial aggregation
+    collapses each partition to <= m_bits rows before the shuffle,
+    the same bounded-state shape as ``cms_build``."""
+    fp = F.md5(normalized_text(F.col(text_col)))
+    # the NULL guard matters: concat_ws SKIPS null args, so an unguarded
+    # position expression would hash a NULL fingerprint as the literal
+    # hash-index string and set real bits for contentless rows
+    return (
+        df.filter(fp.isNotNull())
+        .select(F.explode(_bloom_positions(fp, k_hashes, m_bits)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR together Bloom filters built with the same (m_bits, k_hashes):
+    union + distinct of the set-bit rows. Like CMS, the Bloom filter is
+    mergeable state — per-shard builds combine into the corpus filter
+    without rescanning anything."""
+    if not blooms:
+        raise ValueError("bloom_merge: need at least one bloom")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.distinct()
+
+
+def bloom_dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    bloom: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 262144,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Incremental exact dedup through a Bloom filter: rows of
+    ``new_df`` whose fingerprint misses ANY of its k bits are
+    DEFINITELY novel and pass without touching the corpus; only the
+    "maybe present" rows (true duplicates + false positives, FP rate
+    ~= (1 - e^(-kn/m))^k) go through the exact fingerprint anti-join
+    re-verify — the Bloom no-false-negative guarantee means the result
+    EQUALS ``dedup_against(new_df, corpus_df)`` (including the internal
+    min-id dedup of the batch), while the corpus-side work per batch
+    shrinks from "anti-join every row" to "re-verify the maybes".
+
+    Pass a prebuilt/persisted ``bloom`` (fit-once / probe-many across
+    ingest days — grow it with ``bloom_merge``); otherwise one is built
+    from ``corpus_df``. With ``corpus_df=None`` and a ``bloom``, runs in
+    pure-filter mode: maybes are DROPPED unverified — zero corpus
+    access, at the cost of losing ~FP-rate of genuinely novel docs
+    (acceptable for best-effort crawl thinning, not for an exact
+    contract)."""
+    if bloom is None:
+        if corpus_df is None:
+            raise ValueError("bloom_dedup_against: pass corpus_df or bloom")
+        bloom = bloom_build(corpus_df, text_col, id_col, m_bits, k_hashes)
+    fp = F.md5(normalized_text(F.col(text_col)))
+    probes = new_df.withColumn("__fp", fp)
+    # NULL-fingerprint rows probe nothing (no positions, definitely
+    # novel) — the left join + coalesce keeps them on the definite path
+    hits = (
+        probes.filter(F.col("__fp").isNotNull())
+        .select(
+            id_col,
+            F.explode(_bloom_positions(F.col("__fp"), k_hashes, m_bits)).alias(
+                "pos"
+            ),
+        )
+        .join(bloom.withColumn("__hit", F.lit(1)), "pos", "left")
+        .groupBy(id_col)
+        .agg((F.count("__hit") == F.lit(k_hashes)).alias("__maybe"))
+    )
+    marked = probes.join(hits, id_col, "left").withColumn(
+        "__maybe", F.coalesce(F.col("__maybe"), F.lit(False))
+    )
+    definite = marked.filter(~F.col("__maybe"))
+    maybes = marked.filter(F.col("__maybe"))
+    if corpus_df is None:
+        fresh = definite
+    else:
+        # exact re-verify: only the maybes pay the corpus fingerprint
+        # anti-join; the corpus side is distinct 1-column hashes and the
+        # maybe fingerprints push a semi-join-sized shuffle, not the batch
+        corpus_fp = corpus_df.select(
+            F.md5(normalized_text(F.col(text_col))).alias("__fp")
+        ).distinct()
+        fresh = definite.unionByName(
+            maybes.join(corpus_fp, "__fp", "left_anti")
+        )
+    # internal min-id dedup of the batch (dedup_against parity); NULL
+    # fingerprints are never dropped — each is its own partition
+    from pyspark.sql import Window
+
+    from .dedup import _null_safe_key
+
+    w = Window.partitionBy(
+        F.col("__fp"), _null_safe_key(F.col("__fp"), id_col)
+    ).orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*new_df.columns)
+    )

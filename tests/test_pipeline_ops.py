@@ -2015,6 +2015,79 @@ def test_simhash_pairs_against_planted_and_batch_parity(spark):
     assert survivors == {101}
 
 
+def test_bloom_dedup_matches_exact_even_undersized(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark import (
+        bloom_build,
+        bloom_dedup_against,
+        bloom_merge,
+        dedup_against,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new, corp = docs.filter("doc_id >= 250"), docs.filter("doc_id < 250")
+    want = {r["doc_id"] for r in dedup_against(new, corp).select("doc_id").collect()}
+    # m_bits=64 saturates the filter: nearly everything is a "maybe",
+    # the exact re-verify must still restore dedup_against exactly
+    got = {
+        r["doc_id"]
+        for r in bloom_dedup_against(new, corp, m_bits=64, k_hashes=2)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+    # well-sized filter: same answer, and the bloom is bounded
+    bl = bloom_build(corp, m_bits=65536, k_hashes=4)
+    assert bl.count() <= 65536
+    got2 = {
+        r["doc_id"]
+        for r in bloom_dedup_against(new, corp, bloom=bl, m_bits=65536, k_hashes=4)
+        .select("doc_id")
+        .collect()
+    }
+    assert got2 == want
+    # pure-filter mode (no corpus): definite-novel only — a subset that
+    # loses at most the maybes, never admits a true duplicate
+    pure = {
+        r["doc_id"]
+        for r in bloom_dedup_against(
+            new, corpus_df=None, bloom=bl, m_bits=65536, k_hashes=4
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert pure <= want
+    dup_ids = {r["doc_id"] for r in new.select("doc_id").collect()} - want
+    assert not (pure & dup_ids)
+    # merged per-shard blooms == whole-corpus bloom
+    half_a = bloom_build(corp.filter("doc_id < 100"), m_bits=65536, k_hashes=4)
+    half_b = bloom_build(corp.filter("doc_id >= 100"), m_bits=65536, k_hashes=4)
+    merged = bloom_merge(half_a, half_b)
+    assert merged.exceptAll(bl).count() == 0 and bl.exceptAll(merged).count() == 0
+    # NULL-text rows are definitely-novel and never mutually deduped
+    withnull = spark.createDataFrame(
+        [(9001, None), (9002, None)], "doc_id bigint, text string"
+    )
+    out = bloom_dedup_against(
+        withnull, corp.select("doc_id", "text"), m_bits=1024, k_hashes=2
+    )
+    assert {r["doc_id"] for r in out.collect()} == {9001, 9002}
+
+
+def test_cms_merge_equals_whole_corpus_sketch(spark, sf_dir):
+    from pd_explain_spark import cms_build, cms_merge
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    whole = cms_build(docs, n=2, width=256, depth=3)
+    merged = cms_merge(
+        cms_build(docs.filter("doc_id < 250"), n=2, width=256, depth=3),
+        cms_build(docs.filter("doc_id >= 250"), n=2, width=256, depth=3),
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
 def test_random_projection_preserves_distances_roughly(spark, sf_dir):
     import itertools
     import math
