@@ -1934,6 +1934,47 @@ def text_profile_q(spark, sf_dir):
     )
 
 
+@_q(
+    "source_gates_docs",
+    """WITH prof AS (
+         SELECT doc_id, source,
+                CAST(round(round(
+                  0.5 * least(1.0, len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) / 50.0)
+                + 0.3 * (1.0 - least(1.0, len(regexp_extract_all(text, '[.,!?;:]'))
+                    / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)))
+                + 0.2 * least(1.0, 4.0 * len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+                    / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1)), 6)
+                  * 1000000) AS BIGINT) AS qi
+         FROM documents WHERE source IS NOT NULL
+       ), agg AS (
+         SELECT source, count(*)::BIGINT AS source_docs, sum(qi)::BIGINT AS sqi
+         FROM prof GROUP BY 1
+       ), gate AS (
+         SELECT source, source_docs,
+                round(sqi / source_docs / 1000000.0, 4) AS source_mean_quality
+         FROM agg
+         WHERE source_docs >= 5
+           AND sqi / (source_docs * 1000000.0) >= 0.75
+           AND source NOT IN ('src11')
+       )
+       SELECT d.doc_id, d.source, g.source_docs, g.source_mean_quality
+       FROM documents d JOIN gate g USING (source)""",
+)
+def source_gates_docs_q(spark, sf_dir):
+    """Domain-level curation (functions/text.py source_gates — the
+    RefinedWeb/FineWeb bad-domain cut): per-source mean quality fitted
+    in one map-combining pass (exact 1e-6 integer partials), sources
+    below the 0.75 mean cut / under 5 docs / on the blocklist drop
+    wholesale, survivors annotated with the domain aggregates. The gate
+    table is O(#sources) and broadcasts; the corpus never shuffles."""
+    from pd_explain_spark.functions.text import source_gates
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_gates(
+        docs, min_docs=5, min_mean_quality=0.75, blocklist=["src11"]
+    ).select("doc_id", "source", "source_docs", "source_mean_quality")
+
+
 _CURATION_CTE = """WITH prof AS (
          SELECT doc_id, text,
                 len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
@@ -6744,7 +6785,9 @@ _RECORD_FIRST = [
     "drop_duplicates_part", "filter_compound", "filter_quantity",
     "groupby_agg_dict", "groupby_median",
     "groupby_multi_key", "groupby_nunique", "join_inner", "join_left_agg",
-    "melt_lineitem", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "source_gates_docs",  # domain-level curation (new this session;
+                          # slot from melt_lineitem)
     "shift_events", "where_mask",
     "bloom_dedup_against_corpus",  # Bloom-filtered ingest dedup (new
                                    # this session; slot from

@@ -67,7 +67,8 @@ from .functions.clustering import (cluster_balanced_sample, kmeans_assign,
 from .functions.text import (bigram_lm_scores, c4_clean, ccnet_buckets, ccnet_cuts, corpus_stats, gopher_gates,
                              curation_pipeline, hashed_embeddings,
                              ingest_pipeline, repetition_signals,
-                             stream_corpus_stats, unigram_lm_scores)
+                             source_gates, stream_corpus_stats,
+                             unigram_lm_scores)
 from .session import get_spark
 from .sources.readers import (load_table, read_csv, read_json, read_orc,
                               read_parquet, to_explainable)
@@ -113,6 +114,7 @@ __all__ = [
     "curation_pipeline",
     "c4_clean",
     "gopher_gates",
+    "source_gates",
     "ccnet_buckets",
     "ccnet_cuts",
     "ingest_pipeline",

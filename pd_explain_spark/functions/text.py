@@ -982,3 +982,61 @@ def hashed_embeddings(
             ).alias(out_col),
         )
     )
+
+
+def source_gates(
+    df: DataFrame,
+    min_docs: int = 5,
+    min_mean_quality: float = 0.5,
+    blocklist=None,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-level curation gate (the RefinedWeb/FineWeb "bad domain"
+    cut): drop every document whose SOURCE is blocklisted, has fewer
+    than ``min_docs`` documents, or whose mean per-doc quality is below
+    ``min_mean_quality``. Per-document gates miss coordinated garbage —
+    a spam farm's individual pages can each look plausible while the
+    domain's aggregate quality is clearly depressed; this is the
+    aggregate complement to ``gopher_gates``/``curation_pipeline``.
+
+    Survivors carry ``source_docs`` and ``source_mean_quality``
+    (4-decimal) for downstream mixing decisions. Documents with a NULL
+    source have no domain evidence and are dropped (route them through
+    the per-doc gates instead).
+
+    Scale shape: the fit is one corpus pass collapsing to O(#sources)
+    rows (quality is a scan-stage expression, the aggregate is
+    map-combining, and per-doc qualities sum as exact 1e-6 integers so
+    the mean is independent of partial-aggregation order — the
+    integer-cents recipe); the gate table broadcasts back onto the
+    corpus, which is never shuffled."""
+    qi = F.round(quality_score(F.col(text_col)) * F.lit(1_000_000.0)).cast("bigint")
+    per_src = (
+        df.filter(F.col(source_col).isNotNull())
+        .select(F.col(source_col), qi.alias("__qi"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("source_docs"),
+            F.sum("__qi").alias("__sqi"),
+        )
+    )
+    gate = per_src.filter(
+        (F.col("source_docs") >= F.lit(min_docs))
+        & (
+            F.col("__sqi")
+            / (F.col("source_docs") * F.lit(1_000_000.0))
+            >= F.lit(min_mean_quality)
+        )
+    )
+    if blocklist:
+        gate = gate.filter(~F.col(source_col).isin(list(blocklist)))
+    gate = gate.select(
+        source_col,
+        "source_docs",
+        F.round(
+            F.col("__sqi") / F.col("source_docs") / F.lit(1_000_000.0), 4
+        ).alias("source_mean_quality"),
+    )
+    return df.join(F.broadcast(gate), source_col)

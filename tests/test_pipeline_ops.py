@@ -2015,6 +2015,32 @@ def test_simhash_pairs_against_planted_and_batch_parity(spark):
     assert survivors == {101}
 
 
+def test_source_gates_drop_bad_domains_wholesale(spark):
+    from pd_explain_spark import source_gates
+
+    good = "the cat and the dog sat in the sun. " * 10
+    # 6 tokens, no stopwords: quality = 0.5*6/50 + 0.3 = 0.36 < 0.5
+    spam = "buy buy buy now now now"
+    rows = (
+        [(i, good, "good.example") for i in range(6)]
+        + [(10 + i, spam, "spam.example") for i in range(6)]
+        + [(20 + i, good, "tiny.example") for i in range(2)]   # < min_docs
+        + [(30 + i, good, "blocked.example") for i in range(6)]
+        + [(40, good, None)]                                    # no domain evidence
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = source_gates(
+        df, min_docs=5, min_mean_quality=0.5, blocklist=["blocked.example"]
+    )
+    got = {(r["doc_id"], r["source"]) for r in out.select("doc_id", "source").collect()}
+    # only the good domain survives — spam mean-quality cut, tiny under
+    # min_docs, blocked explicit, NULL-source dropped
+    assert got == {(i, "good.example") for i in range(6)}
+    meta = out.select("source_docs", "source_mean_quality").distinct().collect()
+    assert len(meta) == 1 and meta[0]["source_docs"] == 6
+    assert 0.5 <= meta[0]["source_mean_quality"] <= 1.0
+
+
 def test_bloom_dedup_matches_exact_even_undersized(spark, sf_dir):
     from pyspark.sql import functions as F
 
