@@ -154,6 +154,10 @@ def _fan_out(df: DataFrame) -> DataFrame:
     cluster a 100 TB scan is already wide, so this is a no-op there — the
     check makes the shuffle conditional, not unconditional.
     """
+    if df.isStreaming:
+        # no .rdd on a streaming frame; micro-batch parallelism is the
+        # source's concern (maxFilesPerTrigger etc.), not a repartition
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -43,13 +43,27 @@ def _gram_occurrences(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
     """One row per gram OCCURRENCE (duplicates kept — counting
-    semantics, unlike the distinct-set ``_shingle_index`` in dedup)."""
-    toks = F.filter(
-        F.split(normalized_text(F.col(text_col)), " "), lambda x: x != ""
+    semantics, unlike the distinct-set ``_shingle_index`` in dedup).
+
+    Tokenization sits behind the ``_fan_out`` repartition barrier (the
+    _shingle_index recipe): without it, projection collapse inlines the
+    split+filter into every n-gram slice — O(tokens^2) per doc,
+    interpreted — and a small parquet arrives as ONE partition so the
+    whole corpus tokenizes on a single thread (measured: the 3
+    occurrence passes dominated cms_heavy_grams at 6.7 s each)."""
+    from .dedup import _fan_out
+
+    toks_df = _fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda x: x != "",
+            ).alias("toks"),
+        )
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(ngrams_from_tokens(toks, n)).alias("gram"),
+    return toks_df.select(
+        "id", F.explode(ngrams_from_tokens(F.col("toks"), n)).alias("gram")
     )
 
 
@@ -132,6 +146,17 @@ def cms_heavy_grams(
     sk = sketch if sketch is not None else cms_build(
         df, text_col, id_col, n, width, depth
     )
+    # the sketch is BOUNDED (<= width*depth rows) but its subtree is a
+    # full corpus aggregation — left lazy, the depth broadcasts below
+    # plus the two consumers of `cand` would re-run that corpus pass up
+    # to 2*depth times (measured 14.7 s -> 4.9 s at sf0.1). Materialize
+    # it once on the driver; the identity limit() keeps scale_audit able
+    # to prove the broadcast build sides bounded (the ivf_build idiom).
+    spark = df.sparkSession
+    sk_rows = [(r["depth"], r["bucket"], r["count"]) for r in sk.collect()]
+    sk = spark.createDataFrame(
+        sk_rows, "depth int, bucket bigint, count bigint"
+    ).limit(max(len(sk_rows), 1))
     occ = _gram_occurrences(df, text_col, id_col, n)
     probed = occ
     est_cols = []
@@ -152,6 +177,10 @@ def cms_heavy_grams(
         .filter(F.col("est_count") >= F.lit(min_count))
         .select("gram", "est_count")
         .distinct()
+        # consumed twice (exact's build side + the final join) — persist
+        # so the probe pass over the corpus runs once, released after
+        # the checkpointed result materializes
+        .persist()
     )
     exact = (
         occ.join(F.broadcast(cand.select("gram")), "gram")
@@ -159,7 +188,10 @@ def cms_heavy_grams(
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
         .filter(F.col("exact_count") >= F.lit(min_count))
     )
-    return cand.join(exact, "gram").select("gram", "est_count", "exact_count")
+    out = cand.join(exact, "gram").select("gram", "est_count", "exact_count")
+    from .dedup import _finalize_release
+
+    return _finalize_release(out, [cand])
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
