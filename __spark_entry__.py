@@ -4977,6 +4977,116 @@ def similarity_pq_topk_q(spark, sf_dir):
     return pq_topk(emb, emb.filter("vec_id < 10"), k=5, m=4, n_codes=16)
 
 
+@_q(
+    "similarity_ivf_pq",
+    """WITH cast_emb AS (
+         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       ), hashed AS (
+         SELECT vec_id, emb,
+                ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+         FROM cast_emb
+       ), cent AS (
+         SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS bucket,
+                emb AS cemb
+         FROM hashed ORDER BY h, vec_id LIMIT 16
+       ), adist AS (
+         SELECT e.vec_id, c.bucket,
+                row_number() OVER (
+                  PARTITION BY e.vec_id
+                  ORDER BY list_dot_product(e.emb, e.emb)
+                           - 2 * list_dot_product(e.emb, c.cemb)
+                           + list_dot_product(c.cemb, c.cemb),
+                           c.bucket
+                ) AS pr
+         FROM cast_emb e, cent c
+       ), assigned AS (
+         SELECT vec_id AS neighbor_id, bucket FROM adist WHERE pr = 1
+       ), probes AS (
+         SELECT q.vec_id AS query_id, c.bucket,
+                row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY list_dot_product(q.emb, q.emb)
+                           - 2 * list_dot_product(q.emb, c.cemb)
+                           + list_dot_product(c.cemb, c.cemb),
+                           c.bucket
+                ) AS pr
+         FROM cast_emb q, cent c
+         WHERE q.vec_id < 10
+       ), qp AS (
+         SELECT query_id, bucket FROM probes WHERE pr <= 4
+       ), seeds AS (
+         SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS code,
+                emb
+         FROM hashed ORDER BY h, vec_id LIMIT 16
+       ), subs AS (
+         SELECT unnest(range(4))::INT AS sub
+       ), cb AS (
+         SELECT s.sub, seeds.code,
+                seeds.emb[s.sub * 16 + 1 : s.sub * 16 + 16] AS cent
+         FROM seeds CROSS JOIN subs s
+       ), encpre AS (
+         SELECT e.vec_id AS id, c.sub, c.code, c.cent,
+                e.emb[c.sub * 16 + 1 : c.sub * 16 + 16] AS sv
+         FROM cast_emb e CROSS JOIN cb c
+       ), enc AS (
+         SELECT id, sub, code FROM (
+           SELECT id, sub, code,
+                  row_number() OVER (
+                    PARTITION BY id, sub
+                    ORDER BY list_dot_product(sv, sv)
+                             - 2 * list_dot_product(sv, cent)
+                             + list_dot_product(cent, cent),
+                             code
+                  ) AS r
+           FROM encpre) WHERE r = 1
+       ), lutpre AS (
+         SELECT q.vec_id AS query_id, c.sub, c.code, c.cent,
+                q.emb[c.sub * 16 + 1 : c.sub * 16 + 16] AS qs
+         FROM cast_emb q CROSS JOIN cb c
+         WHERE q.vec_id < 10
+       ), lut AS (
+         SELECT query_id, sub, code,
+                CAST(round((list_dot_product(qs, qs)
+                            - 2 * list_dot_product(qs, cent)
+                            + list_dot_product(cent, cent)) * 1000000) AS BIGINT) AS d_int
+         FROM lutpre
+       ), cand AS (
+         SELECT qp.query_id, a.neighbor_id
+         FROM qp JOIN assigned a USING (bucket)
+         WHERE a.neighbor_id <> qp.query_id
+       ), scored AS (
+         SELECT c.query_id, c.neighbor_id, sum(l.d_int)::BIGINT AS adc_int
+         FROM enc e
+         JOIN cand c ON e.id = c.neighbor_id
+         JOIN lut l ON l.query_id = c.query_id AND l.sub = e.sub AND l.code = e.code
+         GROUP BY 1, 2
+       ), ranked AS (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_int, neighbor_id) AS rank,
+                round(adc_int / 1000000.0, 6) AS adc_dist
+         FROM scored
+       )
+       SELECT query_id, neighbor_id, rank::INT AS rank, adc_dist
+       FROM ranked WHERE rank <= 5""",
+)
+def similarity_ivf_pq_q(spark, sf_dir):
+    """IVF-PQ (functions/similarity.py ivf_pq_topk), the billion-scale
+    ANN composition: md5-seeded IVF buckets pick WHICH vectors to score
+    (4 of 16 buckets per query), PQ codes make each score an m-lookup
+    integer sum instead of a float dot product. The full skeleton —
+    seed centroids, bucket argmin, probe pruning, per-subspace
+    codebooks, argmin encoding, LUT build, bucket-restricted ADC
+    ranking — is mirrored CTE for CTE in DuckDB."""
+    from pd_explain_spark.functions.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, emb.filter("vec_id < 10"), k=5,
+        n_centroids=16, n_probe=4, m=4, n_codes=16,
+    )
+
+
 def _kmeans_cte(k: int = 4, n_iter: int = 2, scale: int = 1_000_000) -> str:
     """DuckDB mirror of the ENTIRE Lloyd loop (functions/clustering.py
     kmeans_fit), unrolled to ``n_iter`` CTE stages: md5-order seed pick
@@ -6784,7 +6894,9 @@ _RECORD_FIRST = [
     # -- re-checks: last green r04
     "drop_duplicates_part", "filter_compound", "filter_quantity",
     "groupby_agg_dict", "groupby_median",
-    "groupby_multi_key", "groupby_nunique", "join_inner", "join_left_agg",
+    "groupby_multi_key", "groupby_nunique", "join_inner",
+    "similarity_ivf_pq",  # IVF-PQ composition (new this session; slot
+                          # from join_left_agg)
     "q5_local_supplier_volume", "q6_forecast_revenue",
     "source_gates_docs",  # domain-level curation (new this session;
                           # slot from melt_lineitem)

@@ -59,6 +59,7 @@ from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
                                    semantic_dedup_pairs,
                                    semantic_dedup_pairs_against,
                                    prototype_prune, prototype_scores,
+                                   ivf_pq_topk,
                                    pq_build_fixed, pq_encode, pq_topk,
                                    random_projection)
 from .functions.bpe import bpe_encode, train_bpe
@@ -180,6 +181,7 @@ __all__ = [
     "pq_build_fixed",
     "pq_encode",
     "pq_topk",
+    "ivf_pq_topk",
     "random_projection",
     "train_quality_classifier",
     "score_quality",

@@ -1522,3 +1522,109 @@ def random_projection(
         out_col,
         F.when(v.isNotNull(), proj).otherwise(F.lit(None).cast("array<double>")),
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    scale: int = 1_000_000,
+    index: "IvfIndex | None" = None,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the billion-scale ANN composition (Jégou et al. 2011) —
+    IVF bucket pruning decides WHICH vectors to look at (n_probe/
+    n_centroids of the corpus), PQ codes decide how CHEAPLY to look
+    (m small codes per vector instead of the float array). Per query,
+    work drops from O(corpus * dim) float math to
+    O(corpus * n_probe / n_centroids * m) integer lookups, and the
+    scanned bytes shrink by the same two factors — the only ANN shape
+    that holds up when neither the vectors nor a full-corpus scan fit
+    the latency budget.
+
+    This flavor encodes raw vectors (classic IVFADC encodes residuals
+    v - centroid for tighter cells — a quality refinement, same
+    skeleton) with the deterministic seed codebooks, so the whole
+    pipeline hash-checks in SQL. Returns (query_id, neighbor_id, rank,
+    adc_dist), self-matches excluded, fixed-point ADC as in
+    ``pq_topk``. Pass a prebuilt ``index``/``codebook``/``codes`` for
+    the fit-once / serve-many path (both structures persist —
+    IvfIndex.save and any parquet sink for the code table)."""
+    if index is None:
+        index = ivf_build_fixed(corpus, id_col, vec_col, n_centroids)
+    if codebook is None:
+        codebook = pq_build_fixed(corpus, id_col, vec_col, m, n_codes)
+    if codes is None:
+        codes = pq_encode(corpus, codebook, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).filter(F.col("qv").isNotNull())
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("bucket"))
+    q_probes = (
+        q.crossJoin(F.broadcast(index.centroids))
+        .withColumn("dist", _sq_dist(F.col("qv"), F.col("centroid")))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "bucket")
+    )
+    # candidate pairs: only vectors in the query's probed buckets; the
+    # assigned table is pruned to the probed buckets BEFORE the join
+    # (partition pruning on a saved index)
+    probed_buckets = q_probes.select("bucket").distinct()
+    cand = (
+        index.assigned.select("neighbor_id", "bucket")
+        .join(F.broadcast(probed_buckets), "bucket", "semi")
+        .join(F.broadcast(q_probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    lut = (
+        q.crossJoin(F.broadcast(codebook))
+        .withColumn(
+            "qs",
+            F.slice(F.col("qv"), F.col("sub") * F.size("cent") + F.lit(1), F.size("cent")),
+        )
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.round(
+                (
+                    _dot(F.col("qs"), F.col("qs"))
+                    - 2 * _dot(F.col("qs"), F.col("cent"))
+                    + _dot(F.col("cent"), F.col("cent"))
+                )
+                * F.lit(float(scale))
+            )
+            .cast("bigint")
+            .alias("d_int"),
+        )
+    )
+    scored = (
+        codes.withColumnRenamed("id", "neighbor_id")
+        .join(cand, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_int").alias("adc_int"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_int").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("adc_int") / F.lit(float(scale)), 6).alias("adc_dist"),
+        )
+    )

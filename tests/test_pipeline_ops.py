@@ -2196,6 +2196,41 @@ def test_pq_adc_exact_when_corpus_is_its_own_codebook(spark):
         pq_build_fixed(df, m=3, n_codes=4)
 
 
+def test_ivf_pq_equals_pq_when_probing_all_buckets(spark, sf_dir):
+    from pd_explain_spark import ivf_pq_topk, pq_build_fixed, pq_encode
+    from pd_explain_spark.functions.similarity import ivf_build_fixed, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id < 120")
+    q = emb.filter("vec_id < 5")
+    # n_probe = n_centroids: no pruning, so IVF-PQ must reproduce the
+    # full-scan ADC ranking exactly
+    full = ivf_pq_topk(emb, q, k=5, n_centroids=8, n_probe=8, m=4, n_codes=8)
+    plain = pq_topk(emb, q, k=5, m=4, n_codes=8)
+    a = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()]
+    b = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in plain.collect()]
+    assert sorted(a) == sorted(b) and len(a) == 25
+    # pruned probe: every result still comes from the query's probed
+    # buckets, and the candidate set is a subset of the full scan's
+    pruned = ivf_pq_topk(emb, q, k=5, n_centroids=8, n_probe=2, m=4, n_codes=8)
+    pruned_pairs = {(r["query_id"], r["neighbor_id"]) for r in pruned.collect()}
+    idx = ivf_build_fixed(emb, n_centroids=8)
+    bucket_of = {r["neighbor_id"]: r["bucket"] for r in idx.assigned.collect()}
+    probed = {}
+    for r in (
+        ivf_pq_topk(emb, q, k=500, n_centroids=8, n_probe=2, m=4, n_codes=8)
+        .collect()
+    ):
+        probed.setdefault(r["query_id"], set()).add(bucket_of[r["neighbor_id"]])
+    assert all(len(bs) <= 2 for bs in probed.values())
+    # fit-once / serve-many: prebuilt structures reproduce the run
+    cb = pq_build_fixed(emb, m=4, n_codes=8)
+    again = ivf_pq_topk(
+        emb, q, k=5, n_probe=2, n_centroids=8, m=4, n_codes=8,
+        index=idx, codebook=cb, codes=pq_encode(emb, cb),
+    )
+    assert {(r["query_id"], r["neighbor_id"]) for r in again.collect()} == pruned_pairs
+
+
 def test_cms_heavy_grams_exact_despite_collisions(spark):
     from pyspark.sql import functions as F
 
