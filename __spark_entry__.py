@@ -2676,6 +2676,39 @@ def novelty_scores_docs_q(spark, sf_dir):
 
 
 @_q(
+    "char_entropy_docs",
+    """WITH nt AS (
+         SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         FROM documents
+       ), ch AS (
+         SELECT doc_id, substr(t, i, 1) AS c
+         FROM nt, unnest(range(1, len(t) + 1)) r(i)
+         WHERE len(t) > 0
+       ), cnt AS (
+         SELECT doc_id, c, count(*)::BIGINT AS m FROM ch GROUP BY 1, 2
+       ), agg AS (
+         SELECT doc_id, sum(m)::BIGINT AS n, sum(m * ln(m)) AS s
+         FROM cnt GROUP BY 1
+       )
+       SELECT d.doc_id,
+              coalesce(a.n, 0)::BIGINT AS n_chars_norm,
+              CASE WHEN a.n > 0
+                   THEN round((ln(a.n) - a.s / a.n) / ln(2), 4) END AS char_entropy
+       FROM documents d LEFT JOIN agg a USING (doc_id)""",
+)
+def char_entropy_docs_q(spark, sf_dir):
+    """Per-doc character entropy (functions/text.py char_entropy_scores):
+    bits/char of the normalized text — repetition padding scores near 0,
+    gibberish abnormally high; the companion cut to the Gopher gates.
+    Spark computes it as ONE scan-stage sorted-run fold (no per-char
+    shuffle); the oracle mirrors the value via group-by, with the
+    4-decimal round absorbing summation-order noise."""
+    from pd_explain_spark.functions.text import char_entropy_scores
+
+    return char_entropy_scores(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "cms_heavy_grams_docs",
     """WITH toks AS (
          SELECT list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
@@ -6897,9 +6930,12 @@ _RECORD_FIRST = [
     "groupby_multi_key", "groupby_nunique", "join_inner",
     "similarity_ivf_pq",  # IVF-PQ composition (new this session; slot
                           # from join_left_agg)
-    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q5_local_supplier_volume",
     "source_gates_docs",  # domain-level curation (new this session;
                           # slot from melt_lineitem)
+    "char_entropy_docs",  # entropy quality signal (new this session;
+                          # slot from q6_forecast_revenue — TPC-H keeps
+                          # q5 in-window)
     "shift_events", "where_mask",
     "bloom_dedup_against_corpus",  # Bloom-filtered ingest dedup (new
                                    # this session; slot from

@@ -2015,6 +2015,33 @@ def test_simhash_pairs_against_planted_and_batch_parity(spark):
     assert survivors == {101}
 
 
+def test_char_entropy_flags_padding_and_gibberish(spark):
+    from pd_explain_spark import char_entropy_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa aaaa aaaa aaaa"),                  # padding: near 0
+            (2, "the quick brown fox jumps over it"),    # prose: mid
+            (3, "qx9#kz@7vw!m2pj$ur5&ty8^eb3*"),         # gibberish: high
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in char_entropy_scores(df).collect()}
+    assert rows[1]["char_entropy"] < 1.0
+    assert 3.0 < rows[2]["char_entropy"] < 4.5
+    assert rows[3]["char_entropy"] > rows[2]["char_entropy"]
+    assert rows[4]["char_entropy"] is None and rows[4]["n_chars_norm"] == 0
+    assert rows[5]["char_entropy"] is None and rows[5]["n_chars_norm"] == 0
+    # exact check: "aabb" -> 1 bit, "abcd" -> 2 bits
+    tiny = spark.createDataFrame(
+        [(1, "aabb"), (2, "abcd")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["char_entropy"] for r in char_entropy_scores(tiny).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+
 def test_source_gates_drop_bad_domains_wholesale(spark):
     from pd_explain_spark import source_gates
 
