@@ -68,7 +68,8 @@ from .functions.clustering import (cluster_balanced_sample, kmeans_assign,
 from .functions.text import (bigram_lm_scores, c4_clean, ccnet_buckets, ccnet_cuts, char_entropy_scores, corpus_stats, gopher_gates,
                              curation_pipeline, hashed_embeddings,
                              ingest_pipeline, repetition_signals,
-                             source_gates, stream_corpus_stats,
+                             source_gate_table, source_gates,
+                             stream_corpus_stats,
                              unigram_lm_scores)
 from .session import get_spark
 from .sources.readers import (load_table, read_csv, read_json, read_orc,
@@ -116,6 +117,7 @@ __all__ = [
     "c4_clean",
     "gopher_gates",
     "source_gates",
+    "source_gate_table",
     "char_entropy_scores",
     "ccnet_buckets",
     "ccnet_cuts",

@@ -984,34 +984,19 @@ def hashed_embeddings(
     )
 
 
-def source_gates(
+def source_gate_table(
     df: DataFrame,
     min_docs: int = 5,
     min_mean_quality: float = 0.5,
     blocklist=None,
     source_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Domain-level curation gate (the RefinedWeb/FineWeb "bad domain"
-    cut): drop every document whose SOURCE is blocklisted, has fewer
-    than ``min_docs`` documents, or whose mean per-doc quality is below
-    ``min_mean_quality``. Per-document gates miss coordinated garbage —
-    a spam farm's individual pages can each look plausible while the
-    domain's aggregate quality is clearly depressed; this is the
-    aggregate complement to ``gopher_gates``/``curation_pipeline``.
-
-    Survivors carry ``source_docs`` and ``source_mean_quality``
-    (4-decimal) for downstream mixing decisions. Documents with a NULL
-    source have no domain evidence and are dropped (route them through
-    the per-doc gates instead).
-
-    Scale shape: the fit is one corpus pass collapsing to O(#sources)
-    rows (quality is a scan-stage expression, the aggregate is
-    map-combining, and per-doc qualities sum as exact 1e-6 integers so
-    the mean is independent of partial-aggregation order — the
-    integer-cents recipe); the gate table broadcasts back onto the
-    corpus, which is never shuffled."""
+    """Fit the per-source gate (source, source_docs,
+    source_mean_quality) from a reference corpus — the fit-once half of
+    ``source_gates`` (the ``ccnet_cuts`` pattern): persist it, or score
+    a STREAM against it (the gate join is stateless, so it composes
+    with readStream unchanged)."""
     qi = F.round(quality_score(F.col(text_col)) * F.lit(1_000_000.0)).cast("bigint")
     per_src = (
         df.filter(F.col(source_col).isNotNull())
@@ -1032,13 +1017,51 @@ def source_gates(
     )
     if blocklist:
         gate = gate.filter(~F.col(source_col).isin(list(blocklist)))
-    gate = gate.select(
+    return gate.select(
         source_col,
         "source_docs",
         F.round(
             F.col("__sqi") / F.col("source_docs") / F.lit(1_000_000.0), 4
         ).alias("source_mean_quality"),
     )
+
+
+def source_gates(
+    df: DataFrame,
+    min_docs: int = 5,
+    min_mean_quality: float = 0.5,
+    blocklist=None,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gate: DataFrame | None = None,
+) -> DataFrame:
+    """Domain-level curation gate (the RefinedWeb/FineWeb "bad domain"
+    cut): drop every document whose SOURCE is blocklisted, has fewer
+    than ``min_docs`` documents, or whose mean per-doc quality is below
+    ``min_mean_quality``. Per-document gates miss coordinated garbage —
+    a spam farm's individual pages can each look plausible while the
+    domain's aggregate quality is clearly depressed; this is the
+    aggregate complement to ``gopher_gates``/``curation_pipeline``.
+
+    Survivors carry ``source_docs`` and ``source_mean_quality``
+    (4-decimal) for downstream mixing decisions. Documents with a NULL
+    source have no domain evidence and are dropped (route them through
+    the per-doc gates instead).
+
+    Scale shape: the fit is one corpus pass collapsing to O(#sources)
+    rows (quality is a scan-stage expression, the aggregate is
+    map-combining, and per-doc qualities sum as exact 1e-6 integers so
+    the mean is independent of partial-aggregation order — the
+    integer-cents recipe); the gate table broadcasts back onto the
+    corpus, which is never shuffled. Pass a precomputed ``gate``
+    (``source_gate_table``) to score a new batch or a STREAM against a
+    reference fit — the join is stateless, so it runs on readStream
+    unchanged."""
+    if gate is None:
+        gate = source_gate_table(
+            df, min_docs, min_mean_quality, blocklist, source_col, text_col
+        )
     return df.join(F.broadcast(gate), source_col)
 
 

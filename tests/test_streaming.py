@@ -537,3 +537,30 @@ def test_stream_cms_sketch_matches_batch(spark, tmp_path):
         for r in cms_build(spark.read.parquet(d), n=2, width=64, depth=2).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_source_gates_match_batch(spark, tmp_path):
+    """Domain gating in continuous ingest: the gate table is fitted once
+    on the reference corpus (source_gate_table) and joined onto the doc
+    stream — a stateless broadcast join, so streamed survivors equal the
+    batch run row for row."""
+    from pd_explain_spark import source_gate_table, source_gates
+
+    d = str(tmp_path / "docs_srcgate")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(4).write.parquet(d)
+    gate = source_gate_table(docs, min_docs=5, min_mean_quality=0.75)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        source_gates(stream, gate=gate)
+        .writeStream.format("memory")
+        .queryName("srcgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("srcgate").collect()}
+    want = {tuple(r) for r in source_gates(spark.read.parquet(d), gate=gate).collect()}
+    assert got == want and len(want) > 0
