@@ -2676,6 +2676,46 @@ def novelty_scores_docs_q(spark, sf_dir):
 
 
 @_q(
+    "corpus_diff_docs",
+    """WITH oldv AS (
+         SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS old_fp
+         FROM documents WHERE doc_id < 400
+       ), newv AS (
+         SELECT doc_id,
+                md5(regexp_replace(lower(trim(
+                  CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END
+                )), '\\s+', ' ', 'g')) AS new_fp
+         FROM documents WHERE doc_id >= 100
+       )
+       SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                   ELSE 'changed' END AS status,
+              o.old_fp, n.new_fp
+       FROM oldv o FULL OUTER JOIN newv n USING (doc_id)""",
+)
+def corpus_diff_docs_q(spark, sf_dir):
+    """Snapshot diff between corpus versions (functions/text.py
+    corpus_diff): old = docs < 400, new = docs >= 100 with every 50th
+    doc's text amended — exercising all four statuses (removed ids
+    < 100, added ids >= 400, changed ids % 50 = 0, the rest unchanged).
+    Each side collapses to (id, fingerprint) in the scan stage; the
+    diff is one full-outer hash join, texts never shuffle."""
+    from pd_explain_spark import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    newv = docs.filter("doc_id >= 100").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(docs.filter("doc_id < 400"), newv)
+
+
+@_q(
     "char_entropy_docs",
     """WITH nt AS (
          SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
@@ -6925,7 +6965,9 @@ _RECORD_FIRST = [
     "groupby_max", "groupby_min", "groupby_sem",
     "groupby_size", "groupby_var",
     # -- re-checks: last green r04
-    "drop_duplicates_part", "filter_compound", "filter_quantity",
+    "filter_compound", "filter_quantity",
+    "corpus_diff_docs",  # snapshot diffing (new this session; slot from
+                         # drop_duplicates_part)
     "groupby_agg_dict", "groupby_median",
     "groupby_multi_key", "groupby_nunique", "join_inner",
     "similarity_ivf_pq",  # IVF-PQ composition (new this session; slot

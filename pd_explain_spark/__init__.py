@@ -65,7 +65,7 @@ from .functions.similarity import (IvfIndex, brute_force_topk_arrow,
 from .functions.bpe import bpe_encode, train_bpe
 from .functions.clustering import (cluster_balanced_sample, kmeans_assign,
                                    kmeans_cluster_stats, kmeans_fit)
-from .functions.text import (bigram_lm_scores, c4_clean, ccnet_buckets, ccnet_cuts, char_entropy_scores, corpus_stats, gopher_gates,
+from .functions.text import (bigram_lm_scores, c4_clean, ccnet_buckets, ccnet_cuts, char_entropy_scores, corpus_diff, corpus_stats, gopher_gates,
                              curation_pipeline, hashed_embeddings,
                              ingest_pipeline, repetition_signals,
                              source_gate_table, source_gates,
@@ -119,6 +119,7 @@ __all__ = [
     "source_gates",
     "source_gate_table",
     "char_entropy_scores",
+    "corpus_diff",
     "ccnet_buckets",
     "ccnet_cuts",
     "ingest_pipeline",

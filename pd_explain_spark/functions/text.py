@@ -1122,3 +1122,45 @@ def char_entropy_scores(
         n.cast("bigint").alias("n_chars_norm"),
         F.round(ent, 4).alias("char_entropy"),
     )
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions, by document id:
+    (id_col, status, old_fp, new_fp) with status in
+    {'added', 'removed', 'changed', 'unchanged'} — the audit step
+    between ingest runs ("what did yesterday's pipeline actually do?"),
+    and the input to incremental downstream refreshes (only
+    added/changed rows need re-embedding, re-indexing, re-scoring).
+
+    Content comparison is by normalized-text fingerprint, so
+    whitespace/case-only edits count as unchanged (same canonicalization
+    every dedup operator keys on). Two NULL-text versions compare
+    unchanged (no content on either side).
+
+    Scale shape: each side collapses to (id, 32-char fingerprint) in
+    the scan stage — the texts never shuffle — and the diff is ONE full
+    outer hash join on the id plus a scan-stage CASE; output is one row
+    per distinct id across both snapshots."""
+    oldf = old_df.select(
+        F.col(id_col).alias("__id"), fingerprint(F.col(text_col)).alias("old_fp")
+    ).withColumn("__in_old", F.lit(True))
+    newf = new_df.select(
+        F.col(id_col).alias("__id"), fingerprint(F.col(text_col)).alias("new_fp")
+    ).withColumn("__in_new", F.lit(True))
+    joined = oldf.join(newf, "__id", "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("__id").alias(id_col), status.alias("status"), "old_fp", "new_fp"
+    )

@@ -2015,6 +2015,27 @@ def test_simhash_pairs_against_planted_and_batch_parity(spark):
     assert survivors == {101}
 
 
+def test_corpus_diff_statuses_and_normalization(spark):
+    from pd_explain_spark import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "hello world"), (2, "stays"), (3, "goes away"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "  HELLO   world "), (2, "stays put"), (5, "brand new"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",  # whitespace/case-only edit normalizes away
+        2: "changed",
+        3: "removed",
+        4: "unchanged",  # NULL on both sides: no content either way
+        5: "added",
+    }
+
+
 def test_char_entropy_flags_padding_and_gibberish(spark):
     from pd_explain_spark import char_entropy_scores
 
