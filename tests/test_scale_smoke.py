@@ -87,6 +87,10 @@ ENTRIES = [
     "cms_heavy_grams_docs",
     "leakage_safe_splits_docs",
     "similarity_pq_topk",
+    # Bloom-filtered ingest dedup (bounded filter probe + maybe-only
+    # re-verify) and IVF-PQ (bucket-pruned ADC over the code table)
+    "bloom_dedup_against_corpus",
+    "similarity_ivf_pq",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
