@@ -2691,7 +2691,7 @@ def novelty_scores_docs_q(spark, sf_dir):
        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
               CASE WHEN o.doc_id IS NULL THEN 'added'
                    WHEN n.doc_id IS NULL THEN 'removed'
-                   WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                   WHEN o.old_fp IS NOT DISTINCT FROM n.new_fp THEN 'unchanged'
                    ELSE 'changed' END AS status,
               o.old_fp, n.new_fp
        FROM oldv o FULL OUTER JOIN newv n USING (doc_id)""",

@@ -1393,6 +1393,53 @@ def pq_encode(
     )
 
 
+def _pq_lut(q: DataFrame, codebook: DataFrame, scale: int) -> DataFrame:
+    """ADC lookup table (query_id, sub, code, d_int): fixed-point L2^2
+    from each query sub-vector to every codebook centroid — shared by
+    pq_topk and ivf_pq_topk so the ADC arithmetic (and its oracles)
+    cannot desynchronize. ``q`` must carry (query_id, qv)."""
+    return (
+        q.crossJoin(F.broadcast(codebook))
+        .withColumn(
+            "qs",
+            F.slice(F.col("qv"), F.col("sub") * F.size("cent") + F.lit(1), F.size("cent")),
+        )
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.round(
+                (
+                    _dot(F.col("qs"), F.col("qs"))
+                    - 2 * _dot(F.col("qs"), F.col("cent"))
+                    + _dot(F.col("cent"), F.col("cent"))
+                )
+                * F.lit(float(scale))
+            )
+            .cast("bigint")
+            .alias("d_int"),
+        )
+    )
+
+
+def _adc_rank(scored: DataFrame, k: int, scale: int) -> DataFrame:
+    """Shared ADC ranking tail: per-query row_number over (adc_int,
+    neighbor_id), top-k, adc_dist = adc_int/scale rounded to 6dp."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_int").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("adc_int") / F.lit(float(scale)), 6).alias("adc_dist"),
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1434,28 +1481,7 @@ def pq_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).filter(F.col("qv").isNotNull())
-    lut = (
-        q.crossJoin(F.broadcast(codebook))
-        .withColumn(
-            "qs",
-            F.slice(F.col("qv"), F.col("sub") * F.size("cent") + F.lit(1), F.size("cent")),
-        )
-        .select(
-            "query_id",
-            "sub",
-            "code",
-            F.round(
-                (
-                    _dot(F.col("qs"), F.col("qs"))
-                    - 2 * _dot(F.col("qs"), F.col("cent"))
-                    + _dot(F.col("cent"), F.col("cent"))
-                )
-                * F.lit(float(scale))
-            )
-            .cast("bigint")
-            .alias("d_int"),
-        )
-    )
+    lut = _pq_lut(q, codebook, scale)
     scored = (
         codes.withColumnRenamed("id", "neighbor_id")
         .join(F.broadcast(lut), ["sub", "code"])
@@ -1463,19 +1489,7 @@ def pq_topk(
         .agg(F.sum("d_int").alias("adc_int"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_int").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round(F.col("adc_int") / F.lit(float(scale)), 6).alias("adc_dist"),
-        )
-    )
+    return _adc_rank(scored, k, scale)
 
 
 # ---------------------------------------------------------------- random projection
@@ -1586,28 +1600,7 @@ def ivf_pq_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    lut = (
-        q.crossJoin(F.broadcast(codebook))
-        .withColumn(
-            "qs",
-            F.slice(F.col("qv"), F.col("sub") * F.size("cent") + F.lit(1), F.size("cent")),
-        )
-        .select(
-            "query_id",
-            "sub",
-            "code",
-            F.round(
-                (
-                    _dot(F.col("qs"), F.col("qs"))
-                    - 2 * _dot(F.col("qs"), F.col("cent"))
-                    + _dot(F.col("cent"), F.col("cent"))
-                )
-                * F.lit(float(scale))
-            )
-            .cast("bigint")
-            .alias("d_int"),
-        )
-    )
+    lut = _pq_lut(q, codebook, scale)
     scored = (
         codes.withColumnRenamed("id", "neighbor_id")
         .join(cand, "neighbor_id")
@@ -1615,16 +1608,4 @@ def ivf_pq_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d_int").alias("adc_int"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_int").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round(F.col("adc_int") / F.lit(float(scale)), 6).alias("adc_dist"),
-        )
-    )
+    return _adc_rank(scored, k, scale)

@@ -106,6 +106,13 @@ def cms_build(
     ).select("cell.depth", "cell.bucket")
     return cells.groupBy("depth", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("count")
+    ).select(
+        "depth",
+        # params ride as column metadata (survives parquet) so a
+        # fit-once sketch probed with other (width, depth) fails loud in
+        # cms_heavy_grams instead of silently zeroing estimates
+        F.col("bucket").alias("bucket", metadata={"width": width, "depth": depth}),
+        "count",
     )
 
 
@@ -154,6 +161,29 @@ def cms_heavy_grams(
     # to prove the broadcast build sides bounded (the ivf_build idiom).
     spark = df.sparkSession
     sk_rows = [(r["depth"], r["bucket"], r["count"]) for r in sk.collect()]
+    # a sketch built with other (width, depth) makes the probe silently
+    # WRONG (bucket arithmetic mismatches -> est collapses to 0 and true
+    # heavy hitters vanish from the "exact" result) — fail loud instead.
+    # The rows are already on the driver, so the check is free; every
+    # cms_build sketch also carries its params as column metadata.
+    meta = sk.schema["bucket"].metadata if "bucket" in sk.columns else {}
+    if meta and (meta.get("width") != width or meta.get("depth") != depth):
+        raise ValueError(
+            f"cms_heavy_grams: sketch was built with width={meta.get('width')} "
+            f"depth={meta.get('depth')}, probe asked width={width} depth={depth}"
+        )
+    if sk_rows:
+        seen_depths = {r[0] for r in sk_rows}
+        if max(seen_depths) >= depth or max(r[1] for r in sk_rows) >= width:
+            raise ValueError(
+                "cms_heavy_grams: sketch cells exceed the probe's "
+                f"width={width}/depth={depth} — built with different params"
+            )
+        if seen_depths != set(range(depth)):
+            raise ValueError(
+                f"cms_heavy_grams: sketch covers depths {sorted(seen_depths)}, "
+                f"probe expects all of 0..{depth - 1}"
+            )
     sk = spark.createDataFrame(
         sk_rows, "depth int, bucket bigint, count bigint"
     ).limit(max(len(sk_rows), 1))
@@ -251,6 +281,14 @@ def bloom_build(
         df.filter(fp.isNotNull())
         .select(F.explode(_bloom_positions(fp, k_hashes, m_bits)).alias("pos"))
         .distinct()
+        # params ride as column metadata (survives parquet) so a
+        # persisted filter probed with other (m_bits, k_hashes) fails
+        # loud instead of silently leaking duplicates
+        .select(
+            F.col("pos").alias(
+                "pos", metadata={"m_bits": m_bits, "k_hashes": k_hashes}
+            )
+        )
     )
 
 
@@ -297,6 +335,30 @@ def bloom_dedup_against(
         if corpus_df is None:
             raise ValueError("bloom_dedup_against: pass corpus_df or bloom")
         bloom = bloom_build(corpus_df, text_col, id_col, m_bits, k_hashes)
+    else:
+        # a filter built with other (m_bits, k_hashes) breaks the
+        # no-false-negative guarantee SILENTLY (true duplicates miss
+        # their bits, classify definitely-novel, and skip the re-verify)
+        # — fail loud. bloom_build stamps its params as column metadata
+        # (parquet-persistent); a metadata-less hand-built filter gets
+        # the one cheap structural check we can make (bits past m_bits
+        # prove a mismatch; a LARGER-m_bits probe is undetectable — keep
+        # the metadata if you persist filters).
+        meta = bloom.schema["pos"].metadata if "pos" in bloom.columns else {}
+        if meta:
+            if meta.get("m_bits") != m_bits or meta.get("k_hashes") != k_hashes:
+                raise ValueError(
+                    "bloom_dedup_against: bloom was built with "
+                    f"m_bits={meta.get('m_bits')} k_hashes={meta.get('k_hashes')}, "
+                    f"probe asked m_bits={m_bits} k_hashes={k_hashes}"
+                )
+        else:
+            mx = bloom.agg(F.max("pos").alias("m")).first()["m"]
+            if mx is not None and mx >= m_bits:
+                raise ValueError(
+                    f"bloom_dedup_against: bloom has bit {mx} >= m_bits={m_bits} "
+                    "— built with different parameters"
+                )
     fp = F.md5(normalized_text(F.col(text_col)))
     probes = new_df.withColumn("__fp", fp)
     # NULL-fingerprint rows probe nothing (no positions, definitely

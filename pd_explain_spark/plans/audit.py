@@ -84,9 +84,14 @@ def _is_bounded(line: str) -> bool:
     return any(op in line for op in _BOUNDED_OPS)
 
 
-# A physical line STARTS a tree node iff it is indent (spaces/branch
-# colons) followed by a branch marker or a root/codegen node name.
-_NODE_RE = re.compile(r"^[ :]*(\+-|:-|[A-Za-z*!])")
+# A non-root physical line STARTS a tree node iff it carries a branch
+# marker, or (the AQE stage / codegen rendering: "   ResultQueryStage",
+# "   *(3) Project") a PURE-SPACE indent of a multiple of 3 followed by
+# a capitalized node name. Measured against real executedPlan text:
+# the root is the only node at column 0, and every indented marker-less
+# node matches the second alternative.
+_BRANCH_RE = re.compile(r"^[ :]*(\+-|:-)")
+_STAGE_RE = re.compile(r"^( {3})+[A-Z*!]")
 
 
 def _tree_lines(text: str) -> list[str]:
@@ -97,13 +102,22 @@ def _tree_lines(text: str) -> list[str]:
     yields continuation fragments with garbage indent — observed to hide
     the build side of a BroadcastNestedLoopJoin behind a wrapped ccnet
     expression, flipping a bounded-build join to a fatal finding. Glue
-    every non-node-looking line back onto its predecessor."""
+    every non-node-looking line back onto its predecessor; the node test
+    is structural (branch marker / exact AQE-stage indent shape), not a
+    first-character class, so wrapped literal text that happens to start
+    with a word ("...\\nSee more") still glues instead of surviving as a
+    phantom zero-indent node that truncates _direct_children scans."""
     out: list[str] = []
     for ln in text.splitlines():
-        if out and not _NODE_RE.match(ln):
-            out[-1] += " " + ln
-        else:
+        is_node = (
+            not out
+            or _BRANCH_RE.match(ln) is not None
+            or _STAGE_RE.match(ln) is not None
+        )
+        if is_node:
             out.append(ln)
+        else:
+            out[-1] += " " + ln
     return out
 
 

@@ -2149,6 +2149,48 @@ def test_bloom_dedup_matches_exact_even_undersized(spark, sf_dir):
     assert {r["doc_id"] for r in out.collect()} == {9001, 9002}
 
 
+def test_sketch_param_mismatch_fails_loud(spark, tmp_path):
+    import pytest as _pytest
+
+    from pd_explain_spark import bloom_build, bloom_dedup_against, cms_build, cms_heavy_grams
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text body words here") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    # a CMS probed with other (width, depth) would silently zero
+    # estimates and drop true heavy hitters — must raise instead
+    sk = cms_build(docs, n=2, width=64, depth=3)
+    with _pytest.raises(ValueError, match="width"):
+        cms_heavy_grams(docs, min_count=1, n=2, width=32, depth=3, sketch=sk)
+    with _pytest.raises(ValueError, match="width|depth"):
+        cms_heavy_grams(docs, min_count=1, n=2, width=64, depth=2, sketch=sk)
+    # a bloom probed with other (m_bits, k_hashes) would silently leak
+    # duplicates past the re-verify — must raise, including after a
+    # parquet round-trip (params ride as column metadata)
+    bl = bloom_build(docs, m_bits=1024, k_hashes=4)
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_dedup_against(docs, docs, bloom=bl, m_bits=512, k_hashes=4)
+    with _pytest.raises(ValueError, match="k_hashes"):
+        bloom_dedup_against(docs, docs, bloom=bl, m_bits=1024, k_hashes=2)
+    p = str(tmp_path / "bloom_rt")
+    bl.write.parquet(p)
+    rt = spark.read.parquet(p)
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_dedup_against(docs, docs, bloom=rt, m_bits=512, k_hashes=4)
+    # matching params still run end to end
+    assert bloom_dedup_against(docs, docs, bloom=rt, m_bits=1024, k_hashes=4).count() == 0
+    # metadata-less filter (select/selectExpr PRESERVE field metadata —
+    # strip it explicitly): the structural max-bit check still catches
+    # an undersized probe
+    from pyspark.sql import functions as F
+
+    bare = bl.select(F.col("pos").alias("pos", metadata={}))
+    assert not bare.schema["pos"].metadata
+    with _pytest.raises(ValueError, match="different parameters"):
+        bloom_dedup_against(docs, docs, bloom=bare, m_bits=8, k_hashes=4)
+
+
 def test_cms_merge_equals_whole_corpus_sketch(spark, sf_dir):
     from pd_explain_spark import cms_build, cms_merge
 
