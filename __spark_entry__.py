@@ -2796,6 +2796,126 @@ def cms_heavy_grams_docs_q(spark, sf_dir):
     )
 
 
+# HLL constants shared by the two entries: alpha(m) per Flajolet et al.
+# 2007; the oracle SQL embeds the same Python-computed double literal so
+# both engines multiply by the identical constant.
+_HLL_A256 = 0.7213 / (1.0 + 1.079 / 256)
+
+
+@_q(
+    "hll_distinct_tokens",
+    f"""WITH toks AS (
+         SELECT lang,
+                unnest(list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                                   x -> x <> '')) AS tok
+         FROM documents
+       ), h AS (
+         SELECT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+         WHERE tok IS NOT NULL
+       ), reg AS (
+         SELECT lang, h % 256 AS bucket,
+                max(CASE WHEN (h >> 8) = 0 THEN 53
+                         ELSE 52 - length(bin(h >> 8)) + 1 END)::INT AS rho
+         FROM h GROUP BY 1, 2
+       ), spine AS (
+         SELECT l.lang, t.b AS bucket
+         FROM (SELECT DISTINCT lang FROM reg) l, range(0, 256) t(b)
+       ), full_reg AS (
+         SELECT s.lang, s.bucket, coalesce(reg.rho, 0) AS rho
+         FROM spine s LEFT JOIN reg ON s.lang = reg.lang AND s.bucket = reg.bucket
+       ), agg AS (
+         SELECT lang,
+                sum(CAST(pow(2.0, 53 - rho) AS BIGINT))::BIGINT AS s,
+                sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+         FROM full_reg GROUP BY 1
+       ), raws AS (
+         SELECT lang, v_zero,
+                ({_HLL_A256!r})::DOUBLE * 256.0 * 256.0 * pow(2.0, 53) / s AS raw
+         FROM agg
+       )
+       SELECT lang,
+              round(CASE WHEN raw <= 640.0 AND v_zero > 0
+                         THEN 256.0 * ln(256.0 / v_zero) ELSE raw END, 4)
+                AS est_distinct,
+              v_zero,
+              CASE WHEN raw <= 640.0 AND v_zero > 0 THEN 'linear' ELSE 'hll' END
+                AS method
+       FROM raws""",
+)
+def hll_distinct_tokens_q(spark, sf_dir):
+    """Per-language distinct-token estimate via HyperLogLog
+    (functions/sketches.py hll_sketch/hll_estimate, Flajolet et al.
+    2007): the vocabulary-size dashboard a 100 TB ingest keeps per
+    language WITHOUT a count(DISTINCT) shuffle whose key cardinality is
+    the answer — the aggregation key is (lang, register), so every
+    partition collapses to <= 256 rows per language before the shuffle
+    and the register table is mergeable across ingest days (bucket-wise
+    max). Engine determinism: the harmonic-mean sum is integer-scaled
+    (sum of 2^(rho_max - rho) as BIGINT — exact, order-free), the
+    register ranks are pure integer bit arithmetic (length(bin(v)) on
+    both engines), and the one float op (the small-range ln here) sits
+    inside the 4-decimal round."""
+    from pd_explain_spark.functions.sketches import hll_distinct
+    from pd_explain_spark.functions.text import normalized_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(normalized_text(F.col("text")), " "), lambda x: x != ""
+            )
+        ).alias("tok"),
+    )
+    return hll_distinct(toks, "tok", p=8, by=["lang"])
+
+
+@_q(
+    "hll_fingerprints_docs",
+    """WITH fps AS (
+         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         FROM documents
+       ), h AS (
+         SELECT ('0x' || substr(md5(fp), 1, 15))::BIGINT AS h FROM fps
+         WHERE fp IS NOT NULL
+       ), reg AS (
+         SELECT h % 16 AS bucket,
+                max(CASE WHEN (h >> 4) = 0 THEN 57
+                         ELSE 56 - length(bin(h >> 4)) + 1 END)::INT AS rho
+         FROM h GROUP BY 1
+       ), full_reg AS (
+         SELECT t.b AS bucket, coalesce(reg.rho, 0) AS rho
+         FROM range(0, 16) t(b) LEFT JOIN reg ON t.b = reg.bucket
+       ), agg AS (
+         SELECT sum(CAST(pow(2.0, 57 - rho) AS BIGINT))::BIGINT AS s,
+                sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+         FROM full_reg
+       ), raws AS (
+         SELECT v_zero, 0.673 * 16.0 * 16.0 * pow(2.0, 57) / s AS raw FROM agg
+       )
+       SELECT round(CASE WHEN raw <= 40.0 AND v_zero > 0
+                         THEN 16.0 * ln(16.0 / v_zero) ELSE raw END, 4)
+                AS est_distinct,
+              v_zero,
+              CASE WHEN raw <= 40.0 AND v_zero > 0 THEN 'linear' ELSE 'hll' END
+                AS method
+       FROM raws""",
+)
+def hll_fingerprints_docs_q(spark, sf_dir):
+    """Corpus-level distinct-document estimate: HLL over the normalized
+    text fingerprint at p=4 (m=16 registers). Deliberately tiny m so the
+    cardinality (~n_docs) exceeds the 2.5m linear-counting range and the
+    RAW harmonic-mean branch is the one driver-checked — the companion
+    entry hll_distinct_tokens exercises the linear branch. Same
+    integer-scaled register sum; zero float accumulation anywhere."""
+    from pd_explain_spark.functions.sketches import hll_distinct
+    from pd_explain_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(fingerprint(F.col("text")).alias("fp"))
+    return hll_distinct(fps, "fp", p=4)
+
+
 @_q(
     "decontaminate_docs",
     _CONTAM_GRAMS_CTE

@@ -46,7 +46,8 @@ from .functions.contamination import (contamination_pairs, decontaminate,
                                       novelty_scores)
 from .functions.sketches import (bloom_build, bloom_dedup_against,
                                  bloom_merge, cms_build, cms_heavy_grams,
-                                 cms_merge)
+                                 cms_merge, hll_distinct, hll_estimate,
+                                 hll_merge, hll_sketch)
 from .functions.relevance import (bm25_scores, build_vocabulary, hybrid_search,
                                   tf_idf, top_terms_per_doc)
 from .functions.segments import (chunk_documents, segment_dedup,
@@ -181,6 +182,10 @@ __all__ = [
     "bloom_build",
     "bloom_merge",
     "bloom_dedup_against",
+    "hll_sketch",
+    "hll_merge",
+    "hll_estimate",
+    "hll_distinct",
     "brute_force_topk_arrow",
     "pq_build_fixed",
     "pq_encode",

@@ -406,3 +406,195 @@ def bloom_dedup_against(
         .filter(F.col("__rn") == 1)
         .select(*new_df.columns)
     )
+
+
+# ------------------------------------------------------------- hyperloglog
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007's bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_rho(v, w_bits: int):
+    """Position of the leftmost 1-bit of a ``w_bits``-wide value, with
+    rho = w_bits + 1 when all bits are zero. Integer-exact on both
+    engines: bit_length(v) = length(bin(v)) for v > 0 (Spark ``bin`` and
+    DuckDB ``bin`` both render without leading zeros), so no float log
+    ever enters the register math."""
+    return F.when(v == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(v)) + F.lit(1)
+    )
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    p: int = 10,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) for the distinct
+    count of ``value_col`` — optionally one sketch per ``by`` group:
+    (``*by``, bucket, rho) with rho = max leading-zero rank seen in the
+    bucket. At most ``2**p`` rows per group no matter how many values
+    stream through — the bounded-state shape that answers "how many
+    distinct tokens / fingerprints / urls does this corpus have?" at
+    100 TB without a count(DISTINCT) shuffle whose key cardinality IS
+    the answer.
+
+    The aggregation key is (group, bucket), so partial aggregation
+    collapses every partition to <= m rows per group before the
+    shuffle — same bounded-shuffle argument as ``cms_build``. Duplicate
+    values land in the same bucket with the same rho, so max() absorbs
+    them: the sketch of a corpus equals the sketch of its distinct
+    values by construction, no pre-distinct needed.
+
+    Hashing is the engine-portable 60-bit md5 truncation
+    (`hashing.md5_int`): bucket = h % m takes the LOW bits, the
+    remaining ``60 - p`` HIGH bits (h >> p) feed the leading-zero rank,
+    so the two are independent. NULL values hash to nothing (a NULL is
+    not a distinct member). ``p`` rides as column metadata so a
+    persisted sketch estimated or merged with other params fails loud.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_sketch: p must be in [4, 16], got {p}")
+    m = 1 << p
+    w_bits = 60 - p
+    by = list(by or [])
+    h = md5_int(F.md5(F.col(value_col).cast("string")))
+    reg = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *by,
+            (h % F.lit(m)).alias("bucket"),
+            # h >> p, never h / m: float division of a 60-bit value
+            # rounds away the low bits the rank is computed from
+            _hll_rho(F.shiftright(h, p), w_bits).alias("__rho"),
+        )
+        .groupBy(*by, "bucket")
+        .agg(F.max("__rho").cast("int").alias("rho"))
+    )
+    return reg.select(
+        *by,
+        F.col("bucket").alias("bucket", metadata={"p": p}),
+        "rho",
+    )
+
+
+def _hll_check_p(sketch: DataFrame, p: int | None) -> int:
+    meta = sketch.schema["bucket"].metadata if "bucket" in sketch.columns else {}
+    if p is None:
+        if not meta or "p" not in meta:
+            raise ValueError(
+                "hll: sketch carries no precision metadata — pass p explicitly"
+            )
+        return int(meta["p"])
+    if meta and meta.get("p") != p:
+        raise ValueError(
+            f"hll: sketch was built with p={meta.get('p')}, asked p={p} — "
+            "register arithmetic would be silently wrong"
+        )
+    return p
+
+
+def hll_merge(*sketches: DataFrame, p: int | None = None) -> DataFrame:
+    """Merge HLL sketches built with the SAME p (and the same ``by``
+    columns): bucket-wise max. Like CMS and Bloom, the register table is
+    mergeable state — per-shard / per-day sketches combine into the
+    corpus sketch without rescanning anything, and the merged table
+    EQUALS the sketch of the concatenated corpora (max is associative,
+    commutative, idempotent — re-merging a shard twice is a no-op)."""
+    if not sketches:
+        raise ValueError("hll_merge: need at least one sketch")
+    ps = {_hll_check_p(s, p) for s in sketches}
+    if len(ps) > 1:
+        raise ValueError(f"hll_merge: mixed precisions {sorted(ps)}")
+    pp = ps.pop()
+    out = sketches[0]
+    keys = [c for c in out.columns if c != "rho"]
+    for s in sketches[1:]:
+        if [c for c in s.columns if c != "rho"] != keys:
+            raise ValueError("hll_merge: sketches have different group columns")
+        out = out.unionByName(s)
+    merged = out.groupBy(*keys).agg(F.max("rho").cast("int").alias("rho"))
+    gb = [k for k in keys if k != "bucket"]
+    return merged.select(
+        *gb, F.col("bucket").alias("bucket", metadata={"p": pp}), "rho"
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    p: int | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate from an HLL register table: one row per
+    ``by`` group with (est_distinct DOUBLE 4dp, v_zero BIGINT, method).
+    Standard error ~= 1.04/sqrt(2**p) (~3.2% at p=10).
+
+    Engine-portable determinism is the design constraint here: the
+    harmonic mean sum_j 2^-rho_j is a float sum whose accumulation order
+    Spark does not fix, so instead each term is INTEGER-scaled to
+    2^(rho_max - rho_j) and summed as a BIGINT — exact, order-free
+    (max term 2^(61-p) x 2^p registers = 2^61 < 2^63, no overflow) —
+    and the single rescale by 2^-rho_max happens once, after the sum.
+    Empty registers come from a generated [0, m) spine, not from the
+    data. The small-range branch (E <= 2.5m with empty registers, per
+    the paper) switches to linear counting m*ln(m/V), whose one ln sits
+    inside a 4-decimal round; large-range correction is unnecessary at
+    a 60-bit hash space.
+
+    Cost: the register table is bounded (m rows per group), so every
+    step after the sketch is O(groups x m) — the corpus is never
+    touched."""
+    pp = _hll_check_p(sketch, p)
+    m = 1 << pp
+    rho_max = (60 - pp) + 1
+    by = list(by or [c for c in sketch.columns if c not in ("bucket", "rho")])
+    spark = sketch.sparkSession
+    spine = spark.range(m).select(F.col("id").cast("bigint").alias("bucket"))
+    if by:
+        spine = sketch.select(*by).distinct().crossJoin(spine)
+    full = spine.join(sketch, [*by, "bucket"], "left").select(
+        *by, F.coalesce(F.col("rho"), F.lit(0)).alias("rho")
+    )
+    alpha = _hll_alpha(m)
+    agg = full.groupBy(*by).agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(rho_max) - F.col("rho")).cast("long"))
+        .alias("__s"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_zero"),
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.pow(F.lit(2.0), F.lit(rho_max))
+        / F.col("__s").cast("double")
+    )
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero").cast("double"))
+    use_linear = (raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0)
+    return agg.select(
+        *by,
+        F.round(F.when(use_linear, linear).otherwise(raw), 4).alias("est_distinct"),
+        "v_zero",
+        F.when(use_linear, F.lit("linear")).otherwise(F.lit("hll")).alias("method"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    p: int = 10,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """One-shot sketch + estimate: (``*by``, est_distinct, v_zero,
+    method). The composition a monitoring dashboard runs per ingest
+    batch; split the stages (``hll_sketch`` persisted + ``hll_merge`` +
+    ``hll_estimate``) when the sketch should accumulate across days."""
+    return hll_estimate(hll_sketch(df, value_col, p, by), p=p, by=by)

@@ -2757,3 +2757,80 @@ def test_prototype_prune_after_semantic_dedup_composes(spark, embeddings):
     out = prototype_prune(dd, prune_fraction=0.3, n_centroids=8)
     assert_scalable(out)
     assert out.count() <= dd.count() <= emb.count()
+
+
+def test_hll_estimate_accuracy_branches_and_duplicates(spark):
+    """HLL (r8): the raw branch lands within the published error band,
+    the small-range branch switches to linear counting, duplicates
+    cannot move a register, and NULLs are not members."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark import hll_distinct, hll_sketch
+
+    n = 20_000
+    vals = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    est = hll_distinct(vals, "v", p=10).collect()[0]
+    # p=10 => SE ~ 1.04/sqrt(1024) ~ 3.25%; allow 4 sigma
+    assert est["method"] == "hll"
+    assert abs(est["est_distinct"] - n) / n < 0.13
+    # small range: 40 distinct values over m=1024 registers -> linear
+    small = spark.range(40).select(F.concat(F.lit("s"), F.col("id")).alias("v"))
+    s_est = hll_distinct(small, "v", p=10).collect()[0]
+    assert s_est["method"] == "linear"
+    assert abs(s_est["est_distinct"] - 40) < 6
+    # duplicates are invisible: sketch(corpus x3) == sketch(corpus)
+    tripled = vals.unionByName(vals).unionByName(vals)
+    a = hll_sketch(vals, "v", p=10)
+    b = hll_sketch(tripled, "v", p=10)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # NULL values set no register
+    with_null = small.unionByName(
+        spark.createDataFrame([(None,)], "v string")
+    )
+    c = hll_sketch(with_null, "v", p=10)
+    d = hll_sketch(small, "v", p=10)
+    assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
+
+
+def test_hll_merge_grouped_and_param_guards(spark):
+    """Merged per-shard sketches equal the whole-corpus sketch (so
+    per-day registers accumulate without rescans), grouped estimates
+    track per-group exact counts, and param mismatches fail loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark import hll_distinct, hll_estimate, hll_merge, hll_sketch
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("w"), (F.col("id") % 700)).alias("v"),
+    )
+    whole = hll_sketch(df, "v", p=8, by=["g"])
+    shards = [
+        hll_sketch(df.filter(F.col("id") % 2 == i), "v", p=8, by=["g"])
+        for i in range(2)
+    ]
+    merged = hll_merge(*shards)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    # idempotent: re-merging a shard is a no-op
+    again = hll_merge(merged, shards[0])
+    assert again.exceptAll(whole).count() == 0
+    # grouped estimate ~ per-group exact distinct (700 shared values:
+    # group g sees the ids === g mod 3 -> ~234 distinct each)
+    ests = {r["g"]: r["est_distinct"] for r in hll_estimate(merged).collect()}
+    exact = {
+        r["g"]: r["x"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("x")).collect()
+    }
+    for g, x in exact.items():
+        assert abs(ests[g] - x) / x < 0.3
+    # guards: p out of range, estimate/merge with mismatched p
+    with pytest.raises(ValueError, match="p must be"):
+        hll_sketch(df, "v", p=3)
+    with pytest.raises(ValueError, match="built with p="):
+        hll_estimate(whole, p=10)
+    with pytest.raises(ValueError, match="built with p="):
+        hll_merge(whole, hll_sketch(df, "v", p=10, by=["g"]), p=8)
+    with pytest.raises(ValueError, match="different group columns"):
+        hll_merge(whole, hll_sketch(df, "v", p=8))
