@@ -4121,6 +4121,52 @@ def ngram_jaccard_q(spark, sf_dir):
 
 
 @_q(
+    "winnow_near_dups_docs",
+    """WITH toks AS (
+         SELECT doc_id,
+                string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         FROM documents
+       ), hs AS (
+         SELECT doc_id,
+                [('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
+                 FOR i IN range(1, len(t) - 1)] AS hs
+         FROM toks WHERE len(t) >= 3
+       ), fps AS (
+         SELECT DISTINCT doc_id,
+                unnest(CASE WHEN len(hs) >= 4
+                            THEN [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)]
+                            ELSE [list_min(hs)] END) AS fp
+         FROM hs
+       ), sizes AS (
+         SELECT doc_id, count(*) AS n FROM fps GROUP BY 1
+       ), pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT id_a, id_b,
+              round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.3""",
+)
+def winnow_near_dups_docs_q(spark, sf_dir):
+    """Winnowed-fingerprint near-dup pairs (functions/dedup.py
+    winnow_fingerprint_index/winnow_pairs; Schleimer et al. 2003, the
+    MOSS algorithm): hash every word trigram, keep each 4-window's
+    MINIMUM hash, Jaccard over the selected minima. The guaranteed
+    sparsification flavor of the shingle self-join — expected index
+    density 2/(window+1) of the gram stream, while any shared token run
+    of >= window+k-1 tokens still always collides. The whole selection
+    is integer md5 arithmetic (list_min over slices) and reproduces
+    verbatim in DuckDB."""
+    from pd_explain_spark.functions.dedup import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"), k=3, window=4, threshold=0.3)
+
+
+@_q(
     "minhash_near_dups_md5",
     """WITH toks AS (
          SELECT doc_id,

@@ -32,7 +32,8 @@ from .functions.dedup import (NearDupIndex, SimHashIndex, dedup_against, dedup_n
                               fuzzy_dedup, fuzzy_dedup_against, keep_best,
                               minhash_dedup_against, minhash_pairs_against,
                               near_dup_pairs_against, simhash_dedup_against,
-                              simhash_pairs_against)
+                              simhash_pairs_against, winnow_dedup,
+                              winnow_fingerprint_index, winnow_pairs)
 from .functions.drift import drift_scores, reference_histogram, stream_drift_scores
 from .functions.mixing import (assign_splits, dsir_log_ratios, dsir_sample,
                                dsir_weights, leakage_safe_splits,
@@ -172,6 +173,9 @@ __all__ = [
     "minhash_dedup_against",
     "simhash_pairs_against",
     "simhash_dedup_against",
+    "winnow_fingerprint_index",
+    "winnow_pairs",
+    "winnow_dedup",
     "dsir_log_ratios",
     "dsir_weights",
     "dsir_sample",

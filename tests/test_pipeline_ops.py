@@ -2834,3 +2834,53 @@ def test_hll_merge_grouped_and_param_guards(spark):
         hll_merge(whole, hll_sketch(df, "v", p=10, by=["g"]), p=8)
     with pytest.raises(ValueError, match="different group columns"):
         hll_merge(whole, hll_sketch(df, "v", p=8))
+
+
+def test_winnow_guarantee_sparsity_and_dedup(spark):
+    """Winnowing (r8): long shared token runs ALWAYS collide on a
+    fingerprint (the paper's guarantee), the winnowed index is
+    materially sparser than the full shingle index, short docs behave,
+    and the end-to-end dedup keeps one doc per component."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.dedup import (
+        _shingle_index,
+        winnow_dedup,
+        winnow_fingerprint_index,
+        winnow_pairs,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = window+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {run} three four five six seven"),
+            (2, f"eight nine ten {run} eleven twelve thirteen"),
+            (3, "totally disjoint vocabulary nothing shared here at all"),
+            (4, "tiny doc"),            # < k tokens: no fingerprints
+            (5, "exactly three tokens"),  # one gram -> one fingerprint
+            (6, f"one two {run} three four five six seven"),  # clone of 1
+        ],
+        "doc_id bigint, text string",
+    )
+    inv = winnow_fingerprint_index(docs, k=3, window=4)
+    by_id = {r["doc_id"]: r["n"] for r in
+             inv.groupBy(F.col("id").alias("doc_id")).agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 4 not in by_id            # sub-k doc has no fingerprints
+    assert by_id[5] == 1             # single-gram doc keeps its min
+    # guarantee: docs 1 and 2 share a >= window+k-1 token run -> >= 1
+    # shared fingerprint, regardless of the differing surroundings
+    shared = winnow_pairs(docs, k=3, window=4, threshold=0.0)
+    got = {(r["id_a"], r["id_b"]) for r in shared.collect()}
+    assert (1, 2) in got and (1, 6) in got and (2, 6) in got
+    assert not any(3 in p for p in got)  # disjoint vocab never pairs
+    # clone pair is jaccard 1.0, the run-only pair is partial
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in shared.collect()}
+    assert j[(1, 6)] == 1.0 and 0.0 < j[(1, 2)] < 1.0
+    # dedup: the clone collapses, everything else survives
+    surv = winnow_dedup(docs, k=3, window=4, threshold=0.9)
+    assert {r["doc_id"] for r in surv.select("doc_id").collect()} == {1, 2, 3, 4, 5}
+    # sparsity on a real corpus: winnowed index well under the shingle index
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full_n = _shingle_index(real, "text", "doc_id", 3).count()
+    win_n = winnow_fingerprint_index(real, k=3, window=4).count()
+    assert win_n < 0.7 * full_n, (win_n, full_n)
