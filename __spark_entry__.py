@@ -3910,6 +3910,72 @@ def leakage_safe_splits_q(spark, sf_dir):
 
 
 @_q(
+    "soft_dedup_weights_docs",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), sh AS (
+         SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+         FROM toks WHERE len(t) >= 3
+       ), inv AS (
+         SELECT doc_id, unnest(s) AS shingle FROM sh
+       ), pre AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ), pairs AS (
+         SELECT id_a, id_b
+         FROM pre
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON la.doc_id = id_a
+         JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON lb.doc_id = id_b
+         WHERE round(inter / (la.n + lb.n - inter), 6) >= 0.2
+       ), edges AS (
+         SELECT id_a AS s, id_b AS t FROM pairs
+         UNION SELECT id_b, id_a FROM pairs
+       ), reach AS (
+         WITH RECURSIVE r(s, t) AS (
+           SELECT s, t FROM edges
+           UNION
+           SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s
+         ) SELECT * FROM r
+       ), comp AS (
+         SELECT s AS id, least(s, min(t))::BIGINT AS component
+         FROM reach GROUP BY s
+       ), sizes AS (
+         SELECT component, count(*)::BIGINT AS cs FROM comp GROUP BY 1
+       )
+       SELECT d.doc_id,
+              coalesce(c.component, d.doc_id) AS dup_component,
+              coalesce(s.cs, 1)::BIGINT AS cluster_size,
+              round(1.0 / coalesce(s.cs, 1), 6) AS weight
+       FROM documents d
+       LEFT JOIN comp c ON c.id = d.doc_id
+       LEFT JOIN sizes s ON s.component = c.component""",
+)
+def soft_dedup_weights_docs_q(spark, sf_dir):
+    """Soft deduplication (functions/dedup.py soft_dedup_weights):
+    instead of deleting near-duplicates, every doc gets weight =
+    1/cluster_size over its near-dup component (exact trigram Jaccard
+    >= 0.2 pairs, pointer-jumping components) — a duplicate cluster's
+    total sampling mass is exactly one document, so weighted training
+    sees a deduplicated corpus while keeping all surface forms. Oracle
+    chains the components recursive CTE into the size/weight
+    arithmetic; shares its pair list with leakage_safe_splits_docs
+    (one components run feeds splits AND weights)."""
+    from pd_explain_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        soft_dedup_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return soft_dedup_weights(docs.select("doc_id"), pairs=pairs)
+
+
+@_q(
     "pack_sequences",
     """SELECT doc_id, n_tokens,
               CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,

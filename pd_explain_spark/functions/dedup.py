@@ -1770,3 +1770,53 @@ def winnow_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "anti")
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    components: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft deduplication: reweight duplicates instead of deleting them.
+    Every row of ``df`` comes back with (dup_component, cluster_size,
+    weight = 1/cluster_size, 6dp) — a duplicate cluster's total sampling
+    mass is exactly one document, so a training loader that samples
+    proportionally to ``weight`` sees the corpus as if deduplicated
+    while keeping every surface form available (the soft-dedup
+    reweighting idea from the LM-pretraining literature: hard removal
+    throws away benign variation; down-weighting preserves it at
+    deduplicated effective epochs).
+
+    ``pairs`` is any near-dup pair list from this module (``id_a``/
+    ``id_b``); pass ``components`` to reuse an already-computed
+    (id, component) table — same contract as
+    :func:`~pd_explain_spark.functions.mixing.leakage_safe_splits`, so
+    one components run feeds splits AND weights. Scale shape: the
+    components table only holds docs that HAVE a duplicate (orders of
+    magnitude below the corpus), cluster sizes are one bounded groupBy
+    of it, and the corpus-side join back is broadcast-sized — the
+    corpus itself never shuffles."""
+    if components is None:
+        if pairs is None:
+            raise ValueError("soft_dedup_weights: pass pairs or components")
+        components = duplicate_components(pairs)
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cs")
+    )
+    comp = components.join(sizes, "component").select(
+        F.col("id").alias("__sdid"),
+        F.col("component").alias("__sdcomp"),
+        F.col("__cs"),
+    )
+    return (
+        df.join(F.broadcast(comp), df[id_col] == F.col("__sdid"), "left")
+        .select(
+            *df.columns,
+            F.coalesce(F.col("__sdcomp"), F.col(id_col)).alias("dup_component"),
+            F.coalesce(F.col("__cs"), F.lit(1).cast("bigint")).alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce(F.col("__cs"), F.lit(1)).cast("double"), 6
+            ).alias("weight"),
+        )
+    )

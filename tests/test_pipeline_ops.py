@@ -2884,3 +2884,44 @@ def test_winnow_guarantee_sparsity_and_dedup(spark):
     full_n = _shingle_index(real, "text", "doc_id", 3).count()
     win_n = winnow_fingerprint_index(real, k=3, window=4).count()
     assert win_n < 0.7 * full_n, (win_n, full_n)
+
+
+def test_soft_dedup_weights_unit_mass_per_cluster(spark):
+    """Soft dedup (r8): each duplicate cluster's weights sum to exactly
+    1, singletons keep weight 1.0, rows are conserved, and a
+    pre-computed components table is reusable (the leakage_safe_splits
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.dedup import (
+        duplicate_components,
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "the quick brown fox jumps over the lazy dog tonight",
+            "the quick brown fox jumps over the lazy dog tonight",  # clone of 0
+            "the quick brown fox jumps over the lazy dog tonight!",  # near 0
+            "completely different text about spark query planning",
+            "completely different text about spark query planning",  # clone of 3
+            "a lone singleton document with its own vocabulary",
+        ])],
+        "doc_id bigint, text string",
+    )
+    from pd_explain_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    out = soft_dedup_weights(docs, pairs=pairs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 6                       # row conservation
+    assert rows[5]["cluster_size"] == 1 and rows[5]["weight"] == 1.0
+    assert rows[0]["cluster_size"] == 3 and rows[3]["cluster_size"] == 2
+    assert rows[0]["dup_component"] == rows[1]["dup_component"] == rows[2]["dup_component"] == 0
+    # unit mass per cluster (weights are 6dp-rounded -> tolerance)
+    mass = out.groupBy("dup_component").agg(F.sum("weight").alias("m")).collect()
+    assert all(abs(r["m"] - 1.0) < 1e-4 for r in mass)
+    # reuse path: components= gives the identical result
+    comp = duplicate_components(pairs)
+    again = soft_dedup_weights(docs, components=comp)
+    assert again.exceptAll(out).count() == 0 and out.exceptAll(again).count() == 0
