@@ -2796,6 +2796,43 @@ def cms_heavy_grams_docs_q(spark, sf_dir):
     )
 
 
+@_q(
+    "exact_quantiles_lineitem",
+    """WITH vals AS (
+         SELECT l_extendedprice AS v FROM lineitem
+         WHERE l_extendedprice IS NOT NULL
+       ), ranked AS (
+         SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals
+       ), n AS (
+         SELECT count(*)::BIGINT AS c FROM vals
+       ), qs AS (
+         SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.95, 0.99]) AS q
+       )
+       SELECT qs.q::DOUBLE AS q, r.v AS value
+       FROM qs CROSS JOIN n
+       JOIN ranked r ON r.rn = greatest(1, ceil(qs.q::DOUBLE * n.c)::BIGINT)""",
+)
+def exact_quantiles_lineitem_q(spark, sf_dir):
+    """EXACT order statistics without a global sort
+    (functions/sketches.py exact_quantiles): the value at rank
+    ceil(q*N) for six quantiles of l_extendedprice, found by histogram
+    pruning — one (min,max,count) agg, one n_bins-bounded histogram
+    shuffle, then an exact distinct-value walk of ONLY the target bins.
+    The oracle states the rank definition directly (row_number over the
+    sorted column); at 100 TB the Spark side never range-shuffles the
+    table the way orderBy would — every shuffle is bounded by n_bins.
+    Ranks use ceil(q::DOUBLE * N) on BOTH engines so the one float
+    multiply rounds identically."""
+    from pd_explain_spark.functions.sketches import exact_quantiles
+
+    return exact_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        [0.01, 0.25, 0.5, 0.75, 0.95, 0.99],
+        n_bins=256,
+    )
+
+
 # HLL constants shared by the two entries: alpha(m) per Flajolet et al.
 # 2007; the oracle SQL embeds the same Python-computed double literal so
 # both engines multiply by the identical constant.

@@ -598,3 +598,201 @@ def hll_distinct(
     batch; split the stages (``hll_sketch`` persisted + ``hll_merge`` +
     ``hll_estimate``) when the sketch should accumulate across days."""
     return hll_estimate(hll_sketch(df, value_col, p, by), p=p, by=by)
+
+
+# ------------------------------------------------------- quantile histogram
+def _hist_bin(x, lo: float, width: float, n_bins: int):
+    """Clamped fixed-grid bin index — the ONE definition shared by the
+    histogram build and the refinement filters, so narrowing filters on
+    `bin_expr == b` instead of re-deriving float range boundaries (which
+    could disagree with the build at the edges)."""
+    return F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    ).cast("int")
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Fixed-grid histogram of ``col`` over [lo, hi]: (bin, cnt) with
+    only non-empty bins, values outside the range clamped into the edge
+    bins. Like the other sketches in this module the aggregation key is
+    the BIN, so every partition collapses to <= n_bins rows before the
+    shuffle, and histograms over the same grid are mergeable
+    (:func:`histogram_merge`) — per-shard / per-day distribution state
+    that never rescans history. Grid params ride as column metadata so
+    mismatched merges fail loud."""
+    if not (hi >= lo) or n_bins < 1:
+        raise ValueError("value_histogram: need hi >= lo and n_bins >= 1")
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(_hist_bin(F.col(col), lo, width, n_bins).alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.col("bin").alias(
+                "bin", metadata={"lo": lo, "hi": hi, "n_bins": n_bins}
+            ),
+            "cnt",
+        )
+    )
+
+
+def histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Merge fixed-grid histograms built with the SAME (lo, hi, n_bins):
+    bin-wise sum. A linear sketch like CMS — the merged table equals the
+    histogram of the concatenated inputs."""
+    if not hists:
+        raise ValueError("histogram_merge: need at least one histogram")
+    metas = []
+    for h in hists:
+        m = h.schema["bin"].metadata if "bin" in h.columns else {}
+        metas.append((m.get("lo"), m.get("hi"), m.get("n_bins")))
+    if len(set(metas)) > 1:
+        raise ValueError(f"histogram_merge: mixed grids {sorted(set(metas))}")
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    lo, hi, n_bins = metas[0]
+    merged = out.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    if lo is None:
+        return merged
+    return merged.select(
+        F.col("bin").alias("bin", metadata={"lo": lo, "hi": hi, "n_bins": n_bins}),
+        "cnt",
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    n_bins: int = 4096,
+    max_collect: int = 65536,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """EXACT order statistics without a global sort: for each q in
+    ``qs``, the value at rank ceil(q * N) (1-indexed, NULLs excluded)
+    of the sorted column — what ``orderBy(col).limit(rank)`` would
+    find, computed with histogram pruning instead.
+
+    Why not sort: a global sort range-shuffles the ENTIRE table (at
+    100 TB that is the whole corpus through one exchange); an
+    approxQuantile answers fast but is not an answer you can hash. This
+    is the prune-then-verify shape the sketch family uses everywhere:
+
+      1. one agg for (min, max, count);
+      2. one fixed-grid histogram pass (shuffle bounded by n_bins) —
+         the driver cumsum locates each rank's bin;
+      3. per target bin, narrow by re-histogramming INSIDE the bin
+         (filter on the shared bin expression — a cheap scan-stage
+         predicate, shuffle again bounded by n_bins) until the bin
+         holds <= ``max_collect`` rows or ``max_rounds`` is hit (each
+         round divides the width by n_bins, so real data terminates in
+         1-2 rounds);
+      4. collect ONLY that bin's distinct (value, count) rows —
+         bounded — and read the exact rank off the driver-side walk.
+
+    Every scan is a full pass (the bin predicate cannot push down as a
+    parquet range), so cost is O(rounds) scans + O(n_bins) shuffles —
+    but nothing ever globally sorts, and no partition ever holds more
+    than its share of one histogram. Returns (q DOUBLE, value <col
+    type>), one row per q, in the input order of ``qs``."""
+    import math
+
+    if not qs:
+        raise ValueError("exact_quantiles: qs must be non-empty")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"exact_quantiles: qs must be in [0, 1], got {qs}")
+    spark = df.sparkSession
+    vtype = df.schema[col].dataType.simpleString()
+    out_schema = f"q double, value {vtype}"
+    vals = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("v"))
+    stats = vals.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
+    ).first()
+    n = int(stats["n"])
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if lo == hi:  # single distinct value: every quantile is it
+        one = stats["lo"]
+        return spark.createDataFrame([(float(q), one) for q in qs], out_schema)
+
+    def _ranks():
+        return {q: max(1, math.ceil(float(q) * n)) for q in qs}
+
+    # stage 2: top-level histogram, cumsum on the driver (n_bins rows)
+    width = (hi - lo) / n_bins
+    top = {
+        r["bin"]: r["cnt"]
+        for r in vals.groupBy(
+            _hist_bin(F.col("v"), lo, width, n_bins).alias("bin")
+        ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    answers: dict[float, object] = {}
+    # group the still-unanswered qs by the bin their rank lands in
+    def _locate(hist: dict, rank: int):
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= rank:
+                return b, cum - hist[b]  # bin, rows before it
+        raise AssertionError("rank beyond histogram mass")
+
+    targets: dict[int, list[tuple[float, int]]] = {}
+    for q, r in _ranks().items():
+        b, before = _locate(top, r)
+        targets.setdefault(b, []).append((q, r - before))
+    for b, wants in targets.items():
+        pred = _hist_bin(F.col("v"), lo, width, n_bins) == F.lit(b)
+        cur = vals.filter(pred)
+        cur_lo, cur_width = lo + b * width, width
+        rows_in = top[b]
+        for _ in range(max_rounds):
+            if rows_in <= max_collect or cur_width <= 0:
+                break
+            sub = {
+                r["bin"]: r["cnt"]
+                for r in cur.groupBy(
+                    _hist_bin(F.col("v"), cur_lo, cur_width / n_bins, n_bins).alias("bin")
+                ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            # each pending rank may land in a different sub-bin; narrow
+            # only when they agree (multi-target bins are rare; fall
+            # through to the distinct-collect otherwise)
+            locs = {q: _locate(sub, lr) for q, lr in wants}
+            sbs = {loc[0] for loc in locs.values()}
+            if len(sbs) != 1:
+                break
+            sb = sbs.pop()
+            wants = [(q, lr - locs[q][1]) for q, lr in wants]
+            cur_width = cur_width / n_bins
+            cur_lo = cur_lo + sb * cur_width
+            cur = cur.filter(
+                _hist_bin(F.col("v"), cur_lo - sb * cur_width, cur_width, n_bins)
+                == F.lit(sb)
+            )
+            rows_in = sub[sb]
+        # stage 4: exact distinct-value walk of the bounded bin
+        vc = sorted(
+            (r["v"], r["c"])
+            for r in cur.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+        )
+        for q, local_rank in wants:
+            cum = 0
+            for v, c in vc:
+                cum += c
+                if cum >= local_rank:
+                    answers[q] = v
+                    break
+    return spark.createDataFrame(
+        [(float(q), answers[q]) for q in qs], out_schema
+    )

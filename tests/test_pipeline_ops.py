@@ -2925,3 +2925,55 @@ def test_soft_dedup_weights_unit_mass_per_cluster(spark):
     comp = duplicate_components(pairs)
     again = soft_dedup_weights(docs, components=comp)
     assert again.exceptAll(out).count() == 0 and out.exceptAll(again).count() == 0
+
+
+def test_exact_quantiles_differential_and_edges(spark, lineitem):
+    """exact_quantiles (r8): matches the sorted-column definition
+    exactly, survives forced refinement rounds, handles constant /
+    integer / NULL-bearing / empty inputs, and the mergeable histogram
+    equals the whole-corpus histogram."""
+    import math
+
+    lineitem = lineitem.df  # pipeline ops take plain DataFrames
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.sketches import (
+        exact_quantiles,
+        histogram_merge,
+        value_histogram,
+    )
+
+    qs = [0.0, 0.01, 0.5, 0.99, 1.0]
+    got = {r["q"]: r["value"] for r in
+           exact_quantiles(lineitem, "l_extendedprice", qs, n_bins=64).collect()}
+    vals = sorted(v[0] for v in lineitem.select("l_extendedprice").collect())
+    n = len(vals)
+    for q in qs:
+        assert got[q] == vals[max(1, math.ceil(q * n)) - 1], q
+    # forced multi-round refinement returns the same answers
+    refined = {r["q"]: r["value"] for r in
+               exact_quantiles(lineitem, "l_extendedprice", qs, n_bins=8,
+                               max_collect=50).collect()}
+    assert refined == got
+    # constant column: every q is the constant
+    const = lineitem.select(F.lit(3.25).alias("c"))
+    assert {r["value"] for r in exact_quantiles(const, "c", [0.1, 0.9]).collect()} == {3.25}
+    # NULLs excluded; empty input -> empty frame; bad q rejected
+    some_null = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (3.0,)], "v double"
+    )
+    assert exact_quantiles(some_null, "v", [0.5]).collect()[0]["value"] == 2.0
+    empty = spark.createDataFrame([], "v double")
+    assert exact_quantiles(empty, "v", [0.5]).count() == 0
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        exact_quantiles(some_null, "v", [1.5])
+    # histogram mergeability: shard histograms sum to the whole
+    h_all = value_histogram(lineitem, "l_quantity", 1.0, 50.0, n_bins=32)
+    h1 = value_histogram(lineitem.filter("l_orderkey % 2 = 0"), "l_quantity", 1.0, 50.0, 32)
+    h2 = value_histogram(lineitem.filter("l_orderkey % 2 = 1"), "l_quantity", 1.0, 50.0, 32)
+    merged = histogram_merge(h1, h2)
+    assert merged.exceptAll(h_all).count() == 0 and h_all.exceptAll(merged).count() == 0
+    with pytest.raises(ValueError, match="mixed grids"):
+        histogram_merge(h1, value_histogram(lineitem, "l_quantity", 0.0, 50.0, 32))
