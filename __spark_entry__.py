@@ -4813,6 +4813,103 @@ def bpe_encode_docs_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     _, wt = train_bpe(docs, num_merges=10)
     return bpe_encode(docs, wt)
+
+
+@_q(
+    "tokenizer_fertility_docs",
+    _BPE_TRAIN_CTE + """
+       , final AS (
+         SELECT w, string_split(trim(s, chr(31)), chr(31) || chr(31)) AS syms
+         FROM st WHERE iter = (SELECT max(iter) FROM st)
+       ), dtoks AS (
+         SELECT doc_id, unnest(list_filter(
+                  string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  x -> x <> '')) AS w
+         FROM documents
+       ), enc AS (
+         SELECT d.doc_id, len(f.syms)::BIGINT AS n_sub,
+                length(d.w)::BIGINT AS n_chars
+         FROM dtoks d JOIN final f ON f.w = d.w
+       ), per_lang AS (
+         SELECT d2.lang,
+                sum(e.n_sub)::BIGINT AS total_tokens,
+                count(*)::BIGINT AS total_words,
+                sum(e.n_chars)::BIGINT AS total_chars
+         FROM enc e JOIN documents d2 ON d2.doc_id = e.doc_id
+         GROUP BY 1
+       )
+       SELECT l.lang, l.n_docs,
+              coalesce(t.total_words, 0)::BIGINT AS total_words,
+              coalesce(t.total_tokens, 0)::BIGINT AS total_tokens,
+              coalesce(t.total_chars, 0)::BIGINT AS total_chars,
+              CASE WHEN t.total_words > 0
+                   THEN round(t.total_tokens / t.total_words::DOUBLE, 4) END
+                AS fertility,
+              CASE WHEN t.total_tokens > 0
+                   THEN round(t.total_chars / t.total_tokens::DOUBLE, 4) END
+                AS chars_per_token
+       FROM (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1) l
+       LEFT JOIN per_lang t ON t.lang = l.lang""",
+)
+def tokenizer_fertility_docs_q(spark, sf_dir):
+    """Tokenizer fertility dashboard: per-language subwords-per-word and
+    chars-per-subword of the corpus under the SAME 10-merge BPE
+    vocabulary bpe_merges_docs learns — the per-language cost metric a
+    multilingual pretraining run tracks to see which languages a shared
+    vocabulary is taxing (high fertility = more sequence positions per
+    word). Composes functions/bpe.py train_bpe -> bpe_encode ->
+    corpus-stats aggregation in one plan; the oracle chains the training
+    CTE's final segmentations into the per-language sums, so the whole
+    train -> encode -> report path is hash-checked. Totals are exact
+    integers; each ratio is a single division inside a 4-decimal round.
+
+    Scale shape: train cost is bounded by the distinct-word table
+    (driver-local merge loop), encoding is a segmentation-table join
+    behind the tokenize barrier, and the report is one map-combining
+    groupBy on lang — the corpus text is scanned once."""
+    from pd_explain_spark.functions.bpe import bpe_encode, train_bpe
+    from pd_explain_spark.functions.text import normalized_text
+
+    docs = _t(spark, sf_dir, "documents")
+    _, wt = train_bpe(docs, num_merges=10)
+    enc = bpe_encode(docs, wt)
+    toks_per_doc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__toks")
+    )
+    arr = F.filter(
+        F.split(normalized_text(F.col("text")), " "), lambda x: x != ""
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(arr).cast("bigint").alias("__words"),
+        F.aggregate(
+            F.transform(arr, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("__chars"),
+    ).join(toks_per_doc, "doc_id", "left")
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__words").cast("bigint").alias("total_words"),
+        F.sum(F.coalesce(F.col("__toks"), F.lit(0))).cast("bigint").alias("total_tokens"),
+        F.sum("__chars").cast("bigint").alias("total_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_tokens",
+        "total_chars",
+        F.when(
+            F.col("total_words") > 0,
+            F.round(F.col("total_tokens") / F.col("total_words").cast("double"), 4),
+        ).alias("fertility"),
+        F.when(
+            F.col("total_tokens") > 0,
+            F.round(F.col("total_chars") / F.col("total_tokens").cast("double"), 4),
+        ).alias("chars_per_token"),
+    )
 _QUERIES["simhash_near_dups"] = simhash_near_dups_q  # rows-only: xxhash64 bit votes
 
 

@@ -2977,3 +2977,28 @@ def test_exact_quantiles_differential_and_edges(spark, lineitem):
     assert merged.exceptAll(h_all).count() == 0 and h_all.exceptAll(merged).count() == 0
     with pytest.raises(ValueError, match="mixed grids"):
         histogram_merge(h1, value_histogram(lineitem, "l_quantity", 0.0, 50.0, 32))
+
+
+def test_tokenizer_fertility_invariants(spark):
+    """Fertility report (r8): subwords-per-word >= 1 (a word never
+    encodes to fewer than one token), totals are conserved against the
+    raw encode, and zero-word languages report NULL ratios."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.bpe import bpe_encode, train_bpe
+
+    import __spark_entry__ as entry
+
+    out = entry.queries()["tokenizer_fertility_docs"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["fertility"] >= 1.0
+        assert r["total_tokens"] >= r["total_words"] > 0
+        assert r["chars_per_token"] > 0
+    # conservation: summed tokens equal the raw encode's row count
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _, wt = train_bpe(docs, num_merges=10)
+    assert sum(r["total_tokens"] for r in rows) == bpe_encode(docs, wt).count()

@@ -564,3 +564,47 @@ def test_stream_source_gates_match_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.table("srcgate").collect()}
     want = {tuple(r) for r in source_gates(spark.read.parquet(d), gate=gate).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_hll_sketch_matches_batch(spark, tmp_path):
+    """The HLL register table is a pure keyed max-aggregation, so
+    Structured Streaming maintains the distinct-count sketch with
+    BOUNDED state (2^p registers per group, independent of stream
+    length). In complete mode the maintained registers must equal the
+    batch sketch cell for cell."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark import hll_sketch
+    from pd_explain_spark.functions.text import normalized_text
+
+    d = str(tmp_path / "docs_hll")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(
+        4
+    ).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    def toks(df):
+        return df.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(normalized_text(F.col("text")), " "),
+                         lambda x: x != "")
+            ).alias("tok"),
+        )
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        hll_sketch(toks(stream), "tok", p=6, by=["lang"])
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["lang"], r["bucket"]): r["rho"]
+           for r in spark.table("hll_stream").collect()}
+    want = {(r["lang"], r["bucket"]): r["rho"]
+            for r in hll_sketch(toks(spark.read.parquet(d)), "tok", p=6,
+                                by=["lang"]).collect()}
+    assert got == want and len(want) > 0
