@@ -2797,6 +2797,38 @@ def cms_heavy_grams_docs_q(spark, sf_dir):
 
 
 @_q(
+    "quantile_trim_docs",
+    """WITH vals AS (
+         SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL
+       ), ranked AS (
+         SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals
+       ), n AS (
+         SELECT count(*)::BIGINT AS c FROM vals
+       ), b AS (
+         SELECT
+           (SELECT v FROM ranked, n
+            WHERE rn = greatest(1, ceil(0.05::DOUBLE * c)::BIGINT)) AS lo,
+           (SELECT v FROM ranked, n
+            WHERE rn = greatest(1, ceil(0.95::DOUBLE * c)::BIGINT)) AS hi
+       )
+       SELECT d.* FROM documents d, b
+       WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""",
+)
+def quantile_trim_docs_q(spark, sf_dir):
+    """Exact-quantile tail cut (functions/mixing.py quantile_trim): keep
+    documents whose n_chars lies between the exact p05 and p95 — the
+    standard pre-training length trim without per-corpus hand-picked
+    thresholds. The bounds come from the histogram-pruned
+    exact_quantiles (no global sort), and the trim itself is one
+    pushdown-able scan predicate."""
+    from pd_explain_spark.functions.mixing import quantile_trim
+
+    return quantile_trim(
+        _t(spark, sf_dir, "documents"), "n_chars", 0.05, 0.95, n_bins=256
+    )
+
+
+@_q(
     "exact_quantiles_lineitem",
     """WITH vals AS (
          SELECT l_extendedprice AS v FROM lineitem

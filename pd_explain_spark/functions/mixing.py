@@ -759,3 +759,38 @@ def _threshold_topk(
     if not _materialize:  # test seam: lazy plan for pinning (caller
         return out        # unpersists ki; the limit above is k - c_gt)
     return _finalize_release(out, [ki])
+
+
+def quantile_trim(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Keep the rows whose ``col`` lies between the EXACT ``lower`` and
+    ``upper`` quantiles (values at rank ceil(q*N), NULLs excluded) —
+    the standard tail cut before training: drop the length / score /
+    perplexity extremes without hand-picking thresholds per corpus.
+
+    Bounds come from :func:`~pd_explain_spark.functions.sketches.
+    exact_quantiles` (histogram pruning — no global sort), land on the
+    driver as two scalars, and the trim itself is a scan-stage
+    predicate the parquet reader can push down. Rows with NULL ``col``
+    are dropped (they have no rank). Cost: the quantile passes +
+    one filtered scan; nothing shuffles the corpus."""
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(
+            f"quantile_trim: need 0 <= lower <= upper <= 1, got ({lower}, {upper})"
+        )
+    from .sketches import exact_quantiles
+
+    bounds = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(df, col, [lower, upper], n_bins).collect()
+    }
+    if not bounds:  # empty input: nothing to trim
+        return df.limit(0)
+    return df.filter(
+        (F.col(col) >= F.lit(bounds[lower])) & (F.col(col) <= F.lit(bounds[upper]))
+    )

@@ -64,6 +64,13 @@ FLOW_THROUGH = [
     "leakage_safe_splits_docs",
     "cms_heavy_grams_docs",
     "random_projection_emb",
+    # r8 third-session additions
+    "hll_distinct_tokens",
+    "winnow_near_dups_docs",
+    "soft_dedup_weights_docs",
+    "exact_quantiles_lineitem",
+    "quantile_trim_docs",
+    "tokenizer_fertility_docs",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError
@@ -88,6 +95,13 @@ def test_pipeline_entries_flow_empty_through(spark, empty_dir, entry):
 def test_model_entries_raise_clear_error_on_empty(spark, empty_dir, entry):
     with pytest.raises(ValueError):
         m.queries()[entry](spark, empty_dir).count()
+
+
+def test_hll_estimate_of_empty_corpus_is_zero(spark, empty_dir):
+    """A global HLL over an empty corpus is not an error: all registers
+    stay empty, linear counting reports exactly 0 distinct."""
+    r = m.queries()["hll_fingerprints_docs"](spark, empty_dir).collect()
+    assert len(r) == 1 and r[0]["est_distinct"] == 0.0 and r[0]["method"] == "linear"
 
 
 def test_empty_result_schema_inherits_id_type(spark):

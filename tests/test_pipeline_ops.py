@@ -3002,3 +3002,27 @@ def test_tokenizer_fertility_invariants(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     _, wt = train_bpe(docs, num_merges=10)
     assert sum(r["total_tokens"] for r in rows) == bpe_encode(docs, wt).count()
+
+
+def test_quantile_trim_bounds_and_edges(spark):
+    """quantile_trim (r8): survivors are exactly the rows inside the
+    exact rank-based bounds, NULLs drop, bad bounds fail loud, and an
+    empty input flows through empty."""
+    import math
+
+    import pytest
+
+    from pd_explain_spark.functions.mixing import quantile_trim
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = quantile_trim(docs, "n_chars", 0.1, 0.9, n_bins=64)
+    vals = sorted(r["n_chars"] for r in docs.select("n_chars").collect())
+    n = len(vals)
+    lo = vals[max(1, math.ceil(0.1 * n)) - 1]
+    hi = vals[max(1, math.ceil(0.9 * n)) - 1]
+    want = [v for v in vals if lo <= v <= hi]
+    got = sorted(r["n_chars"] for r in out.collect())
+    assert got == want
+    with pytest.raises(ValueError, match="lower <= upper"):
+        quantile_trim(docs, "n_chars", 0.9, 0.1)
+    assert quantile_trim(docs.limit(0), "n_chars").count() == 0

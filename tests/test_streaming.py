@@ -608,3 +608,35 @@ def test_stream_hll_sketch_matches_batch(spark, tmp_path):
             for r in hll_sketch(toks(spark.read.parquet(d)), "tok", p=6,
                                 by=["lang"]).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_value_histogram_matches_batch(spark, tmp_path):
+    """The fixed-grid histogram is a keyed count aggregation over at
+    most n_bins cells, so streaming maintains the distribution sketch
+    with bounded state; complete-mode output equals the batch build —
+    the streaming substrate quantile monitoring would run on."""
+    from pd_explain_spark import value_histogram
+
+    d = str(tmp_path / "docs_hist")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(
+        4
+    ).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        value_histogram(stream, "n_chars", 0.0, 1000.0, n_bins=32)
+        .writeStream.format("memory")
+        .queryName("hist_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["bin"]: r["cnt"] for r in spark.table("hist_stream").collect()}
+    want = {
+        r["bin"]: r["cnt"]
+        for r in value_histogram(
+            spark.read.parquet(d), "n_chars", 0.0, 1000.0, n_bins=32
+        ).collect()
+    }
+    assert got == want and len(want) > 0
