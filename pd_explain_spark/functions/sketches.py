@@ -542,8 +542,9 @@ def hll_estimate(
     2^(rho_max - rho_j) and summed as a BIGINT — exact, order-free
     (max term 2^(61-p) x 2^p registers = 2^61 < 2^63, no overflow) —
     and the single rescale by 2^-rho_max happens once, after the sum.
-    Empty registers come from a generated [0, m) spine, not from the
-    data. The small-range branch (E <= 2.5m with empty registers, per
+    Empty registers never materialize as rows: each contributes a known
+    2^rho_max term, folded in algebraically from the non-empty count.
+    The small-range branch (E <= 2.5m with empty registers, per
     the paper) switches to linear counting m*ln(m/V), whose one ln sits
     inside a 4-decimal round; large-range correction is unnecessary at
     a 60-bit hash space.
@@ -555,20 +556,23 @@ def hll_estimate(
     m = 1 << pp
     rho_max = (60 - pp) + 1
     by = list(by or [c for c in sketch.columns if c not in ("bucket", "rho")])
-    spark = sketch.sparkSession
-    spine = spark.range(m).select(F.col("id").cast("bigint").alias("bucket"))
-    if by:
-        spine = sketch.select(*by).distinct().crossJoin(spine)
-    full = spine.join(sketch, [*by, "bucket"], "left").select(
-        *by, F.coalesce(F.col("rho"), F.lit(0)).alias("rho")
-    )
     alpha = _hll_alpha(m)
-    agg = full.groupBy(*by).agg(
-        F.sum(F.pow(F.lit(2.0), F.lit(rho_max) - F.col("rho")).cast("long"))
-        .alias("__s"),
-        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("v_zero"),
+    # empty registers contribute algebraically — each adds 2^rho_max to
+    # the scaled sum — so no [0, m) spine or cross join is ever built:
+    # the estimate is ONE map-combining groupBy of the register table
+    agg = sketch.groupBy(*by).agg(
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), F.lit(rho_max) - F.col("rho")).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("__sne"),
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+    ).select(
+        *by,
+        (
+            F.col("__sne")
+            + (F.lit(m) - F.col("__k")) * F.lit(1 << rho_max).cast("long")
+        ).alias("__s"),
+        (F.lit(m) - F.col("__k")).cast("bigint").alias("v_zero"),
     )
     raw = (
         F.lit(alpha)
