@@ -91,6 +91,13 @@ def test_window_covers_every_operator_family():
             "token_budget_mix",
         },
         "sinks": {"shards_roundtrip", "jsonl_roundtrip", "orc_roundtrip"},
+        # bounded-state sketches (CMS / Bloom / HLL / fixed-grid
+        # quantile histogram) — the corpus-monitoring family
+        "sketches": {
+            "cms_heavy_grams_docs", "bloom_dedup_against_corpus",
+            "hll_distinct_tokens", "hll_fingerprints_docs",
+            "exact_quantiles_lineitem",
+        },
     }
     for fam, members in families.items():
         assert members & f, f"family {fam!r} has no representative in the window"

@@ -91,6 +91,20 @@ ENTRIES = [
     # re-verify) and IVF-PQ (bucket-pruned ADC over the code table)
     "bloom_dedup_against_corpus",
     "similarity_ivf_pq",
+    # r8 third-session additions: HLL registers are a bounded keyed agg
+    # (one explode + <= m rows per lang); winnowed pairs ride the
+    # fingerprint self-join, which verbatim 10x copies inflate into
+    # real cross-copy pairs (output grows with them, so the output-
+    # growth budget applies); soft-dedup weights ride the exact trigram
+    # pair list (same class as leakage_safe_splits — override below);
+    # quantile entries are bounded-histogram scans + a bounded collect;
+    # fertility is BPE train (distinct-word table) + one encode join
+    "hll_distinct_tokens",
+    "winnow_near_dups_docs",
+    "soft_dedup_weights_docs",
+    "exact_quantiles_lineitem",
+    "quantile_trim_docs",
+    "tokenizer_fertility_docs",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
@@ -117,6 +131,10 @@ ENTRY_BUDGET = {
     # its component input rides the exact trigram pair list, which 10x
     # verbatim duplication inflates ~45-100x by design
     "leakage_safe_splits_docs": 50.0,
+    # same pair-explosion class again: weights are scan-stage but the
+    # component input is the exact trigram pair list (~45-100x under
+    # 10x verbatim duplication, by design)
+    "soft_dedup_weights_docs": 50.0,
 }
 
 
