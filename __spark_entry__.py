@@ -2797,6 +2797,41 @@ def cms_heavy_grams_docs_q(spark, sf_dir):
 
 
 @_q(
+    "grouped_quantiles_docs",
+    """WITH vals AS (
+         SELECT lang, n_chars AS v FROM documents WHERE n_chars IS NOT NULL
+       ), ranked AS (
+         SELECT lang, v,
+                row_number() OVER (PARTITION BY lang ORDER BY v) AS rn
+         FROM vals
+       ), n AS (
+         SELECT lang, count(*)::BIGINT AS c FROM vals GROUP BY 1
+       ), qs AS (
+         SELECT unnest([0.25, 0.5, 0.9]) AS q
+       )
+       SELECT n.lang, qs.q::DOUBLE AS q, r.v AS value
+       FROM n CROSS JOIN qs
+       JOIN ranked r
+         ON r.lang = n.lang
+        AND r.rn = greatest(1, ceil(qs.q::DOUBLE * n.c)::BIGINT)""",
+)
+def grouped_quantiles_docs_q(spark, sf_dir):
+    """Per-language exact quantiles in ONE Spark plan
+    (functions/sketches.py grouped_exact_quantiles): p25/p50/p90 of
+    n_chars per lang — the value at rank ceil(q*N_group) of each
+    group's sorted column. The column compresses to a per-(lang, value)
+    count table first, the cumsum window sorts only the COMPRESSED
+    distinct values per group (never a global sort), and each q picks
+    the min value reaching its rank. The oracle states the rank
+    definition directly per group."""
+    from pd_explain_spark.functions.sketches import grouped_exact_quantiles
+
+    return grouped_exact_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars", [0.25, 0.5, 0.9], by=["lang"]
+    )
+
+
+@_q(
     "quantile_trim_docs",
     """WITH vals AS (
          SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL
@@ -4161,7 +4196,10 @@ _DOCS_IDENTITY_SQL = """SELECT doc_id, md5(text) AS text_md5, lang, source, n_ch
        FROM documents"""
 
 
-def _roundtrip(spark, sf_dir, fmt: str):
+def _roundtrip(
+    spark, sf_dir, fmt: str, write_opts: dict | None = None,
+    read_opts: dict | None = None,
+):
     """Write documents in ``fmt``, read it back, project a hashable
     identity view. The oracle is the source table itself, so a green
     row proves the sink+source pair preserves every row and value
@@ -4175,11 +4213,16 @@ def _roundtrip(spark, sf_dir, fmt: str):
         tempfile.gettempdir(),
         f"spark_graft_{fmt}_rt_" + os.path.basename(os.path.normpath(sf_dir)),
     )
-    docs.write.mode("overwrite").format(fmt).save(path)
+    docs.write.mode("overwrite").options(**(write_opts or {})).format(fmt).save(path)
     # explicit schema: json would otherwise pay a full inference pass
     # (and fail on a zero-row corpus); orc reads the embedded schema but
     # the explicit one keeps both paths uniform
-    back = spark.read.schema(docs.schema).format(fmt).load(path)
+    back = (
+        spark.read.schema(docs.schema)
+        .options(**(read_opts or {}))
+        .format(fmt)
+        .load(path)
+    )
     return back.select(
         "doc_id",
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
@@ -4198,6 +4241,25 @@ def jsonl_roundtrip_q(spark, sf_dir):
     the schema'd read restores them), and numeric types must all
     survive the serialize/parse cycle to hash-match."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@_q("csv_roundtrip", _DOCS_IDENTITY_SQL)
+def csv_roundtrip_q(spark, sf_dir):
+    """CSV sink+source roundtrip (sources/readers.py read_csv) with the
+    option set that makes CSV actually lossless for corpus text:
+    quote-doubling escape (quote/escape both '\"'), a sentinel
+    nullValue so NULL text survives (CSV's default empty-string null
+    conflates NULL with \"\"), emptyValue quoting on write, and
+    multiLine read for embedded newlines. The adversarial cases
+    (quotes, commas, newlines, NULL, empty string, a literal
+    backslash-N) are pinned by pytest; the identity oracle hashes the
+    corpus through the cycle."""
+    csv_opts = {"quote": '"', "escape": '"', "nullValue": "\\N"}
+    return _roundtrip(
+        spark, sf_dir, "csv",
+        write_opts={**csv_opts, "emptyValue": '""'},
+        read_opts={**csv_opts, "emptyValue": "", "multiLine": "true"},
+    )
 
 
 @_q("orc_roundtrip", _DOCS_IDENTITY_SQL)

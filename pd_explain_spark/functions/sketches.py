@@ -800,3 +800,60 @@ def exact_quantiles(
     return spark.createDataFrame(
         [(float(q), answers[q]) for q in qs], out_schema
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    by: list[str],
+) -> DataFrame:
+    """Per-group EXACT order statistics, entirely in one Spark plan (no
+    driver loop): for every group and every q, the value at rank
+    ceil(q * N_group) of the group's sorted column (NULLs excluded).
+    Returns (``*by``, q DOUBLE, value) — the per-language median /
+    p90-length dashboard shape.
+
+    Plan shape: the column compresses to a per-(group, value) count
+    table first (one map-combining shuffle keyed on (group, value)), a
+    window cumsum runs over the COMPRESSED table per group (a per-group
+    sort of distinct values — never a global sort), and each q picks the
+    minimum value whose cumulative count reaches its rank. Per-group
+    state is the group's distinct-value histogram: ideal for measure
+    columns (lengths, scores, counts) where values repeat heavily. For a
+    high-cardinality double column the compressed table approaches the
+    group size — quantize first, or fall back to
+    :func:`exact_quantiles` per group."""
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("grouped_exact_quantiles: qs must be non-empty")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"grouped_exact_quantiles: qs must be in [0, 1], got {qs}")
+    if not by:
+        raise ValueError("grouped_exact_quantiles: by must be non-empty "
+                         "(use exact_quantiles for the global case)")
+    vc = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*by, F.col(col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    w = Window.partitionBy(*by).orderBy("__v")
+    cum = vc.withColumn("__cum", F.sum("__c").over(w))
+    n = vc.groupBy(*by).agg(F.sum("__c").cast("bigint").alias("__n"))
+    return (
+        cum.join(n, by)
+        .select(
+            *by, "__v", "__cum", "__n",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .filter(
+            F.col("__cum")
+            >= F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.col("q") * F.col("__n").cast("double")).cast("bigint"),
+            )
+        )
+        .groupBy(*by, "q")
+        .agg(F.min("__v").alias("value"))
+    )

@@ -3026,3 +3026,71 @@ def test_quantile_trim_bounds_and_edges(spark):
     with pytest.raises(ValueError, match="lower <= upper"):
         quantile_trim(docs, "n_chars", 0.9, 0.1)
     assert quantile_trim(docs.limit(0), "n_chars").count() == 0
+
+
+def test_csv_roundtrip_adversarial_values(spark, tmp_path):
+    """The csv_roundtrip option set must survive the values CSV
+    classically mangles: embedded quotes/commas/newlines, NULL vs empty
+    string, and text that happens to equal the null sentinel's spelling
+    with content after it."""
+    opts = {"quote": '"', "escape": '"', "nullValue": "\\N"}
+    adv = spark.createDataFrame(
+        [
+            (1, 'has "quotes" and, commas'),
+            (2, "line1\nline2"),
+            (3, None),
+            (4, ""),
+            (5, "\\N literal backslash-N prefix"),
+        ],
+        "doc_id bigint, text string",
+    )
+    p = str(tmp_path / "csv_adv")
+    adv.write.mode("overwrite").options(**opts, emptyValue='""').csv(p)
+    back = (
+        spark.read.schema(adv.schema)
+        .options(**opts, emptyValue="", multiLine="true")
+        .csv(p)
+    )
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    want = {r["doc_id"]: r["text"] for r in adv.collect()}
+    assert got == want
+
+
+def test_grouped_exact_quantiles_differential(spark):
+    """grouped_exact_quantiles (r8): per-group values match the sorted
+    per-group definition exactly, including heavy ties and singleton
+    groups; guards fail loud."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.sketches import grouped_exact_quantiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r["lang"], r["q"]): r["value"]
+        for r in grouped_exact_quantiles(docs, "n_chars", qs, by=["lang"]).collect()
+    }
+    by_lang: dict = {}
+    for r in docs.select("lang", "n_chars").collect():
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    for lang, vals in by_lang.items():
+        vals.sort()
+        for q in qs:
+            want = vals[max(1, math.ceil(q * len(vals))) - 1]
+            assert got[(lang, q)] == want, (lang, q)
+    # heavy ties + a singleton group
+    tiny = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("a", 9), ("b", 5)],
+        "g string, v int",
+    )
+    t = {
+        (r["g"], r["q"]): r["value"]
+        for r in grouped_exact_quantiles(tiny, "v", [0.5, 1.0], by=["g"]).collect()
+    }
+    assert t[("a", 0.5)] == 1 and t[("a", 1.0)] == 9
+    assert t[("b", 0.5)] == 5 and t[("b", 1.0)] == 5
+    with pytest.raises(ValueError, match="by must be non-empty"):
+        grouped_exact_quantiles(tiny, "v", [0.5], by=[])
