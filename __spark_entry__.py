@@ -7437,8 +7437,11 @@ _RECORD_FIRST = [
     "filter_compound",
     "corpus_diff_docs",  # snapshot diffing (new this session; slot from
                          # drop_duplicates_part)
-    "groupby_agg_dict",
-    "groupby_multi_key", "join_inner",
+    "csv_roundtrip",        # lossless-CSV sink+source (slot from
+                            # groupby_agg_dict — groupby keeps var)
+    "grouped_quantiles_docs",  # per-group exact quantiles (slot from
+                               # groupby_multi_key)
+    "join_inner",
     "similarity_ivf_pq",  # IVF-PQ composition (new this session; slot
                           # from join_left_agg)
     "q5_local_supplier_volume",
