@@ -2797,6 +2797,36 @@ def cms_heavy_grams_docs_q(spark, sf_dir):
 
 
 @_q(
+    "key_skew_events",
+    """WITH counts AS (
+         SELECT user_id AS k, count(*)::BIGINT AS cnt
+         FROM events GROUP BY 1
+       ), totals AS (
+         SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys
+         FROM counts
+       ), ranked AS (
+         SELECT k, cnt,
+                row_number() OVER (ORDER BY cnt DESC, k ASC) AS rank
+         FROM counts
+       )
+       SELECT rank::INT AS rank, k AS user_id, cnt,
+              round(cnt / n_rows::DOUBLE, 6) AS share, n_rows, n_keys
+       FROM ranked CROSS JOIN totals
+       WHERE rank <= 10""",
+)
+def key_skew_events_q(spark, sf_dir):
+    """Key-skew profile (functions/profiling.py key_skew_report): the
+    10 hottest user_id values of the events table with their row
+    shares — the number that predicts shuffle skew before a groupBy/
+    join runs, and the trigger for the salting / AQE-skew guards the
+    round-7 smoke measured. One map-combining groupBy + a bounded
+    roll-up + a top-k heap; never a global sort."""
+    from pd_explain_spark.functions.profiling import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), "user_id", top_k=10)
+
+
+@_q(
     "grouped_quantiles_docs",
     """WITH vals AS (
          SELECT lang, n_chars AS v FROM documents WHERE n_chars IS NOT NULL
@@ -7441,7 +7471,8 @@ _RECORD_FIRST = [
                             # groupby_agg_dict — groupby keeps var)
     "grouped_quantiles_docs",  # per-group exact quantiles (slot from
                                # groupby_multi_key)
-    "join_inner",
+    "key_skew_events",  # key-skew profile (slot from join_inner —
+                        # relational keeps filter_compound/where_mask)
     "similarity_ivf_pq",  # IVF-PQ composition (new this session; slot
                           # from join_left_agg)
     "q5_local_supplier_volume",

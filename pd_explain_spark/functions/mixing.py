@@ -767,6 +767,7 @@ def quantile_trim(
     lower: float = 0.05,
     upper: float = 0.95,
     n_bins: int = 4096,
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """Keep the rows whose ``col`` lies between the EXACT ``lower`` and
     ``upper`` quantiles (values at rank ceil(q*N), NULLs excluded) —
@@ -778,19 +779,29 @@ def quantile_trim(
     driver as two scalars, and the trim itself is a scan-stage
     predicate the parquet reader can push down. Rows with NULL ``col``
     are dropped (they have no rank). Cost: the quantile passes +
-    one filtered scan; nothing shuffles the corpus."""
+    one filtered scan; nothing shuffles the corpus.
+
+    Fit-once / trim-many: pass ``bounds=(lo_value, hi_value)`` (e.g.
+    from :func:`~pd_explain_spark.functions.sketches.exact_quantiles`
+    on a reference corpus) to skip the fit and apply the SAME cut to
+    later batches — and to STREAMS: with explicit bounds the trim is a
+    stateless scan predicate, so a micro-batch ingest filters with zero
+    state (parity pytest in test_streaming.py)."""
+    if bounds is not None:
+        lo_v, hi_v = bounds
+        return df.filter((F.col(col) >= F.lit(lo_v)) & (F.col(col) <= F.lit(hi_v)))
     if not 0.0 <= lower <= upper <= 1.0:
         raise ValueError(
             f"quantile_trim: need 0 <= lower <= upper <= 1, got ({lower}, {upper})"
         )
     from .sketches import exact_quantiles
 
-    bounds = {
+    fit = {
         r["q"]: r["value"]
         for r in exact_quantiles(df, col, [lower, upper], n_bins).collect()
     }
-    if not bounds:  # empty input: nothing to trim
+    if not fit:  # empty input: nothing to trim
         return df.limit(0)
     return df.filter(
-        (F.col(col) >= F.lit(bounds[lower])) & (F.col(col) <= F.lit(bounds[upper]))
+        (F.col(col) >= F.lit(fit[lower])) & (F.col(col) <= F.lit(fit[upper]))
     )

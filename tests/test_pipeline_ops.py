@@ -3094,3 +3094,22 @@ def test_grouped_exact_quantiles_differential(spark):
     assert t[("b", 0.5)] == 5 and t[("b", 1.0)] == 5
     with pytest.raises(ValueError, match="by must be non-empty"):
         grouped_exact_quantiles(tiny, "v", [0.5], by=[])
+
+
+def test_key_skew_report_shares_ties_and_nulls(spark):
+    """key_skew_report (r8): shares sum the table, NULL keys count as a
+    real (often hottest) group, ties rank deterministically, and the
+    totals columns carry the full-table numbers."""
+    from pd_explain_spark.functions.profiling import key_skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [(None,)] * 3 + [("a",)] * 2 + [("b",)] * 2 + [("c",)],
+        "k string",
+    )
+    out = key_skew_report(df, "k", top_k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["k"] == "hot" and out[0]["cnt"] == 6
+    assert out[0]["share"] == round(6 / 14, 6)
+    assert out[1]["k"] is None and out[1]["cnt"] == 3  # NULL is a group
+    assert out[2]["k"] == "a"  # tie with 'b' broken by key asc
+    assert all(r["n_rows"] == 14 and r["n_keys"] == 5 for r in out)

@@ -640,3 +640,33 @@ def test_stream_value_histogram_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_quantile_trim_matches_batch(spark, tmp_path):
+    """Fit-once quantile bounds score a stream statelessly: the trim
+    with explicit bounds is one scan predicate, so streamed survivors
+    equal the batch run row for row."""
+    from pd_explain_spark import exact_quantiles, quantile_trim
+
+    d = str(tmp_path / "docs_qtrim")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(4).write.parquet(d)
+    fit = {r["q"]: r["value"]
+           for r in exact_quantiles(docs, "n_chars", [0.1, 0.9], n_bins=64).collect()}
+    bounds = (fit[0.1], fit[0.9])
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        quantile_trim(stream, "n_chars", bounds=bounds)
+        .writeStream.format("memory")
+        .queryName("qtrim_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table("qtrim_stream").collect()}
+    want = {r["doc_id"]
+            for r in quantile_trim(spark.read.parquet(d), "n_chars",
+                                   bounds=bounds).collect()}
+    assert got == want and len(want) > 0
