@@ -2797,6 +2797,53 @@ def cms_heavy_grams_docs_q(spark, sf_dir):
 
 
 @_q(
+    "corpus_overlap_docs",
+    """WITH a AS (SELECT * FROM documents WHERE doc_id < 250),
+       b AS (SELECT * FROM documents WHERE doc_id >= 200),
+       fa AS (
+         SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         FROM a WHERE text IS NOT NULL
+       ), fb AS (
+         SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         FROM b WHERE text IS NOT NULL
+       ), ga AS (
+         SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS g
+         FROM (SELECT string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+               FROM a) WHERE len(t) >= 3
+       ), gb AS (
+         SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS g
+         FROM (SELECT string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+               FROM b) WHERE len(t) >= 3
+       ), fstats AS (
+         SELECT (SELECT count(*) FROM fa)::BIGINT AS distinct_docs_a,
+                (SELECT count(*) FROM fb)::BIGINT AS distinct_docs_b,
+                (SELECT count(*) FROM fa JOIN fb USING (fp))::BIGINT AS shared_fingerprints
+       ), gstats AS (
+         SELECT (SELECT count(*) FROM ga)::BIGINT AS grams_a,
+                (SELECT count(*) FROM gb)::BIGINT AS grams_b,
+                (SELECT count(*) FROM ga JOIN gb USING (g))::BIGINT AS shared_grams
+       )
+       SELECT distinct_docs_a, distinct_docs_b, shared_fingerprints,
+              grams_a, grams_b, shared_grams,
+              CASE WHEN grams_a + grams_b - shared_grams > 0
+                   THEN round(shared_grams / (grams_a + grams_b - shared_grams)::DOUBLE, 6)
+              END AS gram_jaccard
+       FROM fstats CROSS JOIN gstats""",
+)
+def corpus_overlap_docs_q(spark, sf_dir):
+    """Two-corpus overlap report (functions/text.py corpus_overlap):
+    distinct-fingerprint doc counts, shared exact duplicates, and
+    distinct-trigram Jaccard between two overlapping document slices —
+    the are-these-crawls-the-same-data check run BEFORE paying for a
+    full cross-corpus dedup. Each side collapses to its distinct
+    fingerprint/gram columns in the scan stage; output is one row."""
+    from pd_explain_spark.functions.text import corpus_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_overlap(docs.filter("doc_id < 250"), docs.filter("doc_id >= 200"))
+
+
+@_q(
     "key_skew_events",
     """WITH counts AS (
          SELECT user_id AS k, count(*)::BIGINT AS cnt

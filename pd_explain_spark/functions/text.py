@@ -1164,3 +1164,83 @@ def corpus_diff(
     return joined.select(
         F.col("__id").alias(id_col), status.alias("status"), "old_fp", "new_fp"
     )
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """One-row overlap report between two corpora — the
+    are-these-crawls-the-same-data check run before paying for a full
+    cross-corpus dedup: exact-duplicate document counts (by normalized
+    fingerprint) and distinct word-``n``-gram set overlap (Jaccard).
+
+    Returns (distinct_docs_a, distinct_docs_b, shared_fingerprints,
+    grams_a, grams_b, shared_grams, gram_jaccard 6dp) — document counts
+    are DISTINCT-fingerprint counts (exact-dup copies within one side
+    collapse). Each side collapses to its
+    DISTINCT fingerprint / gram columns in the scan stage, the overlap
+    is two keyed semi-join-sized aggregations, and the output is one
+    row — no document text ever joins. NULL-text docs carry no
+    fingerprint and no grams (consistent with the dedup family's
+    null-safe contract)."""
+    from .dedup import _shingle_index
+
+    def _fps(df):
+        return (
+            df.select(fingerprint(F.col(text_col)).alias("fp"))
+            .filter(F.col("fp").isNotNull())
+            .distinct()
+        )
+
+    def _grams(df):
+        return _shingle_index(df, text_col, id_col, n).select("shingle").distinct()
+
+    fa, fb = _fps(a), _fps(b)
+    ga, gb = _grams(a), _grams(b)
+    fp_stats = (
+        fa.withColumn("__ina", F.lit(1))
+        .join(fb.withColumn("__inb", F.lit(1)), "fp", "full")
+        .agg(
+            F.sum("__ina").cast("bigint").alias("distinct_docs_a"),
+            F.sum("__inb").cast("bigint").alias("distinct_docs_b"),
+            F.sum(
+                F.when(F.col("__ina").isNotNull() & F.col("__inb").isNotNull(), 1)
+            ).cast("bigint").alias("shared_fingerprints"),
+        )
+    )
+    gram_stats = (
+        ga.withColumn("__ina", F.lit(1))
+        .join(gb.withColumn("__inb", F.lit(1)), "shingle", "full")
+        .agg(
+            F.sum("__ina").cast("bigint").alias("grams_a"),
+            F.sum("__inb").cast("bigint").alias("grams_b"),
+            F.sum(
+                F.when(F.col("__ina").isNotNull() & F.col("__inb").isNotNull(), 1)
+            ).cast("bigint").alias("shared_grams"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    return fp_stats.crossJoin(gram_stats).select(
+        F.coalesce("distinct_docs_a", z).alias("distinct_docs_a"),
+        F.coalesce("distinct_docs_b", z).alias("distinct_docs_b"),
+        F.coalesce("shared_fingerprints", z).alias("shared_fingerprints"),
+        F.coalesce("grams_a", z).alias("grams_a"),
+        F.coalesce("grams_b", z).alias("grams_b"),
+        F.coalesce("shared_grams", z).alias("shared_grams"),
+        F.when(
+            F.coalesce("grams_a", z) + F.coalesce("grams_b", z)
+            - F.coalesce("shared_grams", z) > 0,
+            F.round(
+                F.coalesce("shared_grams", z)
+                / (
+                    F.coalesce("grams_a", z) + F.coalesce("grams_b", z)
+                    - F.coalesce("shared_grams", z)
+                ).cast("double"),
+                6,
+            ),
+        ).alias("gram_jaccard"),
+    )

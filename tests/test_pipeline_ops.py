@@ -3113,3 +3113,32 @@ def test_key_skew_report_shares_ties_and_nulls(spark):
     assert out[1]["k"] is None and out[1]["cnt"] == 3  # NULL is a group
     assert out[2]["k"] == "a"  # tie with 'b' broken by key asc
     assert all(r["n_rows"] == 14 and r["n_keys"] == 5 for r in out)
+
+
+def test_corpus_overlap_planted_and_edges(spark):
+    """corpus_overlap (r8): identical corpora report full overlap,
+    disjoint ones report zero, exact copies within one side collapse to
+    distinct fingerprints, and NULL-text docs are invisible."""
+    from pd_explain_spark.functions.text import corpus_overlap
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "epsilon zeta eta theta"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    same = corpus_overlap(a, a).collect()[0]
+    # docs 1 and 2 are exact copies -> ONE distinct fingerprint; the
+    # NULL-text doc carries none
+    assert same["distinct_docs_a"] == same["distinct_docs_b"] == 2
+    assert same["shared_fingerprints"] == 2
+    assert same["gram_jaccard"] == 1.0
+    b = spark.createDataFrame(
+        [(9, "iota kappa lambda mu")], "doc_id bigint, text string"
+    )
+    disj = corpus_overlap(a, b).collect()[0]
+    assert disj["shared_fingerprints"] == 0 and disj["shared_grams"] == 0
+    assert disj["gram_jaccard"] == 0.0
+    # both empty: zero counts, NULL jaccard (no grams on either side)
+    e = spark.createDataFrame([], "doc_id bigint, text string")
+    ee = corpus_overlap(e, e).collect()[0]
+    assert ee["distinct_docs_a"] == 0 and ee["gram_jaccard"] is None
