@@ -2797,6 +2797,40 @@ def cms_heavy_grams_docs_q(spark, sf_dir):
 
 
 @_q(
+    "blocklist_annotate_docs",
+    """WITH hay AS (
+         SELECT doc_id,
+                ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS h
+         FROM documents
+       )
+       SELECT doc_id,
+              (CASE WHEN contains(h, ' slow ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(h, ' stale ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(h, ' slow query ') THEN 1 ELSE 0 END)::INT
+                AS blocklist_hits,
+              (CASE WHEN contains(h, ' slow ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(h, ' stale ') THEN 1 ELSE 0 END
+               + CASE WHEN contains(h, ' slow query ') THEN 1 ELSE 0 END) = 0
+                AS blocklist_pass
+       FROM hay""",
+)
+def blocklist_annotate_docs_q(spark, sf_dir):
+    """Blocklist term gate (functions/text.py blocklist_filter; the C4
+    bad-words cut, Raffel et al. 2020 §2.2) in annotate mode:
+    whole-word hits for a 3-term list (one of them a two-token phrase)
+    against every document. The term list inlines into ONE scan-stage
+    codegen expression — pad-and-contains per term, no join, no UDF, no
+    shuffle — which is the only shape that survives a 100 TB crawl
+    scan."""
+    from pd_explain_spark.functions.text import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_filter(
+        docs, ["slow", "stale", "slow query"], mode="annotate"
+    ).select("doc_id", "blocklist_hits", "blocklist_pass")
+
+
+@_q(
     "corpus_overlap_docs",
     """WITH a AS (SELECT * FROM documents WHERE doc_id < 250),
        b AS (SELECT * FROM documents WHERE doc_id >= 200),
@@ -2841,6 +2875,52 @@ def corpus_overlap_docs_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return corpus_overlap(docs.filter("doc_id < 250"), docs.filter("doc_id >= 200"))
+
+
+@_q(
+    "corpus_minhash_overlap",
+    """WITH a AS (SELECT * FROM documents WHERE doc_id < 250),
+       b AS (SELECT * FROM documents WHERE doc_id >= 200),
+       ga AS (
+         SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS g
+         FROM (SELECT string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+               FROM a) WHERE len(t) >= 3
+       ), gb AS (
+         SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS g
+         FROM (SELECT string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+               FROM b) WHERE len(t) >= 3
+       ), sa AS (
+         SELECT t.i, min(('0x' || substr(md5(g || '-' || t.i::VARCHAR), 1, 15))::BIGINT) AS ha
+         FROM ga, range(0, 64) t(i) GROUP BY t.i
+       ), sb AS (
+         SELECT t.i, min(('0x' || substr(md5(g || '-' || t.i::VARCHAR), 1, 15))::BIGINT) AS hb
+         FROM gb, range(0, 64) t(i) GROUP BY t.i
+       ), m AS (
+         SELECT sum(CASE WHEN ha = hb THEN 1 ELSE 0 END)::BIGINT AS matches
+         FROM sa JOIN sb USING (i)
+       )
+       SELECT matches, 64::INT AS num_hashes,
+              round(matches / 64.0::DOUBLE, 6) AS est_jaccard
+       FROM m""",
+)
+def corpus_minhash_overlap_q(spark, sf_dir):
+    """Corpus-level MinHash overlap estimate (functions/dedup.py
+    corpus_minhash/corpus_overlap_estimate): the gram-set Jaccard of
+    the same two slices corpus_overlap_docs measures EXACTLY, estimated
+    instead from two 64-component signatures — O(num_hashes) persisted
+    state per corpus snapshot, component-wise-min mergeable across
+    ingest days, so the daily snapshot-vs-snapshot dashboard never
+    rejoins the distinct-gram sets. Everything is md5 arithmetic; the
+    estimator itself (matching-component fraction) reproduces in SQL."""
+    from pd_explain_spark.functions.dedup import (
+        corpus_minhash,
+        corpus_overlap_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sa = corpus_minhash(docs.filter("doc_id < 250"))
+    sb = corpus_minhash(docs.filter("doc_id >= 200"))
+    return corpus_overlap_estimate(sa, sb)
 
 
 @_q(

@@ -1820,3 +1820,126 @@ def soft_dedup_weights(
             ).alias("weight"),
         )
     )
+
+
+# ------------------------------------------------------- corpus-level minhash
+def corpus_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Corpus-LEVEL MinHash signature: (i, min_hash) — for each of the
+    ``num_hashes`` hash functions, the minimum over the corpus's
+    DISTINCT word ``n``-gram set. Where the per-document
+    :func:`minhash_signatures` feeds near-dup LSH, this treats the
+    WHOLE corpus as one set, giving O(num_hashes) persistable state
+    per corpus snapshot.
+
+    Mergeable like the other sketches (component-wise min —
+    :func:`corpus_minhash_merge`), and min() partial-aggregates
+    map-side, so the one keys=[] aggregate moves num_hashes values per
+    partition. Hashing is md5(gram || '-' || i): engine-portable.
+    ``num_hashes`` rides as column metadata so estimates over
+    signatures of different widths fail loud."""
+    if num_hashes < 1:
+        raise ValueError("corpus_minhash: num_hashes must be >= 1")
+    grams = _shingle_index(df, text_col, id_col, n).select("shingle").distinct()
+    row = grams.agg(
+        *[
+            F.min(
+                md5_int(F.md5(F.concat_ws("-", F.col("shingle"), F.lit(str(i)))))
+            ).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"__h{i}").alias("min_hash")
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("s")
+    ).select("s.i", "s.min_hash")
+    # an empty corpus has no grams: min() is NULL — drop those rows so
+    # merges with real corpora are identity, not NULL-poisoned
+    return stacked.filter(F.col("min_hash").isNotNull()).select(
+        F.col("i").alias("i", metadata={"num_hashes": num_hashes}), "min_hash"
+    )
+
+
+def _minhash_check_width(sig: DataFrame, num_hashes: int | None) -> int:
+    meta = sig.schema["i"].metadata if "i" in sig.columns else {}
+    if num_hashes is None:
+        if not meta or "num_hashes" not in meta:
+            raise ValueError(
+                "corpus_minhash: signature carries no width metadata — "
+                "pass num_hashes explicitly"
+            )
+        return int(meta["num_hashes"])
+    if meta and meta.get("num_hashes") != num_hashes:
+        raise ValueError(
+            f"corpus_minhash: signature was built with "
+            f"num_hashes={meta.get('num_hashes')}, asked {num_hashes}"
+        )
+    return num_hashes
+
+
+def corpus_minhash_merge(*sigs: DataFrame, num_hashes: int | None = None) -> DataFrame:
+    """Merge corpus signatures built with the SAME (n, num_hashes):
+    component-wise min. The merged signature equals the signature of
+    the unioned corpora — per-shard / per-day signatures combine
+    without rescanning anything."""
+    if not sigs:
+        raise ValueError("corpus_minhash_merge: need at least one signature")
+    widths = {_minhash_check_width(s, num_hashes) for s in sigs}
+    if len(widths) > 1:
+        raise ValueError(f"corpus_minhash_merge: mixed widths {sorted(widths)}")
+    w = widths.pop()
+    out = sigs[0]
+    for s in sigs[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("i").agg(F.min("min_hash").alias("min_hash")).select(
+        F.col("i").alias("i", metadata={"num_hashes": w}), "min_hash"
+    )
+
+
+def corpus_overlap_estimate(
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Estimated gram-set Jaccard between two corpora from their
+    corpus-level MinHash signatures: the fraction of matching
+    components (the classic MinHash estimator — each component matches
+    with probability exactly J). One row: (matches, num_hashes,
+    est_jaccard 6dp). Standard error ~= sqrt(J(1-J)/num_hashes).
+
+    This is the sketch-sized twin of
+    :func:`~pd_explain_spark.functions.text.corpus_overlap`: the exact
+    report joins the two distinct-gram sets (a gram-cardinality
+    shuffle); this one compares 2 x num_hashes persisted values — the
+    difference between re-scanning two crawls and reading two tiny
+    tables, which is what a daily snapshot-vs-snapshot dashboard
+    actually wants."""
+    wa = _minhash_check_width(sig_a, num_hashes)
+    wb = _minhash_check_width(sig_b, num_hashes)
+    if wa != wb:
+        raise ValueError(f"corpus_overlap_estimate: widths differ ({wa} vs {wb})")
+    joined = sig_a.select("i", F.col("min_hash").alias("__ha")).join(
+        sig_b.select("i", F.col("min_hash").alias("__hb")), "i"
+    )
+    return joined.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__ha") == F.col("__hb"), 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("matches"),
+    ).select(
+        "matches",
+        F.lit(wa).cast("int").alias("num_hashes"),
+        F.round(F.col("matches") / F.lit(float(wa)), 6).alias("est_jaccard"),
+    )

@@ -1244,3 +1244,45 @@ def corpus_overlap(
             ),
         ).alias("gram_jaccard"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    mode: str = "drop",
+    whole_word: bool = True,
+) -> DataFrame:
+    """Blocklist term gate (the C4 recipe's bad-words cut, Raffel et al.
+    2020 §2.2): count how many blocklist ``terms`` appear in each
+    document's normalized text and either ``mode="drop"`` the matching
+    docs or ``mode="annotate"`` every row with (blocklist_hits,
+    blocklist_pass).
+
+    ``whole_word=True`` matches space-delimited tokens (pad-and-contains
+    on the padded normalized text — "ass" must not fire on "class"),
+    else raw substring containment. The term list inlines into ONE
+    scan-stage codegen expression (an array-exists fold over string
+    literals — no join, no UDF, no shuffle): O(|terms|) contains checks
+    per doc, which is exactly how the reference C4 implementation scans
+    at crawl scale. NULL text has no hits and always passes."""
+    if not terms:
+        raise ValueError("blocklist_filter: terms must be non-empty")
+    if mode not in ("drop", "annotate"):
+        raise ValueError(f"blocklist_filter: mode must be drop|annotate, got {mode!r}")
+    norm = normalized_text(F.col(text_col))
+    hay = F.concat(F.lit(" "), norm, F.lit(" ")) if whole_word else norm
+    probes = [
+        F.lit(f" {t.strip().lower()} ") if whole_word else F.lit(t.lower())
+        for t in terms
+    ]
+    hits = sum(
+        (F.when(F.contains(hay, p), 1).otherwise(0) for p in probes),
+        F.lit(0),
+    )
+    hits = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(hits).cast("int")
+    if mode == "annotate":
+        return df.select(
+            "*", hits.alias("blocklist_hits"), (hits == 0).alias("blocklist_pass")
+        )
+    return df.filter(hits == 0)

@@ -3142,3 +3142,82 @@ def test_corpus_overlap_planted_and_edges(spark):
     e = spark.createDataFrame([], "doc_id bigint, text string")
     ee = corpus_overlap(e, e).collect()[0]
     assert ee["distinct_docs_a"] == 0 and ee["gram_jaccard"] is None
+
+
+def test_blocklist_filter_whole_word_and_modes(spark):
+    """blocklist_filter (r8): whole-word matching never fires inside a
+    longer token, substring mode does, phrases match across spaces,
+    drop mode removes exactly the hit docs, NULL text passes."""
+    import pytest
+
+    from pd_explain_spark.functions.text import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this class is fine"),          # 'ass' inside 'class'
+            (2, "what an ass he was"),           # whole-word hit
+            (3, "a slow query ruined the day"),  # phrase hit
+            (4, None),
+            (5, "clean text entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ann = {
+        r["doc_id"]: (r["blocklist_hits"], r["blocklist_pass"])
+        for r in blocklist_filter(
+            docs, ["ass", "slow query"], mode="annotate"
+        ).collect()
+    }
+    assert ann[1] == (0, True) and ann[2] == (1, False) and ann[3] == (1, False)
+    assert ann[4] == (0, True) and ann[5] == (0, True)
+    # substring mode DOES fire inside 'class'
+    sub = blocklist_filter(docs, ["ass"], mode="annotate", whole_word=False)
+    assert {r["doc_id"]: r["blocklist_hits"] for r in sub.collect()}[1] == 1
+    kept = {r["doc_id"] for r in blocklist_filter(docs, ["ass", "slow query"]).collect()}
+    assert kept == {1, 4, 5}
+    with pytest.raises(ValueError, match="non-empty"):
+        blocklist_filter(docs, [])
+
+
+def test_corpus_minhash_estimate_merge_and_guards(spark):
+    """Corpus-level MinHash (r8): the estimate tracks the exact gram
+    Jaccard within the estimator's error band, identical corpora
+    estimate exactly 1, merged shard signatures equal the whole-corpus
+    signature, and width mismatches fail loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.dedup import (
+        corpus_minhash,
+        corpus_minhash_merge,
+        corpus_overlap_estimate,
+    )
+    from pd_explain_spark.functions.text import corpus_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a, b = docs.filter("doc_id < 150"), docs.filter("doc_id >= 100")
+    sa, sb = corpus_minhash(a, num_hashes=128), corpus_minhash(b, num_hashes=128)
+    est = corpus_overlap_estimate(sa, sb).collect()[0]
+    exact = corpus_overlap(a, b).collect()[0]
+    true_j = exact["shared_grams"] / (
+        exact["grams_a"] + exact["grams_b"] - exact["shared_grams"]
+    )
+    # SE = sqrt(J(1-J)/128) <= 0.045; allow 4 sigma
+    assert abs(est["est_jaccard"] - true_j) < 0.18, (est["est_jaccard"], true_j)
+    # identity: a corpus vs itself matches every component
+    same = corpus_overlap_estimate(sa, corpus_minhash(a, num_hashes=128)).collect()[0]
+    assert same["est_jaccard"] == 1.0
+    # mergeability: shard signatures min-combine into the whole
+    whole = corpus_minhash(a, num_hashes=32)
+    s1 = corpus_minhash(a.filter("doc_id % 2 = 0"), num_hashes=32)
+    s2 = corpus_minhash(a.filter("doc_id % 2 = 1"), num_hashes=32)
+    merged = corpus_minhash_merge(s1, s2)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    # empty corpus: empty signature; merging it is identity
+    esig = corpus_minhash(docs.limit(0), num_hashes=32)
+    assert esig.count() == 0
+    again = corpus_minhash_merge(whole, esig)
+    assert again.exceptAll(whole).count() == 0
+    with pytest.raises(ValueError, match="widths differ|built with"):
+        corpus_overlap_estimate(sa, whole)
