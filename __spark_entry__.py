@@ -7602,13 +7602,19 @@ _RECORD_FIRST = [
                         # relational keeps filter_compound/where_mask)
     "similarity_ivf_pq",  # IVF-PQ composition (new this session; slot
                           # from join_left_agg)
-    "q5_local_supplier_volume",
+    "corpus_minhash_overlap",  # corpus-snapshot MinHash estimate (slot
+                               # from the r04-green q5 re-check)
     "source_gates_docs",  # domain-level curation (new this session;
                           # slot from melt_lineitem)
     "char_entropy_docs",  # entropy quality signal (new this session;
                           # slot from q6_forecast_revenue — TPC-H keeps
                           # q5 in-window)
-    "shift_events", "where_mask",
+    "shift_events",
+    "blocklist_annotate_docs",  # C4 bad-words gate (slot from the
+                                # r04-green where_mask re-check; both
+                                # displaced re-checks and the exact
+                                # corpus_overlap_docs twin join the r9
+                                # pool)
     "bloom_dedup_against_corpus",  # Bloom-filtered ingest dedup (new
                                    # this session; slot from
                                    # sliding_windows — timeseries keeps
