@@ -2797,6 +2797,39 @@ def cms_heavy_grams_docs_q(spark, sf_dir):
 
 
 @_q(
+    "weighted_sample_docs",
+    """WITH keyed AS (
+         SELECT doc_id,
+                round(ln(n_chars::DOUBLE), 4) AS log_weight,
+                round(ln(n_chars::DOUBLE)
+                      - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || '-42'), 1, 15))::BIGINT + 0.5)
+                               / power(16, 15))), 4) AS gumbel_key
+         FROM documents
+         WHERE n_chars IS NOT NULL AND n_chars > 0
+       )
+       SELECT doc_id, log_weight, gumbel_key
+       FROM keyed
+       ORDER BY gumbel_key DESC, doc_id
+       LIMIT 50""",
+)
+def weighted_sample_docs_q(spark, sf_dir):
+    """General weighted sampling without replacement
+    (functions/mixing.py weighted_sample; Efraimidis & Spirakis 2006 in
+    Gumbel form): 50 docs with probability proportional to n_chars —
+    key = ln(w) + Gumbel noise, take the k largest. The noise is
+    md5(id, seed) arithmetic, so the draw is deterministic and the
+    DuckDB oracle reproduces it bit for bit; selection is the shared
+    heap/threshold machinery dsir_sample uses (TakeOrderedAndProject
+    here — never a global sort)."""
+    from pd_explain_spark.functions.mixing import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=50, weight_col="n_chars").select(
+        "doc_id", "log_weight", "gumbel_key"
+    )
+
+
+@_q(
     "blocklist_annotate_docs",
     """WITH hay AS (
          SELECT doc_id,

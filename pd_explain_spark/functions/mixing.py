@@ -676,21 +676,95 @@ def dsir_sample(
             F.col("log_weight") / F.lit(float(temperature)) - F.log(-F.log(u)), 4
         ),
     )
+    return _gumbel_topk_join(raw_df, keyed, k, id_col, method, heap_max_k)
+
+
+def _gumbel_topk_join(
+    raw_df: DataFrame,
+    keyed: DataFrame,
+    k: int,
+    id_col: str,
+    method: str,
+    heap_max_k: int,
+) -> DataFrame:
+    """Shared Gumbel-top-k selection tail (dsir_sample and
+    weighted_sample): pick the k rows of ``keyed`` with the largest
+    (gumbel_key, -id) and join the winners back onto ``raw_df``,
+    carrying (log_weight, gumbel_key)."""
     if method == "auto":
         method = "heap" if k <= heap_max_k else "threshold"
     if method == "heap":
         top = keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k)
-        return raw_df.join(F.broadcast(top), id_col).select(
-            raw_df["*"], top["log_weight"], top["gumbel_key"]
-        )
-    if method != "threshold":
+    elif method == "threshold":
+        top = _threshold_topk(keyed, k, id_col)
+    else:
         raise ValueError(f"method must be auto|heap|threshold, got {method!r}")
-    top = _threshold_topk(keyed, k, id_col)
-    # no broadcast hint: top is k rows and k is large here — the join
-    # strategy (shuffle vs AQE-chosen) is Catalyst's call
-    return raw_df.join(top, id_col).select(
-        raw_df["*"], top["log_weight"], top["gumbel_key"]
+    # rename the carried columns before joining back: `keyed` may be a
+    # SHALLOW derivation of raw_df (weighted_sample), and Spark's
+    # ambiguous-self-join check rejects top["log_weight"] there
+    top = top.select(
+        F.col(id_col).alias("__gtid"),
+        F.col("log_weight").alias("__gtlw"),
+        F.col("gumbel_key").alias("__gtgk"),
     )
+    if method == "heap":
+        top = F.broadcast(top)
+    # (threshold path: top is k rows and k is large there — the join
+    # strategy, shuffle vs AQE-chosen, is Catalyst's call)
+    return (
+        raw_df.join(top, raw_df[id_col] == F.col("__gtid"))
+        .select(
+            raw_df["*"],
+            F.col("__gtlw").alias("log_weight"),
+            F.col("__gtgk").alias("gumbel_key"),
+        )
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    temperature: float = 1.0,
+    method: str = "auto",
+    heap_max_k: int = 1_000_000,
+) -> DataFrame:
+    """Sample ``k`` rows WITHOUT replacement with probability
+    proportional to ``weight_col`` ** (1/temperature) — the general
+    weighted selection every mixing recipe reduces to (dsir_sample is
+    this with DSIR importance weights; soft-dedup training samples with
+    1/cluster_size weights; length-balanced selection with token
+    counts).
+
+    Exact via the Gumbel-top-k identity (Efraimidis & Spirakis 2006 in
+    Gumbel form): key = ln(w)/T + Gumbel noise, take the k largest.
+    The noise is a pure function of (id, seed) through md5, so the draw
+    is deterministic, rerun-stable, and reproducible in the DuckDB
+    oracle. Rows with NULL or non-positive weight have probability zero
+    and are excluded. Selection is the shared heap/threshold machinery:
+    TakeOrderedAndProject for ordinary k, the count-only binary-search
+    cutoff for k beyond driver-heap comfort — never a global sort."""
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    if temperature <= 0:
+        raise ValueError("weighted_sample: temperature must be > 0")
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    u = (md5_int(_sample_key(id_col, seed)).cast("double") + F.lit(0.5)) / F.lit(
+        float(16**15)
+    )
+    lw = F.log(F.col(weight_col).cast("double"))
+    keyed = eligible.select(
+        F.col(id_col),
+        F.round(lw, 4).alias("log_weight"),
+        F.round(lw / F.lit(float(temperature)) - F.log(-F.log(u)), 4).alias(
+            "gumbel_key"
+        ),
+    )
+    return _gumbel_topk_join(eligible, keyed, k, id_col, method, heap_max_k)
 
 
 def _threshold_topk(

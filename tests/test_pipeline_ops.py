@@ -3221,3 +3221,45 @@ def test_corpus_minhash_estimate_merge_and_guards(spark):
     assert again.exceptAll(whole).count() == 0
     with pytest.raises(ValueError, match="widths differ|built with"):
         corpus_overlap_estimate(sa, whole)
+
+
+def test_weighted_sample_proportionality_and_paths(spark):
+    """weighted_sample (r8): heavier rows win more often across seeds,
+    zero/NULL weights never appear, temperature flattens the draw, and
+    the threshold path returns the identical sample set to the heap."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.mixing import weighted_sample
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5, 1000.0)
+        .when(F.col("id") < 100, 1.0)
+        .otherwise(F.lit(None))
+        .alias("w"),
+    )
+    wins = {i: 0 for i in range(5)}
+    for seed in range(8):
+        got = {r["doc_id"] for r in
+               weighted_sample(df, k=10, weight_col="w", seed=seed).collect()}
+        assert all(i < 100 for i in got)  # NULL-weight rows never sampled
+        for i in range(5):
+            wins[i] += i in got
+    # each heavy row (weight 1000 vs 1) should win nearly every draw
+    assert all(v >= 7 for v in wins.values()), wins
+    # determinism + threshold/heap identity
+    a = weighted_sample(df, k=10, weight_col="w", seed=3, method="heap")
+    b = weighted_sample(df, k=10, weight_col="w", seed=3, method="threshold")
+    assert {r["doc_id"] for r in a.collect()} == {r["doc_id"] for r in b.collect()}
+    # temperature -> infinity approaches uniform: heavy rows no longer
+    # dominate every draw (weight ratio 1000 collapses to ~1)
+    flat_wins = 0
+    for seed in range(8):
+        got = {r["doc_id"] for r in
+               weighted_sample(df, k=10, weight_col="w", seed=seed,
+                               temperature=1e9).collect()}
+        flat_wins += sum(i in got for i in range(5))
+    assert flat_wins < 20  # << 40 (= all heavy rows every draw)
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, k=0, weight_col="w")
