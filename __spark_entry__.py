@@ -2797,6 +2797,53 @@ def cms_heavy_grams_docs_q(spark, sf_dir):
 
 
 @_q(
+    "histogram_psi_events",
+    """WITH ha AS (
+         SELECT least(31, greatest(0, CAST(floor((value - 0.0) / 6.25) AS INT))) AS bin,
+                count(*)::BIGINT AS ca
+         FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+       ), hb AS (
+         SELECT least(31, greatest(0, CAST(floor((value - 0.0) / 6.25) AS INT))) AS bin,
+                count(*)::BIGINT AS cb
+         FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1
+       ), j AS (
+         SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         FROM ha FULL JOIN hb USING (bin)
+       ), t AS (
+         SELECT sum(ca)::DOUBLE AS na, sum(cb)::DOUBLE AS nb,
+                count(*)::INT AS present
+         FROM j
+       ), per AS (
+         SELECT sum(((ca + 0.5) / (na + 16.0) - (cb + 0.5) / (nb + 16.0))
+                    * ln(((ca + 0.5) / (na + 16.0))
+                         / ((cb + 0.5) / (nb + 16.0)))) AS s_present
+         FROM j, t
+       )
+       SELECT round(s_present
+                    + (32 - present)
+                      * ((0.5 / (na + 16.0) - 0.5 / (nb + 16.0))
+                         * ln((0.5 / (na + 16.0)) / (0.5 / (nb + 16.0)))), 6)
+                AS psi,
+              na::BIGINT AS n_a, nb::BIGINT AS n_b
+       FROM per, t""",
+)
+def histogram_psi_events_q(spark, sf_dir):
+    """Population Stability Index between two event-value distributions
+    (functions/sketches.py value_histogram + histogram_psi): the
+    scorecard drift monitor over the mergeable fixed-grid histogram —
+    a daily PSI costs two tiny sketch reads, never a corpus rescan.
+    Laplace-smoothed shares make empty bins well-defined; bins empty on
+    BOTH sides fold in as a closed-form constant (the hll_estimate
+    no-spine trick)."""
+    from pd_explain_spark.functions.sketches import histogram_psi, value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    ha = value_histogram(ev.filter("event_id % 2 = 0"), "value", 0.0, 200.0, 32)
+    hb = value_histogram(ev.filter("event_id % 2 = 1"), "value", 0.0, 200.0, 32)
+    return histogram_psi(ha, hb)
+
+
+@_q(
     "weighted_sample_docs",
     """WITH keyed AS (
          SELECT doc_id,

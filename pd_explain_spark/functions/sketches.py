@@ -857,3 +857,82 @@ def grouped_exact_quantiles(
         .groupBy(*by, "q")
         .agg(F.min("__v").alias("value"))
     )
+
+
+def histogram_psi(
+    a: DataFrame,
+    b: DataFrame,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two fixed-grid histograms
+    built on the SAME (lo, hi, n_bins) grid (:func:`value_histogram`):
+    PSI = sum over bins of (p_a - p_b) * ln(p_a / p_b), with Laplace
+    smoothing so empty bins are well-defined. One row: (psi 6dp, n_a,
+    n_b). The classic distribution-drift monitor (rule of thumb:
+    < 0.1 stable, > 0.25 shifted) — the scorecard complement to the
+    total-variation drift in functions/drift.py.
+
+    Because the histograms are the bounded mergeable sketches, a daily
+    PSI costs two tiny table reads — the corpus is never rescanned.
+    Bins absent from BOTH histograms contribute a closed-form constant
+    (their smoothed shares depend only on the totals), folded in
+    algebraically from the present-bin count — the same no-spine trick
+    as hll_estimate, so the whole computation is one full-outer join of
+    two <= n_bins tables plus one aggregate."""
+    ga = a.schema["bin"].metadata if "bin" in a.columns else {}
+    gb = b.schema["bin"].metadata if "bin" in b.columns else {}
+    if not ga or not gb:
+        raise ValueError("histogram_psi: histograms carry no grid metadata")
+    if (ga.get("lo"), ga.get("hi"), ga.get("n_bins")) != (
+        gb.get("lo"), gb.get("hi"), gb.get("n_bins")
+    ):
+        raise ValueError(
+            f"histogram_psi: grids differ ({ga} vs {gb}) — PSI over "
+            "different grids is meaningless"
+        )
+    n_bins = int(ga["n_bins"])
+    s = float(smoothing)
+    if s <= 0:
+        raise ValueError("histogram_psi: smoothing must be > 0")
+    joined = (
+        a.select(F.col("bin"), F.col("cnt").alias("__ca"))
+        .join(b.select(F.col("bin"), F.col("cnt").alias("__cb")), "bin", "full")
+        .select(
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+    )
+    agg = joined.agg(
+        F.coalesce(F.sum("__ca"), F.lit(0)).cast("double").alias("__na"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).cast("double").alias("__nb"),
+        F.count(F.lit(1)).cast("int").alias("__present"),
+    )
+    sm = s * n_bins
+    pa = lambda c: (c + F.lit(s)) / (F.col("__na") + F.lit(sm))  # noqa: E731
+    pb = lambda c: (c + F.lit(s)) / (F.col("__nb") + F.lit(sm))  # noqa: E731
+    per_bin = joined.crossJoin(F.broadcast(agg)).select(
+        (
+            (pa(F.col("__ca")) - pb(F.col("__cb")))
+            * F.log(pa(F.col("__ca")) / pb(F.col("__cb")))
+        ).alias("__t")
+    )
+    # closed-form contribution of the (n_bins - present) bins empty on
+    # BOTH sides: their smoothed shares depend only on the totals
+    zero_term = (pa(F.lit(0.0)) - pb(F.lit(0.0))) * F.log(
+        pa(F.lit(0.0)) / pb(F.lit(0.0))
+    )
+    present_sum = per_bin.agg(
+        F.coalesce(F.sum("__t"), F.lit(0.0)).alias("__s")
+    )
+    return (
+        present_sum.crossJoin(F.broadcast(agg))
+        .select(
+            F.round(
+                F.col("__s")
+                + (F.lit(n_bins) - F.col("__present")) * zero_term,
+                6,
+            ).alias("psi"),
+            F.col("__na").cast("bigint").alias("n_a"),
+            F.col("__nb").cast("bigint").alias("n_b"),
+        )
+    )

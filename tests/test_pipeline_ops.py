@@ -3263,3 +3263,40 @@ def test_weighted_sample_proportionality_and_paths(spark):
     assert flat_wins < 20  # << 40 (= all heavy rows every draw)
     with pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, k=0, weight_col="w")
+
+
+def test_histogram_psi_drift_direction_and_guards(spark):
+    """histogram_psi (r8): identical distributions score ~0, a shifted
+    one scores materially higher, the result matches a pure-Python PSI
+    on the same bins, and grid mismatches fail loud."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.sketches import histogram_psi, value_histogram
+
+    base = spark.range(2000).select((F.col("id") % 40).cast("double").alias("v"))
+    shifted = spark.range(2000).select(
+        ((F.col("id") % 40) + 25).cast("double").alias("v")
+    )
+    grid = dict(lo=0.0, hi=80.0, n_bins=16)
+    h0 = value_histogram(base, "v", **grid)
+    h1 = value_histogram(base.filter("v >= 0"), "v", **grid)  # identical
+    h2 = value_histogram(shifted, "v", **grid)
+    same = histogram_psi(h0, h1).collect()[0]
+    assert abs(same["psi"]) < 1e-9 and same["n_a"] == same["n_b"] == 2000
+    moved = histogram_psi(h0, h2).collect()[0]["psi"]
+    assert moved > 0.25  # classic "shifted" threshold
+    # differential vs pure-Python PSI on the same grid
+    ca = {r["bin"]: r["cnt"] for r in h0.collect()}
+    cb = {r["bin"]: r["cnt"] for r in h2.collect()}
+    s, nb, na_t, nb_t = 0.5, 16, 2000.0, 2000.0
+    want = 0.0
+    for b in range(nb):
+        pa = (ca.get(b, 0) + s) / (na_t + s * nb)
+        pb = (cb.get(b, 0) + s) / (nb_t + s * nb)
+        want += (pa - pb) * math.log(pa / pb)
+    assert abs(moved - round(want, 6)) < 2e-6
+    with pytest.raises(ValueError, match="grids differ"):
+        histogram_psi(h0, value_histogram(base, "v", 0.0, 80.0, 32))
