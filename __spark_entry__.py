@@ -5147,6 +5147,52 @@ def bpe_encode_docs_q(spark, sf_dir):
 
 
 @_q(
+    "bpe_oov_rate_docs",
+    _BPE_TRAIN_CTE.replace(
+        "FROM documents)", "FROM documents WHERE doc_id < 250)"
+    )
+    + """
+       , final AS (
+         SELECT w,
+                len(string_split(trim(s, chr(31)), chr(31) || chr(31)))::BIGINT AS n_seg
+         FROM st WHERE iter = (SELECT max(iter) FROM st)
+       ), newtoks AS (
+         SELECT lang, unnest(list_filter(
+                  string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                  x -> x <> '')) AS w
+         FROM documents WHERE doc_id >= 250
+       ), j AS (
+         SELECT n.lang, n.w, f.n_seg
+         FROM newtoks n LEFT JOIN final f ON f.w = n.w
+       )
+       SELECT lang,
+              count(*)::BIGINT AS total_words,
+              sum(CASE WHEN n_seg IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_words,
+              round(sum(CASE WHEN n_seg IS NULL THEN 1 ELSE 0 END)
+                    / count(*)::DOUBLE, 6) AS oov_rate,
+              sum(CASE WHEN n_seg IS NOT NULL THEN n_seg ELSE 0 END)::BIGINT
+                AS vocab_tokens,
+              sum(CASE WHEN n_seg IS NULL THEN length(w) + 1 ELSE 0 END)::BIGINT
+                AS fallback_tokens
+       FROM j GROUP BY 1""",
+)
+def bpe_oov_rate_docs_q(spark, sf_dir):
+    """Tokenizer drift monitor (functions/bpe.py bpe_oov_rate): train
+    the 10-merge vocabulary on the first corpus slice, score the
+    held-out slice per language — OOV word rate plus what OOV actually
+    costs (char-fallback token counts vs trained-segmentation counts).
+    A rising oov_rate on fresh crawl snapshots is the retrain signal.
+    The oracle trains the same vocabulary in the recursive CTE on the
+    same slice and left-joins the held-out token stream against its
+    final segmentations."""
+    from pd_explain_spark.functions.bpe import bpe_oov_rate, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    _, wt = train_bpe(docs.filter("doc_id < 250"), num_merges=10)
+    return bpe_oov_rate(docs.filter("doc_id >= 250"), wt, by=["lang"])
+
+
+@_q(
     "tokenizer_fertility_docs",
     _BPE_TRAIN_CTE + """
        , final AS (

@@ -297,3 +297,50 @@ def bpe_encode(
              + F.col("spos").cast("long")).alias("pos"),
         )
     )
+
+
+def bpe_oov_rate(
+    df: DataFrame,
+    word_syms: DataFrame,
+    text_col: str = "text",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Tokenizer drift monitor: how well does a trained vocabulary
+    (:func:`train_bpe`'s ``word_syms`` table) still fit a NEW corpus?
+    Per ``by`` group (or one global row): total word occurrences, OOV
+    occurrences (words unseen at training time — the ones
+    :func:`bpe_encode` falls back to character segmentation for), the
+    OOV rate, and the subword counts under trained vs char-fallback
+    segmentation (``fallback_tokens`` is what OOV words actually cost:
+    L+1 single-char tokens per occurrence).
+
+    Returns (``*by``, total_words, oov_words, oov_rate 6dp,
+    vocab_tokens, fallback_tokens). A rising oov_rate on fresh crawl
+    snapshots is the retrain signal a production tokenizer tracks.
+    Plan shape: one tokenize/explode pass, a left join against the
+    (broadcastable) segmentation table, one map-combining groupBy —
+    the corpus text is scanned once and never shuffles."""
+    by = list(by or [])
+    toks = df.select(
+        *by,
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("w"),
+    )
+    seg = word_syms.select("w", F.size("syms").alias("__n_seg"))
+    joined = toks.join(seg, "w", "left")
+    is_oov = F.col("__n_seg").isNull()
+    return joined.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_words"),
+        F.sum(F.when(is_oov, 1).otherwise(0)).cast("bigint").alias("oov_words"),
+        F.round(
+            F.sum(F.when(is_oov, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+        F.sum(F.when(~is_oov, F.col("__n_seg")).otherwise(0))
+        .cast("bigint")
+        .alias("vocab_tokens"),
+        # char fallback emits one token per character plus '</w>'
+        F.sum(F.when(is_oov, F.length("w") + 1).otherwise(0))
+        .cast("bigint")
+        .alias("fallback_tokens"),
+    )

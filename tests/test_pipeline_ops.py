@@ -3300,3 +3300,29 @@ def test_histogram_psi_drift_direction_and_guards(spark):
     assert abs(moved - round(want, 6)) < 2e-6
     with pytest.raises(ValueError, match="grids differ"):
         histogram_psi(h0, value_histogram(base, "v", 0.0, 80.0, 32))
+
+
+def test_bpe_oov_rate_planted(spark):
+    """bpe_oov_rate (r8): words absent from training are OOV with
+    char+1 fallback cost, seen words count their trained segmentation
+    length, and encoding the training corpus itself reports zero OOV."""
+    from pd_explain_spark.functions.bpe import bpe_encode, bpe_oov_rate, train_bpe
+
+    train = spark.createDataFrame(
+        [(1, "spark spark table table scan"), (2, "spark table join")],
+        "doc_id bigint, text string",
+    )
+    _, wt = train_bpe(train, num_merges=5)
+    zero = bpe_oov_rate(train, wt).collect()[0]
+    assert zero["oov_words"] == 0 and zero["oov_rate"] == 0.0
+    assert zero["fallback_tokens"] == 0
+    # vocab_tokens on the training corpus == the raw encode's row count
+    assert zero["vocab_tokens"] == bpe_encode(train, wt).count()
+    new = spark.createDataFrame(
+        [(9, "spark table zzz"), (10, "qqqq")], "doc_id bigint, text string"
+    )
+    r = bpe_oov_rate(new, wt).collect()[0]
+    assert r["total_words"] == 4 and r["oov_words"] == 2
+    assert r["oov_rate"] == 0.5
+    # fallback cost: len('zzz')+1 + len('qqqq')+1 = 9
+    assert r["fallback_tokens"] == 9
