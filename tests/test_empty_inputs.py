@@ -71,6 +71,10 @@ FLOW_THROUGH = [
     "exact_quantiles_lineitem",
     "quantile_trim_docs",
     "tokenizer_fertility_docs",
+    "weighted_sample_docs",
+    "bpe_oov_rate_docs",
+    "blocklist_annotate_docs",
+    "grouped_quantiles_docs",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError
@@ -102,6 +106,18 @@ def test_hll_estimate_of_empty_corpus_is_zero(spark, empty_dir):
     stay empty, linear counting reports exactly 0 distinct."""
     r = m.queries()["hll_fingerprints_docs"](spark, empty_dir).collect()
     assert len(r) == 1 and r[0]["est_distinct"] == 0.0 and r[0]["method"] == "linear"
+
+
+def test_one_row_reports_on_empty_corpus(spark, empty_dir):
+    """The global report entries return their one summary row with zero
+    counts on an empty corpus (an empty report would read as 'no data
+    checked', not 'nothing found')."""
+    ov = m.queries()["corpus_overlap_docs"](spark, empty_dir).collect()
+    assert len(ov) == 1 and ov[0]["distinct_docs_a"] == 0
+    est = m.queries()["corpus_minhash_overlap"](spark, empty_dir).collect()
+    assert len(est) == 1 and est[0]["matches"] == 0
+    psi = m.queries()["histogram_psi_events"](spark, empty_dir).collect()
+    assert len(psi) == 1 and psi[0]["psi"] == 0.0 and psi[0]["n_a"] == 0
 
 
 def test_empty_result_schema_inherits_id_type(spark):
