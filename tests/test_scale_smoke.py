@@ -105,6 +105,18 @@ ENTRIES = [
     "exact_quantiles_lineitem",
     "quantile_trim_docs",
     "tokenizer_fertility_docs",
+    # later third-session entries: weighted sampling is one scan + a
+    # k-heap; PSI reads two bounded histograms; OOV is one tokenize
+    # pass + a broadcastable segmentation join; the blocklist gate is a
+    # scan-stage expression; the exact overlap report joins the two
+    # distinct-gram sets (grows with gram cardinality, ~linear here);
+    # the MinHash estimate replaces that join with 2x64 signature rows
+    "weighted_sample_docs",
+    "histogram_psi_events",
+    "bpe_oov_rate_docs",
+    "blocklist_annotate_docs",
+    "corpus_overlap_docs",
+    "corpus_minhash_overlap",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
