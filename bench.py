@@ -245,6 +245,11 @@ def main() -> int:
             file=sys.stderr,
         )
         order = sorted(provisional, key=lambda n: -provisional[n]["ratio"])
+        # release the main session BEFORE the fresh-JVM retimes: a live
+        # 32-thread/128G bench JVM competing with the subprocess
+        # inflates the "isolated" numbers too (measured: shapley 16.0s
+        # retimed beside the live JVM, 8.3s after it stopped)
+        spark.stop()
         retimes = _retime_isolated(order)
         for name in order:
             r = dict(provisional[name])
@@ -265,6 +270,18 @@ def main() -> int:
                 regressions[name] = r
             else:
                 false_flags[name] = r
+        # the isolated re-time is the truer per-entry measurement — an
+        # in-run value inflated by late-run JVM pressure would poison
+        # the NEXT round's vs_prev baseline (a real regression would
+        # then hide under the inflated prev). Record the fresh value for
+        # every retimed entry; the in-run number stays visible as 'now'
+        # in the regressions/false_flags records.
+        for name, fresh in retimes.items():
+            if fresh is not None:
+                timings[name] = round(fresh, 3)
+                p = prev.get(name)
+                if p and name in vs_prev:
+                    vs_prev[name] = round(fresh / p, 3)
     if regressions:
         print(f"# REGRESSIONS (fresh-JVM confirmed) vs {prev_file}:", file=sys.stderr)
         for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
