@@ -2911,6 +2911,101 @@ def blocklist_annotate_docs_q(spark, sf_dir):
 
 
 @_q(
+    "table_profile_lineitem",
+    """SELECT 'l_orderkey' AS "column", count(*)::BIGINT AS n_rows,
+              sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+              round(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    / count(*)::DOUBLE, 6) AS null_rate,
+              count(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+              min(l_orderkey)::VARCHAR AS min_value,
+              max(l_orderkey)::VARCHAR AS max_value
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_quantity', count(*)::BIGINT,
+              sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
+              round(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                    / count(*)::DOUBLE, 6),
+              count(DISTINCT l_quantity)::BIGINT,
+              min(l_quantity)::VARCHAR, max(l_quantity)::VARCHAR
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_returnflag', count(*)::BIGINT,
+              sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+              round(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                    / count(*)::DOUBLE, 6),
+              count(DISTINCT l_returnflag)::BIGINT,
+              min(l_returnflag)::VARCHAR, max(l_returnflag)::VARCHAR
+       FROM lineitem""",
+)
+def table_profile_lineitem_q(spark, sf_dir):
+    """One-pass per-column profile (functions/profiling.py
+    table_profile): exact row/null/distinct counts and min/max for
+    three lineitem columns — the landing-zone health check run on every
+    corpus drop. The multiple count(DISTINCT) columns plan as a single
+    Expand + two-stage aggregation, so the table is scanned once no
+    matter how many columns are profiled."""
+    from pd_explain_spark.functions.profiling import table_profile
+
+    return table_profile(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+
+
+@_q(
+    "check_constraints_lineitem",
+    """SELECT 'discount_range' AS rule,
+              sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, false)
+                       THEN 0 ELSE 1 END)::BIGINT AS violations,
+              count(*)::BIGINT AS n_rows,
+              round(sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, false)
+                             THEN 0 ELSE 1 END) / count(*)::DOUBLE, 6)
+                AS violation_rate,
+              sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, false)
+                       THEN 0 ELSE 1 END) = 0 AS passed
+       FROM lineitem
+       UNION ALL
+       SELECT 'positive_price',
+              sum(CASE WHEN coalesce(l_extendedprice > 0, false)
+                       THEN 0 ELSE 1 END)::BIGINT,
+              count(*)::BIGINT,
+              round(sum(CASE WHEN coalesce(l_extendedprice > 0, false)
+                             THEN 0 ELSE 1 END) / count(*)::DOUBLE, 6),
+              sum(CASE WHEN coalesce(l_extendedprice > 0, false)
+                       THEN 0 ELSE 1 END) = 0
+       FROM lineitem
+       UNION ALL
+       SELECT 'zero_tax',
+              sum(CASE WHEN coalesce(l_tax = 0, false)
+                       THEN 0 ELSE 1 END)::BIGINT,
+              count(*)::BIGINT,
+              round(sum(CASE WHEN coalesce(l_tax = 0, false)
+                             THEN 0 ELSE 1 END) / count(*)::DOUBLE, 6),
+              sum(CASE WHEN coalesce(l_tax = 0, false)
+                       THEN 0 ELSE 1 END) = 0
+       FROM lineitem""",
+)
+def check_constraints_lineitem_q(spark, sf_dir):
+    """Declarative data-quality gate (functions/profiling.py
+    check_constraints): three invariants over lineitem — two that hold
+    and one that fails by design (zero_tax) — each a conditional count
+    inside ONE scan-stage aggregate, with NULL predicate results
+    counting as violations (an unevaluatable rule must fail loud). The
+    shape a pipeline wires between ingest and curation to block a bad
+    batch on one corpus scan."""
+    from pd_explain_spark.functions.profiling import check_constraints
+
+    return check_constraints(
+        _t(spark, sf_dir, "lineitem"),
+        {
+            "discount_range": "l_discount BETWEEN 0 AND 0.1",
+            "positive_price": "l_extendedprice > 0",
+            "zero_tax": "l_tax = 0",
+        },
+    )
+
+
+@_q(
     "corpus_overlap_docs",
     """WITH a AS (SELECT * FROM documents WHERE doc_id < 250),
        b AS (SELECT * FROM documents WHERE doc_id >= 200),

@@ -59,3 +59,122 @@ def key_skew_report(
             "n_keys",
         )
     )
+
+
+def table_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """One-pass per-column profile — the landing-zone health check a
+    pipeline runs on every new corpus drop before anything expensive
+    touches it: (column, n_rows, n_null, null_rate 6dp, n_distinct,
+    min_value, max_value — both rendered as strings so one schema fits
+    every column type).
+
+    Everything is exact. The whole profile is ONE aggregate: Catalyst
+    plans the multiple count(DISTINCT) columns via a single Expand +
+    two-stage aggregation, so the corpus is scanned once no matter how
+    many columns are profiled (distinct-heavy columns cost shuffle
+    volume, not extra scans — for a cheaper cardinality on ultra-wide
+    string columns, use :func:`~pd_explain_spark.functions.sketches.
+    hll_distinct` per column instead)."""
+    cols = list(columns or df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"table_profile: unknown columns {missing}")
+    if not cols:
+        raise ValueError("table_profile: no columns to profile")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__null_{c}"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = row.select(
+        F.col("__n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__null_{c}").alias("n_null"),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_value"),
+                        F.col(f"__max_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p"),
+    )
+    return per_col.select(
+        F.col("p.column").alias("column"),
+        F.col("__n").alias("n_rows"),
+        F.col("p.n_null").alias("n_null"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(F.col("p.n_null") / F.col("__n").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("null_rate"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_value").alias("min_value"),
+        F.col("p.max_value").alias("max_value"),
+    )
+
+
+def check_constraints(
+    df: DataFrame,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Declarative data-quality gate: each rule is (name -> boolean SQL
+    predicate over the table's columns); returns one row per rule with
+    (rule, violations, n_rows, violation_rate 6dp, passed). A NULL
+    predicate result counts as a violation — an unevaluatable rule must
+    fail loud, not pass silently.
+
+    All rules evaluate in ONE scan-stage aggregate (a conditional count
+    per rule — no joins, no second pass), so gating a 100 TB drop on
+    twenty invariants costs one corpus scan. The shape a pipeline wires
+    between ingest and curation: ship the violating rules to the DLQ
+    dashboard, block the batch on `passed = false` for the invariants
+    that matter."""
+    if not rules:
+        raise ValueError("check_constraints: rules must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(F.expr(pred), F.lit(False)), 0).otherwise(1)
+            )
+            .cast("bigint")
+            .alias(f"__v_{name}")
+        )
+    row = df.agg(*aggs)
+    per_rule = row.select(
+        F.col("__n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(f"__v_{name}").alias("violations"),
+                    )
+                    for name in rules
+                ]
+            )
+        ).alias("r"),
+    )
+    return per_rule.select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.violations").alias("violations"),
+        F.col("__n").alias("n_rows"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(F.col("r.violations") / F.col("__n").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("violation_rate"),
+        (F.col("r.violations") == 0).alias("passed"),
+    )

@@ -60,7 +60,18 @@ def _indent(line: str) -> int:
     return len(line) - len(line.lstrip(" :+-"))
 
 
-_GLOBAL_AGG = "HashAggregate(keys=[]"
+# keys=[] scalar aggregates: each partition emits at most one row before
+# the exchange, so a SinglePartition funnel above one is the bounded
+# scalar-augmentation idiom, not a data funnel. Spark spells it
+# HashAggregate(keys=[]) normally and SortAggregate(key=[]) when the
+# aggregate list forces sort-based agg (e.g. first() wrappers around a
+# multi-count(DISTINCT) Expand plan — table_profile's shape).
+_GLOBAL_AGGS = ("HashAggregate(keys=[]", "SortAggregate(key=[]",
+                "ObjectHashAggregate(keys=[]")
+
+
+def _is_global_agg(line: str) -> bool:
+    return any(g in line for g in _GLOBAL_AGGS)
 
 # Operators that bound their output to a constant row count: a
 # single-partition exchange or broadcast build side fed by one of these
@@ -162,7 +173,7 @@ def _bounded_node(lines: list[str], i: int, depth: int = 0) -> bool:
     if depth > 50:
         return False
     line = lines[i]
-    if _is_bounded(line) or _GLOBAL_AGG in line:
+    if _is_bounded(line) or _is_global_agg(line):
         return True
     m = _REUSED_RE.search(line)
     if m:
@@ -216,7 +227,7 @@ def scale_audit(df: DataFrame) -> list[Finding]:
         # produces O(k) rows — a limit/global-agg anywhere below is not
         # enough (a join could re-expand it back to O(data))
         kids = _direct_children(lines, i)
-        if _GLOBAL_AGG in line or (kids and _bounded_node(lines, kids[0])):
+        if _is_global_agg(line) or (kids and _bounded_node(lines, kids[0])):
             sp_scalar += 1
         else:
             sp_fatal += 1

@@ -3326,3 +3326,39 @@ def test_bpe_oov_rate_planted(spark):
     assert r["oov_rate"] == 0.5
     # fallback cost: len('zzz')+1 + len('qqqq')+1 = 9
     assert r["fallback_tokens"] == 9
+
+
+def test_table_profile_and_constraints(spark):
+    """table_profile (r8): exact counts on planted data incl. NULLs and
+    the single-scan plan; check_constraints: NULL predicate results are
+    violations, passing and failing rules both report correctly."""
+    import pytest
+
+    from pd_explain_spark.functions.profiling import (
+        check_constraints,
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None), (3, None, 3.0), (4, "b", 3.0)],
+        "id bigint, s string, v double",
+    )
+    prof = {r["column"]: r for r in table_profile(df).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_distinct"] == 4
+    assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["s"]["null_rate"] == 0.25
+    assert prof["v"]["min_value"] == "1.0" and prof["v"]["max_value"] == "3.0"
+    with pytest.raises(ValueError, match="unknown columns"):
+        table_profile(df, ["nope"])
+    rules = {
+        "id_positive": "id > 0",
+        "v_above_two": "v > 2",      # NULL v counts as a violation
+        "s_not_null": "s IS NOT NULL",
+    }
+    got = {r["rule"]: r for r in check_constraints(df, rules).collect()}
+    assert got["id_positive"]["passed"] and got["id_positive"]["violations"] == 0
+    assert got["v_above_two"]["violations"] == 2  # v=1.0 and v=NULL
+    assert got["s_not_null"]["violations"] == 1
+    assert got["s_not_null"]["violation_rate"] == 0.25
+    with pytest.raises(ValueError, match="non-empty"):
+        check_constraints(df, {})
