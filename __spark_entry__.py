@@ -7780,7 +7780,16 @@ _RECORD_FIRST = [
     # staler oracle-backed candidate), and 12 of the 35 r05-stale
     # entries chosen for family spread. Everything green in r6/r7 and
     # not family-required sits BELOW the window.
-    # r9 rotation pool: the 16 remaining r05-stale entries
+    # r9 rotation pool, priority order: (1) the six oracle-backed
+    # entries added late in r8 with no driver row yet —
+    # weighted_sample_docs, histogram_psi_events, bpe_oov_rate_docs,
+    # corpus_overlap_docs, table_profile_lineitem,
+    # check_constraints_lineitem (each oracle-green locally via
+    # scripts/check_oracles.py); (2) the re-checks displaced this round
+    # (groupby max/min/sem/size/median/nunique, filter_quantity,
+    # where_mask, q5_local_supplier_volume, join_inner); (3) the
+    # r05-stale re-checks below.
+    # Older note — the 16 remaining r05-stale entries
     # (assign_splits, curate_documents, embedding_centroid_dist,
     # embedding_quantize, ewm_events, expanding_stats_events,
     # ffill_events, interval_join_events, pct_change_events,

@@ -87,7 +87,9 @@ def table_profile(
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
     for c in cols:
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            # coalesce: sum() over ZERO rows is NULL, and an empty drop
+            # must profile as zeros, not NULLs
+            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0))
             .cast("bigint")
             .alias(f"__null_{c}"),
             F.countDistinct(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
@@ -147,8 +149,13 @@ def check_constraints(
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
     for name, pred in rules.items():
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(F.expr(pred), F.lit(False)), 0).otherwise(1)
+            # outer coalesce: sum() over ZERO rows is NULL, and an empty
+            # batch must PASS every rule (zero violations), not NULL out
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(F.expr(pred), F.lit(False)), 0).otherwise(1)
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias(f"__v_{name}")

@@ -118,6 +118,10 @@ def test_one_row_reports_on_empty_corpus(spark, empty_dir):
     assert len(est) == 1 and est[0]["matches"] == 0
     psi = m.queries()["histogram_psi_events"](spark, empty_dir).collect()
     assert len(psi) == 1 and psi[0]["psi"] == 0.0 and psi[0]["n_a"] == 0
+    prof = m.queries()["table_profile_lineitem"](spark, empty_dir).collect()
+    assert len(prof) == 3 and all(r["n_rows"] == 0 for r in prof)
+    cons = m.queries()["check_constraints_lineitem"](spark, empty_dir).collect()
+    assert len(cons) == 3 and all(r["passed"] for r in cons)
 
 
 def test_empty_result_schema_inherits_id_type(spark):

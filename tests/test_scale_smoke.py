@@ -117,6 +117,10 @@ ENTRIES = [
     "blocklist_annotate_docs",
     "corpus_overlap_docs",
     "corpus_minhash_overlap",
+    # profiling: both are one scan-stage aggregate (profile adds the
+    # Expand for multi-count-distinct; constraints are conditional sums)
+    "table_profile_lineitem",
+    "check_constraints_lineitem",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
