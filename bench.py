@@ -23,9 +23,11 @@ thresholds — or whose retime subprocess CRASHED — land in
 ``regressions`` (with the isolated time attached as ``fresh``).
 Cleared flags are preserved in ``false_flags``; flags beyond the
 retime cap (never attempted in isolation) go to ``unconfirmed``, never
-to ``regressions``. ``queries`` always holds the in-run times —
-comparable round-to-round because every round measures under the same
-full-suite pressure. ``--gate`` exits nonzero when any confirmed
+to ``regressions``. ``queries`` holds the in-run time for unflagged
+entries and the fresh-JVM re-time for flagged ones (an in-run value
+inflated by late-run JVM pressure would poison the next round's
+comparison base); the headline ``value`` stays the pure in-run wall,
+captured before any overwrite. ``--gate`` exits nonzero when any confirmed
 regression (or error) remains (for local pre-commit use; the driver run
 stays rc=0 so the bench record is never lost to a slow entry). The
 full record is written to BENCH_LOCAL.json ONLY on plain (non---gate)
@@ -238,6 +240,10 @@ def main() -> int:
     false_flags: dict[str, dict[str, float]] = {}
     unconfirmed: dict[str, dict[str, float]] = {}
     retimes: dict[str, float | None] = {}
+    # the headline wall is captured BEFORE any retime overwrites: it must
+    # stay the actual in-run total (comparable across rounds regardless
+    # of how many entries happened to get retimed in quiet JVMs)
+    total_inrun = round(sum(timings.values()), 3)
     if provisional:
         print(
             f"# {len(provisional)} provisional flag(s) vs {prev_file}; "
@@ -306,7 +312,7 @@ def main() -> int:
     sf = float(m.group(1).rstrip(".")) if m else None
     out = {
         "metric": "total_wall_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": total_inrun,
         "unit": "sec",
         "queries": timings,
         "sf": sf,

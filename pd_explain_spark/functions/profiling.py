@@ -85,16 +85,24 @@ def table_profile(
     if not cols:
         raise ValueError("table_profile: no columns to profile")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
-    for c in cols:
+    # positional internal aliases: a profiled column named "a.b" (or any
+    # name with column-syntax characters) must never round-trip through
+    # F.col string parsing
+    def _qcol(c):  # exact-name reference: "a.b" must not parse as a
+        # struct-field access (standard backtick escaping, doubled
+        # backticks inside the name)
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    for i, c in enumerate(cols):
         aggs += [
             # coalesce: sum() over ZERO rows is NULL, and an empty drop
             # must profile as zeros, not NULLs
-            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0))
+            F.coalesce(F.sum(F.when(_qcol(c).isNull(), 1).otherwise(0)), F.lit(0))
             .cast("bigint")
-            .alias(f"__null_{c}"),
-            F.countDistinct(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            .alias(f"__null_{i}"),
+            F.countDistinct(_qcol(c)).cast("bigint").alias(f"__nd_{i}"),
+            F.min(_qcol(c)).cast("string").alias(f"__min_{i}"),
+            F.max(_qcol(c)).cast("string").alias(f"__max_{i}"),
         ]
     row = df.agg(*aggs)
     per_col = row.select(
@@ -104,12 +112,12 @@ def table_profile(
                 *[
                     F.struct(
                         F.lit(c).alias("column"),
-                        F.col(f"__null_{c}").alias("n_null"),
-                        F.col(f"__nd_{c}").alias("n_distinct"),
-                        F.col(f"__min_{c}").alias("min_value"),
-                        F.col(f"__max_{c}").alias("max_value"),
+                        F.col(f"__null_{i}").alias("n_null"),
+                        F.col(f"__nd_{i}").alias("n_distinct"),
+                        F.col(f"__min_{i}").alias("min_value"),
+                        F.col(f"__max_{i}").alias("max_value"),
                     )
-                    for c in cols
+                    for i, c in enumerate(cols)
                 ]
             )
         ).alias("p"),
@@ -147,7 +155,9 @@ def check_constraints(
     if not rules:
         raise ValueError("check_constraints: rules must be non-empty")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
-    for name, pred in rules.items():
+    # positional internal aliases: rule names are arbitrary user labels
+    # ("price.positive" would otherwise parse as a struct-field access)
+    for i, pred in enumerate(rules.values()):
         aggs.append(
             # outer coalesce: sum() over ZERO rows is NULL, and an empty
             # batch must PASS every rule (zero violations), not NULL out
@@ -158,7 +168,7 @@ def check_constraints(
                 F.lit(0),
             )
             .cast("bigint")
-            .alias(f"__v_{name}")
+            .alias(f"__v_{i}")
         )
     row = df.agg(*aggs)
     per_rule = row.select(
@@ -168,9 +178,9 @@ def check_constraints(
                 *[
                     F.struct(
                         F.lit(name).alias("rule"),
-                        F.col(f"__v_{name}").alias("violations"),
+                        F.col(f"__v_{i}").alias("violations"),
                     )
-                    for name in rules
+                    for i, name in enumerate(rules)
                 ]
             )
         ).alias("r"),

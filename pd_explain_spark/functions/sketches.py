@@ -660,7 +660,11 @@ def histogram_merge(*hists: DataFrame) -> DataFrame:
         m = h.schema["bin"].metadata if "bin" in h.columns else {}
         metas.append((m.get("lo"), m.get("hi"), m.get("n_bins")))
     if len(set(metas)) > 1:
-        raise ValueError(f"histogram_merge: mixed grids {sorted(set(metas))}")
+        raise ValueError(
+            "histogram_merge: mixed grids "
+            f"{sorted(set(metas), key=str)}"  # key=str: metadata-less
+            # histograms yield None entries, unorderable against floats
+        )
     out = hists[0]
     for h in hists[1:]:
         out = out.unionByName(h)
@@ -718,17 +722,39 @@ def exact_quantiles(
     spark = df.sparkSession
     vtype = df.schema[col].dataType.simpleString()
     out_schema = f"q double, value {vtype}"
-    vals = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("v"))
+    from pyspark.storagelevel import StorageLevel
+
+    # stats, the top-level histogram, each refinement round and the
+    # final distinct-value collect all consume `vals` — unpersisted,
+    # every one re-executes whatever upstream pipeline produced df
+    # (the ngram_jaccard_pairs persist rationale)
+    vals = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     stats = vals.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
     ).first()
     n = int(stats["n"])
     if n == 0:
+        vals.unpersist()
         return spark.createDataFrame([], out_schema)
-    lo, hi = float(stats["lo"]), float(stats["hi"])
-    if lo == hi:  # single distinct value: every quantile is it
+    if stats["lo"] == stats["hi"]:  # single distinct value: every
+        # quantile is it (compare RAW values — float() collapses 64-bit
+        # integers beyond 2^53 and would misreport distinct ids as one)
         one = stats["lo"]
+        vals.unpersist()
         return spark.createDataFrame([(float(q), one) for q in qs], out_schema)
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi == lo:
+        # raw values DIFFER (checked above) but collapse to one double
+        # (64-bit integers beyond 2^53): binning cannot separate them,
+        # so force a positive width — everything lands in few bins and
+        # the exact distinct-value walk (which compares RAW values)
+        # resolves the ranks. max(1.0, ulp): at that magnitude lo + 1.0
+        # can still equal lo
+        hi = lo + max(1.0, math.ulp(lo))
 
     def _ranks():
         return {q: max(1, math.ceil(float(q) * n)) for q in qs}
@@ -778,12 +804,17 @@ def exact_quantiles(
                 break
             sb = sbs.pop()
             wants = [(q, lr - locs[q][1]) for q, lr in wants]
-            cur_width = cur_width / n_bins
-            cur_lo = cur_lo + sb * cur_width
+            # the narrowing filter must use the EXACT (lo, width) the
+            # sub-histogram was built with: reconstructing the origin as
+            # (cur_lo + sb*w) - sb*w is NOT an identity in IEEE floats,
+            # and a boundary value flipping bins between the count and
+            # the filter silently breaks the carried local ranks
+            sub_width = cur_width / n_bins
             cur = cur.filter(
-                _hist_bin(F.col("v"), cur_lo - sb * cur_width, cur_width, n_bins)
-                == F.lit(sb)
+                _hist_bin(F.col("v"), cur_lo, sub_width, n_bins) == F.lit(sb)
             )
+            cur_lo = cur_lo + sb * sub_width
+            cur_width = sub_width
             rows_in = sub[sb]
         # stage 4: exact distinct-value walk of the bounded bin
         vc = sorted(
@@ -797,6 +828,7 @@ def exact_quantiles(
                 if cum >= local_rank:
                     answers[q] = v
                     break
+    vals.unpersist()  # answers are driver-side literals by now
     return spark.createDataFrame(
         [(float(q), answers[q]) for q in qs], out_schema
     )

@@ -3362,3 +3362,52 @@ def test_table_profile_and_constraints(spark):
     assert got["s_not_null"]["violation_rate"] == 0.25
     with pytest.raises(ValueError, match="non-empty"):
         check_constraints(df, {})
+
+
+def test_review_fixes_quantiles_and_profiling(spark):
+    """Review findings (r8): exact_quantiles must not collapse 64-bit
+    values beyond 2^53, the refinement filter must reuse the exact
+    sub-histogram origin (adversarial narrow-bin values), dotted rule /
+    column names survive the profiling gates, and histogram_merge's
+    mixed-grid error is the designed ValueError even when one side
+    lost its metadata."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.profiling import (
+        check_constraints,
+        table_profile,
+    )
+    from pd_explain_spark.functions.sketches import (
+        exact_quantiles,
+        histogram_merge,
+        value_histogram,
+    )
+
+    # >2^53: two distinct bigints that are equal as doubles
+    big = spark.createDataFrame(
+        [(9007199254740992,), (9007199254740993,)], "v bigint"
+    )
+    got = {r["q"]: r["value"] for r in exact_quantiles(big, "v", [0.5, 1.0]).collect()}
+    assert got[0.5] == 9007199254740992 and got[1.0] == 9007199254740993
+    # deep refinement on tightly-packed values exercises the exact-origin
+    # filter (n_bins=2, max_collect=1 forces max narrowing rounds)
+    import math
+
+    vals = [523933286.9553519 + i * 0.37 for i in range(60)]
+    dfv = spark.createDataFrame([(v,) for v in vals], "v double")
+    q50 = exact_quantiles(dfv, "v", [0.5], n_bins=2, max_collect=1).collect()[0]
+    assert q50["value"] == sorted(vals)[math.ceil(0.5 * 60) - 1]
+    # dotted names
+    dotted = spark.createDataFrame([(1,)], "id bigint").select(
+        F.col("id").alias("a.b")
+    )
+    prof = table_profile(dotted).collect()
+    assert prof[0]["column"] == "a.b" and prof[0]["n_distinct"] == 1
+    cons = check_constraints(dotted, {"id.positive": "`a.b` > 0"}).collect()
+    assert cons[0]["rule"] == "id.positive" and cons[0]["passed"]
+    # metadata-less histogram in a merge: ValueError, not TypeError
+    h = value_histogram(dfv, "v", 0.0, 1e9, 8)
+    bare = h.select(F.col("bin").alias("bin", metadata={}), "cnt")  # strips metadata
+    with pytest.raises(ValueError, match="mixed grids"):
+        histogram_merge(h, bare)
