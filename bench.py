@@ -276,18 +276,21 @@ def main() -> int:
                 regressions[name] = r
             else:
                 false_flags[name] = r
-        # the isolated re-time is the truer per-entry measurement — an
-        # in-run value inflated by late-run JVM pressure would poison
-        # the NEXT round's vs_prev baseline (a real regression would
-        # then hide under the inflated prev). Record the fresh value for
-        # every retimed entry; the in-run number stays visible as 'now'
-        # in the regressions/false_flags records.
-        for name, fresh in retimes.items():
-            if fresh is not None:
-                timings[name] = round(fresh, 3)
-                p = prev.get(name)
-                if p and name in vs_prev:
-                    vs_prev[name] = round(fresh / p, 3)
+        # fresh quiet-JVM retimes are recorded in a PARALLEL key, not
+        # written over the in-run timings: overwriting made the next
+        # round's prev baseline systematically faster than in-run
+        # conditions for exactly those entries, so they re-flagged as
+        # provisional every subsequent round (r8 ADVICE — recurring
+        # retime cost + false-flag noise). vs_prev now always compares
+        # in-run against in-run; fresh values confirm/clear regressions
+        # and stay visible in queries_fresh/retimes.
+        queries_fresh = {
+            name: round(fresh, 3)
+            for name, fresh in retimes.items()
+            if fresh is not None
+        }
+    else:
+        queries_fresh = {}
     if regressions:
         print(f"# REGRESSIONS (fresh-JVM confirmed) vs {prev_file}:", file=sys.stderr)
         for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
@@ -315,6 +318,7 @@ def main() -> int:
         "value": total_inrun,
         "unit": "sec",
         "queries": timings,
+        "queries_fresh": queries_fresh,
         "sf": sf,
         "n_entries": len(timings),
         "vs_prev": vs_prev,

@@ -1793,10 +1793,13 @@ def soft_dedup_weights(
     (id, component) table — same contract as
     :func:`~pd_explain_spark.functions.mixing.leakage_safe_splits`, so
     one components run feeds splits AND weights. Scale shape: the
-    components table only holds docs that HAVE a duplicate (orders of
-    magnitude below the corpus), cluster sizes are one bounded groupBy
-    of it, and the corpus-side join back is broadcast-sized — the
-    corpus itself never shuffles."""
+    components table only holds docs that HAVE a duplicate (usually
+    orders of magnitude below the corpus), and cluster sizes are one
+    bounded groupBy of it. The join back carries NO broadcast hint: on
+    a typical corpus AQE picks a broadcast join at runtime from the
+    actual components size, while a dup-heavy crawl (components within
+    a small factor of the corpus) falls back to a shuffle join instead
+    of OOMing the driver on a forced broadcast (r8 ADVICE)."""
     if components is None:
         if pairs is None:
             raise ValueError("soft_dedup_weights: pass pairs or components")
@@ -1810,7 +1813,7 @@ def soft_dedup_weights(
         F.col("__cs"),
     )
     return (
-        df.join(F.broadcast(comp), df[id_col] == F.col("__sdid"), "left")
+        df.join(comp, df[id_col] == F.col("__sdid"), "left")
         .select(
             *df.columns,
             F.coalesce(F.col("__sdcomp"), F.col(id_col)).alias("dup_component"),

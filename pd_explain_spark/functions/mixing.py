@@ -136,10 +136,13 @@ def leakage_safe_splits(
     ``pairs`` is a near-dup pair list (``id_a``/``id_b`` — any generator
     in functions/dedup.py works); pass ``components`` instead to reuse an
     already-computed (id, component) table. Scale shape: components only
-    contains documents that HAVE a near-duplicate — orders of magnitude
-    smaller than the corpus — so the join back is a broadcast hash join
-    and the split expression itself stays scan-stage; the corpus is
-    never shuffled.
+    contains documents that HAVE a near-duplicate — usually orders of
+    magnitude smaller than the corpus — and the join carries NO
+    broadcast hint: AQE broadcasts when the components table is
+    actually small and falls back to a shuffle join on a dup-heavy
+    crawl where a forced broadcast would OOM (r8 ADVICE; same fix as
+    dedup.soft_dedup_weights). The split expression itself stays
+    scan-stage.
     """
     from .dedup import duplicate_components
 
@@ -151,7 +154,7 @@ def leakage_safe_splits(
         F.col("id").alias("__lsid"), F.col("component").alias("__lscomp")
     )
     out = (
-        df.join(F.broadcast(comp), df[id_col] == F.col("__lsid"), "left")
+        df.join(comp, df[id_col] == F.col("__lsid"), "left")
         .withColumn(rep_col, F.coalesce(F.col("__lscomp"), F.col(id_col)))
         .drop("__lsid", "__lscomp")
     )

@@ -704,7 +704,10 @@ def exact_quantiles(
          predicate, shuffle again bounded by n_bins) until the bin
          holds <= ``max_collect`` rows or ``max_rounds`` is hit (each
          round divides the width by n_bins, so real data terminates in
-         1-2 rounds);
+         1-2 rounds); when pending ranks diverge into DIFFERENT
+         sub-bins, each sub-bin narrows independently (a worklist, not
+         a shared cursor), so one wide parent bin never forces an
+         oversized collect;
       4. collect ONLY that bin's distinct (value, count) rows —
          bounded — and read the exact rank off the driver-side walk.
 
@@ -781,41 +784,55 @@ def exact_quantiles(
     for q, r in _ranks().items():
         b, before = _locate(top, r)
         targets.setdefault(b, []).append((q, r - before))
-    for b, wants in targets.items():
-        pred = _hist_bin(F.col("v"), lo, width, n_bins) == F.lit(b)
-        cur = vals.filter(pred)
-        cur_lo, cur_width = lo + b * width, width
-        rows_in = top[b]
-        for _ in range(max_rounds):
-            if rows_in <= max_collect or cur_width <= 0:
-                break
-            sub = {
-                r["bin"]: r["cnt"]
-                for r in cur.groupBy(
-                    _hist_bin(F.col("v"), cur_lo, cur_width / n_bins, n_bins).alias("bin")
-                ).agg(F.count(F.lit(1)).alias("cnt")).collect()
-            }
-            # each pending rank may land in a different sub-bin; narrow
-            # only when they agree (multi-target bins are rare; fall
-            # through to the distinct-collect otherwise)
-            locs = {q: _locate(sub, lr) for q, lr in wants}
-            sbs = {loc[0] for loc in locs.values()}
-            if len(sbs) != 1:
-                break
-            sb = sbs.pop()
-            wants = [(q, lr - locs[q][1]) for q, lr in wants]
+    # worklist of (frame, bin lo, bin width, rows in bin, pending
+    # (q, local rank) pairs, rounds spent) — pending ranks that diverge
+    # into different sub-bins split into INDEPENDENT work items, each
+    # narrowing on its own, so the final collect of every item honors
+    # max_collect (the old shared cursor broke on divergence and
+    # collected the whole parent bin — r8 ADVICE, driver-OOM risk on
+    # skewed high-cardinality columns)
+    work: list[tuple] = [
+        (
+            vals.filter(_hist_bin(F.col("v"), lo, width, n_bins) == F.lit(b)),
+            lo + b * width,
+            width,
+            top[b],
+            wants,
+            0,
+        )
+        for b, wants in targets.items()
+    ]
+    while work:
+        cur, cur_lo, cur_width, rows_in, wants, rounds = work.pop()
+        if rows_in > max_collect and cur_width > 0 and rounds < max_rounds:
             # the narrowing filter must use the EXACT (lo, width) the
             # sub-histogram was built with: reconstructing the origin as
             # (cur_lo + sb*w) - sb*w is NOT an identity in IEEE floats,
             # and a boundary value flipping bins between the count and
             # the filter silently breaks the carried local ranks
             sub_width = cur_width / n_bins
-            cur = cur.filter(
-                _hist_bin(F.col("v"), cur_lo, sub_width, n_bins) == F.lit(sb)
-            )
-            cur_lo = cur_lo + sb * sub_width
-            cur_width = sub_width
-            rows_in = sub[sb]
+            sub = {
+                r["bin"]: r["cnt"]
+                for r in cur.groupBy(
+                    _hist_bin(F.col("v"), cur_lo, sub_width, n_bins).alias("bin")
+                ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            by_sb: dict[int, list[tuple[float, int]]] = {}
+            for q, lr in wants:
+                sb, before = _locate(sub, lr)
+                by_sb.setdefault(sb, []).append((q, lr - before))
+            for sb, sub_wants in by_sb.items():
+                work.append((
+                    cur.filter(
+                        _hist_bin(F.col("v"), cur_lo, sub_width, n_bins) == F.lit(sb)
+                    ),
+                    cur_lo + sb * sub_width,
+                    sub_width,
+                    sub[sb],
+                    sub_wants,
+                    rounds + 1,
+                ))
+            continue
         # stage 4: exact distinct-value walk of the bounded bin
         vc = sorted(
             (r["v"], r["c"])

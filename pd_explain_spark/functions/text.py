@@ -1261,7 +1261,12 @@ def blocklist_filter(
 
     ``whole_word=True`` matches space-delimited tokens (pad-and-contains
     on the padded normalized text — "ass" must not fire on "class"),
-    else raw substring containment. The term list inlines into ONE
+    else substring containment. Every term is normalized EXACTLY like
+    the haystack (strip + lower + collapse internal whitespace) in both
+    modes — a phrase term with a double space or tab would otherwise
+    silently never match the whitespace-collapsed text (r8 ADVICE);
+    terms that normalize to empty are rejected loudly rather than
+    matching everything. The term list inlines into ONE
     scan-stage codegen expression (an array-exists fold over string
     literals — no join, no UDF, no shuffle): O(|terms|) contains checks
     per doc, which is exactly how the reference C4 implementation scans
@@ -1270,11 +1275,18 @@ def blocklist_filter(
         raise ValueError("blocklist_filter: terms must be non-empty")
     if mode not in ("drop", "annotate"):
         raise ValueError(f"blocklist_filter: mode must be drop|annotate, got {mode!r}")
+    # mirror of normalized_text() on the Python side: the haystack is
+    # strip+lower+collapse-whitespace, so the probes must be too
+    normed = [" ".join(t.lower().split()) for t in terms]
+    empty = [t for t, nt in zip(terms, normed) if not nt]
+    if empty:
+        raise ValueError(
+            f"blocklist_filter: terms normalize to empty: {empty!r}"
+        )
     norm = normalized_text(F.col(text_col))
     hay = F.concat(F.lit(" "), norm, F.lit(" ")) if whole_word else norm
     probes = [
-        F.lit(f" {t.strip().lower()} ") if whole_word else F.lit(t.lower())
-        for t in terms
+        F.lit(f" {nt} ") if whole_word else F.lit(nt) for nt in normed
     ]
     hits = sum(
         (F.when(F.contains(hay, p), 1).otherwise(0) for p in probes),
