@@ -3065,11 +3065,13 @@ def corpus_overlap_docs_q(spark, sf_dir):
          FROM (SELECT string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
                FROM b) WHERE len(t) >= 3
        ), sa AS (
-         SELECT t.i, min(('0x' || substr(md5(g || '-' || t.i::VARCHAR), 1, 15))::BIGINT) AS ha
-         FROM ga, range(0, 64) t(i) GROUP BY t.i
+         SELECT 2 * t.d + l.l AS i,
+                min(('0x' || substr(md5(g || '-' || t.d::VARCHAR), 1 + 16 * l.l, 15))::BIGINT) AS ha
+         FROM ga, range(0, 32) t(d), range(0, 2) l(l) GROUP BY 1
        ), sb AS (
-         SELECT t.i, min(('0x' || substr(md5(g || '-' || t.i::VARCHAR), 1, 15))::BIGINT) AS hb
-         FROM gb, range(0, 64) t(i) GROUP BY t.i
+         SELECT 2 * t.d + l.l AS i,
+                min(('0x' || substr(md5(g || '-' || t.d::VARCHAR), 1 + 16 * l.l, 15))::BIGINT) AS hb
+         FROM gb, range(0, 32) t(d), range(0, 2) l(l) GROUP BY 1
        ), m AS (
          SELECT sum(CASE WHEN ha = hb THEN 1 ELSE 0 END)::BIGINT AS matches
          FROM sa JOIN sb USING (i)
@@ -3085,8 +3087,11 @@ def corpus_minhash_overlap_q(spark, sf_dir):
     instead from two 64-component signatures — O(num_hashes) persisted
     state per corpus snapshot, component-wise-min mergeable across
     ingest days, so the daily snapshot-vs-snapshot dashboard never
-    rejoins the distinct-gram sets. Everything is md5 arithmetic; the
-    estimator itself (matching-component fraction) reproduces in SQL."""
+    rejoins the distinct-gram sets. Everything is md5 arithmetic — two
+    64-bit lanes per digest (hex 1-15 / 17-31 of md5(gram || '-' || d)
+    = hash functions 2d / 2d+1, 32 digests for 64 functions — r9 perf
+    fix); the estimator itself (matching-component fraction)
+    reproduces in SQL."""
     from pd_explain_spark.functions.dedup import (
         corpus_minhash,
         corpus_overlap_estimate,

@@ -1843,20 +1843,27 @@ def corpus_minhash(
     Mergeable like the other sketches (component-wise min —
     :func:`corpus_minhash_merge`), and min() partial-aggregates
     map-side, so the one keys=[] aggregate moves num_hashes values per
-    partition. Hashing is md5(gram || '-' || i): engine-portable.
+    partition. Hashing is engine-portable md5, TWO 64-bit lanes per
+    digest (hex chars 1-15 and 17-31 of md5(gram || '-' || d) become
+    hash functions 2d and 2d+1) — one digest carries 128 bits, so
+    num_hashes functions cost ceil(num_hashes/2) digests per distinct
+    gram, halving the dominant md5 cost (r8 VERDICT perf note).
     ``num_hashes`` rides as column metadata so estimates over
     signatures of different widths fail loud."""
+    from .hashing import md5_int_hi
+
     if num_hashes < 1:
         raise ValueError("corpus_minhash: num_hashes must be >= 1")
     grams = _shingle_index(df, text_col, id_col, n).select("shingle").distinct()
-    row = grams.agg(
-        *[
-            F.min(
-                md5_int(F.md5(F.concat_ws("-", F.col("shingle"), F.lit(str(i)))))
-            ).alias(f"__h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    lanes = []
+    for d in range((num_hashes + 1) // 2):
+        # subexpression elimination computes each digest ONCE per gram
+        # even though two lanes reference it
+        hx = F.md5(F.concat_ws("-", F.col("shingle"), F.lit(str(d))))
+        lanes.append(F.min(md5_int(hx)).alias(f"__h{2 * d}"))
+        if 2 * d + 1 < num_hashes:
+            lanes.append(F.min(md5_int_hi(hx)).alias(f"__h{2 * d + 1}"))
+    row = grams.agg(*lanes)
     stacked = row.select(
         F.explode(
             F.array(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["md5_int"]
+__all__ = ["md5_int", "md5_int_hi"]
 
 
 def md5_int(hex_col: Column, width: int = 15) -> Column:
@@ -28,3 +28,13 @@ def md5_int(hex_col: Column, width: int = 15) -> Column:
     BIGINT (DuckDB mirror: ``('0x' || substr(<hex>, 1, width))::BIGINT``).
     ``width`` must be <= 15 so the value fits a signed 64-bit int."""
     return F.conv(F.substring(hex_col, 1, width), 16, 10).cast("bigint")
+
+
+def md5_int_hi(hex_col: Column, width: int = 15) -> Column:
+    """SECOND 64-bit lane of the same digest: hex chars 17..(16+width)
+    as a non-negative BIGINT (DuckDB mirror:
+    ``('0x' || substr(<hex>, 17, width))::BIGINT``). One md5 digest
+    carries 128 bits, so operators that need many independent hash
+    functions (corpus MinHash) pair md5_int/md5_int_hi per digest and
+    halve the dominant md5 cost."""
+    return F.conv(F.substring(hex_col, 17, width), 16, 10).cast("bigint")
