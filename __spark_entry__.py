@@ -5702,14 +5702,9 @@ def similarity_lsh_q(spark, sf_dir):
     return lsh_topk(emb, emb.filter("vec_id < 10"), k=5, n_planes=4, round_to=4)
 
 
-def similarity_ivf_q(spark, sf_dir):
-    from pd_explain_spark.functions.similarity import ivf_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_centroids=16, n_probe=4)
-
-
-_QUERIES["similarity_ivf_topk"] = similarity_ivf_q  # rows-only: KMeans index
+# similarity_ivf_topk is registered AFTER _ivf_kmeans_oracle_sql is
+# defined (below, next to similarity_ivf_kmeans) — it shares that
+# oracle builder at a different index shape.
 
 
 @_q(
@@ -6175,12 +6170,19 @@ def cluster_sample_emb(spark, sf_dir):
     return cluster_balanced_sample(emb, k=4, n_iter=2, quota=30, mode="central")
 
 
-def _ivf_kmeans_oracle_sql(k: int = 16, n_iter: int = 2, scale: int = 1_000_000) -> str:
+def _ivf_kmeans_oracle_sql(
+    k: int = 16,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+    n_probe: int = 4,
+    topk: int = 5,
+) -> str:
     """Fitted-IVF pipeline on top of the Lloyd CTE: integer-argmin corpus
     assignment (bit-identical to the fit), real-unit centroid doubles
     (micro-units / scale — exact-input IEEE division both engines), then
     the standard probe + in-bucket cosine rank of the similarity_ivf_fixed
-    oracle."""
+    oracle. Parametrized over (centroids, iterations, probes, top-k) so
+    the two fitted-IVF entries exercise different index shapes."""
     return (
         _kmeans_cte(k, n_iter)
         + f""", cast_emb AS (
@@ -6212,7 +6214,7 @@ def _ivf_kmeans_oracle_sql(k: int = 16, n_iter: int = 2, scale: int = 1_000_000)
          FROM cast_emb q, centr c
          WHERE q.vec_id < 10
        ), qp AS (
-         SELECT query_id, qv, bucket FROM probes WHERE pr <= 4
+         SELECT query_id, qv, bucket FROM probes WHERE pr <= {n_probe}
        ), scored AS (
          SELECT qp.query_id, a.neighbor_id,
                 list_dot_product(qp.qv, a.cv)
@@ -6227,7 +6229,7 @@ def _ivf_kmeans_oracle_sql(k: int = 16, n_iter: int = 2, scale: int = 1_000_000)
          FROM scored
        )
        SELECT query_id, neighbor_id, rank::INT AS rank, cosine_sim
-       FROM ranked WHERE rank <= 5"""
+       FROM ranked WHERE rank <= {topk}"""
     )
 
 
@@ -6245,6 +6247,24 @@ def similarity_ivf_kmeans(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     index = ivf_build_kmeans(emb, n_centroids=16, n_iter=2)
     return ivf_query(index, emb.filter("vec_id < 10"), k=5, n_probe=4, round_to=4)
+
+
+@_q("similarity_ivf_topk", _ivf_kmeans_oracle_sql(k=8, n_iter=1, n_probe=2, topk=3))
+def similarity_ivf_q(spark, sf_dir):
+    """One-shot fitted-IVF top-k (functions/similarity.py ivf_topk with
+    n_iter=1): formerly the registry's last rows-only similarity entry
+    (it used the pyspark.ml KMeans builder, seeded but not
+    bit-reproducible); the r8 deterministic Lloyd fit upgraded it to a
+    full train -> index -> probe -> rank hash check (r8 VERDICT task
+    #4). Exercises a DIFFERENT index shape than similarity_ivf_kmeans:
+    8 centroids, 1 Lloyd round, 2 probes, top-3."""
+    from pd_explain_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter("vec_id < 10"),
+        k=3, n_centroids=8, n_probe=2, n_iter=1, round_to=4,
+    )
 
 
 _SEMANTIC_ASSIGNED_CTE = """WITH cast_emb AS (

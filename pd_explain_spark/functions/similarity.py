@@ -710,12 +710,22 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     allowed: DataFrame | None = None,
+    n_iter: int = 0,
+    round_to: int = 6,
 ) -> DataFrame:
-    """One-shot convenience: ivf_build + ivf_query."""
-    index = ivf_build(corpus, id_col, vec_col, n_centroids, seed)
+    """One-shot convenience: build + query. ``n_iter > 0`` fits the
+    bit-reproducible Lloyd k-means index (:func:`ivf_build_kmeans` —
+    deterministic, hash-checkable cross-engine); ``n_iter = 0`` keeps
+    the pyspark.ml KMeans builder (:func:`ivf_build`, seeded but not
+    bit-reproducible across Spark versions)."""
+    index = (
+        ivf_build_kmeans(corpus, id_col, vec_col, n_centroids, n_iter=n_iter)
+        if n_iter > 0
+        else ivf_build(corpus, id_col, vec_col, n_centroids, seed)
+    )
     return ivf_query(
         index, queries, k=k, id_col=id_col, vec_col=vec_col, n_probe=n_probe,
-        allowed=allowed,
+        allowed=allowed, round_to=round_to,
     )
 
 
