@@ -2844,6 +2844,60 @@ def histogram_psi_events_q(spark, sf_dir):
 
 
 @_q(
+    "windowed_psi_events",
+    """WITH ref AS (
+         SELECT least(31, greatest(0, CAST(floor((value - 0.0) / 6.25) AS INT))) AS bin,
+                count(*)::BIGINT AS cr
+         FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+       ), rt AS (SELECT sum(cr)::DOUBLE AS nr FROM ref),
+       live AS (
+         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                least(31, greatest(0, CAST(floor((value - 0.0) / 6.25) AS INT))) AS bin
+         FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+       ), per AS (
+         SELECT window_start, bin, count(*)::BIGINT AS cw FROM live GROUP BY 1, 2
+       ), wtot AS (
+         SELECT window_start, sum(cw)::DOUBLE AS wt FROM per GROUP BY 1
+       ), allbins AS (
+         SELECT s.window_start, s.wt, s.cr, coalesce(p.cw, 0) AS cw
+         FROM (SELECT w.window_start, w.wt, r.bin, r.cr
+               FROM wtot w CROSS JOIN ref r) s
+         LEFT JOIN per p ON p.window_start = s.window_start AND p.bin = s.bin
+         UNION ALL
+         SELECT p.window_start, w.wt, 0 AS cr, p.cw
+         FROM per p JOIN wtot w USING (window_start)
+         WHERE p.bin NOT IN (SELECT bin FROM ref)
+       ), terms AS (
+         SELECT window_start, wt, count(*)::INT AS present,
+                sum(((cw + 0.5) / (wt + 16.0) - (cr + 0.5) / (nr + 16.0))
+                    * ln(((cw + 0.5) / (wt + 16.0))
+                         / ((cr + 0.5) / (nr + 16.0)))) AS sp
+         FROM allbins, rt GROUP BY 1, 2
+       )
+       SELECT window_start, wt::BIGINT AS n_events,
+              round(sp + (32 - present)
+                         * ((0.5 / (wt + 16.0) - 0.5 / (nr + 16.0))
+                            * ln((0.5 / (wt + 16.0)) / (0.5 / (nr + 16.0)))), 6)
+                AS psi
+       FROM terms, rt""",
+)
+def windowed_psi_events_q(spark, sf_dir):
+    """Per-window PSI drift monitor (functions/drift.py windowed_psi —
+    r8 VERDICT task #7): even event ids are the trusted reference
+    period (one mergeable value_histogram sketch on the [0,200]x32
+    grid), odd ids are the live feed scored hourly. One binning pass
+    over the live side, windows-x-refbins spine + closed-form
+    both-empty fold — the batch twin of stream_psi_scores, whose
+    stream/batch parity is pytest-pinned."""
+    from pd_explain_spark.functions.drift import windowed_psi
+    from pd_explain_spark.functions.sketches import value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    ref = value_histogram(ev.filter("event_id % 2 = 0"), "value", 0.0, 200.0, 32)
+    return windowed_psi(ev.filter("event_id % 2 = 1"), ref)
+
+
+@_q(
     "weighted_sample_docs",
     """WITH keyed AS (
          SELECT doc_id,
@@ -4139,6 +4193,75 @@ def quality_classifier_docs_q(spark, sf_dir):
 
 
 _QUERIES["quality_classifier_docs"] = quality_classifier_docs_q  # rows-only: L-BFGS fit
+
+
+_QF_POS = "catalyst optimizer broadcast shuffle partition codegen arrow vectorized"
+_QF_NEG = "casino bonus winner jackpot pills lottery spam clickbait"
+
+
+@_q(
+    "quality_fit_evidence",
+    f"""WITH planted(cls, text) AS (VALUES (1, '{_QF_POS}'), (0, '{_QF_NEG}')),
+       toks AS (
+         SELECT cls,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM planted
+       ), grams AS (
+         SELECT cls,
+                unnest(t || [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+         FROM toks
+       ), bg AS (
+         SELECT cls, ('0x' || substr(md5(gram), 1, 15))::BIGINT % 128 AS bucket
+         FROM grams
+       ), pos AS (SELECT DISTINCT bucket FROM bg WHERE cls = 1),
+       neg AS (SELECT DISTINCT bucket FROM bg WHERE cls = 0)
+       SELECT bucket::INT AS bucket, 1 AS coef_sign
+       FROM (SELECT bucket FROM pos EXCEPT SELECT bucket FROM neg)
+       UNION ALL
+       SELECT bucket::INT AS bucket, -1 AS coef_sign
+       FROM (SELECT bucket FROM neg EXCEPT SELECT bucket FROM pos)""",
+)
+def quality_fit_evidence(spark, sf_dir):
+    """Deterministic evidence that the L-BFGS classifier FIT recovers a
+    planted separation (r8 VERDICT task #5 — quality_classifier_docs
+    stays rows-only because the fit is iterative, but the fit's SIGNS
+    are checkable): train on a linearly separable planted corpus
+    (8 reference docs of one vocabulary vs 8 raw docs of another) and
+    emit (bucket, sign(fitted coefficient)) for every CLASS-EXCLUSIVE
+    feature bucket. The regularized logistic optimum is unique and the
+    planted geometry is symmetric, so each reference-only bucket's
+    coefficient is strictly positive and each raw-only bucket's strictly
+    negative regardless of optimizer path or partition order. The oracle
+    regenerates the planted buckets with the same md5 arithmetic and
+    asserts the planted class sign — the hash matches iff the fit got
+    EVERY sign right. Buckets hit by both vocabularies (hash collisions)
+    are excluded identically on both sides."""
+    from pd_explain_spark.functions.classifier import train_quality_classifier
+    from pd_explain_spark.functions.mixing import _hashed_gram_buckets
+
+    ref = spark.createDataFrame(
+        [(i, _QF_POS) for i in range(8)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(100 + i, _QF_NEG) for i in range(8)], "doc_id long, text string"
+    )
+    m = train_quality_classifier(raw, ref, n_buckets=128)
+    pos_b = {
+        r["bucket"]
+        for r in _hashed_gram_buckets(ref.limit(1), "text", "doc_id", 128)
+        .distinct().collect()
+    }
+    neg_b = {
+        r["bucket"]
+        for r in _hashed_gram_buckets(raw.limit(1), "text", "doc_id", 128)
+        .distinct().collect()
+    }
+    fitted = [
+        (int(b), 1 if m.coef.get(b, 0.0) > 0 else (-1 if m.coef.get(b, 0.0) < 0 else 0))
+        for b in sorted((pos_b - neg_b) | (neg_b - pos_b))
+    ]
+    return spark.createDataFrame(fitted, "bucket int, coef_sign int")
 
 
 @_q(

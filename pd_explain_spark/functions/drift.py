@@ -129,6 +129,169 @@ def drift_scores(
     )
 
 
+def _psi_grid(reference: DataFrame) -> tuple[float, float, int]:
+    """(lo, hi, n_bins) from a value_histogram reference's bin metadata
+    — fail loud when absent, a PSI against an unknown grid is
+    meaningless (same contract as sketches.histogram_psi)."""
+    meta = reference.schema["bin"].metadata if "bin" in reference.columns else {}
+    if not meta or "n_bins" not in meta:
+        raise ValueError(
+            "PSI reference must be a value_histogram (bin metadata "
+            "carries the lo/hi/n_bins grid)"
+        )
+    return float(meta["lo"]), float(meta["hi"]), int(meta["n_bins"])
+
+
+def windowed_psi(
+    df: DataFrame,
+    reference: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-window Population Stability Index against a trusted reference
+    histogram (a :func:`~pd_explain_spark.functions.sketches.value_histogram`
+    — the grid rides in its bin metadata): (window_start, n_events,
+    psi 6dp). The scorecard complement of :func:`drift_scores` — PSI
+    weights the log-odds shift where TV weights raw mass, and the
+    reference is an explicit trusted-period sketch instead of the
+    frame's own distribution.
+
+    Plan shape mirrors drift_scores: ONE binning pass over the live
+    data, per-(window, bin) counts (shuffle bounded by windows x bins),
+    then a windows-x-refbins spine (reference is <= n_bins rows,
+    broadcast) plus the window-only bins unioned in; bins empty on BOTH
+    sides fold in as the closed-form smoothed constant per window (the
+    histogram_psi no-spine trick), so no (windows x n_bins) blow-up for
+    sparse grids. Laplace ``smoothing`` keeps empty bins well-defined.
+    The live table is scanned once; the reference is a persisted sketch
+    read, never a corpus rescan."""
+    from .sketches import _hist_bin
+
+    lo, hi, n_bins = _psi_grid(reference)
+    s = float(smoothing)
+    if s <= 0:
+        raise ValueError("windowed_psi: smoothing must be > 0")
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    sm = s * n_bins
+
+    ref_c = reference.select(
+        F.col("bin"), F.col("cnt").cast("bigint").alias("__cr")
+    ).limit(n_bins)  # identity limit: states the O(n_bins) bound in the plan
+    rtot = ref_c.agg(F.coalesce(F.sum("__cr"), F.lit(0)).cast("double").alias("__nr"))
+
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.date_format(
+                F.window(F.col(ts_col), window)["start"], "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            _hist_bin(F.col(value_col), lo, width, n_bins).alias("__bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cw"))
+    )
+    # consumed three times (wtot / spine probe / window-only anti) — same
+    # eager-materialize-and-release rationale as drift_scores
+    per = per.localCheckpoint()
+    wtot = per.groupBy("window_start").agg(
+        F.sum("__cw").cast("double").alias("__wt")
+    )
+    spine = wtot.crossJoin(F.broadcast(ref_c.withColumnRenamed("bin", "__bin")))
+    on_ref = spine.join(per, ["window_start", "__bin"], "left").select(
+        "window_start", "__wt", "__cr", F.coalesce("__cw", F.lit(0)).alias("__cw")
+    )
+    window_only = (
+        per.join(F.broadcast(ref_c.withColumnRenamed("bin", "__bin")), "__bin", "anti")
+        .join(wtot, "window_start")
+        .select("window_start", "__wt", F.lit(0).cast("bigint").alias("__cr"), "__cw")
+    )
+    allbins = on_ref.unionByName(window_only).crossJoin(F.broadcast(rtot))
+    pw = (F.col("__cw") + F.lit(s)) / (F.col("__wt") + F.lit(sm))
+    pr = (F.col("__cr") + F.lit(s)) / (F.col("__nr") + F.lit(sm))
+    terms = allbins.groupBy("window_start").agg(
+        F.max("__wt").alias("__wt"),
+        F.max("__nr").alias("__nr"),
+        F.count(F.lit(1)).cast("int").alias("__present"),
+        F.sum((pw - pr) * F.log(pw / pr)).alias("__sp"),
+    )
+    zw = F.lit(s) / (F.col("__wt") + F.lit(sm))
+    zr = F.lit(s) / (F.col("__nr") + F.lit(sm))
+    return terms.select(
+        "window_start",
+        F.col("__wt").cast("long").alias("n_events"),
+        F.round(
+            F.col("__sp")
+            + (F.lit(n_bins) - F.col("__present")) * (zw - zr) * F.log(zw / zr),
+            6,
+        ).alias("psi"),
+    )
+
+
+def stream_psi_scores(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Streaming flavor of :func:`windowed_psi`: a continuous PSI drift
+    score per watermarked window against a trusted reference histogram
+    (fit once in batch via value_histogram, score the stream forever —
+    the r8 VERDICT task #7 chain: stream histogram maintenance ->
+    per-window PSI). Same literal-folding shape as
+    :func:`stream_drift_scores`: the reference is O(n_bins) rows and is
+    collected into plan literals at build time, so the stream needs
+    exactly ONE stateful aggregation (n_bins conditional counters per
+    open window, state bounded by the watermark) and the PSI fold is a
+    stateless projection. Every grid bin is enumerated explicitly
+    (values clamp into [0, n_bins)), which equals the batch
+    present-terms + closed-form-zero-terms algebra exactly
+    (parity-pinned in test_streaming)."""
+    from ..streaming.windows import _with_event_time
+
+    lo, hi, n_bins = _psi_grid(reference)
+    s = float(smoothing)
+    if s <= 0:
+        raise ValueError("stream_psi_scores: smoothing must be > 0")
+    sm = s * n_bins
+    ref_counts = {int(r["bin"]): int(r["cnt"]) for r in reference.collect()}
+    nr = float(sum(ref_counts.values()))
+
+    src = _with_event_time(stream_df, ts_col).select(ts_col, value_col).filter(
+        F.col(value_col).isNotNull()
+    )
+    if hi == lo:
+        bin_ = F.lit(0)
+    else:
+        raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit((hi - lo) / n_bins))
+        bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    binned = src.withColumn("__bin", bin_)
+    count_cols = [
+        F.sum(F.when(F.col("__bin") == b, 1).otherwise(0)).alias(f"__c{b}")
+        for b in range(n_bins)
+    ]
+    agg = (
+        binned.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*count_cols)
+    )
+    total = sum((F.col(f"__c{b}") for b in range(n_bins)), F.lit(0))
+    wt = total.cast("double")
+    psi = F.lit(0.0)
+    for b in range(n_bins):
+        pw = (F.col(f"__c{b}") + F.lit(s)) / (wt + F.lit(sm))
+        pr = F.lit((ref_counts.get(b, 0) + s) / (nr + sm))
+        psi = psi + (pw - pr) * F.log(pw / pr)
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        total.cast("long").alias("n_events"),
+        F.round(psi, 6).alias("psi"),
+    )
+
+
 def stream_drift_scores(
     stream_df: DataFrame,
     reference: DataFrame,

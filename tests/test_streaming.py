@@ -148,6 +148,51 @@ def test_stream_drift_scores_matches_batch(spark, events_dir):
     assert got == want and len(want) > 0
 
 
+def test_stream_psi_scores_matches_batch(spark, events_dir):
+    """Streaming PSI monitor parity (r9): per-window PSI of the replayed
+    stream against a trusted reference histogram equals the batch
+    windowed_psi on the same reference — the stream's explicit
+    all-bins fold must equal the batch present-terms + closed-form
+    zero-terms algebra exactly."""
+    from pd_explain_spark.functions.drift import stream_psi_scores, windowed_psi
+    from pd_explain_spark.functions.sketches import value_histogram
+
+    batch = spark.read.parquet(events_dir)
+    ref = value_histogram(
+        batch.filter("event_id % 2 = 0"), "value", 0.0, 200.0, 32
+    )
+    live_b = batch.filter("event_id % 2 = 1")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir).filter(
+        "event_id % 2 = 1"
+    )
+    out = stream_psi_scores(stream, ref, window="1 hour", watermark="10 hours")
+    q = (
+        out.writeStream.format("memory").queryName("psi_q")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: (r["n_events"], r["psi"])
+        for r in spark.sql("select * from psi_q").collect()
+    }
+    want = {
+        r["window_start"]: (r["n_events"], r["psi"])
+        for r in windowed_psi(live_b, ref, window="1 hour").collect()
+    }
+    assert got == want and len(want) > 0
+    # the guards fail loud on a grid-less reference / non-positive
+    # smoothing
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    # alias() PRESERVES metadata — strip it explicitly
+    bare = ref.select(F.col("bin").alias("bin", metadata={}), "cnt")
+    with _pytest.raises(ValueError, match="value_histogram"):
+        windowed_psi(live_b, bare)
+    with _pytest.raises(ValueError, match="smoothing"):
+        windowed_psi(live_b, ref, smoothing=0.0)
+
+
 def test_stream_interval_join_matches_batch(spark, events_dir):
     """Stream-stream attribution join (views -> clicks within 10 min per
     user, watermarked both sides) must reproduce the batch interval_join
