@@ -71,6 +71,138 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     ][:dim]
 
 
+# ------------------------------------------------------ builtin decoders
+# Pure-Python decoders for two fixed-layout formats (binary PPM "P6"
+# and 24-bit uncompressed BMP) so the REAL decode branch is exercisable
+# in codec-less environments (r8 VERDICT task #8): byte arithmetic only,
+# no dependency. Pillow, when importable, still takes priority (it
+# covers these plus everything else); formats beyond these two keep the
+# documented NotImplementedError stub without Pillow.
+
+
+def _builtin_supported(payload: bytes) -> bool:
+    return bool(payload) and (payload[:2] == b"P6" or payload[:2] == b"BM")
+
+
+def _builtin_decode(payload: bytes):
+    """(width, height, get_rgb(x, y)) for P6 PPM / 24-bit BI_RGB BMP.
+    Raises ValueError on a truncated/corrupt payload — callers map that
+    to the corrupt-row contract (zero-fill / None), never a crash."""
+    import struct
+
+    if payload[:2] == b"P6":
+        pos, vals = 2, []
+        while len(vals) < 3:
+            if pos >= len(payload):
+                raise ValueError("truncated PPM header")
+            c = payload[pos:pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":  # comment to end of line
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+            else:
+                start = pos
+                while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                    pos += 1
+                try:
+                    vals.append(int(payload[start:pos]))
+                except ValueError:
+                    raise ValueError("bad PPM header token")
+        pos += 1  # exactly ONE whitespace byte separates header and raster
+        w, h, maxval = vals
+        if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+            raise ValueError("unsupported PPM geometry")
+        if len(payload) - pos < w * h * 3:
+            raise ValueError("truncated PPM raster")
+        px = payload
+
+        def get(x: int, y: int):
+            i = pos + (y * w + x) * 3
+            return px[i], px[i + 1], px[i + 2]
+
+        return w, h, get
+
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        off = struct.unpack_from("<I", payload, 10)[0]
+        w = struct.unpack_from("<i", payload, 18)[0]
+        h = struct.unpack_from("<i", payload, 22)[0]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            raise ValueError("only 24-bit BI_RGB BMP supported")
+        flip, hh = h > 0, abs(h)  # positive height = bottom-up rows
+        stride = (w * 3 + 3) & ~3
+        if len(payload) < off + stride * (hh - 1) + w * 3:
+            raise ValueError("truncated BMP raster")
+
+        def get(x: int, y: int):
+            sy = hh - 1 - y if flip else y
+            i = off + sy * stride + x * 3
+            return payload[i + 2], payload[i + 1], payload[i]  # BGR -> RGB
+
+        return w, hh, get
+
+    raise ValueError("not a PPM/BMP payload")
+
+
+def _builtin_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Same feature contract as :func:`_pil_features` via the builtin
+    decoders: SOURCE dimensions, band arity, channel means from a <=32x32
+    nearest-neighbor subsample (bounded work per row regardless of
+    source resolution). Corrupt payloads zero-fill."""
+    try:
+        w, h, get = _builtin_decode(payload)
+    except ValueError:
+        return [0.0] * dim
+    sx, sy = max(1, w // 32), max(1, h // 32)
+    sums, n = [0, 0, 0], 0
+    for y in range(0, h, sy):
+        for x in range(0, w, sx):
+            r, g, b = get(x, y)
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+            n += 1
+    means = [s / n for s in sums]
+    feats = [float(w), float(h), 3.0, means[0], means[1], means[2],
+             float(max(means)), float(min(means))]
+    return feats[:dim] + [0.0] * max(0, dim - len(feats))
+
+
+def _builtin_image_features(payload: bytes, dim: int = 8) -> list[float]:
+    """No-Pillow dispatch for IMAGE rows: builtin formats decode for
+    real; anything else keeps the documented NotImplementedError stub."""
+    if not payload:
+        return [0.0] * dim  # no payload, no features (PIL-path contract)
+    if _builtin_supported(payload):
+        return _builtin_features(payload, dim)
+    raise NotImplementedError(
+        "media decoding beyond PPM/BMP requires Pillow, which is not "
+        "present in this environment; pass fake_decoder=True for the "
+        "deterministic stub"
+    )
+
+
+def _builtin_resize(payload: bytes, tw: int, th: int) -> bytes | None:
+    """Nearest-neighbor resize of a builtin-decodable payload, re-encoded
+    as binary PPM (P6). None marks undecodable rows (corrupt-row
+    contract, same as the PIL path)."""
+    try:
+        w, h, get = _builtin_decode(payload)
+    except ValueError:
+        return None
+    out = bytearray(b"P6\n%d %d\n255\n" % (tw, th))
+    for y in range(th):
+        sy = min(h - 1, y * h // th)
+        for x in range(tw):
+            sx = min(w - 1, x * w // tw)
+            out += bytes(get(sx, sy))
+    return bytes(out)
+
+
 def _pil_features(payload: bytes, dim: int = 8) -> list[float]:
     """Real image features via Pillow: SOURCE dimensions, mode arity,
     and mean channel intensities from a 32x32 thumbnail decode (bounded
@@ -104,37 +236,35 @@ def extract_features(df: DataFrame, fake_decoder: bool = False, batch_dim: int =
 
     With ``fake_decoder=False`` the real decode runs IF Pillow is
     importable on the executors (optional dependency probe at module
-    import); otherwise it raises NotImplementedError — the documented
-    STUB marker for codec-less environments. The Spark plumbing (schema,
-    batching, partitioning) is identical on every path and is what gets
-    oracle-checked (fake path, multimodal_features_kernel).
+    import); without Pillow, image payloads in the two builtin
+    fixed-layout formats (binary PPM / 24-bit BMP) still decode for
+    REAL via pure byte arithmetic, and anything beyond those raises
+    NotImplementedError — the documented STUB marker for codec-less
+    environments. The Spark plumbing (schema, batching, partitioning)
+    is identical on every path and is what gets oracle-checked (fake
+    path, multimodal_features_kernel).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if fake_decoder:
                 feats = pdf["payload"].map(lambda p: _fake_features(p, batch_dim))
-            elif HAS_PIL:
-                # only image rows go through the PIL decoder — audio /
+            else:
+                # only image rows go through the image decoder — audio /
                 # video payloads are not images and would raise
                 # UnidentifiedImageError; they keep the deterministic
                 # byte-level features (resize_images filters kind
                 # JVM-side; this operator contracts one output row per
                 # input row, so it routes per-row instead)
+                decode = _pil_features if HAS_PIL else _builtin_image_features
                 feats = pd.Series(
                     [
-                        _pil_features(p, batch_dim)
+                        decode(p, batch_dim)
                         if k == "image"
                         else _fake_features(p, batch_dim)
                         for k, p in zip(pdf["kind"], pdf["payload"])
                     ],
                     index=pdf.index,
-                )
-            else:
-                raise NotImplementedError(
-                    "media decoding requires Pillow, which is not present in "
-                    "this environment; pass fake_decoder=True for the "
-                    "deterministic stub"
                 )
             out = pd.DataFrame(
                 {
@@ -163,11 +293,13 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads to (target_w, target_h) via Arrow-batched
     mapInPandas — same probe contract as extract_features: with Pillow
-    importable the real decode-resize-reencode (PNG) runs;
-    without it the codec step raises NotImplementedError unless
-    ``fake_decoder=True``, whose deterministic truncated/padded payload
-    exercises the schema, batch shape and partitioning for real.
-    Non-image rows are filtered JVM-side before any Python runs."""
+    importable the real decode-resize-reencode (PNG) runs; without it,
+    builtin PPM/BMP payloads still decode-resize-reencode for real
+    (nearest-neighbor, re-encoded as binary PPM), and other formats
+    raise NotImplementedError unless ``fake_decoder=True``, whose
+    deterministic truncated/padded payload exercises the schema, batch
+    shape and partitioning for real. Non-image rows are filtered
+    JVM-side before any Python runs."""
 
     def _pil_resize(payload: bytes) -> bytes | None:
         import io
@@ -185,6 +317,17 @@ def resize_images(
             # None marks the row undecodable (nullable binary output)
             return None
 
+    def _builtin_resize_row(payload: bytes) -> bytes | None:
+        if not payload:
+            return None  # no payload in, no payload out (nullable binary)
+        if _builtin_supported(payload):
+            return _builtin_resize(payload, target_w, target_h)
+        raise NotImplementedError(
+            "image resizing beyond PPM/BMP requires Pillow, which is not "
+            "present in this environment; pass fake_decoder=True for the "
+            "deterministic stub"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = target_w * target_h // 64  # fake byte budget, deterministic
         for pdf in batches:
@@ -195,11 +338,7 @@ def resize_images(
             elif HAS_PIL:
                 payloads = pdf["payload"].map(_pil_resize)
             else:
-                raise NotImplementedError(
-                    "image resizing requires Pillow, which is not present in "
-                    "this environment; pass fake_decoder=True for the "
-                    "deterministic stub"
-                )
+                payloads = pdf["payload"].map(_builtin_resize_row)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

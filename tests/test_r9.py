@@ -1,0 +1,119 @@
+"""Round-9 additions: builtin PPM/BMP real decode (no Pillow needed),
+classifier-fit sign evidence determinism, and windowed PSI semantics."""
+
+import struct
+
+import pytest
+
+import pd_explain_spark.functions.multimodal as MM
+
+
+def _ppm(w, h, rgb):
+    return b"P6\n# planted\n%d %d\n255\n" % (w, h) + bytes(rgb) * (w * h)
+
+
+def _bmp(w, h, rows_top_to_bottom):
+    """24-bit BI_RGB bottom-up BMP from [(r,g,b) per pixel] rows."""
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(rows_top_to_bottom):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        raster += line + b"\0" * (stride - len(line))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + info + raster
+
+
+def test_builtin_ppm_bmp_real_decode(spark):
+    """The REAL decode branch (fake_decoder=False) runs in this
+    Pillow-less environment for the two builtin fixed-layout formats:
+    source dims + channel means come from actual pixel bytes."""
+    ppm = _ppm(4, 2, (10, 20, 30))
+    bmp = _bmp(3, 2, [[(255, 0, 0)] * 3, [(0, 0, 255)] * 3])
+    media = spark.createDataFrame(
+        [
+            (0, "image", ppm, "image/x-portable-pixmap", 4, 2, 0),
+            (1, "image", bmp, "image/bmp", 3, 2, 0),
+            (2, "audio", b"\x01\x02\x03", "audio/wav", 0, 0, 900),
+            (3, "image", None, "image/bmp", 0, 0, 0),
+        ],
+        schema=MM.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in MM.extract_features(media, fake_decoder=False).collect()
+    }
+    assert rows[0]["feature"][:6] == [4.0, 2.0, 3.0, 10.0, 20.0, 30.0]
+    # half red + half blue rows: means (127.5, 0, 127.5)
+    assert rows[1]["feature"][:6] == [3.0, 2.0, 3.0, 127.5, 0.0, 127.5]
+    assert rows[2]["feature"] == MM._fake_features(b"\x01\x02\x03")  # audio: byte features
+    assert rows[3]["feature"] == [0.0] * 8  # null payload zero-fills
+
+    # real resize: decode -> nearest-neighbor -> P6 re-encode
+    rz = {
+        r["media_id"]: r
+        for r in MM.resize_images(media, 2, 2, fake_decoder=False).collect()
+    }
+    w, h, get = MM._builtin_decode(bytes(rz[0]["payload"]))
+    assert (w, h) == (2, 2) and get(0, 0) == (10, 20, 30)
+    w2, h2, get2 = MM._builtin_decode(bytes(rz[1]["payload"]))
+    assert (w2, h2) == (2, 2)
+    assert get2(0, 0) == (255, 0, 0) and get2(0, 1) == (0, 0, 255)
+    assert rz[3]["payload"] is None
+
+
+def test_builtin_decode_corrupt_and_unsupported(spark):
+    """Corrupt builtin payloads honor the corrupt-row contract
+    (zero-fill / None, never a crash); non-builtin formats keep the
+    documented NotImplementedError stub without Pillow."""
+    truncated = _ppm(8, 8, (1, 2, 3))[:30]  # raster cut short
+    media = spark.createDataFrame(
+        [(0, "image", truncated, "image/x-portable-pixmap", 8, 8, 0)],
+        schema=MM.MEDIA_SCHEMA,
+    )
+    row = MM.extract_features(media, fake_decoder=False).collect()[0]
+    assert row["feature"] == [0.0] * 8
+    rz = MM.resize_images(media, 4, 4, fake_decoder=False).collect()[0]
+    assert rz["payload"] is None
+    if not MM.HAS_PIL:
+        png_ish = spark.createDataFrame(
+            [(1, "image", b"\x89PNG\r\n\x1a\nxx", "image/png", 0, 0, 0)],
+            schema=MM.MEDIA_SCHEMA,
+        )
+        with pytest.raises(Exception) as ei:
+            MM.extract_features(png_ish, fake_decoder=False).collect()
+        assert "NotImplementedError" in str(ei.value)
+
+
+def test_quality_fit_evidence_is_deterministic(spark):
+    """Two independent L-BFGS fits on the planted separable corpus
+    recover identical coefficient signs on every class-exclusive bucket
+    — the determinism the quality_fit_evidence oracle hash relies on."""
+    import __spark_entry__ as entry
+
+    fn = entry.queries()["quality_fit_evidence"]
+    a = sorted(tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect())
+    b = sorted(tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect())
+    assert a == b and len(a) >= 20
+    signs = {s for _, s in a}
+    assert signs == {1, -1}  # both classes recovered, no zero coefficients
+
+
+def test_windowed_psi_self_reference_near_zero(spark):
+    """A window scored against a reference built from the SAME data
+    drifts only by smoothing noise; a disjoint-range window scores
+    high. Pins the sign/scale semantics of the PSI monitor."""
+    from pd_explain_spark.functions.drift import windowed_psi
+    from pd_explain_spark.functions.sketches import value_histogram
+
+    rows = [(f"2024-01-01 0{h}:{m:02d}:00", float(v))
+            for h in range(2) for m, v in enumerate(range(60))]
+    df = spark.createDataFrame(rows, "ts string, value double").selectExpr(
+        "cast(ts as timestamp) ts", "value"
+    )
+    ref = value_histogram(df, "value", 0.0, 60.0, 12)
+    out = {r["window_start"]: r["psi"] for r in windowed_psi(df, ref).collect()}
+    assert len(out) == 2 and all(abs(v) < 0.01 for v in out.values())
+    shifted = df.selectExpr("ts", "value + 1000 AS value")  # clamps to top bin
+    hi = {r["window_start"]: r["psi"] for r in windowed_psi(shifted, ref).collect()}
+    assert all(v > 0.25 for v in hi.values())  # "shifted" rule-of-thumb line
