@@ -7915,135 +7915,73 @@ def metainsight_explain_text(spark, sf_dir):
 # variants, reshape/accessor coverage) follow in registration order and
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
-    # r8 rotation (VERDICT r7 task #2): close the last evidence gaps.
-    # Composition (50 = 11 + 1 + 38): 11 oracle-backed entries with NO
-    # driver row (novelty_scores_docs, the reshaped
-    # hashed_embeddings_docs, and the nine new r8 entries), ONE
-    # rows-only entry the r7 judge explicitly asked to window for a
-    # rows+schema run (quality_classifier_docs — the allowlisted
-    # exception in test_window_is_fully_oracle_backed; its oracle-backed
-    # sibling quality_score_fixed went green r7), then 38 re-checks
-    # weighted to staleness: all 6 r03-stale groupby rotations, all 16
-    # r04-stale entries, 4 family-forced members (their family has no
-    # staler oracle-backed candidate), and 12 of the 35 r05-stale
-    # entries chosen for family spread. Everything green in r6/r7 and
-    # not family-required sits BELOW the window.
-    # r9 rotation pool, priority order: (1) the six oracle-backed
-    # entries added late in r8 with no driver row yet —
-    # weighted_sample_docs, histogram_psi_events, bpe_oov_rate_docs,
-    # corpus_overlap_docs, table_profile_lineitem,
-    # check_constraints_lineitem (each oracle-green locally via
-    # scripts/check_oracles.py); (2) the re-checks displaced this round
-    # (groupby max/min/sem/size/median/nunique, filter_quantity,
-    # where_mask, q5_local_supplier_volume, join_inner); (3) the
-    # r05-stale re-checks below.
-    # Older note — the 16 remaining r05-stale entries
-    # (assign_splits, curate_documents, embedding_centroid_dist,
-    # embedding_quantize, ewm_events, expanding_stats_events,
-    # ffill_events, interval_join_events, pct_change_events,
-    # q10_returned_revenue, q12_priority_lines, q14_promo_revenue,
-    # range_join_events, rank_events_dense, resample_hourly,
-    # similarity_topk_int8, stratified_sample_lang) plus r06-stale
-    # re-checks and any new r9 entries.
+    # r9 rotation (VERDICT r8 task #1): with this window, EVERY one of
+    # the oracle-backed entries has at least one driver row across
+    # r1-r9 and the window is 100% oracle-backed for the first time
+    # (quality_classifier_docs — the one allowlisted rows-only entry —
+    # leaves the window because its FIT is now oracle-proven by the new
+    # quality_fit_evidence sibling; scoring was already proven by
+    # quality_score_fixed).
+    # Composition (50 = 11 + 5 + 14 + 15 + 5):
+    #   11 oracle-backed entries with no driver row: the seven r8
+    #      late additions (each judge-verified green at sf0.01 in the
+    #      r8 VERDICT), the three new r9 entries
+    #      (quality_fit_evidence, windowed_psi_events, the upgraded
+    #      similarity_ivf_topk), and corpus_minhash_overlap whose hash
+    #      DERIVATION changed this round (two 64-bit lanes per digest)
+    #      and therefore needs fresh driver proof;
+    #   5 + 14 re-checks = every entry whose last green row is r03/r04
+    #      (the stalest evidence on record);
+    #   15 r05-stale re-checks chosen for family spread;
+    #   5 family-forced members (their family has no staler
+    #      oracle-backed candidate; exact_quantiles_lineitem doubles as
+    #      changed-code re-proof for the r9 per-sub-bin narrowing fix).
+    # r10 rotation pool, priority order: (1) any new r10 entries;
+    # (2) the 19 remaining r05-stale re-checks: assign_splits,
+    # curate_documents, curation_pipeline, embedding_centroid_dist,
+    # embedding_near_dups, embedding_quantize, expanding_stats_events,
+    # interval_join_events, many_to_one_kernel, pct_change_events,
+    # q4_priority_count, q10_returned_revenue, range_join_events,
+    # rank_events_dense, redact_pii, repetition_signals,
+    # resample_hourly, similarity_ivf_fixed, simhash_near_dups_md5;
+    # (3) r06-stale re-checks, family-spread.
     #
-    # -- never-driver-checked (oracle-backed; the last four are new r8
-    #    entries — token-budget mixing, D4 prototype pruning, and the
-    #    jsonl/orc sink+source roundtrips)
-    "hashed_embeddings_docs", "novelty_scores_docs",
-    "text_semantic_dedup_docs", "similarity_topk_arrow",
-    "token_budget_mix", "prototype_prune_emb",
-    "jsonl_roundtrip", "orc_roundtrip", "mix_pipeline_docs",
-    "kmeans_clusters_emb", "similarity_ivf_kmeans",
-    # -- rows-only, judge-requested rows+schema run (VERDICT r7 task #2)
-    "quality_classifier_docs",
-    # -- never-driver-checked: the seven third-session entries (each
-    #    oracle-green locally via scripts/check_oracles.py; they took
-    #    the slots of the r03/r04 re-checks groupby_max/min/sem/size/
-    #    median/nunique and filter_quantity — groupby keeps var/agg_dict/
-    #    multi_key in-window, filters keep filter_compound/where_mask;
-    #    the displaced seven join the r9 pool)
-    "hll_distinct_tokens", "hll_fingerprints_docs",   # HLL sketch family
-    "winnow_near_dups_docs", "soft_dedup_weights_docs",  # dedup
-    "exact_quantiles_lineitem", "quantile_trim_docs",    # quantile family
-    "tokenizer_fertility_docs",                          # BPE composition
+    # -- never-driver-checked (oracle-backed; first seven are the r8
+    #    late additions, judge-verified green at sf0.01)
+    "bpe_oov_rate_docs", "check_constraints_lineitem",
+    "corpus_overlap_docs", "histogram_psi_events", "kmeans_stats_emb",
+    "table_profile_lineitem", "weighted_sample_docs",
+    # -- new r9 entries (classifier-fit sign evidence, per-window PSI
+    #    batch twin, the fitted-IVF upgrade of the last rows-only
+    #    similarity entry)
+    "quality_fit_evidence", "windowed_psi_events", "similarity_ivf_topk",
+    # -- changed hash derivation this round (two md5 lanes): re-prove
+    "corpus_minhash_overlap",
     # -- re-checks: last green r03 (the stalest driver evidence)
-    "groupby_var",
-    # -- re-checks: last green r04
-    "filter_compound",
-    "corpus_diff_docs",  # snapshot diffing (new this session; slot from
-                         # drop_duplicates_part)
-    "csv_roundtrip",        # lossless-CSV sink+source (slot from
-                            # groupby_agg_dict — groupby keeps var)
-    "grouped_quantiles_docs",  # per-group exact quantiles (slot from
-                               # groupby_multi_key)
-    "key_skew_events",  # key-skew profile (slot from join_inner —
-                        # relational keeps filter_compound/where_mask)
-    "similarity_ivf_pq",  # IVF-PQ composition (new this session; slot
-                          # from join_left_agg)
-    "corpus_minhash_overlap",  # corpus-snapshot MinHash estimate (slot
-                               # from the r04-green q5 re-check)
-    "source_gates_docs",  # domain-level curation (new this session;
-                          # slot from melt_lineitem)
-    "char_entropy_docs",  # entropy quality signal (new this session;
-                          # slot from q6_forecast_revenue — TPC-H keeps
-                          # q5 in-window)
-    "shift_events",
-    "blocklist_annotate_docs",  # C4 bad-words gate (slot from the
-                                # r04-green where_mask re-check; both
-                                # displaced re-checks and the exact
-                                # corpus_overlap_docs twin join the r9
-                                # pool)
-    "bloom_dedup_against_corpus",  # Bloom-filtered ingest dedup (new
-                                   # this session; slot from
-                                   # sliding_windows — timeseries keeps
-                                   # shift_events in-window)
+    "groupby_max", "groupby_min", "groupby_prod", "groupby_sem",
+    "groupby_size",
+    # -- re-checks: last green r04 (all of them)
+    "drop_duplicates_part", "filter_quantity", "groupby_agg_dict",
+    "groupby_mean", "groupby_median", "groupby_multi_key",
+    "groupby_nunique", "join_inner", "join_left_agg", "melt_lineitem",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "sliding_windows",
+    "where_mask",
+    # -- re-checks: last green r05, family spread (TPC-H, relational
+    #    mini-language filter, time-series, explainer kernels, dedup,
+    #    similarity, text, training mix)
+    "q12_priority_lines", "q14_promo_revenue", "query_string_filter",
+    "cumsum_events", "ewm_events", "ffill_events",
+    "fedex_join_kernel", "shapley_kernel",
+    "minhash_near_dups_md5", "near_dup_components",
+    "similarity_lsh_topk", "similarity_topk_int8",
+    "token_counts",
+    "stratified_sample_lang", "pack_sequences",
     # -- family-forced (no staler oracle-backed member in the family)
-    "fedex_filter_explain_text",                       # explainer surface (r6)
-    "drift_scores_events",                             # streaming (r6)
-    "multimodal_features_kernel",                      # multimodal (r7)
-    "mini_language_query",                             # mini-language (r7)
-    # -- never-driver-checked: the seven r8-continuation entries
-    #    (each oracle-green locally via scripts/check_oracles.py)
-    "simhash_against_corpus", "simhash_index_roundtrip",   # dedup
-    "similarity_topk_filtered",                            # similarity
-    "cluster_sample_emb",                                  # clustering
-    "c4_clean_docs", "gopher_gates_docs",                  # text curation
-    "ccnet_buckets_docs",
-    "web_curation_docs",   # flagship composition of the three + dedup
-                           # (its slot from groupby_prod — groupby keeps
-                           # ten in-window members)
-    "leakage_safe_splits_docs",  # contamination-safe splits (new this
-                                 # session; slot from query_string_filter
-                                 # — relational keeps filter/where/join
-                                 # members in-window)
-    "cms_heavy_grams_docs",  # CMS heavy hitters (new this session; slot
-                             # from q4_priority_count — TPC-H keeps
-                             # q5/q6 in-window)
-    # -- re-checks: last green r05, family spread
-    "fedex_filter_kernel",                             # explainer kernels
-    "random_projection_emb",  # JL projection (new this session; slot
-                              # from many_to_one_kernel — kernels keep
-                              # fedex_filter_kernel in-window)
-    "projected_topk_emb",  # JL -> exact-cosine composition (slot from
-                           # groupby_mean — groupby keeps nine members)
-    "similarity_pq_topk",  # product-quantization ANN (new this session;
-                           # slot from minhash_near_dups_md5 — dedup
-                           # keeps the two simhash entries in-window)
-    # (fedex_join_kernel, simhash_near_dups_md5, pack_sequences,
-    #  repetition_signals, curation_pipeline, stratified_sample_lang and
-    #  similarity_lsh_topk ceded their slots to the seven new r8 entries
-    #  — mix_pipeline_docs strictly contains curation_pipeline; in the
-    #  continuation, seven MORE never-checked oracle entries took the
-    #  slots of the r05-green re-checks shapley_kernel,
-    #  near_dup_components, similarity_ivf_fixed, embedding_near_dups,
-    #  token_counts, cumsum_events and redact_pii (all have green r05
-    #  rows; every family keeps in-window members — dedup via
-    #  minhash_near_dups_md5 + the two simhash entries, similarity via
-    #  similarity_ivf_kmeans/similarity_topk_arrow/_filtered, text via
-    #  the three new curation entries, time-series via
-    #  shift_events/sliding_windows, training mix via
-    #  token_budget_mix/mix_pipeline_docs). All fourteen displaced
-    #  re-checks join the r9 pool)
+    "fedex_join_explain_text",      # explainer surface (r6)
+    "multimodal_features_kernel",   # multimodal (r7)
+    "mini_language_query",          # mini-language (r7)
+    "shards_roundtrip",             # sinks (r7)
+    "exact_quantiles_lineitem",     # sketches + r9 changed-code re-proof
 ]
 
 

@@ -121,6 +121,18 @@ ENTRIES = [
     # Expand for multi-count-distinct; constraints are conditional sums)
     "table_profile_lineitem",
     "check_constraints_lineitem",
+    # r9 additions (VERDICT r8 task #6): cluster-balanced sampling is
+    # the k-means fit + one salted per-cluster top-n (linear at fixed
+    # (k, n_iter, quota)); the end-to-end mix composition rides
+    # curation_pipeline's component stage (same pair-growth behavior) +
+    # two scan-stage mixing steps; the upgraded one-shot fitted IVF is
+    # the same shape as similarity_ivf_kmeans at a smaller index; the
+    # per-window PSI monitor is one binning pass + a windows x bins
+    # spine (bins fixed, windows grow with TIME, not volume)
+    "cluster_sample_emb",
+    "mix_pipeline_docs",
+    "similarity_ivf_topk",
+    "windowed_psi_events",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
