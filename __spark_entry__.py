@@ -2965,6 +2965,140 @@ def blocklist_annotate_docs_q(spark, sf_dir):
 
 
 @_q(
+    "intra_doc_dedup_docs",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), chunks AS (
+         SELECT doc_id,
+                CASE WHEN len(t) > 0
+                     THEN [array_to_string(t[(i-1)*2+1 : least(i*2, len(t))], ' ')
+                           FOR i IN range(1, CAST(ceil(len(t)/2.0) AS INT) + 1)]
+                     ELSE [] END AS c
+         FROM toks
+       ), kept AS (
+         SELECT doc_id, c, list_filter(c, (x, i) -> list_position(c, x) = i) AS k
+         FROM chunks
+       )
+       SELECT doc_id, len(c)::INT AS n_segments, len(k)::INT AS n_kept,
+              array_to_string(k, ' ') AS text
+       FROM kept""",
+)
+def intra_doc_dedup_docs(spark, sf_dir):
+    """INTRA-document span dedup (functions/text.py dedup_within_doc):
+    drop repeated 2-token chunks WITHIN each document, keep first
+    occurrences, rebuild the text — the self-repetition cleanup no
+    corpus-level pair generator can see. ZERO shuffle: tokenize, chunk,
+    first-occurrence positional filter and rejoin are all scan-stage
+    array expressions, so at 100 TB this rides any existing corpus scan
+    for free. DuckDB mirrors the chunking and the
+    list_position-equals-index filter exactly."""
+    from pd_explain_spark.functions.text import dedup_within_doc
+
+    return dedup_within_doc(_t(spark, sf_dir, "documents"), k=2)
+
+
+_PLANTED_URLS = [
+    "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+    "https://example.com/a/b?a=1&b=2",
+    "http://example.com:80/",
+    "http://example.com",
+    "https://news.site.org/path/?fbclid=abc",
+    "https://news.site.org/path",
+    "ftp://Files.Example.com/Data/",
+    "https://example.com/a/b?b=2&a=1&gclid=zzz&ref=tw",
+    None,
+]
+
+_URL_CANON_CTE = """WITH urls(doc_id, url) AS (VALUES
+         (0, 'HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag'),
+         (1, 'https://example.com/a/b?a=1&b=2'),
+         (2, 'http://example.com:80/'),
+         (3, 'http://example.com'),
+         (4, 'https://news.site.org/path/?fbclid=abc'),
+         (5, 'https://news.site.org/path'),
+         (6, 'ftp://Files.Example.com/Data/'),
+         (7, 'https://example.com/a/b?b=2&a=1&gclid=zzz&ref=tw'),
+         (8, NULL)
+       ), parts AS (
+         SELECT doc_id, url, trim(url) AS u FROM urls
+       ), pieces AS (
+         SELECT doc_id, url,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS host0,
+                regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+                regexp_extract(u, '\\?([^#]*)', 1) AS q
+         FROM parts
+       ), canon AS (
+         SELECT doc_id, url, scheme,
+                CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                     ELSE host0 END AS host,
+                path,
+                array_to_string(list_sort(list_filter(string_split(q, '&'),
+                    x -> x <> '' AND NOT (starts_with(x, 'utm_')
+                         OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')
+                         OR starts_with(x, 'mc_cid=') OR starts_with(x, 'mc_eid=')
+                         OR starts_with(x, 'ref=') OR starts_with(x, 'igshid=')))), '&') AS qs
+         FROM pieces
+       ), final AS (
+         SELECT doc_id, url,
+                scheme || '://' || host || path
+                || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical
+         FROM canon
+       )"""
+
+
+@_q(
+    "url_canonical_planted",
+    _URL_CANON_CTE + """
+       SELECT doc_id, canonical FROM final""",
+)
+def url_canonical_planted(spark, sf_dir):
+    """URL canonicalization (functions/text.py canonical_url) over a
+    planted crawl-URL table: scheme/host lowering, www + default-port
+    stripping, fragment drop, tracking-param removal with sorted
+    surviving params, trailing-slash cut — every step regexp/list
+    arithmetic that DuckDB reruns verbatim. The key crawl pipelines
+    dedup on BEFORE any text hashing. testdata ships no URL column, so
+    the table plants the canonical tricky shapes (share-link clones,
+    default ports, case, fragments, NULL)."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.text import canonical_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(_PLANTED_URLS)], "doc_id bigint, url string"
+    )
+    return df.select("doc_id", canonical_url(F.col("url")).alias("canonical"))
+
+
+@_q(
+    "url_dedup_planted",
+    _URL_CANON_CTE + """
+       SELECT f.doc_id, f.url FROM final f
+       JOIN (SELECT canonical, min(doc_id) AS doc_id FROM final
+             WHERE canonical IS NOT NULL GROUP BY 1) w
+         ON w.canonical = f.canonical AND w.doc_id = f.doc_id""",
+)
+def url_dedup_planted(spark, sf_dir):
+    """URL-level exact dedup (functions/text.py url_dedup): keep the
+    min-id row per canonical-URL group — one map-combining aggregate on
+    a scan-stage key + a semi join back; document text never moves.
+    On the planted table the share-link/default-port/param-order clones
+    collapse to one survivor each (NULL urls have no canonical key and
+    drop, the standard crawl contract)."""
+    from pd_explain_spark.functions.text import url_dedup
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(_PLANTED_URLS)], "doc_id bigint, url string"
+    )
+    return url_dedup(df)
+
+
+@_q(
     "table_profile_lineitem",
     """SELECT 'l_orderkey' AS "column", count(*)::BIGINT AS n_rows,
               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,

@@ -1246,6 +1246,129 @@ def corpus_overlap(
     )
 
 
+def dedup_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """INTRA-document span dedup: drop every repeated ``k``-token chunk
+    within each document (keep the FIRST occurrence, preserve order)
+    and rebuild the text — the template/boilerplate-repetition cleanup
+    that corpus-level dedup cannot do (a page repeating its own nav
+    block ten times is one document; no pair generator sees it).
+    Returns (``id_col``, n_segments, n_kept, text) with text rebuilt
+    from the surviving chunks of the NORMALIZED (lowercased,
+    whitespace-collapsed) tokenization. NULL and zero-token documents
+    come back with 0/0 and empty text.
+
+    Scale shape — the best possible: ZERO shuffle, zero Python. The
+    whole operator is scan-stage array expressions (tokenize, chunk,
+    first-occurrence filter via ``array_position``, rejoin), so it
+    composes into any corpus scan at 100 TB for free. Work per row is
+    O(chunks^2) in the worst case (the positional filter probes the
+    chunk array), bounded by document length — the same per-row budget
+    as the repetition_signals scans."""
+    if k < 1:
+        raise ValueError("dedup_within_doc: k must be >= 1")
+    toks = tokens(normalized_text(F.coalesce(F.col(text_col), F.lit(""))))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    segs = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.array_join(F.slice(toks, (i - F.lit(1)) * k + F.lit(1), k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.withColumn("__segs", segs).withColumn(
+        "__kept",
+        F.expr("filter(__segs, (x, i) -> array_position(__segs, x) == i + 1)"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("__segs").cast("int").alias("n_segments"),
+        F.size("__kept").cast("int").alias("n_kept"),
+        F.array_join("__kept", " ").alias("text"),
+    )
+
+
+_URL_TRACKING_PREFIXES = (
+    "utm_", "fbclid=", "gclid=", "mc_cid=", "mc_eid=", "ref=", "igshid=",
+)
+
+
+def canonical_url(c: Column) -> Column:
+    """Canonical form of a URL for crawl-level dedup and grouping —
+    engine-portable regexp/list arithmetic only (the DuckDB oracle runs
+    the same steps):
+
+      1. scheme and host lowercase; the path/query keep their case
+         (case-significant on most servers);
+      2. default ports stripped (:80 for http, :443 for https) and a
+         leading ``www.`` dropped;
+      3. the fragment dropped entirely (never sent to the server);
+      4. tracking parameters removed (utm_*, fbclid, gclid, mc_cid,
+         mc_eid, ref, igshid) and the surviving query params SORTED so
+         param order never splits a dup group;
+      5. a trailing slash on a non-root path stripped.
+
+    Two crawls of the same page through different share links then
+    canonicalize identically — the standard pre-dedup URL key (the
+    C4/CCNet crawl-processing step ahead of any text hashing). Expects
+    absolute URLs; anything else canonicalizes best-effort (empty
+    scheme/host). NULL in, NULL out."""
+    u = F.trim(c)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(
+        scheme == F.lit("http"), F.regexp_replace(host, ":80$", "")
+    ).when(
+        scheme == F.lit("https"), F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+
+    def _keep(x):
+        cond = x != F.lit("")
+        for p in _URL_TRACKING_PREFIXES:
+            cond = cond & ~x.startswith(p)
+        return cond
+
+    qstr = F.array_join(F.array_sort(F.filter(F.split(query, "&"), _keep)), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qstr != F.lit(""), F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup: keep, per :func:`canonical_url` group, the
+    row with the smallest ``id_col`` (first-crawled under monotonic
+    ids). The cheapest dedup pass a crawl pipeline runs — one
+    min-per-group aggregate on the canonical key (map-side combining,
+    the key is a scan-stage expression) + one semi join back; text
+    never moves, so it runs BEFORE any content hashing at a fraction of
+    the cost."""
+    keyed = df.withColumn("__curl", canonical_url(F.col(url_col)))
+    winners = keyed.groupBy("__curl").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(winners, [id_col, "__curl"], "semi")
+        .drop("__curl")
+    )
+
+
 def blocklist_filter(
     df: DataFrame,
     terms: list[str],

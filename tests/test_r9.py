@@ -117,3 +117,54 @@ def test_windowed_psi_self_reference_near_zero(spark):
     shifted = df.selectExpr("ts", "value + 1000 AS value")  # clamps to top bin
     hi = {r["window_start"]: r["psi"] for r in windowed_psi(shifted, ref).collect()}
     assert all(v > 0.25 for v in hi.values())  # "shifted" rule-of-thumb line
+
+
+def test_dedup_within_doc_semantics(spark):
+    """Intra-doc span dedup: repeated chunks drop (first kept, order
+    preserved), unique text is untouched, NULL/empty come back 0/0,
+    k is validated."""
+    from pd_explain_spark.functions.text import dedup_within_doc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar home nav bar home real content here nav bar"),
+            (2, "all unique words in this one"),
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_within_doc(docs, k=3).collect()}
+    # doc 1 chunks: [nav bar home] x2, [real content here], [nav bar]
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (4, 3)
+    assert out[1]["text"] == "nav bar home real content here nav bar"
+    assert out[2]["n_kept"] == out[2]["n_segments"] == 2
+    assert out[2]["text"] == "all unique words in this one"
+    for d in (3, 4):
+        assert (out[d]["n_segments"], out[d]["n_kept"], out[d]["text"]) == (0, 0, "")
+    with pytest.raises(ValueError, match="k must be"):
+        dedup_within_doc(docs, k=0)
+
+
+def test_canonical_url_collapses_clones(spark):
+    """Share-link clones, default ports, case, fragments and param
+    order all canonicalize to one key; url_dedup keeps min-id per
+    group and drops NULL urls."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.text import canonical_url, url_dedup
+
+    rows = [
+        (0, "HTTPS://WWW.Shop.COM:443/item/42/?utm_campaign=x&size=L#rev"),
+        (1, "https://shop.com/item/42?size=L"),
+        (2, "https://shop.com/item/42?size=M"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    canon = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert canon[0] == canon[1] == "https://shop.com/item/42?size=L"
+    assert canon[2] == "https://shop.com/item/42?size=M"
+    assert canon[3] is None
+    kept = {r["doc_id"] for r in url_dedup(df).collect()}
+    assert kept == {0, 2}
