@@ -531,6 +531,43 @@ def stream_ingest_dedup(
     return deduped.join(corpus_fp, "__fp", "left_anti").drop("__fp")
 
 
+def stream_url_dedup(
+    stream_df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    corpus_df: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming URL-level dedup — the cheapest gate on a crawl
+    firehose, run BEFORE any text hashing: keep each arriving row only
+    if (1) its :func:`~pd_explain_spark.functions.text.canonical_url`
+    key has not been seen within the watermark
+    (``dropDuplicatesWithinWatermark`` — state bounded, evicted by
+    event time) and (2, optional) the key is absent from the historical
+    ``corpus_df`` (stream-static LEFT ANTI join against the corpus's
+    DISTINCT canonical keys — one tiny column, text never enters the
+    stream, re-read per micro-batch so a refreshed corpus is picked up
+    live). The canonical key itself is a scan-stage regexp/list
+    expression — zero extra state. NULL-url rows have no key and bypass
+    the stateful operator (NULL keys must never dedup each other)."""
+    from ..functions.text import canonical_url
+
+    keyed = (
+        _with_event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .withColumn("__curl", canonical_url(F.col(url_col)))
+    )
+    deduped = keyed.filter(F.col("__curl").isNotNull()).dropDuplicatesWithinWatermark(
+        ["__curl"]
+    ).unionByName(keyed.filter(F.col("__curl").isNull()))
+    if corpus_df is not None:
+        corpus_keys = corpus_df.select(
+            canonical_url(F.col(url_col)).alias("__curl")
+        ).distinct()
+        deduped = deduped.join(corpus_keys, "__curl", "left_anti")
+    return deduped.drop("__curl")
+
+
 def stream_kmeans_assign(
     stream_df: DataFrame,
     centroids: dict[int, list[int]],

@@ -715,3 +715,68 @@ def test_stream_quantile_trim_matches_batch(spark, tmp_path):
             for r in quantile_trim(spark.read.parquet(d), "n_chars",
                                    bounds=bounds).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_url_dedup_and_intra_doc_parity(spark, tmp_path):
+    """r9 streaming twins: (1) stream_url_dedup keeps exactly one row
+    per canonical URL key (clone set equals the batch url_dedup's key
+    set) and NULL urls pass; with a historical corpus the known keys
+    drop. (2) dedup_within_doc is stateless scan-stage, so the same
+    plan over readStream reproduces the batch rows exactly."""
+    import pyspark.sql.functions as F
+
+    from pd_explain_spark.functions.text import canonical_url, dedup_within_doc, url_dedup
+    from pd_explain_spark.streaming.windows import stream_url_dedup
+
+    rows = [
+        (0, "2024-01-01 00:00:00", "HTTPS://WWW.Shop.COM:443/item/1/?utm_s=x&a=1"),
+        (1, "2024-01-01 00:01:00", "https://shop.com/item/1?a=1"),
+        (2, "2024-01-01 00:02:00", "https://shop.com/item/2"),
+        (3, "2024-01-01 00:03:00", None),
+        (4, "2024-01-01 00:04:00", None),
+        (5, "2024-01-01 00:05:00", "https://old.site/known"),
+    ]
+    d = str(tmp_path / "urls")
+    spark.createDataFrame(rows, "doc_id bigint, ts string, url string").selectExpr(
+        "doc_id", "cast(ts as timestamp) ts", "url"
+    ).repartition(2).write.parquet(d)
+    static = spark.read.parquet(d)
+    corpus = spark.createDataFrame(
+        [(99, "https://old.site/known/?utm_x=1")], "doc_id bigint, url string"
+    )
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    q = (
+        stream_url_dedup(stream, watermark="1 hour", corpus_df=corpus)
+        .writeStream.format("memory").queryName("urlq")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from urlq").collect()
+    got_keys = sorted(
+        r["k"] for r in spark.createDataFrame(got, static.schema)
+        .select(canonical_url(F.col("url")).alias("k")).collect() if r["k"]
+    )
+    want_keys = sorted(
+        r["k"] for r in url_dedup(static.filter("url is not null"))
+        .join(corpus.select(canonical_url(F.col("url")).alias("__ck")),
+              canonical_url(F.col("url")) == F.col("__ck"), "left_anti")
+        .select(canonical_url(F.col("url")).alias("k")).collect()
+    )
+    assert got_keys == want_keys and len(got_keys) == 2  # item/1 collapsed, known dropped
+    assert sum(1 for r in got if r["url"] is None) == 2  # NULLs bypass, never mutually dedup
+
+    # stateless intra-doc dedup: stream plan == batch plan, row for row
+    docs_dir = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(
+        2
+    ).write.parquet(docs_dir)
+    sdocs = spark.readStream.schema(spark.read.parquet(docs_dir).schema).parquet(docs_dir)
+    q2 = (
+        dedup_within_doc(sdocs, k=2)
+        .writeStream.format("memory").queryName("idq")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got2 = {tuple(r) for r in spark.sql("select * from idq").collect()}
+    want2 = {tuple(r) for r in dedup_within_doc(spark.read.parquet(docs_dir), k=2).collect()}
+    assert got2 == want2 and len(want2) > 0
