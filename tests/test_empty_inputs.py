@@ -75,6 +75,13 @@ FLOW_THROUGH = [
     "bpe_oov_rate_docs",
     "blocklist_annotate_docs",
     "grouped_quantiles_docs",
+    # r9 additions: intra-doc dedup flows empty docs through; the PSI
+    # monitor scores zero windows against an empty-but-grid-carrying
+    # reference histogram (grid rides in column METADATA, present even
+    # at zero rows). url_*/quality_fit entries use planted frames and
+    # have no table dependence.
+    "intra_doc_dedup_docs",
+    "windowed_psi_events",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError
