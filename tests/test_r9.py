@@ -168,3 +168,28 @@ def test_canonical_url_collapses_clones(spark):
     assert canon[3] is None
     kept = {r["doc_id"] for r in url_dedup(df).collect()}
     assert kept == {0, 2}
+
+
+def test_pair_metrics_planted_and_edges(spark):
+    """pair_metrics: hand-computed P/R/F1 on planted sets; reversed and
+    repeated pairs canonicalize; empty sides give NULL ratios."""
+    from pd_explain_spark.functions.dedup import pair_metrics
+
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 6), (5, 6)], "id_a bigint, id_b bigint"
+    )  # canonical: {(1,2),(3,4),(5,6)}
+    truth = spark.createDataFrame(
+        [(2, 1), (3, 4), (7, 8), (9, 10)], "id_a bigint, id_b bigint"
+    )  # canonical: 4 pairs, 2 hit
+    r = pair_metrics(cand, truth).collect()[0]
+    assert (r["n_candidates"], r["n_truth"], r["n_hit"]) == (3, 4, 2)
+    assert abs(r["pair_precision"] - round(2 / 3, 6)) < 1e-9
+    assert r["pair_recall"] == 0.5
+    p, q = 2 / 3, 0.5
+    assert abs(r["f1"] - round(2 * p * q / (p + q), 6)) < 1e-9
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    e = pair_metrics(empty, truth).collect()[0]
+    assert e["n_candidates"] == 0 and e["pair_precision"] is None
+    assert e["pair_recall"] == 0.0 and e["f1"] is None
+    z = pair_metrics(cand, empty).collect()[0]
+    assert z["pair_recall"] is None and z["pair_precision"] == 0.0
