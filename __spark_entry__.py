@@ -4380,7 +4380,13 @@ def quality_fit_evidence(spark, sf_dir):
     raw = spark.createDataFrame(
         [(100 + i, _QF_NEG) for i in range(8)], "doc_id long, text string"
     )
-    m = train_quality_classifier(raw, ref, n_buckets=128)
+    # max_iter=8: the planted problem is separable and L2-regularized,
+    # so coefficient SIGNS settle within a few L-BFGS rounds (sign
+    # determinism re-verified across fresh JVMs at this setting).
+    # Wall time (~6 s isolated) is pyspark.ml fit overhead on a 16-row
+    # set, not iteration count — acceptable for a once-per-release
+    # evidence entry
+    m = train_quality_classifier(raw, ref, n_buckets=128, max_iter=8)
     pos_b = {
         r["bucket"]
         for r in _hashed_gram_buckets(ref.limit(1), "text", "doc_id", 128)
@@ -8158,7 +8164,11 @@ _RECORD_FIRST = [
     #   5 family-forced members (their family has no staler
     #      oracle-backed candidate; exact_quantiles_lineitem doubles as
     #      changed-code re-proof for the r9 per-sub-bin narrowing fix).
-    # r10 rotation pool, priority order: (1) any new r10 entries;
+    # r10 rotation pool, priority order: (1) the four oracle entries
+    # added AFTER this window froze — intra_doc_dedup_docs,
+    # url_canonical_planted, url_dedup_planted, dedup_recall_winnow
+    # (each oracle-green locally via scripts/check_oracles.py at
+    # sf0.01) — plus any new r10 entries;
     # (2) the 19 remaining r05-stale re-checks: assign_splits,
     # curate_documents, curation_pipeline, embedding_centroid_dist,
     # embedding_near_dups, embedding_quantize, expanding_stats_events,
