@@ -3099,6 +3099,53 @@ def url_dedup_planted(spark, sf_dir):
 
 
 @_q(
+    "join_profile_orders_customer",
+    """WITH lc AS (
+         SELECT o_custkey AS k, count(*)::BIGINT AS c
+         FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+       ), rc AS (
+         SELECT c_custkey AS k, count(*)::BIGINT AS c
+         FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1
+       ), ls AS (
+         SELECT count(*)::BIGINT AS n_left,
+                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_left
+         FROM orders
+       ), rs AS (
+         SELECT count(*)::BIGINT AS n_right,
+                sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_right
+         FROM customer
+       ), la AS (
+         SELECT count(*)::BIGINT AS distinct_left,
+                coalesce(max(c), 0)::BIGINT AS max_fanout_left FROM lc
+       ), ra AS (
+         SELECT count(*)::BIGINT AS distinct_right,
+                coalesce(max(c), 0)::BIGINT AS max_fanout_right FROM rc
+       ), m AS (
+         SELECT count(*)::BIGINT AS matched_keys,
+                coalesce(sum(lc.c * rc.c), 0)::BIGINT AS est_join_rows
+         FROM lc JOIN rc USING (k)
+       )
+       SELECT n_left, null_left, distinct_left, max_fanout_left,
+              n_right, null_right, distinct_right, max_fanout_right,
+              matched_keys, est_join_rows
+       FROM ls, la, rs, ra, m""",
+)
+def join_profile_orders_customer(spark, sf_dir):
+    """Pre-join diagnostics (functions/profiling.py join_profile): the
+    decide-before-you-shuffle report for orders ⋈ customer on custkey —
+    side volumes, NULL keys, key cardinalities, max fanout (the skew
+    predictor), matched keys, and the EXACT equi-join output size
+    computed from the two key-count tables without running the join.
+    Each input is scanned once with only the key column read; the only
+    join is between the key-cardinality count tables."""
+    from pd_explain_spark.functions.profiling import join_profile
+
+    orders = _t(spark, sf_dir, "orders").selectExpr("o_custkey AS custkey")
+    cust = _t(spark, sf_dir, "customer").selectExpr("c_custkey AS custkey")
+    return join_profile(orders, cust, on="custkey")
+
+
+@_q(
     "table_profile_lineitem",
     """SELECT 'l_orderkey' AS "column", count(*)::BIGINT AS n_rows,
               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,

@@ -195,3 +195,67 @@ def check_constraints(
         ).otherwise(F.lit(0.0)).alias("violation_rate"),
         (F.col("r.violations") == 0).alias("passed"),
     )
+
+
+def join_profile(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+) -> DataFrame:
+    """Pre-join diagnostics — the numbers that decide whether a join is
+    safe to run at 100 TB, computed WITHOUT running the join: one row
+    (n_left, n_right, null_left, null_right, distinct_left,
+    distinct_right, max_fanout_left, max_fanout_right, matched_keys,
+    est_join_rows). ``est_join_rows`` is EXACT for an equi-join on
+    ``on`` — sum over matched keys of fanout_left x fanout_right — so a
+    pair explosion (many-to-many hot key) or a silently empty join
+    (matched_keys = 0, wrong key) is visible before the shuffle is
+    paid for. NULL keys never match (counted separately per side).
+
+    Cost: one map-combining groupBy per side — each collapses to its
+    key-cardinality count table — one keys=[] roll-up each, and one
+    join OF THE COUNT TABLES (key-cardinality sized, not row sized).
+    The inputs are scanned once each and only the key column is read
+    (column pruning reaches the scan)."""
+    def side(df: DataFrame):
+        keyed = df.select(F.col(on).alias("k"))
+        counts = keyed.filter(F.col("k").isNotNull()).groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        stats = keyed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("nulls"),
+        )
+        return counts, stats
+
+    lc, ls = side(left)
+    rc, rs = side(right)
+    lstats = ls.crossJoin(
+        F.broadcast(lc.agg(
+            F.count(F.lit(1)).cast("bigint").alias("d"),
+            F.coalesce(F.max("c"), F.lit(0)).cast("bigint").alias("mf"),
+        ))
+    ).select(
+        F.col("n").alias("n_left"), F.col("nulls").alias("null_left"),
+        F.col("d").alias("distinct_left"), F.col("mf").alias("max_fanout_left"),
+    )
+    rstats = rs.crossJoin(
+        F.broadcast(rc.agg(
+            F.count(F.lit(1)).cast("bigint").alias("d"),
+            F.coalesce(F.max("c"), F.lit(0)).cast("bigint").alias("mf"),
+        ))
+    ).select(
+        F.col("n").alias("n_right"), F.col("nulls").alias("null_right"),
+        F.col("d").alias("distinct_right"), F.col("mf").alias("max_fanout_right"),
+    )
+    matched = (
+        lc.withColumnRenamed("c", "cl")
+        .join(rc.withColumnRenamed("c", "cr"), "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
+            F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0))
+            .cast("bigint").alias("est_join_rows"),
+        )
+    )
+    return lstats.crossJoin(F.broadcast(rstats)).crossJoin(F.broadcast(matched))

@@ -193,3 +193,25 @@ def test_pair_metrics_planted_and_edges(spark):
     assert e["pair_recall"] == 0.0 and e["f1"] is None
     z = pair_metrics(cand, empty).collect()[0]
     assert z["pair_recall"] is None and z["pair_precision"] == 0.0
+
+
+def test_join_profile_exact_explosion_prediction(spark):
+    """join_profile's est_join_rows equals the ACTUAL equi-join output,
+    including a many-to-many hot key; NULL keys never match and are
+    counted per side; a wrong key reads as matched_keys=0."""
+    from pd_explain_spark.functions.profiling import join_profile
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,)], "k bigint"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (3,), (None,), (None,)], "k bigint"
+    )
+    r = join_profile(left, right, on="k").collect()[0]
+    assert (r["n_left"], r["null_left"], r["distinct_left"], r["max_fanout_left"]) == (5, 1, 2, 3)
+    assert (r["n_right"], r["null_right"], r["distinct_right"], r["max_fanout_right"]) == (5, 2, 2, 2)
+    assert r["matched_keys"] == 1
+    actual = left.join(right, "k").count()
+    assert r["est_join_rows"] == actual == 6  # 3 x 2 on the hot key
+    disjoint = join_profile(left, right.selectExpr("k + 100 AS k"), on="k").collect()[0]
+    assert disjoint["matched_keys"] == 0 and disjoint["est_join_rows"] == 0
