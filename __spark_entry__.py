@@ -2225,9 +2225,7 @@ def curate_documents_q(spark, sf_dir):
     return curate_documents(_t(spark, sf_dir, "documents"))
 
 
-@_q(
-    "web_curation_docs",
-    """WITH lined AS (
+_WEBCUR_CTE = """WITH lined AS (
          SELECT doc_id, lang,
                 regexp_replace(text, '((\\S+\\s+){7}\\S+)\\s+',
                                '\\1.' || chr(10), 'g') AS text
@@ -2285,7 +2283,12 @@ def curate_documents_q(spark, sf_dir):
                     PARTITION BY md5(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g'))
                     ORDER BY c.doc_id) AS rn
            FROM cleaned c JOIN gkeep USING (doc_id)) WHERE rn = 1
-       ), toks AS (
+       )"""
+
+
+@_q(
+    "web_curation_docs",
+    _WEBCUR_CTE + """, toks AS (
          SELECT doc_id,
                 unnest(list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
                                    x -> x <> '')) AS tok
@@ -2362,6 +2365,55 @@ def web_curation_docs_q(spark, sf_dir):
     out = ccnet_buckets(uniq, min_count=2)
     return out.filter("bucket IN ('head', 'middle')").select(
         "doc_id", "lang", "bucket"
+    )
+
+
+_FUNNEL_STAGE_SQL = """SELECT {i} AS stage_order, '{name}' AS stage,
+              count(*)::BIGINT AS n_docs,
+              coalesce(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                           x -> x <> ''))), 0)::BIGINT AS n_tokens
+       FROM {src}"""
+
+
+@_q(
+    "curation_funnel_docs",
+    _WEBCUR_CTE + "\n       "
+    + "\n       UNION ALL ".join(
+        _FUNNEL_STAGE_SQL.format(i=i, name=n, src=s)
+        for i, (n, s) in enumerate([
+            ("raw", "lined"),
+            ("c4_clean", "cleaned"),
+            ("gopher", "(SELECT c.text FROM cleaned c JOIN gkeep USING (doc_id))"),
+            ("dedup_exact", "uniq"),
+        ])
+    ),
+)
+def curation_funnel_docs(spark, sf_dir):
+    """Stage-by-stage volume funnel (functions/text.py curation_funnel)
+    of the standard web-curation recipe: raw -> C4 rules -> Gopher
+    gates -> exact dedup, one (stage, n_docs, n_tokens) row each — the
+    went-from/went-to dashboard a corpus build publishes per snapshot.
+    Each stage costs one map-combining aggregate of its own plan; the
+    oracle reuses the web_curation mirror's CTE chain with a per-stage
+    count/token-sum tail."""
+    from pd_explain_spark import c4_clean, curation_funnel, gopher_gates
+    from pd_explain_spark.functions.dedup import dedup_exact
+
+    lined = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.regexp_replace(
+            F.col("text"), r"((\S+\s+){7}\S+)\s+", "$1.\n"
+        ).alias("text"),
+    )
+    cleaned = c4_clean(lined).join(lined.select("doc_id", "lang"), "doc_id")
+    keep = gopher_gates(cleaned, min_words=40, min_stopwords=1).filter(
+        "keep"
+    ).select("doc_id")
+    gopher = cleaned.join(keep, "doc_id")
+    uniq = dedup_exact(gopher)
+    return curation_funnel(
+        [("raw", lined), ("c4_clean", cleaned), ("gopher", gopher),
+         ("dedup_exact", uniq)]
     )
 
 

@@ -1246,6 +1246,41 @@ def corpus_overlap(
     )
 
 
+def curation_funnel(
+    stages: list[tuple[str, DataFrame]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Stage-by-stage volume funnel of a curation pipeline: one row per
+    stage (stage_order, stage, n_docs, n_tokens) — the went-from/went-to
+    dashboard every corpus build publishes per snapshot ("raw 4.1B ->
+    c4 2.6B -> gopher 1.9B -> dedup 1.2B docs"). ``stages`` is an
+    ordered list of (name, DataFrame); each stage costs ONE
+    map-combining aggregate of its own plan (whitespace token counts
+    fold in the scan stage). Chained lazy stages recompute their prefix
+    — persist intermediates when stages are expensive and the funnel is
+    a side output of a real run."""
+    if not stages:
+        raise ValueError("curation_funnel: stages must be non-empty")
+    outs = []
+    for i, (name, df) in enumerate(stages):
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.coalesce(F.sum(token_count(F.col(text_col))), F.lit(0))
+                .cast("bigint").alias("n_tokens"),
+            ).select(
+                F.lit(i).cast("int").alias("stage_order"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+                "n_tokens",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def dedup_within_doc(
     df: DataFrame,
     text_col: str = "text",

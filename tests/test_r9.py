@@ -215,3 +215,26 @@ def test_join_profile_exact_explosion_prediction(spark):
     assert r["est_join_rows"] == actual == 6  # 3 x 2 on the hot key
     disjoint = join_profile(left, right.selectExpr("k + 100 AS k"), on="k").collect()[0]
     assert disjoint["matched_keys"] == 0 and disjoint["est_join_rows"] == 0
+
+
+def test_curation_funnel_monotone_and_empty(spark):
+    """Funnel rows are one per stage in order; doc counts are monotone
+    non-increasing through filtering stages; an empty stage reports
+    zeros (not a missing row); no stages raises."""
+    from pd_explain_spark.functions.text import curation_funnel
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = curation_funnel(
+        [("raw", docs), ("dedup", docs.dropDuplicates(["text"])),
+         ("empty", docs.filter("doc_id < 0"))]
+    ).collect()
+    rows = {r["stage"]: r for r in out}
+    assert [r["stage_order"] for r in sorted(out, key=lambda r: r["stage_order"])] == [0, 1, 2]
+    assert rows["raw"]["n_docs"] == 3 and rows["raw"]["n_tokens"] == 6
+    assert rows["dedup"]["n_docs"] == 2  # NULL text keeps one row
+    assert rows["empty"]["n_docs"] == 0 and rows["empty"]["n_tokens"] == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        curation_funnel([])
