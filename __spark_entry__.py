@@ -4961,6 +4961,36 @@ def csv_roundtrip_q(spark, sf_dir):
     )
 
 
+@_q("compact_roundtrip", _DOCS_IDENTITY_SQL)
+def compact_roundtrip_q(spark, sf_dir):
+    """Small-files compaction roundtrip (functions/mixing.py
+    compact_dataset): land the corpus as 64 tiny parquet files (the
+    one-file-per-micro-batch ingest pathology), coalesce-compact to
+    ~250-row files WITHOUT a shuffle, and hash the read-back against
+    the source table — proving the rewrite is value-lossless. The
+    small-files problem is a first-order 100 TB cost (a task + footer
+    read + catalog entry per file on every downstream scan); pytest
+    additionally pins the file-count drop."""
+    import tempfile
+
+    from pd_explain_spark.functions.mixing import compact_dataset
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(tempfile.gettempdir(), f"spark_graft_tiny_{tag}")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_compact_{tag}")
+    docs.repartition(64).write.mode("overwrite").parquet(src)
+    compact_dataset(
+        spark, src, out, target_rows_per_file=250, mode="overwrite"
+    )
+    back = spark.read.schema(docs.schema).parquet(out)
+    return back.select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang", "source", "n_chars"
+    )
+
+
 @_q("orc_roundtrip", _DOCS_IDENTITY_SQL)
 def orc_roundtrip_q(spark, sf_dir):
     """ORC sink+source roundtrip (sources/readers.py read_orc) — the

@@ -480,6 +480,38 @@ def write_shards(
     writer.format(fmt).save(path)
 
 
+def compact_dataset(
+    spark,
+    src_path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+    fmt: str = "parquet",
+    shuffle: bool = False,
+    mode: str = "error",
+) -> int:
+    """Compact a small-files dataset into ~``target_rows_per_file``
+    files — the standard fix for the SMALL-FILES problem that kills
+    100 TB scans (every tiny file costs a task + a footer read + a
+    namenode entry; a crawl ingest that lands one file per micro-batch
+    degrades every downstream job until someone compacts). Returns the
+    number of output files requested.
+
+    ``shuffle=False`` (default) uses ``coalesce`` — NO shuffle, input
+    partitions are merged in place, the cheapest possible rewrite
+    (files may end uneven if the input was skewed).  ``shuffle=True``
+    pays one round-robin repartition for evenly sized output files.
+    The row count driving the file count is parquet-metadata-only for
+    parquet sources (no data scan)."""
+    if target_rows_per_file < 1:
+        raise ValueError("compact_dataset: target_rows_per_file must be >= 1")
+    df = spark.read.format(fmt).load(src_path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    out = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    out.write.mode(mode).format(fmt).save(out_path)
+    return n_files
+
+
 # ------------------------------------------------------------------ DSIR
 def _hashed_gram_buckets(
     df: DataFrame, text_col: str, id_col: str, n_buckets: int

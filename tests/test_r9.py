@@ -238,3 +238,33 @@ def test_curation_funnel_monotone_and_empty(spark):
     assert rows["empty"]["n_docs"] == 0 and rows["empty"]["n_tokens"] == 0
     with pytest.raises(ValueError, match="non-empty"):
         curation_funnel([])
+
+
+def test_compact_dataset_reduces_files_losslessly(spark, tmp_path):
+    """compact_dataset: 32 tiny files -> ceil(n/target) files, identical
+    rows; shuffle=True balances; target guard raises."""
+    import glob as _glob
+
+    from pd_explain_spark.functions.mixing import compact_dataset
+
+    src, out, out2 = str(tmp_path / "s"), str(tmp_path / "c"), str(tmp_path / "e")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    df.repartition(32).write.parquet(src)
+    assert len(_glob.glob(src + "/part-*")) == 32
+    n_files = compact_dataset(spark, src, out, target_rows_per_file=400)
+    assert n_files == 3
+    parts = _glob.glob(out + "/part-*")
+    assert len(parts) <= 3
+    back = spark.read.parquet(out)
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    compact_dataset(spark, src, out2, target_rows_per_file=400, shuffle=True)
+    from pyspark.sql import functions as F
+
+    per_file = (
+        spark.read.parquet(out2)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f").count().collect()
+    )
+    assert max(r["count"] for r in per_file) - min(r["count"] for r in per_file) <= 34
+    with pytest.raises(ValueError, match="target_rows_per_file"):
+        compact_dataset(spark, src, str(tmp_path / "z"), target_rows_per_file=0)
