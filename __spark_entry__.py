@@ -4845,6 +4845,53 @@ def shuffle_shards_docs_q(spark, sf_dir):
 
 
 @_q(
+    "curriculum_order_docs",
+    """WITH s AS (SELECT doc_id, n_chars FROM documents),
+       hist AS (
+         SELECT n_chars AS v, count(*)::BIGINT AS c
+         FROM s WHERE n_chars IS NOT NULL GROUP BY 1
+       ), cum AS (
+         SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm
+         FROM hist
+       ), n AS (
+         SELECT count(*)::BIGINT AS cnt FROM s WHERE n_chars IS NOT NULL
+       ), cuts AS (
+         SELECT min(CASE WHEN cm >= greatest(1, ceil(cnt / 3.0)) THEN v END) AS c1,
+                min(CASE WHEN cm >= greatest(1, ceil(2 * cnt / 3.0)) THEN v END) AS c2
+         FROM cum, n
+       ), h AS (
+         SELECT doc_id, n_chars,
+                ('0x' || substr(md5(doc_id::VARCHAR || '-42'), 1, 15))::BIGINT AS hv
+         FROM s
+       )
+       SELECT doc_id,
+              CAST(CASE WHEN n_chars IS NULL THEN NULL
+                        WHEN n_chars <= c1 THEN 0
+                        WHEN n_chars <= c2 THEN 1
+                        ELSE 2 END AS INT) AS phase,
+              CAST(hv % 8 AS INT) AS shard,
+              CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+                   AS BIGINT) AS pos
+       FROM h CROSS JOIN cuts""",
+)
+def curriculum_order_docs(spark, sf_dir):
+    """Curriculum training order (functions/mixing.py curriculum_order):
+    exact n_chars terciles as easy-to-hard phases + the deterministic
+    (shard, pos) shuffle — the schedule a curriculum-learning loader
+    replays phase by phase, byte-identical every run. Cuts are the
+    exact rank-ceil(q*N) order statistics (no global sort) collected
+    once as two literals; labeling is scan-stage; ordering is one hash
+    shuffle. The oracle re-derives the cuts from the histogram cumsum
+    and the order from the shared md5 arithmetic."""
+    from pd_explain_spark.functions.mixing import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return curriculum_order(
+        docs, "n_chars", n_phases=3, n_shards=8
+    ).select("doc_id", "phase", "shard", "pos")
+
+
+@_q(
     "shards_roundtrip",
     """WITH h AS (
          SELECT doc_id, text, lang,

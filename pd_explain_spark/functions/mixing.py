@@ -480,6 +480,51 @@ def write_shards(
     writer.format(fmt).save(path)
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_phases: int = 3,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Curriculum training order: exact score-quantile PHASES (phase 0 =
+    lowest ``score_col`` ... phase n-1 = highest — the easy-to-hard
+    schedule when the score is a difficulty proxy) plus the
+    deterministic (shard, pos) shuffle, so a loader replays phase by
+    phase, within each phase ordered by (shard, pos) — byte-identical
+    every run, phase boundaries exact, no RNG state.
+
+    Phase cuts come from :func:`~pd_explain_spark.functions.sketches.
+    exact_quantiles` (value at rank ceil(q*N), no global sort) and are
+    collected ONCE as n_phases-1 literals (the fit-once/score-many
+    pattern ccnet_cuts uses); labeling is scan-stage comparisons and
+    ordering is shuffle_assign's one hash shuffle. Ties at a cut land
+    in the lower phase on every engine; NULL scores keep their rows
+    with a NULL phase (route them explicitly rather than silently
+    training on them)."""
+    from .sketches import exact_quantiles
+
+    if n_phases < 2:
+        raise ValueError("curriculum_order: n_phases must be >= 2")
+    qs = [i / n_phases for i in range(1, n_phases)]
+    cuts = [
+        r["value"]
+        for r in exact_quantiles(df, score_col, qs).collect()
+    ]
+    expr = None
+    for i, c in enumerate(cuts):
+        cond = F.col(score_col) <= F.lit(c)
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    phase = expr.otherwise(n_phases - 1) if expr is not None else F.lit(0)
+    phase = (
+        F.when(F.col(score_col).isNull(), F.lit(None)).otherwise(phase)
+    ).cast("int")
+    return shuffle_assign(
+        df, id_col=id_col, seed=seed, n_shards=n_shards
+    ).withColumn("phase", phase)
+
+
 def compact_dataset(
     spark,
     src_path: str,

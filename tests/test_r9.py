@@ -268,3 +268,28 @@ def test_compact_dataset_reduces_files_losslessly(spark, tmp_path):
     assert max(r["count"] for r in per_file) - min(r["count"] for r in per_file) <= 34
     with pytest.raises(ValueError, match="target_rows_per_file"):
         compact_dataset(spark, src, str(tmp_path / "z"), target_rows_per_file=0)
+
+
+def test_curriculum_order_phases_and_determinism(spark):
+    """curriculum_order: exact quantile phases (ties at a cut land low),
+    NULL scores get NULL phase but keep their rows, reruns are
+    byte-identical, and the guard rejects n_phases < 2."""
+    from pd_explain_spark.functions.mixing import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)] + [(99, None)],
+        "doc_id bigint, difficulty double",
+    )
+    out = curriculum_order(df, "difficulty", n_phases=3, n_shards=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 10
+    # ranks: cut1 = value at ceil(9/3)=3 -> 3.0; cut2 = ceil(18/3)=6 -> 6.0
+    assert all(rows[i]["phase"] == 0 for i in (1, 2, 3))
+    assert all(rows[i]["phase"] == 1 for i in (4, 5, 6))
+    assert all(rows[i]["phase"] == 2 for i in (7, 8, 9))
+    assert rows[99]["phase"] is None and rows[99]["shard"] is not None
+    again = {r["doc_id"]: r for r in
+             curriculum_order(df, "difficulty", n_phases=3, n_shards=4).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {k: tuple(v) for k, v in again.items()}
+    with pytest.raises(ValueError, match="n_phases"):
+        curriculum_order(df, "difficulty", n_phases=1)
