@@ -133,6 +133,19 @@ ENTRIES = [
     "mix_pipeline_docs",
     "similarity_ivf_topk",
     "windowed_psi_events",
+    # late-r9 additions: intra-doc dedup is pure scan-stage array work;
+    # the recall harness rides two pair generators (verbatim copies
+    # inflate BOTH pair lists by design — same class as keep_longest,
+    # override below); join_profile is two key-count aggregates + a
+    # count-table join; the funnel is one aggregate per stage; the
+    # compact/curriculum entries are a write+read cycle and a
+    # cuts-fit + one hash shuffle respectively
+    "intra_doc_dedup_docs",
+    "dedup_recall_winnow",
+    "join_profile_orders_customer",
+    "curation_funnel_docs",
+    "compact_roundtrip",
+    "curriculum_order_docs",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
@@ -163,6 +176,10 @@ ENTRY_BUDGET = {
     # component input is the exact trigram pair list (~45-100x under
     # 10x verbatim duplication, by design)
     "soft_dedup_weights_docs": 50.0,
+    # both pair lists under the metric ride the 10x-verbatim pair
+    # explosion (winnow candidates AND exact-trigram truth) — growth is
+    # by design; the metric joins are count-table sized
+    "dedup_recall_winnow": 50.0,
 }
 
 
