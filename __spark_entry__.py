@@ -5094,6 +5094,104 @@ def ngram_jaccard_q(spark, sf_dir):
 
 
 @_q(
+    "dedup_sweep_winnow",
+    """WITH toksn AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), shn AS (
+         SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+         FROM toksn WHERE len(t) >= 3
+       ), invn AS (
+         SELECT doc_id, unnest(s) AS shingle FROM shn
+       ), pn AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM invn a JOIN invn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ), truth AS (
+         SELECT id_a AS a, id_b AS b
+         FROM pn
+         JOIN (SELECT doc_id, len(s) AS n FROM shn) la ON la.doc_id = id_a
+         JOIN (SELECT doc_id, len(s) AS n FROM shn) lb ON lb.doc_id = id_b
+         WHERE round(inter / (la.n + lb.n - inter), 6) >= 0.5
+       ), toksw AS (
+         SELECT doc_id,
+                string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         FROM documents
+       ), hsw AS (
+         SELECT doc_id,
+                [('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
+                 FOR i IN range(1, len(t) - 1)] AS hs
+         FROM toksw WHERE len(t) >= 3
+       ), fpsw AS (
+         SELECT DISTINCT doc_id,
+                unnest(CASE WHEN len(hs) >= 4
+                            THEN [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)]
+                            ELSE [list_min(hs)] END) AS fp
+         FROM hsw
+       ), sizesw AS (
+         SELECT doc_id, count(*) AS n FROM fpsw GROUP BY 1
+       ), pw AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM fpsw a JOIN fpsw b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ), candw AS (
+         SELECT id_a AS a, id_b AS b,
+                round(inter / (sa.n + sb.n - inter), 6) AS j
+         FROM pw
+         JOIN sizesw sa ON sa.doc_id = id_a
+         JOIN sizesw sb ON sb.doc_id = id_b
+       ), marked AS (
+         SELECT c.j, CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM candw c LEFT JOIN truth t USING (a, b)
+       ), nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+       th(threshold) AS (VALUES (0.1), (0.3), (0.5)),
+       agg AS (
+         SELECT threshold, count(*)::BIGINT AS n_candidates,
+                sum(hit)::BIGINT AS n_hit
+         FROM marked, th WHERE j >= threshold GROUP BY 1
+       ), swept AS (
+         SELECT th.threshold,
+                coalesce(a.n_candidates, 0) AS n_candidates,
+                coalesce(a.n_hit, 0) AS n_hit
+         FROM th LEFT JOIN agg a USING (threshold)
+       )
+       SELECT threshold, n_candidates, n_truth, n_hit,
+              round(CASE WHEN n_candidates > 0
+                         THEN n_hit * 1.0 / n_candidates END, 6) AS pair_precision,
+              round(CASE WHEN n_truth > 0
+                         THEN n_hit * 1.0 / n_truth END, 6) AS pair_recall,
+              round(CASE WHEN n_candidates > 0 AND n_truth > 0
+                          AND n_hit * 1.0 / n_candidates + n_hit * 1.0 / n_truth > 0
+                         THEN 2.0 * (n_hit * 1.0 / n_candidates) * (n_hit * 1.0 / n_truth)
+                              / (n_hit * 1.0 / n_candidates + n_hit * 1.0 / n_truth)
+                    END, 6) AS f1
+       FROM swept, nt""",
+)
+def dedup_sweep_winnow_q(spark, sf_dir):
+    """Threshold-sweep flavor of the evaluation harness
+    (functions/dedup.py pair_metric_sweep): P/R/F1 of UNthresholded
+    winnowed candidates against the exact trigram-Jaccard truth at 0.5,
+    evaluated at thresholds 0.1/0.3/0.5 in ONE pass over the pair list
+    — the report that picks the production threshold from a single
+    sample run. Candidates collapse to (pair, max score), one left join
+    marks truth membership, and the sweep is a broadcast thresholds
+    spine + conditional aggregation."""
+    from pd_explain_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        pair_metric_sweep,
+        winnow_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = winnow_pairs(docs, k=3, window=4, threshold=0.0)
+    truth = ngram_jaccard_pairs(docs, threshold=0.5)
+    return pair_metric_sweep(cand, truth, [0.1, 0.3, 0.5])
+
+
+@_q(
     "dedup_recall_winnow",
     """WITH toksn AS (
          SELECT doc_id,
@@ -5159,6 +5257,8 @@ def ngram_jaccard_q(spark, sf_dir):
                     END, 6) AS f1
        FROM nc, nt, nh""",
 )
+
+
 def dedup_recall_winnow_q(spark, sf_dir):
     """Candidate-generator evaluation (functions/dedup.py pair_metrics —
     the measure-don't-guess harness): precision/recall/F1 of loose

@@ -1872,6 +1872,78 @@ def pair_metrics(
     )
 
 
+def pair_metric_sweep(
+    candidates: DataFrame,
+    truth: DataFrame,
+    thresholds: list[float],
+    score_col: str = "jaccard",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """:func:`pair_metrics` at EVERY candidate threshold in one pass —
+    the actual knob-tuning report: "at 0.1 recall is 0.98/precision
+    0.4; at 0.3 it flips" decides the production threshold from one
+    sample run instead of re-running the generator per guess. One row
+    per threshold: (threshold, n_candidates, n_truth, n_hit,
+    pair_precision, pair_recall, f1), a threshold with zero surviving
+    candidates still reports its zeros.
+
+    Scale shape: candidates collapse to one (pair, max score) row
+    each (orientation canonicalized), ONE left join marks truth
+    membership, and the sweep is a broadcast thresholds-spine cross
+    join + conditional aggregation — the pair list is scanned once no
+    matter how many thresholds."""
+    if not thresholds:
+        raise ValueError("pair_metric_sweep: thresholds must be non-empty")
+    spark = candidates.sparkSession
+    cand = (
+        candidates.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+            F.col(score_col).cast("double").alias("__s"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("__s").alias("__s"))
+    )
+    t = truth.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("a"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+    ).distinct()
+    marked = cand.join(
+        t.withColumn("__hit", F.lit(1)), ["a", "b"], "left"
+    ).select("__s", F.coalesce("__hit", F.lit(0)).alias("__hit"))
+    nt = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    th = spark.createDataFrame(
+        [(float(x),) for x in thresholds], "threshold double"
+    ).limit(len(thresholds))  # identity limit: states the spine bound
+    agg = (
+        marked.crossJoin(F.broadcast(th))
+        .filter(F.col("__s") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("__hit").cast("bigint").alias("n_hit"),
+        )
+    )
+    full = (
+        th.join(agg, "threshold", "left")
+        .fillna({"n_candidates": 0, "n_hit": 0})
+        .crossJoin(F.broadcast(nt))
+    )
+    p = F.when(F.col("n_candidates") > 0, F.col("n_hit") / F.col("n_candidates"))
+    r = F.when(F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth"))
+    f1 = F.when(
+        p.isNotNull() & r.isNotNull() & ((p + r) > 0),
+        F.lit(2.0) * p * r / (p + r),
+    )
+    return full.select(
+        "threshold", "n_candidates", "n_truth", "n_hit",
+        F.round(p, 6).alias("pair_precision"),
+        F.round(r, 6).alias("pair_recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
 # ------------------------------------------------------- corpus-level minhash
 def corpus_minhash(
     df: DataFrame,

@@ -293,3 +293,32 @@ def test_curriculum_order_phases_and_determinism(spark):
     assert {k: tuple(v) for k, v in rows.items()} == {k: tuple(v) for k, v in again.items()}
     with pytest.raises(ValueError, match="n_phases"):
         curriculum_order(df, "difficulty", n_phases=1)
+
+
+def test_pair_metric_sweep_monotone_and_spine(spark):
+    """Sweep: recall is non-increasing in threshold, a threshold above
+    every score still reports its zero row, metrics match pair_metrics
+    at the same cut, and the guard rejects an empty threshold list."""
+    from pd_explain_spark.functions.dedup import pair_metric_sweep, pair_metrics
+
+    cand = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.6), (5, 6, 0.2), (7, 8, 0.05)],
+        "id_a bigint, id_b bigint, jaccard double",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (5, 6), (9, 10)], "id_a bigint, id_b bigint"
+    )
+    out = {r["threshold"]: r for r in
+           pair_metric_sweep(cand, truth, [0.1, 0.5, 0.99]).collect()}
+    assert [out[t]["n_candidates"] for t in (0.1, 0.5, 0.99)] == [3, 2, 0]
+    assert [out[t]["n_hit"] for t in (0.1, 0.5, 0.99)] == [2, 1, 0]
+    recalls = [out[t]["pair_recall"] for t in (0.1, 0.5, 0.99)]
+    assert recalls == sorted(recalls, reverse=True)
+    assert out[0.99]["pair_precision"] is None  # zero candidates
+    single = pair_metrics(cand.filter("jaccard >= 0.5"), truth).collect()[0]
+    assert (out[0.5]["n_candidates"], out[0.5]["n_hit"]) == (
+        single["n_candidates"], single["n_hit"]
+    )
+    assert out[0.5]["f1"] == single["f1"]
+    with pytest.raises(ValueError, match="non-empty"):
+        pair_metric_sweep(cand, truth, [])
