@@ -146,6 +146,7 @@ ENTRIES = [
     "curation_funnel_docs",
     "compact_roundtrip",
     "curriculum_order_docs",
+    "dedup_sweep_winnow",  # same pair class as dedup_recall_winnow
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
@@ -180,6 +181,7 @@ ENTRY_BUDGET = {
     # explosion (winnow candidates AND exact-trigram truth) — growth is
     # by design; the metric joins are count-table sized
     "dedup_recall_winnow": 50.0,
+    "dedup_sweep_winnow": 50.0,
 }
 
 
