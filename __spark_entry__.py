@@ -8440,11 +8440,12 @@ _RECORD_FIRST = [
     #   5 family-forced members (their family has no staler
     #      oracle-backed candidate; exact_quantiles_lineitem doubles as
     #      changed-code re-proof for the r9 per-sub-bin narrowing fix).
-    # r10 rotation pool, priority order: (1) the SEVEN oracle entries
+    # r10 rotation pool, priority order: (1) the NINE oracle entries
     # added AFTER this window froze — intra_doc_dedup_docs,
     # url_canonical_planted, url_dedup_planted, dedup_recall_winnow,
-    # join_profile_orders_customer, curation_funnel_docs, and any new
-    # r10 entries (each oracle-green locally via
+    # dedup_sweep_winnow, join_profile_orders_customer,
+    # curation_funnel_docs, compact_roundtrip, curriculum_order_docs —
+    # plus any new r10 entries (each oracle-green locally via
     # scripts/check_oracles.py at sf0.01);
     # (2) the 19 remaining r05-stale re-checks: assign_splits,
     # curate_documents, curation_pipeline, embedding_centroid_dist,
