@@ -3198,6 +3198,36 @@ def join_profile_orders_customer(spark, sf_dir):
 
 
 @_q(
+    "dataset_checksum_docs",
+    """SELECT count(*)::BIGINT AS n_rows,
+              coalesce(sum(CAST(('0x' || substr(md5(
+                  coalesce(doc_id::VARCHAR, '\\N') || chr(31)
+                  || coalesce(text, '\\N') || chr(31)
+                  || coalesce(lang, '\\N') || chr(31)
+                  || coalesce(source, '\\N') || chr(31)
+                  || coalesce(n_chars::VARCHAR, '\\N')), 1, 15))::BIGINT AS HUGEINT))
+                % 2305843009213693951, 0)::BIGINT AS checksum
+       FROM documents""",
+)
+def dataset_checksum_docs(spark, sf_dir):
+    """Order-free corpus checksum (functions/profiling.py
+    dataset_checksum): sum of per-row 60-bit md5 over the canonical
+    column string, mod 2^61-1 — row order / partitioning / file layout
+    invariant, so it verifies a copy, compaction, or engine port by
+    comparing two one-row reads instead of diffing the corpus. The
+    DuckDB oracle computing the identical value from the same parquet
+    IS the cross-engine verification this operator exists for.
+    Commutative sum: partial-aggregates map-side, per-shard checksums
+    roll up."""
+    from pd_explain_spark.functions.profiling import dataset_checksum
+
+    return dataset_checksum(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+@_q(
     "table_profile_lineitem",
     """SELECT 'l_orderkey' AS "column", count(*)::BIGINT AS n_rows,
               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
@@ -8440,11 +8470,12 @@ _RECORD_FIRST = [
     #   5 family-forced members (their family has no staler
     #      oracle-backed candidate; exact_quantiles_lineitem doubles as
     #      changed-code re-proof for the r9 per-sub-bin narrowing fix).
-    # r10 rotation pool, priority order: (1) the NINE oracle entries
+    # r10 rotation pool, priority order: (1) the TEN oracle entries
     # added AFTER this window froze — intra_doc_dedup_docs,
     # url_canonical_planted, url_dedup_planted, dedup_recall_winnow,
     # dedup_sweep_winnow, join_profile_orders_customer,
-    # curation_funnel_docs, compact_roundtrip, curriculum_order_docs —
+    # curation_funnel_docs, compact_roundtrip, curriculum_order_docs,
+    # dataset_checksum_docs —
     # plus any new r10 entries (each oracle-green locally via
     # scripts/check_oracles.py at sf0.01);
     # (2) the 19 remaining r05-stale re-checks: assign_splits,

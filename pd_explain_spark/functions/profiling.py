@@ -259,3 +259,40 @@ def join_profile(
         )
     )
     return lstats.crossJoin(F.broadcast(rstats)).crossJoin(F.broadcast(matched))
+
+
+def dataset_checksum(
+    df: DataFrame,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """ORDER-FREE content checksum of a dataset: one row (n_rows,
+    checksum) where checksum = sum over rows of the 60-bit md5 of the
+    canonical column string, mod 2^61-1. Row order, partitioning, and
+    file layout never change it, so it verifies a copy / migration /
+    compaction / engine port without sorting anything — the delivery
+    receipt a 100 TB corpus hand-off ships with (compare two one-row
+    reads instead of diffing petabytes). Commutative + associative, so
+    it partial-aggregates map-side and per-shard checksums roll up.
+
+    Canonical row string: selected columns joined by the 0x1f unit
+    separator with NULL as the literal ``\\N`` — engine-portable for
+    string/integer columns (cast floats to fixed decimals FIRST; float
+    formatting differs across engines). Collisions: adversarial inputs
+    can collide any 61-bit sum; this is a transport-integrity check,
+    not a cryptographic commitment."""
+    from .hashing import md5_int
+
+    cols = list(df.columns) if cols is None else list(cols)
+    if not cols:
+        raise ValueError("dataset_checksum: no columns selected")
+    rowstr = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
+    )
+    h = md5_int(F.md5(rowstr))
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(h.cast("decimal(38,0)")) % F.lit(2305843009213693951),
+            F.lit(0),
+        ).cast("bigint").alias("checksum"),
+    )

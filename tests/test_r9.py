@@ -322,3 +322,28 @@ def test_pair_metric_sweep_monotone_and_spine(spark):
     assert out[0.5]["f1"] == single["f1"]
     with pytest.raises(ValueError, match="non-empty"):
         pair_metric_sweep(cand, truth, [])
+
+
+def test_dataset_checksum_order_invariant_and_sensitive(spark):
+    """Checksum is invariant to row order / partitioning, changes when
+    any value changes, rolls up per-shard, and zero-fills on empty."""
+    from pd_explain_spark.functions.profiling import dataset_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id bigint, v string"
+    )
+    base = dataset_checksum(df).collect()[0]
+    shuffled = dataset_checksum(df.orderBy("v").repartition(7)).collect()[0]
+    assert (base["n_rows"], base["checksum"]) == (shuffled["n_rows"], shuffled["checksum"])
+    mutated = dataset_checksum(
+        df.selectExpr("id", "CASE WHEN id = 2 THEN 'B' ELSE v END AS v")
+    ).collect()[0]
+    assert mutated["checksum"] != base["checksum"]
+    # per-shard roll-up: sums mod M combine additively
+    a = dataset_checksum(df.filter("id < 3")).collect()[0]
+    b = dataset_checksum(df.filter("id >= 3")).collect()[0]
+    assert (a["checksum"] + b["checksum"]) % 2305843009213693951 == base["checksum"]
+    empty = dataset_checksum(df.filter("id < 0")).collect()[0]
+    assert (empty["n_rows"], empty["checksum"]) == (0, 0)
+    with pytest.raises(ValueError, match="no columns"):
+        dataset_checksum(df, [])
