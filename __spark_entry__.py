@@ -3227,6 +3227,122 @@ def dataset_checksum_docs(spark, sf_dir):
     )
 
 
+_KANON_QUASI_SQL = """
+       SELECT c_custkey, c_nationkey, c_mktsegment,
+              CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acct_kilo
+       FROM customer"""
+
+
+@_q(
+    "k_anonymity_customer",
+    f"""WITH q AS ({_KANON_QUASI_SQL})
+       SELECT c_nationkey, c_mktsegment, acct_kilo,
+              count(*)::BIGINT AS class_size,
+              count(*) < 3 AS at_risk
+       FROM q GROUP BY 1, 2, 3""",
+)
+def k_anonymity_customer_q(spark, sf_dir):
+    """k-anonymity audit (functions/profiling.py k_anonymity_report):
+    every (nation, market segment, account-balance kilobucket)
+    equivalence class of the customer table with its size and an
+    at-risk flag (class_size < k=3 — the combination singles out fewer
+    than 3 customers). The governance gate a corpus hand-off runs on
+    its STRUCTURED columns after redact_pii has scrubbed the text; one
+    map-combining groupBy, output bounded by class cardinality."""
+    from pd_explain_spark import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("acct_kilo"),
+    )
+    return k_anonymity_report(c, ["c_nationkey", "c_mktsegment", "acct_kilo"], k=3)
+
+
+@_q(
+    "k_anonymize_customer",
+    f"""WITH q AS ({_KANON_QUASI_SQL}),
+       keep AS (
+         SELECT c_nationkey, c_mktsegment, acct_kilo
+         FROM q GROUP BY 1, 2, 3 HAVING count(*) >= 3
+       )
+       SELECT q.c_custkey, q.c_nationkey, q.c_mktsegment, q.acct_kilo
+       FROM q JOIN keep USING (c_nationkey, c_mktsegment, acct_kilo)""",
+)
+def k_anonymize_customer_q(spark, sf_dir):
+    """Suppression-mode k-anonymization (functions/profiling.py
+    k_anonymize): keep only customers whose quasi-identifier class has
+    >= 3 members, so every surviving row hides among at least 2 others
+    — the baseline suppression step before generalization hierarchies.
+    The class table comes from one bounded groupBy and joins back
+    null-safely with AQE picking the strategy (broadcast for real
+    quasi sets); the corpus scans once."""
+    from pd_explain_spark import k_anonymize
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("acct_kilo"),
+    )
+    return k_anonymize(c, ["c_nationkey", "c_mktsegment", "acct_kilo"], k=3)
+
+
+@_q(
+    "mad_anomalies_events",
+    """WITH e AS (
+         SELECT event_id, CAST(extract(hour FROM ts) AS INTEGER) AS hr, value
+         FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+       ), vc AS (
+         SELECT hr, value AS v, count(*)::BIGINT AS c FROM e GROUP BY 1, 2
+       ), n AS (
+         SELECT hr, sum(c)::BIGINT AS nn FROM vc GROUP BY 1
+       ), cum AS (
+         SELECT hr, v, sum(c) OVER (PARTITION BY hr ORDER BY v) AS cm FROM vc
+       ), med AS (
+         SELECT cum.hr, min(v) AS med
+         FROM cum JOIN n USING (hr)
+         WHERE cm >= greatest(1, ceil(0.5 * nn::DOUBLE)::BIGINT)
+         GROUP BY 1
+       ), dv AS (
+         SELECT vc.hr, abs(vc.v - med.med) AS d, sum(vc.c)::BIGINT AS c
+         FROM vc JOIN med USING (hr) GROUP BY 1, 2
+       ), dcum AS (
+         SELECT hr, d, sum(c) OVER (PARTITION BY hr ORDER BY d) AS cm FROM dv
+       ), mad AS (
+         SELECT dcum.hr, min(d) AS mad
+         FROM dcum JOIN n USING (hr)
+         WHERE cm >= greatest(1, ceil(0.5 * nn::DOUBLE)::BIGINT)
+         GROUP BY 1
+       )
+       SELECT e.event_id, e.hr, e.value, m.med, d.mad,
+              CAST(floor(0.6745 * (e.value - m.med) / d.mad * 1000000.0 + 0.5)
+                   AS BIGINT) AS z_micro
+       FROM e JOIN med m USING (hr) JOIN mad d USING (hr)
+       WHERE d.mad > 0
+         AND abs(0.6745 * (e.value - m.med) / d.mad) > 3.5""",
+)
+def mad_anomalies_events_q(spark, sf_dir):
+    """Robust seasonal anomaly detection (functions/drift.py
+    robust_anomalies): modified z-score |0.6745 * (x - median) / MAD| >
+    3.5 (Iglewicz & Hoaglin) against an hour-of-day baseline — the
+    outlier monitor whose threshold does NOT move when the heavy tail
+    it hunts arrives, unlike mean/std. One corpus scan compresses to a
+    per-(hour, value) count table; median and MAD are weighted walks
+    over it (grouped_exact_quantiles rank convention, never a global
+    sort); the bounded (med, mad) stats broadcast into the flagging
+    scan. All arithmetic is identical-input IEEE in both engines and z
+    ships in exact integer micro-units."""
+    from pd_explain_spark import robust_anomalies
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", F.hour("ts").alias("hr"), "value")
+    )
+    return robust_anomalies(e, "value", by=["hr"], z_thresh=3.5)
+
+
 @_q(
     "table_profile_lineitem",
     """SELECT 'l_orderkey' AS "column", count(*)::BIGINT AS n_rows,

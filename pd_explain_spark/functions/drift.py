@@ -348,3 +348,81 @@ def stream_drift_scores(
         total.cast("long").alias("n_events"),
         F.round(tv, 6).alias("tv"),
     )
+
+def _weighted_median(vc: DataFrame, by: list[str], v: str, c: str) -> DataFrame:
+    """Median of a weighted (group, value, count) table: per group, the
+    minimum value whose cumulative count reaches ceil(0.5 * N). The
+    grouped_exact_quantiles rank convention (sketches.py) applied to an
+    ALREADY-compressed table, so callers can take two medians (value,
+    then |value - median|) from one corpus scan. Returns (*by, __med)."""
+    from pyspark.sql import Window
+
+    g = vc.groupBy(*by, F.col(v).alias("__v")).agg(F.sum(c).cast("bigint").alias("__c"))
+    w = Window.partitionBy(*by).orderBy("__v")
+    cum = g.withColumn("__cum", F.sum("__c").over(w))
+    n = g.groupBy(*by).agg(F.sum("__c").cast("bigint").alias("__n"))
+    return (
+        cum.join(n, by)
+        .filter(
+            F.col("__cum")
+            >= F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.lit(0.5) * F.col("__n").cast("double")).cast("bigint"),
+            )
+        )
+        .groupBy(*by)
+        .agg(F.min("__v").alias("__med"))
+    )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    z_thresh: float = 3.5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Robust per-group outlier flags via the modified z-score
+    (Iglewicz & Hoaglin 1993): z = 0.6745 * (x - median) / MAD, flag
+    |z| > ``z_thresh`` (their recommended 3.5). Median/MAD resist the
+    very outliers they hunt — a mean/std detector moves its own
+    threshold when a heavy tail arrives; this one doesn't. ``by`` takes
+    any grouping columns, including derived seasonal keys (hour-of-day,
+    day-of-week), which makes it the seasonal-baseline anomaly monitor
+    for event streams.
+
+    Returns the flagged rows: ``df.*`` + ``med``, ``mad``, ``z_micro``
+    (z in exact integer micro-units via floor(z * scale + 0.5) — the
+    engine-portable rounding used by the clustering family). Groups
+    whose MAD is 0 (a majority-constant value) are skipped rather than
+    divided by zero; NULL values never flag.
+
+    Scale shape: ONE corpus scan compresses to a per-(group, value)
+    count table (map-combining; bounded by distinct values per group —
+    quantize first for continuous high-precision doubles, the
+    grouped_exact_quantiles caveat); both medians are weighted walks
+    over that compressed table, never a global sort. The per-group
+    (med, mad) stats table is bounded by group cardinality, so AQE
+    broadcasts it into the second, flagging scan — the corpus itself
+    never shuffles."""
+    if not by:
+        raise ValueError("robust_anomalies: by must be non-empty")
+    vals = df.filter(F.col(value_col).isNotNull())
+    vc = vals.groupBy(*by, F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    med = _weighted_median(vc, by, "__v", "__c").withColumnRenamed("__med", "med")
+    dev = vc.join(med, by).select(
+        *by, F.abs(F.col("__v") - F.col("med")).alias("__dv"), "__c"
+    )
+    mad = _weighted_median(dev, by, "__dv", "__c").withColumnRenamed("__med", "mad")
+    stats = med.join(mad, by).filter(F.col("mad") > 0)
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
+    return (
+        vals.join(stats, by)
+        .filter(F.abs(z) > F.lit(float(z_thresh)))
+        .withColumn(
+            "z_micro",
+            F.floor(z * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),
+        )
+    )

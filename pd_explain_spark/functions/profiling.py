@@ -296,3 +296,57 @@ def dataset_checksum(
             F.lit(0),
         ).cast("bigint").alias("checksum"),
     )
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set (Sweeney
+    2002, "k-anonymity: a model for protecting privacy"): one row per
+    equivalence class — the quasi values, ``class_size``, and
+    ``at_risk`` (class_size < k, i.e. the combination re-identifies
+    fewer than ``k`` individuals). The governance twin of
+    ``redact_pii``: redaction scrubs direct identifiers inside text,
+    this measures whether the STRUCTURED columns still single people
+    out before a corpus is shared or used for training.
+
+    NULL quasi values form a real class (an absent value is itself
+    identifying). Cost: one map-combining groupBy on the quasi set —
+    the output is bounded by class cardinality, never corpus size."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report: quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k_anonymity_report: k must be >= 1, got {k}")
+    return df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    ).withColumn("at_risk", F.col("class_size") < F.lit(k))
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Suppression-mode k-anonymization: keep only rows whose
+    quasi-identifier equivalence class has at least ``k`` members, so
+    every surviving row is hidden among >= k-1 others (the standard
+    baseline before generalization hierarchies are introduced).
+
+    Scale shape: the class-size table from one map-combining groupBy
+    (bounded by class cardinality) joins back on the quasi set with
+    null-safe equality; no broadcast is forced — AQE picks the
+    strategy, since class tables are corpus-dependent (the
+    soft_dedup_weights / leakage_safe_splits precedent). The corpus
+    itself is scanned once and only shuffles if AQE declines to
+    broadcast the class table."""
+    keep = (
+        k_anonymity_report(df, quasi_cols, k=k)
+        .filter(~F.col("at_risk"))
+        .select(*[F.col(c).alias(f"__ka_{c}") for c in quasi_cols])
+    )
+    cond = None
+    for c in quasi_cols:
+        piece = F.col(c).eqNullSafe(F.col(f"__ka_{c}"))
+        cond = piece if cond is None else cond & piece
+    return df.join(keep, cond, "inner").drop(*[f"__ka_{c}" for c in quasi_cols])

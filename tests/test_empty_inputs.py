@@ -82,6 +82,11 @@ FLOW_THROUGH = [
     # have no table dependence.
     "intra_doc_dedup_docs",
     "windowed_psi_events",
+    # r9 governance/anomaly additions: empty corpus -> zero classes /
+    # zero flagged rows
+    "k_anonymity_customer",
+    "k_anonymize_customer",
+    "mad_anomalies_events",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError
