@@ -7040,6 +7040,139 @@ def similarity_ivf_q(spark, sf_dir):
     )
 
 
+def _pca_cte(n_iter: int = 12, scale: int = 1_000_000, v_scale: int = 1_000_000) -> str:
+    """DuckDB mirror of the ENTIRE exact-integer PCA power iteration
+    (functions/linalg.py pca_power_fit), unrolled to ``n_iter`` CTE
+    stages: quantize -> exact HUGEINT second moments (count, per-dim
+    sums, Gram) -> centered-moment matrix C = n*S - sums sumsᵀ -> one
+    w = C v / max-normalize stage per iteration. Every accumulation is
+    an exact integer (order-free), and the single rounding site per
+    stage — floor(w/max * v_scale + 0.5) — runs the identical-input
+    IEEE double ops the driver loop runs, so each iterate reproduces
+    bit-for-bit. Ends at ``v{n_iter}`` (the integer loadings), with
+    ``cm``/``sm``/``nn``/``dims`` available to consumers."""
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+         SELECT vec_id AS id,
+                list_transform(embedding::DOUBLE[],
+                               x -> CAST(round(x * {scale}) AS BIGINT)) AS v
+         FROM embeddings WHERE embedding IS NOT NULL
+       ), dims AS (
+         SELECT DISTINCT unnest(generate_series(1, len(v))) AS i FROM q
+       ), pos AS MATERIALIZED (
+         SELECT q.id, d.i, v[d.i] AS x FROM q, dims d
+       ), nn AS (
+         SELECT count(*)::HUGEINT AS n FROM q
+       ), sm AS MATERIALIZED (
+         SELECT i, sum(x)::HUGEINT AS s FROM pos GROUP BY i
+       ), gp AS (
+         SELECT a.i AS i, b.i AS j, sum(a.x * b.x)::HUGEINT AS g
+         FROM pos a JOIN pos b ON a.id = b.id GROUP BY 1, 2
+       ), cm AS MATERIALIZED (
+         SELECT g.i, g.j, nn.n * g.g - s1.s * s2.s AS c
+         FROM gp g, nn, sm s1, sm s2 WHERE s1.i = g.i AND s2.i = g.j
+       ), v0 AS (
+         SELECT i, CAST({v_scale} AS HUGEINT) AS vq FROM dims
+       )"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f""", w{t} AS MATERIALIZED (
+         SELECT c.i, sum(c.c * v.vq) AS w
+         FROM cm c JOIN v{t - 1} v ON v.i = c.j GROUP BY 1
+       ), m{t} AS MATERIALIZED (
+         SELECT max(abs(w)) AS m FROM w{t}
+       ), v{t} AS MATERIALIZED (
+         SELECT i, CAST(floor(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+                              * {v_scale}.0 + 0.5) AS HUGEINT) AS vq
+         FROM w{t}, m{t}
+       )"""
+        )
+    return "".join(parts)
+
+
+_PCA_ITERS = 12
+
+
+@_q(
+    "pca_component_emb",
+    _pca_cte(_PCA_ITERS)
+    + f""", nd AS (
+         SELECT sum(v1.vq * c.c * v2.vq) AS nm
+         FROM cm c JOIN v{_PCA_ITERS} v1 ON v1.i = c.i
+                   JOIN v{_PCA_ITERS} v2 ON v2.i = c.j
+       ), dd AS (
+         SELECT sum(vq * vq) AS dn FROM v{_PCA_ITERS}
+       ), tr AS (
+         SELECT sum(c) AS t FROM cm WHERE i = j
+       )
+       SELECT CAST(v.i - 1 AS INT) AS dim,
+              CAST(v.vq AS BIGINT) AS loading_q,
+              CAST(floor(((CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE))
+                          / CAST(nn.n * nn.n AS DOUBLE))
+                         / 1000000000000.0 * 1000000.0 + 0.5) AS BIGINT)
+                AS eigval_micro,
+              CAST(floor((CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE))
+                         / CAST(t AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                AS evr_micro
+       FROM v{_PCA_ITERS} v, nd, dd, tr, nn""",
+)
+def pca_component_emb_q(spark, sf_dir):
+    """Distributed PCA, exactly reproducible (functions/linalg.py
+    pca_power_fit): the dominant principal component of the embedding
+    corpus as integer micro-unit loadings, plus the population-
+    covariance eigenvalue and explained-variance ratio from the exact-
+    integer Rayleigh quotient. ONE Arrow-batched scan computes exact
+    integer second moments (O(dim²) partials per partition — the
+    corpus never shuffles); 12 power-iteration steps run driver-side
+    on exact Python ints with a single identical-rule rounding site
+    per step, so the DuckDB HUGEINT mirror reproduces every iterate
+    bit-for-bit. On a near-isotropic corpus the DIRECTION converges
+    slowly (tiny eigengap) but the captured-variance ratio is within
+    ~3% of the spectral max by 12 steps — the honest report for 'is
+    there a dominant direction worth whitening away?'."""
+    from pd_explain_spark.functions.linalg import pca_component_table, pca_power_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fit = pca_power_fit(emb, n_iter=_PCA_ITERS)
+    return pca_component_table(spark, fit)
+
+
+@_q(
+    "pca_scores_emb",
+    _pca_cte(_PCA_ITERS)
+    + f""", kk AS (
+         SELECT sum(sm.s * v.vq) AS kv
+         FROM sm JOIN v{_PCA_ITERS} v USING (i)
+       ), sc AS (
+         SELECT p.id, sum(p.x * v.vq) AS s
+         FROM pos p JOIN v{_PCA_ITERS} v ON v.i = p.i GROUP BY 1
+       )
+       SELECT sc.id AS vec_id,
+              CAST(sc.s AS BIGINT) AS score_q,
+              CAST(floor((CAST(sc.s AS DOUBLE)
+                          - CAST(kv AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                         / 1000000000000.0 * 1000000.0 + 0.5) AS BIGINT)
+                AS score_c_micro
+       FROM sc, kk, nn
+       ORDER BY score_q DESC, vec_id LIMIT 25""",
+)
+def pca_scores_emb_q(spark, sf_dir):
+    """Corpus projection onto the fitted principal component
+    (functions/linalg.py pca_project/pca_topk): the 25 most extreme
+    vectors along PC1 — the 'what does this direction mean' inspection
+    sample of an embedding curation pass. The projection is an exact
+    integer zip_with fold at scan stage (zero shuffle); the centered
+    score subtracts the exact-integer mean offset through identical-
+    input IEEE ops; top-25 plans as TakeOrderedAndProject (per-
+    partition heap + driver merge, never a global sort)."""
+    from pd_explain_spark.functions.linalg import pca_power_fit, pca_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fit = pca_power_fit(emb, n_iter=_PCA_ITERS)
+    return pca_topk(emb, fit, k=25)
+
+
 _SEMANTIC_ASSIGNED_CTE = """WITH cast_emb AS (
          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        ), hashed AS (

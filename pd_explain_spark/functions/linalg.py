@@ -1,0 +1,278 @@
+"""Distributed linear algebra over embedding columns: PCA that is
+exactly reproducible across engines.
+
+Principal components are the standard preprocessing for the embedding
+pipeline this repo ships (whitening / dimensionality reduction before
+IVF bucketing, drift direction analysis, corpus visualization), but a
+naive distributed PCA is NOT verifiable: float covariance sums are
+summation-order-dependent and eigensolvers are library-specific. This
+module makes the whole thing bit-reproducible with the clustering
+module's recipe (clustering.py — quantize once to integer micro-units,
+keep every accumulation an exact integer, round at ONE site per
+iteration with one rule):
+
+* `gram_moments`: ONE corpus scan computes exact integer second
+  moments (count, per-dim sums, upper-triangular Gram matrix of the
+  quantized vectors) via Arrow-batched per-partition partials —
+  O(dim^2) state per partition, O(partitions * dim^2) shuffle rows,
+  the corpus itself never shuffles. Partials accumulate in arbitrary-
+  precision Python ints and are emitted in <= 2^62 chunks, so no
+  int64 overflow at any corpus size; the final roll-up sums
+  DECIMAL(38,0).
+* `pca_power_fit`: driver-side power iteration on the EXACT integer
+  centered-moment matrix C[i][j] = n*S[i][j] - sums[i]*sums[j]
+  (= n^2 * scale^2 * population covariance). The iterate stays an
+  integer vector normalized to max|v| = v_scale; the only float ops
+  per iteration (w/max then floor(x*v_scale + 0.5)) run on identical
+  exact-integer inputs in any engine, so a DuckDB HUGEINT mirror
+  reproduces every iterate bit-for-bit. O(dim^2) driver state — same
+  contract as the k-means centroid collect.
+* `pca_project` / `pca_topk`: corpus projection onto the fitted
+  component as an exact integer dot product (scan-stage zip_with
+  fold, no shuffle), plus the mean-centered score in micro-units;
+  top-k via TakeOrdered, never a global sort.
+
+Determinism bound: per-Arrow-batch Gram partials use numpy int64 —
+exact while rows_per_batch * (scale * max|x|)^2 < 2^63 (~10k-row
+batches leave ~6 orders of magnitude of headroom for unit-scale
+embeddings at scale=1e6); cross-batch accumulation is arbitrary
+precision. The reference engine ships no linear algebra operator —
+this extends the similarity/clustering family (SURVEY.md §2 extension)
+with the component-analysis step of an embedding curation pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "gram_moments",
+    "pca_power_fit",
+    "pca_component_table",
+    "pca_project",
+    "pca_topk",
+]
+
+_CHUNK = 1 << 62
+
+
+def _emit_chunks(rows: list, i: int, j: int, v: int) -> None:
+    """Append (i, j, v) split into int64-safe chunks: exact under any
+    accumulation size, downstream roll-up re-sums in DECIMAL(38,0)."""
+    while v > _CHUNK or v < -_CHUNK:
+        c = _CHUNK if v > 0 else -_CHUNK
+        rows.append((i, j, c))
+        v -= c
+    rows.append((i, j, int(v)))
+
+
+def gram_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> tuple[int, list[int], list[list[int]]]:
+    """Exact integer second moments of the quantized vector column in
+    ONE scan: returns (n, sums, S) where q = round(x * scale) per
+    coordinate (the clustering/quantization contract), sums[i] =
+    Σ q_i, and S[i][j] = Σ q_i * q_j (full symmetric dim x dim,
+    mirrored from the upper triangle). All values are exact Python
+    ints — no float accumulation anywhere."""
+    q = df.filter(F.col(vec_col).isNotNull()).select(
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x * scale).cast("bigint")
+        ).alias("q")
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        d = None
+        S = None
+        sums = None
+        cnt = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            if d is None:
+                d = M.shape[1]
+                S = [[0] * d for _ in range(d)]
+                sums = [0] * d
+            G = M.T @ M  # exact: batch_rows * (scale*max|x|)^2 << 2^63
+            s = M.sum(axis=0)
+            for i in range(d):
+                sums[i] += int(s[i])
+                Gi = G[i]
+                Si = S[i]
+                for j in range(i, d):
+                    Si[j] += int(Gi[j])
+            cnt += len(pdf)
+        rows: list = []
+        if d is not None:
+            for i in range(d):
+                _emit_chunks(rows, i, -1, sums[i])
+                for j in range(i, d):
+                    _emit_chunks(rows, i, j, S[i][j])
+        rows.append((-1, -1, cnt))
+        yield pd.DataFrame(rows, columns=["i", "j", "v"])
+
+    parts = q.mapInPandas(part, "i int, j int, v long")
+    agg = (
+        parts.groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    n = 0
+    sums_d: dict[int, int] = {}
+    tri: dict[tuple[int, int], int] = {}
+    for r in agg:
+        i, j, s = r["i"], r["j"], int(r["s"])
+        if i == -1:
+            n = s
+        elif j == -1:
+            sums_d[i] = s
+        else:
+            tri[(i, j)] = s
+    if n == 0:
+        raise ValueError("gram_moments: no non-null vectors")
+    d = len(sums_d)
+    sums = [sums_d[i] for i in range(d)]
+    S = [[0] * d for _ in range(d)]
+    for (i, j), s in tri.items():
+        S[i][j] = s
+        S[j][i] = s
+    return n, sums, S
+
+
+def pca_power_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_iter: int = 6,
+    scale: int = 1_000_000,
+    v_scale: int = 1_000_000,
+) -> dict:
+    """Fit the dominant principal component by ``n_iter`` power-
+    iteration steps over the exact integer centered-moment matrix
+    C = n*S - sums sumsᵀ (= n² scale² * population covariance; scaling
+    never changes eigenvectors). The iterate v stays an integer vector
+    with max|v| = v_scale: each step computes w = C v exactly, then
+    v' = floor(w / max|w| * v_scale + 0.5) — the single rounding site,
+    identical-input IEEE in every engine. Returns the fit dict:
+    n, dim, component_q (integer loadings), component (max-abs-
+    normalized floats), eigval / eigval_micro (population-covariance
+    eigenvalue in data units², via the exact-integer Rayleigh
+    quotient), evr / evr_micro (explained-variance ratio vs the exact
+    trace), plus sums/scale/v_scale for projection.
+
+    Convergence: standard power iteration — linear in the eigengap
+    ratio; n_iter is a small fixed constant so the oracle mirror
+    unrolls one CTE stage per step (the kmeans_fit precedent). A
+    zero matrix (constant corpus) stops early and reports eigval 0."""
+    if n_iter < 1:
+        raise ValueError(f"pca_power_fit: n_iter must be >= 1, got {n_iter}")
+    n, sums, S = gram_moments(df, vec_col, scale)
+    if n < 2:
+        raise ValueError(f"pca_power_fit: need >= 2 vectors, got {n}")
+    d = len(sums)
+    C = [[n * S[i][j] - sums[i] * sums[j] for j in range(d)] for i in range(d)]
+    vq = [v_scale] * d
+    for _ in range(n_iter):
+        w = [sum(C[i][j] * vq[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:  # zero covariance: any direction is an eigenvector
+            break
+        vq = [math.floor(float(wi) / float(m) * v_scale + 0.5) for wi in w]
+    num = sum(vq[i] * C[i][j] * vq[j] for i in range(d) for j in range(d))
+    den = sum(x * x for x in vq)
+    trace = sum(C[i][i] for i in range(d))
+    lam = ((float(num) / float(den)) / float(n * n)) / float(scale * scale)
+    evr = (float(num) / float(den)) / float(trace) if trace > 0 else 0.0
+    return {
+        "n": n,
+        "dim": d,
+        "scale": scale,
+        "v_scale": v_scale,
+        "sums": sums,
+        "component_q": vq,
+        "component": [x / v_scale for x in vq],
+        "eigval": lam,
+        "eigval_micro": math.floor(lam * 1_000_000.0 + 0.5),
+        "evr": evr,
+        "evr_micro": math.floor(evr * 1_000_000.0 + 0.5),
+    }
+
+
+def pca_component_table(spark: SparkSession, fit: dict) -> DataFrame:
+    """The fit as a driver-hashable frame: one row per dimension —
+    (dim, loading_q, eigval_micro, evr_micro). Bounded literal frame
+    (dim rows)."""
+    rows = [
+        (i, int(fit["component_q"][i]), int(fit["eigval_micro"]), int(fit["evr_micro"]))
+        for i in range(fit["dim"])
+    ]
+    return spark.createDataFrame(
+        rows, "dim INT, loading_q BIGINT, eigval_micro BIGINT, evr_micro BIGINT"
+    ).limit(len(rows))
+
+
+def pca_project(
+    df: DataFrame,
+    fit: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the fitted component: (id, score_q,
+    score_c_micro) where score_q = Σ q_i * component_q_i is the exact
+    integer raw projection (scan-stage zip_with fold — zero shuffle)
+    and score_c_micro is the mean-centered projection of the max-abs-
+    normalized component in micro-units: (score_q - K/n) / (scale *
+    v_scale) with K = Σ sums_i * component_q_i exact. Centering
+    subtracts a constant, so score_q and score_c_micro rank
+    identically."""
+    scale, v_scale = fit["scale"], fit["v_scale"]
+    vq = fit["component_q"]
+    vq_lit = F.array(*[F.lit(int(x)).cast("bigint") for x in vq])
+    q = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("bigint"))
+    score = F.aggregate(
+        F.zip_with(q, vq_lit, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    k_over_n = float(sum(fit["sums"][j] * vq[j] for j in range(fit["dim"]))) / float(
+        fit["n"]
+    )
+    centered = (score.cast("double") - F.lit(k_over_n)) / F.lit(
+        float(scale * v_scale)
+    )
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        score.alias("score_q"),
+        F.floor(centered * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("score_c_micro"),
+    )
+
+
+def pca_topk(
+    df: DataFrame,
+    fit: dict,
+    k: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The k most extreme documents along the fitted component
+    (largest projection first, id tiebreak) — the 'what does this
+    direction mean' inspection sample. limit() after orderBy plans as
+    TakeOrderedAndProject: a per-partition heap + driver merge, never
+    a global sort."""
+    if k < 1:
+        raise ValueError(f"pca_topk: k must be >= 1, got {k}")
+    return (
+        pca_project(df, fit, id_col=id_col, vec_col=vec_col)
+        .orderBy(F.col("score_q").desc(), F.col(id_col))
+        .limit(k)
+    )

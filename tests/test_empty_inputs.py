@@ -99,6 +99,9 @@ CLEAR_ERROR = [
     "cluster_sample_emb",
     # PQ needs a non-empty corpus to donate codebook sub-vectors
     "similarity_pq_topk",
+    # PCA moments need >= 1 non-null vector (gram_moments raises)
+    "pca_component_emb",
+    "pca_scores_emb",
 ]
 
 
