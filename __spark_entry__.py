@@ -7645,6 +7645,107 @@ def multimodal_features_kernel(spark, sf_dir):
     )
 
 
+# planted gradient images for the aHash entry: pixel (x, y) of image
+# (id, w, h, a, b) has r = g = b = (a*x + b*y) % 256 — byte-exact
+# regenerable by SQL arithmetic, so the oracle can recompute the hash
+# without parsing bytes. ids 0 and 1 are the SAME pixels in two
+# FORMATS (PPM vs BMP): their hashes must collide.
+_AHASH_IMGS = [(0, 32, 24, 3, 5), (1, 32, 24, 3, 5), (2, 16, 16, 7, 1),
+               (3, 64, 32, 0, 9), (4, 8, 8, 250, 13)]
+
+
+def _ahash_demo_media(spark):
+    import struct
+
+    def px(w, h, a, b):
+        return [[(a * x + b * y) % 256 for x in range(w)] for y in range(h)]
+
+    def ppm(w, h, a, b):
+        body = bytearray()
+        for row in px(w, h, a, b):
+            for v in row:
+                body += bytes((v, v, v))
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes(body)
+
+    def bmp(w, h, a, b):
+        stride = (w * 3 + 3) & ~3
+        raster = bytearray()
+        for row in reversed(px(w, h, a, b)):  # bottom-up storage
+            line = b"".join(bytes((v, v, v)) for v in row)
+            raster += line + b"\0" * (stride - len(line))
+        header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                           0, 0, 0, 0)
+        return header + info + bytes(raster)
+
+    rows = []
+    for (i, w, h, a, b) in _AHASH_IMGS:
+        payload = bmp(w, h, a, b) if i == 1 else ppm(w, h, a, b)
+        rows.append((i, "image", payload, "image/x-demo", w, h, None))
+    rows.append((5, "image", b"P6\n9 9\n255\n\x00", "image/x-demo", 9, 9, None))
+    rows.append((6, "audio", b"\x01\x02", "audio/wav", None, None, 900))
+    from pd_explain_spark.functions.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).limit(len(rows))
+
+
+@_q(
+    "image_ahash_planted",
+    f"""WITH imgs(id, w, h, a, b) AS (
+         VALUES {", ".join(f"({i}, {w}, {h}, {a}, {b})" for (i, w, h, a, b) in _AHASH_IMGS)}
+       ), xs AS (
+         SELECT id, w, h, a, b, unnest(generate_series(0, w - 1)) AS x
+         FROM imgs
+       ), px AS MATERIALIZED (
+         SELECT id, x, unnest(generate_series(0, h - 1)) AS y,
+                3 * ((a * x + b * unnest(generate_series(0, h - 1))) % 256) AS l
+         FROM xs
+       ), cells AS (
+         SELECT i.id, cx.cx, cy.cy,
+                (cx.cx * i.w) // 8 AS x0,
+                greatest((cx.cx * i.w) // 8 + 1, ((cx.cx + 1) * i.w) // 8) AS x1,
+                (cy.cy * i.h) // 8 AS y0,
+                greatest((cy.cy * i.h) // 8 + 1, ((cy.cy + 1) * i.h) // 8) AS y1
+         FROM imgs i, generate_series(0, 7) cx(cx), generate_series(0, 7) cy(cy)
+       ), cs AS (
+         SELECT c.id, c.cx, c.cy, sum(p.l)::BIGINT AS s, count(*)::BIGINT AS n
+         FROM cells c JOIN px p
+           ON p.id = c.id AND p.x >= c.x0 AND p.x < c.x1
+          AND p.y >= c.y0 AND p.y < c.y1
+         GROUP BY 1, 2, 3
+       ), tt AS (
+         SELECT id, sum(s)::BIGINT AS ts, sum(n)::BIGINT AS tn FROM cs GROUP BY 1
+       ), bits AS (
+         SELECT cs.id, cs.cy * 8 + cs.cx AS bit
+         FROM cs JOIN tt USING (id)
+         WHERE cs.s * tt.tn > tt.ts * cs.n
+       )
+       SELECT i.id::BIGINT AS media_id,
+              CAST(coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                                     ELSE (1::BIGINT << bit) END), 0) AS BIGINT)
+                AS ahash
+       FROM imgs i LEFT JOIN bits b ON b.id = i.id
+       GROUP BY 1""",
+)
+def image_ahash_planted_q(spark, sf_dir):
+    """Perceptual average-hash over the REAL image decode path
+    (functions/multimodal.py image_ahash): five planted gradient images
+    — ids 0/1 are identical pixels in two FORMATS (PPM vs BMP, so the
+    format-crossing dup collides), plus a truncated payload and an
+    audio row that must hash NULL and drop. The hash is exact integer
+    arithmetic (block sums + cross-multiplied mean threshold) inside
+    the Arrow mapInPandas pipeline; the oracle REGENERATES the pixels
+    from the (a*x + b*y) % 256 formula and recomputes the hash in SQL
+    — a match proves the byte-level PPM/BMP decoders and the hash
+    arithmetic end to end. At corpus scale this is per-row scan-stage
+    work; dup grouping is one keyed equi-join on the 64-bit signature
+    (ahash_pairs)."""
+    from pd_explain_spark.functions.multimodal import image_ahash
+
+    media = _ahash_demo_media(spark)
+    return image_ahash(media).filter(F.col("ahash").isNotNull())
+
+
 # ---------------------------------------------------------------- mini-language (§2.3)
 @_q(
     "mini_language_query",

@@ -384,3 +384,135 @@ def make_demo_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def _ahash_from_get(w: int, h: int, get, hd: int = 8) -> int:
+    """Average hash (aHash) from a decoded pixel accessor: partition the
+    image into an hd x hd grid of EXACT block sums (cell boundaries
+    floor(k*dim/hd); images smaller than the grid sample nearest
+    pixels), set bit (cy*hd+cx) when the cell's mean luma (r+g+b)
+    exceeds the global mean — compared by integer cross-multiplication
+    (cell_sum * total_count > total_sum * cell_count), so the hash is
+    exact integer arithmetic end to end and any engine that can
+    regenerate the pixels reproduces it bit-for-bit. Returned as a
+    signed 64-bit value (bit 63 contributes -2^63)."""
+    sums = [[0] * hd for _ in range(hd)]
+    cnts = [[0] * hd for _ in range(hd)]
+    for cy in range(hd):
+        y0 = cy * h // hd
+        y1 = max(y0 + 1, (cy + 1) * h // hd)
+        for cx in range(hd):
+            x0 = cx * w // hd
+            x1 = max(x0 + 1, (cx + 1) * w // hd)
+            s = 0
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    r, g, b = get(x, y)
+                    s += r + g + b
+            sums[cy][cx] = s
+            cnts[cy][cx] = (y1 - y0) * (x1 - x0)
+    total = sum(map(sum, sums))
+    tcnt = sum(map(sum, cnts))
+    hval = 0
+    for cy in range(hd):
+        for cx in range(hd):
+            if sums[cy][cx] * tcnt > total * cnts[cy][cx]:
+                hval |= 1 << (cy * hd + cx)
+    if hval >= 1 << 63:
+        hval -= 1 << 64
+    return hval
+
+
+def _image_ahash_one(payload: bytes | None, hd: int = 8) -> int | None:
+    """Hash one image payload via the real decode dispatch (builtin
+    PPM/BMP, then Pillow when importable); None for missing/corrupt
+    payloads — the corrupt-row contract shared with extract_features."""
+    if not payload:
+        return None
+    if _builtin_supported(payload):
+        try:
+            w, h, get = _builtin_decode(payload)
+        except ValueError:
+            return None
+        return _ahash_from_get(w, h, get, hd)
+    if HAS_PIL:
+        import io
+
+        try:
+            img = _PILImage.open(io.BytesIO(bytes(payload))).convert("RGB")
+        except Exception:
+            return None
+        px = img.load()
+
+        def get(x: int, y: int):
+            return px[x, y]
+
+        return _ahash_from_get(img.width, img.height, get, hd)
+    raise NotImplementedError(
+        "media decoding beyond PPM/BMP requires Pillow, which is not "
+        "present in this environment"
+    )
+
+
+def image_ahash(df: DataFrame, hash_dim: int = 8) -> DataFrame:
+    """Perceptual average-hash over an image media table (MEDIA_SCHEMA
+    subset: media_id, kind, payload): (media_id, ahash) for every image
+    row, NULL for undecodable payloads. aHash is the standard cheap
+    near-dup signature for images — identical content re-encoded
+    (PPM vs BMP), block-preserving rescales, and minor brightness-
+    uniform noise all collide, so exact grouping on the hash finds the
+    re-encode/resize duplicate class without pairwise comparison.
+
+    Scale shape: per-row scan-stage work inside Arrow-batched
+    mapInPandas (the extract_features pipeline contract) — no shuffle;
+    block sums are exact integers, so the hash is engine-portable.
+    Megapixel sources: compose with resize_images first to bound
+    per-row decode cost."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for _, row in pdf.iterrows():
+                ids.append(row["media_id"])
+                if row["kind"] != "image":
+                    hashes.append(None)
+                    continue
+                p = row["payload"]
+                hashes.append(
+                    _image_ahash_one(bytes(p) if p is not None else None, hash_dim)
+                )
+            # nullable Int64, NOT a plain list: a None in the column would
+            # coerce to float64 and silently round hashes beyond 2^53
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_pairs(hashes: DataFrame) -> DataFrame:
+    """Duplicate-image pairs from an image_ahash table: (id_a, id_b)
+    with equal hashes, a < b — one keyed equi-join on the 64-bit
+    signature (map-side combinable, no all-pairs work; NULL hashes
+    never match)."""
+    a = hashes.filter(F.col("ahash").isNotNull()).select(
+        F.col("media_id").alias("id_a"), F.col("ahash").alias("__h")
+    )
+    b = hashes.filter(F.col("ahash").isNotNull()).select(
+        F.col("media_id").alias("id_b"), F.col("ahash").alias("__h")
+    )
+    return (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )

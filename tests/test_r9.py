@@ -347,3 +347,75 @@ def test_dataset_checksum_order_invariant_and_sensitive(spark):
     assert (empty["n_rows"], empty["checksum"]) == (0, 0)
     with pytest.raises(ValueError, match="no columns"):
         dataset_checksum(df, [])
+
+
+def test_image_ahash_format_crossing_dups_and_nulls(spark):
+    """aHash over the REAL decode path: the same pixels encoded as PPM
+    and BMP collide (format-crossing dup), a different gradient does
+    not, audio/corrupt rows hash NULL, and hashes beyond 2^53 survive
+    the Arrow path exactly (a None in the batch must not coerce the
+    column to float64 — regression for the Int64-dtype fix)."""
+    from pd_explain_spark.functions.multimodal import (
+        _image_ahash_one,
+        ahash_pairs,
+        image_ahash,
+    )
+
+    def pixels(w, h, a, b):
+        return [[(a * x + b * y) % 256 for x in range(w)] for y in range(h)]
+
+    def as_ppm(px):
+        h, w = len(px), len(px[0])
+        body = b"".join(bytes((v, v, v)) for row in px for v in row)
+        return b"P6\n%d %d\n255\n" % (w, h) + body
+
+    def as_bmp(px):
+        h, w = len(px), len(px[0])
+        stride = (w * 3 + 3) & ~3
+        raster = b""
+        for row in reversed(px):
+            line = b"".join(bytes((v, v, v)) for v in row)
+            raster += line + b"\0" * (stride - len(line))
+        header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                           0, 0, 0, 0)
+        return header + info + raster
+
+    g = pixels(16, 16, 7, 1)
+    media = spark.createDataFrame(
+        [
+            (0, "image", as_ppm(g), "image/x-portable-pixmap", 16, 16, None),
+            (1, "image", as_bmp(g), "image/bmp", 16, 16, None),
+            (2, "image", as_ppm(pixels(16, 16, 11, 3)), "x", 16, 16, None),
+            (3, "audio", b"\x00\x01", "audio/wav", None, None, 5),
+            (4, "image", b"P6\n4 4\n255\n\x00", "x", 4, 4, None),  # truncated
+        ],
+        schema=MM.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+    assert rows[0] == rows[1] and rows[0] is not None
+    assert rows[2] is not None and rows[2] != rows[0]
+    assert rows[3] is None and rows[4] is None
+    # the planted 16x16 gradient's hash needs > 53 bits: exactness pin
+    assert rows[0] == _image_ahash_one(as_ppm(g))
+    assert abs(rows[0]) > (1 << 53)
+    pairs = [(r["id_a"], r["id_b"]) for r in ahash_pairs(image_ahash(media)).collect()]
+    assert pairs == [(0, 1)]
+
+
+def test_image_ahash_survives_block_preserving_rescale(spark):
+    """A nearest-neighbor 2x downscale of a block-constant image keeps
+    every 8x8 cell mean, so the resized copy collides with the source —
+    the resize-dup case aHash exists to catch."""
+    from pd_explain_spark.functions.multimodal import (
+        _builtin_resize,
+        _image_ahash_one,
+    )
+
+    # 32x32, constant within each 4x4 tile -> any aligned subsample
+    # preserves cell structure
+    px = [[((x // 4) * 37 + (y // 4) * 11) % 256 for x in range(32)] for y in range(32)]
+    body = b"".join(bytes((v, v, v)) for row in px for v in row)
+    src = b"P6\n32 32\n255\n" + body
+    small = _builtin_resize(src, 16, 16)
+    assert _image_ahash_one(src) == _image_ahash_one(small)
