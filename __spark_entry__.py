@@ -8820,12 +8820,15 @@ _RECORD_FIRST = [
     #   5 family-forced members (their family has no staler
     #      oracle-backed candidate; exact_quantiles_lineitem doubles as
     #      changed-code re-proof for the r9 per-sub-bin narrowing fix).
-    # r10 rotation pool, priority order: (1) the TEN oracle entries
+    # r10 rotation pool, priority order: (1) the SIXTEEN oracle entries
     # added AFTER this window froze — intra_doc_dedup_docs,
     # url_canonical_planted, url_dedup_planted, dedup_recall_winnow,
     # dedup_sweep_winnow, join_profile_orders_customer,
     # curation_funnel_docs, compact_roundtrip, curriculum_order_docs,
-    # dataset_checksum_docs —
+    # dataset_checksum_docs, and the third-wave six:
+    # k_anonymity_customer, k_anonymize_customer, mad_anomalies_events
+    # (each sf0.01-green), pca_component_emb, pca_scores_emb (green at
+    # sf0.001/0.01/0.1), image_ahash_planted (sf0.01-green) —
     # plus any new r10 entries (each oracle-green locally via
     # scripts/check_oracles.py at sf0.01);
     # (2) the 19 remaining r05-stale re-checks: assign_splits,

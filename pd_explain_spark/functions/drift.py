@@ -375,12 +375,39 @@ def _weighted_median(vc: DataFrame, by: list[str], v: str, c: str) -> DataFrame:
     )
 
 
+def robust_stats(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+) -> DataFrame:
+    """The per-group (``*by``, med, mad) baseline table of
+    :func:`robust_anomalies`, exposed for the fit-once / score-many
+    deployment (the source_gates / quantile_trim(bounds=) pattern): fit
+    on a trusted batch period, score live batches — or a STREAM, since
+    scoring is a stateless stream-static join — against the frozen
+    baseline. Groups with MAD = 0 are dropped here (they can never be
+    scored)."""
+    if not by:
+        raise ValueError("robust_stats: by must be non-empty")
+    vals = df.filter(F.col(value_col).isNotNull())
+    vc = vals.groupBy(*by, F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    med = _weighted_median(vc, by, "__v", "__c").withColumnRenamed("__med", "med")
+    dev = vc.join(med, by).select(
+        *by, F.abs(F.col("__v") - F.col("med")).alias("__dv"), "__c"
+    )
+    mad = _weighted_median(dev, by, "__dv", "__c").withColumnRenamed("__med", "mad")
+    return med.join(mad, by).filter(F.col("mad") > 0)
+
+
 def robust_anomalies(
     df: DataFrame,
     value_col: str,
     by: list[str],
     z_thresh: float = 3.5,
     scale: int = 1_000_000,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Robust per-group outlier flags via the modified z-score
     (Iglewicz & Hoaglin 1993): z = 0.6745 * (x - median) / MAD, flag
@@ -404,19 +431,18 @@ def robust_anomalies(
     over that compressed table, never a global sort. The per-group
     (med, mad) stats table is bounded by group cardinality, so AQE
     broadcasts it into the second, flagging scan — the corpus itself
-    never shuffles."""
+    never shuffles.
+
+    Pass ``stats=`` (a :func:`robust_stats` table, typically fit on a
+    trusted reference period) to SKIP the fit and only score: the
+    scoring plan is stateless (stream-static join + scan-stage
+    arithmetic), so it runs unchanged over a readStream — the
+    continuous deployment shape, parity-tested in test_streaming."""
     if not by:
         raise ValueError("robust_anomalies: by must be non-empty")
     vals = df.filter(F.col(value_col).isNotNull())
-    vc = vals.groupBy(*by, F.col(value_col).alias("__v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__c")
-    )
-    med = _weighted_median(vc, by, "__v", "__c").withColumnRenamed("__med", "med")
-    dev = vc.join(med, by).select(
-        *by, F.abs(F.col("__v") - F.col("med")).alias("__dv"), "__c"
-    )
-    mad = _weighted_median(dev, by, "__dv", "__c").withColumnRenamed("__med", "mad")
-    stats = med.join(mad, by).filter(F.col("mad") > 0)
+    if stats is None:
+        stats = robust_stats(df, value_col, by)
     z = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
     return (
         vals.join(stats, by)

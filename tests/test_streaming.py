@@ -780,3 +780,39 @@ def test_stream_url_dedup_and_intra_doc_parity(spark, tmp_path):
     got2 = {tuple(r) for r in spark.sql("select * from idq").collect()}
     want2 = {tuple(r) for r in dedup_within_doc(spark.read.parquet(docs_dir), k=2).collect()}
     assert got2 == want2 and len(want2) > 0
+
+
+def test_stream_mad_anomalies_match_batch(spark, events_dir):
+    """Streaming robust-anomaly scoring (r9 third wave): scoring a
+    replayed stream against a FROZEN robust_stats baseline (the
+    fit-once / score-many deployment) flags exactly the rows the batch
+    flavor flags with the same stats — the scoring plan is a stateless
+    stream-static join, so stream and batch run the identical
+    arithmetic."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.drift import robust_anomalies, robust_stats
+
+    raw = spark.read.parquet(events_dir)
+    batch = raw.select("event_id", F.hour("ts").alias("hr"), "value")
+    stats = robust_stats(batch, "value", ["hr"])
+    want = sorted(
+        (r["event_id"], r["z_micro"])
+        for r in robust_anomalies(batch, "value", ["hr"], stats=stats).collect()
+    )
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .parquet(events_dir)
+        .select("event_id", F.hour("ts").alias("hr"), "value")
+    )
+    out = robust_anomalies(stream, "value", ["hr"], stats=stats)
+    q = (
+        out.writeStream.format("memory").queryName("mad_q")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["z_micro"])
+        for r in spark.sql("select * from mad_q").collect()
+    )
+    assert got == want and len(want) > 0
