@@ -3289,6 +3289,56 @@ def k_anonymize_customer_q(spark, sf_dir):
 
 
 @_q(
+    "k_generalize_customer",
+    """WITH b AS (
+         SELECT c_custkey,
+                c_nationkey::VARCHAR AS n0, c_mktsegment AS s0,
+                CAST(floor(c_acctbal / 1000.0) AS BIGINT)::VARCHAR AS a0,
+                CAST(floor(c_acctbal / 5000.0) AS BIGINT)::VARCHAR AS a1
+         FROM customer
+       ), c0 AS (
+         SELECT n0, s0, a0, count(*)::BIGINT AS k0 FROM b GROUP BY 1, 2, 3
+       ), c1 AS (
+         SELECT n0, s0, a1, count(*)::BIGINT AS k1 FROM b GROUP BY 1, 2, 3
+       ), c2 AS (
+         SELECT n0, s0, count(*)::BIGINT AS k2 FROM b GROUP BY 1, 2
+       ), j AS (
+         SELECT b.*, c0.k0, c1.k1, c2.k2
+         FROM b JOIN c0 USING (n0, s0, a0)
+                JOIN c1 USING (n0, s0, a1)
+                JOIN c2 USING (n0, s0)
+       )
+       SELECT c_custkey,
+              CASE WHEN k0 >= 3 THEN 0 WHEN k1 >= 3 THEN 1 ELSE 2 END AS level,
+              n0 AS nation, s0 AS seg,
+              CASE WHEN k0 >= 3 THEN a0 WHEN k1 >= 3 THEN a1 ELSE '*' END AS acct
+       FROM j WHERE k0 >= 3 OR k1 >= 3 OR k2 >= 3""",
+)
+def k_generalize_customer_q(spark, sf_dir):
+    """Generalization-ladder k-anonymization (functions/profiling.py
+    k_anonymize_generalize): every customer keeps the FIRST encoding
+    level whose full-corpus equivalence class reaches k=3 — exact
+    account kilobucket, then 5k bucket, then the bucket generalized
+    away — and only rows failing all three suppress. Local recoding
+    with full-domain counts: utility degrades per ROW, not per table
+    (the plain-suppression sibling k_anonymize_customer drops every
+    at-risk row instead). Three bounded count tables join back with
+    AQE picking broadcast; the corpus scans once."""
+    from pd_explain_spark.functions.profiling import k_anonymize_generalize
+
+    c = _t(spark, sf_dir, "customer")
+    nation, seg = F.col("c_nationkey"), F.col("c_mktsegment")
+    levels = [
+        {"nation": nation, "seg": seg,
+         "acct": F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")},
+        {"nation": nation, "seg": seg,
+         "acct": F.floor(F.col("c_acctbal") / F.lit(5000.0)).cast("bigint")},
+        {"nation": nation, "seg": seg},
+    ]
+    return k_anonymize_generalize(c, levels, k=3, keep_cols=["c_custkey"])
+
+
+@_q(
     "mad_anomalies_events",
     """WITH e AS (
          SELECT event_id, CAST(extract(hour FROM ts) AS INTEGER) AS hr, value

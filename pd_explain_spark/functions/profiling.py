@@ -350,3 +350,73 @@ def k_anonymize(
         piece = F.col(c).eqNullSafe(F.col(f"__ka_{c}"))
         cond = piece if cond is None else cond & piece
     return df.join(keep, cond, "inner").drop(*[f"__ka_{c}" for c in quasi_cols])
+
+def k_anonymize_generalize(
+    df: DataFrame,
+    levels: list[dict],
+    k: int = 5,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """k-anonymization by generalization ladder: ``levels`` is a list of
+    quasi-identifier encodings, coarsest last — each a dict mapping the
+    OUTPUT quasi name to a Column expression for that level (omit a name
+    to generalize it away entirely; it emits ``*``). Every row keeps the
+    FIRST level whose equivalence class — counted over the WHOLE corpus
+    at that level — reaches ``k`` members; rows failing every level are
+    suppressed. Returns ``keep_cols`` (default: all original columns) +
+    ``level`` + one string column per quasi name holding the row's
+    generalized value. Each row is generalized only as far as it needs
+    (local recoding with full-domain counts), so utility degrades per
+    row, not per table.
+
+    Scale shape: ONE derived-column corpus frame; per level one
+    map-combining groupBy (bounded by class cardinality) joined back
+    null-safely with AQE picking broadcast — L levels cost L bounded
+    count tables, the corpus scans once and never shuffles when the
+    class tables broadcast."""
+    if not levels:
+        raise ValueError("k_anonymize_generalize: levels must be non-empty")
+    if k < 1:
+        raise ValueError(f"k_anonymize_generalize: k must be >= 1, got {k}")
+    names = list(levels[0].keys())
+    for lv in levels:
+        if not set(lv.keys()) <= set(names):
+            raise ValueError(
+                "k_anonymize_generalize: every level's quasi names must be "
+                f"a subset of level 0's {names}, got {sorted(lv.keys())}"
+            )
+    keep_cols = list(df.columns) if keep_cols is None else list(keep_cols)
+    base = df
+    qcols: list[list[str]] = []
+    for li, lv in enumerate(levels):
+        cols = []
+        for name in names:
+            c = f"__q{li}_{name}"
+            expr = lv[name].cast("string") if name in lv else F.lit("*")
+            base = base.withColumn(c, expr)
+            cols.append(c)
+        qcols.append(cols)
+    out = base
+    for li, cols in enumerate(qcols):
+        cnt = (
+            base.groupBy(*[F.col(c) for c in cols])
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"__k{li}"))
+            .select(*[F.col(c).alias(f"__r{c}") for c in cols], f"__k{li}")
+        )
+        cond = None
+        for c in cols:
+            piece = F.col(c).eqNullSafe(F.col(f"__r{c}"))
+            cond = piece if cond is None else cond & piece
+        out = out.join(cnt, cond, "left").drop(*[f"__r{c}" for c in cols])
+    passes = [F.col(f"__k{li}") >= F.lit(k) for li in range(len(levels))]
+    level = F.lit(None).cast("int")
+    for li in range(len(levels) - 1, -1, -1):
+        level = F.when(passes[li], F.lit(li)).otherwise(level)
+    out = out.withColumn("level", level).filter(F.col("level").isNotNull())
+    picked = []
+    for name in names:
+        v = F.lit(None).cast("string")
+        for li in range(len(levels) - 1, -1, -1):
+            v = F.when(F.col("level") == li, F.col(f"__q{li}_{name}")).otherwise(v)
+        picked.append(v.alias(name))
+    return out.select(*keep_cols, "level", *picked)

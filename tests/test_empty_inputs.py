@@ -86,6 +86,7 @@ FLOW_THROUGH = [
     # zero flagged rows
     "k_anonymity_customer",
     "k_anonymize_customer",
+    "k_generalize_customer",
     "mad_anomalies_events",
 ]
 

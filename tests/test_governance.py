@@ -75,3 +75,47 @@ def test_robust_anomalies_ignores_nulls_and_validates(spark):
     assert robust_anomalies(df, "value", by=["g"]).count() == 0
     with pytest.raises(ValueError):
         robust_anomalies(df, "value", by=[])
+
+
+def test_k_anonymize_generalize_picks_minimal_level(spark):
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.profiling import k_anonymize_generalize
+
+    # ages: 3x 21 (safe at level 0), 22 + 23 + 24 (each a singleton at
+    # level 0; 22/23/24 share decade 2 -> safe at level 1), 99 (alone
+    # even in its decade -> safe only with age generalized away at
+    # level 2 among "US"), 50 in country "ZZ" (alone everywhere ->
+    # suppressed)
+    rows = [(1, "US", 21), (2, "US", 21), (3, "US", 21),
+            (4, "US", 22), (5, "US", 23), (6, "US", 24),
+            (7, "US", 99), (8, "ZZ", 50)]
+    df = spark.createDataFrame(rows, "id INT, country STRING, age INT")
+    levels = [
+        {"country": F.col("country"), "age": F.col("age")},
+        {"country": F.col("country"), "age": F.floor(F.col("age") / 10)},
+        {"country": F.col("country")},
+    ]
+    out = {r["id"]: r for r in
+           k_anonymize_generalize(df, levels, k=3, keep_cols=["id"]).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5, 6, 7]      # ZZ row suppressed
+    assert {out[i]["level"] for i in (1, 2, 3)} == {0}
+    assert {out[i]["level"] for i in (4, 5, 6)} == {1}
+    assert out[4]["age"] == "2" and out[1]["age"] == "21"
+    assert out[7]["level"] == 2 and out[7]["age"] == "*"
+    assert out[7]["country"] == "US"
+
+
+def test_k_anonymize_generalize_validates(spark):
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.profiling import k_anonymize_generalize
+
+    df = spark.createDataFrame([(1, "a")], "id INT, g STRING")
+    with pytest.raises(ValueError):
+        k_anonymize_generalize(df, [], k=2)
+    with pytest.raises(ValueError):
+        k_anonymize_generalize(df, [{"g": F.col("g")}], k=0)
+    with pytest.raises(ValueError):
+        # level 1 introduces a quasi name level 0 doesn't have
+        k_anonymize_generalize(df, [{"g": F.col("g")}, {"h": F.col("g")}], k=2)
