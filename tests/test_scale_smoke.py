@@ -147,6 +147,16 @@ ENTRIES = [
     "compact_roundtrip",
     "curriculum_order_docs",
     "dedup_sweep_winnow",  # same pair class as dedup_recall_winnow
+    # r9 third-wave additions: MAD anomalies are one compressed-count
+    # shuffle + two weighted-median walks + a broadcast-stats flagging
+    # scan (flag count grows ~linearly with data); PCA is one Arrow
+    # Gram pass (O(dim^2) per-partition partials) + a fixed 12-step
+    # driver iteration, then one projection scan for the scores entry.
+    # k-anonymity entries run on customer (a DIM — copied unscaled) and
+    # image_ahash_planted is a fixed planted frame: nothing to scale.
+    "mad_anomalies_events",
+    "pca_component_emb",
+    "pca_scores_emb",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
