@@ -3339,6 +3339,114 @@ def k_generalize_customer_q(spark, sf_dir):
 
 
 @_q(
+    "l_diversity_customer",
+    """SELECT c_nationkey, c_mktsegment,
+              count(*)::BIGINT AS class_size,
+              count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))::BIGINT
+                AS n_sensitive,
+              count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 5
+                AS at_risk
+       FROM customer GROUP BY 1, 2""",
+)
+def l_diversity_customer_q(spark, sf_dir):
+    """l-diversity audit (functions/profiling.py l_diversity_report):
+    k-anonymity's blind spot is a big class with a CONSTANT sensitive
+    value — class size hides nobody when everyone shares the secret.
+    Per (nation, segment) class: size, distinct sensitive account
+    kilobuckets, and at_risk when fewer than l=5 distinct values
+    appear. One map-combining groupBy + count_distinct, output bounded
+    by class cardinality."""
+    from pd_explain_spark.functions.profiling import l_diversity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("acct_kilo"),
+    )
+    return l_diversity_report(c, ["c_nationkey", "c_mktsegment"], "acct_kilo", l=5)
+
+
+@_q(
+    "event_funnel_events",
+    """WITH ev AS (
+         SELECT user_id AS u, event_type AS t, ts
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       ), s0 AS (
+         SELECT u, min(ts) AS t0 FROM ev WHERE t = 'view' GROUP BY 1
+       ), s1 AS (
+         SELECT ev.u, min(ev.ts) AS t1
+         FROM ev JOIN s0 ON ev.u = s0.u
+         WHERE ev.t = 'click' AND ev.ts > s0.t0 GROUP BY 1
+       ), s2 AS (
+         SELECT ev.u, min(ev.ts) AS t2
+         FROM ev JOIN s1 ON ev.u = s1.u
+         WHERE ev.t = 'purchase' AND ev.ts > s1.t1 GROUP BY 1
+       ), n AS (
+         SELECT (SELECT count(*) FROM s0)::BIGINT AS n0,
+                (SELECT count(*) FROM s1)::BIGINT AS n1,
+                (SELECT count(*) FROM s2)::BIGINT AS n2
+       )
+       SELECT x.step_order, x.step, x.n_users,
+              CASE WHEN n.n0 > 0 THEN
+                CAST(floor(x.n_users::DOUBLE / n.n0::DOUBLE * 1000000.0 + 0.5)
+                     AS BIGINT)
+              END AS conversion_micro
+       FROM n, (
+         SELECT 0 AS step_order, 'view' AS step, n0 AS n_users FROM n
+         UNION ALL SELECT 1, 'click', n1 FROM n
+         UNION ALL SELECT 2, 'purchase', n2 FROM n
+       ) x""",
+)
+def event_funnel_events_q(spark, sf_dir):
+    """Ordered conversion funnel (functions/events.py event_funnel):
+    view -> click -> purchase with the first-touch convention — step i
+    counts users whose step-i event lands STRICTLY AFTER their earliest
+    step-(i-1) completion, so this is an order-respecting funnel, not a
+    per-type count. Each stage is one user-keyed min-aggregate over a
+    type-pruned scan joined to the previous stage's bounded (user, ts)
+    table; conversion ships in integer micro-units."""
+    from pd_explain_spark.functions.events import event_funnel
+
+    return event_funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@_q(
+    "cohort_retention_events",
+    """WITH ev AS (
+         SELECT user_id AS u, CAST(ts AS DATE) AS d
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       ), dist AS (
+         SELECT DISTINCT u, d FROM ev
+       ), cohort AS (
+         SELECT u, min(d) AS c FROM dist GROUP BY 1
+       ), hits AS (
+         SELECT c, (dist.d - cohort.c) AS day_offset,
+                count(DISTINCT dist.u)::BIGINT AS n_users
+         FROM dist JOIN cohort USING (u) GROUP BY 1, 2
+       ), base AS (
+         SELECT c, n_users AS n0 FROM hits WHERE day_offset = 0
+       )
+       SELECT strftime(h.c, '%Y-%m-%d') AS cohort_day,
+              h.day_offset::INT AS day_offset, h.n_users,
+              CAST(floor(h.n_users::DOUBLE / b.n0::DOUBLE * 1000000.0 + 0.5)
+                   AS BIGINT) AS retention_micro
+       FROM hits h JOIN base b USING (c)""",
+)
+def cohort_retention_events_q(spark, sf_dir):
+    """Day-cohort retention (functions/events.py cohort_retention):
+    cohort = the calendar day of each user's first event; per (cohort,
+    offset) the distinct returning users and the ratio vs the cohort
+    size. One bounded cohort table, ONE event-volume shuffle (the
+    (user, day) distinct), then a user-keyed join and a (cohort,
+    offset) count — the offsets spine grows with time, not volume."""
+    from pd_explain_spark.functions.events import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@_q(
     "mad_anomalies_events",
     """WITH e AS (
          SELECT event_id, CAST(extract(hour FROM ts) AS INTEGER) AS hr, value

@@ -420,3 +420,26 @@ def k_anonymize_generalize(
             v = F.when(F.col("level") == li, F.col(f"__q{li}_{name}")).otherwise(v)
         picked.append(v.alias(name))
     return out.select(*keep_cols, "level", *picked)
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007): k-anonymity's blind
+    spot is a large class whose SENSITIVE value is constant — size
+    hides nobody when everyone in the class shares the secret. One row
+    per quasi equivalence class: class_size, n_sensitive (distinct
+    non-NULL sensitive values), at_risk = n_sensitive < l. Run it next
+    to k_anonymity_report before releasing structured columns alongside
+    a sensitive attribute. One map-combining groupBy with a
+    count_distinct; output bounded by class cardinality."""
+    if not quasi_cols:
+        raise ValueError("l_diversity_report: quasi_cols must be non-empty")
+    if l < 1:
+        raise ValueError(f"l_diversity_report: l must be >= 1, got {l}")
+    return df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.count_distinct(F.col(sensitive)).cast("bigint").alias("n_sensitive"),
+    ).withColumn("at_risk", F.col("n_sensitive") < F.lit(l))

@@ -88,6 +88,8 @@ FLOW_THROUGH = [
     "k_anonymize_customer",
     "k_generalize_customer",
     "mad_anomalies_events",
+    "l_diversity_customer",
+    "cohort_retention_events",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError
@@ -138,6 +140,12 @@ def test_one_row_reports_on_empty_corpus(spark, empty_dir):
     assert len(prof) == 3 and all(r["n_rows"] == 0 for r in prof)
     cons = m.queries()["check_constraints_lineitem"](spark, empty_dir).collect()
     assert len(cons) == 3 and all(r["passed"] for r in cons)
+    # the funnel keeps its one-row-per-step shape with zero counts and a
+    # NULL conversion (no step-0 users to divide by)
+    fun = m.queries()["event_funnel_events"](spark, empty_dir).collect()
+    assert len(fun) == 3 and all(
+        r["n_users"] == 0 and r["conversion_micro"] is None for r in fun
+    )
 
 
 def test_empty_result_schema_inherits_id_type(spark):

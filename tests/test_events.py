@@ -1,0 +1,71 @@
+"""Product-analytics operators (functions/events.py): ordered-funnel
+strictness and cohort-retention arithmetic on planted event logs."""
+
+import datetime as dt
+
+import pytest
+
+from pd_explain_spark.functions.events import cohort_retention, event_funnel
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 3, day, hour)
+
+
+def test_event_funnel_respects_order_and_strictness(spark):
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "view", _ts(1, 1)), (1, "click", _ts(1, 2)), (1, "purchase", _ts(1, 3)),
+        # u2's only click is BEFORE its view -> stops at view
+        (2, "click", _ts(1, 1)), (2, "view", _ts(1, 2)),
+        # u3 stops at click (no purchase)
+        (3, "view", _ts(2, 1)), (3, "click", _ts(2, 2)),
+        # u4 purchases without ever viewing -> counts nowhere
+        (4, "purchase", _ts(1, 1)),
+        # u5: click at the SAME timestamp as view -> strictly-after fails
+        (5, "view", _ts(3, 4)), (5, "click", _ts(3, 4)),
+        # null user/ts rows are ignored
+        (None, "view", _ts(1, 1)), (6, "view", None),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, event_type STRING, ts TIMESTAMP")
+    out = {r["step"]: r for r in
+           event_funnel(df, ["view", "click", "purchase"]).collect()}
+    assert [out[s]["step_order"] for s in ("view", "click", "purchase")] == [0, 1, 2]
+    assert out["view"]["n_users"] == 4          # u1, u2, u3, u5
+    assert out["click"]["n_users"] == 2         # u1, u3
+    assert out["purchase"]["n_users"] == 1      # u1
+    assert out["view"]["conversion_micro"] == 1_000_000
+    assert out["click"]["conversion_micro"] == 500_000
+    assert out["purchase"]["conversion_micro"] == 250_000
+
+
+def test_event_funnel_empty_step0_and_guards(spark):
+    df = spark.createDataFrame(
+        [(1, "click", _ts(1))], "user_id INT, event_type STRING, ts TIMESTAMP"
+    )
+    out = {r["step"]: r for r in event_funnel(df, ["view", "click"]).collect()}
+    assert out["view"]["n_users"] == 0 and out["view"]["conversion_micro"] is None
+    assert out["click"]["n_users"] == 0
+    with pytest.raises(ValueError):
+        event_funnel(df, ["view"])
+    with pytest.raises(ValueError):
+        event_funnel(df, ["view", "view"])
+
+
+def test_cohort_retention_arithmetic(spark):
+    rows = [
+        (1, _ts(1, 1)), (1, _ts(1, 9)), (1, _ts(2, 1)),   # cohort d1, back on d2
+        (2, _ts(1, 5)),                                    # cohort d1, never back
+        (3, _ts(2, 3)), (3, _ts(4, 3)),                    # cohort d2, back at +2
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    got = {
+        (r["cohort_day"], r["day_offset"]): (r["n_users"], r["retention_micro"])
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-03-01", 0): (2, 1_000_000),
+        ("2024-03-01", 1): (1, 500_000),
+        ("2024-03-02", 0): (1, 1_000_000),
+        ("2024-03-02", 2): (1, 1_000_000),
+    }

@@ -119,3 +119,21 @@ def test_k_anonymize_generalize_validates(spark):
     with pytest.raises(ValueError):
         # level 1 introduces a quasi name level 0 doesn't have
         k_anonymize_generalize(df, [{"g": F.col("g")}, {"h": F.col("g")}], k=2)
+
+
+def test_l_diversity_flags_constant_sensitive_classes(spark):
+    from pd_explain_spark.functions.profiling import l_diversity_report
+
+    rows = [
+        ("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),   # big but constant
+        ("B", "x"), ("B", "y"),                            # small but diverse
+        ("C", None), ("C", None), ("C", "z"),              # NULLs don't count
+    ]
+    df = spark.createDataFrame(rows, "g STRING, s STRING")
+    got = {r["g"]: (r["class_size"], r["n_sensitive"], r["at_risk"])
+           for r in l_diversity_report(df, ["g"], "s", l=2).collect()}
+    assert got == {"A": (4, 1, True), "B": (2, 2, False), "C": (3, 1, True)}
+    with pytest.raises(ValueError):
+        l_diversity_report(df, [], "s")
+    with pytest.raises(ValueError):
+        l_diversity_report(df, ["g"], "s", l=0)

@@ -157,6 +157,10 @@ ENTRIES = [
     "mad_anomalies_events",
     "pca_component_emb",
     "pca_scores_emb",
+    # funnel: S-1 user-keyed joins over type-pruned scans; cohort: one
+    # (user, day) distinct shuffle + bounded cohort join — both ~linear
+    "event_funnel_events",
+    "cohort_retention_events",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
