@@ -8978,7 +8978,7 @@ _RECORD_FIRST = [
     #   5 family-forced members (their family has no staler
     #      oracle-backed candidate; exact_quantiles_lineitem doubles as
     #      changed-code re-proof for the r9 per-sub-bin narrowing fix).
-    # r10 rotation pool, priority order: (1) the SIXTEEN oracle entries
+    # r10 rotation pool, priority order: (1) the TWENTY oracle entries
     # added AFTER this window froze — intra_doc_dedup_docs,
     # url_canonical_planted, url_dedup_planted, dedup_recall_winnow,
     # dedup_sweep_winnow, join_profile_orders_customer,
@@ -8986,7 +8986,10 @@ _RECORD_FIRST = [
     # dataset_checksum_docs, and the third-wave six:
     # k_anonymity_customer, k_anonymize_customer, mad_anomalies_events
     # (each sf0.01-green), pca_component_emb, pca_scores_emb (green at
-    # sf0.001/0.01/0.1), image_ahash_planted (sf0.01-green) —
+    # sf0.001/0.01/0.1), image_ahash_planted (sf0.01-green), and the
+    # fourth-wave four (all sf0.01-green): k_generalize_customer,
+    # l_diversity_customer, event_funnel_events,
+    # cohort_retention_events —
     # plus any new r10 entries (each oracle-green locally via
     # scripts/check_oracles.py at sf0.01);
     # (2) the 19 remaining r05-stale re-checks: assign_splits,
