@@ -7331,6 +7331,45 @@ def pca_scores_emb_q(spark, sf_dir):
     return pca_topk(emb, fit, k=25)
 
 
+@_q(
+    "pca_residuals_emb",
+    _pca_cte(_PCA_ITERS)
+    + f""", dd AS (
+         SELECT sum(vq * vq) AS dn FROM v{_PCA_ITERS}
+       ), pa AS (
+         SELECT p.id,
+                sum((nn.n * p.x - s.s) * (nn.n * p.x - s.s)) AS a,
+                sum((nn.n * p.x - s.s) * v.vq) AS c
+         FROM pos p JOIN sm s USING (i) JOIN v{_PCA_ITERS} v USING (i), nn
+         GROUP BY 1
+       ), mm AS (
+         SELECT id, a * dd.dn - c * c AS m FROM pa, dd
+       )
+       SELECT mm.id AS vec_id,
+              CAST(floor(((CAST(m AS DOUBLE) / CAST(nn.n * nn.n AS DOUBLE))
+                          / CAST(dn AS DOUBLE))
+                         / 1000000000000.0 * 1000000.0 + 0.5) AS BIGINT)
+                AS resid2_micro
+       FROM mm, nn, dd
+       ORDER BY m DESC, vec_id LIMIT 25""",
+)
+def pca_residuals_emb_q(spark, sf_dir):
+    """Embedding anomaly detection via PCA residuals
+    (functions/linalg.py pca_residual_topk): the 25 vectors FURTHEST
+    from the corpus's dominant direction — off-manifold outliers
+    (corrupt encodes, wrong-modality rows) a curation pass inspects.
+    With nq = n*q - sums (the mean-centered vector scaled by n*scale),
+    A = Σ nq², C = nq·vq, D = Σ vq² are exact integers and the ranking
+    metric A*D - C² runs in DECIMAL(38,0) / HUGEINT — bit-identical in
+    both engines, ties broken on id. One scan-stage pass per row after
+    the shared moments fit; TakeOrdered 25."""
+    from pd_explain_spark.functions.linalg import pca_power_fit, pca_residual_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fit = pca_power_fit(emb, n_iter=_PCA_ITERS)
+    return pca_residual_topk(emb, fit, k=25)
+
+
 _SEMANTIC_ASSIGNED_CTE = """WITH cast_emb AS (
          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        ), hashed AS (

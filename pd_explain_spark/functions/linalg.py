@@ -54,6 +54,8 @@ __all__ = [
     "pca_component_table",
     "pca_project",
     "pca_topk",
+    "pca_residuals",
+    "pca_residual_topk",
 ]
 
 _CHUNK = 1 << 62
@@ -275,4 +277,79 @@ def pca_topk(
         pca_project(df, fit, id_col=id_col, vec_col=vec_col)
         .orderBy(F.col("score_q").desc(), F.col(id_col))
         .limit(k)
+    )
+
+def pca_residuals(
+    df: DataFrame,
+    fit: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual distance from the fitted principal direction — the
+    embedding ANOMALY score: vectors far from the corpus's dominant
+    direction are the off-manifold outliers a curation pass inspects
+    (corrupt encodes, wrong-modality rows, adversarial content).
+    Returns (id, resid2_micro) where resid2 = ||c||² - (c·v_unit)² of
+    the mean-centered vector, in data units², micro-rounded.
+
+    Exactness: with nq_i = n*q_i - sums_i (the mean-centered vector
+    scaled by n*scale — an exact integer), A = Σ nq_i², C = nq·vq and
+    D = Σ vq² are exact integers, and resid2 = (A*D - C²) /
+    (n²·scale²·D). A and the final products run in DECIMAL(38,0)
+    (A*D ≲ 1e35 at n=1e5-scale corpora — document the bound before
+    fitting larger corpora at scale=1e6), so the score reproduces
+    bit-for-bit in any engine with 128-bit integers. One scan-stage
+    pass per row — zero shuffle."""
+    scale, v_scale = fit["scale"], fit["v_scale"]
+    n, d = fit["n"], fit["dim"]
+    vq = fit["component_q"]
+    D = sum(x * x for x in vq)
+    K = sum(fit["sums"][j] * vq[j] for j in range(d))
+    dec = "decimal(38,0)"
+    sums_lit = F.array(*[F.lit(int(s)).cast("bigint") for s in fit["sums"]])
+    vq_lit = F.array(*[F.lit(int(x)).cast("bigint") for x in vq])
+    q = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("bigint"))
+    nq = F.zip_with(q, sums_lit, lambda a, b: a * F.lit(int(n)) - b)
+    a_sum = F.aggregate(
+        F.transform(nq, lambda x: x.cast(dec) * x),
+        F.lit(0).cast(dec),
+        lambda acc, x: acc + x,
+    )
+    c_val = F.aggregate(
+        F.zip_with(nq, vq_lit, lambda a, b: a.cast(dec) * b),
+        F.lit(0).cast(dec),
+        lambda acc, x: acc + x,
+    )
+    m = a_sum * F.lit(int(D)).cast(dec) - c_val * c_val
+    r2 = (
+        (m.cast("double") / F.lit(float(n * n)))
+        / F.lit(float(D))
+    ) / F.lit(float(scale * scale))
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        m.alias("__m"),
+        F.floor(r2 * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("resid2_micro"),
+    )
+
+
+def pca_residual_topk(
+    df: DataFrame,
+    fit: dict,
+    k: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The k vectors FURTHEST from the fitted principal direction —
+    ranked on the exact integer residual numerator (ties break on id),
+    so the cut is engine-reproducible even where micro-rounding
+    collides. TakeOrderedAndProject, never a global sort."""
+    if k < 1:
+        raise ValueError(f"pca_residual_topk: k must be >= 1, got {k}")
+    return (
+        pca_residuals(df, fit, id_col=id_col, vec_col=vec_col)
+        .orderBy(F.col("__m").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "resid2_micro")
     )

@@ -105,6 +105,7 @@ CLEAR_ERROR = [
     # PCA moments need >= 1 non-null vector (gram_moments raises)
     "pca_component_emb",
     "pca_scores_emb",
+    "pca_residuals_emb",
 ]
 
 

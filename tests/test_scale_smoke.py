@@ -161,6 +161,7 @@ ENTRIES = [
     # (user, day) distinct shuffle + bounded cohort join — both ~linear
     "event_funnel_events",
     "cohort_retention_events",
+    "pca_residuals_emb",  # Gram pass + one scan-stage residual pass
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
