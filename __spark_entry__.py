@@ -7252,6 +7252,102 @@ def _pca_cte(n_iter: int = 12, scale: int = 1_000_000, v_scale: int = 1_000_000)
 _PCA_ITERS = 12
 
 
+def _pca2_cte(n_iter: int = 12, v_scale: int = 1_000_000, r_scale: int = 1_000) -> str:
+    """Deflation stages on top of _pca_cte (functions/linalg.py
+    pca_second_component): PC1 re-quantized to max|r| = r_scale, the
+    deflated matrix C2 = floor((D2² C - N2 r rᵀ) / 1e12) in exact
+    HUGEINT with the one identical-rule down-rescale, then the same
+    power iteration unrolled over C2. Ends at ``u{n_iter}``."""
+    parts = [
+        f""", r0 AS MATERIALIZED (
+         SELECT i, CAST(floor(CAST(vq AS DOUBLE) / {r_scale}.0 + 0.5)
+                        AS HUGEINT) AS rq
+         FROM v{n_iter}
+       ), d2s AS MATERIALIZED (
+         SELECT sum(rq * rq) AS d2 FROM r0
+       ), n2s AS MATERIALIZED (
+         SELECT sum(r1.rq * c.c * r2.rq) AS n2
+         FROM cm c JOIN r0 r1 ON r1.i = c.i JOIN r0 r2 ON r2.i = c.j
+       ), c2m AS MATERIALIZED (
+         SELECT c.i, c.j,
+                CAST(floor(CAST(d2s.d2 * d2s.d2 * c.c
+                                - n2s.n2 * r1.rq * r2.rq AS DOUBLE)
+                           / 1000000000000.0) AS HUGEINT) AS c
+         FROM cm c JOIN r0 r1 ON r1.i = c.i JOIN r0 r2 ON r2.i = c.j,
+              d2s, n2s
+       ), u0 AS (
+         SELECT i, CAST({v_scale} AS HUGEINT) AS vq FROM dims
+       )"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f""", x{t} AS MATERIALIZED (
+         SELECT c.i, sum(c.c * v.vq) AS w
+         FROM c2m c JOIN u{t - 1} v ON v.i = c.j GROUP BY 1
+       ), mx{t} AS MATERIALIZED (
+         SELECT max(abs(w)) AS m FROM x{t}
+       ), u{t} AS MATERIALIZED (
+         SELECT i, CAST(floor(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+                              * {v_scale}.0 + 0.5) AS HUGEINT) AS vq
+         FROM x{t}, mx{t}
+       )"""
+        )
+    return "".join(parts)
+
+
+@_q(
+    "pca_component2_emb",
+    _pca_cte(_PCA_ITERS)
+    + _pca2_cte(_PCA_ITERS)
+    + f""", nd2 AS (
+         SELECT sum(v1.vq * c.c * v2.vq) AS nm
+         FROM cm c JOIN u{_PCA_ITERS} v1 ON v1.i = c.i
+                   JOIN u{_PCA_ITERS} v2 ON v2.i = c.j
+       ), dd2 AS (
+         SELECT sum(vq * vq) AS dn FROM u{_PCA_ITERS}
+       ), tr2 AS (
+         SELECT sum(c) AS t FROM cm WHERE i = j
+       )
+       SELECT CAST(v.i - 1 AS INT) AS dim,
+              CAST(v.vq AS BIGINT) AS loading2_q,
+              CAST(floor(((CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE))
+                          / CAST(nn.n * nn.n AS DOUBLE))
+                         / 1000000000000.0 * 1000000.0 + 0.5) AS BIGINT)
+                AS eigval2_micro,
+              CAST(floor((CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE))
+                         / CAST(t AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                AS evr2_micro
+       FROM u{_PCA_ITERS} v, nd2, dd2, tr2, nn""",
+)
+def pca_component2_emb_q(spark, sf_dir):
+    """Second principal component by exact-integer deflation
+    (functions/linalg.py pca_second_component): PC1 re-quantizes to a
+    coarser integer scale, the deflated matrix D2²·C − N2·r rᵀ (one
+    identical-rule 1e12 down-rescale keeps it inside 128-bit range)
+    feeds the SAME unrolled power iteration, and the eigenvalue /
+    explained-ratio report evaluates the fitted direction against the
+    ORIGINAL exact moment matrix. The whole two-component fit — 24
+    iteration stages plus deflation — reproduces bit-for-bit in the
+    DuckDB HUGEINT mirror."""
+    from pd_explain_spark.functions.linalg import (
+        pca_power_fit,
+        pca_second_component,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fit = pca_power_fit(emb, n_iter=_PCA_ITERS)
+    sec = pca_second_component(fit)
+    rows = [
+        (i, int(sec["component2_q"][i]), int(sec["eigval2_micro"]),
+         int(sec["evr2_micro"]))
+        for i in range(fit["dim"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dim INT, loading2_q BIGINT, eigval2_micro BIGINT, evr2_micro BIGINT",
+    ).limit(len(rows))
+
+
 @_q(
     "pca_component_emb",
     _pca_cte(_PCA_ITERS)

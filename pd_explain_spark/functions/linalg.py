@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "gram_moments",
     "pca_power_fit",
+    "pca_second_component",
     "pca_component_table",
     "pca_project",
     "pca_topk",
@@ -181,18 +182,8 @@ def pca_power_fit(
         raise ValueError(f"pca_power_fit: need >= 2 vectors, got {n}")
     d = len(sums)
     C = [[n * S[i][j] - sums[i] * sums[j] for j in range(d)] for i in range(d)]
-    vq = [v_scale] * d
-    for _ in range(n_iter):
-        w = [sum(C[i][j] * vq[j] for j in range(d)) for i in range(d)]
-        m = max(abs(x) for x in w)
-        if m == 0:  # zero covariance: any direction is an eigenvector
-            break
-        vq = [math.floor(float(wi) / float(m) * v_scale + 0.5) for wi in w]
-    num = sum(vq[i] * C[i][j] * vq[j] for i in range(d) for j in range(d))
-    den = sum(x * x for x in vq)
-    trace = sum(C[i][i] for i in range(d))
-    lam = ((float(num) / float(den)) / float(n * n)) / float(scale * scale)
-    evr = (float(num) / float(den)) / float(trace) if trace > 0 else 0.0
+    vq = _power_iterate(C, d, n_iter, v_scale)
+    num, den, lam, evr = _rayleigh(C, vq, n, scale)
     return {
         "n": n,
         "dim": d,
@@ -205,6 +196,79 @@ def pca_power_fit(
         "eigval_micro": math.floor(lam * 1_000_000.0 + 0.5),
         "evr": evr,
         "evr_micro": math.floor(evr * 1_000_000.0 + 0.5),
+        "_C": C,  # exact centered-moment matrix, kept for deflation
+        "_n_iter": n_iter,
+    }
+
+
+def _power_iterate(C: list, d: int, n_iter: int, v_scale: int) -> list[int]:
+    vq = [v_scale] * d
+    for _ in range(n_iter):
+        w = [sum(C[i][j] * vq[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:  # zero matrix: any direction is an eigenvector
+            break
+        vq = [math.floor(float(wi) / float(m) * v_scale + 0.5) for wi in w]
+    return vq
+
+
+def _rayleigh(C: list, vq: list[int], n: int, scale: int):
+    num = sum(vq[i] * C[i][j] * vq[j] for i in range(len(vq)) for j in range(len(vq)))
+    den = sum(x * x for x in vq)
+    trace = sum(C[i][i] for i in range(len(vq)))
+    lam = ((float(num) / float(den)) / float(n * n)) / float(scale * scale)
+    evr = (float(num) / float(den)) / float(trace) if trace > 0 else 0.0
+    return num, den, lam, evr
+
+
+def pca_second_component(
+    fit: dict,
+    n_iter: int | None = None,
+    r_scale: int = 1_000,
+) -> dict:
+    """The SECOND principal component by exact-integer deflation of a
+    :func:`pca_power_fit` result: with r = PC1 re-quantized to
+    max|r| = ``r_scale`` (the coarser scale keeps every deflation
+    product inside 128-bit integer range), the deflated matrix
+
+        C2 = floor((D2² · C - N2 · r rᵀ) / 1e12),   D2 = rᵀr, N2 = rᵀCr
+
+    is integer arithmetic with ONE identical-rule rounding site (the
+    1e12 down-rescale — float(int)/1e12 then floor, the same op class
+    the iteration already uses), so a HUGEINT SQL mirror reproduces it
+    bit-for-bit; the same power iteration then runs on C2. The
+    eigenvalue / explained-ratio report uses the ORIGINAL C (Rayleigh
+    quotient of the fitted direction), not the deflated scale.
+
+    Deflation residue: r carries PC1 at 1/r_scale precision, so C2
+    retains O(λ1/r_scale²) of the removed direction — negligible next
+    to any λ2 within ~5 orders of magnitude of λ1. Returns
+    {component2_q, component2, eigval2, eigval2_micro, evr2,
+    evr2_micro}."""
+    C = fit["_C"]
+    d = fit["dim"]
+    n_iter = fit["_n_iter"] if n_iter is None else n_iter
+    rq = [math.floor(float(v) / float(r_scale) + 0.5) for v in fit["component_q"]]
+    D2 = sum(x * x for x in rq)
+    if D2 == 0:
+        raise ValueError("pca_second_component: degenerate first component")
+    N2 = sum(rq[i] * C[i][j] * rq[j] for i in range(d) for j in range(d))
+    C2 = [
+        [
+            math.floor(float(D2 * D2 * C[i][j] - N2 * rq[i] * rq[j]) / 1e12)
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    uq = _power_iterate(C2, d, n_iter, fit["v_scale"])
+    _, _, lam2, evr2 = _rayleigh(C, uq, fit["n"], fit["scale"])
+    return {
+        "component2_q": uq,
+        "component2": [x / fit["v_scale"] for x in uq],
+        "eigval2": lam2,
+        "eigval2_micro": math.floor(lam2 * 1_000_000.0 + 0.5),
+        "evr2": evr2,
+        "evr2_micro": math.floor(evr2 * 1_000_000.0 + 0.5),
     }
 
 

@@ -106,6 +106,7 @@ CLEAR_ERROR = [
     "pca_component_emb",
     "pca_scores_emb",
     "pca_residuals_emb",
+    "pca_component2_emb",
 ]
 
 

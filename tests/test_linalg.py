@@ -153,3 +153,36 @@ def test_pca_residuals_flag_off_direction_vector(spark):
     assert r[901] == expect
     with pytest.raises(ValueError):
         pca_residual_topk(full, fit, k=0)
+
+
+def test_pca_second_component_recovers_second_direction(spark):
+    """Two planted directions of different strength: deflation recovers
+    the weaker one, near-orthogonal to PC1, and the two explained
+    ratios match a numpy eigendecomposition of the same quantized
+    covariance."""
+    import numpy as np
+
+    from pd_explain_spark.functions.linalg import pca_second_component
+
+    rows = []
+    for i in range(300):
+        t1 = 9.0 * math.sin(i * 1.7)
+        t2 = 4.0 * math.cos(i * 0.9)
+        noise = [0.01 * math.cos(i * (j + 2) * 0.37) for j in range(8)]
+        v = list(noise)
+        v[0] += t1
+        v[1] += t2
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    fit = pca_power_fit(df, n_iter=12)
+    sec = pca_second_component(fit)
+    c1 = np.array(fit["component"]); c1 = c1 / np.linalg.norm(c1)
+    c2 = np.array(sec["component2"]); c2 = c2 / np.linalg.norm(c2)
+    assert abs(c1[0]) > 0.999 and abs(c2[1]) > 0.999
+    assert abs(float(c1 @ c2)) < 1e-3
+    X = np.array([r[1] for r in rows])
+    w, _ = np.linalg.eigh(np.cov(np.round(X * 1e6).T, bias=True))
+    assert abs(sec["evr2"] - w[-2] / w.sum()) < 1e-4
+    assert sec["eigval2"] < fit["eigval"]
+    # determinism
+    assert pca_second_component(fit)["component2_q"] == sec["component2_q"]
