@@ -3413,6 +3413,42 @@ def event_funnel_events_q(spark, sf_dir):
 
 
 @_q(
+    "cooccurrence_lineitem",
+    """WITH bi AS (
+         SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+         FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+       ), n AS (
+         SELECT count(DISTINCT b)::BIGINT AS nb FROM bi
+       ), ic AS (
+         SELECT i, count(*)::BIGINT AS c FROM bi GROUP BY 1
+       ), pc AS (
+         SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_ab
+         FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+         GROUP BY 1, 2 HAVING count(*) >= 2
+       )
+       SELECT pc.item_a, pc.item_b, pc.n_ab,
+              ca.c AS n_a, cb.c AS n_b, n.nb AS n_baskets,
+              CAST(floor(pc.n_ab::DOUBLE * n.nb::DOUBLE
+                         / (ca.c::DOUBLE * cb.c::DOUBLE)
+                         * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+       FROM pc JOIN ic ca ON ca.i = pc.item_a
+               JOIN ic cb ON cb.i = pc.item_b, n""",
+)
+def cooccurrence_lineitem_q(spark, sf_dir):
+    """Market-basket 2-itemset mining (functions/events.py
+    cooccurrence_pairs): part pairs ordered together in >= 2 orders,
+    with marginals and LIFT in integer micro-units (> 1e6 = co-occurs
+    beyond independence — the association-rule signal). One distinct
+    (basket, item) shuffle + a basket-keyed self-join bounded by
+    Σ basket_size² (never corpus²); marginals broadcast back."""
+    from pd_explain_spark.functions.events import cooccurrence_pairs
+
+    return cooccurrence_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_pairs=2
+    )
+
+
+@_q(
     "cohort_retention_events",
     """WITH ev AS (
          SELECT user_id AS u, CAST(ts AS DATE) AS d

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["event_funnel", "cohort_retention"]
+__all__ = ["event_funnel", "cohort_retention", "cooccurrence_pairs"]
 
 
 def event_funnel(
@@ -24,15 +24,19 @@ def event_funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     scale: int = 1_000_000,
+    within: str | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: a user completes step i when an event
     of type ``steps[i]`` happens STRICTLY AFTER their earliest
     completion of step i-1 (the first-touch convention: each stage
     anchors on the earliest qualifying timestamp, so the funnel is
     deterministic and order-respecting, not a mere per-type count).
-    Returns one row per step: (step_order, step, n_users,
-    conversion_micro — users at step / users at step 0 in integer
-    micro-units, NULL when step 0 is empty).
+    ``within`` (an interval literal, e.g. ``"1 hour"``) additionally
+    requires each step to land no later than that long after the
+    previous step's anchor — the conversion-window flavor product
+    funnels usually run. Returns one row per step: (step_order, step,
+    n_users, conversion_micro — users at step / users at step 0 in
+    integer micro-units, NULL when step 0 is empty).
 
     Scale shape: stage i is one user-keyed min-aggregate over events
     pre-filtered to that step's type (filter pushes to the scan), then
@@ -55,10 +59,15 @@ def event_funnel(
     )
     users = stage
     for i, s in enumerate(steps[1:], start=1):
+        cond = F.col("__ts") > F.col(f"__t{i - 1}")
+        if within is not None:
+            cond = cond & (
+                F.col("__ts") <= F.col(f"__t{i - 1}") + F.expr(f"INTERVAL {within}")
+            )
         nxt = (
             ev.filter(F.col("__t") == s)
             .join(stage.select("__u", F.col(f"__t{i - 1}")), "__u")
-            .filter(F.col("__ts") > F.col(f"__t{i - 1}"))
+            .filter(cond)
             .groupBy("__u")
             .agg(F.min("__ts").alias(f"__t{i}"))
         )
@@ -141,5 +150,62 @@ def cohort_retention(
                 F.col("n_users").cast("double") / F.col("__n0").cast("double")
                 * F.lit(float(scale)) + F.lit(0.5)
             ).cast("bigint").alias("retention_micro"),
+        )
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pairs: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Market-basket 2-itemset mining: for every item pair appearing
+    together in >= ``min_pairs`` baskets, the co-occurrence count, the
+    marginals, and the LIFT n_ab·N / (n_a·n_b) in integer micro-units
+    (> 1e6 means the pair co-occurs more than independence predicts —
+    the association-rule signal). Items dedupe within a basket first,
+    so multiplicity never inflates support.
+
+    Scale shape: one distinct (basket, item) shuffle, then a basket-
+    keyed self-join whose output is Σ_b k_b(k_b-1)/2 — bounded by
+    basket sizes, not corpus²; a hot mega-basket is the skew case, cap
+    it upstream (key_skew_report finds it). Counts are map-combining
+    aggregates; marginals broadcast back."""
+    if min_pairs < 1:
+        raise ValueError(f"cooccurrence_pairs: min_pairs must be >= 1, got {min_pairs}")
+    bi = (
+        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+    )
+    n = bi.agg(F.count_distinct("__b").cast("bigint").alias("__nb"))
+    ic = bi.groupBy("__i").agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    a = bi.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = bi.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pc = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= F.lit(min_pairs))
+    )
+    lift = (
+        F.col("n_ab").cast("double") * F.col("__nb").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        pc.join(ic.select(F.col("__i").alias("item_a"), F.col("__c").alias("n_a")),
+                "item_a")
+        .join(ic.select(F.col("__i").alias("item_b"), F.col("__c").alias("n_b")),
+              "item_b")
+        .crossJoin(n)
+        .select(
+            "item_a", "item_b", "n_ab", "n_a", "n_b",
+            F.col("__nb").alias("n_baskets"),
+            F.floor(lift * F.lit(float(scale)) + F.lit(0.5))
+            .cast("bigint")
+            .alias("lift_micro"),
         )
     )

@@ -90,6 +90,7 @@ FLOW_THROUGH = [
     "mad_anomalies_events",
     "l_diversity_customer",
     "cohort_retention_events",
+    "cooccurrence_lineitem",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError

@@ -69,3 +69,47 @@ def test_cohort_retention_arithmetic(spark):
         ("2024-03-02", 0): (1, 1_000_000),
         ("2024-03-02", 2): (1, 1_000_000),
     }
+
+
+def test_event_funnel_conversion_window(spark):
+    """within= bounds each step to the conversion window after the
+    previous anchor: a purchase 3 days after the click drops out of a
+    '1 day' funnel but stays in the unbounded one."""
+    rows = [
+        (1, "view", _ts(1, 1)), (1, "click", _ts(1, 2)), (1, "purchase", _ts(4, 2)),
+        (2, "view", _ts(1, 1)), (2, "click", _ts(1, 2)), (2, "purchase", _ts(1, 3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, event_type STRING, ts TIMESTAMP")
+    loose = {r["step"]: r["n_users"] for r in
+             event_funnel(df, ["view", "click", "purchase"]).collect()}
+    tight = {r["step"]: r["n_users"] for r in
+             event_funnel(df, ["view", "click", "purchase"], within="1 day").collect()}
+    assert loose == {"view": 2, "click": 2, "purchase": 2}
+    assert tight == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_cooccurrence_pairs_lift_arithmetic(spark):
+    from pd_explain_spark.functions.events import cooccurrence_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "a"),          # duplicate item dedupes
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "basket INT, item STRING")
+    out = {(r["item_a"], r["item_b"]): r for r in
+           cooccurrence_pairs(df, "basket", "item", min_pairs=1).collect()}
+    ab = out[("a", "b")]
+    assert (ab["n_ab"], ab["n_a"], ab["n_b"], ab["n_baskets"]) == (2, 3, 2, 4)
+    # lift = 2*4/(3*2) = 1.333...
+    assert ab["lift_micro"] == 1_333_333
+    ac = out[("a", "c")]
+    assert (ac["n_ab"], ac["n_a"], ac["n_b"]) == (1, 3, 2)
+    assert ac["lift_micro"] == 666_667
+    # min_pairs prunes singletons
+    pruned = cooccurrence_pairs(df, "basket", "item", min_pairs=2).collect()
+    assert [(r["item_a"], r["item_b"]) for r in pruned] == [("a", "b")]
+    import pytest as _p
+    with _p.raises(ValueError):
+        cooccurrence_pairs(df, "basket", "item", min_pairs=0)

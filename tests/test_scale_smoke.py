@@ -162,6 +162,9 @@ ENTRIES = [
     "event_funnel_events",
     "cohort_retention_events",
     "pca_residuals_emb",  # Gram pass + one scan-stage residual pass
+    # basket self-join bounded by sum(basket_size^2); 10x key-shifted
+    # copies add baskets, not basket width, so pairs grow ~10x
+    "cooccurrence_lineitem",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
