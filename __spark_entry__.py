@@ -3413,6 +3413,67 @@ def event_funnel_events_q(spark, sf_dir):
 
 
 @_q(
+    "dependence_orders",
+    """WITH p AS (
+         SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders
+         WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+       ), cxy AS (
+         SELECT a, b, count(*)::BIGINT AS o FROM p GROUP BY 1, 2
+       ), ca AS (
+         SELECT a, sum(o)::BIGINT AS ca FROM cxy GROUP BY 1
+       ), cb AS (
+         SELECT b, sum(o)::BIGINT AS cb FROM cxy GROUP BY 1
+       ), nn AS (
+         SELECT sum(o)::BIGINT AS n,
+                count(DISTINCT a)::BIGINT AS ra,
+                count(DISTINCT b)::BIGINT AS rb
+         FROM cxy
+       ), terms AS (
+         SELECT
+           CAST(floor((o::DOUBLE / nn.n::DOUBLE)
+                      * ln((o::DOUBLE * nn.n::DOUBLE)
+                           / (ca::DOUBLE * cb::DOUBLE))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS mi_t,
+           CAST(floor(o::DOUBLE * o::DOUBLE * nn.n::DOUBLE
+                      / (ca::DOUBLE * cb::DOUBLE)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS chi_t
+         FROM cxy JOIN ca USING (a) JOIN cb USING (b), nn
+       ), agg AS (
+         SELECT nn.n, nn.ra AS n_levels_a, nn.rb AS n_levels_b,
+                ((nn.ra - 1) * (nn.rb - 1))::BIGINT AS dof,
+                sum(mi_t)::BIGINT AS mi_nano,
+                greatest(sum(chi_t) - nn.n * 1000000000, 0)::BIGINT AS chi2_nano
+         FROM terms, nn GROUP BY 1, 2, 3
+       )
+       SELECT n, n_levels_a, n_levels_b, dof, mi_nano, chi2_nano,
+              CASE WHEN least(n_levels_a - 1, n_levels_b - 1) > 0 THEN
+                CAST(floor(sqrt((chi2_nano::DOUBLE / 1000000000.0)
+                                / (n::DOUBLE
+                                   * least(n_levels_a - 1,
+                                           n_levels_b - 1)::DOUBLE))
+                           * 1000000.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS cramers_v_micro
+       FROM agg""",
+)
+def dependence_orders_q(spark, sf_dir):
+    """Categorical dependence report (functions/profiling.py
+    categorical_dependence): mutual information, chi-squared, and
+    Cramér's V between order status and priority — the label-leakage /
+    spurious-correlation screen a table passes before shipping as
+    training data. Per-cell terms from exact integer counts micro-
+    round to integer nano-units BEFORE summing, so the aggregate is an
+    order-free integer sum (stricter than the lm_score family's
+    round-after-float-sum); chi² runs over the full level-pair spine
+    including observed-zero cells. Everything after the first count
+    is bounded by level cardinalities."""
+    from pd_explain_spark.functions.profiling import categorical_dependence
+
+    return categorical_dependence(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+@_q(
     "cooccurrence_lineitem",
     """WITH bi AS (
          SELECT DISTINCT l_orderkey AS b, l_partkey AS i

@@ -443,3 +443,81 @@ def l_diversity_report(
         F.count(F.lit(1)).cast("bigint").alias("class_size"),
         F.count_distinct(F.col(sensitive)).cast("bigint").alias("n_sensitive"),
     ).withColumn("at_risk", F.col("n_sensitive") < F.lit(l))
+
+def categorical_dependence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Dependence report between two categorical columns: one row with
+    n, level counts, degrees of freedom, mutual information, the chi-
+    squared statistic, and Cramér's V — the screen for label LEAKAGE
+    and spurious correlation between metadata columns before a table
+    ships as training data (a metadata column that predicts the label
+    is a leak, not a feature). NULLs in either column are excluded.
+
+    Determinism: every per-cell term is computed from exact integer
+    counts through identical-order IEEE ops and rounded to an INTEGER
+    nano-unit BEFORE summing, so the aggregate is an order-free
+    integer sum — no float-summation-order sensitivity (the lm_score
+    family rounds after the float sum; this is the stricter contract).
+    Chi² uses the identity Σ(o-e)²/e = Σ o²·n/(c_a·c_b) - n, so
+    observed-zero cells (which contribute only to the subtracted n)
+    never need materializing — no level-pair spine, no cross join.
+    MI's zero cells contribute 0 by convention.
+
+    Scale shape: one (a, b) map-combining count; marginals and the
+    nano-term sums all run over that bounded table — everything after
+    the first aggregate is bounded by observed-cell cardinality, never
+    data volume."""
+    pairs = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    cxy = pairs.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__o")
+    )
+    ca = cxy.groupBy("__a").agg(F.sum("__o").cast("bigint").alias("__ca"))
+    cb = cxy.groupBy("__b").agg(F.sum("__o").cast("bigint").alias("__cb"))
+    n_row = cxy.agg(
+        F.sum("__o").cast("bigint").alias("__n"),
+        F.count_distinct("__a").cast("bigint").alias("__ra"),
+        F.count_distinct("__b").cast("bigint").alias("__rb"),
+    )
+    s = cxy.join(ca, "__a").join(cb, "__b").crossJoin(n_row)
+    nd = F.col("__n").cast("double")
+    o, cad, cbd = (F.col(c).cast("double") for c in ("__o", "__ca", "__cb"))
+    mi_term = (o / nd) * F.log((o * nd) / (cad * cbd))
+    chi_term = o * o * nd / (cad * cbd)
+    nano = F.lit(1_000_000_000.0)
+    zero = F.lit(0).cast("bigint")
+    agg = s.agg(  # empty input -> all-zero report row, not NULLs
+        F.coalesce(F.first("__n"), zero).alias("n"),
+        F.coalesce(F.first("__ra"), zero).alias("n_levels_a"),
+        F.coalesce(F.first("__rb"), zero).alias("n_levels_b"),
+        F.coalesce(
+            ((F.first("__ra") - 1) * (F.first("__rb") - 1)).cast("bigint"), zero
+        ).alias("dof"),
+        F.coalesce(
+            F.sum(F.floor(mi_term * nano + F.lit(0.5)).cast("bigint")), zero
+        ).alias("mi_nano"),
+        F.greatest(  # per-term rounding can land a true 0 at -1/-2 nano
+            F.coalesce(
+                F.sum(F.floor(chi_term * nano + F.lit(0.5)).cast("bigint"))
+                - F.first("__n") * F.lit(1_000_000_000).cast("bigint"),
+                zero,
+            ),
+            zero,
+        ).alias("chi2_nano"),
+    )
+    mindof = F.least(F.col("n_levels_a") - 1, F.col("n_levels_b") - 1)
+    v = F.sqrt(
+        (F.col("chi2_nano").cast("double") / F.lit(1_000_000_000.0))
+        / (F.col("n").cast("double") * mindof.cast("double"))
+    )
+    return agg.withColumn(
+        "cramers_v_micro",
+        F.when(
+            mindof > 0,
+            F.floor(v * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )

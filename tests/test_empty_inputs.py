@@ -149,6 +149,10 @@ def test_one_row_reports_on_empty_corpus(spark, empty_dir):
     assert len(fun) == 3 and all(
         r["n_users"] == 0 and r["conversion_micro"] is None for r in fun
     )
+    # the dependence report keeps its one-row shape with all-zero stats
+    dep = m.queries()["dependence_orders"](spark, empty_dir).collect()
+    assert len(dep) == 1 and dep[0]["n"] == 0 and dep[0]["chi2_nano"] == 0
+    assert dep[0]["mi_nano"] == 0 and dep[0]["cramers_v_micro"] == 0
 
 
 def test_empty_result_schema_inherits_id_type(spark):

@@ -137,3 +137,34 @@ def test_l_diversity_flags_constant_sensitive_classes(spark):
         l_diversity_report(df, [], "s")
     with pytest.raises(ValueError):
         l_diversity_report(df, ["g"], "s", l=0)
+
+
+def test_categorical_dependence_known_tables(spark):
+    """Hand-checkable contingency tables: perfect dependence gives
+    Cramér's V = 1 and MI = ln(2); independence gives chi² = 0, MI = 0."""
+    import math
+
+    from pd_explain_spark.functions.profiling import categorical_dependence
+
+    # perfect: a == b, 2x2, 4 rows each diagonal cell
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 4 + [("y", "y")] * 4, "a STRING, b STRING"
+    )
+    r = categorical_dependence(perfect, "a", "b").collect()[0]
+    assert (r["n"], r["n_levels_a"], r["n_levels_b"], r["dof"]) == (8, 2, 2, 1)
+    assert r["cramers_v_micro"] == 1_000_000
+    # MI = ln 2: two diagonal cells each (1/2)*ln(2) in nano
+    assert abs(r["mi_nano"] - round(math.log(2) * 1e9)) <= 2
+    # independent: uniform 2x2
+    indep = spark.createDataFrame(
+        [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")] * 3, "a STRING, b STRING"
+    )
+    r2 = categorical_dependence(indep, "a", "b").collect()[0]
+    assert r2["chi2_nano"] == 0 and r2["mi_nano"] == 0
+    assert r2["cramers_v_micro"] == 0
+    # NULLs excluded
+    withnull = perfect.union(
+        spark.createDataFrame([(None, "x"), ("x", None)], "a STRING, b STRING")
+    )
+    r3 = categorical_dependence(withnull, "a", "b").collect()[0]
+    assert r3["n"] == 8
