@@ -57,6 +57,8 @@ __all__ = [
     "pca_topk",
     "pca_residuals",
     "pca_residual_topk",
+    "merge_moments",
+    "pca_fit_from_moments",
 ]
 
 _CHUNK = 1 << 62
@@ -177,28 +179,10 @@ def pca_power_fit(
     zero matrix (constant corpus) stops early and reports eigval 0."""
     if n_iter < 1:
         raise ValueError(f"pca_power_fit: n_iter must be >= 1, got {n_iter}")
-    n, sums, S = gram_moments(df, vec_col, scale)
-    if n < 2:
-        raise ValueError(f"pca_power_fit: need >= 2 vectors, got {n}")
-    d = len(sums)
-    C = [[n * S[i][j] - sums[i] * sums[j] for j in range(d)] for i in range(d)]
-    vq = _power_iterate(C, d, n_iter, v_scale)
-    num, den, lam, evr = _rayleigh(C, vq, n, scale)
-    return {
-        "n": n,
-        "dim": d,
-        "scale": scale,
-        "v_scale": v_scale,
-        "sums": sums,
-        "component_q": vq,
-        "component": [x / v_scale for x in vq],
-        "eigval": lam,
-        "eigval_micro": math.floor(lam * 1_000_000.0 + 0.5),
-        "evr": evr,
-        "evr_micro": math.floor(evr * 1_000_000.0 + 0.5),
-        "_C": C,  # exact centered-moment matrix, kept for deflation
-        "_n_iter": n_iter,
-    }
+    moments = gram_moments(df, vec_col, scale)
+    return pca_fit_from_moments(
+        moments, n_iter=n_iter, scale=scale, v_scale=v_scale
+    )
 
 
 def _power_iterate(C: list, d: int, n_iter: int, v_scale: int) -> list[int]:
@@ -417,3 +401,61 @@ def pca_residual_topk(
         .limit(k)
         .select(id_col, "resid2_micro")
     )
+
+def merge_moments(
+    a: tuple[int, list[int], list[list[int]]],
+    b: tuple[int, list[int], list[list[int]]],
+) -> tuple[int, list[int], list[list[int]]]:
+    """Merge two :func:`gram_moments` results: exact integer moments
+    are commutative + associative sums, so per-shard (or per-day)
+    moments roll up into the corpus fit without rescanning — the same
+    mergeability contract as the CMS/Bloom/HLL/histogram sketch family,
+    which makes the PCA fit INCREMENTAL: keep yesterday's (n, sums, S),
+    add today's shard, re-run the driver iteration (milliseconds) on
+    the merged moments."""
+    n1, s1, g1 = a
+    n2, s2, g2 = b
+    if len(s1) != len(s2):
+        raise ValueError(
+            f"merge_moments: dimension mismatch {len(s1)} vs {len(s2)}"
+        )
+    d = len(s1)
+    return (
+        n1 + n2,
+        [s1[i] + s2[i] for i in range(d)],
+        [[g1[i][j] + g2[i][j] for j in range(d)] for i in range(d)],
+    )
+
+
+def pca_fit_from_moments(
+    moments: tuple[int, list[int], list[list[int]]],
+    n_iter: int = 6,
+    scale: int = 1_000_000,
+    v_scale: int = 1_000_000,
+) -> dict:
+    """:func:`pca_power_fit` from precomputed (possibly merged)
+    moments — the score-side of the incremental contract. Identical
+    output to fitting the concatenated corpus directly (pytest-pinned:
+    shard moments merged == whole-corpus fit, bit for bit)."""
+    n, sums, S = moments
+    if n < 2:
+        raise ValueError(f"pca_fit_from_moments: need >= 2 vectors, got {n}")
+    d = len(sums)
+    C = [[n * S[i][j] - sums[i] * sums[j] for j in range(d)] for i in range(d)]
+    vq = _power_iterate(C, d, n_iter, v_scale)
+    num, den, lam, evr = _rayleigh(C, vq, n, scale)
+    return {
+        "n": n,
+        "dim": d,
+        "scale": scale,
+        "v_scale": v_scale,
+        "sums": sums,
+        "component_q": vq,
+        "component": [x / v_scale for x in vq],
+        "eigval": lam,
+        "eigval_micro": math.floor(lam * 1_000_000.0 + 0.5),
+        "evr": evr,
+        "evr_micro": math.floor(evr * 1_000_000.0 + 0.5),
+        "_C": C,
+        "_n_iter": n_iter,
+    }

@@ -186,3 +186,29 @@ def test_pca_second_component_recovers_second_direction(spark):
     assert sec["eigval2"] < fit["eigval"]
     # determinism
     assert pca_second_component(fit)["component2_q"] == sec["component2_q"]
+
+
+def test_merged_shard_moments_equal_whole_corpus_fit(spark):
+    """The sketch-family mergeability contract for PCA: per-shard
+    gram_moments merged == whole-corpus moments, and the fit from the
+    merged moments is bit-identical to fitting the full frame."""
+    from pd_explain_spark.functions.linalg import (
+        merge_moments,
+        pca_fit_from_moments,
+    )
+
+    df, _ = _planted(spark, n=120)
+    whole = pca_power_fit(df, n_iter=10)
+    m1 = gram_moments(df.filter("vec_id % 3 = 0"))
+    m2 = gram_moments(df.filter("vec_id % 3 = 1"))
+    m3 = gram_moments(df.filter("vec_id % 3 = 2"))
+    merged = merge_moments(merge_moments(m1, m2), m3)
+    assert merged == gram_moments(df)
+    refit = pca_fit_from_moments(merged, n_iter=10)
+    assert refit["component_q"] == whole["component_q"]
+    assert refit["eigval_micro"] == whole["eigval_micro"]
+    assert refit["evr_micro"] == whole["evr_micro"]
+    with pytest.raises(ValueError):
+        merge_moments(m1, gram_moments(
+            spark.createDataFrame([(0, [1.0, 2.0]), (1, [2.0, 1.0])],
+                                  "vec_id BIGINT, embedding ARRAY<DOUBLE>")))
