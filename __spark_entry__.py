@@ -3510,6 +3510,50 @@ def cooccurrence_lineitem_q(spark, sf_dir):
 
 
 @_q(
+    "funnel_latency_events",
+    """WITH ev AS (
+         SELECT user_id AS u, event_type AS t, ts
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       ), s0 AS (
+         SELECT u, min(ts) AS t0 FROM ev WHERE t = 'view' GROUP BY 1
+       ), s1 AS (
+         SELECT ev.u, min(ev.ts) AS t1
+         FROM ev JOIN s0 ON ev.u = s0.u
+         WHERE ev.t = 'click' AND ev.ts > s0.t0 GROUP BY 1
+       ), s2 AS (
+         SELECT ev.u, min(ev.ts) AS t2
+         FROM ev JOIN s1 ON ev.u = s1.u
+         WHERE ev.t = 'purchase' AND ev.ts > s1.t1 GROUP BY 1
+       ), lat AS (
+         SELECT epoch_us(s2.t2) - epoch_us(s0.t0) AS v
+         FROM s2 JOIN s0 USING (u)
+       ), ranked AS (
+         SELECT v, row_number() OVER (ORDER BY v) AS rn FROM lat
+       ), n AS (
+         SELECT count(*)::BIGINT AS c FROM lat
+       ), qs AS (
+         SELECT unnest([0.5, 0.9]) AS q
+       )
+       SELECT qs.q::DOUBLE AS q, r.v AS latency_us
+       FROM qs CROSS JOIN n
+       JOIN ranked r ON r.rn = greatest(1, ceil(qs.q::DOUBLE * n.c)::BIGINT)""",
+)
+def funnel_latency_events_q(spark, sf_dir):
+    """Time-to-convert distribution (functions/events.py
+    funnel_latency): exact p50/p90 of view -> purchase latency in
+    microseconds over completing users — the SLA number next to the
+    conversion rate. Latencies are exact integer microsecond diffs of
+    the funnel stage anchors; quantiles use the rank-ceil convention
+    (sketches.exact_quantiles — histogram-pruned, never a global
+    sort)."""
+    from pd_explain_spark.functions.events import funnel_latency
+
+    return funnel_latency(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"], qs=[0.5, 0.9]
+    )
+
+
+@_q(
     "cohort_retention_events",
     """WITH ev AS (
          SELECT user_id AS u, CAST(ts AS DATE) AS d

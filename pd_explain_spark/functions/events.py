@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["event_funnel", "cohort_retention", "cooccurrence_pairs"]
+__all__ = ["event_funnel", "cohort_retention", "cooccurrence_pairs",
+           "funnel_user_times", "funnel_latency"]
 
 
 def event_funnel(
@@ -208,4 +209,86 @@ def cooccurrence_pairs(
             .cast("bigint")
             .alias("lift_micro"),
         )
+    )
+
+def funnel_user_times(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: str | None = None,
+) -> DataFrame:
+    """The per-user stage table behind :func:`event_funnel`: one row per
+    step-0 user with a ``t_<step>`` timestamp column per step (NULL
+    once the user drops out) — the substrate for conversion-latency
+    analysis and per-user funnel joins. Same first-touch / strictly-
+    after / optional conversion-window semantics as event_funnel."""
+    if len(steps) < 2:
+        raise ValueError("funnel_user_times: need >= 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel_user_times: steps must be distinct, got {steps}")
+    ev = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("__u"), F.col(type_col).alias("__t"),
+             F.col(ts_col).alias("__ts"))
+    stage = (
+        ev.filter(F.col("__t") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias(f"t_{steps[0]}"))
+    )
+    users = stage
+    prev = f"t_{steps[0]}"
+    for s in steps[1:]:
+        cond = F.col("__ts") > F.col(prev)
+        if within is not None:
+            cond = cond & (F.col("__ts") <= F.col(prev) + F.expr(f"INTERVAL {within}"))
+        nxt = (
+            ev.filter(F.col("__t") == s)
+            .join(stage.select("__u", prev), "__u")
+            .filter(cond)
+            .groupBy("__u")
+            .agg(F.min("__ts").alias(f"t_{s}"))
+        )
+        users = users.join(nxt, "__u", "left")
+        stage = nxt
+        prev = f"t_{s}"
+    return users.withColumnRenamed("__u", user_col)
+
+
+def funnel_latency(
+    df: DataFrame,
+    steps: list[str],
+    qs: list[float] = (0.5, 0.9),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: str | None = None,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Time-to-convert distribution: EXACT quantiles (the rank-ceil
+    convention of sketches.exact_quantiles — no interpolation, no
+    global sort) of first-step-to-last-step latency in MICROSECONDS
+    over the users who complete the whole funnel. The number an SLA
+    dashboard wants next to the conversion rate: not just how many
+    convert, but how long the path takes. Latencies are exact integer
+    microsecond diffs, engine-portable."""
+    from .sketches import exact_quantiles
+
+    times = funnel_user_times(
+        df, steps, user_col=user_col, type_col=type_col, ts_col=ts_col,
+        within=within,
+    )
+    first, last = f"t_{steps[0]}", f"t_{steps[-1]}"
+
+    def us(c):  # parquet tables read as TIMESTAMP_NTZ; the session is
+        # pinned UTC (session.py), so the NTZ -> TZ cast is the identity
+        # instant mapping and unix_micros matches DuckDB's epoch_us
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    lat = times.filter(F.col(last).isNotNull()).select(
+        (us(last) - us(first)).cast("bigint").alias("latency_us")
+    )
+    return exact_quantiles(lat, "latency_us", list(qs), n_bins=n_bins).select(
+        "q", F.col("value").alias("latency_us")
     )

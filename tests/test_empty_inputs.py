@@ -91,6 +91,7 @@ FLOW_THROUGH = [
     "l_diversity_customer",
     "cohort_retention_events",
     "cooccurrence_lineitem",
+    "funnel_latency_events",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError

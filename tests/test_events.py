@@ -113,3 +113,25 @@ def test_cooccurrence_pairs_lift_arithmetic(spark):
     import pytest as _p
     with _p.raises(ValueError):
         cooccurrence_pairs(df, "basket", "item", min_pairs=0)
+
+
+def test_funnel_latency_exact_quantiles(spark):
+    from pd_explain_spark.functions.events import funnel_latency, funnel_user_times
+
+    rows = []
+    # users 1..4 convert with latencies 10, 20, 30, 40 minutes;
+    # user 5 never purchases
+    for u, mins in [(1, 10), (2, 20), (3, 30), (4, 40)]:
+        rows += [(u, "view", _ts(1, 0)),
+                 (u, "click", dt.datetime(2024, 3, 1, 0, mins // 2)),
+                 (u, "purchase", dt.datetime(2024, 3, 1, 0, mins))]
+    rows += [(5, "view", _ts(1, 0)), (5, "click", _ts(1, 1))]
+    df = spark.createDataFrame(rows, "user_id INT, event_type STRING, ts TIMESTAMP")
+    t = {r["user_id"]: r for r in
+         funnel_user_times(df, ["view", "click", "purchase"]).collect()}
+    assert t[5]["t_purchase"] is None and t[1]["t_purchase"] is not None
+    got = {r["q"]: r["latency_us"] for r in
+           funnel_latency(df, ["view", "click", "purchase"], qs=[0.5, 0.9]).collect()}
+    # rank-ceil over [10, 20, 30, 40] min: p50 -> rank 2 (20 min),
+    # p90 -> rank 4 (40 min)
+    assert got == {0.5: 20 * 60 * 1_000_000, 0.9: 40 * 60 * 1_000_000}
