@@ -3510,6 +3510,73 @@ def cooccurrence_lineitem_q(spark, sf_dir):
 
 
 @_q(
+    "ab_test_events",
+    """WITH u AS (
+         SELECT user_id,
+                CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+                max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                         THEN 1 ELSE 0 END) AS s
+         FROM events WHERE user_id IS NOT NULL GROUP BY 1
+       ), per AS (
+         SELECT v, count(*)::BIGINT AS n, sum(s)::BIGINT AS k FROM u GROUP BY 1
+       ), a AS (SELECT * FROM per WHERE v = 'A'),
+          b AS (SELECT * FROM per WHERE v = 'B'),
+       z AS (
+         SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b,
+                a.k::DOUBLE / a.n::DOUBLE AS pa,
+                b.k::DOUBLE / b.n::DOUBLE AS pb,
+                sqrt((a.k::DOUBLE + b.k::DOUBLE) / (a.n::DOUBLE + b.n::DOUBLE)
+                     * (1.0 - (a.k::DOUBLE + b.k::DOUBLE)
+                              / (a.n::DOUBLE + b.n::DOUBLE))
+                     * (1.0 / a.n::DOUBLE + 1.0 / b.n::DOUBLE)) AS se
+         FROM a, b
+       )
+       SELECT 'A' AS variant_a, n_a, k_a AS successes_a,
+              'B' AS variant_b, n_b, k_b AS successes_b,
+              CAST(floor(pa * 1000000.0 + 0.5) AS BIGINT) AS rate_a_micro,
+              CAST(floor(pb * 1000000.0 + 0.5) AS BIGINT) AS rate_b_micro,
+              CASE WHEN se > 0 THEN
+                CAST(floor((pa - pb) / se * 1000000.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS z_micro,
+              CASE WHEN se > 0 THEN abs((pa - pb) / se) > 1.96
+              ELSE false END AS significant
+       FROM z""",
+)
+def ab_test_events_q(spark, sf_dir):
+    """Two-proportion z-test report (functions/events.py
+    ab_test_report): per-user conversion (any purchase) split into two
+    planted variants by user-id parity — per-variant unit counts,
+    conversion rates, the pooled-variance z statistic in micro-units,
+    and the 95% two-sided verdict. Units aggregate from events with
+    one user-keyed groupBy (repeated events never inflate n); the
+    rate/z arithmetic is one identical-order IEEE expression over
+    exact integer counts."""
+    from pd_explain_spark.functions.events import ab_test_report
+
+    units = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > F.lit(150.0)),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            "converted",
+        )
+    )
+    return ab_test_report(units, "variant", "converted")
+
+
+@_q(
     "funnel_latency_events",
     """WITH ev AS (
          SELECT user_id AS u, event_type AS t, ts

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["event_funnel", "cohort_retention", "cooccurrence_pairs",
-           "funnel_user_times", "funnel_latency"]
+           "funnel_user_times", "funnel_latency", "ab_test_report"]
 
 
 def event_funnel(
@@ -291,4 +291,68 @@ def funnel_latency(
     )
     return exact_quantiles(lat, "latency_us", list(qs), n_bins=n_bins).select(
         "q", F.col("value").alias("latency_us")
+    )
+
+def ab_test_report(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    z_thresh: float = 1.96,
+) -> DataFrame:
+    """Two-proportion z-test between exactly two variants: one row with
+    per-variant unit counts and conversion rates (integer micro-units),
+    the pooled-variance z statistic (micro), and the two-sided
+    significance verdict at ``z_thresh`` (default 1.96 = 95%). Input is
+    one row per experimental UNIT (user/session) with its variant label
+    and a boolean/0-1 success column — aggregate events to units first
+    (funnel_user_times, groupBy user) so repeated events never inflate
+    n. NULL variants/successes are excluded; raises if the data does
+    not contain exactly two variants.
+
+    Determinism: counts are exact integers; the rate/z arithmetic is
+    one identical-order IEEE expression over them, micro-rounded — no
+    float aggregation anywhere. One map-combining groupBy; everything
+    after is two rows."""
+    units = df.filter(
+        F.col(variant_col).isNotNull() & F.col(success_col).isNotNull()
+    ).select(
+        F.col(variant_col).alias("__v"),
+        F.col(success_col).cast("int").alias("__s"),
+    )
+    per = (
+        units.groupBy("__v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum("__s").cast("bigint").alias("__k"),
+        )
+        .orderBy("__v")
+        .limit(3)
+        .collect()
+    )
+    if len(per) != 2:
+        raise ValueError(
+            f"ab_test_report: need exactly 2 variants, got {len(per)}"
+        )
+    (va, na, ka), (vb, nb, kb) = [(r["__v"], r["__n"], r["__k"]) for r in per]
+    spark = df.sparkSession
+    base = spark.createDataFrame(
+        [(str(va), int(na), int(ka), str(vb), int(nb), int(kb))],
+        "variant_a STRING, n_a BIGINT, successes_a BIGINT,"
+        " variant_b STRING, n_b BIGINT, successes_b BIGINT",
+    ).limit(1)
+    nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    kad, kbd = F.col("successes_a").cast("double"), F.col("successes_b").cast("double")
+    pa, pb = kad / nad, kbd / nbd
+    pp = (kad + kbd) / (nad + nbd)
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / nad + F.lit(1.0) / nbd))
+    z = (pa - pb) / se
+    micro = F.lit(1_000_000.0)
+    return base.select(
+        "variant_a", "n_a", "successes_a", "variant_b", "n_b", "successes_b",
+        F.floor(pa * micro + F.lit(0.5)).cast("bigint").alias("rate_a_micro"),
+        F.floor(pb * micro + F.lit(0.5)).cast("bigint").alias("rate_b_micro"),
+        F.when(se > 0, F.floor(z * micro + F.lit(0.5)).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint")).alias("z_micro"),
+        F.when(se > 0, F.abs(z) > F.lit(float(z_thresh)))
+        .otherwise(F.lit(False)).alias("significant"),
     )

@@ -109,6 +109,7 @@ CLEAR_ERROR = [
     "pca_scores_emb",
     "pca_residuals_emb",
     "pca_component2_emb",
+    "ab_test_events",
 ]
 
 

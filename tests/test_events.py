@@ -135,3 +135,30 @@ def test_funnel_latency_exact_quantiles(spark):
     # rank-ceil over [10, 20, 30, 40] min: p50 -> rank 2 (20 min),
     # p90 -> rank 4 (40 min)
     assert got == {0.5: 20 * 60 * 1_000_000, 0.9: 40 * 60 * 1_000_000}
+
+
+def test_ab_test_report_arithmetic_and_guards(spark):
+    import math
+
+    from pd_explain_spark.functions.events import ab_test_report
+
+    # A: 60/100 convert, B: 50/100
+    rows = [("A", 1)] * 60 + [("A", 0)] * 40 + [("B", 1)] * 50 + [("B", 0)] * 50
+    df = spark.createDataFrame(rows, "variant STRING, converted INT")
+    r = ab_test_report(df, "variant", "converted").collect()[0]
+    assert (r["n_a"], r["successes_a"], r["n_b"], r["successes_b"]) == (100, 60, 100, 50)
+    assert (r["rate_a_micro"], r["rate_b_micro"]) == (600_000, 500_000)
+    pp = 110 / 200
+    z = (0.6 - 0.5) / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    assert r["z_micro"] == math.floor(z * 1e6 + 0.5)
+    assert not r["significant"]          # |z| ~ 1.42 < 1.96
+    # degenerate: both arms 100% -> se = 0 -> z 0, not NaN
+    const = spark.createDataFrame([("A", 1)] * 3 + [("B", 1)] * 3,
+                                  "variant STRING, converted INT")
+    r0 = ab_test_report(const, "variant", "converted").collect()[0]
+    assert r0["z_micro"] == 0 and r0["significant"] is False
+    with pytest.raises(ValueError):
+        ab_test_report(df.filter("variant = 'A'"), "variant", "converted")
+    three = df.union(spark.createDataFrame([("C", 1)], "variant STRING, converted INT"))
+    with pytest.raises(ValueError):
+        ab_test_report(three, "variant", "converted")
