@@ -3234,6 +3234,23 @@ _KANON_QUASI_SQL = """
 
 
 @_q(
+    "mode_lineitem",
+    """WITH c AS (
+         SELECT l_quantity AS v, count(*)::BIGINT AS c FROM lineitem
+         WHERE l_quantity IS NOT NULL GROUP BY 1
+       ), m AS (SELECT max(c) AS mx FROM c)
+       SELECT v AS l_quantity FROM c, m WHERE c.c = m.mx""",
+)
+def mode_lineitem_q(spark, sf_dir):
+    """pandas Series.mode (core/series.py mode — R16+ surface): the
+    most frequent l_quantity value(s), ties all kept, NULLs excluded.
+    One map-combining value count + a broadcast single-row max filter;
+    the mode set is never found by sorting the data."""
+    li = _e(spark, sf_dir, "lineitem")
+    return li["l_quantity"].mode().df
+
+
+@_q(
     "k_anonymity_customer",
     f"""WITH q AS ({_KANON_QUASI_SQL})
        SELECT c_nationkey, c_mktsegment, acct_kilo,

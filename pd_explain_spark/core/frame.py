@@ -643,6 +643,13 @@ class ExplainableDataFrame:
         out = self.df.sparkSession.createDataFrame(out_rows, schema=schema)
         return ExplainableDataFrame(out, name=f"{self.name}.quantile")
 
+    def mode(self, column: str) -> "ExplainableDataFrame":
+        """pandas mode for one column: the most frequent value(s), ties
+        all kept, sorted ascending, NULLs excluded — delegates to the
+        series flavor (one value count + a broadcast max filter; the
+        mode set is never found by sorting the data)."""
+        return self[column].mode()
+
     def nunique(self, approx: bool = False, rsd: float = 0.05) -> "ExplainableDataFrame":
         """pandas frame-level nunique: distinct count per column, all
         columns in ONE aggregation pass. Exact by default (a single

@@ -299,6 +299,29 @@ class ExplainableColumn:
     def count(self):
         return self._scalar_agg("count")
 
+    def mode(self):
+        """pandas Series.mode: the most frequent value(s) — ties all
+        kept, sorted ascending, NULLs excluded (pandas' dropna=True
+        default). One map-combining value count, a broadcast of the
+        single max-count row, and a filter — the mode set is never
+        found by sorting the data. Returns an ExplainableDataFrame of
+        one column (this column's name), like value_counts."""
+        from .frame import ExplainableDataFrame
+
+        counts = (
+            self.frame.df.filter(F.col(self.name).isNotNull())
+            .groupBy(self.name)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        mx = counts.agg(F.max("__cnt").alias("__mx"))
+        out = (
+            counts.crossJoin(F.broadcast(mx))
+            .filter(F.col("__cnt") == F.col("__mx"))
+            .select(self.name)
+            .orderBy(self.name)
+        )
+        return ExplainableDataFrame(out, name=f"{self.frame.name}.{self.name}.mode")
+
     def quantile(self, q: float = 0.5):
         """pandas Series.quantile (linear interpolation) — exact
         ``percentile`` agg, one job, scalar out."""

@@ -107,3 +107,22 @@ def test_str_mask_explain_runs(part):
     out = part[part["p_type"].str.contains("BRASS")]
     exp = out.explain(top_k=1)
     assert exp is not None
+
+
+def test_series_mode_ties_and_nulls(spark, sf_dir):
+    """pandas-parity .mode(): all tied most-frequent values, ascending,
+    NULLs excluded; frame.mode(column) delegates."""
+    from pd_explain_spark import to_explainable
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (2,), (3,), (None,), (None,), (None,)],
+        "x INT",
+    )
+    e = to_explainable(df, name="t")
+    assert [r["x"] for r in e["x"].mode().df.collect()] == [1, 2]
+    assert [r["x"] for r in e.mode("x").df.collect()] == [1, 2]
+    # pandas differential on the same data
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": [1, 1, 2, 2, 3, None, None, None]})
+    assert [r["x"] for r in e["x"].mode().df.collect()] == pdf["x"].mode().astype(int).tolist()

@@ -92,6 +92,7 @@ FLOW_THROUGH = [
     "cohort_retention_events",
     "cooccurrence_lineitem",
     "funnel_latency_events",
+    "mode_lineitem",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError
