@@ -3455,12 +3455,21 @@ def event_funnel_events_q(spark, sf_dir):
                       / (ca::DOUBLE * cb::DOUBLE)
                       * 1000000000.0 + 0.5) AS BIGINT) AS chi_t
          FROM cxy JOIN ca USING (a) JOIN cb USING (b), nn
+       ), tsum AS (
+         SELECT coalesce(sum(mi_t), 0)::BIGINT AS mi,
+                coalesce(sum(chi_t), 0)::BIGINT AS chi
+         FROM terms
        ), agg AS (
-         SELECT nn.n, nn.ra AS n_levels_a, nn.rb AS n_levels_b,
-                ((nn.ra - 1) * (nn.rb - 1))::BIGINT AS dof,
-                sum(mi_t)::BIGINT AS mi_nano,
-                greatest(sum(chi_t) - nn.n * 1000000000, 0)::BIGINT AS chi2_nano
-         FROM terms, nn GROUP BY 1, 2, 3
+         -- aggregate-over-empty keeps ONE row: coalesce mirrors the
+         -- Spark side's all-zero report on an empty corpus
+         SELECT coalesce(nn.n, 0) AS n,
+                nn.ra AS n_levels_a, nn.rb AS n_levels_b,
+                CASE WHEN coalesce(nn.n, 0) = 0 THEN 0
+                     ELSE ((nn.ra - 1) * (nn.rb - 1)) END::BIGINT AS dof,
+                tsum.mi AS mi_nano,
+                greatest(tsum.chi - coalesce(nn.n, 0) * 1000000000, 0)::BIGINT
+                  AS chi2_nano
+         FROM nn, tsum
        )
        SELECT n, n_levels_a, n_levels_b, dof, mi_nano, chi2_nano,
               CASE WHEN least(n_levels_a - 1, n_levels_b - 1) > 0 THEN
@@ -3480,9 +3489,10 @@ def dependence_orders_q(spark, sf_dir):
     training data. Per-cell terms from exact integer counts micro-
     round to integer nano-units BEFORE summing, so the aggregate is an
     order-free integer sum (stricter than the lm_score family's
-    round-after-float-sum); chi² runs over the full level-pair spine
-    including observed-zero cells. Everything after the first count
-    is bounded by level cardinalities."""
+    round-after-float-sum); chi² uses the spine-free identity
+    Σ(o−e)²/e = Σ o²·n/(c_a·c_b) − n, so observed-zero cells never
+    materialize. Everything after the first count is bounded by
+    observed-cell cardinality."""
     from pd_explain_spark.functions.profiling import categorical_dependence
 
     return categorical_dependence(
@@ -3648,7 +3658,7 @@ def funnel_latency_events_q(spark, sf_dir):
          SELECT u, min(d) AS c FROM dist GROUP BY 1
        ), hits AS (
          SELECT c, (dist.d - cohort.c) AS day_offset,
-                count(DISTINCT dist.u)::BIGINT AS n_users
+                count(*)::BIGINT AS n_users
          FROM dist JOIN cohort USING (u) GROUP BY 1, 2
        ), base AS (
          SELECT c, n_users AS n0 FROM hits WHERE day_offset = 0

@@ -349,6 +349,21 @@ def stream_drift_scores(
         F.round(tv, 6).alias("tv"),
     )
 
+def _null_safe_join(left: DataFrame, right: DataFrame, by: list[str]) -> DataFrame:
+    """Inner join on the group columns with NULL-SAFE equality: a NULL
+    group key is a real group (an absent seasonal key still needs its
+    baseline) — a plain join would silently drop those rows from
+    monitoring, the k_anonymize lesson applied here."""
+    r = right
+    for c in by:
+        r = r.withColumnRenamed(c, f"__rj_{c}")
+    cond = None
+    for c in by:
+        piece = F.col(c).eqNullSafe(F.col(f"__rj_{c}"))
+        cond = piece if cond is None else cond & piece
+    return left.join(r, cond, "inner").drop(*[f"__rj_{c}" for c in by])
+
+
 def _weighted_median(vc: DataFrame, by: list[str], v: str, c: str) -> DataFrame:
     """Median of a weighted (group, value, count) table: per group, the
     minimum value whose cumulative count reaches ceil(0.5 * N). The
@@ -362,7 +377,7 @@ def _weighted_median(vc: DataFrame, by: list[str], v: str, c: str) -> DataFrame:
     cum = g.withColumn("__cum", F.sum("__c").over(w))
     n = g.groupBy(*by).agg(F.sum("__c").cast("bigint").alias("__n"))
     return (
-        cum.join(n, by)
+        _null_safe_join(cum, n, by)
         .filter(
             F.col("__cum")
             >= F.greatest(
@@ -394,11 +409,11 @@ def robust_stats(
         F.count(F.lit(1)).cast("bigint").alias("__c")
     )
     med = _weighted_median(vc, by, "__v", "__c").withColumnRenamed("__med", "med")
-    dev = vc.join(med, by).select(
+    dev = _null_safe_join(vc, med, by).select(
         *by, F.abs(F.col("__v") - F.col("med")).alias("__dv"), "__c"
     )
     mad = _weighted_median(dev, by, "__dv", "__c").withColumnRenamed("__med", "mad")
-    return med.join(mad, by).filter(F.col("mad") > 0)
+    return _null_safe_join(med, mad, by).filter(F.col("mad") > 0)
 
 
 def robust_anomalies(
@@ -445,7 +460,7 @@ def robust_anomalies(
         stats = robust_stats(df, value_col, by)
     z = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
     return (
-        vals.join(stats, by)
+        _null_safe_join(vals, stats, by)
         .filter(F.abs(z) > F.lit(float(z_thresh)))
         .withColumn(
             "z_micro",

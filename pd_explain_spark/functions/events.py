@@ -45,35 +45,11 @@ def event_funnel(
     — S-1 equi-joins total, each side bounded by the user count, never
     an all-events shuffle. The final count is one aggregate over the
     left-joined per-user stage table."""
-    if len(steps) < 2:
-        raise ValueError("event_funnel: need >= 2 steps")
-    if len(set(steps)) != len(steps):
-        raise ValueError(f"event_funnel: steps must be distinct, got {steps}")
-    ev = df.filter(
-        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
-    ).select(F.col(user_col).alias("__u"), F.col(type_col).alias("__t"),
-             F.col(ts_col).alias("__ts"))
-    stage = (
-        ev.filter(F.col("__t") == steps[0])
-        .groupBy("__u")
-        .agg(F.min("__ts").alias("__t0"))
-    )
-    users = stage
-    for i, s in enumerate(steps[1:], start=1):
-        cond = F.col("__ts") > F.col(f"__t{i - 1}")
-        if within is not None:
-            cond = cond & (
-                F.col("__ts") <= F.col(f"__t{i - 1}") + F.expr(f"INTERVAL {within}")
-            )
-        nxt = (
-            ev.filter(F.col("__t") == s)
-            .join(stage.select("__u", F.col(f"__t{i - 1}")), "__u")
-            .filter(cond)
-            .groupBy("__u")
-            .agg(F.min("__ts").alias(f"__t{i}"))
-        )
-        users = users.join(nxt, "__u", "left")
-        stage = nxt.select("__u", f"__t{i}")
+    users = funnel_user_times(  # validates steps (>= 2, distinct)
+
+        df, steps, user_col=user_col, type_col=type_col, ts_col=ts_col,
+        within=within,
+    ).select(*[F.col(f"t_{s}").alias(f"__t{i}") for i, s in enumerate(steps)])
     counts = users.agg(
         *[F.count(F.col(f"__t{i}")).cast("bigint").alias(f"n{i}")
           for i in range(len(steps))]
@@ -136,7 +112,10 @@ def cohort_retention(
             F.col("__c"),
             F.datediff(F.col("__d"), F.col("__c")).cast("int").alias("day_offset"),
         )
-        .agg(F.count_distinct(F.col("__u")).cast("bigint").alias("n_users"))
+        # after distinct(), (user, day) is unique and day determines the
+        # offset within a cohort — a plain count equals count_distinct(u)
+        # without the distinct-aggregate Expand pass
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
     base = hits.filter(F.col("day_offset") == 0).select(
         F.col("__c").alias("__cb"), F.col("n_users").alias("__n0")
@@ -307,7 +286,10 @@ def ab_test_report(
     and a boolean/0-1 success column — aggregate events to units first
     (funnel_user_times, groupBy user) so repeated events never inflate
     n. NULL variants/successes are excluded; raises if the data does
-    not contain exactly two variants.
+    not contain exactly two variants. NOTE: this is a fit-style
+    operator — it runs the per-variant count job EAGERLY at call time
+    (the classifier-fit / kmeans_fit precedent), returning a bounded
+    one-row literal frame.
 
     Determinism: counts are exact integers; the rate/z arithmetic is
     one identical-order IEEE expression over them, micro-rounded — no
@@ -326,13 +308,12 @@ def ab_test_report(
             F.sum("__s").cast("bigint").alias("__k"),
         )
         .orderBy("__v")
-        .limit(3)
+        .limit(3)  # boundedness: 2 expected + 1 to detect surplus
         .collect()
     )
     if len(per) != 2:
-        raise ValueError(
-            f"ab_test_report: need exactly 2 variants, got {len(per)}"
-        )
+        got = "3 or more" if len(per) >= 3 else str(len(per))
+        raise ValueError(f"ab_test_report: need exactly 2 variants, got {got}")
     (va, na, ka), (vb, nb, kb) = [(r["__v"], r["__n"], r["__k"]) for r in per]
     spark = df.sparkSession
     base = spark.createDataFrame(

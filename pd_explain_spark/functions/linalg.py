@@ -348,11 +348,25 @@ def pca_residuals(
     fitting larger corpora at scale=1e6), so the score reproduces
     bit-for-bit in any engine with 128-bit integers. One scan-stage
     pass per row — zero shuffle."""
+    return _pca_residuals_with_metric(df, fit, id_col, vec_col).select(
+        id_col, "resid2_micro"
+    )
+
+
+def _pca_residuals_with_metric(
+    df: DataFrame,
+    fit: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pca_residuals plus the internal exact-integer ranking metric
+    ``__m`` (DECIMAL(38,0)) — the column the top-k cut orders on; kept
+    off the public return so the documented (id, resid2_micro) schema
+    holds."""
     scale, v_scale = fit["scale"], fit["v_scale"]
     n, d = fit["n"], fit["dim"]
     vq = fit["component_q"]
     D = sum(x * x for x in vq)
-    K = sum(fit["sums"][j] * vq[j] for j in range(d))
     dec = "decimal(38,0)"
     sums_lit = F.array(*[F.lit(int(s)).cast("bigint") for s in fit["sums"]])
     vq_lit = F.array(*[F.lit(int(x)).cast("bigint") for x in vq])
@@ -396,7 +410,7 @@ def pca_residual_topk(
     if k < 1:
         raise ValueError(f"pca_residual_topk: k must be >= 1, got {k}")
     return (
-        pca_residuals(df, fit, id_col=id_col, vec_col=vec_col)
+        _pca_residuals_with_metric(df, fit, id_col=id_col, vec_col=vec_col)
         .orderBy(F.col("__m").desc(), F.col(id_col))
         .limit(k)
         .select(id_col, "resid2_micro")

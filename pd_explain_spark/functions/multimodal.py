@@ -430,10 +430,16 @@ def _ahash_from_get(w: int, h: int, get, hd: int = 8) -> int:
     return hval
 
 
-def _image_ahash_one(payload: bytes | None, hd: int = 8) -> int | None:
+def _image_ahash_one(
+    payload: bytes | None, hd: int = 8, unsupported: str = "raise"
+) -> int | None:
     """Hash one image payload via the real decode dispatch (builtin
-    PPM/BMP, then Pillow when importable); None for missing/corrupt
-    payloads — the corrupt-row contract shared with extract_features."""
+    PPM/BMP, then Pillow when importable). None for MISSING or CORRUPT
+    payloads (the corrupt-row contract shared with extract_features);
+    a format this environment cannot decode at all (non-builtin, no
+    Pillow) raises NotImplementedError by default — silently NULLing
+    every JPEG would mask a misconfigured deploy — or hashes NULL with
+    ``unsupported="null"`` for best-effort corpus passes."""
     if not payload:
         return None
     if _builtin_supported(payload):
@@ -455,16 +461,23 @@ def _image_ahash_one(payload: bytes | None, hd: int = 8) -> int | None:
             return px[x, y]
 
         return _ahash_from_get(img.width, img.height, get, hd)
+    if unsupported == "null":
+        return None
     raise NotImplementedError(
         "media decoding beyond PPM/BMP requires Pillow, which is not "
-        "present in this environment"
+        "present in this environment; pass unsupported='null' to hash "
+        "such rows NULL instead"
     )
 
 
-def image_ahash(df: DataFrame, hash_dim: int = 8) -> DataFrame:
+def image_ahash(
+    df: DataFrame, hash_dim: int = 8, unsupported: str = "raise"
+) -> DataFrame:
     """Perceptual average-hash over an image media table (MEDIA_SCHEMA
     subset: media_id, kind, payload): (media_id, ahash) for every image
-    row, NULL for undecodable payloads. aHash is the standard cheap
+    row; NULL for missing/corrupt payloads and non-image rows. Formats
+    this environment cannot decode (non-builtin, no Pillow) raise by
+    default — pass ``unsupported="null"`` for best-effort passes. aHash is the standard cheap
     near-dup signature for images — identical content re-encoded
     (PPM vs BMP), block-preserving rescales, and minor brightness-
     uniform noise all collide, so exact grouping on the hash finds the
@@ -486,7 +499,10 @@ def image_ahash(df: DataFrame, hash_dim: int = 8) -> DataFrame:
                     continue
                 p = row["payload"]
                 hashes.append(
-                    _image_ahash_one(bytes(p) if p is not None else None, hash_dim)
+                    _image_ahash_one(
+                        bytes(p) if p is not None else None, hash_dim,
+                        unsupported=unsupported,
+                    )
                 )
             # nullable Int64, NOT a plain list: a None in the column would
             # coerce to float64 and silently round hashes beyond 2^53

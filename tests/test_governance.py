@@ -168,3 +168,14 @@ def test_categorical_dependence_known_tables(spark):
     )
     r3 = categorical_dependence(withnull, "a", "b").collect()[0]
     assert r3["n"] == 8
+
+
+def test_robust_anomalies_scores_null_group_keys(spark):
+    """A NULL group key is a real group (review fix): rows whose
+    seasonal key is NULL still get a baseline and can flag."""
+    rows = [(i, None, float(v)) for i, v in enumerate([8, 9, 9, 10, 10, 10, 11, 11, 12, 1000])]
+    rows += [(100 + i, "g", 5.0 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "id INT, g STRING, value DOUBLE")
+    out = robust_anomalies(df, "value", by=["g"]).collect()
+    assert [r["id"] for r in out] == [9]          # NULL-group outlier flags
+    assert out[0]["med"] == 10.0 and out[0]["mad"] == 1.0
