@@ -85,24 +85,37 @@ def cohort_retention(
     user_col: str = "user_id",
     ts_col: str = "ts",
     scale: int = 1_000_000,
+    granularity: str = "day",
 ) -> DataFrame:
     """Day-cohort retention: cohort = the calendar day of a user's FIRST
     event; for every (cohort, day offset) pair with activity, the
     distinct returning users and the retention ratio vs the cohort's
     size (offset 0 — every user is active on their first day by
     construction). Returns (cohort_day 'yyyy-MM-dd', day_offset,
-    n_users, retention_micro).
+    n_users, retention_micro). ``granularity="week"`` buckets activity
+    into ISO weeks instead: cohort_day becomes the Monday of the
+    user's first week and day_offset counts WEEKS (same column names,
+    period semantics).
 
     Scale shape: one user-keyed min-aggregate (the cohort table,
     bounded by user count), one distinct over (user, day) — the only
     event-volume shuffle, map-side combinable — then a user-keyed join
     against the cohort table and a (cohort, offset) count. The offsets
     spine grows with TIME, not event volume."""
+    if granularity not in ("day", "week"):
+        raise ValueError(
+            f"cohort_retention: granularity must be 'day' or 'week', got {granularity!r}"
+        )
+    period = (
+        F.to_date(F.col(ts_col))
+        if granularity == "day"
+        else F.to_date(F.date_trunc("week", F.col(ts_col)))
+    )
     ev = df.filter(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
         F.col(user_col).alias("__u"),
-        F.to_date(F.col(ts_col)).alias("__d"),
+        period.alias("__d"),
     )
     cohort = ev.groupBy("__u").agg(F.min("__d").alias("__c"))
     active = ev.distinct()
@@ -110,7 +123,10 @@ def cohort_retention(
         active.join(cohort, "__u")
         .groupBy(
             F.col("__c"),
-            F.datediff(F.col("__d"), F.col("__c")).cast("int").alias("day_offset"),
+            (
+                F.datediff(F.col("__d"), F.col("__c"))
+                / F.lit(7 if granularity == "week" else 1)
+            ).cast("int").alias("day_offset"),
         )
         # after distinct(), (user, day) is unique and day determines the
         # offset within a cohort — a plain count equals count_distinct(u)

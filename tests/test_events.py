@@ -162,3 +162,28 @@ def test_ab_test_report_arithmetic_and_guards(spark):
     three = df.union(spark.createDataFrame([("C", 1)], "variant STRING, converted INT"))
     with pytest.raises(ValueError):
         ab_test_report(three, "variant", "converted")
+
+
+def test_cohort_retention_week_granularity(spark):
+    from pd_explain_spark.functions.events import cohort_retention
+
+    # 2024-03-01 is a Friday (week of Mon 2024-02-26); 2024-03-12 falls
+    # in the week of Mon 2024-03-11 = offset 2 weeks
+    rows = [(1, _ts(1)), (1, _ts(12)), (2, _ts(1))]
+    got = {
+        (r["cohort_day"], r["day_offset"]): (r["n_users"], r["retention_micro"])
+        for r in cohort_retention(
+            spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP"),
+            granularity="week",
+        ).collect()
+    }
+    assert got == {
+        ("2024-02-26", 0): (2, 1_000_000),
+        ("2024-02-26", 2): (1, 500_000),
+    }
+    import pytest as _p
+    with _p.raises(ValueError):
+        cohort_retention(
+            spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP"),
+            granularity="month",
+        )
