@@ -419,3 +419,19 @@ def test_image_ahash_survives_block_preserving_rescale(spark):
     src = b"P6\n32 32\n255\n" + body
     small = _builtin_resize(src, 16, 16)
     assert _image_ahash_one(src) == _image_ahash_one(small)
+
+
+def test_image_ahash_unsupported_format_contract():
+    """No-Pillow environment: a non-builtin format raises by default
+    (misconfiguration should fail loud) and hashes NULL with
+    unsupported='null' (best-effort corpus pass)."""
+    import pytest as _p
+
+    from pd_explain_spark.functions.multimodal import HAS_PIL, _image_ahash_one
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    if HAS_PIL:
+        _p.skip("Pillow present: the real decode path takes over")
+    with _p.raises(NotImplementedError):
+        _image_ahash_one(png)
+    assert _image_ahash_one(png, unsupported="null") is None
