@@ -3604,6 +3604,86 @@ def ab_test_events_q(spark, sf_dir):
 
 
 @_q(
+    "kaplan_meier_events",
+    """WITH mx AS (
+         SELECT max(ts) AS m FROM events
+       ), u AS (
+         SELECT user_id, min(ts) AS first,
+                min(CASE WHEN event_type = 'purchase' AND value > 150.0
+                         THEN ts END) AS conv
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+       ), subj AS (
+         SELECT CAST(floor((epoch_us(coalesce(conv, mx.m)) - epoch_us(first))
+                           / 3600000000.0) AS BIGINT) AS t,
+                CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS e
+         FROM u, mx
+       ), per AS (
+         SELECT t, sum(e)::BIGINT AS d, count(*)::BIGINT AS c
+         FROM subj GROUP BY 1
+       ), ar AS (
+         SELECT t, d, c, sum(c) OVER (ORDER BY t DESC)::BIGINT AS n FROM per
+       ), tm AS (
+         SELECT t, d, n,
+                CASE WHEN d > 0 AND d < n THEN
+                  CAST(floor(ln(1.0 - d::DOUBLE / n::DOUBLE)
+                             * 1000000000.0 + 0.5) AS BIGINT)
+                ELSE 0 END AS lt,
+                CASE WHEN d = n THEN 1 ELSE 0 END AS dd
+         FROM ar
+       ), cv AS (
+         SELECT t, d, n,
+                sum(lt) OVER (ORDER BY t)::BIGINT AS cum,
+                max(dd) OVER (ORDER BY t) AS dead
+         FROM tm
+       )
+       SELECT t AS duration, n AS n_at_risk, d AS n_events,
+              CASE WHEN dead = 1 THEN 0
+                   ELSE CAST(floor(exp(cum::DOUBLE / 1000000000.0)
+                                   * 1000000.0 + 0.5) AS BIGINT)
+              END AS survival_micro
+       FROM cv WHERE d > 0""",
+)
+def kaplan_meier_events_q(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion curve (functions/events.py
+    kaplan_meier): hours from each user's first event to their first
+    big-ticket purchase (value > 150), right-censored at the
+    observation end for users who never convert — the survival curve
+    that respects still-active users, which a naive converted-fraction
+    plot gets wrong. Exact integer per-duration counts; at-risk from a
+    reverse cumsum over distinct durations; each log factor nano-
+    rounds to an integer before the ordered cumulative sum, so the
+    product chain is an exact integer scan with one exp at the end.
+    All windows run over the duration-bounded compressed table."""
+    from pd_explain_spark.functions.events import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    big = (F.col("event_type") == "purchase") & (F.col("value") > F.lit(150.0))
+    subj = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first"),
+            F.min(F.when(big, F.col("ts"))).alias("conv"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                (
+                    F.unix_micros(
+                        F.coalesce(F.col("conv"), F.col("m")).cast("timestamp")
+                    )
+                    - F.unix_micros(F.col("first").cast("timestamp"))
+                )
+                / F.lit(3_600_000_000)
+            ).alias("dur_hours"),
+            F.col("conv").isNotNull().cast("int").alias("event"),
+        )
+    )
+    return kaplan_meier(subj, "dur_hours", "event", max_durations=100_000)
+
+
+@_q(
     "funnel_latency_events",
     """WITH ev AS (
          SELECT user_id AS u, event_type AS t, ts

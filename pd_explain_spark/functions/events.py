@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["event_funnel", "cohort_retention", "cooccurrence_pairs",
-           "funnel_user_times", "funnel_latency", "ab_test_report"]
+           "funnel_user_times", "funnel_latency", "ab_test_report",
+           "kaplan_meier"]
 
 
 def event_funnel(
@@ -352,4 +353,83 @@ def ab_test_report(
         .otherwise(F.lit(0).cast("bigint")).alias("z_micro"),
         F.when(se > 0, F.abs(z) > F.lit(float(z_thresh)))
         .otherwise(F.lit(False)).alias("significant"),
+    )
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    scale: int = 1_000_000,
+    max_durations: int = 100_000,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over right-censored durations
+    (one row per subject: integer duration + event flag, 1 = the event
+    was observed, 0 = censored): for every duration with >= 1 observed
+    event, the at-risk count, the event count, and the survival
+    probability S(t) = Π (1 - d_i/n_i) in integer micro-units — the
+    time-to-churn curve that respects still-active (censored) users,
+    which a naive churned-fraction-by-day plot gets wrong.
+
+    Determinism: the compressed per-duration (events, total) table is
+    exact integers; the at-risk counts come from a reverse cumulative
+    sum over ORDERED distinct durations; each survival factor's log
+    nano-rounds to an INTEGER before the ordered cumulative sum (the
+    categorical_dependence fixed-point contract), so the product chain
+    is an exact integer scan with one exp at the end. A duration where
+    every remaining subject churns (d = n) sends S to exactly 0 from
+    that point on. NULL durations/events are excluded.
+
+    Scale shape: one map-combining (duration) count — everything after
+    runs over the compressed table, bounded by distinct durations,
+    never subject volume; the windows are per-duration cumsums, never
+    a sort of the subjects. ``max_durations`` declares that bound in
+    the plan (the drift-histogram identity-limit idiom): durations
+    MUST be pre-bucketed time units (hours/days) with cardinality
+    under it — a finer-than-bucketed duration column should be
+    floor-divided first."""
+    from pyspark.sql import Window
+
+    subj = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        F.col(duration_col).cast("bigint").alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    per = subj.groupBy("__t").agg(
+        F.sum("__e").cast("bigint").alias("__d"),
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+    ).limit(max_durations)  # identity bound: <= max_durations distinct rows
+    w_rev = Window.orderBy(F.col("__t").desc())
+    at_risk = per.withColumn("__n", F.sum("__c").over(w_rev))
+    nano = F.lit(1_000_000_000.0)
+    term = F.when(
+        (F.col("__d") > 0) & (F.col("__d") < F.col("__n")),
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                - F.col("__d").cast("double") / F.col("__n").cast("double")
+            ) * nano + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    dead = F.when(F.col("__d") == F.col("__n"), 1).otherwise(0)
+    w_fwd = Window.orderBy("__t")
+    curve = (
+        at_risk.withColumn("__lt", term)
+        .withColumn("__cum", F.sum("__lt").over(w_fwd))
+        .withColumn("__dead", F.max(dead).over(w_fwd))
+    )
+    surv = F.when(F.col("__dead") == 1, F.lit(0).cast("bigint")).otherwise(
+        F.floor(
+            F.exp(F.col("__cum").cast("double") / nano) * F.lit(float(scale))
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    return (
+        curve.filter(F.col("__d") > 0)
+        .select(
+            F.col("__t").alias("duration"),
+            F.col("__n").alias("n_at_risk"),
+            F.col("__d").alias("n_events"),
+            surv.alias("survival_micro"),
+        )
     )

@@ -93,6 +93,7 @@ FLOW_THROUGH = [
     "cooccurrence_lineitem",
     "funnel_latency_events",
     "mode_lineitem",
+    "kaplan_meier_events",
 ]
 
 # model/target ops: a clear ValueError, never an unguarded TypeError

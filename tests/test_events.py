@@ -187,3 +187,29 @@ def test_cohort_retention_week_granularity(spark):
             spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP"),
             granularity="month",
         )
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """Classic worked KM example: durations 1,2+,3,4+,5 (+'s censored).
+    S(1) = 4/5, S(3) = 4/5 * 2/3, S(5) = 0 (last at-risk subject
+    churns). Censored-only durations emit no row; at-risk counts
+    respect censoring."""
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "dur INT, event INT")
+    from pd_explain_spark.functions.events import kaplan_meier
+
+    out = {r["duration"]: r for r in kaplan_meier(df, "dur", "event").collect()}
+    assert sorted(out) == [1, 3, 5]
+    assert (out[1]["n_at_risk"], out[1]["n_events"]) == (5, 1)
+    assert (out[3]["n_at_risk"], out[3]["n_events"]) == (3, 1)
+    assert (out[5]["n_at_risk"], out[5]["n_events"]) == (1, 1)
+    import math
+
+    s1 = math.floor(math.exp(math.floor(math.log(4 / 5) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5)
+    assert out[1]["survival_micro"] == s1                      # ~0.8
+    assert abs(out[3]["survival_micro"] - 533_333) <= 1        # 4/5 * 2/3
+    assert out[5]["survival_micro"] == 0                       # d == n
+    # everyone-churns-at-once edge: one duration, S drops to 0 there
+    allchurn = spark.createDataFrame([(2, 1), (2, 1)], "dur INT, event INT")
+    r = kaplan_meier(allchurn, "dur", "event").collect()
+    assert len(r) == 1 and r[0]["survival_micro"] == 0 and r[0]["n_at_risk"] == 2
