@@ -9428,7 +9428,7 @@ _RECORD_FIRST = [
     #   5 family-forced members (their family has no staler
     #      oracle-backed candidate; exact_quantiles_lineitem doubles as
     #      changed-code re-proof for the r9 per-sub-bin narrowing fix).
-    # r10 rotation pool, priority order: (1) the TWENTY-SIX oracle entries
+    # r10 rotation pool, priority order: (1) the TWENTY-EIGHT oracle entries
     # added AFTER this window froze — intra_doc_dedup_docs,
     # url_canonical_planted, url_dedup_planted, dedup_recall_winnow,
     # dedup_sweep_winnow, join_profile_orders_customer,
@@ -9443,7 +9443,9 @@ _RECORD_FIRST = [
     # pca_residuals_emb + pca_component2_emb (green at sf0.01 AND
     # sf0.1), cooccurrence_lineitem, dependence_orders,
     # funnel_latency_events, ab_test_events (each sf0.01-green,
-    # funnel/ab also sf0.001) —
+    # funnel/ab also sf0.001), and the sixth-wave two:
+    # mode_lineitem (sf0.01-green) and kaplan_meier_events
+    # (sf0.001 + sf0.01 green) —
     # plus any new r10 entries (each oracle-green locally via
     # scripts/check_oracles.py at sf0.01);
     # (2) the 19 remaining r05-stale re-checks: assign_splits,
