@@ -3315,32 +3315,42 @@ def k_anonymize_customer_q(spark, sf_dir):
          FROM customer
        ), c0 AS (
          SELECT n0, s0, a0, count(*)::BIGINT AS k0 FROM b GROUP BY 1, 2, 3
+       ), r0 AS (
+         SELECT b.*, c0.k0 FROM b JOIN c0 USING (n0, s0, a0)
+       ), rem1 AS (
+         SELECT * FROM r0 WHERE k0 < 3
        ), c1 AS (
-         SELECT n0, s0, a1, count(*)::BIGINT AS k1 FROM b GROUP BY 1, 2, 3
+         SELECT n0, s0, a1, count(*)::BIGINT AS k1 FROM rem1 GROUP BY 1, 2, 3
+       ), r1 AS (
+         SELECT rem1.*, c1.k1 FROM rem1 JOIN c1 USING (n0, s0, a1)
+       ), rem2 AS (
+         SELECT * FROM r1 WHERE k1 < 3
        ), c2 AS (
-         SELECT n0, s0, count(*)::BIGINT AS k2 FROM b GROUP BY 1, 2
-       ), j AS (
-         SELECT b.*, c0.k0, c1.k1, c2.k2
-         FROM b JOIN c0 USING (n0, s0, a0)
-                JOIN c1 USING (n0, s0, a1)
-                JOIN c2 USING (n0, s0)
+         SELECT n0, s0, count(*)::BIGINT AS k2 FROM rem2 GROUP BY 1, 2
+       ), r2 AS (
+         SELECT rem2.*, c2.k2 FROM rem2 JOIN c2 USING (n0, s0)
        )
-       SELECT c_custkey,
-              CASE WHEN k0 >= 3 THEN 0 WHEN k1 >= 3 THEN 1 ELSE 2 END AS level,
-              n0 AS nation, s0 AS seg,
-              CASE WHEN k0 >= 3 THEN a0 WHEN k1 >= 3 THEN a1 ELSE '*' END AS acct
-       FROM j WHERE k0 >= 3 OR k1 >= 3 OR k2 >= 3""",
+       SELECT c_custkey, 0 AS level, n0 AS nation, s0 AS seg, a0 AS acct
+       FROM r0 WHERE k0 >= 3
+       UNION ALL
+       SELECT c_custkey, 1 AS level, n0 AS nation, s0 AS seg, a1 AS acct
+       FROM r1 WHERE k1 >= 3
+       UNION ALL
+       SELECT c_custkey, 2 AS level, n0 AS nation, s0 AS seg, '*' AS acct
+       FROM r2 WHERE k2 >= 3""",
 )
 def k_generalize_customer_q(spark, sf_dir):
     """Generalization-ladder k-anonymization (functions/profiling.py
     k_anonymize_generalize): every customer keeps the FIRST encoding
-    level whose full-corpus equivalence class reaches k=3 — exact
-    account kilobucket, then 5k bucket, then the bucket generalized
-    away — and only rows failing all three suppress. Local recoding
-    with full-domain counts: utility degrades per ROW, not per table
-    (the plain-suppression sibling k_anonymize_customer drops every
-    at-risk row instead). Three bounded count tables join back with
-    AQE picking broadcast; the corpus scans once."""
+    level whose equivalence class reaches k=3 AMONG ROWS NOT RELEASED
+    AT A FINER LEVEL — exact account kilobucket, then 5k bucket, then
+    the bucket generalized away — and rows failing all three suppress.
+    Iterative local recoding (ADVICE r9 fix): full-domain counts would
+    let a coarse class borrow members that publish at a finer level and
+    release a row alone; with iterative counts every released (level,
+    quasi) class provably holds >= k published rows. The oracle unrolls
+    the same three-stage remaining-rows cascade. Three bounded count
+    tables join back with AQE picking broadcast."""
     from pd_explain_spark.functions.profiling import k_anonymize_generalize
 
     c = _t(spark, sf_dir, "customer")

@@ -455,6 +455,16 @@ def robust_anomalies(
     continuous deployment shape, parity-tested in test_streaming."""
     if not by:
         raise ValueError("robust_anomalies: by must be non-empty")
+    clash = [c for c in ("med", "mad") if c in df.columns]
+    if clash:
+        # the stats join-back and the output contract both use the
+        # literal names med/mad — an input frame that already carries
+        # them would make the z expression ambiguous (or silently
+        # shadow the baseline); fail loud with the fix (ADVICE r9)
+        raise ValueError(
+            f"robust_anomalies: input already has column(s) {clash}; rename "
+            "them first — the output reserves med/mad for the baseline stats"
+        )
     vals = df.filter(F.col(value_col).isNotNull())
     if stats is None:
         stats = robust_stats(df, value_col, by)

@@ -207,6 +207,43 @@ def cooccurrence_pairs(
         )
     )
 
+_WITHIN_UNITS = (
+    "microsecond", "millisecond", "second", "minute", "hour", "day", "week",
+)
+
+
+def _validate_within(within, required: bool = False):
+    """Normalize the conversion-window argument: ``None`` passes
+    through, a ``datetime.timedelta`` converts to exact microseconds,
+    and a string must match ``'<int> <unit>'`` (units second/minute/
+    hour/day/week and their ms/us siblings, optional plural). Anything
+    else raises ValueError HERE with the offending value — raw
+    interpolation into ``F.expr(f"INTERVAL {within}")`` would surface a
+    malformed (or SQL-bearing) value as an opaque parse error deep in
+    the plan (ADVICE r9 fix)."""
+    import datetime
+    import re
+
+    if within is None:
+        if required:
+            raise ValueError("a time window argument is required, got None")
+        return None
+    if isinstance(within, datetime.timedelta):
+        us = round(within.total_seconds() * 1_000_000)
+        if us <= 0:
+            raise ValueError(
+                f"funnel: within must be a positive window, got {within!r}"
+            )
+        return f"{us} MICROSECOND"
+    m = re.fullmatch(r"\s*(\d+)\s+([A-Za-z]+?)s?\s*", str(within))
+    if not m or m.group(2).lower() not in _WITHIN_UNITS:
+        raise ValueError(
+            "funnel: within must be a datetime.timedelta or '<int> <unit>' "
+            f"with unit in {_WITHIN_UNITS}, got {within!r}"
+        )
+    return f"{int(m.group(1))} {m.group(2).upper()}"
+
+
 def funnel_user_times(
     df: DataFrame,
     steps: list[str],
@@ -224,6 +261,7 @@ def funnel_user_times(
         raise ValueError("funnel_user_times: need >= 2 steps")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel_user_times: steps must be distinct, got {steps}")
+    within = _validate_within(within)
     ev = df.filter(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(F.col(user_col).alias("__u"), F.col(type_col).alias("__t"),
@@ -382,11 +420,15 @@ def kaplan_meier(
     Scale shape: one map-combining (duration) count — everything after
     runs over the compressed table, bounded by distinct durations,
     never subject volume; the windows are per-duration cumsums, never
-    a sort of the subjects. ``max_durations`` declares that bound in
-    the plan (the drift-histogram identity-limit idiom): durations
-    MUST be pre-bucketed time units (hours/days) with cardinality
-    under it — a finer-than-bucketed duration column should be
-    floor-divided first."""
+    a sort of the subjects. Durations MUST be pre-bucketed time units
+    (hours/days) with cardinality under ``max_durations`` — a
+    finer-than-bucketed duration column should be floor-divided first.
+    Unlike the drift-histogram identity-limit idiom, that bound is NOT
+    guaranteed by construction here, so it is ENFORCED in the plan: a
+    window count over the compressed table raises at execution time
+    when the cardinality exceeds ``max_durations`` (ADVICE r9 fix — a
+    silent ``limit`` would drop an arbitrary duration subset and
+    corrupt the reverse-cumsum at-risk counts with no error)."""
     from pyspark.sql import Window
 
     subj = df.filter(
@@ -398,9 +440,30 @@ def kaplan_meier(
     per = subj.groupBy("__t").agg(
         F.sum("__e").cast("bigint").alias("__d"),
         F.count(F.lit(1)).cast("bigint").alias("__c"),
-    ).limit(max_durations)  # identity bound: <= max_durations distinct rows
+    )
     w_rev = Window.orderBy(F.col("__t").desc())
-    at_risk = per.withColumn("__n", F.sum("__c").over(w_rev))
+    w_all = w_rev.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # the w_rev cumsum already runs single-partition over the compressed
+    # table, so the global cardinality count shares that window for free;
+    # __n is consumed downstream, so Catalyst can never prune the guard
+    at_risk = per.withColumn(
+        "__n",
+        F.when(
+            F.count(F.lit(1)).over(w_all) <= F.lit(int(max_durations)),
+            F.sum("__c").over(w_rev),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "kaplan_meier: distinct durations exceed "
+                        f"max_durations={int(max_durations)} — pre-bucket "
+                        "the duration column (floor-divide to hours/days) "
+                        "or raise max_durations"
+                    )
+                )
+            ).cast("bigint")
+        ),
+    )
     nano = F.lit(1_000_000_000.0)
     term = F.when(
         (F.col("__d") > 0) & (F.col("__d") < F.col("__n")),

@@ -99,6 +99,7 @@ def gram_moments(
         S = None
         sums = None
         cnt = 0
+        LIM = 1 << 62  # headroom under int64: chunk_rows * A^2 stays < 2^62
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -107,14 +108,30 @@ def gram_moments(
                 d = M.shape[1]
                 S = [[0] * d for _ in range(d)]
                 sums = [0] * d
-            G = M.T @ M  # exact: batch_rows * (scale*max|x|)^2 << 2^63
-            s = M.sum(axis=0)
-            for i in range(d):
-                sums[i] += int(s[i])
-                Gi = G[i]
-                Si = S[i]
-                for j in range(i, d):
-                    Si[j] += int(Gi[j])
+            # int64 matmul wraps SILENTLY on overflow, and the margin
+            # depends on arrow batch size x max|q|^2 (ADVICE r9): bound
+            # it at runtime — chunk rows so each partial Gram is exact,
+            # and fall back to exact Python-int (object dtype) matmul
+            # when even a single row's A^2 would wrap
+            A = int(np.max(np.abs(M))) if M.size else 0
+            if A and A * A >= LIM:
+                Mo = M.astype(object)
+                chunks = [(Mo.T @ Mo, Mo.sum(axis=0))]
+            else:
+                step = len(M) if A == 0 else max(1, LIM // (A * A))
+                chunks = []
+                for lo in range(0, len(M), step):
+                    Mc = M[lo:lo + step]
+                    # step*A^2 < 2^62 bounds both the Gram entries and
+                    # the column sums (step*A <= 2^62/A <= 2^62)
+                    chunks.append((Mc.T @ Mc, Mc.sum(axis=0)))
+            for G, s in chunks:
+                for i in range(d):
+                    sums[i] += int(s[i])
+                    Gi = G[i]
+                    Si = S[i]
+                    for j in range(i, d):
+                        Si[j] += int(Gi[j])
             cnt += len(pdf)
         rows: list = []
         if d is not None:

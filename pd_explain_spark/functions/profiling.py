@@ -361,19 +361,27 @@ def k_anonymize_generalize(
     quasi-identifier encodings, coarsest last — each a dict mapping the
     OUTPUT quasi name to a Column expression for that level (omit a name
     to generalize it away entirely; it emits ``*``). Every row keeps the
-    FIRST level whose equivalence class — counted over the WHOLE corpus
-    at that level — reaches ``k`` members; rows failing every level are
-    suppressed. Returns ``keep_cols`` (default: all original columns) +
-    ``level`` + one string column per quasi name holding the row's
-    generalized value. Each row is generalized only as far as it needs
-    (local recoding with full-domain counts), so utility degrades per
-    row, not per table.
+    FIRST level whose equivalence class reaches ``k`` members — counted
+    ONLY among rows not already released at a finer level (iterative
+    local recoding); rows failing every level are suppressed. Counting
+    over the whole corpus instead would let a class "borrow" members
+    that publish at a finer level: with ages [21,21,21,25] and k=3 the
+    25 row would pass the decade level (full-domain class size 4) while
+    being the ONLY row actually published there — uniquely
+    re-identifiable despite the k-anonymity claim. With iterative
+    counts, every released (level, quasi-values) class provably
+    contains >= k published rows, so the output passes its own
+    :func:`k_anonymity_report` per level. Returns ``keep_cols``
+    (default: all original columns) + ``level`` + one string column per
+    quasi name holding the row's generalized value.
 
     Scale shape: ONE derived-column corpus frame; per level one
     map-combining groupBy (bounded by class cardinality) joined back
-    null-safely with AQE picking broadcast — L levels cost L bounded
-    count tables, the corpus scans once and never shuffles when the
-    class tables broadcast."""
+    null-safely with AQE picking broadcast. Level li's count input is
+    the rows failing levels < li, so its plan nests the earlier
+    (bounded, broadcast) class joins — L levels cost O(L^2) bounded
+    joins in the plan, fine for the 2-5 levels a real ladder has; the
+    corpus never shuffles when the class tables broadcast."""
     if not levels:
         raise ValueError("k_anonymize_generalize: levels must be non-empty")
     if k < 1:
@@ -397,9 +405,11 @@ def k_anonymize_generalize(
             cols.append(c)
         qcols.append(cols)
     out = base
+    remaining = F.lit(True)  # rows not yet released at a finer level
     for li, cols in enumerate(qcols):
         cnt = (
-            base.groupBy(*[F.col(c) for c in cols])
+            out.filter(remaining)
+            .groupBy(*[F.col(c) for c in cols])
             .agg(F.count(F.lit(1)).cast("bigint").alias(f"__k{li}"))
             .select(*[F.col(c).alias(f"__r{c}") for c in cols], f"__k{li}")
         )
@@ -408,6 +418,12 @@ def k_anonymize_generalize(
             piece = F.col(c).eqNullSafe(F.col(f"__r{c}"))
             cond = piece if cond is None else cond & piece
         out = out.join(cnt, cond, "left").drop(*[f"__r{c}" for c in cols])
+        # released rows fall out of cnt's input above, so their later
+        # __k columns come back NULL from the left join — coalesce keeps
+        # the predicate three-valued-logic safe
+        remaining = remaining & ~F.coalesce(
+            F.col(f"__k{li}") >= F.lit(k), F.lit(False)
+        )
     passes = [F.col(f"__k{li}") >= F.lit(k) for li in range(len(levels))]
     level = F.lit(None).cast("int")
     for li in range(len(levels) - 1, -1, -1):

@@ -182,8 +182,10 @@ def sessionize(
     the classic sessionization plan (one shuffle on user)."""
     from pyspark.sql import Window as W
 
+    from ..functions.events import _validate_within
+
     w = W.partitionBy(user_col).orderBy(ts_col)
-    gap_expr = F.expr(f"INTERVAL {gap}")
+    gap_expr = F.expr(f"INTERVAL {_validate_within(gap, required=True)}")
     prev = F.lag(ts_col).over(w)
     new_sess = (
         F.when(prev.isNull(), 1)
@@ -258,8 +260,11 @@ def interval_join(
 
     Batch flavor of ``stream_interval_join`` — identical condition, so a
     backfill and the live stream agree row-for-row (parity-tested)."""
+    from ..functions.events import _validate_within
+
     if how not in ("inner", "left"):
         raise ValueError(f"interval_join how must be inner/left, got {how!r}")
+    within = _validate_within(within, required=True)
     keys = [on] if isinstance(on, str) else list(on)
     lf = _with_event_time(left, left_ts)
     rf = _with_event_time(right, right_ts)
@@ -297,6 +302,9 @@ def stream_interval_join(
 
     Same condition as ``interval_join``, so replaying the stream over a
     static snapshot reproduces the batch result exactly."""
+    from ..functions.events import _validate_within
+
+    within = _validate_within(within, required=True)
     keys = [on] if isinstance(on, str) else list(on)
     lf = _with_event_time(left_stream, left_ts).withWatermark(left_ts, watermark)
     rf = _with_event_time(right_stream, right_ts).withWatermark(right_ts, watermark)

@@ -83,13 +83,13 @@ def test_k_anonymize_generalize_picks_minimal_level(spark):
     from pd_explain_spark.functions.profiling import k_anonymize_generalize
 
     # ages: 3x 21 (safe at level 0), 22 + 23 + 24 (each a singleton at
-    # level 0; 22/23/24 share decade 2 -> safe at level 1), 99 (alone
-    # even in its decade -> safe only with age generalized away at
-    # level 2 among "US"), 50 in country "ZZ" (alone everywhere ->
-    # suppressed)
+    # level 0; 22/23/24 share decade 2 -> safe at level 1), 99 and 98
+    # and 97 (each alone in its decade -> released together only at
+    # level 2 among the REMAINING "US" rows), 50 in country "ZZ"
+    # (alone everywhere -> suppressed)
     rows = [(1, "US", 21), (2, "US", 21), (3, "US", 21),
             (4, "US", 22), (5, "US", 23), (6, "US", 24),
-            (7, "US", 99), (8, "ZZ", 50)]
+            (7, "US", 99), (8, "ZZ", 50), (9, "US", 88), (10, "US", 77)]
     df = spark.createDataFrame(rows, "id INT, country STRING, age INT")
     levels = [
         {"country": F.col("country"), "age": F.col("age")},
@@ -98,12 +98,33 @@ def test_k_anonymize_generalize_picks_minimal_level(spark):
     ]
     out = {r["id"]: r for r in
            k_anonymize_generalize(df, levels, k=3, keep_cols=["id"]).collect()}
-    assert sorted(out) == [1, 2, 3, 4, 5, 6, 7]      # ZZ row suppressed
+    assert sorted(out) == [1, 2, 3, 4, 5, 6, 7, 9, 10]   # ZZ row suppressed
     assert {out[i]["level"] for i in (1, 2, 3)} == {0}
     assert {out[i]["level"] for i in (4, 5, 6)} == {1}
     assert out[4]["age"] == "2" and out[1]["age"] == "21"
-    assert out[7]["level"] == 2 and out[7]["age"] == "*"
-    assert out[7]["country"] == "US"
+    assert {out[i]["level"] for i in (7, 9, 10)} == {2}
+    assert out[7]["age"] == "*" and out[7]["country"] == "US"
+
+
+def test_k_anonymize_generalize_released_classes_reach_k(spark):
+    """The ADVICE r9 leak: with ages [21,21,21,25] and k=3, full-domain
+    counting released the 25 row ALONE at the decade level (its class
+    "borrowed" the three 21s that publish at level 0). Iterative local
+    recoding must suppress it — and every released (level, quasi) class
+    must contain >= k published rows."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.profiling import k_anonymize_generalize
+
+    rows = [(1, 21), (2, 21), (3, 21), (4, 25)]
+    df = spark.createDataFrame(rows, "id INT, age INT")
+    levels = [{"age": F.col("age")}, {"age": F.floor(F.col("age") / 10)}]
+    got = k_anonymize_generalize(df, levels, k=3, keep_cols=["id"]).collect()
+    assert sorted(r["id"] for r in got) == [1, 2, 3]   # the 25 suppresses
+    # released classes all reach k among PUBLISHED rows at their level
+    from collections import Counter
+    sizes = Counter((r["level"], r["age"]) for r in got)
+    assert all(v >= 3 for v in sizes.values())
 
 
 def test_k_anonymize_generalize_validates(spark):
