@@ -9417,92 +9417,68 @@ def metainsight_explain_text(spark, sf_dir):
 # variants, reshape/accessor coverage) follow in registration order and
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
-    # r9 rotation (VERDICT r8 task #1): with this window, EVERY one of
-    # the oracle-backed entries has at least one driver row across
-    # r1-r9 and the window is 100% oracle-backed for the first time
-    # (quality_classifier_docs — the one allowlisted rows-only entry —
-    # leaves the window because its FIT is now oracle-proven by the new
-    # quality_fit_evidence sibling; scoring was already proven by
-    # quality_score_fixed).
-    # Composition (50 = 11 + 5 + 14 + 15 + 5):
-    #   11 oracle-backed entries with no driver row: the seven r8
-    #      late additions (each judge-verified green at sf0.01 in the
-    #      r8 VERDICT), the three new r9 entries
-    #      (quality_fit_evidence, windowed_psi_events, the upgraded
-    #      similarity_ivf_topk), and corpus_minhash_overlap whose hash
-    #      DERIVATION changed this round (two 64-bit lanes per digest)
-    #      and therefore needs fresh driver proof;
-    #   5 + 14 re-checks = every entry whose last green row is r03/r04
-    #      (the stalest evidence on record);
-    #   15 r05-stale re-checks chosen for family spread;
-    #   5 family-forced members (their family has no staler
-    #      oracle-backed candidate; exact_quantiles_lineitem doubles as
-    #      changed-code re-proof for the r9 per-sub-bin narrowing fix).
-    # r10 rotation pool, priority order: (1) the TWENTY-EIGHT oracle entries
-    # added AFTER this window froze — intra_doc_dedup_docs,
-    # url_canonical_planted, url_dedup_planted, dedup_recall_winnow,
-    # dedup_sweep_winnow, join_profile_orders_customer,
-    # curation_funnel_docs, compact_roundtrip, curriculum_order_docs,
-    # dataset_checksum_docs, and the third-wave six:
-    # k_anonymity_customer, k_anonymize_customer, mad_anomalies_events
-    # (each sf0.01-green), pca_component_emb, pca_scores_emb (green at
-    # sf0.001/0.01/0.1), image_ahash_planted (sf0.01-green), and the
-    # fourth-wave four (all sf0.01-green): k_generalize_customer,
-    # l_diversity_customer, event_funnel_events,
-    # cohort_retention_events, and the fifth-wave six:
-    # pca_residuals_emb + pca_component2_emb (green at sf0.01 AND
-    # sf0.1), cooccurrence_lineitem, dependence_orders,
-    # funnel_latency_events, ab_test_events (each sf0.01-green,
-    # funnel/ab also sf0.001), and the sixth-wave two:
-    # mode_lineitem (sf0.01-green) and kaplan_meier_events
-    # (sf0.001 + sf0.01 green) —
-    # plus any new r10 entries (each oracle-green locally via
-    # scripts/check_oracles.py at sf0.01);
-    # (2) the 19 remaining r05-stale re-checks: assign_splits,
-    # curate_documents, curation_pipeline, embedding_centroid_dist,
-    # embedding_near_dups, embedding_quantize, expanding_stats_events,
-    # interval_join_events, many_to_one_kernel, pct_change_events,
-    # q4_priority_count, q10_returned_revenue, range_join_events,
-    # rank_events_dense, redact_pii, repetition_signals,
-    # resample_hourly, similarity_ivf_fixed, simhash_near_dups_md5;
-    # (3) r06-stale re-checks, family-spread.
+    # r10 rotation (VERDICT r9 task #1): composition 50 = 28 + 19 + 3.
+    #   28 never-driver-checked oracle entries — everything added after
+    #      the r9 window froze (second wave: winnow pair-metrics, join
+    #      profile, curation funnel, compaction, curriculum, checksum,
+    #      intra-doc + URL dedup; third-to-sixth waves: the governance
+    #      four, MAD anomalies, the PCA four, image aHash, the events
+    #      five [funnel/cohort/latency/AB/Kaplan-Meier], itemset lift,
+    #      categorical dependence, mode). Each judge-verified green at
+    #      sf0.01 in the r9 VERDICT and re-verified locally this round
+    #      (k_generalize_customer + kaplan_meier_events after their
+    #      ADVICE-fix semantics changes).
+    #   19 re-checks = every oracle entry whose last green driver row
+    #      is r05 (the stalest evidence on record).
+    #   3 family-forced: metainsight_explain_text (explain SURFACE,
+    #      r06-stale — also the stalest member of the r11 pool),
+    #      mini_language_query (only §2.3 representative),
+    #      hll_distinct_tokens (stalest sketches member, r08).
+    # r11 rotation pool, priority order: (1) any new r10 oracle entries;
+    # (2) the 44 remaining r06-stale re-checks (bm25_docs,
+    # chunk_documents_overlap, contamination_pairs_docs,
+    # corpus_stats_by_lang, decontaminate_docs, dedup_against_corpus,
+    # dedup_near_against_corpus, edit_distance_pairs_docs,
+    # fedex_groupby_explain_text, hybrid_search_docs,
+    # ingest_pipeline_docs, lm_score_docs, many_to_one_full_rules,
+    # metainsight_kernel, near_dup_against_corpus,
+    # near_dup_index_bucketed, near_dup_keep_longest,
+    # outlier_explain_text, the TPC-H q2/q7/q8/q9/q11/q13/q15-q22
+    # shapes, rolling_hour_events, segment_dedup_docs,
+    # semantic_dedup_pairs/survivors, shapley_join_explain_text,
+    # shuffle_shards_docs, span_dedup_docs, temperature_sample_docs,
+    # tfidf_docs, top_terms_docs, topk_orders, vocabulary_docs);
+    # (3) r07-stale re-checks, family-spread.
     #
-    # -- never-driver-checked (oracle-backed; first seven are the r8
-    #    late additions, judge-verified green at sf0.01)
-    "bpe_oov_rate_docs", "check_constraints_lineitem",
-    "corpus_overlap_docs", "histogram_psi_events", "kmeans_stats_emb",
-    "table_profile_lineitem", "weighted_sample_docs",
-    # -- new r9 entries (classifier-fit sign evidence, per-window PSI
-    #    batch twin, the fitted-IVF upgrade of the last rows-only
-    #    similarity entry)
-    "quality_fit_evidence", "windowed_psi_events", "similarity_ivf_topk",
-    # -- changed hash derivation this round (two md5 lanes): re-prove
-    "corpus_minhash_overlap",
-    # -- re-checks: last green r03 (the stalest driver evidence)
-    "groupby_max", "groupby_min", "groupby_prod", "groupby_sem",
-    "groupby_size",
-    # -- re-checks: last green r04 (all of them)
-    "drop_duplicates_part", "filter_quantity", "groupby_agg_dict",
-    "groupby_mean", "groupby_median", "groupby_multi_key",
-    "groupby_nunique", "join_inner", "join_left_agg", "melt_lineitem",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "sliding_windows",
-    "where_mask",
-    # -- re-checks: last green r05, family spread (TPC-H, relational
-    #    mini-language filter, time-series, explainer kernels, dedup,
-    #    similarity, text, training mix)
-    "q12_priority_lines", "q14_promo_revenue", "query_string_filter",
-    "cumsum_events", "ewm_events", "ffill_events",
-    "fedex_join_kernel", "shapley_kernel",
-    "minhash_near_dups_md5", "near_dup_components",
-    "similarity_lsh_topk", "similarity_topk_int8",
-    "token_counts",
-    "stratified_sample_lang", "pack_sequences",
-    # -- family-forced (no staler oracle-backed member in the family)
-    "fedex_join_explain_text",      # explainer surface (r6)
-    "multimodal_features_kernel",   # multimodal (r7)
-    "mini_language_query",          # mini-language (r7)
-    "shards_roundtrip",             # sinks (r7)
-    "exact_quantiles_lineitem",     # sketches + r9 changed-code re-proof
+    # -- never-driver-checked: r9 second wave (dedup metrics, profiling,
+    #    curation pipeline surface, sinks)
+    "dedup_recall_winnow", "dedup_sweep_winnow",
+    "join_profile_orders_customer", "curation_funnel_docs",
+    "compact_roundtrip", "curriculum_order_docs", "dataset_checksum_docs",
+    "intra_doc_dedup_docs", "url_canonical_planted", "url_dedup_planted",
+    # -- never-driver-checked: governance + robust anomalies
+    "k_anonymity_customer", "k_anonymize_customer", "k_generalize_customer",
+    "l_diversity_customer", "mad_anomalies_events",
+    # -- never-driver-checked: exact-integer PCA family
+    "pca_component_emb", "pca_scores_emb", "pca_residuals_emb",
+    "pca_component2_emb",
+    # -- never-driver-checked: multimodal real-decode aHash
+    "image_ahash_planted",
+    # -- never-driver-checked: events analytics (funnel/cohort/AB/KM)
+    "event_funnel_events", "cohort_retention_events",
+    "funnel_latency_events", "ab_test_events", "kaplan_meier_events",
+    # -- never-driver-checked: association / dependence / mode aggs
+    "cooccurrence_lineitem", "dependence_orders", "mode_lineitem",
+    # -- re-checks: last green r05 (all of them — the stalest evidence)
+    "assign_splits", "curate_documents", "curation_pipeline",
+    "embedding_centroid_dist", "embedding_near_dups", "embedding_quantize",
+    "expanding_stats_events", "interval_join_events", "many_to_one_kernel",
+    "pct_change_events", "q4_priority_count", "q10_returned_revenue",
+    "range_join_events", "rank_events_dense", "redact_pii",
+    "repetition_signals", "resample_hourly", "simhash_near_dups_md5",
+    "similarity_ivf_fixed",
+    # -- family-forced (explain surface r06 / §2.3 / sketches r08)
+    "metainsight_explain_text", "mini_language_query", "hll_distinct_tokens",
 ]
 
 

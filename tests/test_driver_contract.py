@@ -41,11 +41,15 @@ def test_window_covers_every_operator_family():
             # too (query_string_filter ceded its r8 slot to
             # leakage_safe_splits_docs)
             "filter_compound", "filter_quantity", "where_mask", "join_inner",
+            # TPC-H plan shapes are relational representatives too
+            "q4_priority_count", "q10_returned_revenue",
         },
         "groupby": {
             "groupby_count", "groupby_std", "groupby_sum", "groupby_mean",
             "groupby_max", "groupby_min", "groupby_prod", "groupby_sem",
             "groupby_size", "groupby_var", "groupby_median", "groupby_nunique",
+            # pandas .mode parity is an aggregate-family member
+            "mode_lineitem",
         },
         # the explain SURFACE is represented by the oracle-backed
         # *_explain_text entries (full string assembly hash-checked) or
@@ -54,7 +58,7 @@ def test_window_covers_every_operator_family():
         "explainers": {
             "fedex_filter_explain_text", "fedex_join_explain_text",
             "shapley_join_explain_text", "outlier_explain_text",
-            "fedex_groupby_explain",
+            "fedex_groupby_explain", "metainsight_explain_text",
         },
         "explainer_kernels": {
             "fedex_filter_kernel", "fedex_join_kernel", "shapley_kernel",
@@ -81,19 +85,25 @@ def test_window_covers_every_operator_family():
             "ccnet_buckets_docs",
         },
         "timeseries": {"rolling_hour_events", "cumsum_events", "asof_join_events",
-                       "shift_events", "sliding_windows"},
+                       "shift_events", "sliding_windows", "expanding_stats_events",
+                       "pct_change_events", "rank_events_dense", "resample_hourly"},
         # windowed_psi_events is the batch twin of stream_psi_scores,
         # same standing as drift_scores_events / stream_drift_scores
+        # interval_join_events is the batch twin of stream_interval_join
         "streaming": {"windowed_events", "sessionize_events", "drift_scores_events",
-                      "windowed_psi_events"},
-        "multimodal": {"multimodal_features", "multimodal_features_kernel"},
+                      "windowed_psi_events", "interval_join_events"},
+        # image_ahash_planted exercises the REAL PPM/BMP decode path
+        "multimodal": {"multimodal_features", "multimodal_features_kernel",
+                       "image_ahash_planted"},
         "mini_language": {"mini_language_query"},
         "training_mix": {
             "redact_pii", "stratified_sample_lang", "pack_sequences",
             "temperature_sample_docs", "shuffle_shards_docs",
             "token_budget_mix",
         },
-        "sinks": {"shards_roundtrip", "jsonl_roundtrip", "orc_roundtrip"},
+        # compact_roundtrip is a write -> read-back sink check too
+        "sinks": {"shards_roundtrip", "jsonl_roundtrip", "orc_roundtrip",
+                  "compact_roundtrip"},
         # bounded-state sketches (CMS / Bloom / HLL / fixed-grid
         # quantile histogram) — the corpus-monitoring family
         "sketches": {
@@ -101,6 +111,26 @@ def test_window_covers_every_operator_family():
             "hll_distinct_tokens", "hll_fingerprints_docs",
             "exact_quantiles_lineitem",
         },
+        # r9 additions promoted to first-class families in r10
+        "governance": {
+            "k_anonymity_customer", "k_anonymize_customer",
+            "k_generalize_customer", "l_diversity_customer",
+            "mad_anomalies_events", "redact_pii",
+        },
+        "events_analytics": {
+            "event_funnel_events", "cohort_retention_events",
+            "funnel_latency_events", "ab_test_events", "kaplan_meier_events",
+        },
+        "linalg": {
+            "pca_component_emb", "pca_scores_emb", "pca_residuals_emb",
+            "pca_component2_emb",
+        },
+        "profiling": {
+            "table_profile_lineitem", "check_constraints_lineitem",
+            "key_skew_events", "join_profile_orders_customer",
+            "dataset_checksum_docs",
+        },
+        "dedup_metrics": {"dedup_recall_winnow", "dedup_sweep_winnow"},
     }
     for fam, members in families.items():
         assert members & f, f"family {fam!r} has no representative in the window"
