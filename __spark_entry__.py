@@ -4923,7 +4923,7 @@ def hashed_embeddings_docs_q(spark, sf_dir):
        ), cent AS (
          SELECT CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS INT) AS bucket,
                 embedding AS cemb
-         FROM hashed ORDER BY h, doc_id LIMIT 16
+         FROM hashed ORDER BY h, doc_id LIMIT 64
        ), adist AS (
          SELECT e.doc_id, e.embedding, c.bucket,
                 row_number() OVER (
@@ -4976,14 +4976,16 @@ def text_semantic_dedup_docs_q(spark, sf_dir):
 
     Scale shape: one tokenize/explode pass builds the vectors JVM-side;
     candidate generation keys on the centroid bucket (work = sum of
-    squared bucket sizes, n_centroids grows with the corpus); text
-    itself never joins — only (id, vector) pairs shuffle."""
+    squared bucket sizes, n_centroids grows with the corpus — r10 sizes
+    it 64 for the 5k-doc table after the 16-bucket flavor measured a
+    3M-pair verify set, ~8x the properly-sized cost); text itself never
+    joins — only (id, vector) pairs shuffle."""
     from pd_explain_spark.functions.similarity import semantic_dedup
     from pd_explain_spark.functions.text import hashed_embeddings
 
     emb = hashed_embeddings(_t(spark, sf_dir, "documents"), dim=64)
     surv = semantic_dedup(
-        emb, id_col="doc_id", vec_col="embedding", threshold=0.9, n_centroids=16
+        emb, id_col="doc_id", vec_col="embedding", threshold=0.9, n_centroids=64
     )
     return surv.select("doc_id")
 

@@ -1073,13 +1073,18 @@ def duplicate_components(
     100 TB (it only contains near-duplicates), so iterating on it is
     cheap; the corpus itself is never rescanned.
     """
-    from pyspark.storagelevel import StorageLevel
-
+    # localCheckpoint, not persist: the edge table is O(pairs)-bounded,
+    # and every pointer-jumping round below joins it twice — with a
+    # plain persist each of those joins re-analyzes the full upstream
+    # PLAN of the pair generator (banded LSH / SemDeDup verify over a
+    # computed-embedding corpus), which dominated wall time for deep
+    # lineages (the r9 text_semantic_dedup_docs regression). Truncating
+    # to a LogicalRDD leaf makes each round's plan O(edges)-sized.
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("t")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("s").alias("id"), F.col("s").alias("component"))

@@ -441,29 +441,38 @@ def kaplan_meier(
         F.sum("__e").cast("bigint").alias("__d"),
         F.count(F.lit(1)).cast("bigint").alias("__c"),
     )
-    w_rev = Window.orderBy(F.col("__t").desc())
-    w_all = w_rev.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    # the w_rev cumsum already runs single-partition over the compressed
-    # table, so the global cardinality count shares that window for free;
-    # __n is consumed downstream, so Catalyst can never prune the guard
-    at_risk = per.withColumn(
-        "__n",
-        F.when(
-            F.count(F.lit(1)).over(w_all) <= F.lit(int(max_durations)),
-            F.sum("__c").over(w_rev),
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "kaplan_meier: distinct durations exceed "
-                        f"max_durations={int(max_durations)} — pre-bucket "
-                        "the duration column (floor-divide to hours/days) "
-                        "or raise max_durations"
+    # guard BEFORE the identity limit: the scalar cardinality count
+    # broadcasts into every row, so if the bound is exceeded the very
+    # first produced row raises — the limit after it then only declares
+    # the (now provably held) O(max_durations) bound in the plan for the
+    # downstream single-partition windows (the drift-histogram idiom).
+    # A limit without the guard would silently drop an arbitrary subset
+    # of durations and corrupt the at-risk counts (ADVICE r9).
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
+    per = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "__t",
+            "__d",
+            F.when(F.col("__tot") <= F.lit(int(max_durations)), F.col("__c"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "kaplan_meier: distinct durations exceed "
+                            f"max_durations={int(max_durations)} — pre-bucket "
+                            "the duration column (floor-divide to hours/days) "
+                            "or raise max_durations"
+                        )
                     )
-                )
-            ).cast("bigint")
-        ),
+                ).cast("bigint")
+            )
+            .alias("__c"),
+        )
+        .limit(int(max_durations))
     )
+    w_rev = Window.orderBy(F.col("__t").desc())
+    at_risk = per.withColumn("__n", F.sum("__c").over(w_rev))
     nano = F.lit(1_000_000_000.0)
     term = F.when(
         (F.col("__d") > 0) & (F.col("__d") < F.col("__n")),

@@ -28,6 +28,7 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+
 def _norm(a):
     return F.sqrt(_dot(a, a))
 
@@ -476,21 +477,92 @@ def ivf_build_fixed(
         [(i, cv) for i, (_, cv) in enumerate(seeds)],
         "bucket int, centroid array<double>",
     ).limit(max(len(seeds), 1))
-    return IvfIndex(assigned=_assign_buckets(c, cent_df), centroids=cent_df)
-
-
-def _assign_buckets(c: DataFrame, cent_df: DataFrame) -> DataFrame:
-    """Argmin centroid assignment: (neighbor_id, cv) x broadcast
-    centroids -> (neighbor_id, cv, bucket). One pass, per-vector
-    row_number window (partitioned by vector id — no skew)."""
-    wa = Window.partitionBy("neighbor_id").orderBy(F.col("dist"), F.col("bucket"))
-    return (
-        c.crossJoin(F.broadcast(cent_df))
-        .withColumn("dist", _sq_dist(F.col("cv"), F.col("centroid")))
-        .withColumn("pr", F.row_number().over(wa))
-        .filter(F.col("pr") == 1)
-        .select("neighbor_id", "cv", "bucket")
+    return IvfIndex(
+        assigned=_assign_buckets(
+            c, cent_df, _cent_rows=[(i, cv) for i, (_, cv) in enumerate(seeds)]
+        ),
+        centroids=cent_df,
     )
+
+
+def _sql_double_array(vals) -> str:
+    """SQL literal for array<double> built as ONE expression string:
+    repr(float) is the shortest round-trip form, so the parser recovers
+    the exact same double — and one F.expr call replaces thousands of
+    per-element F.lit py4j round trips (measured ~2.6 s of pure driver
+    traffic for 64 x 64-dim centroids)."""
+    return "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in vals) + ")"
+
+
+def _assign_buckets(
+    c: DataFrame, cent_df: DataFrame, _cent_rows: list | None = None
+) -> DataFrame:
+    """Argmin centroid assignment: (neighbor_id, cv) -> (neighbor_id,
+    cv, bucket), entirely SCAN-STAGE. ``cent_df`` is O(k)-bounded by
+    contract at every call site (driver-literal seed/Lloyd tables, or a
+    loaded O(k) centroid parquet), so it collects here and the argmin
+    becomes one literal fold expression per row — no row blowup, no
+    exchange.
+
+    The previous shape (broadcast crossJoin to k x corpus rows + a
+    per-vector row_number window) carried every vector k times through
+    a hash-partition + sort: the dominant shuffle of the whole SemDeDup
+    pipeline at sf0.1 and a k x corpus-bytes shuffle at 100 TB. The fold
+    keeps bit-identical semantics: dist is the same _sq_dist dot-product
+    identity (the centroid self-dot folds in Python — a strict left fold
+    over the same doubles, IEEE-identical to F.aggregate), ties keep the
+    LOWEST bucket (the fold's strict-less keeps the earlier element of
+    the bucket-ordered array = the old orderBy(dist, bucket) row_number
+    tie-break), and a NULL vector keeps bucket 0 (NULL dist comparisons
+    are false, so the init element survives — the old nulls-first sort).
+    """
+    rows = sorted(
+        ((int(r["bucket"]), [float(x) for x in r["centroid"]]) for r in cent_df.collect())
+        if _cent_rows is None
+        else _cent_rows
+    )
+    if not rows:
+        return c.select(
+            "neighbor_id", "cv", F.lit(0).cast("int").alias("bucket")
+        ).limit(0)
+
+    def py_dot(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return acc
+
+    # ONE compact expression: the k centroids ride in as three literal
+    # arrays (vectors / self-dots / bucket ids) and a single transform
+    # lambda produces the per-centroid dist structs, so the Python-side
+    # tree is O(1) regardless of k (per-centroid Column construction
+    # cost ~5 s of py4j traffic at k=64 before this). array_min's struct
+    # ordering — (dist, bucket) field-wise, NULL dist first, NaN last —
+    # reproduces the old orderBy(dist, bucket) row_number pick including
+    # the NULL-vector -> lowest-bucket convention. The centroid self-dot
+    # folds in Python (py_dot): a strict left fold over the same
+    # doubles, IEEE-identical to the _sq_dist _dot(b, b) term.
+    cents_lit = F.expr(
+        "array(" + ",".join(_sql_double_array(cent) for _, cent in rows) + ")"
+    )
+    selfdots_lit = F.expr(_sql_double_array(py_dot(cent) for _, cent in rows))
+    buckets_lit = F.expr(
+        "array(" + ",".join(str(int(b)) for b, _ in rows) + ")"
+    )
+    cc = _dot(F.col("cv"), F.col("cv"))
+    cands = F.transform(
+        cents_lit,
+        lambda cent, i: F.struct(
+            (
+                cc
+                - 2 * _dot(F.col("cv"), cent)
+                + F.element_at(selfdots_lit, i.cast("int") + 1)
+            ).alias("dist"),
+            F.element_at(buckets_lit, i.cast("int") + 1).cast("int").alias("bucket"),
+        ),
+    )
+    best = F.array_min(cands)
+    return c.select("neighbor_id", "cv", best["bucket"].alias("bucket"))
 
 
 def ivf_build_kmeans(
@@ -757,8 +829,6 @@ def semantic_dedup_pairs(
     near-dup pair split across two buckets is missed; raising
     n_centroids trades recall for cost exactly as in the paper.
     """
-    from pyspark.storagelevel import StorageLevel
-
     # n_iter > 0 swaps in Lloyd-fitted centroids (ivf_build_kmeans):
     # tighter buckets -> higher within-bucket recall at the same
     # sum-of-squared-bucket-sizes cost, still bit-reproducible
@@ -767,7 +837,16 @@ def semantic_dedup_pairs(
         if n_iter > 0
         else ivf_build_fixed(df, id_col, vec_col, n_centroids)
     )
-    assigned = index.assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint, not persist: a persist caches the DATA but keeps
+    # the full lineage, so every downstream action (candidate join, the
+    # verify joins, each pointer-jumping round in duplicate_components)
+    # re-ANALYZES the whole upstream plan — for a computed-embedding
+    # input like hashed_embeddings that analysis dominated the entry
+    # (the r9 text_semantic_dedup_docs bench regression). Truncating to
+    # a LogicalRDD leaf makes every downstream plan O(pairs)-sized.
+    # Blocks are freed by the ContextCleaner when the frame drops (the
+    # duplicate_components labels precedent).
+    assigned = index.assigned.localCheckpoint()
     ids = assigned.select("neighbor_id", "bucket")
     l = ids.select(F.col("neighbor_id").alias("id_a"), "bucket")
     r = ids.select(F.col("neighbor_id").alias("id_b"), "bucket")

@@ -886,10 +886,22 @@ def unigram_bigram_grams(
     the normalized text. The ONE definition of the hashed-feature gram
     space shared by DSIR (mixing._hashed_gram_buckets), the quality
     classifier, and hashed_embeddings: their feature spaces must never
-    drift apart."""
-    toks_df = df.select(
-        F.col(id_col).alias("id"),
-        tokens(normalized_text(F.col(text_col))).alias("toks"),
+    drift apart.
+
+    The token array materializes behind the ``_fan_out`` repartition
+    barrier BEFORE the bigram lambda runs: the lambda reads ``toks``
+    twice per position and the gram concat reads it again, so without
+    the barrier projection collapse inlines the regex tokenization into
+    every interpreted element_at — O(tokens^2) per doc (the _shingle_
+    index / lm2 trap; losing this barrier in the r9 refactor was the
+    text_semantic_dedup_docs 1.7x bench regression)."""
+    from .dedup import _fan_out
+
+    toks_df = _fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens(normalized_text(F.col(text_col))).alias("toks"),
+        )
     )
     k = F.size("toks") - F.lit(1)
     bigrams = F.transform(
