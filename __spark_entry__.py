@@ -7,8 +7,25 @@ SQL-expressible. Column names/aliases match exactly on both sides; float
 aggregates are rounded identically on both sides so order-of-accumulation
 noise cannot flip the driver's value hash.
 
-Rows-only (no oracle) entries: hash-seeded LSH paths (xxhash64 has no
-DuckDB equivalent) and the FEDEX/outlier explainers' full pipelines.
+Rows-only (no oracle) entries — 8, each with an oracle-backed twin that
+hash-proves the same algorithm (VERDICT r9 task #3 ledger; four former
+rows-only entries whose coverage was FULLY duplicated by oracle twins —
+quality_classifier_docs, multimodal_features, fedex_filter_explain,
+fedex_join_explain — are retired from the registry; their functions and
+pytests remain):
+
+* minhash_near_dups — xxhash64 fast path (no DuckDB xxhash64); the md5
+  flavor minhash_near_dups_md5 hash-proves the identical pipeline.
+* simhash_near_dups — same xxhash64 reason; twin simhash_near_dups_md5.
+* shapley_explain / shapley_filter_explain — full explainer-object
+  pipelines (plots, reasoning); shapley_kernel +
+  shapley_join_explain_text hash the kernel and the user-visible text.
+* outlier_explain / outlier_explain_std — full pipelines over two agg
+  flavors; outlier_kernel + outlier_explain_text hash the math + text.
+* many_to_one_explain — beam-search pipeline; many_to_one_kernel +
+  many_to_one_full_rules hash the sampled AND distributed mining paths.
+* metainsight_explain — pattern-mining pipeline; metainsight_kernel +
+  metainsight_explain_text hash scope cube, votes, and text assembly.
 """
 
 from __future__ import annotations
@@ -5056,7 +5073,9 @@ def quality_classifier_docs_q(spark, sf_dir):
     return score_quality(docs, model)
 
 
-_QUERIES["quality_classifier_docs"] = quality_classifier_docs_q  # rows-only: L-BFGS fit
+# quality_classifier_docs retired from the registry (r10): the fit is
+# oracle-proven by quality_fit_evidence, scoring by quality_score_fixed;
+# the function + pytest coverage remain in functions/classifier.py
 
 
 _QF_POS = "catalyst optimizer broadcast shuffle partition codegen arrow vectorized"
@@ -8218,7 +8237,8 @@ def multimodal_features_q(spark, sf_dir):
     )
 
 
-_QUERIES["multimodal_features"] = multimodal_features_q  # rows-only: synthetic media
+# multimodal_features retired from the registry (r10): the identical
+# featurization is hash-proven by multimodal_features_kernel
 
 
 @_q(
@@ -9256,8 +9276,9 @@ def metainsight_kernel(spark, sf_dir):
     )
 
 
-_QUERIES["fedex_filter_explain"] = fedex_filter_explain  # rows-only: KS kernel
-_QUERIES["fedex_join_explain"] = fedex_join_explain      # rows-only
+# fedex_filter_explain / fedex_join_explain retired from the registry
+# (r10): fedex_*_kernel hash the KS/deviation math and
+# fedex_*_explain_text hash the full user-visible explanation strings
 _QUERIES["shapley_explain"] = shapley_explain            # rows-only
 _QUERIES["shapley_filter_explain"] = shapley_filter_explain  # rows-only
 _QUERIES["outlier_explain"] = outlier_explain            # rows-only

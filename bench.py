@@ -349,7 +349,33 @@ def main() -> int:
                 json.dump(out, fh)
         except Exception:
             pass
-    print(json.dumps(out))
+    # stdout carries exactly ONE JSON line, and it must FIT: the driver
+    # keeps only the last ~2000 chars of stdout, so printing the full
+    # 245-entry record truncated mid-line and parsed came back null
+    # (BENCH_r09). The line is a compact self-contained summary —
+    # totals, every regression, the slowest entries that fit, and a
+    # pointer to the committed full record (BENCH_LOCAL.json, written
+    # above). Trim the slowest-list until the line is under budget.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    n_slow = min(15, len(slowest))
+    while True:
+        compact = {
+            "metric": "total_wall_sec",
+            "value": total_inrun,
+            "unit": "sec",
+            "sf": sf,
+            "n_entries": len(timings),
+            "regression_count": len(regressions),
+            "regressions": regressions,
+            "error_count": len(errors),
+            "queries": {k: round(v, 2) for k, v in slowest[:n_slow]},
+            "full": "BENCH_LOCAL.json",
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1900 or n_slow == 0:
+            break
+        n_slow -= 3
+    print(line)
     if gate and (regressions or errors):
         return 1
     return 0

@@ -104,6 +104,7 @@ def train_bpe(
     min_pair_count: int = 2,
     checkpoint_every: int = 5,
     strategy: str = "auto",
+    max_words: int = 50_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
@@ -132,15 +133,30 @@ def train_bpe(
       sizes even though each job was small).
     * ``"distributed"``: the original per-round Spark aggregate loop —
       one map-combining pair count + O(1) argmax collect per merge.
-      Kept for the (hypothetical) word table that exceeds driver
-      memory; fine at small ``num_merges``.
+      Kept for the word table that exceeds driver memory; fine at small
+      ``num_merges``.
+
+    ``max_words`` guards the driver trainer's collect (VERDICT r9 task
+    #5): a real vocabulary's distinct-word table always fits on the
+    driver, but a garbage corpus (random bytes, unsegmented CJK, binary
+    spills) has unbounded "words". ``"auto"`` probes the cardinality
+    with one bounded ``limit(max_words+1).count()`` job and routes to
+    the distributed trainer above the ceiling (same learned vocabulary
+    either way — differential-tested); an EXPLICIT ``"driver"`` request
+    over the ceiling raises instead of silently OOMing the driver.
     """
-    if strategy == "auto":
-        strategy = "driver"
-    if strategy == "driver":
-        return _train_bpe_driver(df, text_col, num_merges, min_pair_count)
-    if strategy != "distributed":
+    if strategy not in ("auto", "driver", "distributed"):
         raise ValueError(f"strategy must be auto|driver|distributed, got {strategy!r}")
+    if strategy in ("auto", "driver"):
+        n_probe = _word_table(df, text_col).limit(int(max_words) + 1).count()
+        if n_probe <= max_words:
+            return _train_bpe_driver(df, text_col, num_merges, min_pair_count)
+        if strategy == "driver":
+            raise ValueError(
+                f"train_bpe: distinct-word table exceeds max_words={max_words}; "
+                "the indexed driver trainer would collect it — use "
+                "strategy='distributed' (same merges) or raise max_words"
+            )
     wt = _word_table(df, text_col).localCheckpoint()
     merges: list[tuple] = []
     for r in range(num_merges):

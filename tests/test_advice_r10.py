@@ -155,3 +155,39 @@ def test_sessionize_and_interval_join_validate_window(spark):
         sessionize(df, gap=None)
     with pytest.raises(ValueError, match="within"):
         interval_join(df, df, on="user_id", within="x' OR 1=1")
+
+
+# ----------------------------------------------------------- train_bpe guard
+
+
+def test_train_bpe_auto_routes_over_ceiling_to_distributed(spark):
+    """VERDICT r9 task #5: an over-ceiling distinct-word table must NOT
+    reach the driver trainer's collect. auto -> distributed (same merge
+    sequence — asserted here), explicit driver -> ValueError."""
+    import pd_explain_spark.functions.bpe as bpe
+
+    rows = [(i, f"w{i} w{i} shared pair shared pair") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    # the corpus has > 5 distinct words -> over the planted ceiling
+    called = {"driver": 0}
+    orig = bpe._train_bpe_driver
+
+    def spy(*a, **k):
+        called["driver"] += 1
+        return orig(*a, **k)
+
+    bpe._train_bpe_driver = spy
+    try:
+        m_auto, _ = bpe.train_bpe(df, num_merges=3, max_words=5, strategy="auto")
+        auto_merges = [(r["rank"], r["left"], r["right"]) for r in m_auto.collect()]
+        assert called["driver"] == 0, "auto must not collect an over-ceiling table"
+        with pytest.raises(ValueError, match="max_words"):
+            bpe.train_bpe(df, num_merges=3, max_words=5, strategy="driver")
+        # under the ceiling the driver path runs and learns the same merges
+        m_drv, _ = bpe.train_bpe(df, num_merges=3, max_words=10_000, strategy="auto")
+        drv_merges = [(r["rank"], r["left"], r["right"]) for r in m_drv.collect()]
+        assert called["driver"] == 1
+        assert drv_merges == auto_merges
+    finally:
+        bpe._train_bpe_driver = orig

@@ -36,7 +36,7 @@ for name in [
     "cumsum_events",         # bucketed prefix scan (r3 red row)
     "asof_join_events",      # epoch_micros path
     "windowed_events",       # F.window over NTZ
-    "multimodal_features",   # Arrow mapInPandas without explicit arrow conf
+    "multimodal_features_kernel",  # Arrow mapInPandas without explicit arrow conf
     "drift_scores_events",   # round-4 op
     "fedex_filter_kernel",   # round-5 oracle kernels: window fns + createDataFrame
     "outlier_kernel",
