@@ -165,6 +165,24 @@ ENTRIES = [
     # basket self-join bounded by sum(basket_size^2); 10x key-shifted
     # copies add baskets, not basket width, so pairs grow ~10x
     "cooccurrence_lineitem",
+    # r10 additions (VERDICT r9 task #4, the fourth-to-sixth waves):
+    # Kaplan-Meier compresses to the per-duration table in one
+    # map-combining count (duration cardinality is FIXED under copies);
+    # the A/B report is one two-row groupBy; funnel latency is the
+    # funnel's user-keyed joins + a bounded-histogram quantile walk
+    # (user event density grows 10x since copies share user_ids);
+    # dependence is one (a, b) pair count + bounded-cell algebra; the
+    # deflated second component re-runs the Arrow Gram pass with the
+    # rank-1 projection folded in — still one corpus scan. NOT here
+    # because there is nothing 10x to scale: image_ahash_planted /
+    # url_canonical_planted / url_dedup_planted (fixed planted frames)
+    # and the k-anonymity / l-diversity family (customer is a DIM,
+    # copied unscaled by design).
+    "kaplan_meier_events",
+    "ab_test_events",
+    "funnel_latency_events",
+    "dependence_orders",
+    "pca_component2_emb",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
