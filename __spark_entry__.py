@@ -9429,6 +9429,314 @@ def metainsight_explain_text(spark, sf_dir):
     return exp.to_text_df(spark)
 
 
+@_q(
+    "nelson_aalen_events",
+    """WITH mx AS (
+         SELECT max(ts) AS m FROM events
+       ), u AS (
+         SELECT user_id, min(ts) AS first,
+                min(CASE WHEN event_type = 'purchase' AND value > 150.0
+                         THEN ts END) AS conv
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+       ), subj AS (
+         SELECT CAST(floor((epoch_us(coalesce(conv, mx.m)) - epoch_us(first))
+                           / 3600000000.0) AS BIGINT) AS t,
+                CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS e
+         FROM u, mx
+       ), per AS (
+         SELECT t, sum(e)::BIGINT AS d, count(*)::BIGINT AS c
+         FROM subj GROUP BY 1
+       ), ar AS (
+         SELECT t, d, c, sum(c) OVER (ORDER BY t DESC)::BIGINT AS n FROM per
+       ), tm AS (
+         SELECT t, d, n,
+                CASE WHEN d > 0 THEN
+                  CAST(floor(d::DOUBLE / n::DOUBLE * 1000000000.0 + 0.5)
+                       AS BIGINT)
+                ELSE 0 END AS inc
+         FROM ar
+       ), cv AS (
+         SELECT t, d, n, sum(inc) OVER (ORDER BY t)::BIGINT AS cum FROM tm
+       )
+       SELECT t AS duration, n AS n_at_risk, d AS n_events,
+              CAST(floor(cum::DOUBLE / 1000000000.0 * 1000000.0 + 0.5)
+                   AS BIGINT) AS cum_hazard_micro
+       FROM cv WHERE d > 0""",
+)
+def nelson_aalen_events_q(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard (functions/events.py
+    nelson_aalen) over the SAME time-to-big-purchase durations as
+    kaplan_meier_events: H(t) = sum of d_i/n_i over durations <= t,
+    right-censored at observation end. The additive sibling of the KM
+    curve — its slope is the raw conversion hazard, so a churn shock
+    reads as a steep stretch. Each hazard increment nano-rounds to an
+    integer before the ordered cumulative sum (exact integer scan);
+    everything after the one map-combining duration count is bounded by
+    duration cardinality (enforced fail-loud)."""
+    from pd_explain_spark.functions.events import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    big = (F.col("event_type") == "purchase") & (F.col("value") > F.lit(150.0))
+    subj = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first"),
+            F.min(F.when(big, F.col("ts"))).alias("conv"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                (
+                    F.unix_micros(
+                        F.coalesce(F.col("conv"), F.col("m")).cast("timestamp")
+                    )
+                    - F.unix_micros(F.col("first").cast("timestamp"))
+                )
+                / F.lit(3_600_000_000)
+            ).alias("dur_hours"),
+            F.col("conv").isNotNull().cast("int").alias("event"),
+        )
+    )
+    return nelson_aalen(subj, "dur_hours", "event", max_durations=100_000)
+
+
+@_q(
+    "chisq_variants_events",
+    """WITH units AS (
+         SELECT CASE user_id % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'B'
+                ELSE 'C' END AS v,
+                max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                         THEN 1 ELSE 0 END) AS s
+         FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+       ), per AS (
+         SELECT v, count(*)::BIGINT AS n, sum(s)::BIGINT AS k
+         FROM units GROUP BY 1
+       ), tot AS (
+         SELECT count(*)::BIGINT AS nv, sum(n)::BIGINT AS nt,
+                sum(k)::BIGINT AS kt
+         FROM per
+       ), terms AS (
+         SELECT CAST(floor((
+                  CASE WHEN n::DOUBLE * kt::DOUBLE / nt::DOUBLE > 0 THEN
+                    (k::DOUBLE - n::DOUBLE * kt::DOUBLE / nt::DOUBLE)
+                    * (k::DOUBLE - n::DOUBLE * kt::DOUBLE / nt::DOUBLE)
+                    / (n::DOUBLE * kt::DOUBLE / nt::DOUBLE)
+                  ELSE 0.0 END
+                  +
+                  CASE WHEN n::DOUBLE * (nt::DOUBLE - kt::DOUBLE) / nt::DOUBLE > 0 THEN
+                    ((n::DOUBLE - k::DOUBLE)
+                     - n::DOUBLE * (nt::DOUBLE - kt::DOUBLE) / nt::DOUBLE)
+                    * ((n::DOUBLE - k::DOUBLE)
+                       - n::DOUBLE * (nt::DOUBLE - kt::DOUBLE) / nt::DOUBLE)
+                    / (n::DOUBLE * (nt::DOUBLE - kt::DOUBLE) / nt::DOUBLE)
+                  ELSE 0.0 END
+                ) * 1000000000.0 + 0.5) AS BIGINT) AS tn,
+                nv, nt, kt
+         FROM per, tot
+       )
+       SELECT nv AS n_variants, nt AS n_total, kt AS successes_total,
+              (nv - 1)::BIGINT AS dof,
+              CAST(floor(sum(tn)::DOUBLE / 1000000000.0 * 1000000.0 + 0.5)
+                   AS BIGINT) AS chi2_micro
+       FROM terms GROUP BY 1, 2, 3, 4""",
+)
+def chisq_variants_events_q(spark, sf_dir):
+    """k-variant chi-squared homogeneity test (functions/events.py
+    chisq_homogeneity) over a three-way user split: does big-purchase
+    conversion differ across variants A/B/C? The k-way generalization of
+    ab_test_events (chi2 == z-squared at k=2, pinned in test_r10). Units
+    are USERS (events aggregate to units first so repeat events never
+    inflate n); per-variant cell terms nano-round to integers before the
+    order-free sum. One map-combining groupBy per stage, everything
+    bounded by variant cardinality."""
+    from pd_explain_spark.functions.events import chisq_homogeneity
+
+    ev = _t(spark, sf_dir, "events")
+    big = (F.col("event_type") == "purchase") & (F.col("value") > F.lit(150.0))
+    units = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.max(F.when(big, 1).otherwise(0)).alias("converted"))
+        .select(
+            F.when(F.col("user_id") % 3 == 0, F.lit("A"))
+            .when(F.col("user_id") % 3 == 1, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("variant"),
+            "converted",
+        )
+    )
+    return chisq_homogeneity(units, "variant", "converted")
+
+
+@_q(
+    "attribution_events",
+    """WITH conv AS (
+         SELECT user_id AS u, event_id AS cid, ts AS cts,
+                coalesce(value, 0.0) AS val
+         FROM events
+         WHERE event_type = 'purchase' AND user_id IS NOT NULL
+           AND ts IS NOT NULL
+       ), touch AS (
+         SELECT user_id AS u, event_type AS ch, event_id AS tid, ts AS tts
+         FROM events
+         WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL
+           AND ts IS NOT NULL
+       ), j AS (
+         SELECT c.cid, c.val, t.ch,
+                row_number() OVER (
+                  PARTITION BY c.cid ORDER BY t.tts DESC, t.tid DESC
+                ) AS rn
+         FROM conv c LEFT JOIN touch t ON t.u = c.u AND t.tts < c.cts
+       ), credited AS (
+         SELECT cid, val, coalesce(ch, '(direct)') AS channel,
+                1000000000::BIGINT AS credit
+         FROM j WHERE rn = 1
+       )
+       SELECT channel,
+              CAST(floor(sum(credit)::DOUBLE / 1000000000.0 * 1000000.0 + 0.5)
+                   AS BIGINT) AS credit_micro,
+              count(DISTINCT cid)::BIGINT AS n_conversions,
+              sum(CAST(floor(credit::DOUBLE / 1000000000.0 * val
+                             * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+                AS attributed_value_micro
+       FROM credited GROUP BY 1""",
+)
+def attribution_events_q(spark, sf_dir):
+    """Last-touch multi-touch attribution (functions/events.py
+    attribution_report): every purchase credits the nearest preceding
+    view/click by the same user (ties on timestamp break by event id);
+    purchases with no prior touch report under '(direct)', so credit
+    always totals the conversion count. Returns per-channel credit,
+    distinct conversions, and credit-weighted revenue in integer micro
+    units (per-row rounding keeps the sums order-free). One user-keyed
+    join of two type-pruned scans + a per-conversion window (partitioned
+    by conversion id — no skew beyond per-user density) + one
+    map-combining channel aggregate."""
+    from pd_explain_spark.functions.events import attribution_report
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution_report(ev, "purchase", ["view", "click"], model="last")
+
+
+@_q(
+    "ks_events_value",
+    """WITH a AS (
+         SELECT floor(value) AS v FROM events
+         WHERE event_id % 2 = 0 AND value IS NOT NULL
+       ), b AS (
+         SELECT floor(value) AS v FROM events
+         WHERE event_id % 2 = 1 AND value IS NOT NULL
+       ), pa AS (SELECT v, count(*)::BIGINT AS ca FROM a GROUP BY 1
+       ), pb AS (SELECT v, count(*)::BIGINT AS cb FROM b GROUP BY 1
+       ), na AS (SELECT count(*)::BIGINT AS n_a FROM a
+       ), nb AS (SELECT count(*)::BIGINT AS n_b FROM b
+       ), spine AS (
+         SELECT coalesce(pa.v, pb.v) AS v,
+                coalesce(ca, 0)::BIGINT AS ca, coalesce(cb, 0)::BIGINT AS cb
+         FROM pa FULL JOIN pb ON pa.v = pb.v
+       ), cum AS (
+         SELECT sum(ca) OVER (ORDER BY v)::BIGINT AS fa,
+                sum(cb) OVER (ORDER BY v)::BIGINT AS fb
+         FROM spine
+       ), d AS (
+         SELECT n_a, n_b,
+                CAST(floor(abs(fa::DOUBLE / n_a::DOUBLE
+                               - fb::DOUBLE / n_b::DOUBLE)
+                           * 1000000.0 + 0.5) AS BIGINT) AS dd
+         FROM cum, na, nb
+       )
+       SELECT n_a, n_b, max(dd)::BIGINT AS d_micro FROM d GROUP BY 1, 2""",
+)
+def ks_events_value_q(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic (functions/drift.py
+    ks_two_sample) between the integer-dollar value distributions of the
+    even and odd event halves — the EXACT distribution-shift screen next
+    to the binned PSI/TV monitors (quantize-first contract applied:
+    floor(value) bounds the spine). Both ECDFs are integer cumsums over
+    one ordered distinct-value spine (cardinality enforced fail-loud);
+    each |difference| micro-rounds per value before the order-free max."""
+    from pd_explain_spark.functions.drift import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_id") % 2 == 0) & F.col("value").isNotNull()).select(
+        F.floor("value").alias("value")
+    )
+    b = ev.filter((F.col("event_id") % 2 == 1) & F.col("value").isNotNull()).select(
+        F.floor("value").alias("value")
+    )
+    return ks_two_sample(a, b, "value")
+
+
+@_q(
+    "zipf_docs",
+    """WITH toks AS (
+         SELECT list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                            x -> x <> '') AS t
+         FROM documents
+       ), ws AS (
+         SELECT unnest(t) AS w FROM toks
+       ), wc AS (
+         SELECT w, count(*)::BIGINT AS c FROM ws GROUP BY 1
+       ), top AS (
+         SELECT w, c FROM wc ORDER BY c DESC, w ASC LIMIT 200
+       ), ranked AS (
+         SELECT row_number() OVER (ORDER BY c DESC, w ASC)::BIGINT AS r, c
+         FROM top
+       ), terms AS (
+         SELECT CAST(floor(ln(r::DOUBLE) * 1000000000.0 + 0.5) AS BIGINT) AS x,
+                CAST(floor(ln(c::DOUBLE) * 1000000000.0 + 0.5) AS BIGINT) AS y,
+                CAST(floor(ln(r::DOUBLE) * ln(c::DOUBLE) * 1000000000.0 + 0.5)
+                     AS BIGINT) AS xy,
+                CAST(floor(ln(r::DOUBLE) * ln(r::DOUBLE) * 1000000000.0 + 0.5)
+                     AS BIGINT) AS xx
+         FROM ranked
+       ), s AS (
+         SELECT count(*)::BIGINT AS n_ranks,
+                sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(xy)::BIGINT AS sxy, sum(xx)::BIGINT AS sxx
+         FROM terms
+       )
+       SELECT n_ranks,
+              CASE WHEN n_ranks::DOUBLE * (sxx::DOUBLE / 1000000000.0)
+                        - (sx::DOUBLE / 1000000000.0) * (sx::DOUBLE / 1000000000.0)
+                        <> 0 THEN
+                CAST(floor(
+                  (n_ranks::DOUBLE * (sxy::DOUBLE / 1000000000.0)
+                   - (sx::DOUBLE / 1000000000.0) * (sy::DOUBLE / 1000000000.0))
+                  / (n_ranks::DOUBLE * (sxx::DOUBLE / 1000000000.0)
+                     - (sx::DOUBLE / 1000000000.0) * (sx::DOUBLE / 1000000000.0))
+                  * 1000000.0 + 0.5) AS BIGINT)
+              END AS slope_micro,
+              CASE WHEN n_ranks::DOUBLE * (sxx::DOUBLE / 1000000000.0)
+                        - (sx::DOUBLE / 1000000000.0) * (sx::DOUBLE / 1000000000.0)
+                        <> 0 THEN
+                CAST(floor(
+                  ((sy::DOUBLE / 1000000000.0)
+                   - (n_ranks::DOUBLE * (sxy::DOUBLE / 1000000000.0)
+                      - (sx::DOUBLE / 1000000000.0) * (sy::DOUBLE / 1000000000.0))
+                     / (n_ranks::DOUBLE * (sxx::DOUBLE / 1000000000.0)
+                        - (sx::DOUBLE / 1000000000.0) * (sx::DOUBLE / 1000000000.0))
+                     * (sx::DOUBLE / 1000000000.0))
+                  / n_ranks::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
+              END AS intercept_micro
+       FROM s""",
+)
+def zipf_docs_q(spark, sf_dir):
+    """Zipf-law corpus-health fit (functions/text.py zipf_fit): least
+    squares of log count vs log rank over the 200 most frequent words
+    (TakeOrdered — O(max_rank) per partition, never a global sort).
+    Natural language sits near slope -1; template storms and generator
+    spam bend the curve, so the slope drifting between snapshots is a
+    one-row canary for corpus composition changes. Every regression term
+    nano-rounds to an integer before the order-free sums; the closed
+    form evaluates once over those integer sums."""
+    from pd_explain_spark.functions.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), max_rank=200)
+
+
 # ===========================================================================
 
 # The correctness harness records the FIRST 50 ``queries()`` entries, so
@@ -9457,7 +9765,9 @@ _RECORD_FIRST = [
     #      r06-stale — also the stalest member of the r11 pool),
     #      mini_language_query (only §2.3 representative),
     #      hll_distinct_tokens (stalest sketches member, r08).
-    # r11 rotation pool, priority order: (1) any new r10 oracle entries;
+    # r11 rotation pool, priority order: (1) the new r10 oracle entries
+    # (nelson_aalen_events, chisq_variants_events, attribution_events,
+    # ks_events_value, zipf_docs — each oracle-green locally at sf0.01);
     # (2) the 44 remaining r06-stale re-checks (bm25_docs,
     # chunk_documents_overlap, contamination_pairs_docs,
     # corpus_stats_by_lang, decontaminate_docs, dedup_against_corpus,

@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["event_funnel", "cohort_retention", "cooccurrence_pairs",
            "funnel_user_times", "funnel_latency", "ab_test_report",
-           "kaplan_meier"]
+           "kaplan_meier", "nelson_aalen", "chisq_homogeneity",
+           "attribution_report"]
 
 
 def event_funnel(
@@ -393,6 +394,61 @@ def ab_test_report(
         .otherwise(F.lit(False)).alias("significant"),
     )
 
+def _at_risk_table(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    max_durations: int,
+    fn_name: str,
+) -> DataFrame:
+    """Shared substrate of the survival estimators: the compressed
+    per-duration (__t, __d events, __c total, __n at-risk) table. One
+    map-combining count; the at-risk column is a reverse cumulative sum
+    over ordered distinct durations. The cardinality bound is ENFORCED,
+    not assumed: a scalar count broadcasts into every row and raises
+    when distinct durations exceed ``max_durations`` (a silent limit
+    would drop an arbitrary duration subset and corrupt the reverse
+    cumsum — ADVICE r9); the identity limit AFTER the guard declares the
+    now-provable bound in the plan for the single-partition windows."""
+    from pyspark.sql import Window
+
+    subj = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        F.col(duration_col).cast("bigint").alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    per = subj.groupBy("__t").agg(
+        F.sum("__e").cast("bigint").alias("__d"),
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
+    per = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "__t",
+            "__d",
+            F.when(F.col("__tot") <= F.lit(int(max_durations)), F.col("__c"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"{fn_name}: distinct durations exceed "
+                            f"max_durations={int(max_durations)} — pre-bucket "
+                            "the duration column (floor-divide to hours/days) "
+                            "or raise max_durations"
+                        )
+                    )
+                ).cast("bigint")
+            )
+            .alias("__c"),
+        )
+        .limit(int(max_durations))
+    )
+    w_rev = Window.orderBy(F.col("__t").desc())
+    return per.withColumn("__n", F.sum("__c").over(w_rev))
+
+
 def kaplan_meier(
     df: DataFrame,
     duration_col: str,
@@ -431,48 +487,8 @@ def kaplan_meier(
     corrupt the reverse-cumsum at-risk counts with no error)."""
     from pyspark.sql import Window
 
-    subj = df.filter(
-        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
-    ).select(
-        F.col(duration_col).cast("bigint").alias("__t"),
-        F.col(event_col).cast("int").alias("__e"),
-    )
-    per = subj.groupBy("__t").agg(
-        F.sum("__e").cast("bigint").alias("__d"),
-        F.count(F.lit(1)).cast("bigint").alias("__c"),
-    )
-    # guard BEFORE the identity limit: the scalar cardinality count
-    # broadcasts into every row, so if the bound is exceeded the very
-    # first produced row raises — the limit after it then only declares
-    # the (now provably held) O(max_durations) bound in the plan for the
-    # downstream single-partition windows (the drift-histogram idiom).
-    # A limit without the guard would silently drop an arbitrary subset
-    # of durations and corrupt the at-risk counts (ADVICE r9).
-    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
-    per = (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "__t",
-            "__d",
-            F.when(F.col("__tot") <= F.lit(int(max_durations)), F.col("__c"))
-            .otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "kaplan_meier: distinct durations exceed "
-                            f"max_durations={int(max_durations)} — pre-bucket "
-                            "the duration column (floor-divide to hours/days) "
-                            "or raise max_durations"
-                        )
-                    )
-                ).cast("bigint")
-            )
-            .alias("__c"),
-        )
-        .limit(int(max_durations))
-    )
-    w_rev = Window.orderBy(F.col("__t").desc())
-    at_risk = per.withColumn("__n", F.sum("__c").over(w_rev))
+    at_risk = _at_risk_table(df, duration_col, event_col, max_durations,
+                             "kaplan_meier")
     nano = F.lit(1_000_000_000.0)
     term = F.when(
         (F.col("__d") > 0) & (F.col("__d") < F.col("__n")),
@@ -505,3 +521,242 @@ def kaplan_meier(
             surv.alias("survival_micro"),
         )
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    scale: int = 1_000_000,
+    max_durations: int = 100_000,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard estimator over right-censored
+    durations — the additive sibling of :func:`kaplan_meier`:
+    H(t) = Σ_{t_i <= t} d_i / n_i. Where the KM curve answers "what
+    fraction survives to t", the cumulative hazard reads as the expected
+    number of events a subject would have accrued by t if events were
+    repeatable, and its SLOPE is the raw hazard rate — flat stretches
+    mean a quiet period, steep ones a churn shock; it is also the
+    standard input to proportional-hazards eyeballing (parallel
+    log-hazard curves across segments ⇒ proportionality).
+
+    Determinism: each per-duration hazard increment d/n nano-rounds to
+    an INTEGER before the ordered cumulative sum (the kaplan_meier log
+    contract), so the curve is an exact integer scan; output is
+    ``cum_hazard_micro`` = the nano cumsum re-rounded to micro in one
+    identical-rule step. NULL durations/events are excluded.
+
+    Scale shape: identical to kaplan_meier — one map-combining count to
+    the per-duration table (cardinality ENFORCED <= ``max_durations``,
+    fail-loud), then bounded single-partition window scans."""
+    from pyspark.sql import Window
+
+    at_risk = _at_risk_table(df, duration_col, event_col, max_durations,
+                             "nelson_aalen")
+    nano = F.lit(1_000_000_000.0)
+    inc = F.when(
+        F.col("__d") > 0,
+        F.floor(
+            F.col("__d").cast("double") / F.col("__n").cast("double") * nano
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    w_fwd = Window.orderBy("__t")
+    curve = at_risk.withColumn("__inc", inc).withColumn(
+        "__cum", F.sum("__inc").over(w_fwd)
+    )
+    return curve.filter(F.col("__d") > 0).select(
+        F.col("__t").alias("duration"),
+        F.col("__n").alias("n_at_risk"),
+        F.col("__d").alias("n_events"),
+        F.floor(
+            F.col("__cum").cast("double") / nano * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("bigint").alias("cum_hazard_micro"),
+    )
+
+
+def chisq_homogeneity(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Chi-squared homogeneity test across ANY number of variants — the
+    k-way generalization of :func:`ab_test_report`'s two-proportion
+    z-test (for exactly two variants, chi2 == z² on the same pooled
+    table). Input is one row per experimental UNIT with its variant
+    label and a boolean/0-1 success column; NULLs are excluded. Returns
+    ONE row: n_variants, n_total, successes_total, dof (= variants - 1),
+    and chi2_micro = Σ over the 2 x k table of (o - e)² / e in integer
+    micro-units. Compare against the chi-squared critical value for the
+    dof (3.841 at dof=1/95%, 5.991 at dof=2, ...) — the statistic is
+    exact; no CDF approximation is baked in.
+
+    Determinism: per-variant cell terms are one identical-order IEEE
+    expression over exact integer counts, nano-rounded to an INTEGER
+    before the order-free sum (the categorical_dependence contract).
+    Scale shape: one map-combining groupBy to the per-variant table;
+    everything after is bounded by variant cardinality."""
+    units = df.filter(
+        F.col(variant_col).isNotNull() & F.col(success_col).isNotNull()
+    ).select(
+        F.col(variant_col).alias("__v"),
+        F.col(success_col).cast("int").alias("__s"),
+    )
+    per = units.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__s").cast("bigint").alias("__k"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.sum("__n").cast("bigint").alias("n_total"),
+        F.sum("__k").cast("bigint").alias("successes_total"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nano = F.lit(1_000_000_000.0)
+    nd = F.col("__n").cast("double")
+    kd = F.col("__k").cast("double")
+    Nd = F.col("n_total").cast("double")
+    Kd = F.col("successes_total").cast("double")
+    es = nd * Kd / Nd            # expected successes for this variant
+    ef = nd * (Nd - Kd) / Nd     # expected failures
+    term = (
+        F.when(es > 0, (kd - es) * (kd - es) / es).otherwise(F.lit(0.0))
+        + F.when(ef > 0, ((nd - kd) - ef) * ((nd - kd) - ef) / ef).otherwise(
+            F.lit(0.0)
+        )
+    )
+    summed = j.groupBy("n_variants", "n_total", "successes_total").agg(
+        F.sum(F.floor(term * nano + F.lit(0.5)).cast("bigint")).alias("__chi_nano")
+    )
+    return summed.select(
+        "n_variants",
+        "n_total",
+        "successes_total",
+        (F.col("n_variants") - F.lit(1)).cast("bigint").alias("dof"),
+        F.floor(
+            F.col("__chi_nano").cast("double") / F.lit(1_000_000_000.0)
+            * F.lit(float(scale))
+            + F.lit(0.5)
+        ).cast("bigint").alias("chi2_micro"),
+    )
+
+
+def attribution_report(
+    df: DataFrame,
+    conversion: str,
+    touch_types: list[str],
+    model: str = "last",
+    within: str | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Multi-touch attribution: credit each ``conversion`` event to the
+    ``touch_types`` events that preceded it for the same user (strictly
+    before, optionally within a conversion window). ``model``:
+
+    * ``"last"`` — the touch nearest before the conversion gets credit 1
+      (the default ad-analytics convention);
+    * ``"first"`` — the earliest qualifying touch gets credit 1;
+    * ``"linear"`` — every qualifying touch splits the credit equally.
+
+    Conversions with NO qualifying touch are reported under the
+    ``(direct)`` channel, so the credit column always totals the
+    conversion count. Returns one row per channel: (channel,
+    credit_micro, n_conversions — conversions the channel appears in,
+    attributed_value_micro — credit-weighted ``value_col`` sum, omitted
+    when ``value_col`` is None).
+
+    Determinism: per-conversion credits are exact rationals nano-rounded
+    to INTEGER before the order-free channel sum (1/n_touches for
+    linear; exactly 1e9 otherwise), ties inside a conversion break on
+    (ts, event id). Scale shape: one user-keyed join of the two
+    type-pruned scans (touches fan out per conversion, bounded by the
+    window), a per-conversion window (partitioned by conversion id — no
+    skew beyond per-user density), then one map-combining channel
+    aggregate."""
+    from pyspark.sql import Window
+
+    if model not in ("first", "last", "linear"):
+        raise ValueError(f"attribution_report: model must be first|last|linear, got {model!r}")
+    if not touch_types:
+        raise ValueError("attribution_report: touch_types must be non-empty")
+    within = _validate_within(within)
+    base = df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    conv = base.filter(F.col(type_col) == conversion).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        F.col(ts_col).alias("__cts"),
+        *(
+            [F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)).alias("__val")]
+            if value_col is not None
+            else [F.lit(0.0).alias("__val")]
+        ),
+    )
+    touch = base.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__tu"),
+        F.col(type_col).alias("__ch"),
+        F.col(id_col).alias("__tid"),
+        F.col(ts_col).alias("__tts"),
+    )
+    # the before/within predicate lives IN the join condition: a left
+    # join keeps conversions whose touches all fall outside the window
+    # as unmatched (NULL channel) rows, which credit to "(direct)" —
+    # a post-join filter would drop those conversions entirely
+    cond = (F.col("__tu") == F.col("__u")) & (F.col("__tts") < F.col("__cts"))
+    if within is not None:
+        cond = cond & (F.col("__tts") >= F.col("__cts") - F.expr(f"INTERVAL {within}"))
+    joined = conv.join(touch, cond, "left").drop("__tu")
+    nano = 1_000_000_000
+    if model == "linear":
+        w_n = Window.partitionBy("__cid")
+        credited = joined.withColumn(
+            "__credit",
+            F.when(
+                F.col("__ch").isNotNull(),
+                F.floor(
+                    F.lit(float(nano)) / F.count("__tid").over(w_n) + F.lit(0.5)
+                ).cast("bigint"),
+            ).otherwise(F.lit(nano).cast("bigint")),
+        )
+    else:
+        order = (
+            [F.col("__tts").desc(), F.col("__tid").desc()]
+            if model == "last"
+            else [F.col("__tts").asc(), F.col("__tid").asc()]
+        )
+        w_r = Window.partitionBy("__cid").orderBy(*order)
+        credited = (
+            joined.withColumn("__rn", F.row_number().over(w_r))
+            .filter(F.col("__rn") == 1)
+            .withColumn("__credit", F.lit(nano).cast("bigint"))
+        )
+    out = (
+        credited.withColumn("__chn", F.coalesce(F.col("__ch"), F.lit("(direct)")))
+        .groupBy(F.col("__chn").alias("channel"))
+        .agg(
+            F.floor(
+                F.sum("__credit").cast("double") / F.lit(float(nano))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("bigint").alias("credit_micro"),
+            F.count_distinct("__cid").cast("bigint").alias("n_conversions"),
+            # per-row micro-rounding BEFORE the sum keeps the value
+            # aggregate an order-free integer sum (float-sum order over
+            # many conversions is engine-dependent otherwise)
+            F.sum(
+                F.floor(
+                    F.col("__credit").cast("double") / F.lit(float(nano))
+                    * F.col("__val")
+                    * F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("bigint").alias("attributed_value_micro"),
+        )
+    )
+    if value_col is None:
+        out = out.drop("attributed_value_micro")
+    return out

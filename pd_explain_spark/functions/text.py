@@ -1468,3 +1468,81 @@ def blocklist_filter(
             "*", hits.alias("blocklist_hits"), (hits == 0).alias("blocklist_pass")
         )
     return df.filter(hits == 0)
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    max_rank: int = 1000,
+) -> DataFrame:
+    """Zipf-law fit over the corpus word-frequency table: least-squares
+    slope/intercept of log(count) vs log(rank) for the ``max_rank`` most
+    frequent words — the corpus-health telemetry every curation run
+    wants (natural language sits near slope -1; machine-generated spam,
+    boilerplate floods, and template storms bend the curve, showing up
+    as a slope drifting toward 0 or below -1.3 between snapshots).
+    Returns ONE row: (n_ranks, slope_micro, intercept_micro) in integer
+    micro-units.
+
+    Determinism: ranks come from a TakeOrdered top-``max_rank`` by
+    (count desc, word) — total order, no ties left to the engine; each
+    regression term (ln rank, ln count, products) nano-rounds to an
+    INTEGER before the order-free sums (the categorical_dependence
+    fixed-point contract), and the closed-form slope evaluates in one
+    identical-input IEEE expression over those integer sums.
+
+    Scale shape: one tokenize/explode pass into a map-combining word
+    count (the train_bpe word-table shuffle), then a TakeOrdered to
+    ``max_rank`` rows — O(max_rank) per partition, never a global sort;
+    the regression runs on the bounded table."""
+    if max_rank < 2:
+        raise ValueError(f"zipf_fit: max_rank must be >= 2, got {max_rank}")
+    from pyspark.sql import Window
+
+    from .dedup import _fan_out
+
+    toks = _fan_out(
+        df.select(tokens(normalized_text(F.col(text_col))).alias("__t"))
+    ).select(F.explode("__t").alias("__w"))
+    wc = toks.groupBy("__w").agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    top = wc.orderBy(F.desc("__c"), F.asc("__w")).limit(int(max_rank))
+    # single-partition window over the identity-limited top table: the
+    # O(max_rank) bound is already declared by the limit above
+    w = Window.orderBy(F.desc("__c"), F.asc("__w"))
+    ranked = top.select(
+        F.row_number().over(w).cast("bigint").alias("__r"), "__c"
+    )
+    nano = F.lit(1_000_000_000.0)
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__c").cast("double"))
+    terms = ranked.select(
+        F.floor(x * nano + F.lit(0.5)).cast("bigint").alias("__x"),
+        F.floor(y * nano + F.lit(0.5)).cast("bigint").alias("__y"),
+        F.floor(x * y * nano + F.lit(0.5)).cast("bigint").alias("__xy"),
+        F.floor(x * x * nano + F.lit(0.5)).cast("bigint").alias("__xx"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum("__xy").alias("__sxy"),
+        F.sum("__xx").alias("__sxx"),
+    )
+    nd = F.col("n_ranks").cast("double")
+    sx = F.col("__sx").cast("double") / 1e9
+    sy = F.col("__sy").cast("double") / 1e9
+    sxy = F.col("__sxy").cast("double") / 1e9
+    sxx = F.col("__sxx").cast("double") / 1e9
+    denom = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / nd
+    micro = F.lit(1_000_000.0)
+    return s.select(
+        "n_ranks",
+        F.when(
+            denom != 0, F.floor(slope * micro + F.lit(0.5)).cast("bigint")
+        ).alias("slope_micro"),
+        F.when(
+            denom != 0, F.floor(intercept * micro + F.lit(0.5)).cast("bigint")
+        ).alias("intercept_micro"),
+    )

@@ -1,0 +1,150 @@
+"""Round-10 seventh-wave operators: Nelson-Aalen cumulative hazard,
+k-variant chi-squared homogeneity, multi-touch attribution, two-sample
+KS statistic, and the Zipf-law corpus-health fit — each pinned against
+hand-computed or pure-Python reference math."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_nelson_aalen_textbook(spark):
+    """6 subjects, events at t=1 (1/6) and t=3 (1/4):
+    H(1) = 1/6, H(3) = 1/6 + 1/4 = 5/12 ~ 416667 micro."""
+    from pd_explain_spark.functions.events import nelson_aalen
+
+    rows = [(1, 1), (2, 0), (3, 1), (3, 0), (4, 0), (5, 0)]
+    df = spark.createDataFrame(rows, "dur INT, event INT")
+    out = {r["duration"]: r for r in nelson_aalen(df, "dur", "event").collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_at_risk"] == 6 and out[1]["cum_hazard_micro"] == 166667
+    assert out[3]["n_at_risk"] == 4 and out[3]["cum_hazard_micro"] == 416667
+    with pytest.raises(Exception, match="max_durations"):
+        big = spark.createDataFrame([(i, 1) for i in range(30)], "dur INT, event INT")
+        nelson_aalen(big, "dur", "event", max_durations=10).collect()
+
+
+def test_chisq_matches_scipy_free_reference(spark):
+    """3 variants with planted counts; chi2 computed by hand the
+    textbook way (expected from marginals)."""
+    from pd_explain_spark.functions.events import chisq_homogeneity
+
+    counts = {"a": (100, 30), "b": (120, 50), "c": (80, 10)}
+    rows = []
+    for v, (n, k) in counts.items():
+        rows += [(v, 1)] * k + [(v, 0)] * (n - k)
+    df = spark.createDataFrame(rows, "variant STRING, success INT")
+    out = chisq_homogeneity(df, "variant", "success").collect()[0]
+    N = sum(n for n, _ in counts.values())
+    K = sum(k for _, k in counts.values())
+    chi2 = 0.0
+    for n, k in counts.values():
+        es, ef = n * K / N, n * (N - K) / N
+        chi2 += round((k - es) ** 2 / es * 1e9 + 0.5) // 1 / 1e9
+        chi2 += round(((n - k) - ef) ** 2 / ef * 1e9 + 0.5) // 1 / 1e9
+    assert out["n_variants"] == 3 and out["dof"] == 2
+    assert out["n_total"] == N and out["successes_total"] == K
+    assert abs(out["chi2_micro"] - round(chi2 * 1e6)) <= 1
+    # two-variant chi2 == z^2 from ab_test_report on the same units
+    from pd_explain_spark.functions.events import ab_test_report
+    two = df.filter(F.col("variant") != "c")
+    z = ab_test_report(two, "variant", "success").collect()[0]["z_micro"] / 1e6
+    c2 = chisq_homogeneity(two, "variant", "success").collect()[0]["chi2_micro"] / 1e6
+    assert abs(c2 - z * z) < 1e-3
+
+
+def test_attribution_models(spark):
+    from pd_explain_spark.functions.events import attribution_report
+
+    t0 = datetime.datetime(2024, 1, 1)
+    m = lambda k: t0 + datetime.timedelta(minutes=k)
+    rows = [
+        # user 1: view@0, click@10, purchase@20 (val 10)
+        (1, 1, "view", m(0), 0.0), (2, 1, "click", m(10), 0.0),
+        (3, 1, "purchase", m(20), 10.0),
+        # user 2: click@5, purchase@30 (val 4)
+        (4, 2, "click", m(5), 0.0), (5, 2, "purchase", m(30), 4.0),
+        # user 3: purchase@7 with no touches (val 2) -> (direct)
+        (6, 3, "purchase", m(7), 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id INT, user_id INT, event_type STRING, ts TIMESTAMP, value DOUBLE"
+    )
+
+    def rep(model, **kw):
+        out = attribution_report(
+            df, "purchase", ["view", "click"], model=model, **kw
+        ).collect()
+        return {r["channel"]: r for r in out}
+
+    last = rep("last")
+    assert last["click"]["credit_micro"] == 2_000_000      # users 1 and 2
+    assert last["(direct)"]["credit_micro"] == 1_000_000
+    assert last["click"]["attributed_value_micro"] == 14_000_000
+    first = rep("first")
+    assert first["view"]["credit_micro"] == 1_000_000      # user 1's first touch
+    assert first["click"]["credit_micro"] == 1_000_000     # user 2
+    lin = rep("linear")
+    assert lin["view"]["credit_micro"] == 500_000          # half of user 1
+    assert lin["click"]["credit_micro"] == 1_500_000       # half + whole
+    assert lin["click"]["attributed_value_micro"] == 9_000_000  # 5 + 4
+    # credits always total the conversion count
+    for r in (last, first, lin):
+        assert sum(v["credit_micro"] for v in r.values()) == 3_000_000
+    # conversion window: 15 minutes cuts user 2's click@5 (25 min gap)
+    wlast = rep("last", within="15 minutes")
+    assert wlast["(direct)"]["credit_micro"] == 2_000_000
+    with pytest.raises(ValueError, match="model"):
+        attribution_report(df, "purchase", ["view"], model="shapley")
+
+
+def test_ks_two_sample_matches_python(spark):
+    from pd_explain_spark.functions.drift import ks_two_sample
+
+    a = [1, 1, 2, 3, 5, 8, 13, 21]
+    b = [2, 3, 4, 4, 6, 9]
+    da = spark.createDataFrame([(v,) for v in a], "value INT")
+    db = spark.createDataFrame([(v,) for v in b], "value INT")
+    out = ks_two_sample(da, db, "value").collect()[0]
+
+    def ecdf(xs, x):
+        return sum(1 for v in xs if v <= x) / len(xs)
+
+    d_ref = max(abs(ecdf(a, x) - ecdf(b, x)) for x in sorted(set(a + b)))
+    assert out["n_a"] == 8 and out["n_b"] == 6
+    assert abs(out["d_micro"] - round(d_ref * 1e6)) <= 1
+    # identical distributions -> D == 0
+    same = ks_two_sample(da, da, "value").collect()[0]
+    assert same["d_micro"] == 0
+    with pytest.raises(Exception, match="max_values"):
+        ks_two_sample(da, db, "value", max_values=3).collect()
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """Plant counts c(r) = round(1000 * r^-0.8): the fit must recover
+    slope ~ -0.8 (nano-rounded term noise only)."""
+    from pd_explain_spark.functions.text import zipf_fit
+
+    words = []
+    for r in range(1, 41):
+        c = max(1, round(1000 * r ** -0.8))
+        words += [f"w{r:02d}"] * c
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id INT, text STRING")
+    out = zipf_fit(df, max_rank=40).collect()[0]
+    assert out["n_ranks"] == 40
+    slope = out["slope_micro"] / 1e6
+    assert -0.85 < slope < -0.75
+    # reference least squares on the same (rank, count) pairs
+    pts = [(math.log(r), math.log(max(1, round(1000 * r ** -0.8))))
+           for r in range(1, 41)]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    ref = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(slope - ref) < 1e-3
+    with pytest.raises(ValueError, match="max_rank"):
+        zipf_fit(df, max_rank=1)
