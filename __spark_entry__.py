@@ -9737,6 +9737,65 @@ def zipf_docs_q(spark, sf_dir):
     return zipf_fit(_t(spark, sf_dir, "documents"), max_rank=200)
 
 
+@_q(
+    "windowed_ks_events",
+    """WITH rv AS (
+         SELECT value AS v FROM events
+         WHERE event_id % 2 = 0 AND value IS NOT NULL
+       ), rn_ AS (SELECT count(*)::BIGINT AS c FROM rv
+       ), ranked AS (
+         SELECT v, row_number() OVER (ORDER BY v) AS rn FROM rv
+       ), qs AS (SELECT unnest(range(1, 17)) AS i
+       ), probes AS (
+         SELECT (qs.i - 1)::INT AS pi, r.v AS pv
+         FROM qs CROSS JOIN rn_
+         JOIN ranked r
+           ON r.rn = greatest(1, ceil(qs.i::DOUBLE / 16.0 * rn_.c)::BIGINT)
+       ), refs AS (
+         SELECT p.pi, p.pv,
+                (SELECT count(*)::BIGINT FROM rv WHERE rv.v <= p.pv) AS rle,
+                rn_.c AS rn
+         FROM probes p, rn_
+       ), live AS (
+         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+                value AS v
+         FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+       ), wtot AS (
+         SELECT ws, count(*)::BIGINT AS n FROM live GROUP BY 1
+       ), wle AS (
+         SELECT l.ws, r.pi, r.rle, r.rn,
+                sum(CASE WHEN l.v <= r.pv THEN 1 ELSE 0 END)::BIGINT AS cle
+         FROM live l CROSS JOIN refs r GROUP BY 1, 2, 3, 4
+       ), d AS (
+         SELECT w.ws, w.n,
+                CAST(floor(abs(wle.cle::DOUBLE / w.n::DOUBLE
+                               - wle.rle::DOUBLE / wle.rn::DOUBLE)
+                           * 1000000.0 + 0.5) AS BIGINT) AS dd
+         FROM wle JOIN wtot w ON w.ws = wle.ws
+       )
+       SELECT ws AS window_start, n AS n_events, max(dd)::BIGINT AS d_micro
+       FROM d GROUP BY 1, 2""",
+)
+def windowed_ks_events_q(spark, sf_dir):
+    """Per-window Kolmogorov-Smirnov drift monitor (functions/drift.py
+    ks_reference + windowed_ks): even event ids fit the 16-probe exact
+    quantile reference, odd ids are the live feed scored hourly — the
+    exact-ECDF complement of windowed_psi_events (PSI weights log-odds
+    over fixed bins, KS reads the worst CDF gap at the probe grid).
+    The reference folds into plan literals, so scoring is ONE
+    aggregation over the live scan and a stateless D projection; the
+    streaming twin stream_ks_scores shares the literal-folded D
+    expression (parity-pinned in test_streaming). Per-probe micro
+    rounding keeps the max an order-free integer fold; probe values are
+    exact_quantiles' rank-ceil order statistics, mirrored by the
+    oracle's row_number lookup."""
+    from pd_explain_spark.functions.drift import ks_reference, windowed_ks
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ks_reference(ev.filter("event_id % 2 = 0"), "value", n_probes=16)
+    return windowed_ks(ev.filter("event_id % 2 = 1"), ref)
+
+
 # ===========================================================================
 
 # The correctness harness records the FIRST 50 ``queries()`` entries, so
@@ -9767,7 +9826,8 @@ _RECORD_FIRST = [
     #      hll_distinct_tokens (stalest sketches member, r08).
     # r11 rotation pool, priority order: (1) the new r10 oracle entries
     # (nelson_aalen_events, chisq_variants_events, attribution_events,
-    # ks_events_value, zipf_docs — each oracle-green locally at sf0.01);
+    # ks_events_value, zipf_docs, windowed_ks_events — each oracle-green
+    # locally at sf0.01);
     # (2) the 44 remaining r06-stale re-checks (bm25_docs,
     # chunk_documents_overlap, contamination_pairs_docs,
     # corpus_stats_by_lang, decontaminate_docs, dedup_against_corpus,

@@ -562,3 +562,160 @@ def ks_two_sample(
         ).cast("bigint").alias("__d"),
     )
     return d.groupBy("n_a", "n_b").agg(F.max("__d").alias("d_micro"))
+
+
+def ks_reference(
+    df: DataFrame,
+    value_col: str = "value",
+    n_probes: int = 32,
+) -> DataFrame:
+    """Fit the KS drift reference (the ``reference_histogram`` /
+    ``ccnet_cuts`` fit-once pattern): ``n_probes`` exact quantile probe
+    values of the trusted period plus the reference's EXACT cumulative
+    count at each probe — the artifact :func:`windowed_ks` /
+    :func:`stream_ks_scores` score against forever. One row per probe:
+    (probe_idx, probe_value, ref_le, ref_n). NOTE: fit-style eager
+    operator (the ab_test/kmeans precedent) — the probe values
+    materialize at call time through exact_quantiles' histogram-pruned
+    rank search (no global sort), then ONE conditional-sum pass counts
+    the reference at the probes; the returned frame is a bounded driver
+    literal (identity-limited, broadcast-auditable)."""
+    from .sketches import exact_quantiles
+
+    if n_probes < 2:
+        raise ValueError(f"ks_reference: n_probes must be >= 2, got {n_probes}")
+    vals = df.filter(F.col(value_col).isNotNull())
+    qs = [i / n_probes for i in range(1, n_probes + 1)]
+    probes = [
+        (float(r["q"]), r["value"])
+        for r in exact_quantiles(vals, value_col, qs).collect()
+    ]
+    probes.sort()
+    le_cols = [
+        F.sum(F.when(F.col(value_col) <= F.lit(v), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"__le{i}")
+        for i, (_, v) in enumerate(probes)
+    ] + [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    row = vals.agg(*le_cols).collect()[0]
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [
+            (i, float(v), int(row[f"__le{i}"]), int(row["__n"]))
+            for i, (_, v) in enumerate(probes)
+        ],
+        "probe_idx int, probe_value double, ref_le bigint, ref_n bigint",
+    )
+    return out.limit(len(probes))  # identity limit: O(n_probes) by construction
+
+
+def _ks_probe_rows(reference: DataFrame) -> list:
+    rows = sorted(reference.collect(), key=lambda r: r["probe_idx"])
+    if not rows:
+        raise ValueError("KS reference is empty — fit it with ks_reference")
+    return rows
+
+
+def _ks_d_expr(rows, count_col_fmt: str, total):
+    """max_i |F_w(probe_i) - F_ref(probe_i)| in integer micro-units:
+    per-probe micro-rounding before the greatest() fold keeps the
+    statistic an order-free integer max (the ks_two_sample contract).
+    The reference fractions fold in as exact-integer-ratio literals."""
+    terms = []
+    for r in rows:
+        fw = F.col(count_col_fmt.format(r["probe_idx"])).cast("double") / total
+        fr = F.lit(int(r["ref_le"])).cast("double") / F.lit(int(r["ref_n"])).cast(
+            "double"
+        )
+        terms.append(
+            F.floor(F.abs(fw - fr) * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+        )
+    return F.greatest(*terms) if len(terms) > 1 else terms[0]
+
+
+def windowed_ks(
+    df: DataFrame,
+    reference: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Per-window Kolmogorov-Smirnov drift score against a trusted
+    :func:`ks_reference`: D_w = max over the probe grid of
+    |F_window(probe) - F_ref(probe)| in integer micro-units —
+    (window_start, n_events, d_micro). The exact-ECDF complement of
+    :func:`windowed_psi` (PSI weights log-odds shift over fixed bins;
+    KS reads the worst absolute CDF gap, insensitive to binning
+    smoothing choices). Probe-grid resolution: D is evaluated AT the
+    reference's ``n_probes`` quantiles, so a shift narrower than a
+    probe gap can hide — raise ``n_probes`` at fit time for finer
+    resolution (the statistic at the probes is exact).
+
+    Plan shape: the reference is O(n_probes) rows, collected into plan
+    literals at build time; ONE binning-free aggregation produces
+    per-window conditional cumulative counts (shuffle bounded by
+    windows x 1 row), and the D fold is a stateless projection — the
+    live table scans once."""
+    rows = _ks_probe_rows(reference)
+    src = df.filter(F.col(value_col).isNotNull())
+    count_cols = [
+        F.sum(
+            F.when(F.col(value_col) <= F.lit(float(r["probe_value"])), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"__le{r['probe_idx']}")
+        for r in rows
+    ] + [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    per = src.groupBy(
+        F.date_format(
+            F.window(F.col(ts_col), window)["start"], "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start")
+    ).agg(*count_cols)
+    d = _ks_d_expr(rows, "__le{}", F.col("__n").cast("double"))
+    return per.select(
+        "window_start",
+        F.col("__n").cast("long").alias("n_events"),
+        d.alias("d_micro"),
+    )
+
+
+def stream_ks_scores(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming flavor of :func:`windowed_ks` — the same literal-folded
+    reference and the same per-window conditional cumulative counts as
+    ONE stateful aggregation (state = open windows x n_probes counters,
+    watermark-bounded), with the D fold a stateless projection; exact
+    batch parity is pinned in test_streaming. Fit the reference once in
+    batch (ks_reference on a trusted period), score the stream forever
+    — the stream_psi_scores deployment shape."""
+    from ..streaming.windows import _with_event_time
+
+    rows = _ks_probe_rows(reference)
+    src = _with_event_time(stream_df, ts_col).select(ts_col, value_col).filter(
+        F.col(value_col).isNotNull()
+    )
+    count_cols = [
+        F.sum(
+            F.when(F.col(value_col) <= F.lit(float(r["probe_value"])), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"__le{r['probe_idx']}")
+        for r in rows
+    ]
+    agg = (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*count_cols, F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    d = _ks_d_expr(rows, "__le{}", F.col("__n").cast("double"))
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("__n").cast("long").alias("n_events"),
+        d.alias("d_micro"),
+    )

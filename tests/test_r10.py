@@ -148,3 +148,43 @@ def test_zipf_fit_recovers_planted_slope(spark):
     assert abs(slope - ref) < 1e-3
     with pytest.raises(ValueError, match="max_rank"):
         zipf_fit(df, max_rank=1)
+
+
+def test_windowed_ks_matches_python(spark):
+    """Batch windowed KS vs a pure-Python probe-grid ECDF: one hour with
+    the reference distribution (D ~ 0) and one shifted hour (D large)."""
+    import datetime
+
+    from pd_explain_spark.functions.drift import ks_reference, windowed_ks
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ref_vals = [float(v) for v in range(1, 101)]            # uniform 1..100
+    h1 = ref_vals[:]                                        # same dist
+    h2 = [v + 50.0 for v in ref_vals]                       # shifted
+    ref_df = spark.createDataFrame([(v,) for v in ref_vals], "value DOUBLE")
+    live = [(t0 + datetime.timedelta(minutes=i % 50), v) for i, v in enumerate(h1)]
+    live += [
+        (t0 + datetime.timedelta(hours=2, minutes=i % 50), v)
+        for i, v in enumerate(h2)
+    ]
+    live_df = spark.createDataFrame(live, "ts TIMESTAMP, value DOUBLE")
+    ref = ks_reference(ref_df, "value", n_probes=4)
+    rows = sorted(ref.collect(), key=lambda r: r["probe_idx"])
+    # n_probes=4 over 1..100 -> probes at ranks 25/50/75/100
+    assert [r["probe_value"] for r in rows] == [25.0, 50.0, 75.0, 100.0]
+    assert [r["ref_le"] for r in rows] == [25, 50, 75, 100]
+    out = {r["window_start"]: r for r in windowed_ks(live_df, ref).collect()}
+    same = out["2024-01-01 00:00:00"]
+    shifted = out["2024-01-01 02:00:00"]
+    assert same["d_micro"] == 0 and same["n_events"] == 100
+
+    def ecdf(xs, x):
+        return sum(1 for v in xs if v <= x) / len(xs)
+
+    d_ref = max(
+        round(abs(ecdf(h2, p) - ecdf(ref_vals, p)) * 1e6 + 0.5) // 1
+        for p in (25.0, 50.0, 75.0, 100.0)
+    )
+    assert shifted["d_micro"] == d_ref
+    with pytest.raises(ValueError, match="n_probes"):
+        ks_reference(ref_df, "value", n_probes=1)

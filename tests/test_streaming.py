@@ -816,3 +816,38 @@ def test_stream_mad_anomalies_match_batch(spark, events_dir):
         for r in spark.sql("select * from mad_q").collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_stream_ks_scores_matches_batch(spark, events_dir):
+    """Streaming KS monitor parity (r10): per-window probe-grid KS of
+    the replayed stream against a trusted ks_reference equals the batch
+    windowed_ks on the same reference — the literal-folded D expression
+    is shared, so any drift between the two would be a state bug."""
+    from pd_explain_spark.functions.drift import (
+        ks_reference, stream_ks_scores, windowed_ks,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    ref = ks_reference(batch.filter("event_id % 2 = 0"), "value", n_probes=8)
+    live_b = batch.filter("event_id % 2 = 1")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir).filter(
+        "event_id % 2 = 1"
+    )
+    out = stream_ks_scores(stream, ref, window="1 hour", watermark="10 hours")
+    q = (
+        out.writeStream.format("memory").queryName("ks_q")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: (r["n_events"], r["d_micro"])
+        for r in spark.sql("select * from ks_q").collect()
+    }
+    want = {
+        r["window_start"]: (r["n_events"], r["d_micro"])
+        for r in windowed_ks(live_b, ref, window="1 hour").collect()
+    }
+    assert got == want and len(want) > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="reference"):
+        windowed_ks(live_b, ref.limit(0))
