@@ -9796,6 +9796,72 @@ def windowed_ks_events_q(spark, sf_dir):
     return windowed_ks(ev.filter("event_id % 2 = 1"), ref)
 
 
+_AUDIO_WAVS = [(0, 500, 7, 3, 8000), (1, 800, 13, 11, 16000),
+               (2, 256, 1, 0, 44100)]
+
+
+def _audio_demo_media(spark):
+    """Planted mono PCM16 WAVs with formula samples s_i = ((a*i + b) %
+    1999) - 999 (regenerable in SQL), plus a corrupt payload and an
+    image row that must feature as NULL and drop."""
+    from pd_explain_spark.functions.multimodal import make_wav
+
+    rows = []
+    for (i, n, a, b, rate) in _AUDIO_WAVS:
+        samples = [((a * k + b) % 1999) - 999 for k in range(n)]
+        rows.append((i, "audio", bytearray(make_wav(samples, rate)), None, None))
+    rows.append((7, "audio", bytearray(b"RIFFnot-a-wave-payload"), None, None))
+    rows.append((8, "image", bytearray(b"P6\n1 1\n255\n\x00\x00\x00"), None, None))
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, meta string",
+    )
+
+
+@_q(
+    "audio_features_planted",
+    f"""WITH cfg(id, n, a, b, rate) AS (
+         VALUES {", ".join(f"({i}, {n}, {a}, {b}, {r})" for (i, n, a, b, r) in _AUDIO_WAVS)}
+       ), s AS MATERIALIZED (
+         SELECT id, rate, n, unnest(generate_series(0, n - 1)) AS i,
+                ((a * unnest(generate_series(0, n - 1)) + b) % 1999) - 999 AS v
+         FROM cfg
+       ), feats AS (
+         SELECT id, max(rate)::BIGINT AS rate, count(*)::BIGINT AS ns,
+                sum(v * v)::BIGINT AS ssq, max(abs(v))::BIGINT AS peak
+         FROM s GROUP BY 1
+       ), zcs AS (
+         SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM s
+       ), zc AS (
+         SELECT id, sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                             THEN 1 ELSE 0 END)::BIGINT AS z
+         FROM zcs GROUP BY 1
+       )
+       SELECT f.id::BIGINT AS media_id, f.rate AS sample_rate,
+              f.ns AS n_samples,
+              (f.ns * 1000) // f.rate AS duration_ms,
+              f.peak AS peak,
+              CAST(floor(sqrt(f.ssq::DOUBLE / f.ns::DOUBLE) * 1000.0 + 0.5)
+                   AS BIGINT) AS rms_milli,
+              zc.z AS zero_crossings
+       FROM feats f JOIN zc USING (id)""",
+)
+def audio_features_planted_q(spark, sf_dir):
+    """Audio telemetry over the REAL WAV decode path
+    (functions/multimodal.py audio_features): three planted mono PCM16
+    payloads with formula samples, plus a corrupt payload and an image
+    row that must yield NULL and drop. The oracle REGENERATES the
+    samples from the ((a*i + b) % 1999) - 999 formula and recomputes
+    rate / duration / peak / milli-RMS / zero-crossings in SQL — a
+    match proves the byte-level RIFF/WAVE parser and the exact-integer
+    feature math end to end (the image_ahash_planted recipe applied to
+    the audio modality). Per-row scan-stage Arrow work, no shuffle."""
+    from pd_explain_spark.functions.multimodal import audio_features
+
+    media = _audio_demo_media(spark)
+    return audio_features(media).filter(F.col("sample_rate").isNotNull())
+
+
 # ===========================================================================
 
 # The correctness harness records the FIRST 50 ``queries()`` entries, so
@@ -9827,7 +9893,7 @@ _RECORD_FIRST = [
     # r11 rotation pool, priority order: (1) the new r10 oracle entries
     # (nelson_aalen_events, chisq_variants_events, attribution_events,
     # ks_events_value, zipf_docs, windowed_ks_events — each oracle-green
-    # locally at sf0.01);
+    # locally at sf0.01) plus audio_features_planted;
     # (2) the 44 remaining r06-stale re-checks (bm25_docs,
     # chunk_documents_overlap, contamination_pairs_docs,
     # corpus_stats_by_lang, decontaminate_docs, dedup_against_corpus,

@@ -532,3 +532,137 @@ def ahash_pairs(hashes: DataFrame) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+
+
+# ------------------------------------------------------ audio (WAV PCM)
+# Pure-Python RIFF/WAVE PCM16 parsing completes the modality set the
+# image decoders started (r9 PPM/BMP): the REAL audio decode branch is
+# exercisable with zero dependencies. Compressed codecs (mp3/ogg/...)
+# keep the documented stub contract.
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("rms_milli", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def _wav_decode(payload: bytes):
+    """(sample_rate, samples) for a mono 16-bit PCM RIFF/WAVE payload.
+    Raises ValueError on anything else — callers map that to the
+    corrupt-row contract (NULL features), never a crash."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate, bits, channels, data = None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1:
+                raise ValueError("only PCM (format 1) WAV supported")
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError("only mono 16-bit PCM WAV supported")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return int(rate), samples
+
+
+def make_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Encode mono 16-bit PCM samples as a RIFF/WAVE payload — the
+    write-side twin of :func:`_wav_decode` (demo corpora, tests, and
+    the planted oracle entry build audio rows with it)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def _audio_features_one(payload: bytes):
+    """Exact-integer telemetry for one PCM payload: (rate, n,
+    duration_ms, peak, rms_milli, zero_crossings). The RMS is the ONLY
+    non-integer step — sqrt of an exact integer ratio, milli-rounded in
+    one identical-rule expression, so the row is engine-portable."""
+    import math
+
+    rate, s = _wav_decode(payload)
+    n = len(s)
+    if n == 0:
+        return rate, 0, 0, 0, 0, 0
+    ssq = sum(v * v for v in s)
+    peak = max(abs(v) for v in s)
+    zc = sum(1 for i in range(1, n) if s[i - 1] * s[i] < 0)
+    rms_milli = math.floor(math.sqrt(ssq / n) * 1000.0 + 0.5)
+    return rate, n, n * 1000 // rate, peak, rms_milli, zc
+
+
+def audio_features(df: DataFrame, unsupported: str = "raise") -> DataFrame:
+    """Audio telemetry over a media table (MEDIA_SCHEMA subset:
+    media_id, kind, payload): one row per audio row with sample_rate,
+    n_samples, duration_ms, peak amplitude, milli-rounded RMS, and the
+    zero-crossing count (the cheap voicing/noise discriminator) — all
+    exact integers; NULL columns for missing/corrupt payloads and
+    non-audio rows. Non-PCM codecs raise by default (``unsupported=
+    "null"`` for best-effort passes) — the image-decoder stub contract.
+
+    Scale shape: per-row scan-stage work inside Arrow-batched
+    mapInPandas, no shuffle; output int columns use pandas nullable
+    Int64 (a plain None would coerce to float64 and round beyond 2^53
+    — the image_ahash regression pin)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "duration_ms",
+                "peak", "rms_milli", "zero_crossings",
+            )}
+            for _, row in pdf.iterrows():
+                cols["media_id"].append(row["media_id"])
+                vals = (None,) * 6
+                if row["kind"] == "audio" and row["payload"] is not None:
+                    try:
+                        vals = _audio_features_one(bytes(row["payload"]))
+                    except ValueError as e:
+                        if unsupported == "raise" and "PCM" in str(e):
+                            raise NotImplementedError(
+                                "audio decoding beyond mono 16-bit PCM WAV "
+                                "needs a codec library not present here; "
+                                'pass unsupported="null" for best-effort'
+                            ) from e
+                for k, v in zip(
+                    ("sample_rate", "n_samples", "duration_ms", "peak",
+                     "rms_milli", "zero_crossings"),
+                    vals,
+                ):
+                    cols[k].append(v)
+            yield pd.DataFrame(
+                {k: pd.array(v, dtype="Int64") for k, v in cols.items()}
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )

@@ -188,3 +188,63 @@ def test_windowed_ks_matches_python(spark):
     assert shifted["d_micro"] == d_ref
     with pytest.raises(ValueError, match="n_probes"):
         ks_reference(ref_df, "value", n_probes=1)
+
+
+def test_audio_features_real_wav_decode(spark):
+    """Real RIFF/WAVE PCM16 decode path: features match pure-Python math
+    on planted samples; corrupt payloads yield NULL rows; non-PCM
+    payloads raise by default and pass with unsupported='null'."""
+    from pd_explain_spark.functions.multimodal import (
+        MEDIA_SCHEMA, audio_features, make_wav,
+    )
+
+    s0 = [((7 * i + 3) % 1999) - 999 for i in range(500)]
+    s1 = [0, 100, -100, 100, 0, -5]
+    rows = [
+        (0, "audio", make_wav(s0, 8000), None, None),
+        (1, "audio", make_wav(s1, 16000), None, None),
+        (2, "audio", b"RIFFgarbage-not-wave", None, None),   # corrupt -> NULL
+        (3, "image", b"P6\n1 1\n255\n\x00\x00\x00", None, None),  # non-audio
+    ]
+    media = spark.createDataFrame(
+        [(i, k, bytearray(p), m, x) for (i, k, p, m, x) in rows],
+        "media_id long, kind string, payload binary, mime string, meta string",
+    )
+    out = {r["media_id"]: r for r in audio_features(media).collect()}
+    import math
+    n = len(s0)
+    ssq = sum(v * v for v in s0)
+    assert out[0]["sample_rate"] == 8000 and out[0]["n_samples"] == n
+    assert out[0]["duration_ms"] == n * 1000 // 8000
+    assert out[0]["peak"] == max(abs(v) for v in s0)
+    assert out[0]["rms_milli"] == math.floor(math.sqrt(ssq / n) * 1000 + 0.5)
+    assert out[0]["zero_crossings"] == sum(
+        1 for i in range(1, n) if s0[i - 1] * s0[i] < 0
+    )
+    # s1: crossings at 100->-100, -100->100, 0->... (zeros never cross)
+    assert out[1]["zero_crossings"] == 2 and out[1]["peak"] == 100
+    assert out[2]["sample_rate"] is None          # corrupt -> NULL features
+    assert out[3]["sample_rate"] is None          # non-audio row
+    # stereo (non-mono) payload: raise by default, NULL on request
+    import struct
+    stereo = make_wav([1, 2, 3, 4], 8000)
+    stereo = stereo.replace(
+        struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+        struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16),
+    )
+    sm = spark.createDataFrame(
+        [(9, "audio", bytearray(stereo), None, None)],
+        "media_id long, kind string, payload binary, mime string, meta string",
+    )
+    with pytest.raises(Exception, match="PCM"):
+        audio_features(sm).collect()
+    ok = audio_features(sm, unsupported="null").collect()
+    assert ok[0]["sample_rate"] is None
+
+
+def test_wav_roundtrip():
+    from pd_explain_spark.functions.multimodal import _wav_decode, make_wav
+
+    samples = [0, 32767, -32768, 5, -5]
+    rate, got = _wav_decode(make_wav(samples, 44100))
+    assert rate == 44100 and got == samples
