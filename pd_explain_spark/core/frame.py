@@ -988,16 +988,34 @@ class ExplainableDataFrame:
         return ExplainableDataFrame(out, name=f"{self.name}.melt")
 
     def get_dummies(
-        self, column: str, values: list | None = None, prefix: str | None = None
+        self,
+        column: str,
+        values: list | None = None,
+        prefix: str | None = None,
+        max_categories: int = 10_000,
     ) -> "ExplainableDataFrame":
         """pandas get_dummies for one categorical column: indicator
         columns, pure projection. Pass ``values`` (the known categories)
         at scale to skip the distinct-discovery job, same contract as
-        crosstab/pivot_table."""
+        crosstab/pivot_table. The discovery collect is BOUNDED: more
+        than ``max_categories`` distinct values raises instead of
+        pulling an unbounded category list onto the driver (the Spark
+        pivotMaxValues contract applied here — a 10k-wide one-hot frame
+        is already a modeling bug, not a projection)."""
         if values is None:
-            values = sorted(
-                r[0] for r in self.df.select(column).distinct().collect() if r[0] is not None
+            rows = (
+                self.df.select(column)
+                .distinct()
+                .limit(int(max_categories) + 1)
+                .collect()
             )
+            if len(rows) > max_categories:
+                raise ValueError(
+                    f"get_dummies: column {column!r} has more than "
+                    f"max_categories={max_categories} distinct values — pass "
+                    "values= with the known categories or raise the ceiling"
+                )
+            values = sorted(r[0] for r in rows if r[0] is not None)
         pfx = f"{prefix}_" if prefix else f"{column}_"
         cols = {
             f"{pfx}{v}": F.when(F.col(column) == F.lit(v), F.lit(1)).otherwise(F.lit(0))

@@ -191,3 +191,20 @@ def test_train_bpe_auto_routes_over_ceiling_to_distributed(spark):
         assert drv_merges == auto_merges
     finally:
         bpe._train_bpe_driver = orig
+
+
+def test_get_dummies_category_ceiling(spark):
+    """The last unbounded driver collect (r9 VERDICT soft spot): the
+    distinct-category discovery probes at most max_categories+1 rows
+    and raises over the ceiling; values= skips discovery entirely."""
+    from pd_explain_spark import to_explainable
+
+    df = spark.createDataFrame([(i, f"c{i}") for i in range(20)], "id INT, cat STRING")
+    e = to_explainable(df, name="t")
+    with pytest.raises(ValueError, match="max_categories"):
+        e.get_dummies("cat", max_categories=5)
+    # explicit values bypass discovery even over the ceiling
+    out = e.get_dummies("cat", values=["c1", "c2"], max_categories=5)
+    assert "cat_c1" in out.df.columns and "cat_c2" in out.df.columns
+    # under the ceiling the discovery path still works
+    assert len(e.get_dummies("cat").df.columns) == 2 + 20
