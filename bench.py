@@ -179,7 +179,14 @@ def main() -> int:
         return _run_one(sys.argv[sys.argv.index("--one") + 1])
     spark = get_spark("bench")
     qs = entrymod.queries()
-    names = list(qs)
+    # FIXED alphabetical timing order, decoupled from the registry's
+    # driver-window rotation: registry order changes every round (the
+    # 50-entry correctness window moves to the front), and in-run
+    # timings are position-sensitive (JVM warmup, GC/codegen pressure
+    # from earlier entries) — the r10 rotation alone shifted the shared-
+    # entry in-run sum ~10% with zero code change. A stable order keeps
+    # vs_prev comparisons apples-to-apples across rotations.
+    names = sorted(qs)
     # Warm the JVM (codegen, parquet footer reads, shuffle service) with one
     # untimed pass: round-1 showed filter_quantity at 9.5 s cold vs ~2 s
     # warm — the 7 s delta is session start, not the query.

@@ -1091,6 +1091,13 @@ def duplicate_components(
         .distinct()
         .localCheckpoint()
     )
+    # superseded checkpoint frames release EAGERLY (unpersist drops the
+    # checkpoint blocks — Spark warns they cannot recompute, which is
+    # the point: they are dead): a long bench/session otherwise
+    # accumulates two leaked block sets per round until driver GC, and
+    # that storage pressure taxes every unrelated job in the JVM (the
+    # r10 bench measured a broad in-run slowdown from exactly this).
+    stale = [labels]
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -1126,6 +1133,12 @@ def duplicate_components(
             .localCheckpoint()
         )
         changed = updated.filter(F.col("__chg")).limit(1).count()
+        # updated is materialized (eager checkpoint), so the previous
+        # round's frames and this round's stepped are all dead
+        stale.append(stepped)
+        for d in stale:
+            d.unpersist()
+        stale = [updated]
         labels = updated.drop("__chg")
         if changed == 0:
             converged = True

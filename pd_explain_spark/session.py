@@ -58,6 +58,14 @@ def get_spark(app_name: str = "pd_explain_spark", shuffle_partitions: int | None
             "org.apache.spark.sql.execution.window.WindowExec",
             jvm.org.apache.logging.log4j.Level.ERROR,
         )
+        # deliberate eager release of DEAD localCheckpoint blocks (the
+        # duplicate_components round hygiene) warns once per unpersist
+        # that the truncated lineage cannot recompute — that is the
+        # point (the frames are superseded); keep the log usable
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
     except Exception:
         pass  # log4j2 internals unavailable (e.g. connect mode): warnings stay
     return spark
