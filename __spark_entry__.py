@@ -8038,6 +8038,7 @@ def embedding_centroid_dist_q(spark, sf_dir):
     "embedding_near_dups_exact",
     """WITH e AS (
          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+         WHERE vec_id % 2 = 0
        )
        SELECT id_a, id_b, round(sim, 4) AS cosine_sim
        FROM (
@@ -8052,11 +8053,16 @@ def embedding_near_dups_exact_q(spark, sf_dir):
     """Exact all-pairs cosine near-dup (baseline path; the LSH variant below
     is the 100 TB path — bucket join instead of O(n^2)). Both engines
     filter on the round-6 value and emit a SINGLE round of the raw
-    similarity to 4 decimals (boundary hardening, see similarity_topk)."""
+    similarity to 4 decimals (boundary hardening, see similarity_topk).
+    Runs on the deterministic even-id HALF-SLICE (r9 VERDICT task #7:
+    the exact quadratic baseline needs to exist, not to be the round's
+    most expensive entry — the slice quarters the pair count with the
+    oracle filtered identically, zero hash-semantics change)."""
     from pd_explain_spark.functions.similarity import _dot, _norm
 
     e = (
         _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 2 == 0)
         .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb"))
         # norm once per VECTOR, not 2x per pair: per-pair work drops to a
         # single HOF dot (65 s -> 21 s at sf0.1); sqrt(dot(v,v)) is the
