@@ -9868,6 +9868,114 @@ def audio_features_planted_q(spark, sf_dir):
     return audio_features(media).filter(F.col("sample_rate").isNotNull())
 
 
+@_q(
+    "rater_agreement_orders",
+    """WITH pairs AS (
+         SELECT o_orderstatus AS a,
+                CASE WHEN o_orderkey % 7 = 0 THEN
+                   CASE o_orderstatus WHEN 'F' THEN 'O' ELSE 'F' END
+                ELSE o_orderstatus END AS b
+         FROM orders
+         WHERE o_orderstatus IS NOT NULL
+       ), cab AS (
+         SELECT a, b, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2
+       ), n AS (SELECT sum(c)::BIGINT AS n FROM cab
+       ), agree AS (
+         SELECT coalesce(sum(c), 0)::BIGINT AS ag FROM cab WHERE a = b
+       ), ca AS (SELECT a, sum(c)::BIGINT AS ca FROM cab GROUP BY 1
+       ), cb AS (SELECT b, sum(c)::BIGINT AS cb FROM cab GROUP BY 1
+       ), pe AS (
+         SELECT coalesce(sum(
+                  CAST(floor(ca.ca::DOUBLE * cb.cb::DOUBLE
+                             / (n.n::DOUBLE * n.n::DOUBLE)
+                             * 1000000000.0 + 0.5) AS BIGINT)
+                ), 0)::BIGINT AS pe_nano
+         FROM ca JOIN cb ON ca.a = cb.b, n
+       )
+       SELECT n.n AS n, agree.ag AS n_agree,
+              CAST(floor(agree.ag::DOUBLE / n.n::DOUBLE * 1000000.0 + 0.5)
+                   AS BIGINT) AS agree_micro,
+              CAST(floor(pe.pe_nano::DOUBLE / 1000000000.0 * 1000000.0 + 0.5)
+                   AS BIGINT) AS expected_micro,
+              CASE WHEN pe.pe_nano::DOUBLE / 1000000000.0 < 1.0 THEN
+                CAST(floor(
+                  (agree.ag::DOUBLE / n.n::DOUBLE
+                   - pe.pe_nano::DOUBLE / 1000000000.0)
+                  / (1.0 - pe.pe_nano::DOUBLE / 1000000000.0)
+                  * 1000000.0 + 0.5) AS BIGINT)
+              END AS kappa_micro
+       FROM n, agree, pe""",
+)
+def rater_agreement_orders_q(spark, sf_dir):
+    """Cohen's kappa label-QA gate (functions/profiling.py
+    rater_agreement): rater A = the order status, rater B = the status
+    with every 7th order's F/O labels swapped (a planted ~14% systematic
+    disagreement) — chance-corrected agreement between two annotation
+    passes, the alert metric a twice-annotated training corpus needs
+    (raw agreement flatters skewed label sets). One (a, b) pair count;
+    marginals re-aggregate the bounded pair table; the expected-
+    agreement terms nano-round before the order-free sum."""
+    from pd_explain_spark.functions.profiling import rater_agreement
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull()
+    ).select(
+        F.col("o_orderstatus").alias("a"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.when(F.col("o_orderstatus") == "F", F.lit("O")).otherwise(F.lit("F")),
+        ).otherwise(F.col("o_orderstatus")).alias("b"),
+    )
+    return rater_agreement(o, "a", "b")
+
+
+@_q(
+    "attribution_linear_events",
+    """WITH conv AS (
+         SELECT user_id AS u, event_id AS cid, ts AS cts,
+                coalesce(value, 0.0) AS val
+         FROM events
+         WHERE event_type = 'purchase' AND user_id IS NOT NULL
+           AND ts IS NOT NULL
+       ), touch AS (
+         SELECT user_id AS u, event_type AS ch, event_id AS tid, ts AS tts
+         FROM events
+         WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL
+           AND ts IS NOT NULL
+       ), j AS (
+         SELECT c.cid, c.val, t.ch,
+                count(t.tid) OVER (PARTITION BY c.cid) AS nt
+         FROM conv c LEFT JOIN touch t ON t.u = c.u AND t.tts < c.cts
+       ), credited AS (
+         SELECT cid, val, coalesce(ch, '(direct)') AS channel,
+                CASE WHEN ch IS NOT NULL THEN
+                  CAST(floor(1000000000.0 / nt + 0.5) AS BIGINT)
+                ELSE 1000000000::BIGINT END AS credit
+         FROM j
+       )
+       SELECT channel,
+              CAST(floor(sum(credit)::DOUBLE / 1000000000.0 * 1000000.0 + 0.5)
+                   AS BIGINT) AS credit_micro,
+              count(DISTINCT cid)::BIGINT AS n_conversions,
+              sum(CAST(floor(credit::DOUBLE / 1000000000.0 * val
+                             * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+                AS attributed_value_micro
+       FROM credited GROUP BY 1""",
+)
+def attribution_linear_events_q(spark, sf_dir):
+    """Linear multi-touch attribution (functions/events.py
+    attribution_report, model="linear"): every prior view/click splits
+    each purchase's credit equally (per-conversion 1/n_touches credits,
+    nano-int before the order-free channel sums) — the second credit
+    path next to the last-touch entry, oracle-proving the per-conversion
+    window count instead of the rank pick. Same join/window scale shape
+    as attribution_events."""
+    from pd_explain_spark.functions.events import attribution_report
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution_report(ev, "purchase", ["view", "click"], model="linear")
+
+
 # ===========================================================================
 
 # The correctness harness records the FIRST 50 ``queries()`` entries, so
@@ -9899,7 +10007,8 @@ _RECORD_FIRST = [
     # r11 rotation pool, priority order: (1) the new r10 oracle entries
     # (nelson_aalen_events, chisq_variants_events, attribution_events,
     # ks_events_value, zipf_docs, windowed_ks_events — each oracle-green
-    # locally at sf0.01) plus audio_features_planted;
+    # locally at sf0.01) plus audio_features_planted,
+    # rater_agreement_orders, attribution_linear_events;
     # (2) the 44 remaining r06-stale re-checks (bm25_docs,
     # chunk_documents_overlap, contamination_pairs_docs,
     # corpus_stats_by_lang, decontaminate_docs, dedup_against_corpus,

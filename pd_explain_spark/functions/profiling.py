@@ -537,3 +537,76 @@ def categorical_dependence(
             F.floor(v * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint")),
     )
+
+
+def rater_agreement(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cohen's kappa between two label columns — the label-QA gate for
+    training data annotated twice (two human raters, two model
+    annotators, or model-vs-gold): chance-corrected agreement
+    kappa = (p_o - p_e) / (1 - p_e), where p_o is the observed agreement
+    rate and p_e the agreement expected from the raters' marginal label
+    distributions. Raw agreement flatters skewed label sets (two raters
+    stamping 95% "ok" agree 90%+ by luck); kappa is the number a
+    curation run should alert on. Returns ONE row: n (rows where both
+    labels are non-NULL), n_agree, agree_micro (p_o), expected_micro
+    (p_e), kappa_micro (NULL when p_e = 1 — a constant shared label has
+    no chance-corrected signal).
+
+    Determinism: every rate is one identical-order IEEE expression over
+    exact integer counts, micro-rounded once; the expected-agreement sum
+    nano-rounds per label BEFORE the order-free integer sum (the
+    categorical_dependence contract). Scale shape: one (a, b) pair
+    count (map-combining), marginals re-aggregate the bounded pair
+    table — nothing after the first shuffle exceeds label cardinality."""
+    pairs = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    cab = pairs.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    n = cab.agg(F.sum("__c").cast("bigint").alias("__n"))
+    agree = cab.filter(F.col("__a").eqNullSafe(F.col("__b"))).agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("__agree")
+    )
+    ca = cab.groupBy("__a").agg(F.sum("__c").cast("bigint").alias("__ca"))
+    cb = cab.groupBy("__b").agg(F.sum("__c").cast("bigint").alias("__cb"))
+    nano = F.lit(1_000_000_000.0)
+    # per-label expected-agreement term: marginal_a * marginal_b / n^2,
+    # nano-rounded to an integer before the order-free sum
+    pe_terms = (
+        ca.join(cb, F.col("__a") == F.col("__b"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor(
+                F.col("__ca").cast("double")
+                * F.col("__cb").cast("double")
+                / (F.col("__n").cast("double") * F.col("__n").cast("double"))
+                * nano
+                + F.lit(0.5)
+            ).cast("bigint").alias("__t")
+        )
+    )
+    pe = pe_terms.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("bigint").alias("__pe_nano")
+    )
+    j = n.crossJoin(F.broadcast(agree)).crossJoin(F.broadcast(pe))
+    po = F.col("__agree").cast("double") / F.col("__n").cast("double")
+    ped = F.col("__pe_nano").cast("double") / 1e9
+    micro = F.lit(float(scale))
+    return j.select(
+        F.col("__n").alias("n"),
+        F.col("__agree").alias("n_agree"),
+        F.floor(po * micro + F.lit(0.5)).cast("bigint").alias("agree_micro"),
+        F.floor(ped * micro + F.lit(0.5)).cast("bigint").alias("expected_micro"),
+        F.when(
+            ped < 1.0,
+            F.floor((po - ped) / (F.lit(1.0) - ped) * micro + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("kappa_micro"),
+    )

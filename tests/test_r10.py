@@ -248,3 +248,33 @@ def test_wav_roundtrip():
     samples = [0, 32767, -32768, 5, -5]
     rate, got = _wav_decode(make_wav(samples, 44100))
     assert rate == 44100 and got == samples
+
+
+def test_rater_agreement_matches_textbook_kappa(spark):
+    """Classic 2-rater example: 50 rows, raters agree on 20 yes + 15 no;
+    marginals 25/25 vs 30/20 -> p_o = 0.7, p_e = 0.5, kappa = 0.4."""
+    from pd_explain_spark.functions.profiling import rater_agreement
+
+    rows = (
+        [("y", "y")] * 20 + [("n", "n")] * 15
+        + [("y", "n")] * 5 + [("n", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    out = rater_agreement(df, "a", "b").collect()[0]
+    assert out["n"] == 50 and out["n_agree"] == 35
+    assert out["agree_micro"] == 700_000
+    assert out["expected_micro"] == 500_000
+    assert out["kappa_micro"] == 400_000
+    # constant shared label: p_e = 1 -> kappa undefined (NULL)
+    const = spark.createDataFrame([("x", "x")] * 5, "a STRING, b STRING")
+    c = rater_agreement(const, "a", "b").collect()[0]
+    assert c["agree_micro"] == 1_000_000 and c["kappa_micro"] is None
+    # chance-level raters on skewed labels: raw agreement high, kappa ~ 0
+    import random
+    rnd = random.Random(7)
+    skew = [("ok" if rnd.random() < 0.9 else "bad",
+             "ok" if rnd.random() < 0.9 else "bad") for _ in range(400)]
+    s = rater_agreement(
+        spark.createDataFrame(skew, "a STRING, b STRING"), "a", "b"
+    ).collect()[0]
+    assert s["agree_micro"] > 750_000 and abs(s["kappa_micro"]) < 150_000
