@@ -183,6 +183,23 @@ ENTRIES = [
     "funnel_latency_events",
     "dependence_orders",
     "pca_component2_emb",
+    # r10 seventh-wave additions: Nelson-Aalen shares kaplan_meier's
+    # fixed-cardinality duration table; the chi-squared and kappa
+    # reports are bounded-table algebra after one keyed count; both
+    # attribution flavors are user-keyed joins + per-conversion windows
+    # (touch density grows 10x — copies share user_ids); the KS pair
+    # rides a bounded distinct-value spine, and the windowed KS scores
+    # per-window conditional counts against a literal probe grid; Zipf
+    # is one word count + a TakeOrdered top-200. audio_features_planted
+    # has nothing to scale (fixed planted frame).
+    "nelson_aalen_events",
+    "chisq_variants_events",
+    "attribution_events",
+    "attribution_linear_events",
+    "ks_events_value",
+    "windowed_ks_events",
+    "zipf_docs",
+    "rater_agreement_orders",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
