@@ -9976,6 +9976,52 @@ def attribution_linear_events_q(spark, sf_dir):
     return attribution_report(ev, "purchase", ["view", "click"], model="linear")
 
 
+@_q(
+    "benford_lineitem",
+    """WITH vals AS (
+         SELECT CAST(floor(abs(l_extendedprice)) AS BIGINT) AS m
+         FROM lineitem WHERE l_extendedprice IS NOT NULL
+       ), pos AS (SELECT m FROM vals WHERE m > 0
+       ), digits AS (
+         SELECT CAST(substr(m::VARCHAR, 1, 1) AS INT) AS digit,
+                count(*)::BIGINT AS n
+         FROM pos GROUP BY 1
+       ), tot AS (
+         SELECT coalesce(sum(n), 0)::BIGINT AS n_total FROM digits
+       ), spine AS (
+         SELECT d AS digit,
+                CAST(floor(log10(1.0 + 1.0 / d) * 1000000.0 + 0.5) AS BIGINT)
+                  AS benford_micro
+         FROM generate_series(1, 9) g(d)
+       ), j AS (
+         SELECT s.digit, coalesce(di.n, 0)::BIGINT AS n, t.n_total,
+                s.benford_micro,
+                CASE WHEN t.n_total > 0 THEN
+                  CAST(floor(coalesce(di.n, 0)::DOUBLE / t.n_total::DOUBLE
+                             * 1000000.0 + 0.5) AS BIGINT)
+                ELSE 0 END AS share_micro
+         FROM spine s LEFT JOIN digits di ON di.digit = s.digit, tot t
+       )
+       SELECT digit, n, n_total, share_micro, benford_micro,
+              abs(share_micro - benford_micro)::BIGINT AS dev_micro
+       FROM j""",
+)
+def benford_lineitem_q(spark, sf_dir):
+    """Benford's-law first-digit screen (functions/profiling.py
+    benford_report) over extended prices — the entered-vs-generated
+    forensic: natural multiplicative amounts put ~30.1% of leading
+    digits at 1; truncated, capped, or fabricated columns bend the
+    shares (TPC-H prices are uniform-ish products, so their deviation
+    pattern is itself the planted signal being hash-checked). The digit
+    comes from exact integer string arithmetic on floor(abs(v)); one
+    map-combining digit count, then <= 9-row algebra over the literal
+    spine. Python's math.log10 and the engines' log10 agree on these 9
+    literal inputs (correctly-rounded doubles both sides)."""
+    from pd_explain_spark.functions.profiling import benford_report
+
+    return benford_report(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
 # ===========================================================================
 
 # The correctness harness records the FIRST 50 ``queries()`` entries, so
@@ -10008,7 +10054,7 @@ _RECORD_FIRST = [
     # (nelson_aalen_events, chisq_variants_events, attribution_events,
     # ks_events_value, zipf_docs, windowed_ks_events — each oracle-green
     # locally at sf0.01) plus audio_features_planted,
-    # rater_agreement_orders, attribution_linear_events;
+    # rater_agreement_orders, attribution_linear_events, benford_lineitem;
     # (2) the 44 remaining r06-stale re-checks (bm25_docs,
     # chunk_documents_overlap, contamination_pairs_docs,
     # corpus_stats_by_lang, decontaminate_docs, dedup_against_corpus,

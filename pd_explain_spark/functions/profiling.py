@@ -610,3 +610,61 @@ def rater_agreement(
             ),
         ).alias("kappa_micro"),
     )
+
+
+def benford_report(
+    df: DataFrame,
+    col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Benford's-law first-digit screen over a numeric column — the
+    classic entered-vs-generated data forensic (naturally occurring
+    multiplicative amounts follow P(d) = log10(1 + 1/d); fabricated,
+    truncated, or unit-capped values don't): one row per leading digit
+    1-9 with the observed count, observed share, the Benford
+    expectation, and the absolute deviation, all in integer micro-units.
+    Zero/NULL values are excluded; the magnitude is ``floor(abs(v))``
+    (domain: |v| < 2^63 — rescale astronomically-ranged columns first),
+    so the digit comes from exact integer string arithmetic (identical
+    in any engine) rather than float log10 edge cases. Digits with no
+    observations still report (zero count) from a literal 9-row spine.
+
+    Scale shape: ONE map-combining digit count; everything after runs
+    on <= 9 rows. Deviations are per-digit single-expression IEEE over
+    exact integers — order-free."""
+    import math
+
+    vals = df.filter(F.col(col).isNotNull()).select(
+        F.floor(F.abs(F.col(col))).cast("bigint").alias("__m")
+    ).filter(F.col("__m") > 0)
+    digits = vals.select(
+        F.substring(F.col("__m").cast("string"), 1, 1).cast("int").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d, math.floor(math.log10(1 + 1 / d) * scale + 0.5)) for d in range(1, 10)],
+        "digit int, benford_micro bigint",
+    ).limit(9)  # identity limit: literal 9-row spine
+    tot = digits.agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_total"))
+    share = F.when(
+        F.col("n_total") > 0,
+        F.floor(
+            F.col("n").cast("double") / F.col("n_total").cast("double")
+            * F.lit(float(scale))
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    out = (
+        spine.join(digits, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            "n_total",
+            share.alias("share_micro"),
+            "benford_micro",
+        )
+    )
+    return out.withColumn(
+        "dev_micro", F.abs(F.col("share_micro") - F.col("benford_micro"))
+    )

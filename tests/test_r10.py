@@ -278,3 +278,31 @@ def test_rater_agreement_matches_textbook_kappa(spark):
         spark.createDataFrame(skew, "a STRING, b STRING"), "a", "b"
     ).collect()[0]
     assert s["agree_micro"] > 750_000 and abs(s["kappa_micro"]) < 150_000
+
+
+def test_benford_report_matches_python(spark):
+    """Multiplicative data (2^k) is Benford-distributed; planted uniform
+    1..9 repeats are flat. Both checked against pure-Python math."""
+    import math
+
+    from pd_explain_spark.functions.profiling import benford_report
+
+    vals = [float(2 ** k) for k in range(1, 63)]  # |v| < 2^63: the documented domain
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    out = {r["digit"]: r for r in benford_report(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    from collections import Counter
+    ref = Counter(int(str(int(abs(v)))[0]) for v in vals)
+    n = sum(ref.values())
+    for d in range(1, 10):
+        assert out[d]["n"] == ref.get(d, 0)
+        assert out[d]["share_micro"] == math.floor(ref.get(d, 0) / n * 1e6 + 0.5)
+        assert out[d]["benford_micro"] == math.floor(
+            math.log10(1 + 1 / d) * 1e6 + 0.5
+        )
+    # powers of 2 track Benford closely: digit 1 share ~30%
+    assert abs(out[1]["share_micro"] - 301_030) < 35_000
+    # zeros/NULLs drop; an all-zero column reports zero counts
+    z = spark.createDataFrame([(0.0,), (None,)], "v DOUBLE")
+    zo = benford_report(z, "v").collect()
+    assert len(zo) == 9 and all(r["n"] == 0 for r in zo)
