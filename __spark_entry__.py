@@ -10022,6 +10022,113 @@ def benford_lineitem_q(spark, sf_dir):
     return benford_report(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
+@_q(
+    "classification_report_orders",
+    """WITH pairs AS (
+         SELECT o_orderstatus AS g,
+                CASE WHEN o_orderkey % 7 = 0 THEN
+                   CASE o_orderstatus WHEN 'F' THEN 'O' ELSE 'F' END
+                ELSE o_orderstatus END AS p
+         FROM orders WHERE o_orderstatus IS NOT NULL
+       ), cgp AS (
+         SELECT g, p, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2
+       ), tp AS (
+         SELECT g AS class, c AS tp FROM cgp WHERE g = p
+       ), gold AS (
+         SELECT g AS class, sum(c)::BIGINT AS support FROM cgp GROUP BY 1
+       ), pred AS (
+         SELECT p AS class, sum(c)::BIGINT AS n_pred FROM cgp GROUP BY 1
+       ), base AS (
+         SELECT coalesce(gold.class, pred.class) AS class,
+                coalesce(tp.tp, 0)::BIGINT AS tp,
+                coalesce(gold.support, 0)::BIGINT AS support,
+                coalesce(pred.n_pred, 0)::BIGINT AS n_pred
+         FROM gold FULL JOIN pred ON gold.class = pred.class
+         LEFT JOIN tp ON tp.class = coalesce(gold.class, pred.class)
+       ), rates AS (
+         SELECT class, tp, (n_pred - tp)::BIGINT AS fp,
+                (support - tp)::BIGINT AS fn, support,
+                CASE WHEN n_pred > 0 THEN
+                  CAST(floor(tp::DOUBLE / n_pred::DOUBLE * 1000000.0 + 0.5)
+                       AS BIGINT) END AS precision_micro,
+                CASE WHEN support > 0 THEN
+                  CAST(floor(tp::DOUBLE / support::DOUBLE * 1000000.0 + 0.5)
+                       AS BIGINT) END AS recall_micro
+         FROM base
+       )
+       SELECT class, tp, fp, fn, support, precision_micro, recall_micro,
+              CASE WHEN precision_micro IS NOT NULL
+                    AND recall_micro IS NOT NULL
+                    AND precision_micro + recall_micro > 0 THEN
+                CAST(floor(2.0 * precision_micro * recall_micro
+                           / (precision_micro + recall_micro) + 0.5) AS BIGINT)
+              END AS f1_micro
+       FROM rates""",
+)
+def classification_report_orders_q(spark, sf_dir):
+    """Per-class precision/recall/F1 (functions/profiling.py
+    classification_report) on the planted 1-in-7 F/O label swap (gold =
+    order status, prediction = the swapped labels — the same planted
+    error model as rater_agreement_orders, now broken down by WHERE the
+    model fails instead of one agreement number). All rates are
+    micro-ints from one bounded (gold, pred) pair count; F1 computes
+    from the two micro-ints so the whole row is engine-portable."""
+    from pd_explain_spark.functions.profiling import classification_report
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull()
+    ).select(
+        F.col("o_orderstatus").alias("g"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.when(F.col("o_orderstatus") == "F", F.lit("O")).otherwise(F.lit("F")),
+        ).otherwise(F.col("o_orderstatus")).alias("p"),
+    )
+    return classification_report(o, "g", "p")
+
+
+@_q(
+    "calibration_events",
+    """WITH rows_ AS (
+         SELECT value / (value + 50.0) AS s,
+                CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y
+         FROM events WHERE value IS NOT NULL AND value >= 0
+       ), b AS (
+         SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+                CAST(floor(s * 1000000000.0 + 0.5) AS BIGINT) AS sn, y
+         FROM rows_
+       ), per AS (
+         SELECT bin, count(*)::BIGINT AS n, sum(sn)::BIGINT AS ssum,
+                sum(y)::BIGINT AS pos
+         FROM b GROUP BY 1
+       )
+       SELECT bin, n,
+              CAST(floor(ssum::DOUBLE / 1000000000.0 / n::DOUBLE
+                         * 1000000.0 + 0.5) AS BIGINT) AS mean_score_micro,
+              CAST(floor(pos::DOUBLE / n::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
+                AS frac_pos_micro
+       FROM per""",
+)
+def calibration_events_q(spark, sf_dir):
+    """Reliability table (functions/profiling.py calibration_bins): a
+    deterministic pseudo-probability s = value/(value+50) against the
+    big-value outcome (value > 100) — per score decile the count, mean
+    predicted score, and observed positive fraction. The planted score
+    is monotone in the outcome, so the table shows the classic
+    calibrated-ish S-shape; per-row nano-rounded score sums keep the
+    bin means order-free integers. One map-combining groupBy on the bin
+    id; output bounded by n_bins."""
+    from pd_explain_spark.functions.profiling import calibration_bins
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        (F.col("value") / (F.col("value") + F.lit(50.0))).alias("score"),
+        (F.col("value") > F.lit(100.0)).cast("int").alias("y"),
+    )
+    return calibration_bins(ev, "score", "y", n_bins=10)
+
+
 # ===========================================================================
 
 # The correctness harness records the FIRST 50 ``queries()`` entries, so
@@ -10054,7 +10161,8 @@ _RECORD_FIRST = [
     # (nelson_aalen_events, chisq_variants_events, attribution_events,
     # ks_events_value, zipf_docs, windowed_ks_events — each oracle-green
     # locally at sf0.01) plus audio_features_planted,
-    # rater_agreement_orders, attribution_linear_events, benford_lineitem;
+    # rater_agreement_orders, attribution_linear_events, benford_lineitem,
+    # classification_report_orders, calibration_events;
     # (2) the 44 remaining r06-stale re-checks (bm25_docs,
     # chunk_documents_overlap, contamination_pairs_docs,
     # corpus_stats_by_lang, decontaminate_docs, dedup_against_corpus,

@@ -668,3 +668,153 @@ def benford_report(
     return out.withColumn(
         "dev_micro", F.abs(F.col("share_micro") - F.col("benford_micro"))
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-class precision/recall/F1 over a (gold label, prediction)
+    pair — the model-eval twin of :func:`rater_agreement` (kappa asks
+    "do two annotators agree"; this asks "where exactly does a model
+    fail"): one row per class observed in EITHER column with tp/fp/fn
+    counts and precision/recall/F1 in integer micro-units (NULL where
+    undefined: precision with no predictions, recall with no gold rows,
+    F1 when either is NULL/zero), plus the class's gold support. Rows
+    where either column is NULL are excluded (unlabeled/unscored).
+
+    Determinism: all counts are exact integers from ONE (label, pred)
+    pair count; each rate is a single identical-order IEEE expression,
+    micro-rounded once (F1 computes from the two micro-ints — fully
+    portable). Scale shape: one map-combining pair count; per-class
+    marginals re-aggregate the bounded pair table."""
+    pairs = df.filter(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(F.col(label_col).alias("__g"), F.col(pred_col).alias("__p"))
+    cgp = pairs.groupBy("__g", "__p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    tp = cgp.filter(F.col("__g") == F.col("__p")).select(
+        F.col("__g").alias("class"), F.col("__c").alias("tp")
+    )
+    gold = cgp.groupBy(F.col("__g").alias("class")).agg(
+        F.sum("__c").cast("bigint").alias("support")
+    )
+    pred = cgp.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__c").cast("bigint").alias("n_pred")
+    )
+    base = (
+        gold.join(pred, "class", "full")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+        )
+    )
+    micro = F.lit(float(scale))
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.floor(
+            F.col("tp").cast("double") / F.col("n_pred").cast("double") * micro
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    rec = F.when(
+        F.col("support") > 0,
+        F.floor(
+            F.col("tp").cast("double") / F.col("support").cast("double") * micro
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    out = base.select(
+        "class",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("support") - F.col("tp")).cast("bigint").alias("fn"),
+        "support",
+        prec.alias("precision_micro"),
+        rec.alias("recall_micro"),
+    )
+    p, r = F.col("precision_micro"), F.col("recall_micro")
+    f1 = F.when(
+        p.isNotNull() & r.isNotNull() & ((p + r) > 0),
+        F.floor(F.lit(2.0) * p * r / (p + r) + F.lit(0.5)).cast("bigint"),
+    )
+    return out.withColumn("f1_micro", f1)
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability table for a probabilistic score against a binary
+    outcome — the calibration check behind every quality-classifier
+    threshold choice: scores in [0, 1] bucket into ``n_bins`` equal
+    bins; per non-empty bin the count, the mean predicted score, and the
+    observed positive fraction (integer micro-units). A calibrated
+    model's mean_score ≈ frac_pos per bin; systematic gaps say the
+    scores can't be read as probabilities (threshold on quantiles
+    instead). Scores exactly 1.0 clamp into the last bin. NULL scores/
+    labels are excluded; out-of-range scores raise at execution (a
+    "probability" outside [0, 1] is a caller bug worth failing on).
+
+    Determinism: bin ids and counts are exact; the mean score micro-
+    rounds per bin from a nano-rounded per-row score sum (order-free
+    integer sums — the categorical_dependence contract). One
+    map-combining groupBy on the bin id; output bounded by n_bins."""
+    if n_bins < 1:
+        raise ValueError(f"calibration_bins: n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    rows = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.when(
+            (s < 0) | (s > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"calibration_bins: {score_col} outside [0, 1]: "),
+                    s.cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(s).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    bin_ = F.least(
+        F.floor(F.col("__s") * F.lit(int(n_bins))).cast("int"),
+        F.lit(int(n_bins) - 1),
+    )
+    nano = F.lit(1_000_000_000.0)
+    per = (
+        rows.select(
+            bin_.alias("bin"),
+            F.floor(F.col("__s") * nano + F.lit(0.5)).cast("bigint").alias("__sn"),
+            "__y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__sn").cast("bigint").alias("__ssum"),
+            F.sum("__y").cast("bigint").alias("__pos"),
+        )
+        .limit(int(n_bins))  # identity bound: bin in [0, n_bins)
+    )
+    micro = F.lit(float(scale))
+    return per.select(
+        "bin",
+        "n",
+        F.floor(
+            F.col("__ssum").cast("double") / 1e9 / F.col("n").cast("double") * micro
+            + F.lit(0.5)
+        ).cast("bigint").alias("mean_score_micro"),
+        F.floor(
+            F.col("__pos").cast("double") / F.col("n").cast("double") * micro
+            + F.lit(0.5)
+        ).cast("bigint").alias("frac_pos_micro"),
+    )

@@ -306,3 +306,48 @@ def test_benford_report_matches_python(spark):
     z = spark.createDataFrame([(0.0,), (None,)], "v DOUBLE")
     zo = benford_report(z, "v").collect()
     assert len(zo) == 9 and all(r["n"] == 0 for r in zo)
+
+
+def test_classification_report_matches_python(spark):
+    from pd_explain_spark.functions.profiling import classification_report
+
+    pairs = (
+        [("a", "a")] * 8 + [("a", "b")] * 2      # a: tp 8, fn 2
+        + [("b", "b")] * 5 + [("b", "a")] * 3    # b: tp 5, fn 3
+        + [("c", "a")] * 1                       # c gold never predicted
+        + [("b", "d")] * 1                       # d predicted never gold
+    )
+    df = spark.createDataFrame(pairs, "gold STRING, pred STRING")
+    out = {r["class"]: r for r in classification_report(df, "gold", "pred").collect()}
+    a = out["a"]
+    assert (a["tp"], a["fp"], a["fn"], a["support"]) == (8, 4, 2, 10)
+    assert a["precision_micro"] == round(8 / 12 * 1e6)
+    assert a["recall_micro"] == 800_000
+    p, r = 8 / 12, 0.8
+    import math
+    pm, rm = math.floor(p * 1e6 + 0.5), 800_000
+    assert a["f1_micro"] == math.floor(2 * pm * rm / (pm + rm) + 0.5)
+    assert out["c"]["precision_micro"] is None and out["c"]["recall_micro"] == 0
+    assert out["d"]["recall_micro"] is None and out["d"]["precision_micro"] == 0
+    assert out["c"]["f1_micro"] is None and out["d"]["f1_micro"] is None
+
+
+def test_calibration_bins_matches_python(spark):
+    import math
+
+    from pd_explain_spark.functions.profiling import calibration_bins
+
+    rows = [(i / 20, 1 if (i / 20) > 0.5 else 0) for i in range(21)]
+    df = spark.createDataFrame(rows, "score DOUBLE, y INT")
+    out = {r["bin"]: r for r in calibration_bins(df, "score", "y", n_bins=5).collect()}
+    # 21 scores 0.0..1.0 step 0.05 -> bins of width 0.2; 1.0 clamps to bin 4
+    assert [out[b]["n"] for b in range(5)] == [4, 4, 4, 4, 5]
+    got = out[4]
+    scores4 = [i / 20 for i in range(21) if min(int((i / 20) * 5), 4) == 4]
+    sn = sum(math.floor(s * 1e9 + 0.5) for s in scores4)
+    assert got["mean_score_micro"] == math.floor(sn / 1e9 / len(scores4) * 1e6 + 0.5)
+    assert got["frac_pos_micro"] == 1_000_000
+    import pytest as _p
+    bad = spark.createDataFrame([(1.5, 1)], "score DOUBLE, y INT")
+    with _p.raises(Exception, match="outside"):
+        calibration_bins(bad, "score", "y").collect()
