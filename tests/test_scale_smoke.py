@@ -235,6 +235,12 @@ ENTRY_BUDGET = {
     # by design; the metric joins are count-table sized
     "dedup_recall_winnow": 50.0,
     "dedup_sweep_winnow": 50.0,
+    # NOT output- or work-growth: pure JVM-state flake headroom. In the
+    # full matrix this entry runs right after the leakage pair-explosion
+    # entry and has measured 12.7x from inherited GC pressure while the
+    # ISOLATED run is 0.4x (r10; both recorded). 20x still fails loudly
+    # on a genuinely quadratic regression (~100x+ wall).
+    "similarity_pq_topk": 20.0,
 }
 
 
