@@ -563,3 +563,19 @@ def test_tree_lines_glues_wrapped_expression_newlines():
     bi = _build_child(lines, i)
     assert bi is not None and "BroadcastExchange" in lines[bi]
     assert _bounded_node(lines, bi)
+
+
+def test_ivf_assignment_is_scan_stage(spark, sf_dir):
+    """r10 plan pin: argmin centroid assignment must add ZERO exchanges
+    over its input — the old broadcast-crossJoin + per-vector window
+    shuffled k x corpus bytes (at 10^4-10^5 centroids on 100 TB that was
+    the SemDeDup pipeline's largest exchange). On a parquet source the
+    whole assigned plan is therefore exchange-free."""
+    import os
+
+    from pd_explain_spark.functions.similarity import ivf_build_fixed
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    plan = ivf_build_fixed(emb, "vec_id", "embedding", 8).assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan and "BroadcastNestedLoop" not in plan, plan
