@@ -552,14 +552,23 @@ def ks_two_sample(
     d = cum.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)).select(
         "n_a",
         "n_b",
-        F.floor(
-            F.abs(
-                F.col("__fa").cast("double") / F.col("n_a").cast("double")
-                - F.col("__fb").cast("double") / F.col("n_b").cast("double")
-            )
-            * F.lit(float(scale))
-            + F.lit(0.5)
-        ).cast("bigint").alias("__d"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.floor(
+                F.abs(
+                    F.col("__fa").cast("double") / F.col("n_a").cast("double")
+                    - F.col("__fb").cast("double") / F.col("n_b").cast("double")
+                )
+                * F.lit(float(scale))
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).otherwise(
+            # an empty side has no ECDF: fail loud here, not with an
+            # opaque ANSI Infinity-to-bigint cast error downstream
+            F.raise_error(
+                F.lit("ks_two_sample: empty sample side (no non-NULL values)")
+            ).cast("bigint")
+        ).alias("__d"),
     )
     return d.groupBy("n_a", "n_b").agg(F.max("__d").alias("d_micro"))
 

@@ -237,6 +237,10 @@ def _validate_within(within, required: bool = False):
             )
         return f"{us} MICROSECOND"
     m = re.fullmatch(r"\s*(\d+)\s+([A-Za-z]+?)s?\s*", str(within))
+    if m and int(m.group(1)) <= 0:
+        raise ValueError(
+            f"funnel: within must be a positive window, got {within!r}"
+        )
     if not m or m.group(2).lower() not in _WITHIN_UNITS:
         raise ValueError(
             "funnel: within must be a datetime.timedelta or '<int> <unit>' "
@@ -684,6 +688,12 @@ def attribution_report(
         raise ValueError(f"attribution_report: model must be first|last|linear, got {model!r}")
     if not touch_types:
         raise ValueError("attribution_report: touch_types must be non-empty")
+    if conversion in touch_types:
+        raise ValueError(
+            "attribution_report: the conversion type cannot also be a touch "
+            f"type ({conversion!r}) — a purchase attributing to an earlier "
+            "purchase is double counting, not attribution"
+        )
     within = _validate_within(within)
     base = df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
     conv = base.filter(F.col(type_col) == conversion).select(

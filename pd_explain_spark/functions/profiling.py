@@ -569,7 +569,9 @@ def rater_agreement(
     cab = pairs.groupBy("__a", "__b").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
     )
-    n = cab.agg(F.sum("__c").cast("bigint").alias("__n"))
+    n = cab.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("__n")
+    )
     agree = cab.filter(F.col("__a").eqNullSafe(F.col("__b"))).agg(
         F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("__agree")
     )
@@ -598,13 +600,18 @@ def rater_agreement(
     po = F.col("__agree").cast("double") / F.col("__n").cast("double")
     ped = F.col("__pe_nano").cast("double") / 1e9
     micro = F.lit(float(scale))
+    nonempty = F.col("__n") > 0  # empty input: NULL rates, never a NaN cast
     return j.select(
         F.col("__n").alias("n"),
         F.col("__agree").alias("n_agree"),
-        F.floor(po * micro + F.lit(0.5)).cast("bigint").alias("agree_micro"),
-        F.floor(ped * micro + F.lit(0.5)).cast("bigint").alias("expected_micro"),
+        F.when(nonempty, F.floor(po * micro + F.lit(0.5)).cast("bigint")).alias(
+            "agree_micro"
+        ),
         F.when(
-            ped < 1.0,
+            nonempty, F.floor(ped * micro + F.lit(0.5)).cast("bigint")
+        ).alias("expected_micro"),
+        F.when(
+            nonempty & (ped < 1.0),
             F.floor((po - ped) / (F.lit(1.0) - ped) * micro + F.lit(0.5)).cast(
                 "bigint"
             ),

@@ -351,3 +351,29 @@ def test_calibration_bins_matches_python(spark):
     bad = spark.createDataFrame([(1.5, 1)], "score DOUBLE, y INT")
     with _p.raises(Exception, match="outside"):
         calibration_bins(bad, "score", "y").collect()
+
+
+def test_r10_edge_hardening(spark):
+    """Empty/degenerate inputs fail loud or degrade to NULL, never an
+    opaque ANSI cast error; conversion-in-touches and zero-width
+    windows are argument errors."""
+    from pd_explain_spark.functions.drift import ks_two_sample
+    from pd_explain_spark.functions.events import attribution_report, funnel_user_times
+    from pd_explain_spark.functions.profiling import rater_agreement
+
+    empty = spark.createDataFrame([], "value INT")
+    nonempty = spark.createDataFrame([(1,)], "value INT")
+    with pytest.raises(Exception, match="empty sample side"):
+        ks_two_sample(empty, nonempty, "value").collect()
+    er = rater_agreement(
+        spark.createDataFrame([], "a STRING, b STRING"), "a", "b"
+    ).collect()[0]
+    assert er["n"] == 0 and er["agree_micro"] is None and er["kappa_micro"] is None
+    ev = spark.createDataFrame(
+        [(1, 1, "purchase", datetime.datetime(2024, 1, 1), 1.0)],
+        "event_id INT, user_id INT, event_type STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    with pytest.raises(ValueError, match="double counting"):
+        attribution_report(ev, "purchase", ["view", "purchase"])
+    with pytest.raises(ValueError, match="positive"):
+        funnel_user_times(ev, ["view", "click"], within="0 hours")
