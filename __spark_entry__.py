@@ -10140,73 +10140,45 @@ def calibration_events_q(spark, sf_dir):
 # variants, reshape/accessor coverage) follow in registration order and
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
-    # r10 rotation (VERDICT r9 task #1): composition 50 = 28 + 19 + 3.
-    #   28 never-driver-checked oracle entries — everything added after
-    #      the r9 window froze (second wave: winnow pair-metrics, join
-    #      profile, curation funnel, compaction, curriculum, checksum,
-    #      intra-doc + URL dedup; third-to-sixth waves: the governance
-    #      four, MAD anomalies, the PCA four, image aHash, the events
-    #      five [funnel/cohort/latency/AB/Kaplan-Meier], itemset lift,
-    #      categorical dependence, mode). Each judge-verified green at
-    #      sf0.01 in the r9 VERDICT and re-verified locally this round
-    #      (k_generalize_customer + kaplan_meier_events after their
-    #      ADVICE-fix semantics changes).
-    #   19 re-checks = every oracle entry whose last green driver row
-    #      is r05 (the stalest evidence on record).
-    #   3 family-forced: metainsight_explain_text (explain SURFACE,
-    #      r06-stale — also the stalest member of the r11 pool),
-    #      mini_language_query (only §2.3 representative),
-    #      hll_distinct_tokens (stalest sketches member, r08).
-    # r11 rotation pool, priority order: (1) the new r10 oracle entries
-    # (nelson_aalen_events, chisq_variants_events, attribution_events,
-    # ks_events_value, zipf_docs, windowed_ks_events — each oracle-green
-    # locally at sf0.01) plus audio_features_planted,
-    # rater_agreement_orders, attribution_linear_events, benford_lineitem,
-    # classification_report_orders, calibration_events;
-    # (2) the 44 remaining r06-stale re-checks (bm25_docs,
-    # chunk_documents_overlap, contamination_pairs_docs,
-    # corpus_stats_by_lang, decontaminate_docs, dedup_against_corpus,
-    # dedup_near_against_corpus, edit_distance_pairs_docs,
-    # fedex_groupby_explain_text, hybrid_search_docs,
-    # ingest_pipeline_docs, lm_score_docs, many_to_one_full_rules,
-    # metainsight_kernel, near_dup_against_corpus,
-    # near_dup_index_bucketed, near_dup_keep_longest,
-    # outlier_explain_text, the TPC-H q2/q7/q8/q9/q11/q13/q15-q22
-    # shapes, rolling_hour_events, segment_dedup_docs,
-    # semantic_dedup_pairs/survivors, shapley_join_explain_text,
-    # shuffle_shards_docs, span_dedup_docs, temperature_sample_docs,
-    # tfidf_docs, top_terms_docs, topk_orders, vocabulary_docs);
-    # (3) r07-stale re-checks, family-spread.
+    # r11 rotation (VERDICT r10 task #1): composition 50 = 12 + 38.
+    #   12 = the full r10 seventh wave (every oracle entry added after the
+    #      r10 window froze) — judge-verified 12/12 green at sf0.01 in the
+    #      r10 VERDICT; this rotation gives each its first driver row.
+    #   38 = oldest-first re-checks from the 44 entries whose last green
+    #      driver row is r06 (the stalest evidence on record). The six
+    #      r06-stale entries NOT in this window are exactly the ones the
+    #      r10 judge independently re-verified hash-green at sf0.01 this
+    #      round (q9_profit_rollup, q21_late_blame, many_to_one_full_rules,
+    #      metainsight_kernel, near_dup_keep_longest,
+    #      semantic_dedup_survivors) — they carry the freshest non-driver
+    #      evidence, so they rotate in next (r12) together with the
+    #      r07-stale re-checks, family-spread.
     #
-    # -- never-driver-checked: r9 second wave (dedup metrics, profiling,
-    #    curation pipeline surface, sinks)
-    "dedup_recall_winnow", "dedup_sweep_winnow",
-    "join_profile_orders_customer", "curation_funnel_docs",
-    "compact_roundtrip", "curriculum_order_docs", "dataset_checksum_docs",
-    "intra_doc_dedup_docs", "url_canonical_planted", "url_dedup_planted",
-    # -- never-driver-checked: governance + robust anomalies
-    "k_anonymity_customer", "k_anonymize_customer", "k_generalize_customer",
-    "l_diversity_customer", "mad_anomalies_events",
-    # -- never-driver-checked: exact-integer PCA family
-    "pca_component_emb", "pca_scores_emb", "pca_residuals_emb",
-    "pca_component2_emb",
-    # -- never-driver-checked: multimodal real-decode aHash
-    "image_ahash_planted",
-    # -- never-driver-checked: events analytics (funnel/cohort/AB/KM)
-    "event_funnel_events", "cohort_retention_events",
-    "funnel_latency_events", "ab_test_events", "kaplan_meier_events",
-    # -- never-driver-checked: association / dependence / mode aggs
-    "cooccurrence_lineitem", "dependence_orders", "mode_lineitem",
-    # -- re-checks: last green r05 (all of them — the stalest evidence)
-    "assign_splits", "curate_documents", "curation_pipeline",
-    "embedding_centroid_dist", "embedding_near_dups", "embedding_quantize",
-    "expanding_stats_events", "interval_join_events", "many_to_one_kernel",
-    "pct_change_events", "q4_priority_count", "q10_returned_revenue",
-    "range_join_events", "rank_events_dense", "redact_pii",
-    "repetition_signals", "resample_hourly", "simhash_near_dups_md5",
-    "similarity_ivf_fixed",
-    # -- family-forced (explain surface r06 / §2.3 / sketches r08)
-    "metainsight_explain_text", "mini_language_query", "hll_distinct_tokens",
+    # -- first driver rows: r10 seventh wave (events statistics, drift KS,
+    #    Zipf text fit, audio decode, governance metrics)
+    "nelson_aalen_events", "chisq_variants_events", "attribution_events",
+    "attribution_linear_events", "ks_events_value", "windowed_ks_events",
+    "zipf_docs", "audio_features_planted", "rater_agreement_orders",
+    "benford_lineitem", "classification_report_orders", "calibration_events",
+    # -- re-checks, last green r06: TPC-H plan shapes
+    "q2_min_price_part", "q7_nation_trade_flow", "q8_market_share",
+    "q11_important_stock", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_dominant_suppliers", "q22_idle_balances",
+    # -- re-checks, last green r06: corpus / contamination family
+    "bm25_docs", "tfidf_docs", "top_terms_docs", "hybrid_search_docs",
+    "vocabulary_docs", "corpus_stats_by_lang", "contamination_pairs_docs",
+    "decontaminate_docs", "dedup_against_corpus", "dedup_near_against_corpus",
+    "near_dup_against_corpus", "near_dup_index_bucketed", "lm_score_docs",
+    # -- re-checks, last green r06: dedup / curation / mixing
+    "segment_dedup_docs", "span_dedup_docs", "chunk_documents_overlap",
+    "edit_distance_pairs_docs", "semantic_dedup_pairs",
+    "ingest_pipeline_docs", "shuffle_shards_docs", "temperature_sample_docs",
+    # -- re-checks, last green r06: explainer text kernels
+    "fedex_groupby_explain_text", "outlier_explain_text",
+    "shapley_join_explain_text",
+    # -- re-checks, last green r06: time-series + relational tail
+    "rolling_hour_events", "topk_orders",
 ]
 
 
