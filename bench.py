@@ -29,10 +29,14 @@ inflated by late-run JVM pressure would poison the next round's
 comparison base); the headline ``value`` stays the pure in-run wall,
 captured before any overwrite. ``--gate`` exits nonzero when any confirmed
 regression (or error) remains (for local pre-commit use; the driver run
-stays rc=0 so the bench record is never lost to a slow entry). The
-full record is written to BENCH_LOCAL.json ONLY on plain (non---gate)
-runs, so iterating with the gate cannot slide the baseline under
-itself.
+stays rc=0 so the bench record is never lost to a slow entry). Retimes
+settle-wait on the 1-min load average and record it; a slow retime at
+high load is demoted to ``unconfirmed`` (r10 shipped two false
+CONFIRMED regressions from loaded "isolated" runs). The full record is
+written to BENCH_DRIVER.json on plain runs; the committed quiet-window
+baseline BENCH_LOCAL.json is refreshed only by ``--record`` (never
+under ``--gate``), so neither the driver's noisy run nor gate
+iteration can slide the baseline under itself.
 
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 cores from $SPARK_GRAFT_CPUS. Each query is executed to completion
@@ -65,6 +69,35 @@ from pd_explain_spark import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RATIO_TH = 1.5
 ABS_FLOOR_SEC = 1.0
+# A retime only CONFIRMS a regression when the machine was actually
+# quiet: r10 shipped two false confirmations ("fresh 20.88s" /
+# "7.24s" vs 3.9s / 1.5s judge-isolated) because the subprocess ran
+# while the box was still digesting the 253-entry main run. The 1-min
+# load average is the cheap honest signal — recorded per retime and
+# gated here.
+RETIME_LOAD_MAX = max(4.0, 0.25 * (os.cpu_count() or 8))
+
+
+def _loadavg1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - non-POSIX
+        return None
+
+
+def _settle(max_wait: float = 180.0) -> float | None:
+    """Block until the 1-min load average decays under RETIME_LOAD_MAX
+    (or ``max_wait`` elapses) and return the final reading. The load
+    average lags real quiescence by up to a minute after the main bench
+    JVM stops — retiming inside that window is what poisoned the r10
+    confirmations."""
+    load = _loadavg1()
+    waited = 0.0
+    while load is not None and load > RETIME_LOAD_MAX and waited < max_wait:
+        time.sleep(10.0)
+        waited += 10.0
+        load = _loadavg1()
+    return load
 
 
 def _timings_from_record(d: dict) -> dict[str, float] | None:
@@ -126,15 +159,25 @@ def _prev_timings() -> tuple[dict[str, float], str | None]:
     return {}, None
 
 
-def _retime_isolated(names: list[str], cap: int = 8) -> dict[str, float | None]:
+def _retime_isolated(
+    names: list[str], cap: int = 8
+) -> tuple[dict[str, float | None], dict[str, float | None]]:
     """Warm re-time of each entry in its own fresh JVM (subprocess
     running ``bench.py --one NAME``): the confirmation step that
     separates a real regression from in-run GC/JIT pressure. Capped —
-    a broken round that flags everything must not 8x the bench wall."""
+    a broken round that flags everything must not 8x the bench wall.
+
+    Each retime first waits for the machine to settle and records the
+    1-min load average at subprocess launch (second return value): the
+    confirmation logic refuses to CONFIRM a regression whose retime ran
+    at high load — that exact failure shipped two false regressions in
+    the r10 record."""
     import subprocess
 
     out: dict[str, float | None] = {}
+    loads: dict[str, float | None] = {}
     for name in names[:cap]:
+        loads[name] = _settle()
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -148,7 +191,7 @@ def _retime_isolated(names: list[str], cap: int = 8) -> dict[str, float | None]:
         except Exception as e:
             print(f"# retime {name}: FAILED {e}", file=sys.stderr)
             out[name] = None
-    return out
+    return out, loads
 
 
 def _force(df) -> None:
@@ -263,7 +306,7 @@ def main() -> int:
         # inflates the "isolated" numbers too (measured: shapley 16.0s
         # retimed beside the live JVM, 8.3s after it stopped)
         spark.stop()
-        retimes = _retime_isolated(order)
+        retimes, retime_loads = _retime_isolated(order)
         for name in order:
             r = dict(provisional[name])
             p = r["prev"]
@@ -275,13 +318,28 @@ def main() -> int:
                 unconfirmed[name] = r
                 continue
             fresh = retimes[name]
+            load = retime_loads.get(name)
             if fresh is not None:
                 r["fresh"] = fresh
-            # a retime that CRASHED (subprocess error/timeout) counts as
-            # a regression: failing in isolation is worse than being slow
-            if fresh is None or (fresh / p > RATIO_TH and (fresh - p) > ABS_FLOOR_SEC):
+            if load is not None:
+                r["load"] = load
+            if fresh is None:
+                # a retime that CRASHED (subprocess error/timeout) counts
+                # as a regression: failing in isolation is worse than slow
                 regressions[name] = r
+            elif fresh / p > RATIO_TH and (fresh - p) > ABS_FLOOR_SEC:
+                if load is not None and load > RETIME_LOAD_MAX:
+                    # the "isolated" confirmation itself ran on a loaded
+                    # machine — a slow reading under pressure proves
+                    # nothing (r10: two false CONFIRMED regressions whose
+                    # judge-isolated times were at baseline). Demoted to
+                    # unconfirmed, never to regressions.
+                    unconfirmed[name] = r
+                else:
+                    regressions[name] = r
             else:
+                # a FAST retime exonerates regardless of load: running at
+                # baseline speed under pressure is even stronger evidence
                 false_flags[name] = r
         # fresh quiet-JVM retimes are recorded in a PARALLEL key, not
         # written over the in-run timings: overwriting made the next
@@ -298,6 +356,7 @@ def main() -> int:
         }
     else:
         queries_fresh = {}
+        retime_loads = {}
     if regressions:
         print(f"# REGRESSIONS (fresh-JVM confirmed) vs {prev_file}:", file=sys.stderr)
         for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
@@ -333,29 +392,34 @@ def main() -> int:
         "regressions": regressions,
         "regression_count": len(regressions),
         "retimes": retimes,
+        "retime_loads": retime_loads,
+        "retime_load_max": RETIME_LOAD_MAX,
         "false_flags": false_flags,
         "unconfirmed": unconfirmed,
     }
     if errors:
         out["errors"] = errors
     # full record on disk: the driver's wrapper keeps only the last
-    # 2000 chars of stdout, which no longer fits 160 entries — committed
-    # per round, this file is what the next round's vs_prev reads.
-    # NOT written under --gate: iterating locally with the gate must not
-    # slide the baseline under itself (a gradual regression would stop
-    # flagging once each intermediate run normalizes into the baseline);
-    # only the plain recording run (the driver's) refreshes it.
-    if not gate:
-        try:
-            with open(
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-                ),
-                "w",
-            ) as fh:
-                json.dump(out, fh)
-        except Exception:
-            pass
+    # 2000 chars of stdout, which no longer fits 160 entries. Plain runs
+    # (the driver's) write BENCH_DRIVER.json — a full record of that run
+    # that never touches the committed baseline. BENCH_LOCAL.json — the
+    # quiet-window baseline the next round's vs_prev reads, committed per
+    # round — is refreshed ONLY by an explicit --record run (builder, on
+    # an idle machine): the r10 driver run overwrote the committed quiet
+    # baseline with its noisy-neighbor in-run numbers, which would have
+    # adjudicated every r11 comparison against VM-pressure timings.
+    # Never written under --gate either: iterating locally with the gate
+    # must not slide the baseline under itself.
+    record = "--record" in sys.argv
+    target = "BENCH_LOCAL.json" if (record and not gate) else "BENCH_DRIVER.json"
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), target),
+            "w",
+        ) as fh:
+            json.dump(out, fh)
+    except Exception:
+        pass
     # stdout carries exactly ONE JSON line, and it must FIT: the driver
     # keeps only the last ~2000 chars of stdout, so printing the full
     # 245-entry record truncated mid-line and parsed came back null
@@ -376,12 +440,14 @@ def main() -> int:
             "regressions": regressions,
             "error_count": len(errors),
             "queries": {k: round(v, 2) for k, v in slowest[:n_slow]},
-            "full": "BENCH_LOCAL.json",
+            "full": target,
         }
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= 1900 or n_slow == 0:
             break
-        n_slow -= 3
+        # clamp: a decrement past 0 would turn slowest[:n_slow] into a
+        # NEGATIVE slice that silently keeps all-but-|n| entries
+        n_slow = max(0, n_slow - 3)
     print(line)
     if gate and (regressions or errors):
         return 1
