@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import checkpoint_df
+
 from ..core.operations import FilterOp, GroupByOp, JoinOp
 from ..operators.aggregates import is_numeric_type
 from ..operators.sampling import maybe_sample
@@ -123,7 +125,7 @@ class FedexExplainer(ExplainerBase):
             # instead of rescanning the full table per consumer — measured
             # ~2x on the filter explainer at sf0.1. Bounded blocks, freed
             # by the ContextCleaner when the explanation is built.
-            out = out.localCheckpoint(eager=True)
+            out = out.transform(checkpoint_df)
         return out
 
     def _profile_and_corr(

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import checkpoint_df
+
 from .text import normalized_text, tokens
 
 END = "</w>"
@@ -157,7 +159,7 @@ def train_bpe(
                 "the indexed driver trainer would collect it — use "
                 "strategy='distributed' (same merges) or raise max_words"
             )
-    wt = _word_table(df, text_col).localCheckpoint()
+    wt = _word_table(df, text_col).transform(checkpoint_df)
     merges: list[tuple] = []
     for r in range(num_merges):
         top = (
@@ -176,14 +178,14 @@ def train_bpe(
         # truncate lineage: without this, round k's plan nests k folds
         # (checkpoint_every=0/None disables checkpointing entirely)
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
-            wt = wt.localCheckpoint()
+            wt = wt.transform(checkpoint_df)
     spark = df.sparkSession
     merges_df = spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     ) if merges else spark.createDataFrame(
         [], "rank int, left string, right string, merged string, pair_count bigint"
     )
-    return merges_df, wt.localCheckpoint()
+    return merges_df, wt.transform(checkpoint_df)
 
 
 def _train_bpe_driver(

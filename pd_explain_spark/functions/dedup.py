@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import checkpoint_df
 from .hashing import md5_int
 from .text import normalized_text
 
@@ -797,7 +798,7 @@ def _finalize_release(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
     accumulate unreleasable cache (same leak class the drift monitor
     had); the blocks behind the checkpointed result itself are freed by
     the ContextCleaner once the caller drops the DataFrame."""
-    out = result.localCheckpoint()
+    out = result.transform(checkpoint_df)
     for df in cached:
         df.unpersist()
     return out
@@ -1084,12 +1085,12 @@ def duplicate_components(
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("t")))
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     labels = (
         edges.select(F.col("s").alias("id"), F.col("s").alias("component"))
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     # superseded checkpoint frames release EAGERLY (unpersist drops the
     # checkpoint blocks — Spark warns they cannot recompute, which is
@@ -1111,7 +1112,7 @@ def duplicate_components(
                 "component"
             ),
             F.col("component").alias("__prev"),
-        ).localCheckpoint()  # referenced twice below (spine + jump table)
+        ).transform(checkpoint_df)  # referenced twice below (spine + jump table)
         # pointer jump: follow the label of my label (halves remaining depth)
         jump = stepped.select(
             F.col("id").alias("__jid"), F.col("component").alias("__jcomp")
@@ -1130,7 +1131,7 @@ def duplicate_components(
                     < F.col("__prev")
                 ).alias("__chg"),
             )
-            .localCheckpoint()
+            .transform(checkpoint_df)
         )
         changed = updated.filter(F.col("__chg")).limit(1).count()
         # updated is materialized (eager checkpoint), so the previous

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import checkpoint_df
+
 
 def _binned(df: DataFrame, value_col: str, lo_hi: DataFrame, num_bins: int):
     """Attach __bin in [0, num_bins) from broadcast (lo, hi) bounds.
@@ -101,7 +103,7 @@ def drift_scores(
     # the blocks once the result is garbage-collected — a plain persist has
     # no release handle here and would leak cache for the session lifetime.
     # The frame is tiny: at most (windows x bins) rows.
-    per = per.localCheckpoint()
+    per = per.transform(checkpoint_df)
     wtot = per.groupBy("window_start").agg(F.sum("__n").alias("__wt"))
     gbin = per.groupBy("__bin").agg(F.sum("__n").alias("__gn"))
     gtot = gbin.agg(F.sum("__gn").alias("__gt"))
@@ -193,7 +195,7 @@ def windowed_psi(
     )
     # consumed three times (wtot / spine probe / window-only anti) — same
     # eager-materialize-and-release rationale as drift_scores
-    per = per.localCheckpoint()
+    per = per.transform(checkpoint_df)
     wtot = per.groupBy("window_start").agg(
         F.sum("__cw").cast("double").alias("__wt")
     )

@@ -211,17 +211,27 @@ def cooccurrence_pairs(
 _WITHIN_UNITS = (
     "microsecond", "millisecond", "second", "minute", "hour", "day", "week",
 )
+# year-month units are calendar intervals — valid Spark, but a DISTINCT
+# interval type from day-time: mixing the two families in one literal
+# fails to parse under ANSI intervals, so the validator rejects the mix
+# with a readable error instead of letting Catalyst produce an opaque one
+_WITHIN_YM_UNITS = ("month", "year")
 
 
 def _validate_within(within, required: bool = False):
     """Normalize the conversion-window argument: ``None`` passes
     through, a ``datetime.timedelta`` converts to exact microseconds,
-    and a string must match ``'<int> <unit>'`` (units second/minute/
-    hour/day/week and their ms/us siblings, optional plural). Anything
-    else raises ValueError HERE with the offending value — raw
-    interpolation into ``F.expr(f"INTERVAL {within}")`` would surface a
-    malformed (or SQL-bearing) value as an opaque parse error deep in
-    the plan (ADVICE r9 fix)."""
+    and a string must be one or more ``'<int> <unit>'`` components
+    (compound Spark interval syntax like ``'1 hour 30 minutes'`` is
+    valid — the r10 single-component grammar was a breaking narrowing,
+    ADVICE r10). Units: second/minute/hour/day/week and their ms/us
+    siblings, optional plural; ``month``/``year`` are accepted as
+    single-family calendar intervals but cannot be mixed with day-time
+    units (distinct ANSI interval types). Anything else raises
+    ValueError HERE with the offending value — raw interpolation into
+    ``F.expr(f"INTERVAL {within}")`` would surface a malformed (or
+    SQL-bearing) value as an opaque parse error deep in the plan
+    (ADVICE r9 fix)."""
     import datetime
     import re
 
@@ -236,17 +246,38 @@ def _validate_within(within, required: bool = False):
                 f"funnel: within must be a positive window, got {within!r}"
             )
         return f"{us} MICROSECOND"
-    m = re.fullmatch(r"\s*(\d+)\s+([A-Za-z]+?)s?\s*", str(within))
-    if m and int(m.group(1)) <= 0:
+    s = str(within)
+    shape = re.fullmatch(r"\s*(?:\d+\s+[A-Za-z]+\s*)+", s)
+    comps = re.findall(r"(\d+)\s+([A-Za-z]+)", s) if shape else []
+    units = []
+    for _, u in comps:
+        units.append(u.lower()[:-1] if u.lower().endswith("s") else u.lower())
+    if not comps or any(
+        u not in _WITHIN_UNITS and u not in _WITHIN_YM_UNITS for u in units
+    ):
+        raise ValueError(
+            "funnel: within must be a datetime.timedelta or one or more "
+            f"'<int> <unit>' components with unit in "
+            f"{_WITHIN_UNITS + _WITHIN_YM_UNITS}, got {within!r}"
+        )
+    if len(set(units)) != len(units):
+        raise ValueError(
+            f"funnel: within repeats a unit, got {within!r}"
+        )
+    if any(u in _WITHIN_YM_UNITS for u in units) and any(
+        u in _WITHIN_UNITS for u in units
+    ):
+        raise ValueError(
+            "funnel: within cannot mix year-month and day-time units in "
+            f"one interval (distinct ANSI interval types), got {within!r}"
+        )
+    if all(int(n) == 0 for n, _ in comps):
         raise ValueError(
             f"funnel: within must be a positive window, got {within!r}"
         )
-    if not m or m.group(2).lower() not in _WITHIN_UNITS:
-        raise ValueError(
-            "funnel: within must be a datetime.timedelta or '<int> <unit>' "
-            f"with unit in {_WITHIN_UNITS}, got {within!r}"
-        )
-    return f"{int(m.group(1))} {m.group(2).upper()}"
+    return " ".join(
+        f"{int(n)} {u.upper()}" for (n, _), u in zip(comps, units)
+    )
 
 
 def funnel_user_times(

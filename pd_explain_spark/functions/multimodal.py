@@ -553,12 +553,34 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+class UnsupportedCodecError(ValueError):
+    """A payload in a RECOGNIZED but unsupported audio codec/container
+    (mp3/ogg/flac/mp4, or WAV beyond mono 16-bit PCM). Distinct from
+    plain ValueError (corrupt/garbage payload) so callers can honor
+    ``unsupported="raise"`` without string-matching exception messages —
+    the r10 version matched on 'PCM' in the message, which silently
+    NULLed mp3/ogg rows even in raise mode."""
+
+
+# magic prefixes of the compressed containers a crawl corpus actually
+# carries — enough to classify "unsupported codec" vs "corrupt bytes"
+_COMPRESSED_AUDIO_MAGIC = (b"ID3", b"OggS", b"fLaC", b"\xff\xfb", b"\xff\xf3", b"\xff\xf2")
+
+
 def _wav_decode(payload: bytes):
     """(sample_rate, samples) for a mono 16-bit PCM RIFF/WAVE payload.
-    Raises ValueError on anything else — callers map that to the
-    corrupt-row contract (NULL features), never a crash."""
+    Raises :class:`UnsupportedCodecError` for recognized-but-unsupported
+    codecs and plain ValueError for corrupt bytes — callers map the
+    latter to the corrupt-row contract (NULL features), never a crash."""
     import struct
 
+    if payload is not None and (
+        any(payload[: len(m)] == m for m in _COMPRESSED_AUDIO_MAGIC)
+        or payload[4:8] == b"ftyp"
+    ):
+        raise UnsupportedCodecError(
+            "compressed audio codec (mp3/ogg/flac/mp4) not supported"
+        )
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -573,7 +595,7 @@ def _wav_decode(payload: bytes):
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if fmt != 1:
-                raise ValueError("only PCM (format 1) WAV supported")
+                raise UnsupportedCodecError("only PCM (format 1) WAV supported")
         elif cid == b"data":
             if len(body) < size:
                 raise ValueError("truncated data chunk")
@@ -582,7 +604,7 @@ def _wav_decode(payload: bytes):
     if rate is None or data is None:
         raise ValueError("missing fmt /data chunk")
     if bits != 16 or channels != 1:
-        raise ValueError("only mono 16-bit PCM WAV supported")
+        raise UnsupportedCodecError("only mono 16-bit PCM WAV supported")
     n = len(data) // 2
     samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
     return int(rate), samples
@@ -632,7 +654,17 @@ def audio_features(df: DataFrame, unsupported: str = "raise") -> DataFrame:
     Scale shape: per-row scan-stage work inside Arrow-batched
     mapInPandas, no shuffle; output int columns use pandas nullable
     Int64 (a plain None would coerce to float64 and round beyond 2^53
-    — the image_ahash regression pin)."""
+    — the image_ahash regression pin).
+
+    ``unsupported="raise"`` triggers on :class:`UnsupportedCodecError`
+    (recognized non-PCM codecs: mp3/ogg/flac/mp4 containers and
+    non-mono/non-16-bit WAV); corrupt bytes always NULL. The dispatch
+    is by exception TYPE — the former message-substring match silently
+    NULLed mp3/ogg rows even in raise mode."""
+    if unsupported not in ("raise", "null"):
+        raise ValueError(
+            f"unsupported= must be 'raise' or 'null', got {unsupported!r}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -646,13 +678,15 @@ def audio_features(df: DataFrame, unsupported: str = "raise") -> DataFrame:
                 if row["kind"] == "audio" and row["payload"] is not None:
                     try:
                         vals = _audio_features_one(bytes(row["payload"]))
-                    except ValueError as e:
-                        if unsupported == "raise" and "PCM" in str(e):
+                    except UnsupportedCodecError as e:
+                        if unsupported == "raise":
                             raise NotImplementedError(
                                 "audio decoding beyond mono 16-bit PCM WAV "
                                 "needs a codec library not present here; "
                                 'pass unsupported="null" for best-effort'
                             ) from e
+                    except ValueError:
+                        pass  # corrupt bytes -> NULL row, both modes
                 for k, v in zip(
                     ("sample_rate", "n_samples", "duration_ms", "peak",
                      "rms_milli", "zero_crossings"),

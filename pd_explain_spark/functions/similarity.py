@@ -21,6 +21,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import checkpoint_df
+
 from .hashing import md5_int
 
 
@@ -490,8 +492,24 @@ def _sql_double_array(vals) -> str:
     repr(float) is the shortest round-trip form, so the parser recovers
     the exact same double — and one F.expr call replaces thousands of
     per-element F.lit py4j round trips (measured ~2.6 s of pure driver
-    traffic for 64 x 64-dim centroids)."""
-    return "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in vals) + ")"
+    traffic for 64 x 64-dim centroids).
+
+    Non-finite components (a NaN input embedding can carry NaN through a
+    Lloyd mean into a centroid) render as string-literal casts —
+    ``CAST('NaN' AS DOUBLE)`` — because a bare ``inf``/``nan`` token
+    fails SQL parsing with an opaque AnalysisException."""
+
+    def one(x) -> str:
+        x = float(x)
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if x == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"CAST({x!r} AS DOUBLE)"
+
+    return "array(" + ",".join(one(x) for x in vals) + ")"
 
 
 def _assign_buckets(
@@ -846,7 +864,7 @@ def semantic_dedup_pairs(
     # a LogicalRDD leaf makes every downstream plan O(pairs)-sized.
     # Blocks are freed by the ContextCleaner when the frame drops (the
     # duplicate_components labels precedent).
-    assigned = index.assigned.localCheckpoint()
+    assigned = index.assigned.transform(checkpoint_df)
     ids = assigned.select("neighbor_id", "bucket")
     l = ids.select(F.col("neighbor_id").alias("id_a"), "bucket")
     r = ids.select(F.col("neighbor_id").alias("id_b"), "bucket")

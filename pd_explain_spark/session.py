@@ -69,3 +69,28 @@ def get_spark(app_name: str = "pd_explain_spark", shuffle_partitions: int | None
     except Exception:
         pass  # log4j2 internals unavailable (e.g. connect mode): warnings stay
     return spark
+
+
+def checkpoint_df(df, eager: bool = True):
+    """Truncate ``df``'s lineage — the iterative-algorithm hygiene every
+    pointer-jumping / Lloyd / BPE round needs (persist keeps the DATA
+    but re-ANALYZES the full upstream plan on every action).
+
+    Fault-tolerance gate (ADVICE r10): ``localCheckpoint`` blocks live
+    only on executors — lose one (spot kill, decommission) and the
+    truncated lineage cannot recompute, failing the job mid-run. On a
+    cluster where that matters, configure a checkpoint directory
+    (``spark.sparkContext.setCheckpointDir("hdfs://.../ckpt")``) and
+    this helper switches every internal lineage truncation to RELIABLE
+    ``checkpoint()`` (blocks in fault-tolerant storage). Without a
+    checkpoint dir — the single-node / ephemeral-session shape, where
+    an executor loss is process death anyway — it stays with the
+    cheaper ``localCheckpoint``.
+    """
+    try:
+        ckpt_dir = df.sparkSession.sparkContext.getCheckpointDir()
+    except Exception:
+        ckpt_dir = None
+    if ckpt_dir:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
