@@ -677,6 +677,34 @@ def chisq_homogeneity(
     )
 
 
+_US_PER_UNIT = {
+    "MICROSECOND": 1,
+    "MILLISECOND": 1_000,
+    "SECOND": 1_000_000,
+    "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "DAY": 86_400_000_000,
+    "WEEK": 604_800_000_000,
+}
+
+
+def _within_micros(within: str | None) -> int | None:
+    """Exact microsecond width of a VALIDATED day-time window string
+    ("2 DAY 4 HOUR" -> micros), or None for calendar (year-month)
+    windows, whose width is not a fixed duration — callers needing a
+    numeric range frame fall back to INTERVAL arithmetic for those."""
+    if within is None:
+        return None
+    total = 0
+    parts = within.split()
+    for i in range(0, len(parts), 2):
+        unit = parts[i + 1]
+        if unit not in _US_PER_UNIT:
+            return None  # MONTH/YEAR: calendar interval, no fixed width
+        total += int(parts[i]) * _US_PER_UNIT[unit]
+    return total
+
+
 def attribution_report(
     df: DataFrame,
     conversion: str,
@@ -708,17 +736,22 @@ def attribution_report(
     Determinism: per-conversion credits are exact rationals nano-rounded
     to INTEGER before the order-free channel sum (1/n_touches for
     linear; exactly 1e9 otherwise), ties inside a conversion break on
-    (ts, event id). Scale shape: one user-keyed join of the two
-    type-pruned scans (touches fan out per conversion, bounded by the
-    window), a per-conversion window (partitioned by conversion id — no
-    skew beyond per-user density), then one map-combining channel
-    aggregate."""
-    from pyspark.sql import Window
-
+    (ts, event id). Scale shape (r11): NO conversion x touch join — one
+    shuffle on the user key, then per-user RANGE-frame window aggregates
+    (cumulative, or sliding over the exact microsecond window) carry a
+    per-channel touch count and the last/first touch struct to every
+    conversion row, so the plan is O(events) regardless of per-user
+    touch density (the join flavor grew touches x conversions per user
+    — the one super-linear row in the r10 10x scale matrix). Calendar
+    windows (``within`` in months/years) have no fixed microsecond
+    width, so they keep the join flavor with exact INTERVAL arithmetic.
+    """
     if model not in ("first", "last", "linear"):
         raise ValueError(f"attribution_report: model must be first|last|linear, got {model!r}")
     if not touch_types:
         raise ValueError("attribution_report: touch_types must be non-empty")
+    if len(set(touch_types)) != len(touch_types):
+        raise ValueError(f"attribution_report: touch_types repeat, got {touch_types}")
     if conversion in touch_types:
         raise ValueError(
             "attribution_report: the conversion type cannot also be a touch "
@@ -726,6 +759,197 @@ def attribution_report(
             "purchase is double counting, not attribution"
         )
     within = _validate_within(within)
+    w_us = _within_micros(within)
+    if within is not None and w_us is None:
+        return _attribution_join(
+            df, conversion, touch_types, model, within,
+            user_col, type_col, ts_col, id_col, value_col,
+        )
+    return _attribution_windowed(
+        df, conversion, touch_types, model, w_us,
+        user_col, type_col, ts_col, id_col, value_col,
+    )
+
+
+def _attribution_windowed(
+    df: DataFrame,
+    conversion: str,
+    touch_types: list[str],
+    model: str,
+    w_us: int | None,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str | None,
+) -> DataFrame:
+    """Join-free attribution: one type-pruned scan, one shuffle on the
+    user key, per-user range-frame window aggregates. The frame
+    [ts - within, ts - 1 microsecond] (or unbounded-preceding, -1) is
+    STRICTLY before the conversion at Spark's native microsecond
+    timestamp resolution — the same predicate the join flavor wrote as
+    ``__tts < __cts``."""
+    from pyspark.sql import Window
+
+    nano = 1_000_000_000
+    base = df.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isin(list(touch_types) + [conversion])
+    )
+    is_conv = F.col(type_col) == conversion
+    sel = base.select(
+        F.col(user_col).alias("__u"),
+        # TIMESTAMP_NTZ (parquet micros) needs the cast; session TZ is
+        # UTC so NTZ -> TIMESTAMP is the identity on the micros value
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__ts_us"),
+        is_conv.alias("__is_conv"),
+        F.when(~is_conv, F.col(type_col)).alias("__ch"),
+        F.col(id_col).alias("__eid"),
+        *(
+            [
+                F.when(
+                    is_conv,
+                    F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)),
+                ).otherwise(F.lit(0.0)).alias("__val")
+            ]
+            if value_col is not None
+            else [F.lit(0.0).alias("__val")]
+        ),
+    )
+    lo = Window.unboundedPreceding if w_us is None else -int(w_us)
+    w = Window.partitionBy("__u").orderBy("__ts_us").rangeBetween(lo, -1)
+    if model == "linear":
+        # one WindowExec pass: k conditional counts + the total share
+        # the same (partition, order, frame) spec
+        cnt_cols = [
+            F.count(F.when(F.col("__ch") == F.lit(c), F.lit(1)))
+            .over(w)
+            .alias(f"__cnt_{i}")
+            for i, c in enumerate(touch_types)
+        ]
+        n_col = F.count("__ch").over(w).alias("__n")
+        conv = (
+            sel.select("*", n_col, *cnt_cols)
+            .filter(F.col("__is_conv"))
+            .drop("__is_conv", "__ch", "__ts_us", "__u")
+        )
+        # per-conversion per-touch credit: IDENTICAL expression to the
+        # join flavor (float(1e9)/n then floor(x + 0.5))
+        credit = F.floor(
+            F.lit(float(nano)) / F.col("__n") + F.lit(0.5)
+        ).cast("bigint")
+        val_term = F.floor(
+            credit.cast("double") / F.lit(float(nano))
+            * F.col("__val")
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("bigint")
+        # "(direct)" folds into the SAME explode (cnt=1 sentinel when
+        # n=0) so the window subtree is computed once — a union of two
+        # filters over it would run the user-shuffle + WindowExec twice
+        per_channel = F.when(
+            F.col("__n") > 0,
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ch"),
+                        F.col(f"__cnt_{i}").cast("bigint").alias("cnt"),
+                    )
+                    for i, c in enumerate(touch_types)
+                ]
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    F.lit("(direct)").alias("ch"),
+                    F.lit(1).cast("bigint").alias("cnt"),
+                )
+            )
+        )
+        is_direct = F.col("__p.ch") == F.lit("(direct)")
+        credited = (
+            conv.select(
+                "__eid", "__val", "__n",
+                F.explode(per_channel).alias("__p"),
+            )
+            .filter(F.col("__p.cnt") > 0)
+            .select(
+                F.col("__eid").alias("__cid"),
+                F.col("__p.ch").alias("__chn"),
+                F.when(is_direct, F.lit(nano).cast("bigint"))
+                .otherwise(F.col("__p.cnt") * credit)
+                .alias("__credit_sum"),
+                F.when(
+                    is_direct,
+                    F.floor(F.col("__val") * F.lit(1_000_000.0) + F.lit(0.5))
+                    .cast("bigint"),
+                )
+                .otherwise(F.col("__p.cnt") * val_term)
+                .alias("__val_sum"),
+            )
+        )
+    else:
+        # last/first collapse to ONE struct aggregate: max(struct(ts,
+        # id, channel)) picks latest-ts-then-highest-id (the join
+        # flavor's desc/desc tie-break); min picks the asc/asc one
+        pick = F.max if model == "last" else F.min
+        chosen = pick(
+            F.when(
+                F.col("__ch").isNotNull(),
+                F.struct(
+                    F.col("__ts_us").alias("t"),
+                    F.col("__eid").alias("i"),
+                    F.col("__ch").alias("c"),
+                ),
+            )
+        ).over(w)
+        credited = (
+            sel.select("*", chosen.alias("__pick"))
+            .filter(F.col("__is_conv"))
+            .select(
+                F.col("__eid").alias("__cid"),
+                F.coalesce(F.col("__pick.c"), F.lit("(direct)")).alias("__chn"),
+                F.lit(nano).cast("bigint").alias("__credit_sum"),
+                F.floor(
+                    F.lit(1.0) * F.col("__val") * F.lit(1_000_000.0) + F.lit(0.5)
+                ).cast("bigint").alias("__val_sum"),
+            )
+        )
+    out = credited.groupBy(F.col("__chn").alias("channel")).agg(
+        F.floor(
+            F.sum("__credit_sum").cast("double") / F.lit(float(nano))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("bigint").alias("credit_micro"),
+        F.count_distinct("__cid").cast("bigint").alias("n_conversions"),
+        F.sum("__val_sum").cast("bigint").alias("attributed_value_micro"),
+    )
+    if value_col is None:
+        out = out.drop("attributed_value_micro")
+    return out
+
+
+def _attribution_join(
+    df: DataFrame,
+    conversion: str,
+    touch_types: list[str],
+    model: str,
+    within: str,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str | None,
+) -> DataFrame:
+    """Join-flavor attribution, kept ONLY for calendar windows (months/
+    years), whose width is not a fixed duration: the before/within
+    predicate needs exact INTERVAL arithmetic in the join condition.
+    Work grows with touches x conversions per user inside the window —
+    acceptable for calendar-window use, but the fixed-duration default
+    path is the windowed one above."""
+    from pyspark.sql import Window
+
     base = df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
     conv = base.filter(F.col(type_col) == conversion).select(
         F.col(user_col).alias("__u"),
@@ -747,9 +971,11 @@ def attribution_report(
     # join keeps conversions whose touches all fall outside the window
     # as unmatched (NULL channel) rows, which credit to "(direct)" —
     # a post-join filter would drop those conversions entirely
-    cond = (F.col("__tu") == F.col("__u")) & (F.col("__tts") < F.col("__cts"))
-    if within is not None:
-        cond = cond & (F.col("__tts") >= F.col("__cts") - F.expr(f"INTERVAL {within}"))
+    cond = (
+        (F.col("__tu") == F.col("__u"))
+        & (F.col("__tts") < F.col("__cts"))
+        & (F.col("__tts") >= F.col("__cts") - F.expr(f"INTERVAL {within}"))
+    )
     joined = conv.join(touch, cond, "left").drop("__tu")
     nano = 1_000_000_000
     if model == "linear":

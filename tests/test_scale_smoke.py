@@ -186,8 +186,10 @@ ENTRIES = [
     # r10 seventh-wave additions: Nelson-Aalen shares kaplan_meier's
     # fixed-cardinality duration table; the chi-squared and kappa
     # reports are bounded-table algebra after one keyed count; both
-    # attribution flavors are user-keyed joins + per-conversion windows
-    # (touch density grows 10x — copies share user_ids); the KS pair
+    # attribution flavors are JOIN-FREE since r11: one user-keyed
+    # shuffle + per-user range-frame window aggregates, O(events) even
+    # as touch density grows 10x (the join flavor was the one
+    # super-linear r10 row at 2.7x); the KS pair
     # rides a bounded distinct-value spine, and the windowed KS scores
     # per-window conditional counts against a literal probe grid; Zipf
     # is one word count + a TakeOrdered top-200. audio_features_planted
