@@ -78,9 +78,14 @@ def profile_columns(df: DataFrame, columns: list[str], cat_cap: int = 60) -> dic
 
 
 def _bin_expr(df: DataFrame, prof: ColumnProfile, n_bins: int) -> Column:
-    """String bin key for one column: numeric -> zero-padded bucket index,
-    categorical -> the value itself (padded index keeps lexical == numeric order)."""
-    c = df[prof.name]
+    """String bin key for one column of ``df`` (see ``_bin_expr_col``)."""
+    return _bin_expr_col(df[prof.name], prof, n_bins)
+
+
+def _bin_expr_col(c: Column, prof: ColumnProfile, n_bins: int) -> Column:
+    """String bin key for an arbitrary source column: numeric ->
+    zero-padded bucket index, categorical -> the value itself (padded
+    index keeps lexical == numeric order)."""
     edges = prof.bin_edges(n_bins)
     if prof.is_numeric and edges is not None:
         # single-expression bin index ((v - lo) * n) / (hi - lo): every term
@@ -183,6 +188,83 @@ def dual_histogram_union(
     return dual_histogram_union_df(
         source, result, profiles, n_bins, result_rename=result_rename
     ).toPandas()
+
+
+def shapley_dual_histograms(
+    left: DataFrame,
+    right: DataFrame,
+    result: DataFrame,
+    left_profiles: dict[str, ColumnProfile],
+    right_profiles: dict[str, ColumnProfile],
+    n_bins: int = 20,
+    left_rename: dict[str, str] | None = None,
+    right_rename: dict[str, str] | None = None,
+):
+    """BOTH Shapley players' dual histograms in ONE Spark job: the
+    2-player join Shapley needs (side vs result) histograms for the left
+    AND right inputs, and running ``dual_histogram_union`` per side scans
+    (and recomputes) the join RESULT twice — the dominant cost of the
+    shapley explainer at scale. Here the result is scanned once,
+    exploding both profile sets off the same rows; attribute keys are
+    prefixed ``left:<col>`` / ``right:<col>`` (the two sides may share a
+    column name). Returns the collected pandas frame (at most
+    (n_left + n_right) * 2 * n_bins rows).
+
+    The result branch binds bin expressions directly to the result's
+    column names (``*_rename`` maps source name -> result name, the join
+    prefix contract) — a physical rename like ``dual_histogram_union``'s
+    could collide when both sides contribute the same source name."""
+    from ..operators.partitioning import fan_out
+
+    left_rename = left_rename or {}
+    right_rename = right_rename or {}
+
+    def side_branch(df: DataFrame, profiles, prefix: str) -> DataFrame:
+        avail = [c for c in profiles if c in df.columns]
+        sel = fan_out(df.select(*[F.col(c) for c in avail]))
+        structs = [
+            F.struct(
+                F.lit(prefix + c).alias("attribute"),
+                _bin_expr(sel, profiles[c], n_bins).alias("bin"),
+            )
+            for c in avail
+        ]
+        return sel.select(F.explode(F.array(*structs)).alias("s"), F.lit(0).alias("__side"))
+
+    pairs = []  # (prefixed attribute, result column name, profile)
+    for profiles, rename, prefix in (
+        (left_profiles, left_rename, "left:"),
+        (right_profiles, right_rename, "right:"),
+    ):
+        for c, p in profiles.items():
+            rn = rename.get(c, c)
+            name = rn if rn in result.columns else (c if c in result.columns else None)
+            if name is not None:
+                pairs.append((prefix + c, name, p))
+    res_sel = fan_out(result.select(*sorted({n for _, n, _ in pairs})))
+    res_structs = [
+        F.struct(
+            F.lit(a).alias("attribute"),
+            _bin_expr_col(res_sel[n], p, n_bins).alias("bin"),
+        )
+        for a, n, p in pairs
+    ]
+    res_branch = res_sel.select(
+        F.explode(F.array(*res_structs)).alias("s"), F.lit(1).alias("__side")
+    )
+    both = (
+        side_branch(left, left_profiles, "left:")
+        .unionByName(side_branch(right, right_profiles, "right:"))
+        .unionByName(res_branch)
+    )
+    return (
+        both.groupBy(F.col("s.attribute").alias("attribute"), F.col("s.bin").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("src_cnt"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("res_cnt"),
+        )
+        .toPandas()
+    )
 
 
 def bin_label(prof: ColumnProfile, bin_key: str, n_bins: int) -> str:
