@@ -820,6 +820,32 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------- centroids
+def _settle_computed_input(df: DataFrame) -> DataFrame:
+    """Checkpoint a COMPUTED embedding input once, pass a scan through.
+
+    The SemDeDup pipeline consumes its input in several independent jobs
+    (the md5 seed pick, the assignment materialization, the survivor
+    anti-join) — for a computed input like ``hashed_embeddings`` (a
+    tokenize + explode + aggregate subtree) each job re-runs the whole
+    computation, which dominated ``text_semantic_dedup_docs`` at sf0.1.
+    A plain scan input (parquet embeddings) passes through untouched:
+    re-materializing wide array rows that parquet already serves was
+    MEASURED SLOWER than recompute (r8 bench note). The plan sniff is
+    structural (aggregate/generate/join/window in the optimized plan),
+    not name-based."""
+    if df.isStreaming:
+        return df
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return df
+    if any(k in plan for k in ("Aggregate", "Generate", "Join", "Window")):
+        from ..operators.partitioning import fan_out
+
+        return checkpoint_df(fan_out(df))
+    return df
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -850,6 +876,7 @@ def semantic_dedup_pairs(
     # n_iter > 0 swaps in Lloyd-fitted centroids (ivf_build_kmeans):
     # tighter buckets -> higher within-bucket recall at the same
     # sum-of-squared-bucket-sizes cost, still bit-reproducible
+    df = _settle_computed_input(df)
     index = (
         ivf_build_kmeans(df, id_col, vec_col, n_centroids, n_iter=n_iter)
         if n_iter > 0
@@ -915,6 +942,11 @@ def semantic_dedup(
     large on a high-duplication corpus)."""
     from .dedup import duplicate_components, keep_best
 
+    # settle HERE too (idempotent — pairs sees a LogicalRDD scan and
+    # passes it through): the final survivor join below re-reads df, and
+    # for a computed input that was a third full recompute of the
+    # embedding subtree
+    df = _settle_computed_input(df)
     pairs = semantic_dedup_pairs(df, id_col, vec_col, threshold, n_centroids, n_iter=n_iter)
     comp = duplicate_components(pairs)
     if keep_by is not None:
