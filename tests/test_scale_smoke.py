@@ -202,6 +202,11 @@ ENTRIES = [
     "windowed_ks_events",
     "zipf_docs",
     "rater_agreement_orders",
+    # r11 (VERDICT r10 task #7): the two eval-QA entries ride scaled
+    # facts — the report is bounded-cell algebra after one keyed count,
+    # the calibration table one map-combining groupBy on the bin id
+    "classification_report_orders",
+    "calibration_events",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
@@ -435,3 +440,51 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_audio_decode_scales_linearish(spark):
+    """10x smoke for the WAV decode modality (VERDICT r10 task #7): the
+    windowed entry runs on a fixed planted frame, so the generic matrix
+    has nothing to scale — here a generated PCM16 corpus grows 10x in
+    ROW COUNT (decode work is per-row scan-stage Arrow; 91 distinct
+    formula payloads cycle so generation stays cheap while every row
+    still decodes)."""
+    import pandas as pd
+
+    from pd_explain_spark.functions.multimodal import audio_features, make_wav
+
+    uniq = []
+    for j in range(91):
+        a, b = 17 + (j % 13), 29 + (j % 7)
+        uniq.append(
+            make_wav([((a * t + b) % 1999) - 999 for t in range(1000)], 8000)
+        )
+
+    def frame(n_rows: int):
+        pdf = pd.DataFrame(
+            {
+                "media_id": list(range(n_rows)),
+                "kind": ["audio"] * n_rows,
+                "payload": [uniq[i % 91] for i in range(n_rows)],
+            }
+        )
+        return spark.createDataFrame(pdf).repartition(32)
+
+    base_df, big_df = frame(500), frame(5000)
+
+    def run(df):
+        t0 = time.time()
+        n = audio_features(df).filter("sample_rate IS NOT NULL").count()
+        return time.time() - t0, n
+
+    run(base_df)  # warm (Python worker spin-up, Arrow codegen)
+    base, n_base = run(base_df)
+    big, n_big = run(big_df)
+    print(
+        f"\nSCALE audio_decode: 500 rows {base:.2f}s -> 5000 rows {big:.2f}s "
+        f"(wall {big / max(base, 1e-9):.1f}x)"
+    )
+    assert n_base == 500 and n_big == 5000
+    assert big < 10.0 * max(base, 1.0), (
+        f"audio decode super-linear: {big:.1f}s at 10x vs {base:.1f}s"
+    )
