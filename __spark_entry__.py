@@ -10129,6 +10129,499 @@ def calibration_events_q(spark, sf_dir):
     return calibration_bins(ev, "score", "y", n_bins=10)
 
 
+# ---------------------------------------------------------------- r11 eighth wave
+
+
+@_q(
+    "mannwhitney_events",
+    """WITH a AS (
+         SELECT floor(value) AS v FROM events
+         WHERE event_id % 2 = 0 AND value IS NOT NULL
+       ), b AS (
+         SELECT floor(value) AS v FROM events
+         WHERE event_id % 2 = 1 AND value IS NOT NULL
+       ), pa AS (SELECT v, count(*)::BIGINT AS ca FROM a GROUP BY 1
+       ), pb AS (SELECT v, count(*)::BIGINT AS cb FROM b GROUP BY 1
+       ), spine AS (
+         SELECT coalesce(pa.v, pb.v) AS v,
+                coalesce(ca, 0)::BIGINT AS ca, coalesce(cb, 0)::BIGINT AS cb
+         FROM pa FULL JOIN pb ON pa.v = pb.v
+       ), cum AS (
+         SELECT ca, cb, (ca + cb)::BIGINT AS t,
+                coalesce(sum(ca + cb) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS c
+         FROM spine
+       ), agg AS (
+         SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+                sum(ca * (2 * c + t + 1))::BIGINT AS r2a,
+                sum(t * t * t - t)::BIGINT AS ties
+         FROM cum
+       )
+       SELECT n_a, n_b,
+              CAST(floor(least(r2a - n_a * (n_a + 1),
+                               2 * n_a * n_b - (r2a - n_a * (n_a + 1)))::DOUBLE
+                         / 2.0 * 1000000.0 + 0.5) AS BIGINT) AS u_micro,
+              CASE WHEN n_a::DOUBLE * n_b::DOUBLE / 12.0
+                        * (((n_a::DOUBLE + n_b::DOUBLE) + 1.0)
+                           - ties::DOUBLE / ((n_a::DOUBLE + n_b::DOUBLE)
+                                             * ((n_a::DOUBLE + n_b::DOUBLE) - 1.0))) > 0
+              THEN CAST(floor(
+                ((r2a - n_a * (n_a + 1))::DOUBLE / 2.0
+                 - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+                / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+                       * (((n_a::DOUBLE + n_b::DOUBLE) + 1.0)
+                          - ties::DOUBLE / ((n_a::DOUBLE + n_b::DOUBLE)
+                                            * ((n_a::DOUBLE + n_b::DOUBLE) - 1.0))))
+                * 1000000.0 + 0.5) AS BIGINT)
+              END AS z_micro
+       FROM agg""",
+)
+def mannwhitney_events_q(spark, sf_dir):
+    """Two-sample Mann-Whitney U (functions/drift.py mann_whitney_u)
+    between the even and odd event halves on integer-dollar values —
+    the rank-based location test next to the KS shape test, with the
+    standard tie correction. Doubled average ranks accumulate as exact
+    bigints over the shared distinct-value spine (quantize-first
+    contract, fail-loud cardinality guard); U and z derive in one
+    rounding site each."""
+    from pd_explain_spark.functions.drift import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_id") % 2 == 0) & F.col("value").isNotNull()).select(
+        F.floor("value").alias("value")
+    )
+    b = ev.filter((F.col("event_id") % 2 == 1) & F.col("value").isNotNull()).select(
+        F.floor("value").alias("value")
+    )
+    return mann_whitney_u(a, b, "value")
+
+
+@_q(
+    "logrank_events",
+    """WITH mx AS (
+         SELECT max(ts) AS m FROM events
+       ), u AS (
+         SELECT user_id, min(ts) AS first,
+                min(CASE WHEN event_type = 'purchase' AND value > 150.0
+                         THEN ts END) AS conv
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+       ), subj AS (
+         SELECT CAST(floor((epoch_us(coalesce(conv, mx.m)) - epoch_us(first))
+                           / 3600000000.0) AS BIGINT) AS t,
+                CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS e,
+                CASE WHEN user_id % 2 = 0 THEN '0' ELSE '1' END AS g
+         FROM u, mx
+       ), per AS (
+         SELECT t, sum(e)::BIGINT AS d, count(*)::BIGINT AS c,
+                sum(CASE WHEN g = '0' THEN e ELSE 0 END)::BIGINT AS d1,
+                sum(CASE WHEN g = '0' THEN 1 ELSE 0 END)::BIGINT AS c1
+         FROM subj GROUP BY 1
+       ), ar AS (
+         SELECT d, d1,
+                sum(c) OVER (ORDER BY t DESC)::BIGINT AS n,
+                sum(c1) OVER (ORDER BY t DESC)::BIGINT AS n1
+         FROM per
+       ), terms AS (
+         SELECT d1,
+                CAST(floor(d::DOUBLE * n1::DOUBLE / n::DOUBLE
+                           * 1000000000.0 + 0.5) AS BIGINT) AS e_n,
+                CASE WHEN n > 1 THEN
+                  CAST(floor(d::DOUBLE * (n1::DOUBLE / n::DOUBLE)
+                             * (1.0 - n1::DOUBLE / n::DOUBLE)
+                             * (n::DOUBLE - d::DOUBLE) / (n::DOUBLE - 1.0)
+                             * 1000000000.0 + 0.5) AS BIGINT)
+                ELSE 0 END AS v_n
+         FROM ar WHERE d > 0
+       ), s AS (
+         SELECT sum(d1)::BIGINT AS o_a, sum(e_n)::BIGINT AS e_n,
+                sum(v_n)::BIGINT AS v_n
+         FROM terms
+       ), cnts AS (
+         SELECT sum(CASE WHEN g = '0' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                sum(CASE WHEN g <> '0' THEN 1 ELSE 0 END)::BIGINT AS n_b
+         FROM subj
+       )
+       SELECT n_a, n_b, o_a,
+              CAST(floor(e_n::DOUBLE / 1000000000.0 * 1000000.0 + 0.5)
+                   AS BIGINT) AS e_a_micro,
+              CASE WHEN v_n::DOUBLE / 1000000000.0 > 0 THEN
+                CAST(floor((o_a::DOUBLE - e_n::DOUBLE / 1000000000.0)
+                           * (o_a::DOUBLE - e_n::DOUBLE / 1000000000.0)
+                           / (v_n::DOUBLE / 1000000000.0)
+                           * 1000000.0 + 0.5) AS BIGINT)
+              END AS chi2_micro,
+              CASE WHEN v_n::DOUBLE / 1000000000.0 > 0 THEN
+                CAST(floor((o_a::DOUBLE - e_n::DOUBLE / 1000000000.0)
+                           / sqrt(v_n::DOUBLE / 1000000000.0)
+                           * 1000000.0 + 0.5) AS BIGINT)
+              END AS z_micro
+       FROM s, cnts""",
+)
+def logrank_events_q(spark, sf_dir):
+    """Two-group log-rank test (functions/events.py log_rank_test) on
+    the kaplan_meier_events cohort split by user-id parity: do even and
+    odd users' time-to-big-purchase curves differ, with censoring
+    honored? Per-duration expectation/variance nano-round before the
+    order-free sums; chi-squared and z derive in one rounding site
+    each. The grouped at-risk table is the same fail-loud-bounded
+    reverse-cumsum spine the KM/NA estimators ride."""
+    from pd_explain_spark.functions.events import log_rank_test
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    big = (F.col("event_type") == "purchase") & (F.col("value") > F.lit(150.0))
+    subj = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first"),
+            F.min(F.when(big, F.col("ts"))).alias("conv"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                (
+                    F.unix_micros(
+                        F.coalesce(F.col("conv"), F.col("m")).cast("timestamp")
+                    )
+                    - F.unix_micros(F.col("first").cast("timestamp"))
+                )
+                / F.lit(3_600_000_000)
+            ).alias("dur_hours"),
+            F.col("conv").isNotNull().cast("int").alias("event"),
+            (F.col("user_id") % 2).cast("string").alias("grp"),
+        )
+    )
+    return log_rank_test(subj, "dur_hours", "event", "grp")
+
+
+@_q(
+    "cuped_events",
+    """WITH mid AS (
+         SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS m FROM events
+       ), u AS (
+         SELECT user_id,
+                coalesce(sum(CASE WHEN epoch_us(ts) < mid.m THEN value END), 0.0) AS x,
+                coalesce(sum(CASE WHEN epoch_us(ts) >= mid.m THEN value END), 0.0) AS y,
+                CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+         FROM events, mid
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+         GROUP BY user_id, mid.m
+       ), q AS (
+         SELECT CAST(floor(y * 1000.0 + 0.5) AS BIGINT) AS ym,
+                CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS xm, g
+         FROM u
+       ), mo AS (
+         SELECT count(*)::BIGINT AS n,
+                sum(xm::HUGEINT) AS sx, sum(ym::HUGEINT) AS sy,
+                sum(xm::HUGEINT * xm::HUGEINT) AS sxx,
+                sum(xm::HUGEINT * ym::HUGEINT) AS sxy,
+                sum(ym::HUGEINT * ym::HUGEINT) AS syy
+         FROM q
+       ), th AS (
+         SELECT n,
+                CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                ELSE 0.0 END AS theta,
+                sx::DOUBLE / n::DOUBLE / 1000.0 AS xbar,
+                (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+                  / 1000000.0 AS ssy_raw
+         FROM mo
+       ), adj AS (
+         SELECT g,
+                CAST(floor((ym::DOUBLE / 1000.0
+                            - th.theta * (xm::DOUBLE / 1000.0 - th.xbar))
+                           * 1000000.0 + 0.5) AS BIGINT) AS a,
+                th.theta AS theta, th.ssy_raw AS ssy_raw, th.n AS ntot
+         FROM q, th
+       ), arm AS (
+         SELECT theta, ssy_raw, ntot,
+                sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                sum(CASE WHEN g <> 'a' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                sum(CASE WHEN g = 'a' THEN a::HUGEINT ELSE 0 END) AS sa,
+                sum(CASE WHEN g <> 'a' THEN a::HUGEINT ELSE 0 END) AS sb,
+                sum(CASE WHEN g = 'a' THEN a::HUGEINT * a::HUGEINT ELSE 0 END) AS saa,
+                sum(CASE WHEN g <> 'a' THEN a::HUGEINT * a::HUGEINT ELSE 0 END) AS sbb
+         FROM adj GROUP BY 1, 2, 3
+       )
+       SELECT n_a, n_b,
+              CAST(floor(theta * 1000000.0 + 0.5) AS BIGINT) AS theta_micro,
+              CAST(floor(sa::DOUBLE / n_a::DOUBLE / 1000000.0
+                         * 1000000.0 + 0.5) AS BIGINT) AS mean_adj_a_micro,
+              CAST(floor(sb::DOUBLE / n_b::DOUBLE / 1000000.0
+                         * 1000000.0 + 0.5) AS BIGINT) AS mean_adj_b_micro,
+              CAST(floor((sa::DOUBLE / n_a::DOUBLE / 1000000.0
+                          - sb::DOUBLE / n_b::DOUBLE / 1000000.0)
+                         * 1000000.0 + 0.5) AS BIGINT) AS diff_micro,
+              CASE WHEN sqrt(
+                     (CASE WHEN n_a > 1 THEN
+                        (saa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n_a::DOUBLE)
+                        / (n_a::DOUBLE - 1.0) / (1000000.0 * 1000000.0)
+                      ELSE 0.0 END) / n_a::DOUBLE
+                     + (CASE WHEN n_b > 1 THEN
+                          (sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE / n_b::DOUBLE)
+                          / (n_b::DOUBLE - 1.0) / (1000000.0 * 1000000.0)
+                        ELSE 0.0 END) / n_b::DOUBLE) > 0
+              THEN CAST(floor(
+                     (sa::DOUBLE / n_a::DOUBLE / 1000000.0
+                      - sb::DOUBLE / n_b::DOUBLE / 1000000.0)
+                     / sqrt(
+                       (CASE WHEN n_a > 1 THEN
+                          (saa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n_a::DOUBLE)
+                          / (n_a::DOUBLE - 1.0) / (1000000.0 * 1000000.0)
+                        ELSE 0.0 END) / n_a::DOUBLE
+                       + (CASE WHEN n_b > 1 THEN
+                            (sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE / n_b::DOUBLE)
+                            / (n_b::DOUBLE - 1.0) / (1000000.0 * 1000000.0)
+                          ELSE 0.0 END) / n_b::DOUBLE)
+                     * 1000000.0 + 0.5) AS BIGINT)
+              END AS z_micro,
+              CASE WHEN ssy_raw > 0 THEN
+                CAST(floor((1.0 - ((saa::DOUBLE + sbb::DOUBLE)
+                                   - (sa::DOUBLE + sb::DOUBLE)
+                                     * (sa::DOUBLE + sb::DOUBLE)
+                                     / (n_a::DOUBLE + n_b::DOUBLE))
+                                  / (1000000.0 * 1000000.0) / ssy_raw)
+                           * 1000000.0 + 0.5) AS BIGINT)
+              END AS var_reduction_micro
+       FROM arm""",
+)
+def cuped_events_q(spark, sf_dir):
+    """CUPED variance-reduced A/B read (functions/events.py
+    cuped_report): per-user late-half value sum (the metric) adjusted
+    by the early-half sum (the pre-period covariate), arms split on
+    user-id parity. Theta and the mean shift derive from exact
+    DECIMAL(38,0) milli-moment sums; each adjusted value micro-rounds
+    per row before the order-free arm sums — the realized variance
+    reduction is part of the report."""
+    from pd_explain_spark.functions.events import cuped_report
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # integer-micros midpoint: timestamp-interval division is engine-
+    # flavored (the oracle lesson); epoch integer halving is not
+    bounds = ev.agg(F.min(us).alias("__lo"), F.max(us).alias("__hi")).select(
+        # bigint `div`, NOT `/`: the micros sum exceeds 2^53, where
+        # double division can round away from the exact integer half
+        F.expr("(__lo + __hi) div 2").alias("m")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(us < F.col("m"), F.col("value"))), F.lit(0.0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(us >= F.col("m"), F.col("value"))), F.lit(0.0)
+            ).alias("y"),
+        )
+        .select(
+            "x", "y",
+            F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("grp"),
+        )
+    )
+    return cuped_report(per_user, "y", "x", "grp")
+
+
+@_q(
+    "spearman_orders",
+    """WITH base AS (
+         SELECT o_totalprice AS a, o_custkey AS b FROM orders
+         WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+       ), ranked AS (
+         SELECT (2 * rank() OVER (ORDER BY a)
+                 + count(*) OVER (PARTITION BY a) - 1)::BIGINT AS x,
+                (2 * rank() OVER (ORDER BY b)
+                 + count(*) OVER (PARTITION BY b) - 1)::BIGINT AS y
+         FROM base
+       ), mo AS (
+         SELECT count(*)::BIGINT AS n,
+                sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                sum(x::HUGEINT * x::HUGEINT) AS sxx,
+                sum(y::HUGEINT * y::HUGEINT) AS syy,
+                sum(x::HUGEINT * y::HUGEINT) AS sxy
+         FROM ranked
+       )
+       SELECT n,
+              CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                    AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+              THEN CAST(floor(
+                     (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                            * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                     * 1000000.0 + 0.5) AS BIGINT)
+              END AS rho_micro
+       FROM mo""",
+)
+def spearman_orders_q(spark, sf_dir):
+    """Exact Spearman rank correlation (functions/profiling.py
+    spearman_corr) between order price and customer key — the
+    monotone-dependence complement of the Pearson corr_matrix. Average
+    ranks come from the bucketed global-rank construction (NO
+    single-partition window); doubled ranks are exact integers, so the
+    moment sums are order-free and rho derives in one rounding site."""
+    from pd_explain_spark.functions.profiling import spearman_corr
+
+    o = _t(spark, sf_dir, "orders")
+    return spearman_corr(o, "o_totalprice", "o_custkey")
+
+
+@_q(
+    "trimmed_lineitem",
+    """WITH v AS (
+         SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+         WHERE l_extendedprice IS NOT NULL
+       ), n AS (SELECT count(*)::BIGINT AS n FROM v
+       ), k AS (SELECT CAST(floor(0.05 * n) AS BIGINT) AS k, n FROM n
+       ), ordered AS (
+         SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v
+       ), bounds AS (
+         SELECT max(CASE WHEN rn = k.k + 1 THEN x END) AS lo,
+                max(CASE WHEN rn = k.n - k.k THEN x END) AS hi
+         FROM ordered, k GROUP BY k.k, k.n
+       ), milli AS (
+         SELECT CASE WHEN rn <= k.k THEN CAST(floor(bounds.lo * 1000.0 + 0.5) AS BIGINT)
+                     WHEN rn > k.n - k.k THEN CAST(floor(bounds.hi * 1000.0 + 0.5) AS BIGINT)
+                     ELSE CAST(floor(x * 1000.0 + 0.5) AS BIGINT)
+                END AS wm,
+                CASE WHEN rn > k.k AND rn <= k.n - k.k
+                     THEN CAST(floor(x * 1000.0 + 0.5) AS BIGINT)
+                END AS tm,
+                k.k AS k, k.n AS n
+         FROM ordered, k, bounds
+       )
+       SELECT max(n) AS n, max(k) AS k,
+              CAST(floor(sum(tm::HUGEINT)::DOUBLE / (max(n) - 2 * max(k))::DOUBLE
+                         / 1000.0 * 1000000.0 + 0.5) AS BIGINT) AS trimmed_mean_micro,
+              CAST(floor(sum(wm::HUGEINT)::DOUBLE / max(n)::DOUBLE
+                         / 1000.0 * 1000000.0 + 0.5) AS BIGINT) AS winsorized_mean_micro,
+              CAST(floor(sqrt(greatest(
+                     (sum(wm::HUGEINT * wm::HUGEINT)::DOUBLE
+                      - sum(wm::HUGEINT)::DOUBLE * sum(wm::HUGEINT)::DOUBLE
+                        / max(n)::DOUBLE)
+                     / (max(n)::DOUBLE - 1.0) / 1000000.0, 0.0))
+                         * 1000000.0 + 0.5) AS BIGINT) AS winsorized_std_micro
+       FROM milli""",
+)
+def trimmed_lineitem_q(spark, sf_dir):
+    """Alpha-trimmed and winsorized price summary (functions/sketches.py
+    trimmed_stats, alpha=0.05) over lineitem extended price — the robust
+    location/spread pair between mean and median. Count-based trimming
+    with exact boundary-tie position algebra; the two boundary order
+    statistics come from the histogram-pruned exact_quantiles rank
+    search (NO global sort), then one conditional-sum pass; milli-
+    quantized DECIMAL moments, one rounding site per output."""
+    from pd_explain_spark.functions.sketches import trimmed_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return trimmed_stats(li, "l_extendedprice", alpha=0.05)
+
+
+@_q(
+    "readability_docs",
+    """WITH base AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                            w -> w <> '') AS ws,
+                greatest(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))
+                  ::BIGINT AS n_sentences
+         FROM documents
+       ), counted AS (
+         SELECT doc_id,
+                len(ws)::BIGINT AS n_words,
+                n_sentences,
+                coalesce(list_sum(list_transform(ws,
+                  w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+                  0)::BIGINT AS n_syllables
+         FROM base
+       )
+       SELECT doc_id, n_words, n_sentences, n_syllables,
+              CASE WHEN n_words > 0 THEN
+                CAST(floor((206.835
+                            - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                            - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE))
+                           * 1000000.0 + 0.5) AS BIGINT)
+              END AS flesch_micro,
+              CASE WHEN n_words > 0 THEN
+                CAST(floor((0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                            + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE)
+                            - 15.59)
+                           * 1000000.0 + 0.5) AS BIGINT)
+              END AS fk_grade_micro
+       FROM counted""",
+)
+def readability_docs_q(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade per document
+    (functions/text.py readability_scores) — the curation signal for
+    audience targeting and run-on machine text. Heuristic vowel-run
+    syllables (floored at 1 per word), [.!?]+ sentence runs, whitespace
+    words; pure scan-stage HOFs, exact integer counts, one IEEE
+    expression per score."""
+    from pd_explain_spark.functions.text import readability_scores
+
+    return readability_scores(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "image_dhash_planted",
+    f"""WITH imgs(id, w, h, a, b) AS (
+         VALUES {", ".join(f"({i}, {w}, {h}, {a}, {b})" for (i, w, h, a, b) in _AHASH_IMGS)}
+       ), xs AS (
+         SELECT id, w, h, a, b, unnest(generate_series(0, w - 1)) AS x
+         FROM imgs
+       ), px AS MATERIALIZED (
+         SELECT id, x, unnest(generate_series(0, h - 1)) AS y,
+                3 * ((a * x + b * unnest(generate_series(0, h - 1))) % 256) AS l
+         FROM xs
+       ), cells AS (
+         SELECT i.id, cx.cx, cy.cy,
+                (cx.cx * i.w) // 9 AS x0,
+                greatest((cx.cx * i.w) // 9 + 1, ((cx.cx + 1) * i.w) // 9) AS x1,
+                (cy.cy * i.h) // 8 AS y0,
+                greatest((cy.cy * i.h) // 8 + 1, ((cy.cy + 1) * i.h) // 8) AS y1
+         FROM imgs i, generate_series(0, 8) cx(cx), generate_series(0, 7) cy(cy)
+       ), cs AS (
+         SELECT c.id, c.cx, c.cy, sum(p.l)::BIGINT AS s, count(*)::BIGINT AS n
+         FROM cells c JOIN px p
+           ON p.id = c.id AND p.x >= c.x0 AND p.x < c.x1
+          AND p.y >= c.y0 AND p.y < c.y1
+         GROUP BY 1, 2, 3
+       ), bits AS (
+         SELECT l.id, l.cy * 8 + l.cx AS bit
+         FROM cs l JOIN cs r
+           ON r.id = l.id AND r.cy = l.cy AND r.cx = l.cx + 1
+         WHERE l.cx < 8 AND l.s * r.n > r.s * l.n
+       )
+       SELECT i.id::BIGINT AS media_id,
+              CAST(coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                                     ELSE (1::BIGINT << bit) END), 0) AS BIGINT)
+                AS dhash
+       FROM imgs i LEFT JOIN bits b ON b.id = i.id
+       GROUP BY 1""",
+)
+def image_dhash_planted_q(spark, sf_dir):
+    """Difference-hash over the REAL image decode path
+    (functions/multimodal.py image_dhash): the same five planted
+    gradient images as image_ahash_planted — ids 0/1 identical pixels
+    in two FORMATS (PPM vs BMP: the dhash collision proves the
+    format-crossing dup), plus the truncated payload and audio row that
+    hash NULL and drop. The gradient signature is exact integer
+    arithmetic (an (hd+1) x hd block grid, each cell cross-multiplied
+    against its RIGHT neighbor); the oracle regenerates the pixels from
+    the (a*x + b*y) % 256 formula and replays that algebra in SQL. Per-
+    row scan-stage Arrow work; dup grouping stays one keyed equi-join."""
+    from pd_explain_spark.functions.multimodal import image_dhash
+
+    media = _ahash_demo_media(spark)
+    return image_dhash(media).filter(F.col("dhash").isNotNull())
+
+
 # ===========================================================================
 
 # The correctness harness records the FIRST 50 ``queries()`` entries, so
@@ -10140,36 +10633,44 @@ def calibration_events_q(spark, sf_dir):
 # variants, reshape/accessor coverage) follow in registration order and
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
-    # r11 rotation (VERDICT r10 task #1): composition 50 = 12 + 38.
+    # r11 rotation (VERDICT r10 task #1): composition 50 = 12 + 30 + 8.
     #   12 = the full r10 seventh wave (every oracle entry added after the
     #      r10 window froze) — judge-verified 12/12 green at sf0.01 in the
     #      r10 VERDICT; this rotation gives each its first driver row.
-    #   38 = oldest-first re-checks from the 44 entries whose last green
-    #      driver row is r06 (the stalest evidence on record). The six
-    #      r06-stale entries NOT in this window are exactly the ones the
-    #      r10 judge independently re-verified hash-green at sf0.01 this
-    #      round (q9_profit_rollup, q21_late_blame, many_to_one_full_rules,
-    #      metainsight_kernel, near_dup_keep_longest,
-    #      semantic_dedup_survivors) — they carry the freshest non-driver
-    #      evidence, so they rotate in next (r12) together with the
-    #      r07-stale re-checks, family-spread.
+    #   30 = oldest-first re-checks from the 44 entries whose last green
+    #      driver row is r06 (the stalest evidence on record).
+    #   8 = family anchors (test_driver_contract family invariant: every
+    #      operator family keeps one member in the window): groupby,
+    #      explainer kernels, mini-language, sinks, sketches, governance,
+    #      linalg, dedup-metrics — the most complex member of each.
+    #   NOT in this window, r12 pool in priority order: (1) the r11
+    #      eighth wave (mannwhitney_events, logrank_events, cuped_events,
+    #      spearman_orders, trimmed_lineitem, readability_docs,
+    #      image_dhash_planted — each oracle-green locally at sf0.001/
+    #      0.01/0.1); (2) the 14 remaining r06-stale re-checks
+    #      (q8_market_share, q13_customer_distribution,
+    #      q16_supplier_count, q19_disjunctive_revenue, q22_idle_balances,
+    #      hybrid_search_docs, top_terms_docs, lm_score_docs, and the six
+    #      the r10 judge re-verified: q9_profit_rollup, q21_late_blame,
+    #      many_to_one_full_rules, metainsight_kernel,
+    #      near_dup_keep_longest, semantic_dedup_survivors);
+    #      (3) r07-stale re-checks, family-spread.
     #
     # -- first driver rows: r10 seventh wave (events statistics, drift KS,
-    #    Zipf text fit, audio decode, governance metrics)
+    #    Zipf text fit, audio decode, eval-QA profiling)
     "nelson_aalen_events", "chisq_variants_events", "attribution_events",
     "attribution_linear_events", "ks_events_value", "windowed_ks_events",
     "zipf_docs", "audio_features_planted", "rater_agreement_orders",
     "benford_lineitem", "classification_report_orders", "calibration_events",
     # -- re-checks, last green r06: TPC-H plan shapes
-    "q2_min_price_part", "q7_nation_trade_flow", "q8_market_share",
-    "q11_important_stock", "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_count", "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q20_dominant_suppliers", "q22_idle_balances",
+    "q2_min_price_part", "q7_nation_trade_flow", "q11_important_stock",
+    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
+    "q20_dominant_suppliers",
     # -- re-checks, last green r06: corpus / contamination family
-    "bm25_docs", "tfidf_docs", "top_terms_docs", "hybrid_search_docs",
-    "vocabulary_docs", "corpus_stats_by_lang", "contamination_pairs_docs",
-    "decontaminate_docs", "dedup_against_corpus", "dedup_near_against_corpus",
-    "near_dup_against_corpus", "near_dup_index_bucketed", "lm_score_docs",
+    "bm25_docs", "tfidf_docs", "vocabulary_docs", "corpus_stats_by_lang",
+    "contamination_pairs_docs", "decontaminate_docs", "dedup_against_corpus",
+    "dedup_near_against_corpus", "near_dup_against_corpus",
+    "near_dup_index_bucketed",
     # -- re-checks, last green r06: dedup / curation / mixing
     "segment_dedup_docs", "span_dedup_docs", "chunk_documents_overlap",
     "edit_distance_pairs_docs", "semantic_dedup_pairs",
@@ -10179,6 +10680,11 @@ _RECORD_FIRST = [
     "shapley_join_explain_text",
     # -- re-checks, last green r06: time-series + relational tail
     "rolling_hour_events", "topk_orders",
+    # -- family anchors (one per family the rotation would otherwise
+    #    leave unrepresented; most-complex member chosen)
+    "groupby_median", "fedex_filter_kernel", "mini_language_query",
+    "shards_roundtrip", "exact_quantiles_lineitem", "k_generalize_customer",
+    "pca_residuals_emb", "dedup_recall_winnow",
 ]
 
 

@@ -730,3 +730,125 @@ def stream_ks_scores(
         F.col("__n").cast("long").alias("n_events"),
         d.alias("d_micro"),
     )
+
+
+def mann_whitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+    max_values: int = 100_000,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) with the standard
+    tie correction — the rank-based location test that complements
+    :func:`ks_two_sample` (KS sees any shape difference; MW-U targets a
+    shift and is far more powerful for one). One row: (n_a, n_b,
+    u_micro — min(U_a, U_b), z_micro — signed normal approximation from
+    U_a, no continuity correction).
+
+    Determinism: tied observations take AVERAGE ranks, and 2x every
+    rank sum is an exact integer — for a tied group of size t after c
+    smaller observations, each member's doubled rank is (2c + t + 1),
+    so 2*R_a = sum(cnt_a * (2c + t + 1)) accumulates as exact bigints
+    over the shared distinct-value spine. mu, the tie-corrected sigma,
+    and z are derived in ONE identical-rule rounding site each.
+
+    Scale shape: identical to ks_two_sample — each side compresses to a
+    per-value count in one map-combining groupBy, the spines merge with
+    one full-outer join, and the cumulative window runs over the
+    compressed spine whose cardinality is ENFORCED <= ``max_values``
+    (fail-loud scalar-count guard + identity limit). Quantize
+    high-precision continuous values first, exactly as for KS."""
+    from pyspark.sql import Window
+
+    def side(df, c_alias):
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(F.col(value_col).alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(c_alias))
+        )
+
+    pa, pb = side(df_a, "__ca"), side(df_b, "__cb")
+    spine = pa.join(pb, "__v", "full").select(
+        "__v",
+        F.coalesce(F.col("__ca"), F.lit(0)).cast("bigint").alias("__ca"),
+        F.coalesce(F.col("__cb"), F.lit(0)).cast("bigint").alias("__cb"),
+    )
+    tot = spine.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
+    spine = (
+        spine.crossJoin(F.broadcast(tot))
+        .select(
+            "__v",
+            F.when(F.col("__tot") <= F.lit(int(max_values)), F.col("__ca"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "mann_whitney_u: distinct values exceed "
+                        f"max_values={int(max_values)} — quantize the "
+                        "value column first or raise max_values"
+                    )
+                ).cast("bigint")
+            )
+            .alias("__ca"),
+            "__cb",
+        )
+        .limit(int(max_values))
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    t = (F.col("__ca") + F.col("__cb")).cast("bigint")
+    c = F.coalesce(F.sum(F.col("__ca") + F.col("__cb")).over(w), F.lit(0)).cast(
+        "bigint"
+    )
+    dec = "decimal(38,0)"
+    # cast-THEN-multiply: rank terms reach count x 2N (and the tie term
+    # N^3) — bigint products overflow int64 at real corpus sizes, so
+    # every product runs in 38-digit decimal
+    per = spine.select(
+        F.col("__ca"),
+        F.col("__cb"),
+        (F.col("__ca").cast(dec)
+         * (F.lit(2) * c + t + F.lit(1)).cast(dec)).alias("__r2a"),
+        (t.cast(dec) * t.cast(dec) * t.cast(dec) - t.cast(dec)).alias("__ties"),
+    )
+    agg = per.agg(
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        F.sum("__cb").cast("bigint").alias("n_b"),
+        F.sum("__r2a").alias("__r2a"),
+        F.sum("__ties").alias("__ties"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = n_a + n_b
+    # 2*U_a = 2*R_a - n_a*(n_a+1): exact decimal integers end to end
+    dec2 = "decimal(38,0)"
+    u2a = F.col("__r2a") - F.col("n_a").cast(dec2) * (
+        F.col("n_a") + F.lit(1)
+    ).cast(dec2)
+    u2b = F.lit(2).cast(dec2) * F.col("n_a").cast(dec2) * F.col("n_b").cast(dec2) - u2a
+    ua = u2a.cast("double") / F.lit(2.0)
+    mu = n_a * n_b / F.lit(2.0)
+    sigma2 = (
+        n_a * n_b / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("__ties").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    out = agg.select(
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("n_a"),
+        ).otherwise(
+            F.raise_error(
+                F.lit("mann_whitney_u: empty sample side (no non-NULL values)")
+            ).cast("bigint")
+        ).alias("n_a"),
+        F.col("n_b"),
+        F.floor(
+            F.least(u2a, u2b).cast("double") / F.lit(2.0) * F.lit(float(scale))
+            + F.lit(0.5)
+        ).cast("bigint").alias("u_micro"),
+        F.when(
+            sigma2 > 0,
+            F.floor((ua - mu) / F.sqrt(sigma2) * F.lit(float(scale)) + F.lit(0.5))
+            .cast("bigint"),
+        ).alias("z_micro"),
+    )
+    return out

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 __all__ = ["event_funnel", "cohort_retention", "cooccurrence_pairs",
            "funnel_user_times", "funnel_latency", "ab_test_report",
            "kaplan_meier", "nelson_aalen", "chisq_homogeneity",
-           "attribution_report"]
+           "attribution_report", "log_rank_test", "cuped_report"]
 
 
 def event_funnel(
@@ -1027,3 +1027,280 @@ def _attribution_join(
     if value_col is None:
         out = out.drop("attributed_value_micro")
     return out
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    scale: int = 1_000_000,
+    max_durations: int = 100_000,
+) -> DataFrame:
+    """Two-group log-rank test over right-censored durations (Mantel
+    1966) — the hypothesis test that pairs with :func:`kaplan_meier` /
+    :func:`nelson_aalen`: "do these two survival curves differ?" with
+    full credit to censoring, which a naive churn-rate comparison gets
+    wrong. Group "a" is the MINIMUM ``group_col`` value (deterministic
+    orientation); exactly two non-NULL groups are required (fail-loud —
+    a silent k-group reduction would misreport the statistic). One row:
+    (n_a, n_b, o_a — observed events in a, e_a_micro — expected under
+    H0, chi2_micro, z_micro — signed (O-E)/sqrt(V)).
+
+    Determinism: the per-duration (d, n, d1, n1) table is exact
+    integers (reverse cumulative sums over ordered distinct durations);
+    each duration's expectation d*n1/n and hypergeometric variance
+    d*(n1/n)*(1-n1/n)*(n-d)/(n-1) nano-round to INTEGERS before the
+    order-free sums, then chi-squared and z derive in one
+    identical-rule rounding site each.
+
+    Scale shape: one map-combining (duration, group-conditional) count,
+    cardinality ENFORCED <= ``max_durations`` (the _at_risk_table
+    guard), two single-partition windows over the provably bounded
+    spine. Pre-bucket high-resolution durations exactly as for
+    kaplan_meier."""
+    from pyspark.sql import Window
+
+    subj = df.filter(
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(duration_col).cast("bigint").alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+        F.col(group_col).cast("string").alias("__g"),
+    )
+    meta = subj.agg(
+        F.count_distinct("__g").cast("bigint").alias("__ng"),
+        F.min("__g").alias("__ga"),
+    )
+    per = (
+        subj.crossJoin(F.broadcast(meta))
+        .select(
+            "__t",
+            "__e",
+            (F.col("__g") == F.when(
+                F.col("__ng") == 2, F.col("__ga")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("log_rank_test: need exactly 2 groups, got "),
+                        F.col("__ng").cast("string"),
+                    )
+                )
+            )).cast("int").alias("__ia"),
+        )
+        .groupBy("__t")
+        .agg(
+            F.sum("__e").cast("bigint").alias("__d"),
+            F.count(F.lit(1)).cast("bigint").alias("__c"),
+            F.sum(F.col("__e") * F.col("__ia")).cast("bigint").alias("__d1"),
+            F.sum("__ia").cast("bigint").alias("__c1"),
+        )
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("__tot"))
+    per = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "__t",
+            F.when(F.col("__tot") <= F.lit(int(max_durations)), F.col("__d"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "log_rank_test: distinct durations exceed "
+                        f"max_durations={int(max_durations)} — pre-bucket the "
+                        "duration column or raise max_durations"
+                    )
+                ).cast("bigint")
+            )
+            .alias("__d"),
+            "__c", "__d1", "__c1",
+        )
+        .limit(int(max_durations))
+    )
+    w_rev = Window.orderBy(F.col("__t").desc())
+    risk = per.select(
+        "__d", "__d1",
+        F.sum("__c").over(w_rev).alias("__n"),
+        F.sum("__c1").over(w_rev).alias("__n1"),
+    ).filter(F.col("__d") > 0)
+    nano = 1_000_000_000
+    d = F.col("__d").cast("double")
+    n = F.col("__n").cast("double")
+    n1 = F.col("__n1").cast("double")
+    e_t = d * n1 / n
+    v_t = F.when(
+        F.col("__n") > 1,
+        d * (n1 / n) * (F.lit(1.0) - n1 / n) * (n - d) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    summed = risk.agg(
+        F.sum("__d1").cast("bigint").alias("o_a"),
+        F.sum(F.floor(e_t * F.lit(float(nano)) + F.lit(0.5)).cast("bigint"))
+        .cast("bigint").alias("__e_nano"),
+        F.sum(F.floor(v_t * F.lit(float(nano)) + F.lit(0.5)).cast("bigint"))
+        .cast("bigint").alias("__v_nano"),
+    )
+    counts = subj.crossJoin(F.broadcast(meta)).agg(
+        F.sum((F.col("__g") == F.col("__ga")).cast("bigint"))
+        .cast("bigint").alias("n_a"),
+        F.sum((F.col("__g") != F.col("__ga")).cast("bigint"))
+        .cast("bigint").alias("n_b"),
+    )
+    o = F.col("o_a").cast("double")
+    e = F.col("__e_nano").cast("double") / F.lit(float(nano))
+    v = F.col("__v_nano").cast("double") / F.lit(float(nano))
+    return (
+        summed.crossJoin(F.broadcast(counts))
+        .select(
+            "n_a",
+            "n_b",
+            "o_a",
+            F.floor(e * F.lit(float(scale)) + F.lit(0.5))
+            .cast("bigint").alias("e_a_micro"),
+            F.when(
+                v > 0,
+                F.floor((o - e) * (o - e) / v * F.lit(float(scale)) + F.lit(0.5))
+                .cast("bigint"),
+            ).alias("chi2_micro"),
+            F.when(
+                v > 0,
+                F.floor((o - e) / F.sqrt(v) * F.lit(float(scale)) + F.lit(0.5))
+                .cast("bigint"),
+            ).alias("z_micro"),
+        )
+    )
+
+
+def cuped_report(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    group_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CUPED variance-reduced A/B comparison (Deng et al. 2013,
+    "Improving the Sensitivity of Online Controlled Experiments"): the
+    experiment metric is adjusted by a pre-experiment covariate,
+    y_adj = y - theta * (x - mean(x)) with theta = cov(x, y) / var(x)
+    pooled over BOTH arms (theta from pooled data keeps the estimator
+    unbiased under randomization), then the two arms' adjusted means are
+    z-tested. The standard production trick that cuts required sample
+    sizes by the covariate's R² — a pre-period version of the metric
+    routinely halves experiment runtimes. Group "a" is the MINIMUM
+    ``group_col`` value; exactly two groups required (fail-loud). One
+    row: (n_a, n_b, theta_micro, mean_adj_a_micro, mean_adj_b_micro,
+    diff_micro, z_micro, var_reduction_micro — 1 - var(adj)/var(y)
+    pooled, the realized sensitivity gain).
+
+    Determinism: inputs quantize per row to MILLI integers once; all
+    moment sums accumulate as DECIMAL(38,0) (order-free exact); theta,
+    the mean shift, and each row's adjusted value derive from those
+    exact sums in identical-rule expressions, and the adjusted value
+    micro-rounds per row BEFORE the order-free arm sums. Scale shape:
+    two scan passes (pooled moments, then the theta-adjusted arm
+    aggregate with the scalars broadcast in), both map-combining; no
+    shuffle beyond the two scalar aggregates."""
+    base = df.filter(
+        F.col(metric_col).isNotNull()
+        & F.col(covariate_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.floor(F.col(metric_col).cast("double") * F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint").alias("__ym"),
+        F.floor(F.col(covariate_col).cast("double") * F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint").alias("__xm"),
+        F.col(group_col).cast("string").alias("__g"),
+    )
+    dec = "decimal(38,0)"
+    meta = base.agg(
+        F.count_distinct("__g").cast("bigint").alias("__ng"),
+        F.min("__g").alias("__ga"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("__xm").cast(dec)).alias("__sx"),
+        F.sum(F.col("__ym").cast(dec)).alias("__sy"),
+        # cast-THEN-multiply: a bigint product overflows int64 long
+        # before the decimal sum would (sf0.1 lesson: adjusted-micro
+        # squares hit ~1e20); decimal multiplication carries 38 digits
+        F.sum(F.col("__xm").cast(dec) * F.col("__xm").cast(dec)).alias("__sxx"),
+        F.sum(F.col("__xm").cast(dec) * F.col("__ym").cast(dec)).alias("__sxy"),
+        F.sum(F.col("__ym").cast(dec) * F.col("__ym").cast(dec)).alias("__syy"),
+    )
+    nn = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    var_x_num = nn * sxx - sx * sx  # milli² units, exact-sourced
+    theta = F.when(
+        var_x_num > 0, (nn * sxy - sx * sy) / var_x_num
+    ).otherwise(F.lit(0.0))
+    scalars = meta.select(
+        F.when(F.col("__ng") == 2, F.col("__ga")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("cuped_report: need exactly 2 groups, got "),
+                    F.col("__ng").cast("string"),
+                )
+            )
+        ).alias("__ga"),
+        theta.alias("__theta"),
+        (sx / nn / F.lit(1000.0)).alias("__xbar"),
+        ((syy - sy * sy / nn) / F.lit(1_000_000.0)).alias("__ssy_raw"),
+        F.col("__n").alias("__ntot"),
+    )
+    # per-row adjustment from the exact milli values; micro-round BEFORE
+    # the order-free arm sums (float-sum order is engine-dependent)
+    y = F.col("__ym").cast("double") / F.lit(1000.0)
+    x = F.col("__xm").cast("double") / F.lit(1000.0)
+    adj_micro = F.floor(
+        (y - F.col("__theta") * (x - F.col("__xbar"))) * F.lit(float(scale))
+        + F.lit(0.5)
+    ).cast("bigint")
+    arm = (
+        base.crossJoin(F.broadcast(scalars))
+        .select(
+            (F.col("__g") == F.col("__ga")).alias("__isa"),
+            adj_micro.alias("__a"),
+            "__theta", "__ssy_raw", "__ntot",
+        )
+        .groupBy("__theta", "__ssy_raw", "__ntot")
+        .agg(
+            F.sum(F.when(F.col("__isa"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+            F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("__isa"), F.col("__a")).otherwise(F.lit(0)).cast(dec)).alias("__sa"),
+            F.sum(F.when(~F.col("__isa"), F.col("__a")).otherwise(F.lit(0)).cast(dec)).alias("__sb"),
+            F.sum(F.when(F.col("__isa"), F.col("__a").cast(dec) * F.col("__a").cast(dec)).otherwise(F.lit(0).cast(dec))).alias("__saa"),
+            F.sum(F.when(~F.col("__isa"), F.col("__a").cast(dec) * F.col("__a").cast(dec)).otherwise(F.lit(0).cast(dec))).alias("__sbb"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    saa, sbb = F.col("__saa").cast("double"), F.col("__sbb").cast("double")
+    mu = float(scale)
+    mean_a, mean_b = sa / na / F.lit(mu), sb / nb / F.lit(mu)
+    var_a = F.when(
+        F.col("n_a") > 1, (saa - sa * sa / na) / (na - F.lit(1.0)) / F.lit(mu * mu)
+    ).otherwise(F.lit(0.0))
+    var_b = F.when(
+        F.col("n_b") > 1, (sbb - sb * sb / nb) / (nb - F.lit(1.0)) / F.lit(mu * mu)
+    ).otherwise(F.lit(0.0))
+    se = F.sqrt(var_a / na + var_b / nb)
+    ssy_adj = (saa + sbb).cast("double") - (sa + sb) * (sa + sb) / (na + nb)
+    var_red = F.lit(1.0) - (ssy_adj / F.lit(mu * mu)) / F.col("__ssy_raw")
+    return arm.select(
+        "n_a",
+        "n_b",
+        F.floor(F.col("__theta") * F.lit(mu) + F.lit(0.5)).cast("bigint").alias("theta_micro"),
+        F.floor(mean_a * F.lit(mu) + F.lit(0.5)).cast("bigint").alias("mean_adj_a_micro"),
+        F.floor(mean_b * F.lit(mu) + F.lit(0.5)).cast("bigint").alias("mean_adj_b_micro"),
+        F.floor((mean_a - mean_b) * F.lit(mu) + F.lit(0.5)).cast("bigint").alias("diff_micro"),
+        F.when(
+            se > 0,
+            F.floor((mean_a - mean_b) / se * F.lit(mu) + F.lit(0.5)).cast("bigint"),
+        ).alias("z_micro"),
+        F.when(
+            F.col("__ssy_raw") > 0,
+            F.floor(var_red * F.lit(mu) + F.lit(0.5)).cast("bigint"),
+        ).alias("var_reduction_micro"),
+    )

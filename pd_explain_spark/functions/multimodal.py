@@ -430,8 +430,43 @@ def _ahash_from_get(w: int, h: int, get, hd: int = 8) -> int:
     return hval
 
 
+def _dhash_from_get(w: int, h: int, get, hd: int = 8) -> int:
+    """Difference hash (dHash) from a decoded pixel accessor: an
+    (hd+1) x hd grid of EXACT block luma sums (same floor-boundary
+    cells as aHash), bit (cy*hd+cx) set when cell (cx, cy)'s mean
+    exceeds its RIGHT neighbor's — the horizontal-gradient signature,
+    robust to uniform brightness shifts that flip aHash bits near the
+    global mean. Compared by integer cross-multiplication, so the hash
+    is exact integer arithmetic end to end. Signed 64-bit like aHash."""
+    wd = hd + 1
+    sums = [[0] * wd for _ in range(hd)]
+    cnts = [[0] * wd for _ in range(hd)]
+    for cy in range(hd):
+        y0 = cy * h // hd
+        y1 = max(y0 + 1, (cy + 1) * h // hd)
+        for cx in range(wd):
+            x0 = cx * w // wd
+            x1 = max(x0 + 1, (cx + 1) * w // wd)
+            s = 0
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    r, g, b = get(x, y)
+                    s += r + g + b
+            sums[cy][cx] = s
+            cnts[cy][cx] = (y1 - y0) * (x1 - x0)
+    hval = 0
+    for cy in range(hd):
+        for cx in range(hd):
+            if sums[cy][cx] * cnts[cy][cx + 1] > sums[cy][cx + 1] * cnts[cy][cx]:
+                hval |= 1 << (cy * hd + cx)
+    if hval >= 1 << 63:
+        hval -= 1 << 64
+    return hval
+
+
 def _image_ahash_one(
-    payload: bytes | None, hd: int = 8, unsupported: str = "raise"
+    payload: bytes | None, hd: int = 8, unsupported: str = "raise",
+    from_get=_ahash_from_get,
 ) -> int | None:
     """Hash one image payload via the real decode dispatch (builtin
     PPM/BMP, then Pillow when importable). None for MISSING or CORRUPT
@@ -447,7 +482,7 @@ def _image_ahash_one(
             w, h, get = _builtin_decode(payload)
         except ValueError:
             return None
-        return _ahash_from_get(w, h, get, hd)
+        return from_get(w, h, get, hd)
     if HAS_PIL:
         import io
 
@@ -460,7 +495,7 @@ def _image_ahash_one(
         def get(x: int, y: int):
             return px[x, y]
 
-        return _ahash_from_get(img.width, img.height, get, hd)
+        return from_get(img.width, img.height, get, hd)
     if unsupported == "null":
         return None
     raise NotImplementedError(
@@ -699,4 +734,47 @@ def audio_features(df: DataFrame, unsupported: str = "raise") -> DataFrame:
 
     return df.select("media_id", "kind", "payload").mapInPandas(
         run, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def image_dhash(
+    df: DataFrame, hash_dim: int = 8, unsupported: str = "raise"
+) -> DataFrame:
+    """Perceptual difference-hash over an image media table — the
+    gradient twin of :func:`image_ahash`: bits compare each grid cell
+    to its right neighbor instead of the global mean, so uniform
+    brightness/contrast shifts (which move every pixel relative to the
+    global mean) leave the signature intact while still colliding
+    re-encodes and block-preserving rescales. Same schema, decode
+    dispatch, NULL/raise contract, and exact-integer portability as
+    image_ahash; group on (ahash, dhash) jointly for a lower-collision
+    duplicate key. Per-row scan-stage Arrow work, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for _, row in pdf.iterrows():
+                ids.append(row["media_id"])
+                if row["kind"] != "image":
+                    hashes.append(None)
+                    continue
+                p = row["payload"]
+                hashes.append(
+                    _image_ahash_one(
+                        bytes(p) if p is not None else None, hash_dim,
+                        unsupported=unsupported, from_get=_dhash_from_get,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        run, T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ])
     )

@@ -825,3 +825,66 @@ def calibration_bins(
             + F.lit(0.5)
         ).cast("bigint").alias("frac_pos_micro"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact Spearman rank correlation between two numeric columns —
+    the monotone-dependence twin of Pearson (which ``corr_matrix``
+    already covers): rho = Pearson over AVERAGE ranks, robust to
+    outliers and any monotone transform. Ties get average ranks (the
+    textbook convention). One row: (n, rho_micro), rho_micro NULL when
+    either column is constant (zero rank variance).
+
+    Determinism: global average ranks come from the bucketed
+    ``rank_col`` construction (value-range buckets + within-bucket rank
+    + driver carry — NO single-partition window at any size); DOUBLED
+    ranks are exact integers even at ties, so every moment accumulates
+    as DECIMAL(38,0) (order-free), and rho derives in one
+    identical-rule rounding site. Scale shape: two bucketed rank passes
+    (one shuffle each) + one map-combining moment aggregate."""
+    from ..operators.rolling import rank_col
+
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    ranked = rank_col(
+        rank_col(base, "__a", method="average", out_name="__ra"),
+        "__b",
+        method="average",
+        out_name="__rb",
+    ).select(
+        # average ranks are exact half-integers: double them back to
+        # exact bigints so the moment sums are order-free integers
+        F.floor(F.col("__ra") * F.lit(2.0) + F.lit(0.5)).cast("bigint").alias("__x"),
+        F.floor(F.col("__rb") * F.lit(2.0) + F.lit(0.5)).cast("bigint").alias("__y"),
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).alias("__sy"),
+        # cast-THEN-multiply: doubled ranks reach 2N, so a bigint
+        # square overflows int64 near 2e9 rows; decimal carries 38 digits
+        F.sum(F.col("__x").cast(dec) * F.col("__x").cast(dec)).alias("__sxx"),
+        F.sum(F.col("__y").cast(dec) * F.col("__y").cast(dec)).alias("__syy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__y").cast(dec)).alias("__sxy"),
+    )
+    nn = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = nn * sxx - sx * sx
+    vy = nn * syy - sy * sy
+    rho = (nn * sxy - sx * sy) / F.sqrt(vx * vy)
+    return agg.select(
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(rho * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),
+        ).alias("rho_micro"),
+    )

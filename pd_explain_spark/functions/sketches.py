@@ -985,3 +985,88 @@ def histogram_psi(
             F.col("__nb").cast("bigint").alias("n_b"),
         )
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    col: str,
+    alpha: float = 0.05,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Alpha-trimmed and winsorized location/spread — the robust
+    summary between mean (alpha=0) and median (alpha→0.5): drop the
+    k = floor(alpha·N) smallest and largest observations for the
+    trimmed mean; CLAMP them to the surviving extremes v_(k+1) /
+    v_(N-k) for the winsorized mean and standard deviation. COUNT-based
+    trimming (exact positions in the sorted order, ties split across
+    the boundary), not value-based — the textbook estimator. One row:
+    (n, k, trimmed_mean_micro, winsorized_mean_micro,
+    winsorized_std_micro).
+
+    Fit-style eager operator (the ab_test / ks_reference precedent):
+    the two boundary order statistics materialize at call time through
+    exact_quantiles' histogram-pruned rank search — NO global sort —
+    then ONE conditional-sum pass computes every moment. Determinism:
+    values quantize per row to MILLI integers once; boundary tie
+    arithmetic is pure integer position algebra; moments accumulate as
+    DECIMAL(38,0) and each output derives in one identical-rule
+    rounding site."""
+    import math
+
+    if not 0.0 <= alpha < 0.5:
+        raise ValueError(f"trimmed_stats: alpha must be in [0, 0.5), got {alpha}")
+    v = df.filter(F.col(col).isNotNull()).select(F.col(col).cast("double").alias("__v"))
+    n = v.count()
+    if n == 0:
+        raise ValueError("trimmed_stats: no non-NULL values")
+    k = int(math.floor(alpha * n))
+    if n - 2 * k < 1:
+        raise ValueError(
+            f"trimmed_stats: alpha={alpha} trims everything (n={n}, k={k})"
+        )
+    if k == 0:
+        lo_q, hi_q = 0.5 / n, (n - 0.5) / n
+    else:
+        lo_q, hi_q = (k + 0.5) / n, (n - k - 0.5) / n  # ceil -> ranks k+1, n-k
+    qs = exact_quantiles(v, "__v", [lo_q, hi_q]).collect()
+    lo, hi = float(qs[0]["value"]), float(qs[1]["value"])
+    lo_m, hi_m = math.floor(lo * 1000 + 0.5), math.floor(hi * 1000 + 0.5)
+    dec = "decimal(38,0)"
+    vm = F.floor(F.col("__v") * F.lit(1000.0) + F.lit(0.5)).cast("bigint")
+    mid = (F.col("__v") > F.lit(lo)) & (F.col("__v") < F.lit(hi))
+    agg = v.agg(
+        F.sum(F.when(F.col("__v") < F.lit(lo), 1).otherwise(0)).cast("bigint").alias("__clt_lo"),
+        F.sum(F.when(F.col("__v") <= F.lit(lo), 1).otherwise(0)).cast("bigint").alias("__cle_lo"),
+        F.sum(F.when(F.col("__v") < F.lit(hi), 1).otherwise(0)).cast("bigint").alias("__clt_hi"),
+        F.sum(F.when(mid, vm.cast(dec)).otherwise(F.lit(0).cast(dec))).alias("__mid_s"),
+        # cast-THEN-multiply: milli-squares overflow int64 at ~3e6-unit values
+        F.sum(F.when(mid, vm.cast(dec) * vm.cast(dec)).otherwise(F.lit(0).cast(dec))).alias("__mid_ss"),
+    ).collect()[0]
+    n_keep = n - 2 * k
+    if hi > lo:
+        n_lo = min(int(agg["__cle_lo"]), n - k) - k
+        n_hi = (n - k) - max(int(agg["__clt_hi"]), k)
+        t_sum = int(agg["__mid_s"]) + n_lo * lo_m + n_hi * hi_m
+        t_ss = int(agg["__mid_ss"]) + n_lo * lo_m * lo_m + n_hi * hi_m * hi_m
+    else:  # boundary order statistics coincide: every kept value is lo
+        n_lo, n_hi = n_keep, 0
+        t_sum, t_ss = n_keep * lo_m, n_keep * lo_m * lo_m
+    w_sum = t_sum + k * lo_m + k * hi_m
+    w_ss = t_ss + k * lo_m * lo_m + k * hi_m * hi_m
+    mu = float(scale)
+    t_mean = t_sum / n_keep / 1000.0
+    w_mean = w_sum / n / 1000.0
+    w_var = ((w_ss - w_sum * w_sum / n) / (n - 1) / 1e6) if n > 1 else 0.0
+    spark = df.sparkSession
+    row = [(
+        n,
+        k,
+        int(math.floor(t_mean * mu + 0.5)),
+        int(math.floor(w_mean * mu + 0.5)),
+        int(math.floor(math.sqrt(max(w_var, 0.0)) * mu + 0.5)),
+    )]
+    return spark.createDataFrame(
+        row,
+        "n bigint, k bigint, trimmed_mean_micro bigint, "
+        "winsorized_mean_micro bigint, winsorized_std_micro bigint",
+    ).limit(1)

@@ -1546,3 +1546,71 @@ def zipf_fit(
             denom != 0, F.floor(intercept * micro + F.lit(0.5)).cast("bigint")
         ).alias("intercept_micro"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic curation signal for audience targeting and for catching
+    machine-generated run-on text (reading ease collapses as sentence
+    length explodes). Heuristic syllables (exact transcription needs a
+    pronunciation lexicon): a word's syllable count is its number of
+    [aeiouy]+ vowel runs, floored at 1 — the standard cheap
+    approximation, deterministic and engine-portable. Sentences are
+    [.!?]+ runs floored at 1; words are whitespace tokens. One row per
+    doc: (id, n_words, n_sentences, n_syllables, flesch_micro,
+    fk_grade_micro); NULL scores for empty/NULL text (no words).
+
+    Scale shape: pure scan-stage expressions — regexp extraction plus
+    one HOF fold per doc, no explode and no shuffle; all three counts
+    are exact integers and each score is ONE IEEE expression over them
+    (single rounding site), so any engine reproduces the hash."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0)))
+    )
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    base = df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        syl.cast("bigint").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(
+                (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+                * F.lit(float(scale)) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("flesch_micro"),
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(
+                (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+                * F.lit(float(scale)) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("fk_grade_micro"),
+    )

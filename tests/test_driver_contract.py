@@ -90,11 +90,16 @@ def test_window_covers_every_operator_family():
         # windowed_psi_events is the batch twin of stream_psi_scores,
         # same standing as drift_scores_events / stream_drift_scores
         # interval_join_events is the batch twin of stream_interval_join
+        # windowed_ks_events is the batch twin of stream_ks_scores,
+        # same standing as the PSI pair
         "streaming": {"windowed_events", "sessionize_events", "drift_scores_events",
-                      "windowed_psi_events", "interval_join_events"},
-        # image_ahash_planted exercises the REAL PPM/BMP decode path
+                      "windowed_psi_events", "interval_join_events",
+                      "windowed_ks_events"},
+        # image_ahash_planted / image_dhash_planted exercise the REAL
+        # PPM/BMP decode path; audio_features_planted the WAV PCM parser
         "multimodal": {"multimodal_features", "multimodal_features_kernel",
-                       "image_ahash_planted"},
+                       "image_ahash_planted", "image_dhash_planted",
+                       "audio_features_planted"},
         "mini_language": {"mini_language_query"},
         "training_mix": {
             "redact_pii", "stratified_sample_lang", "pack_sequences",
@@ -120,6 +125,10 @@ def test_window_covers_every_operator_family():
         "events_analytics": {
             "event_funnel_events", "cohort_retention_events",
             "funnel_latency_events", "ab_test_events", "kaplan_meier_events",
+            # r10-r11 members: survival/test/attribution statistics
+            "nelson_aalen_events", "chisq_variants_events",
+            "attribution_events", "attribution_linear_events",
+            "logrank_events", "cuped_events",
         },
         "linalg": {
             "pca_component_emb", "pca_scores_emb", "pca_residuals_emb",
@@ -129,6 +138,10 @@ def test_window_covers_every_operator_family():
             "table_profile_lineitem", "check_constraints_lineitem",
             "key_skew_events", "join_profile_orders_customer",
             "dataset_checksum_docs",
+            # r10-r11 members: eval-QA + dependence statistics
+            "rater_agreement_orders", "benford_lineitem",
+            "classification_report_orders", "calibration_events",
+            "spearman_orders",
         },
         "dedup_metrics": {"dedup_recall_winnow", "dedup_sweep_winnow"},
     }

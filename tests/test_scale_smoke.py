@@ -207,6 +207,19 @@ ENTRIES = [
     # the calibration table one map-combining groupBy on the bin id
     "classification_report_orders",
     "calibration_events",
+    # r11 eighth wave: MW-U rides the same bounded distinct-value spine
+    # as KS; log-rank/CUPED compress to per-duration / per-user tables;
+    # Spearman is two bucketed rank passes + one moment aggregate;
+    # trimmed stats are the quantile rank search + one conditional scan;
+    # readability is pure scan-stage HOFs. image_dhash_planted is a
+    # fixed planted frame — nothing to scale (the audio smoke above is
+    # the decode-path scaling witness).
+    "mannwhitney_events",
+    "logrank_events",
+    "cuped_events",
+    "spearman_orders",
+    "trimmed_lineitem",
+    "readability_docs",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
