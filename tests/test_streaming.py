@@ -851,3 +851,33 @@ def test_stream_ks_scores_matches_batch(spark, events_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="reference"):
         windowed_ks(live_b, ref.limit(0))
+
+
+def test_stream_readability_matches_batch(spark, tmp_path):
+    """readability_scores is a stateless scan-stage projection, so it
+    composes with Structured Streaming unchanged: per-micro-batch
+    readability gating (the continuous-ingest quality screen) produces
+    exactly the batch rows."""
+    from pd_explain_spark import readability_scores
+
+    d = str(tmp_path / "docs_read")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.repartition(4).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        readability_scores(stream)
+        .writeStream.format("memory")
+        .queryName("readstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM readstream").collect())
+    )
+    want = sorted(map(tuple, readability_scores(docs).collect()))
+    assert got == want and len(want) == docs.count()
