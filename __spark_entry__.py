@@ -10622,6 +10622,134 @@ def image_dhash_planted_q(spark, sf_dir):
     return image_dhash(media).filter(F.col("dhash").isNotNull())
 
 
+@_q(
+    "rfm_events",
+    """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events
+       ), per AS (
+         SELECT user_id AS "user",
+                CAST(floor((mx.m - max(epoch_us(ts)))::DOUBLE
+                           / 3600000000.0) AS BIGINT) AS recency_hours,
+                count(*)::BIGINT AS frequency,
+                sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))::BIGINT
+                  AS monetary_milli
+         FROM events, mx
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+         GROUP BY user_id, mx.m
+       ), n AS (SELECT count(*)::BIGINT AS n FROM per
+       ), qq AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS q
+       ), ranks AS (
+         SELECT q, greatest(1, ceil(q * n.n::DOUBLE))::BIGINT AS rn FROM qq, n
+       ), rc AS (
+         SELECT recency_hours AS v,
+                row_number() OVER (ORDER BY recency_hours) AS rn FROM per
+       ), fc AS (
+         SELECT frequency AS v, row_number() OVER (ORDER BY frequency) AS rn
+         FROM per
+       ), mc AS (
+         SELECT monetary_milli AS v,
+                row_number() OVER (ORDER BY monetary_milli) AS rn FROM per
+       ), cuts AS (
+         -- one cut PER q (duplicates kept: the engine scores against
+         -- each cut independently, so a repeated cut value counts twice)
+         SELECT list(rc.v ORDER BY ranks.q) AS r_cuts,
+                list(fc.v ORDER BY ranks.q) AS f_cuts,
+                list(mc.v ORDER BY ranks.q) AS m_cuts
+         FROM ranks
+         JOIN rc ON rc.rn = ranks.rn
+         JOIN fc ON fc.rn = ranks.rn
+         JOIN mc ON mc.rn = ranks.rn
+       ), scored AS (
+         SELECT "user", recency_hours, frequency, monetary_milli,
+                (1 + len(list_filter(r_cuts, c -> recency_hours < c)))::INT
+                  AS r_score,
+                (1 + len(list_filter(f_cuts, c -> frequency > c)))::INT
+                  AS f_score,
+                (1 + len(list_filter(m_cuts, c -> monetary_milli > c)))::INT
+                  AS m_score
+         FROM per, cuts
+       )
+       SELECT "user", recency_hours, frequency, monetary_milli,
+              r_score, f_score, m_score,
+              (r_score * 100 + f_score * 10 + m_score)::INT AS rfm
+       FROM scored""",
+)
+def rfm_events_q(spark, sf_dir):
+    """RFM customer segmentation (functions/events.py rfm_segments):
+    per-user recency/frequency/monetary quintile scores against EXACT
+    rank-ceil corpus cuts (the histogram-pruned quantile search — no
+    global sort), recency inverted so fresher = higher. The oracle
+    replays the per-user rollup, the rank-ceil cut selection, and the
+    strict-comparison scoring in SQL."""
+    from pd_explain_spark.functions.events import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "bootstrap_mean_events",
+    """WITH base AS (
+         SELECT event_id::VARCHAR AS id,
+                CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+         FROM events WHERE value IS NOT NULL
+       ), dig AS (
+         SELECT g.range AS g, base.vm,
+                md5(base.id || ':42:' || g.range::VARCHAR) AS h
+         FROM base CROSS JOIN range(0, 50) g
+       ), rep AS (
+         -- two replicate lanes per digest; the uniform stays a raw
+         -- 15-hex substring (fixed-width lowercase hex orders
+         -- lexicographically == numerically)
+         SELECT 2 * g AS b, vm, substr(h, 1, 15) AS u FROM dig
+         UNION ALL
+         SELECT 2 * g + 1 AS b, vm, substr(h, 17, 15) AS u FROM dig
+       ), wt AS (
+         SELECT b, vm,
+                CASE
+                  WHEN u < '5e2d58d8b3bce00' THEN 0
+                  WHEN u < 'bc5ab1b16779c00' THEN 1
+                  WHEN u < 'eb715e1dc158300' THEN 2
+                  WHEN u < 'fb23979734a2500' THEN 3
+                  WHEN u < 'ff1025f59174e00' THEN 4
+                  WHEN u < 'ffd90f3ba405600' THEN 5
+                  WHEN u < 'fffa8b71fc72c00' THEN 6
+                  WHEN u < 'ffff540c0914b00' THEN 7
+                  ELSE 8
+                END AS w
+         FROM rep
+       ), means AS (
+         SELECT b,
+                CAST(floor(sum(w::HUGEINT * vm::HUGEINT)::DOUBLE
+                           / sum(w)::DOUBLE / 1000.0 * 1000000.0 + 0.5)
+                     AS BIGINT) AS m
+         FROM wt GROUP BY b HAVING sum(w) > 0
+       ), ranked AS (
+         SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means
+       ), overall AS (
+         SELECT count(*)::BIGINT AS n,
+                CAST(floor(sum(vm::HUGEINT)::DOUBLE / count(*)::DOUBLE
+                           / 1000.0 * 1000000.0 + 0.5) AS BIGINT) AS mean_micro
+         FROM base
+       )
+       SELECT n, mean_micro,
+              (SELECT m FROM ranked WHERE rn = 3) AS lo_micro,
+              (SELECT m FROM ranked WHERE rn = 98) AS hi_micro
+       FROM overall""",
+)
+def bootstrap_mean_events_q(spark, sf_dir):
+    """Deterministic Poisson-bootstrap CI for the mean event value
+    (functions/profiling.py bootstrap_mean_ci, Chamandy et al. 2012):
+    every row's replicate weight derives from md5(id, seed, b) through
+    the portable-hash contract, so the WHOLE resampling procedure —
+    one scan-stage explode, no shuffle of data rows — replays
+    bit-for-bit in SQL. 100 replicates; lo/hi are the rank-3 / rank-98
+    replicate means (rank-ceil percentile convention)."""
+    from pd_explain_spark.functions.profiling import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        _t(spark, sf_dir, "events"), "value", "event_id", n_boot=100, seed=42
+    )
+
+
 # ===========================================================================
 
 # The correctness harness records the FIRST 50 ``queries()`` entries, so

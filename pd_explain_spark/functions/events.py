@@ -1304,3 +1304,79 @@ def cuped_report(
             F.floor(var_red * F.lit(mu) + F.lit(0.5)).cast("bigint"),
         ).alias("var_reduction_micro"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic product-analytics rollup: per user, hours since their last
+    event (vs the corpus max), their event count, and their milli-exact
+    value sum, each scored 1..n_bins against EXACT corpus quantile cuts
+    (rank-ceil order statistics via the histogram-pruned search — never
+    a global sort). Recency is inverted so more-recent = higher score.
+    One row per user: (user, recency_hours, frequency, monetary_milli,
+    r_score, f_score, m_score, rfm — the concatenated segment integer,
+    e.g. 555 = best across all three).
+
+    Fit-style eager operator (ab_test / trimmed_stats precedent): the
+    3 x (n_bins - 1) cut values materialize at call time, then scoring
+    is ONE scan-stage expression over the per-user table. Scores are
+    1 + the count of cuts strictly below the value (strictly above, for
+    recency), so ties resolve identically in any engine. Scale shape:
+    one user-keyed aggregate (bounded by user count) + the quantile
+    fits over that bounded table."""
+    from .sketches import exact_quantiles
+
+    if n_bins < 2:
+        raise ValueError(f"rfm_segments: n_bins must be >= 2, got {n_bins}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    mx = base.agg(F.max(us).alias("__mx"))
+    # recency is vs the user's LAST event: min over rows of (__mx - us)
+    per = (
+        base.crossJoin(F.broadcast(mx))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.floor(
+                (F.min(F.col("__mx") - us)).cast("double") / F.lit(3_600_000_000.0)
+            ).cast("bigint").alias("recency_hours"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(
+                F.floor(F.col(value_col).cast("double") * F.lit(1000.0) + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("monetary_milli"),
+        )
+    )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = {}
+    for c in ("recency_hours", "frequency", "monetary_milli"):
+        cuts[c] = [int(r["value"]) for r in exact_quantiles(per, c, qs).collect()]
+
+    def score(col: str, invert: bool) -> F.Column:
+        s = F.lit(1)
+        for cut in cuts[col]:
+            s = s + (
+                (F.col(col) < F.lit(cut)) if invert else (F.col(col) > F.lit(cut))
+            ).cast("int")
+        return s.cast("int")
+
+    scored = per.select(
+        "user", "recency_hours", "frequency", "monetary_milli",
+        score("recency_hours", invert=True).alias("r_score"),
+        score("frequency", invert=False).alias("f_score"),
+        score("monetary_milli", invert=False).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int"),
+    )

@@ -10,6 +10,8 @@ corpus_diff, hll_distinct).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -887,4 +889,167 @@ def spearman_corr(
             (vx > 0) & (vy > 0),
             F.floor(rho * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),
         ).alias("rho_micro"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds for the deterministic bootstrap:
+# cdf[k] = e^-1 * sum_{i<=k} 1/i!, k = 0..7; the residual mass beyond 8
+# (~1.1e-7) clamps to 8 — documented bias far below bootstrap noise.
+_POISSON1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+]
+# the same thresholds as 15-hex-char string literals (floor(cdf * 16^15)):
+# the weight CASE compares the md5 substring DIRECTLY against these —
+# fixed-width lowercase hex orders lexicographically == numerically, so
+# no base-16 conversion and no division ever runs per row, and any
+# engine replays the comparison as a plain string compare.
+_POISSON1_HEX = [
+    format(math.floor(c * 16**15), "015x") for c in _POISSON1_CDF
+]
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 42,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the mean — the
+    assumption-free uncertainty band every experiment readout and data-
+    quality dashboard wants next to the point estimate. The Poisson
+    bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for
+    Massive Data Streams"): each row enters replicate b with a
+    Poisson(1) weight derived DETERMINISTICALLY from one md5 digest per
+    (row, replicate pair) — each digest feeds TWO replicates through
+    its two 15-hex lanes, and the inverse-CDF lookup compares the raw
+    hex substring against precomputed hex thresholds (fixed-width
+    lowercase hex orders lexicographically == numerically), so no
+    base conversion or division runs per row. One scan-stage explode +
+    a map-combining per-replicate aggregate — no resampling shuffle,
+    and any engine replays it bit-for-bit as plain string compares.
+    One row: (n, mean_micro, lo_micro, hi_micro) — lo/hi are rank-ceil
+    percentiles of the n_boot replicate means.
+
+    Determinism: values milli-quantize per row once; weighted sums
+    accumulate as DECIMAL(38,0); each replicate mean micro-rounds
+    BEFORE the bounded rank pick (ties break on the replicate index).
+    Scale shape: work is rows x n_boot inside one codegen'd explode
+    (weights never shuffle — only n_boot (sum, count) partials do);
+    the rank window runs over the n_boot-bounded, identity-limited
+    replicate table."""
+    if n_boot < 2:
+        raise ValueError(f"bootstrap_mean_ci: n_boot must be >= 2, got {n_boot}")
+    if n_boot % 2:
+        raise ValueError(
+            f"bootstrap_mean_ci: n_boot must be even (two replicate lanes "
+            f"per md5 digest), got {n_boot}"
+        )
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"bootstrap_mean_ci: alpha must be in (0, 1), got {alpha}")
+    import math
+
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.floor(F.col(col).cast("double") * F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint").alias("__vm"),
+    )
+    dec = "decimal(38,0)"
+
+    # one digest feeds TWO replicates (md5_int / md5_int_hi lanes — the
+    # corpus_minhash halving): md5 is the dominant cost at rows x n_boot
+    def w_of(hex15):
+        w = F.lit(8)
+        for k in range(len(_POISSON1_HEX) - 1, -1, -1):
+            w = F.when(hex15 < F.lit(_POISSON1_HEX[k]), F.lit(k)).otherwise(w)
+        return w
+
+    digest = F.md5(
+        F.concat_ws(
+            ":", F.col("__id"), F.lit(str(int(seed))), F.col("__g").cast("string")
+        )
+    )
+    w0 = w_of(F.substring(digest, 1, 15)).cast("bigint")
+    w1 = w_of(F.substring(digest, 17, 15)).cast("bigint")
+    # per-row products stay BIGINT (w <= 8, so the product is tiny); the
+    # overflow-safe decimal conversion happens once per AGGREGATE input,
+    # not per multiplication — and both lanes aggregate in ONE groupBy
+    # over the g-exploded rows, so no second explode doubles the stream
+    per_g = (
+        base.select(
+            "__id", "__vm",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_boot) // 2 - 1))
+            ).alias("__g"),
+        )
+        .select("__g", "__vm", w0.alias("__w0"), w1.alias("__w1"))
+        .groupBy("__g")
+        .agg(
+            F.sum((F.col("__w0") * F.col("__vm")).cast(dec)).alias("__s0"),
+            F.sum("__w0").cast("bigint").alias("__c0"),
+            F.sum((F.col("__w1") * F.col("__vm")).cast(dec)).alias("__s1"),
+            F.sum("__w1").cast("bigint").alias("__c1"),
+        )
+    )
+    lanes = F.array(
+        F.struct(
+            (F.col("__g") * 2).alias("b"),
+            F.col("__s0").alias("ws"),
+            F.col("__c0").alias("wc"),
+        ),
+        F.struct(
+            (F.col("__g") * 2 + 1).alias("b"),
+            F.col("__s1").alias("ws"),
+            F.col("__c1").alias("wc"),
+        ),
+    )
+    rep = (
+        per_g.select(F.explode(lanes).alias("__p"))
+        .select(
+            F.col("__p.b").alias("__b"),
+            F.col("__p.ws").alias("__ws"),
+            F.col("__p.wc").alias("__wc"),
+        )
+
+        .select(
+            "__b",
+            F.when(
+                F.col("__wc") > 0,
+                F.floor(
+                    F.col("__ws").cast("double") / F.col("__wc").cast("double")
+                    / F.lit(1000.0) * F.lit(float(scale)) + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("__mean"),
+        )
+        .filter(F.col("__mean").isNotNull())
+        .limit(int(n_boot))
+    )
+    wn = Window.orderBy("__mean", "__b")
+    lo_rank = max(1, math.ceil(alpha / 2.0 * n_boot))
+    hi_rank = max(1, math.ceil((1.0 - alpha / 2.0) * n_boot))
+    picked = (
+        rep.select("__mean", F.row_number().over(wn).alias("__rn"))
+        .filter(F.col("__rn").isin(lo_rank, hi_rank))
+        .groupBy()
+        .agg(
+            F.min(F.when(F.col("__rn") == lo_rank, F.col("__mean"))).alias("lo_micro"),
+            F.min(F.when(F.col("__rn") == hi_rank, F.col("__mean"))).alias("hi_micro"),
+        )
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.floor(
+            F.sum(F.col("__vm").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000.0) * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("bigint").alias("mean_micro"),
+    )
+    return overall.crossJoin(F.broadcast(picked)).select(
+        "n", "mean_micro", "lo_micro", "hi_micro"
     )

@@ -348,3 +348,88 @@ def test_dhash_format_crossing_collision_and_nulls(spark):
     got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
     assert got[0] is not None and got[0] == got[1]  # PPM == BMP re-encode
     assert got[2] is None and got[3] is None
+
+
+# ---------------------------------------------------------------- RFM
+
+
+def test_rfm_segments_ordering_and_extremes(spark):
+    import datetime
+
+    from pd_explain_spark.functions.events import rfm_segments
+
+    rows = []
+    for u in range(10):
+        for _ in range(u + 1):  # user u: u+1 events, value 10*(u+1)
+            rows.append((u, datetime.datetime(2024, 1, 1 + u), float(10 * (u + 1))))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    got = {r["user"]: r for r in rfm_segments(df).collect()}
+    # user 9: most recent, most frequent, highest spend -> 555;
+    # user 0 is worst on all three -> 111
+    assert got[9]["rfm"] == 555 and got[0]["rfm"] == 111
+    # scores are monotone in the underlying ordering
+    assert all(got[u + 1]["f_score"] >= got[u]["f_score"] for u in range(9))
+    assert got[5]["recency_hours"] == (9 - 5) * 24
+
+
+def test_rfm_validates_bins(spark):
+    from pd_explain_spark.functions.events import rfm_segments
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "user_id bigint, ts string, value double"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    with pytest.raises(ValueError, match="n_bins"):
+        rfm_segments(df, n_bins=1)
+
+
+# ---------------------------------------------------------------- bootstrap CI
+
+
+def test_bootstrap_matches_hand_replication(spark):
+    import hashlib
+    import random
+
+    from pd_explain_spark.functions.profiling import (
+        _POISSON1_HEX,
+        bootstrap_mean_ci,
+    )
+
+    random.seed(5)
+    vals = [(i, round(random.gauss(100, 15), 3)) for i in range(400)]
+    df = spark.createDataFrame(vals, "id bigint, x double")
+    r = bootstrap_mean_ci(df, "x", "id", n_boot=50, seed=42).collect()[0]
+
+    vm = {i: math.floor(v * 1000 + 0.5) for i, v in vals}
+    means = []
+    for g in range(25):
+        h = {i: hashlib.md5(f"{i}:42:{g}".encode()).hexdigest() for i, _ in vals}
+        for lane, b in ((0, 2 * g), (1, 2 * g + 1)):
+            ws = wc = 0
+            for i, _ in vals:
+                hx = h[i][0:15] if lane == 0 else h[i][16:31]
+                w = 8
+                for k in range(7, -1, -1):
+                    if hx < _POISSON1_HEX[k]:
+                        w = k
+                ws += w * vm[i]
+                wc += w
+            means.append((math.floor(ws / wc / 1000 * 1e6 + 0.5), b))
+    means.sort()
+    lo = means[max(1, math.ceil(0.025 * 50)) - 1][0]
+    hi = means[max(1, math.ceil(0.975 * 50)) - 1][0]
+    mean = math.floor(sum(vm.values()) / len(vals) / 1000 * 1e6 + 0.5)
+    assert r["n"] == 400
+    assert r["mean_micro"] == mean
+    assert (r["lo_micro"], r["hi_micro"]) == (lo, hi)
+    # and the band actually covers the true mean of the generator
+    assert r["lo_micro"] < 100_000_000 < r["hi_micro"]
+
+
+def test_bootstrap_validates_params(spark):
+    from pd_explain_spark.functions.profiling import bootstrap_mean_ci
+
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, x double")
+    with pytest.raises(ValueError, match="even"):
+        bootstrap_mean_ci(df, "x", "id", n_boot=51)
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_mean_ci(df, "x", "id", n_boot=50, alpha=1.5)

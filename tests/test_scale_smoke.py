@@ -220,6 +220,11 @@ ENTRIES = [
     "spearman_orders",
     "trimmed_lineitem",
     "readability_docs",
+    # RFM compresses to the per-user table + bounded quantile fits;
+    # the Poisson bootstrap is one scan-stage explode (rows x n_boot)
+    # + n_boot (sum, count) partials — work linear in rows at fixed B
+    "rfm_events",
+    "bootstrap_mean_events",
 ]
 
 # key column to shift per fact table (dims are copied once, unscaled —
