@@ -10772,10 +10772,11 @@ _RECORD_FIRST = [
     #      explainer kernels, mini-language, sinks, sketches, governance,
     #      linalg, dedup-metrics — the most complex member of each.
     #   NOT in this window, r12 pool in priority order: (1) the r11
-    #      eighth wave (mannwhitney_events, logrank_events, cuped_events,
-    #      spearman_orders, trimmed_lineitem, readability_docs,
-    #      image_dhash_planted — each oracle-green locally at sf0.001/
-    #      0.01/0.1); (2) the 14 remaining r06-stale re-checks
+    #      eighth/ninth waves (mannwhitney_events, logrank_events,
+    #      cuped_events, spearman_orders, trimmed_lineitem,
+    #      readability_docs, image_dhash_planted, rfm_events,
+    #      bootstrap_mean_events — each oracle-green locally at
+    #      sf0.001/0.01/0.1); (2) the 14 remaining r06-stale re-checks
     #      (q8_market_share, q13_customer_distribution,
     #      q16_supplier_count, q19_disjunctive_revenue, q22_idle_balances,
     #      hybrid_search_docs, top_terms_docs, lm_score_docs, and the six
