@@ -831,24 +831,35 @@ def mann_whitney_u(
         n_a * n_b / F.lit(12.0)
         * ((n + F.lit(1.0)) - F.col("__ties").cast("double") / (n * (n - F.lit(1.0))))
     )
-    out = agg.select(
-        F.when(
-            (F.col("n_a") > 0) & (F.col("n_b") > 0),
-            F.col("n_a"),
-        ).otherwise(
+    # the empty-side guard wraps EVERY output column (not just n_a): a
+    # downstream select that keeps only u_micro/z_micro must not let
+    # Catalyst column-prune the raise_error away (ADVICE r11) — with an
+    # empty side u2b = -u2a is garbage, so each dependent expression
+    # carries its own fail-loud gate, the log_rank_test pattern
+    both_sides = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+
+    def _guard(expr):
+        return F.when(both_sides, expr).otherwise(
             F.raise_error(
                 F.lit("mann_whitney_u: empty sample side (no non-NULL values)")
             ).cast("bigint")
-        ).alias("n_a"),
-        F.col("n_b"),
-        F.floor(
-            F.least(u2a, u2b).cast("double") / F.lit(2.0) * F.lit(float(scale))
-            + F.lit(0.5)
-        ).cast("bigint").alias("u_micro"),
-        F.when(
-            sigma2 > 0,
-            F.floor((ua - mu) / F.sqrt(sigma2) * F.lit(float(scale)) + F.lit(0.5))
-            .cast("bigint"),
+        )
+
+    out = agg.select(
+        _guard(F.col("n_a")).alias("n_a"),
+        _guard(F.col("n_b")).alias("n_b"),
+        _guard(
+            F.floor(
+                F.least(u2a, u2b).cast("double") / F.lit(2.0) * F.lit(float(scale))
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("u_micro"),
+        _guard(
+            F.when(
+                sigma2 > 0,
+                F.floor((ua - mu) / F.sqrt(sigma2) * F.lit(float(scale)) + F.lit(0.5))
+                .cast("bigint"),
+            )
         ).alias("z_micro"),
     )
     return out

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 __all__ = ["event_funnel", "cohort_retention", "cooccurrence_pairs",
            "funnel_user_times", "funnel_latency", "ab_test_report",
            "kaplan_meier", "nelson_aalen", "chisq_homogeneity",
-           "attribution_report", "log_rank_test", "cuped_report"]
+           "attribution_report", "log_rank_test", "cuped_report",
+           "rfm_segments"]
 
 
 def event_funnel(

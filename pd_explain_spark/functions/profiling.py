@@ -1033,13 +1033,36 @@ def bootstrap_mean_ci(
     wn = Window.orderBy("__mean", "__b")
     lo_rank = max(1, math.ceil(alpha / 2.0 * n_boot))
     hi_rank = max(1, math.ceil((1.0 - alpha / 2.0) * n_boot))
+    # fail-loud replicate census (ADVICE r11): zero-total-weight lanes
+    # are filtered out above, so on tiny inputs hi_rank could exceed the
+    # surviving count and the rank lookup would silently return NULL —
+    # instead rank lookups only fire when ALL n_boot replicates
+    # survived, and otherwise every output column raises
+    def _guarded(col):
+        return F.when(F.col("__nrep") == F.lit(int(n_boot)), col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bootstrap_mean_ci: only "),
+                    F.col("__nrep").cast("string"),
+                    F.lit(
+                        f" of {int(n_boot)} replicates have non-zero "
+                        "weight — the input is too small to bootstrap"
+                    ),
+                )
+            ).cast("bigint")
+        )
+
     picked = (
         rep.select("__mean", F.row_number().over(wn).alias("__rn"))
-        .filter(F.col("__rn").isin(lo_rank, hi_rank))
         .groupBy()
         .agg(
-            F.min(F.when(F.col("__rn") == lo_rank, F.col("__mean"))).alias("lo_micro"),
-            F.min(F.when(F.col("__rn") == hi_rank, F.col("__mean"))).alias("hi_micro"),
+            F.count(F.lit(1)).alias("__nrep"),
+            F.min(F.when(F.col("__rn") == lo_rank, F.col("__mean"))).alias("__lo"),
+            F.min(F.when(F.col("__rn") == hi_rank, F.col("__mean"))).alias("__hi"),
+        )
+        .select(
+            _guarded(F.col("__lo")).alias("lo_micro"),
+            _guarded(F.col("__hi")).alias("hi_micro"),
         )
     )
     overall = base.agg(

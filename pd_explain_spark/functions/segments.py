@@ -39,6 +39,7 @@ __all__ = [
     "token_chunk_segments",
     "segment_frequencies",
     "segment_dedup",
+    "span_dedup",
     "chunk_documents",
 ]
 

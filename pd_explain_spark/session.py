@@ -42,6 +42,11 @@ def get_spark(app_name: str = "pd_explain_spark", shuffle_partitions: int | None
         # parquet TIMESTAMP(NANOS) (e.g. the events table) has no Spark type;
         # read as long and let the readers convert to micros (= DuckDB behavior)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # checkpoint_df switches iterative loops to RELIABLE checkpoint()
+        # whenever a checkpoint dir is configured; without this cleaner,
+        # every superseded round's checkpoint files would accumulate in
+        # that dir for the life of the app (ADVICE r11)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
