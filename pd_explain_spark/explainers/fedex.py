@@ -47,6 +47,7 @@ from .histograms import (
     dual_histogram_union,
     profile_columns,
     shapley_dual_histograms,
+    shapley_dual_histograms_weighted,
 )
 
 DEFAULT_TOP_K = 1
@@ -243,14 +244,15 @@ class FedexExplainer(ExplainerBase):
             side_df = self._maybe_sample(side_df)
             candidates = self._candidate_columns(side_df, exclude=set(op.on))
             if candidates and rebuild:
-                # the profile agg, the histogram branch, AND the rebuilt
-                # result join below all consume this side: checkpoint the
-                # narrow fanned projection (+ join keys) ONCE so every
-                # later job reads cached partitioned blocks instead of
-                # re-decoding a possibly single-partition parquet scan
-                # serially. Sampling mode already checkpoints inside
-                # _maybe_sample. Bounded blocks, freed by the
-                # ContextCleaner with the explanation.
+                # the profile agg, the histogram branch, AND the other
+                # side's key-count table all consume this side:
+                # checkpoint the narrow fanned projection (+ join keys)
+                # ONCE so every later job reads cached partitioned
+                # blocks instead of re-decoding a possibly
+                # single-partition parquet scan serially. Sampling mode
+                # already checkpoints inside _maybe_sample. Bounded
+                # blocks, freed by the ContextCleaner with the
+                # explanation.
                 keep = list(dict.fromkeys(candidates + list(op.on)))
                 side_df = checkpoint_df(fan_out(side_df.select(*keep)))
             profiles = profile_columns(side_df, candidates)
@@ -258,32 +260,25 @@ class FedexExplainer(ExplainerBase):
             prepped[consider] = (side_df, profiles, rename)
         left_df, lp, lr = prepped["left"]
         right_df, rp, rr = prepped["right"]
-        if rebuild:
-            # result flavor for the HISTOGRAM only: re-join the two
-            # cached narrow sides on the recorded (keys, how) — the
-            # per-candidate value multiset is identical to op.result's
-            # (same equi-join multiplicities, same null-extension), but
-            # the job reads zero parquet. Internal __L_/__R_ names kill
-            # every cross-side collision.
-            lre = left_df.select(
-                *[F.col(k) for k in op.on],
-                *[F.col(c).alias(f"__L_{c}") for c in lp],
-            )
-            rre = right_df.select(
-                *[F.col(k) for k in op.on],
-                *[F.col(c).alias(f"__R_{c}") for c in rp],
-            )
-            hist_result = lre.join(rre, on=list(op.on), how=op.how)
-            lr = {c: f"__L_{c}" for c in lp}
-            rr = {c: f"__R_{c}" for c in rp}
-        else:
-            hist_result = op.result
         per_side: dict[str, tuple[list, dict]] = {}
         if lp or rp:
-            hist = shapley_dual_histograms(
-                left_df, right_df, hist_result, lp, rp, self.n_bins,
-                left_rename=lr, right_rename=rr,
-            )
+            if rebuild:
+                # weighted flavor: result-side counts derive from each
+                # side's join-key multiplicities — the rebuilt-join +
+                # third-explode branch this pipeline used to run is
+                # gone entirely (identical counts; see
+                # shapley_dual_histograms_weighted)
+                hist = shapley_dual_histograms_weighted(
+                    left_df, right_df, list(op.on), op.how, lp, rp, self.n_bins
+                )
+            else:
+                # sampling mode compares SAMPLED sides against the FULL
+                # recorded result — multiplicity weights of the sample
+                # would not reproduce that, so it keeps the union flavor
+                hist = shapley_dual_histograms(
+                    left_df, right_df, op.result, lp, rp, self.n_bins,
+                    left_rename=lr, right_rename=rr,
+                )
             for consider, profiles in (("left", lp), ("right", rp)):
                 prefix = f"{consider}:"
                 sub = hist[hist["attribute"].str.startswith(prefix)].copy()

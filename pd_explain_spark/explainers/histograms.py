@@ -190,6 +190,142 @@ def dual_histogram_union(
     ).toPandas()
 
 
+def shapley_dual_histograms_weighted(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str,
+    left_profiles: dict[str, ColumnProfile],
+    right_profiles: dict[str, ColumnProfile],
+    n_bins: int = 20,
+):
+    """Both Shapley players' dual histograms WITHOUT materializing the
+    join result. For an equi-join, a side attribute's value multiset in
+    the result IS the side's own multiset weighted by each row's join
+    multiplicity m(key) (rows of the other side sharing the key) —
+    plus, for outer flavors, one null-extension count landing in the
+    OPPOSITE side's NULL bin per unmatched retained row. So the result
+    branch of ``shapley_dual_histograms_union`` (a rebuilt join scanned
+    through a third explode) collapses into per-row weights on the two
+    side scans: src_cnt = count(*), res_cnt = sum(weight), computed in
+    the SAME exploded stream. Weight per side row:
+
+      inner          -> m          (unmatched rows vanish)
+      side retained  -> max(m, 1)  (unmatched rows survive once)
+      side dropped   -> m          (left side of a right join, etc.)
+
+    This halves the exploded row volume and removes the join shuffle
+    entirely when AQE broadcasts the (key, m) count tables — the
+    100 TB plan is two weighted scans plus two tiny key-count
+    aggregates. Counts are bit-identical to the union flavor (same
+    multiplicities, same null-extension, same ``_bin_expr`` keys).
+
+    Returns the collected pandas frame (attribute prefixed
+    ``left:``/``right:``), at most (n_left + n_right) * 2 * n_bins rows.
+    """
+    from ..operators.partitioning import fan_out
+
+    on = list(on)
+    h = (how or "inner").lower().replace("_", "")
+    if h in ("outer", "full", "fullouter"):
+        h = "full"
+    elif h == "leftouter":
+        h = "left"
+    elif h == "rightouter":
+        h = "right"
+    l_retained = h in ("left", "full")
+    r_retained = h in ("right", "full")
+
+    lk = left.groupBy(*on).agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+    rk = right.groupBy(*on).agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+
+    def side_hist(df: DataFrame, other_keys: DataFrame, profiles, prefix, retained):
+        avail = [c for c in profiles if c in df.columns]
+        if not avail:
+            return None
+        keep = list(dict.fromkeys(avail + on))
+        sel = fan_out(df.select(*[F.col(c) for c in keep]))
+        j = sel.join(other_keys, on=on, how="left")
+        m = F.coalesce(F.col("__m"), F.lit(0)).cast("bigint")
+        w = F.greatest(m, F.lit(1)) if retained else m
+        structs = [
+            F.struct(
+                F.lit(prefix + c).alias("attribute"),
+                _bin_expr_col(F.col(c), profiles[c], n_bins).alias("bin"),
+            )
+            for c in avail
+        ]
+        return (
+            j.select(
+                F.explode(F.array(*structs)).alias("s"),
+                w.alias("__w"),
+                (m == 0).cast("bigint").alias("__um"),
+            )
+            .groupBy(F.col("s.attribute").alias("attribute"), F.col("s.bin").alias("bin"))
+            .agg(
+                F.count(F.lit(1)).alias("src_cnt"),
+                F.sum("__w").alias("res_cnt"),
+                # unmatched-row census rides the same aggregate: summed
+                # over one attribute's bins it is the side's unmatched
+                # row count, which prices the null extension below with
+                # ZERO extra jobs
+                F.sum("__um").alias("__unmatched"),
+            )
+        )
+
+    lh = side_hist(left, rk, left_profiles, "left:", l_retained)
+    rh = side_hist(right, lk, right_profiles, "right:", r_retained)
+    if lh is None and rh is None:
+        import pandas as pd
+
+        return pd.DataFrame(columns=["attribute", "bin", "src_cnt", "res_cnt"])
+    both = lh.unionByName(rh) if lh is not None and rh is not None else (lh or rh)
+    pdf = both.toPandas()
+
+    def unmatched_of(prefix: str, own_keys: DataFrame, other_keys: DataFrame) -> int:
+        sub = pdf[pdf["attribute"].str.startswith(prefix)]
+        if len(sub):
+            first = sub["attribute"].iloc[0]
+            return int(sub[sub["attribute"] == first]["__unmatched"].sum())
+        # side had no candidate attrs: one tiny aggregate over the two
+        # key-count tables prices its unmatched rows
+        row = (
+            own_keys.join(other_keys.select(*on), on=on, how="left_anti")
+            .agg(F.coalesce(F.sum("__m"), F.lit(0)).alias("n"))
+            .first()
+        )
+        return int(row["n"])
+
+    import pandas as pd
+
+    ext_rows = []
+    # retained-but-unmatched LEFT rows extend the result with NULLs on
+    # the RIGHT side: every right attribute's NULL bin gains that count
+    # (and symmetrically)
+    for retained, prefix_src, own_k, other_k, target_profiles, target_prefix in (
+        (l_retained, "left:", lk, rk, right_profiles, "right:"),
+        (r_retained, "right:", rk, lk, left_profiles, "left:"),
+    ):
+        if not retained or not target_profiles:
+            continue
+        n_ext = unmatched_of(prefix_src, own_k, other_k)
+        if n_ext == 0:
+            continue
+        for c in target_profiles:
+            key = target_prefix + c
+            mask = (pdf["attribute"] == key) & (pdf["bin"] == NULL_TOKEN)
+            if mask.any():
+                pdf.loc[mask, "res_cnt"] = pdf.loc[mask, "res_cnt"] + n_ext
+            else:
+                ext_rows.append(
+                    {"attribute": key, "bin": NULL_TOKEN, "src_cnt": 0,
+                     "res_cnt": n_ext, "__unmatched": 0}
+                )
+    if ext_rows:
+        pdf = pd.concat([pdf, pd.DataFrame(ext_rows)], ignore_index=True)
+    return pdf.drop(columns="__unmatched").reset_index(drop=True)
+
+
 def shapley_dual_histograms(
     left: DataFrame,
     right: DataFrame,

@@ -450,3 +450,68 @@ def test_reference_named_shims(lineitem):
     via_class = ExplainerFactory().create_explainer("fedex", out)
     via_fn = create_explainer("fedex", out)
     assert type(via_class) is type(via_fn)
+
+
+# ------------------------------------------- shapley weighted-histogram parity
+def test_shapley_weighted_histograms_match_union_flavor(spark):
+    """The r12 weighted dual-histogram (result counts = side counts
+    weighted by join-key multiplicity, null extension in the opposite
+    side's NULL bin) must reproduce the rebuilt-join union flavor
+    bit-for-bit on every join type, including NULL keys, NULL values,
+    and multi-match keys."""
+    from pd_explain_spark.explainers.histograms import (
+        profile_columns,
+        shapley_dual_histograms,
+        shapley_dual_histograms_weighted,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 11.0, "b"), (2, None, "a"), (3, 30.0, None),
+         (None, 40.0, "c")] + [(5 + i, float(i), "x") for i in range(20)],
+        "k bigint, lv double, lc string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (2, 210.0), (4, 400.0), (None, 500.0)]
+        + [(5 + i, float(i * 10)) for i in range(10)],
+        "k bigint, rv double",
+    )
+    lp = profile_columns(left, ["lv", "lc"])
+    rp = profile_columns(right, ["rv"])
+    for how in ("inner", "left", "right", "full"):
+        res = left.selectExpr("k", "lv AS __L_lv", "lc AS __L_lc").join(
+            right.selectExpr("k", "rv AS __R_rv"), on=["k"], how=how
+        )
+        old = shapley_dual_histograms(
+            left, right, res, lp, rp, 20,
+            left_rename={"lv": "__L_lv", "lc": "__L_lc"},
+            right_rename={"rv": "__R_rv"},
+        )
+        new = shapley_dual_histograms_weighted(
+            left, right, ["k"], how, lp, rp, 20
+        )
+        key = ["attribute", "bin"]
+        o = old.groupby(key)[["src_cnt", "res_cnt"]].sum().sort_index()
+        n = new.groupby(key)[["src_cnt", "res_cnt"]].sum().sort_index()
+        assert o.equals(n.astype(o.dtypes.to_dict())), f"how={how} diverged"
+
+
+def test_shapley_weighted_histograms_one_side_without_candidates(spark):
+    """When a side has no candidate columns, the opposite side's null
+    extension is priced by the key-count anti-join fallback."""
+    from pd_explain_spark.explainers.histograms import (
+        NULL_TOKEN,
+        profile_columns,
+        shapley_dual_histograms_weighted,
+    )
+
+    left = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(100,), (101,)], "k bigint"
+    )
+    right = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k bigint, rv double"
+    )
+    rp = profile_columns(right, ["rv"])
+    pdf = shapley_dual_histograms_weighted(left, right, ["k"], "left", {}, rp, 20)
+    null_bin = pdf[(pdf["bin"] == NULL_TOKEN)]
+    # 2 unmatched retained left rows -> rv's NULL bin gains res_cnt 2
+    assert int(null_bin["res_cnt"].sum()) == 2
