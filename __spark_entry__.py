@@ -8167,26 +8167,34 @@ def projected_topk_emb_q(spark, sf_dir):
 
 
 def _embedding_near_dups_oracle_sql(
-    threshold=0.45, n_planes=4, n_tables=32, dim=64, seed=42
+    threshold=0.45, n_planes=4, n_tables=96, dim=64, seed=42, n_pool=32
 ) -> str:
-    """DuckDB mirror of the LSH near-dup pipeline with the seeded plane
-    constants inlined (same technique as _lsh_oracle_sql): multi-table
-    bucket self-join -> distinct pairs -> exact cosine verify, threshold
-    on the round-6 similarity, output single-rounded to 4."""
-    from pd_explain_spark.functions.similarity import _hyperplanes
+    """DuckDB mirror of the POOLED LSH near-dup pipeline with the seeded
+    plane constants inlined (same technique as _lsh_oracle_sql): n_pool
+    shared sign bits computed once per vector, each table recombining
+    n_planes of them by the same _pool_subsets draw as the Spark side —
+    then multi-table bucket self-join -> distinct pairs -> exact cosine
+    verify, threshold on the round-6 similarity, output single-rounded
+    to 4."""
+    from pd_explain_spark.functions.similarity import _hyperplanes, _pool_subsets
 
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t + 1)
-        terms = " + ".join(
-            "(CASE WHEN list_dot_product(v, ["
-            + ", ".join(repr(float(x)) for x in p)
-            + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-        tables.append(f"SELECT vec_id, {t} AS t, {terms} AS bucket FROM e")
+    planes = _hyperplanes(dim, n_pool, seed + 1)
+    subsets = _pool_subsets(n_pool, n_planes, n_tables, seed)
+    sign_terms = ", ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) >= 0 THEN 1 ELSE 0 END)"
+        for p in planes
+    )
+    tables = [
+        f"SELECT vec_id, {t} AS t, "
+        + " + ".join(f"sg[{ci + 1}] * {1 << i}" for i, ci in enumerate(sub))
+        + " AS bucket FROM s"
+        for t, sub in enumerate(subsets)
+    ]
     buckets = "\n UNION ALL ".join(tables)
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       s AS (SELECT vec_id, [{sign_terms}] AS sg FROM e),
        b AS ({buckets}),
        cand AS (
          SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -8203,16 +8211,20 @@ def _embedding_near_dups_oracle_sql(
 
 @_q("embedding_near_dups", _embedding_near_dups_oracle_sql())
 def embedding_near_dups_q(spark, sf_dir):
-    """32 OR'd hash tables: the test pairs sit right at the 0.45 threshold
-    (cosine 0.452-0.513), where per-table collision is only ~18%; with 32
-    tables the per-pair miss probability is ~2e-3, so recall vs the exact
-    entry is >=13/14 with probability ~0.9996 per run. Now oracle-checked
-    end to end — the plane constants inline into the DuckDB mirror."""
+    """Pooled LSH (r12): a 32-plane pool of sign bits, 96 tables each
+    recombining 4 bits — per-pair miss probability at the 0.45
+    threshold is 0.0021 (sum over A~Bin(32, 0.6486) of
+    (1 - C(A,4)/C(32,4))^96), matching the old 128-independent-plane
+    design at a quarter of the per-row hyperplane dots. The dots were
+    the driver-side plan-build + codegen wall locally (16.9s quiet in
+    r11, the slowest entry) and are the per-row scan cost at 100 TB.
+    Oracle-checked end to end — pool planes AND table subsets inline
+    into the DuckDB mirror."""
     from pd_explain_spark.functions.similarity import embedding_near_duplicates
 
     return embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=4, n_tables=32,
-        round_to=4,
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=4, n_tables=96,
+        round_to=4, n_pool=32,
     )
 
 

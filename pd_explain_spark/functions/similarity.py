@@ -168,15 +168,98 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket_expr(vec_col, planes: list[list[float]]):
-    """Bucket id = bit pattern of sign(v . h) over the hyperplanes."""
+    """Bucket id = bit pattern of sign(v . h) over the hyperplanes.
+
+    Each plane's coefficients land as ONE parsed SQL array literal
+    (``_sql_double_array``), not per-element ``F.lit`` columns: a
+    32-table x 4-plane x 64-dim bucket expression otherwise costs 8192
+    py4j round trips to BUILD and as many Literal children for the
+    analyzer to WALK — measured as the dominant wall-clock of
+    embedding_near_duplicates at sf0.1 (driver-side plan work; the
+    executors finish in under a second). repr(float) round-trips
+    exactly, so the parsed doubles are bit-identical to the r11
+    per-element form and every oracle mirror is unaffected."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
+        arr = F.expr(_sql_double_array(p))
         proj = _dot(vec_col.cast("array<double>"), arr)
         bucket = bucket.bitwiseOR(
             F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         )
     return bucket
+
+
+def _pool_subsets(n_pool: int, r: int, n_tables: int, seed: int) -> list[list[int]]:
+    """``n_tables`` deterministic DISTINCT r-subsets of ``range(n_pool)``
+    (LCG partial Fisher-Yates draws, duplicates redrawn). Shared by the
+    Spark bucket expression and the DuckDB oracle mirror so both engines
+    combine the identical sign bits per table."""
+    if n_tables > math.comb(n_pool, r):
+        raise ValueError(
+            f"n_tables={n_tables} exceeds the {math.comb(n_pool, r)} distinct "
+            f"{r}-subsets of a {n_pool}-plane pool"
+        )
+    state = ((seed or 1) * 2 + 1) % (1 << 64)
+    seen: set[tuple[int, ...]] = set()
+    out: list[list[int]] = []
+    while len(out) < n_tables:
+        idx: list[int] = []
+        pool = list(range(n_pool))
+        for j in range(r):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            idx.append(pool.pop((state >> 33) % (n_pool - j)))
+        key = tuple(sorted(idx))
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(idx)
+    return out
+
+
+def _pooled_table_bucket_frame(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int,
+    n_tables: int, n_pool: int, seed: int,
+) -> DataFrame:
+    """(id, tb=struct<t,b>) rows from a SHARED plane pool: ``n_pool``
+    sign bits are computed once per vector (32 hyperplane dots), and
+    each of the ``n_tables`` hash tables combines ``n_planes`` of those
+    bits (``_pool_subsets``) into its bucket id with integer arithmetic.
+
+    The independent-planes design pays n_tables * n_planes hyperplane
+    dots per row; at the embedding_near_duplicates operating point
+    (threshold 0.45, 4-bit buckets) matching its ~2e-3 per-pair miss
+    probability needs 128 independent planes but only a 32-plane pool
+    with 96 tables (sum over A~Bin(32, p_plane) of
+    (1 - C(A,4)/C(32,4))^96 = 0.0021 vs (1 - p^4)^32 = 0.0020): 4x
+    fewer dots on the scan stage — which is the driver-side plan-build
+    and codegen bottleneck locally, and the per-row scan cost at
+    100 TB — for 3x more (trivially cheap) integer bucket rows. The
+    table recombination is ONE parsed SQL expression, not py4j-built
+    columns (the r10 lesson: per-element driver traffic dominates).
+    """
+    planes = _hyperplanes(dim, n_pool, seed + 1)
+    subsets = _pool_subsets(n_pool, n_planes, n_tables, seed)
+    v = F.col(vec_col).cast("array<double>")
+    signs = F.array(
+        *[
+            F.when(_dot(v, F.expr(_sql_double_array(p))) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            for p in planes
+        ]
+    )
+    structs = ", ".join(
+        "named_struct('t', {t}, 'b', CAST({b} AS BIGINT))".format(
+            t=t,
+            b=" + ".join(
+                f"__sg[{ci}] * {1 << i}" for i, ci in enumerate(sub)
+            ),
+        )
+        for t, sub in enumerate(subsets)
+    )
+    return df.select(
+        F.col(id_col).alias("id"), signs.alias("__sg")
+    ).select("id", F.explode(F.expr(f"array({structs})")).alias("tb"))
 
 
 def _table_bucket_struct(vec, dim: int, n_planes: int, n_tables: int, seed: int):
@@ -288,6 +371,7 @@ def embedding_near_duplicates(
     n_tables: int = 16,
     seed: int = 42,
     round_to: int = 6,
+    n_pool: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-table LSH + exact verify.
     The threshold always applies to the 6-decimal similarity (stable
@@ -301,6 +385,12 @@ def embedding_near_duplicates(
     all-pairs product: the self-join key is (table, bucket), so work per
     table is sum-of-squared-bucket-sizes, and the distinct() collapses
     multi-table duplicates before the (vector-carrying) verify join.
+
+    ``n_pool``: share a pool of that many hyperplanes across tables
+    (``_pooled_table_bucket_frame``) instead of n_tables * n_planes
+    independent ones — the per-row scan work drops to n_pool dots while
+    more (integer-cheap) tables restore the recall; the standard knob
+    trade for scan-bound deployments. None keeps independent planes.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -319,12 +409,17 @@ def embedding_near_duplicates(
     # ~100 KB plan subtree that alone costs seconds to analyze) is
     # inlined and evaluated twice (same reason minhash_lsh_candidates
     # persists its banded frame)
-    hashed = base.select(
-        "id",
-        F.explode(
-            _table_bucket_struct(F.col("v"), dim, n_planes, n_tables, seed)
-        ).alias("tb"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if n_pool is not None:
+        hashed = _pooled_table_bucket_frame(
+            base, "id", "v", dim, n_planes, n_tables, n_pool, seed
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        hashed = base.select(
+            "id",
+            F.explode(
+                _table_bucket_struct(F.col("v"), dim, n_planes, n_tables, seed)
+            ).alias("tb"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     l, r = hashed.alias("l"), hashed.alias("r")
     cand = (
         l.join(r, (F.col("l.tb") == F.col("r.tb")) & (F.col("l.id") < F.col("r.id")))
@@ -1665,9 +1760,11 @@ def random_projection(
     planes = _hyperplanes(dim, out_dim, seed)
     scale = 1.0 / math.sqrt(out_dim)
     v = F.col(vec_col).cast("array<double>")
+    # one parsed SQL literal per plane (not out_dim x dim F.lit calls) —
+    # same doubles (repr round-trip), a fraction of the driver work
     proj = F.array(
         *[
-            _dot(v, F.array(*[F.lit(float(x)) for x in p])) * F.lit(scale)
+            _dot(v, F.expr(_sql_double_array(p))) * F.lit(scale)
             for p in planes
         ]
     )

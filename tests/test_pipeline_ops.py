@@ -3411,3 +3411,52 @@ def test_review_fixes_quantiles_and_profiling(spark):
     bare = h.select(F.col("bin").alias("bin", metadata={}), "cnt")  # strips metadata
     with pytest.raises(ValueError, match="mixed grids"):
         histogram_merge(h, bare)
+
+
+def test_pooled_lsh_matches_legacy_recall_contract(spark):
+    """The r12 pooled flavor (32-plane pool, 96 four-bit tables) must
+    hold the same exact-verify/no-false-positive contract and find at
+    least as many true pairs as the recall bound promises."""
+    from pd_explain_spark.functions.similarity import (
+        cosine as _cos,
+        embedding_near_duplicates,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    l, r = base.alias("l"), base.alias("r")
+    exact = {
+        (row["id_a"], row["id_b"])
+        for row in l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            _cos(F.col("l.v"), F.col("r.v")).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.45)
+        .collect()
+    }
+    pooled = {
+        (row["id_a"], row["id_b"])
+        for row in embedding_near_duplicates(
+            emb, id_col="vec_id", threshold=0.45, n_planes=4, n_tables=96,
+            n_pool=32,
+        ).collect()
+    }
+    assert pooled <= exact or not exact  # exact verify: no false positives
+    assert len(pooled & exact) >= 0.9 * len(exact)
+
+
+def test_pool_subsets_deterministic_and_distinct():
+    from pd_explain_spark.functions.similarity import _pool_subsets
+
+    a = _pool_subsets(32, 4, 96, 42)
+    b = _pool_subsets(32, 4, 96, 42)
+    assert a == b  # shared by Spark expr and DuckDB mirror: must replay
+    assert len({tuple(sorted(s)) for s in a}) == 96
+    assert all(len(set(s)) == 4 and all(0 <= i < 32 for i in s) for s in a)
+    import pytest
+
+    with pytest.raises(ValueError, match="distinct"):
+        _pool_subsets(5, 4, 99, 42)
