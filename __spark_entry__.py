@@ -9814,6 +9814,84 @@ def windowed_ks_events_q(spark, sf_dir):
     return windowed_ks(ev.filter("event_id % 2 = 1"), ref)
 
 
+@_q(
+    "windowed_mannwhitney_events",
+    """WITH a AS (
+         SELECT (floor(value / 10) * 10)::DOUBLE AS v, count(*)::BIGINT AS ca
+         FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+       ), sp AS (
+         SELECT v, ca,
+                COALESCE(sum(ca) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS clt
+         FROM a
+       ), na AS (SELECT sum(ca)::BIGINT AS n_a FROM a),
+       live AS (
+         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+                value AS v
+         FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+       ), snapped AS (
+         SELECT ws, (SELECT max(sp.v) FROM sp WHERE sp.v <= live.v) AS sv
+         FROM live
+       ), b AS (
+         SELECT ws, sv, count(*)::BIGINT AS cb FROM snapped GROUP BY 1, 2
+       ), wins AS (SELECT DISTINCT ws FROM b),
+       grid AS (
+         SELECT w.ws, sp.ca, sp.clt, COALESCE(b.cb, 0)::BIGINT AS cb
+         FROM wins w CROSS JOIN sp
+         LEFT JOIN b ON b.ws = w.ws AND b.sv = sp.v
+         UNION ALL
+         SELECT b.ws, 0::BIGINT, 0::BIGINT, b.cb FROM b WHERE b.sv IS NULL
+       ), agg AS (
+         SELECT ws, sum(cb)::BIGINT AS n_b,
+                sum(cb::HUGEINT * (2 * clt + ca)::HUGEINT) AS u2b,
+                sum((ca + cb)::HUGEINT * (ca + cb)::HUGEINT * (ca + cb)::HUGEINT
+                    - (ca + cb)::HUGEINT) AS tie
+         FROM grid GROUP BY 1
+       ), uz AS (
+         SELECT ws, n_b, u2b, tie, na.n_a,
+                2::HUGEINT * na.n_a::HUGEINT * n_b::HUGEINT - u2b AS u2a
+         FROM agg, na
+       )
+       SELECT ws AS window_start, n_b AS n_events,
+              CAST(floor(least(u2a, u2b)::DOUBLE / 2.0 * 1000000.0 + 0.5)
+                   AS BIGINT) AS u_micro,
+              CASE WHEN n_a::DOUBLE * n_b::DOUBLE / 12.0
+                        * ((n_a::DOUBLE + n_b::DOUBLE + 1.0)
+                           - tie::DOUBLE / ((n_a::DOUBLE + n_b::DOUBLE)
+                              * (n_a::DOUBLE + n_b::DOUBLE - 1.0))) > 0
+                THEN CAST(floor(
+                  (u2a::DOUBLE / 2.0 - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+                  / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+                         * ((n_a::DOUBLE + n_b::DOUBLE + 1.0)
+                            - tie::DOUBLE / ((n_a::DOUBLE + n_b::DOUBLE)
+                               * (n_a::DOUBLE + n_b::DOUBLE - 1.0))))
+                  * 1000000.0 + 0.5) AS BIGINT)
+                ELSE NULL END AS z_micro
+       FROM uz""",
+)
+def windowed_mannwhitney_events_q(spark, sf_dir):
+    """Per-window Mann-Whitney U drift monitor (functions/drift.py
+    mwu_reference + windowed_mann_whitney, r12): even event ids fit the
+    exact distinct-value spine on a 10-wide quantization grid
+    (floor(value/10)*10 — ~48 spine values at sf0.1), odd ids are the
+    live feed scored hourly. The location-shift complement of
+    windowed_ks_events: the spine folds into plan literals, per-window
+    state is len(spine) strict-less counters, and the tie-corrected U/z
+    fold is a stateless projection sharing every rounding convention
+    with the batch mannwhitney_events entry (live values snap to the
+    largest spine value <= v; the streaming twin stream_mwu_scores
+    shares the literal-folded fold, parity-pinned in test_streaming)."""
+    from pd_explain_spark.functions.drift import mwu_reference, windowed_mann_whitney
+
+    ev = _t(spark, sf_dir, "events")
+    ref = mwu_reference(
+        ev.filter("event_id % 2 = 0").select(
+            (F.floor(F.col("value") / 10) * 10).cast("double").alias("value")
+        )
+    )
+    return windowed_mann_whitney(ev.filter("event_id % 2 = 1"), ref)
+
+
 _AUDIO_WAVS = [(0, 500, 7, 3, 8000), (1, 800, 13, 11, 16000),
                (2, 256, 1, 0, 44100)]
 

@@ -863,3 +863,196 @@ def mann_whitney_u(
         ).alias("z_micro"),
     )
     return out
+
+
+def mwu_reference(
+    df: DataFrame,
+    value_col: str = "value",
+    max_values: int = 512,
+) -> DataFrame:
+    """Fit the Mann-Whitney drift reference (the ``ks_reference``
+    fit-once pattern): the trusted sample's EXACT distinct-value spine
+    with per-value counts and strict-less cumulative counts — the
+    artifact :func:`windowed_mann_whitney` / :func:`stream_mwu_scores`
+    score against forever. One row per distinct value:
+    (value, cnt, cum_lt); n_a = sum(cnt).
+
+    The spine cardinality is ENFORCED <= ``max_values`` (fail-loud
+    before collect, the batch :func:`mann_whitney_u` contract):
+    quantize high-precision continuous values first — the scorers fold
+    the spine into plan literals, so its size bounds both the plan and
+    the per-window state."""
+    vals = df.filter(F.col(value_col).isNotNull())
+    k = vals.select(F.countDistinct(value_col).alias("k")).first()["k"]
+    if k == 0:
+        raise ValueError("mwu_reference: no non-NULL values to fit on")
+    if k > max_values:
+        raise ValueError(
+            f"mwu_reference: {k} distinct values exceed max_values="
+            f"{int(max_values)} — quantize the value column first or raise "
+            "max_values"
+        )
+    counts = sorted(
+        (float(r["__v"]), int(r["__c"]))
+        for r in vals.groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    rows, cum = [], 0
+    for v, c in counts:
+        rows.append((v, c, cum))
+        cum += c
+    spark = df.sparkSession
+    out = spark.createDataFrame(rows, "value double, cnt bigint, cum_lt bigint")
+    return out.limit(len(rows))  # identity limit: O(spine) by construction
+
+
+def _mwu_ref_rows(reference: DataFrame) -> list:
+    rows = sorted(reference.collect(), key=lambda r: r["value"])
+    if not rows:
+        raise ValueError("MWU reference is empty — fit it with mwu_reference")
+    return rows
+
+
+def _mwu_fold_exprs(rows, lt_col_fmt: str, n_col, scale: int):
+    """(n_events, u_micro, z_micro) expressions over per-window
+    strict-less counters at the reference spine values.
+
+    Live rows SNAP to the spine step function (a value in
+    [spine_i, spine_i+1) scores as spine_i; values below the whole
+    spine form their own tie group that contributes 0 to U) — the
+    rank-preserving quantization onto the reference grid that makes the
+    per-window state exactly len(spine) bounded counters, the
+    windowed-KS probe-grid trade stated on the operator. Against the
+    quantized window the statistic is the EXACT tie-corrected
+    :func:`mann_whitney_u` (parity pinned in tests): every doubled
+    rank/tie term accumulates in DECIMAL(38,0) from exact bigint
+    counters, and u/z round once at the end."""
+    dec = "decimal(38,0)"
+    K = len(rows)
+    n_a = sum(int(r["cnt"]) for r in rows)
+    lt = lambda i: F.col(lt_col_fmt.format(i)).cast("bigint")
+    n_b = n_col.cast("bigint")
+    # snapped live bucket counts: below-spine, per spine value
+    b_below = lt(0)
+    buckets = [
+        (lt(i + 1) - lt(i)) if i + 1 < K else (n_b - lt(K - 1))
+        for i in range(K)
+    ]
+    # 2*U_b = sum_i b_i * (2*cum_lt_a_i + a_i): exact integers
+    u2b = F.lit(0).cast(dec)
+    for i, r in enumerate(rows):
+        coef = 2 * int(r["cum_lt"]) + int(r["cnt"])
+        u2b = u2b + buckets[i].cast(dec) * F.lit(coef).cast(dec)
+    u2a = F.lit(2 * n_a).cast(dec) * n_b.cast(dec) - u2b
+    # tie term sum(t^3 - t) over the combined sample's groups: the
+    # below-spine group (a=0) plus one group per spine value
+    tie = (
+        b_below.cast(dec) * b_below.cast(dec) * b_below.cast(dec)
+        - b_below.cast(dec)
+    )
+    for i, r in enumerate(rows):
+        t = buckets[i].cast(dec) + F.lit(int(r["cnt"])).cast(dec)
+        tie = tie + (t * t * t - t)
+    n_af, n_bf = F.lit(float(n_a)), n_b.cast("double")
+    n = n_af + n_bf
+    mu = n_af * n_bf / F.lit(2.0)
+    sigma2 = (
+        n_af * n_bf / F.lit(12.0)
+        * ((n + F.lit(1.0)) - tie.cast("double") / (n * (n - F.lit(1.0))))
+    )
+    ua = u2a.cast("double") / F.lit(2.0)
+    u_micro = F.floor(
+        F.least(u2a, u2b).cast("double") / F.lit(2.0) * F.lit(float(scale))
+        + F.lit(0.5)
+    ).cast("bigint")
+    z_micro = F.when(
+        sigma2 > 0,
+        F.floor((ua - mu) / F.sqrt(sigma2) * F.lit(float(scale)) + F.lit(0.5))
+        .cast("bigint"),
+    )
+    return n_b.cast("long").alias("n_events"), u_micro.alias("u_micro"), z_micro.alias("z_micro")
+
+
+def _mwu_lt_cols(rows, value_col: str):
+    return [
+        F.sum(
+            F.when(F.col(value_col) < F.lit(float(r["value"])), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"__lt{i}")
+        for i, r in enumerate(rows)
+    ] + [F.count(F.lit(1)).cast("bigint").alias("__n")]
+
+
+def windowed_mann_whitney(
+    df: DataFrame,
+    reference: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-window Mann-Whitney U drift monitor against a trusted
+    :func:`mwu_reference`: each window's live sample snaps onto the
+    reference's distinct-value spine and is rank-sum tested against the
+    reference — (window_start, n_events, u_micro, z_micro), the
+    location-shift complement of :func:`windowed_ks` (KS reads the
+    worst CDF gap; MW-U is far more powerful for a shift). z keeps the
+    exact tie correction; u_micro is min(U_a, U_b), z's sign is from
+    the reference side, both micro-rounded once — identical conventions
+    to the batch :func:`mann_whitney_u` (exact parity on spine-valued
+    windows is pinned in tests).
+
+    Plan shape (the windowed_ks deployment shape): the reference folds
+    into plan literals at build time; ONE aggregation produces
+    per-window strict-less counters at the spine values (shuffle
+    bounded by windows x 1 row, state bounded by len(spine) counters),
+    and the U/z fold is a stateless projection — the live table scans
+    once. Grid resolution: live values between spine points score at
+    the step below (and below-spine values tie at 0 wins), so fit the
+    reference on the quantization you monitor at."""
+    rows = _mwu_ref_rows(reference)
+    src = df.filter(F.col(value_col).isNotNull())
+    per = src.groupBy(
+        F.date_format(
+            F.window(F.col(ts_col), window)["start"], "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start")
+    ).agg(*_mwu_lt_cols(rows, value_col))
+    n_ev, u, z = _mwu_fold_exprs(rows, "__lt{}", F.col("__n"), scale)
+    return per.select("window_start", n_ev, u, z)
+
+
+def stream_mwu_scores(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Streaming flavor of :func:`windowed_mann_whitney` — the same
+    literal-folded spine and the same per-window strict-less counters
+    as ONE stateful aggregation (state = open windows x len(spine)
+    counters, watermark-bounded), with the U/z fold a stateless
+    projection; exact batch parity is pinned in test_streaming. Fit the
+    reference once in batch (mwu_reference on a trusted, pre-quantized
+    period), score the stream forever — the stream_ks_scores
+    deployment shape."""
+    from ..streaming.windows import _with_event_time
+
+    rows = _mwu_ref_rows(reference)
+    src = _with_event_time(stream_df, ts_col).select(ts_col, value_col).filter(
+        F.col(value_col).isNotNull()
+    )
+    agg = (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*_mwu_lt_cols(rows, value_col))
+    )
+    n_ev, u, z = _mwu_fold_exprs(rows, "__lt{}", F.col("__n"), scale)
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        n_ev, u, z,
+    )

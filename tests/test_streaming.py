@@ -881,3 +881,101 @@ def test_stream_readability_matches_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, readability_scores(docs).collect()))
     assert got == want and len(want) == docs.count()
+
+
+def test_stream_mwu_scores_matches_batch(spark, events_dir):
+    """Streaming Mann-Whitney monitor parity (r12): per-window
+    snapped-spine U/z of the replayed stream against a trusted
+    mwu_reference equals the batch windowed_mann_whitney on the same
+    reference — the literal-folded fold is shared, so any drift
+    between the two would be a state bug."""
+    from pyspark.sql import functions as F
+
+    from pd_explain_spark.functions.drift import (
+        mwu_reference, stream_mwu_scores, windowed_mann_whitney,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    ref = mwu_reference(
+        batch.filter("event_id % 2 = 0").select(
+            (F.floor(F.col("value") / 25) * 25).cast("double").alias("value")
+        )
+    )
+    live_b = batch.filter("event_id % 2 = 1")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir).filter(
+        "event_id % 2 = 1"
+    )
+    out = stream_mwu_scores(stream, ref, window="1 hour", watermark="10 hours")
+    q = (
+        out.writeStream.format("memory").queryName("mwu_q")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: (r["n_events"], r["u_micro"], r["z_micro"])
+        for r in spark.sql("select * from mwu_q").collect()
+    }
+    want = {
+        r["window_start"]: (r["n_events"], r["u_micro"], r["z_micro"])
+        for r in windowed_mann_whitney(live_b, ref, window="1 hour").collect()
+    }
+    assert got == want and len(want) > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="reference"):
+        windowed_mann_whitney(live_b, ref.limit(0))
+
+
+def test_windowed_mwu_matches_batch_mwu_on_snapped_values(spark):
+    """On spine-valued windows the windowed statistic IS the exact
+    tie-corrected batch mann_whitney_u; off-spine live values score as
+    the step below (and below-spine values as a 0-win tie group),
+    matching batch MWU run on the manually snapped sample."""
+    import datetime
+
+    from pd_explain_spark.functions.drift import (
+        mann_whitney_u, mwu_reference, windowed_mann_whitney,
+    )
+
+    a_vals = [1.0, 1.0, 2.0, 3.0, 3.0, 3.0, 5.0, 8.0, 8.0, 10.0]
+    A = spark.createDataFrame([(v,) for v in a_vals], "value double")
+    ref = mwu_reference(A, "value")
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    windows = {
+        0: [1.0, 3.0, 3.0, 5.0, 10.0, 10.0],   # on-spine, with ties
+        1: [2.0, 2.0, 8.0, 8.0, 8.0],          # on-spine
+        2: [4.5, 0.5, 99.0],                   # snaps to 3.0 / below / 10.0
+    }
+    rows = [
+        (t0 + datetime.timedelta(hours=h), v)
+        for h, vals in windows.items()
+        for v in vals
+    ]
+    live = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {
+        r["window_start"][11:13]: (r["n_events"], r["u_micro"], r["z_micro"])
+        for r in windowed_mann_whitney(live, ref).collect()
+    }
+    spine = sorted(v for v, in ((r["value"],) for r in ref.collect()))
+
+    def snap(v):
+        below = [s for s in spine if s <= v]
+        return max(below) if below else v  # below-spine keeps its own group
+    for h, vals in windows.items():
+        B = spark.createDataFrame([(snap(v),) for v in vals], "value double")
+        want = mann_whitney_u(A, B, "value").first()
+        assert got[f"{h:02d}"] == (
+            want["n_b"], want["u_micro"], want["z_micro"]
+        ), f"hour {h} diverged"
+
+
+def test_mwu_reference_fail_loud_contracts(spark):
+    import pytest as _pytest
+
+    from pd_explain_spark.functions.drift import mwu_reference
+
+    empty = spark.createDataFrame([], "value double")
+    with _pytest.raises(ValueError, match="no non-NULL values"):
+        mwu_reference(empty)
+    wide = spark.range(600).selectExpr("CAST(id AS DOUBLE) AS value")
+    with _pytest.raises(ValueError, match="quantize"):
+        mwu_reference(wide, max_values=512)
