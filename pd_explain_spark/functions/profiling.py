@@ -955,10 +955,20 @@ def bootstrap_mean_ci(
 
     from pyspark.sql import Window
 
-    base = df.filter(F.col(col).isNotNull()).select(
-        F.col(id_col).cast("string").alias("__id"),
-        F.floor(F.col(col).cast("double") * F.lit(1000.0) + F.lit(0.5))
-        .cast("bigint").alias("__vm"),
+    from ..session import spread_input
+
+    # the explode below multiplies per-row work n_boot/2-fold (one md5
+    # per (row, digest) pair is the dominant cost); spread a
+    # low-parallelism input across the session's cores first — no-op
+    # when the scan is already parallel (guide §2: partition by the
+    # work, not the file layout)
+    base = spread_input(
+        df.filter(F.col(col).isNotNull()).select(
+            F.col(id_col).cast("string").alias("__id"),
+            F.floor(F.col(col).cast("double") * F.lit(1000.0) + F.lit(0.5))
+            .cast("bigint").alias("__vm"),
+        ),
+        "__id",
     )
     dec = "decimal(38,0)"
 

@@ -248,18 +248,28 @@ def _pooled_table_bucket_frame(
             for p in planes
         ]
     )
-    structs = ", ".join(
-        "named_struct('t', {t}, 'b', CAST({b} AS BIGINT))".format(
-            t=t,
-            b=" + ".join(
-                f"__sg[{ci}] * {1 << i}" for i, ci in enumerate(sub)
-            ),
+    # The table recombination is data, not code: the n_tables x n_planes
+    # index subsets fold into ONE nested-array literal (ConstantFolding
+    # collapses the foldable CreateArray tree to a single Literal), and
+    # one small transform lambda recombines the shared sign bits per
+    # table. The previous explode(array(<n_tables inlined structs>))
+    # spelling generated a > 64 KB janino method at n_tables=96 —
+    # whole-stage codegen FAILED (compile attempt + interpreted
+    # fallback on every execution of the stage); this shape keeps the
+    # generated method tiny and the per-row work identical.
+    subsets_sql = "array(" + ",".join(
+        "array(" + ",".join(str(ci) for ci in sub) + ")" for sub in subsets
+    ) + ")"
+    comb = " + ".join(f"__sg[s[{i}]] * {1 << i}" for i in range(n_planes))
+    buckets = F.expr(f"transform({subsets_sql}, s -> CAST({comb} AS BIGINT))")
+    return (
+        df.select(F.col(id_col).alias("id"), signs.alias("__sg"))
+        .select("id", F.posexplode(buckets).alias("t", "b"))
+        .select(
+            "id",
+            F.struct(F.col("t").alias("t"), F.col("b").alias("b")).alias("tb"),
         )
-        for t, sub in enumerate(subsets)
     )
-    return df.select(
-        F.col(id_col).alias("id"), signs.alias("__sg")
-    ).select("id", F.explode(F.expr(f"array({structs})")).alias("tb"))
 
 
 def _table_bucket_struct(vec, dim: int, n_planes: int, n_tables: int, seed: int):

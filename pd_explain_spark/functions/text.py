@@ -940,9 +940,15 @@ def hashed_embeddings(
     if dim <= 0 or dim & (dim - 1):
         raise ValueError("dim must be a power of two (sign bit = h >> log2(dim))")
     _dim_bits = dim.bit_length() - 1
+    from ..session import spread_input
+
     h = md5_int(F.md5(F.col("gram")))
     signed = (
-        unigram_bigram_grams(df, text_col, id_col)
+        # the gram explode multiplies per-row work ~|tokens|-fold and
+        # every gram is md5-hashed; spread a low-parallelism input
+        # (single-row-group file) across the session first — no-op when
+        # the scan is already parallel (guide §2)
+        unigram_bigram_grams(spread_input(df, id_col), text_col, id_col)
         .select(
             "id",
             F.pmod(h, F.lit(dim)).cast("int").alias("coord"),
