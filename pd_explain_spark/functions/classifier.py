@@ -123,6 +123,15 @@ def train_quality_classifier(
     train = pos_vec.withColumn("label", F.lit(1.0)).unionByName(
         neg_vec.withColumn("label", F.lit(0.0))
     )
+    # Size the fit's parallelism to the TRAINING SET, not the session
+    # (guide §2: partition by the work): the balanced set is exactly
+    # 2 * n_ref rows, but inherits shuffle-partition counts from the
+    # bucket aggregation — L-BFGS then runs one treeAggregate job PER
+    # ITERATION over mostly-empty tasks (measured: a 16-row planted fit
+    # spent ~4s in 8 x 32-task iteration jobs). coalesce (no shuffle)
+    # to ~50k rows per partition, floored at 1; a genuinely large
+    # reference set keeps its parallelism.
+    train = train.coalesce(max(1, (2 * n_ref) // 50_000))
     lr = LogisticRegression(
         featuresCol="features", labelCol="label",
         regParam=reg_param, maxIter=max_iter, standardization=False,

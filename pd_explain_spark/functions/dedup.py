@@ -1041,6 +1041,13 @@ def minhash_dedup_against(
 
 
 # ---------------------------------------------------------------- components
+# Edge-count ceiling for the driver union-find fast path in
+# duplicate_components: ~200k (s, t) scalar rows is a few MB collected —
+# the same order as a broadcast-join build side. Above it, the
+# distributed pointer-jumping loop runs unchanged.
+_SMALL_GRAPH_EDGES = 200_000
+
+
 def duplicate_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1073,6 +1080,13 @@ def duplicate_components(
     The pair list is orders of magnitude smaller than the corpus at
     100 TB (it only contains near-duplicates), so iterating on it is
     cheap; the corpus itself is never rescanned.
+
+    Small graphs (<= ``_SMALL_GRAPH_EDGES`` directed edges) skip the
+    loop entirely: the materialized edge table is collected and exact
+    union-find runs on the driver — the identical min-label fixpoint in
+    one job instead of ~3 per round. The threshold mirrors the
+    broadcast-join decision shape, so a genuinely large duplicate graph
+    still takes the distributed path.
     """
     # localCheckpoint, not persist: the edge table is O(pairs)-bounded,
     # and every pointer-jumping round below joins it twice — with a
@@ -1087,6 +1101,50 @@ def duplicate_components(
         .distinct()
         .transform(checkpoint_df)
     )
+    # Small-graph fast path (r12 optimization): the distributed loop
+    # costs ~3 jobs per round (two eager checkpoints + a convergence
+    # count) — pure scheduling overhead when the edge list is tiny,
+    # which near-dup graphs usually are (they contain only duplicates).
+    # Below the threshold, collect the already-materialized edge table
+    # (bounded: <= ~2 * threshold rows of two scalar ids) and run exact
+    # union-find on the driver — the same unique min-label fixpoint the
+    # loop converges to, in ONE job instead of ~10. The threshold is
+    # what keeps this scale-safe: a 100 TB corpus whose duplicate graph
+    # exceeds it takes the distributed path unchanged (same decision
+    # shape as Spark's own broadcast-join threshold). The count itself
+    # reads the checkpointed edge blocks — no recompute.
+    n_edges = edges.limit(_SMALL_GRAPH_EDGES + 1).count()
+    if n_edges <= _SMALL_GRAPH_EDGES:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, t in rows:
+            parent.setdefault(s, s)
+            parent.setdefault(t, t)
+            rs, rt = _find(s), _find(t)
+            if rs != rt:
+                parent[rs] = rt
+        comp_min: dict = {}
+        roots = {x: _find(x) for x in parent}
+        for x, r in roots.items():
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        out_rows = [(x, comp_min[roots[x]]) for x in sorted(parent)]
+        spark = pairs.sparkSession
+        schema = edges.select(
+            F.col("s").alias("id"), F.col("s").alias("component")
+        ).schema
+        edges.unpersist()
+        return spark.createDataFrame(out_rows, schema)
     labels = (
         edges.select(F.col("s").alias("id"), F.col("s").alias("component"))
         .distinct()

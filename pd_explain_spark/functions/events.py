@@ -1357,6 +1357,16 @@ def rfm_segments(
             ).cast("bigint").alias("monetary_milli"),
         )
     )
+    # materialize the per-user rollup ONCE (r12): the three quantile
+    # fits and the final scoring plan all consume `per` — unmaterialized,
+    # the events scan + user aggregate re-ran for each of the ~10
+    # histogram-pruning jobs (measured ~4 recomputes per call). The
+    # table is bounded by user count; blocks release when the caller
+    # drops the result (ContextCleaner), the _settle_computed_input
+    # precedent.
+    from ..session import checkpoint_df
+
+    per = checkpoint_df(per)
     qs = [i / n_bins for i in range(1, n_bins)]
     cuts = {}
     for c in ("recency_hours", "frequency", "monetary_milli"):

@@ -3460,3 +3460,26 @@ def test_pool_subsets_deterministic_and_distinct():
 
     with pytest.raises(ValueError, match="distinct"):
         _pool_subsets(5, 4, 99, 42)
+
+
+def test_duplicate_components_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """r12: small graphs take a driver union-find fast path (one job);
+    forcing the threshold to 0 must run the distributed pointer-jumping
+    loop and produce the IDENTICAL (id, component) fixpoint — including
+    chains, disjoint clusters and string ids."""
+    import pd_explain_spark.functions.dedup as dd
+
+    links = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (5, 3)]
+    pairs = spark.createDataFrame(links, "id_a long, id_b long")
+    fast = sorted(map(tuple, dd.duplicate_components(pairs).collect()))
+    monkeypatch.setattr(dd, "_SMALL_GRAPH_EDGES", 0)
+    slow = sorted(map(tuple, dd.duplicate_components(pairs).collect()))
+    assert fast == slow
+    assert dict(fast)[5] == 1  # 5~3~2~1 chains to the min id
+
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    monkeypatch.undo()
+    sfast = sorted(map(tuple, dd.duplicate_components(spairs).collect()))
+    assert dict(sfast) == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
