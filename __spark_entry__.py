@@ -8070,7 +8070,14 @@ def embedding_near_dups_exact_q(spark, sf_dir):
         # writes the norms inline) hash-matches unchanged
         .withColumn("n", _norm(F.col("emb")))
     )
-    l, r = e.alias("l"), e.alias("r")
+    # the non-equi self-join is a broadcast nested-loop whose STREAMED
+    # side inherits the scan's partitioning — a single-row-group file
+    # makes every pair's HOF dot run in one task; fan out the streamed
+    # side so the quadratic verify spreads across the session (no-op on
+    # an already-parallel cluster scan; r12, guide §2.2)
+    from pd_explain_spark.operators.partitioning import fan_out
+
+    l, r = fan_out(e).alias("l"), e.alias("r")
     sim = _dot(F.col("l.emb"), F.col("r.emb")) / (F.col("l.n") * F.col("r.n"))
     return (
         l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))

@@ -189,12 +189,42 @@ class FedexExplainer(ExplainerBase):
         source = self._maybe_sample(op.source)
         filter_cols = set(op.predicate.columns()) if op.predicate else {op.attribute}
         candidates = self._candidate_columns(source, exclude=filter_cols)
+        released = None
+        if not self.use_sampling and candidates:
+            # full-data mode consumes the source twice (profile+corr
+            # agg, then the dual histogram) and both partial aggregates
+            # run inside the SCAN stage — on a low-split input (single
+            # row-group file) that is two serial single-task passes.
+            # Fan out + lazily persist the projected source: the
+            # profile agg populates the cache in its own (now parallel)
+            # job and the histogram reads cached blocks (guide
+            # §2.2/§5). Sampling mode already checkpoints its <= 5k-row
+            # sample in _maybe_sample.
+            from pyspark.storagelevel import StorageLevel
+
+            from ..operators.partitioning import fan_out
+
+            keep = [
+                c for c in source.columns
+                if c in set(candidates) | filter_cols
+                or (op.attribute is not None and c == op.attribute)
+            ]
+            source = fan_out(source.select(*keep)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            released = source
         profiles, corr = self._profile_and_corr(source, op.attribute, candidates)
         if not profiles:
+            if released is not None:
+                released.unpersist()
             return Explanation(kind="fedex-filter", query=op.query_string())
         hist = dual_histogram_predicate(
             source, op.predicate.to_spark(source), profiles, self.n_bins
         )
+        if released is not None:
+            # dual_histogram_predicate collects (pandas) — no further
+            # consumers of the cached projection
+            released.unpersist()
         items, scores = self._score_histogram(hist, profiles, side=None)
         exp = Explanation(
             kind="fedex-filter", query=op.query_string(), items=items[: self.top_k], scores=scores
@@ -238,26 +268,44 @@ class FedexExplainer(ExplainerBase):
 
         op: JoinOp = self.op
         rebuild = not self.use_sampling
-        prepped = {}
-        for consider in ("left", "right"):
+        released: list = []
+
+        def _prep(consider: str):
             side_df, side_name = self._join_side(consider)
             side_df = self._maybe_sample(side_df)
             candidates = self._candidate_columns(side_df, exclude=set(op.on))
             if candidates and rebuild:
                 # the profile agg, the histogram branch, AND the other
-                # side's key-count table all consume this side:
-                # checkpoint the narrow fanned projection (+ join keys)
-                # ONCE so every later job reads cached partitioned
-                # blocks instead of re-decoding a possibly
-                # single-partition parquet scan serially. Sampling mode
-                # already checkpoints inside _maybe_sample. Bounded
-                # blocks, freed by the ContextCleaner with the
-                # explanation.
+                # side's key-count table all consume this side: persist
+                # the narrow fanned projection (+ join keys) so every
+                # later job reads cached partitioned blocks instead of
+                # re-decoding a possibly single-partition parquet scan
+                # serially. LAZY persist (r12, was an eager
+                # checkpoint): the profile aggregate below is the first
+                # consumer and populates the cache inside its own job —
+                # one full materialization pass per side deleted from
+                # the pipeline. Sampling mode already checkpoints
+                # inside _maybe_sample; blocks are unpersisted once the
+                # histograms are collected.
+                from pyspark.storagelevel import StorageLevel
+
                 keep = list(dict.fromkeys(candidates + list(op.on)))
-                side_df = checkpoint_df(fan_out(side_df.select(*keep)))
+                side_df = fan_out(side_df.select(*keep)).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                released.append(side_df)
             profiles = profile_columns(side_df, candidates)
             rename = {c: f"{side_name}_{c}" for c in candidates}
-            prepped[consider] = (side_df, profiles, rename)
+            return (side_df, profiles, rename)
+
+        # the two sides are independent single-job pipelines — overlap
+        # them (guide §2.6): the second side's scan back-fills executor
+        # slots freed by the first side's tail
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut = {c: pool.submit(_prep, c) for c in ("left", "right")}
+            prepped = {c: f.result() for c, f in fut.items()}
         left_df, lp, lr = prepped["left"]
         right_df, rp, rr = prepped["right"]
         per_side: dict[str, tuple[list, dict]] = {}
@@ -279,6 +327,11 @@ class FedexExplainer(ExplainerBase):
                     left_df, right_df, op.result, lp, rp, self.n_bins,
                     left_rename=lr, right_rename=rr,
                 )
+            # the histograms are collected (pandas) — the cached side
+            # projections have no further consumers
+            for df in released:
+                df.unpersist()
+            released.clear()
             for consider, profiles in (("left", lp), ("right", rp)):
                 prefix = f"{consider}:"
                 sub = hist[hist["attribute"].str.startswith(prefix)].copy()
