@@ -118,10 +118,26 @@ def train_quality_classifier(
         .limit(n_ref)
         .drop("__ord")
     )
-    pos_vec = _bucket_count_vectors(reference_df, text_col, id_col, n_buckets)
-    neg_vec = _bucket_count_vectors(neg, text_col, id_col, n_buckets)
-    train = pos_vec.withColumn("label", F.lit(1.0)).unionByName(
-        neg_vec.withColumn("label", F.lit(0.0))
+    # vectorize BOTH classes in one pipeline (r12): the two per-class
+    # _bucket_count_vectors runs each paid their own explode + two
+    # shuffles + UDF stage over tiny frames — union first (ids
+    # disambiguated by a label-prefixed key, the classes may share an
+    # id space), one gram/bucket pass for the whole training set
+    uni = reference_df.select(
+        F.col(id_col).alias("__oid"), F.col(text_col).alias("__txt"),
+        F.lit(1.0).alias("__lbl"),
+    ).unionByName(
+        neg.select(
+            F.col(id_col).alias("__oid"), F.col(text_col).alias("__txt"),
+            F.lit(0.0).alias("__lbl"),
+        )
+    ).withColumn(
+        "__uid",
+        F.concat_ws(":", F.col("__lbl").cast("string"), F.col("__oid").cast("string")),
+    )
+    train = _bucket_count_vectors(uni, "__txt", "__uid", n_buckets).withColumn(
+        "label",
+        F.when(F.col("id").startswith("1.0:"), F.lit(1.0)).otherwise(F.lit(0.0)),
     )
     # Size the fit's parallelism to the TRAINING SET, not the session
     # (guide §2: partition by the work): the balanced set is exactly

@@ -106,7 +106,13 @@ def table_profile(
             F.min(_qcol(c)).cast("string").alias(f"__min_{i}"),
             F.max(_qcol(c)).cast("string").alias(f"__max_{i}"),
         ]
-    row = df.agg(*aggs)
+    # the multi-countDistinct aggregate Expands every row n_cols-fold in
+    # the scan stage; spread a low-parallelism input first so the
+    # expansion runs session-wide instead of inside one file split
+    # (no-op at cluster scan parallelism — guide §2.2)
+    from ..session import spread_input
+
+    row = spread_input(df.select(*[_qcol(c) for c in cols])).agg(*aggs)
     per_col = row.select(
         F.col("__n"),
         F.explode(

@@ -731,9 +731,14 @@ def exact_quantiles(
     # final distinct-value collect all consume `vals` — unpersisted,
     # every one re-executes whatever upstream pipeline produced df
     # (the ngram_jaccard_pairs persist rationale)
+    from ..session import spread_input
+
     vals = (
-        df.filter(F.col(col).isNotNull())
-        .select(F.col(col).alias("v"))
+        # spread before persisting: the histogram passes below re-scan
+        # this cache once per refinement round, and a single-split input
+        # (one-row-group file) would pin every pass to one task — no-op
+        # when the upstream is already parallel (guide §2.2)
+        spread_input(df.filter(F.col(col).isNotNull()).select(F.col(col).alias("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = vals.agg(

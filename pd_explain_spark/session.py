@@ -97,6 +97,11 @@ def spread_input(df, *keys: str):
     round-robin repartition is used (sortBeforeRepartition stays on, so
     retries are deterministic per SPARK-23207).
     """
+    if getattr(df, "isStreaming", False):
+        # no .rdd on a streaming frame; micro-batch parallelism is the
+        # source's concern (maxFilesPerTrigger etc.), same guard as
+        # dedup._fan_out
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
