@@ -53,6 +53,19 @@ def _e(spark: SparkSession, sf_dir: str, name: str):
     return to_explainable(_t(spark, sf_dir, name), name=name)
 
 
+def _overlap2(fa, fb):
+    """Run two independent eager pipeline builders concurrently (guide
+    §2.6): each thunk internally materializes (localCheckpoint), so run
+    serially the second pipeline's scan waits for the first's straggler
+    tail. Two driver threads let the scheduler back-fill freed executor
+    slots; results are returned in (fa, fb) order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a, b = pool.submit(fa), pool.submit(fb)
+        return a.result(), b.result()
+
+
 # ===========================================================================
 # entry: flagship query (driver smoke-check at sf0.001)
 # ===========================================================================
@@ -5836,8 +5849,10 @@ def dedup_sweep_winnow_q(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    cand = winnow_pairs(docs, k=3, window=4, threshold=0.0)
-    truth = ngram_jaccard_pairs(docs, threshold=0.5)
+    cand, truth = _overlap2(
+        lambda: winnow_pairs(docs, k=3, window=4, threshold=0.0),
+        lambda: ngram_jaccard_pairs(docs, threshold=0.5),
+    )
     return pair_metric_sweep(cand, truth, [0.1, 0.3, 0.5])
 
 
@@ -5925,8 +5940,10 @@ def dedup_recall_winnow_q(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    cand = winnow_pairs(docs, k=3, window=4, threshold=0.1)
-    truth = ngram_jaccard_pairs(docs, threshold=0.5)
+    cand, truth = _overlap2(
+        lambda: winnow_pairs(docs, k=3, window=4, threshold=0.1),
+        lambda: ngram_jaccard_pairs(docs, threshold=0.5),
+    )
     return pair_metrics(cand, truth)
 
 

@@ -2046,31 +2046,32 @@ def corpus_minhash(
     gram, halving the dominant md5 cost (r8 VERDICT perf note).
     ``num_hashes`` rides as column metadata so estimates over
     signatures of different widths fail loud."""
-    from .hashing import md5_int_hi
-
     if num_hashes < 1:
         raise ValueError("corpus_minhash: num_hashes must be >= 1")
     grams = _shingle_index(df, text_col, id_col, n).select("shingle").distinct()
+    # expressions are built as SQL strings, ONE py4j call per lane: the
+    # Column-by-Column build of 64 min(md5...) lanes cost ~6800 driver
+    # round-trips (~2s of plan-build wall per signature before any job
+    # ran). Parsed trees are identical — same md5_int/md5_int_hi
+    # arithmetic, and subexpression elimination still computes each
+    # digest ONCE per gram even though two lanes reference it.
     lanes = []
     for d in range((num_hashes + 1) // 2):
-        # subexpression elimination computes each digest ONCE per gram
-        # even though two lanes reference it
-        hx = F.md5(F.concat_ws("-", F.col("shingle"), F.lit(str(d))))
-        lanes.append(F.min(md5_int(hx)).alias(f"__h{2 * d}"))
+        hx = f"md5(concat_ws('-', shingle, '{d}'))"
+        lanes.append(
+            f"min(cast(conv(substring({hx}, 1, 15), 16, 10) as bigint)) AS __h{2 * d}"
+        )
         if 2 * d + 1 < num_hashes:
-            lanes.append(F.min(md5_int_hi(hx)).alias(f"__h{2 * d + 1}"))
-    row = grams.agg(*lanes)
-    stacked = row.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"), F.col(f"__h{i}").alias("min_hash")
-                    )
-                    for i in range(num_hashes)
-                ]
+            lanes.append(
+                f"min(cast(conv(substring({hx}, 17, 15), 16, 10) as bigint))"
+                f" AS __h{2 * d + 1}"
             )
-        ).alias("s")
+    row = grams.agg(*[F.expr(e) for e in lanes])
+    structs = ", ".join(
+        f"named_struct('i', {i}, 'min_hash', __h{i})" for i in range(num_hashes)
+    )
+    stacked = row.select(
+        F.expr(f"explode(array({structs}))").alias("s")
     ).select("s.i", "s.min_hash")
     # an empty corpus has no grams: min() is NULL — drop those rows so
     # merges with real corpora are identity, not NULL-poisoned
