@@ -627,21 +627,49 @@ def _ks_probe_rows(reference: DataFrame) -> list:
     return rows
 
 
-def _ks_d_expr(rows, count_col_fmt: str, total):
+def _ks_le_cols(rows, value_col: str):
+    """Per-probe conditional cumulative counters, one F.expr each (the
+    same sum(case when v <= probe) aggregates the Column build
+    produced, minus the py4j storm)."""
+    return [
+        F.expr(
+            f"cast(sum(case when `{value_col}` <="
+            f" {_dlit(float(r['probe_value']))} then 1 else 0 end) as bigint)"
+        ).alias(f"__le{r['probe_idx']}")
+        for r in rows
+    ]
+
+
+def _dlit(x: float) -> str:
+    """Exact double literal for composed SQL strings: the string→double
+    cast folds to a Literal at plan time, and Double.parseDouble
+    round-trips repr() exactly. The drift folds build their per-probe /
+    per-spine-value expressions as SQL strings parsed by ONE F.expr —
+    the Column-by-Column build cost ~10 py4j round-trips per term
+    (measured 12k round-trips / ~3s of driver wall per
+    windowed_mann_whitney build)."""
+    return f"cast('{x!r}' as double)"
+
+
+def _ks_d_expr(rows, count_col_fmt: str, total_sql: str):
     """max_i |F_w(probe_i) - F_ref(probe_i)| in integer micro-units:
     per-probe micro-rounding before the greatest() fold keeps the
     statistic an order-free integer max (the ks_two_sample contract).
     The reference fractions fold in as exact-integer-ratio literals."""
     terms = []
     for r in rows:
-        fw = F.col(count_col_fmt.format(r["probe_idx"])).cast("double") / total
-        fr = F.lit(int(r["ref_le"])).cast("double") / F.lit(int(r["ref_n"])).cast(
-            "double"
+        fw = f"(cast({count_col_fmt.format(r['probe_idx'])} as double) / {total_sql})"
+        fr = (
+            f"(cast({int(r['ref_le'])} as double)"
+            f" / cast({int(r['ref_n'])} as double))"
         )
         terms.append(
-            F.floor(F.abs(fw - fr) * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+            f"cast(floor(abs({fw} - {fr}) * {_dlit(1_000_000.0)}"
+            f" + {_dlit(0.5)}) as bigint)"
         )
-    return F.greatest(*terms) if len(terms) > 1 else terms[0]
+    return F.expr(
+        f"greatest({', '.join(terms)})" if len(terms) > 1 else terms[0]
+    )
 
 
 def windowed_ks(
@@ -669,20 +697,15 @@ def windowed_ks(
     live table scans once."""
     rows = _ks_probe_rows(reference)
     src = df.filter(F.col(value_col).isNotNull())
-    count_cols = [
-        F.sum(
-            F.when(F.col(value_col) <= F.lit(float(r["probe_value"])), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias(f"__le{r['probe_idx']}")
-        for r in rows
-    ] + [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    count_cols = _ks_le_cols(rows, value_col) + [
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    ]
     per = src.groupBy(
         F.date_format(
             F.window(F.col(ts_col), window)["start"], "yyyy-MM-dd HH:mm:ss"
         ).alias("window_start")
     ).agg(*count_cols)
-    d = _ks_d_expr(rows, "__le{}", F.col("__n").cast("double"))
+    d = _ks_d_expr(rows, "__le{}", "cast(__n as double)")
     return per.select(
         "window_start",
         F.col("__n").cast("long").alias("n_events"),
@@ -711,20 +734,15 @@ def stream_ks_scores(
     src = _with_event_time(stream_df, ts_col).select(ts_col, value_col).filter(
         F.col(value_col).isNotNull()
     )
-    count_cols = [
-        F.sum(
-            F.when(F.col(value_col) <= F.lit(float(r["probe_value"])), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias(f"__le{r['probe_idx']}")
-        for r in rows
-    ]
     agg = (
         src.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"))
-        .agg(*count_cols, F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .agg(
+            *_ks_le_cols(rows, value_col),
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+        )
     )
-    d = _ks_d_expr(rows, "__le{}", F.col("__n").cast("double"))
+    d = _ks_d_expr(rows, "__le{}", "cast(__n as double)")
     return agg.select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         F.col("__n").cast("long").alias("n_events"),
@@ -914,7 +932,7 @@ def _mwu_ref_rows(reference: DataFrame) -> list:
     return rows
 
 
-def _mwu_fold_exprs(rows, lt_col_fmt: str, n_col, scale: int):
+def _mwu_fold_exprs(rows, lt_col_fmt: str, n_col_sql: str, scale: int):
     """(n_events, u_micro, z_micro) expressions over per-window
     strict-less counters at the reference spine values.
 
@@ -928,59 +946,70 @@ def _mwu_fold_exprs(rows, lt_col_fmt: str, n_col, scale: int):
     :func:`mann_whitney_u` (parity pinned in tests): every doubled
     rank/tie term accumulates in DECIMAL(38,0) from exact bigint
     counters, and u/z round once at the end."""
+    # the fold is composed as ONE SQL string per output column (parsed
+    # by a single F.expr): with K spine values the Column-by-Column
+    # build made ~12k py4j round-trips (~3s of driver wall per call on
+    # a 48-value spine); the parsed trees are operation-identical, so
+    # every exact-integer and double rounding step is unchanged
     dec = "decimal(38,0)"
     K = len(rows)
     n_a = sum(int(r["cnt"]) for r in rows)
-    lt = lambda i: F.col(lt_col_fmt.format(i)).cast("bigint")
-    n_b = n_col.cast("bigint")
+    lt = lambda i: f"cast({lt_col_fmt.format(i)} as bigint)"
+    n_b = f"cast({n_col_sql} as bigint)"
     # snapped live bucket counts: below-spine, per spine value
     b_below = lt(0)
     buckets = [
-        (lt(i + 1) - lt(i)) if i + 1 < K else (n_b - lt(K - 1))
+        f"({lt(i + 1)} - {lt(i)})" if i + 1 < K else f"({n_b} - {lt(K - 1)})"
         for i in range(K)
     ]
     # 2*U_b = sum_i b_i * (2*cum_lt_a_i + a_i): exact integers
-    u2b = F.lit(0).cast(dec)
+    u2b_terms = [f"cast(0 as {dec})"]
     for i, r in enumerate(rows):
         coef = 2 * int(r["cum_lt"]) + int(r["cnt"])
-        u2b = u2b + buckets[i].cast(dec) * F.lit(coef).cast(dec)
-    u2a = F.lit(2 * n_a).cast(dec) * n_b.cast(dec) - u2b
+        u2b_terms.append(
+            f"cast({buckets[i]} as {dec}) * cast({coef} as {dec})"
+        )
+    u2b = "(" + " + ".join(u2b_terms) + ")"
+    u2a = f"(cast({2 * n_a} as {dec}) * cast({n_b} as {dec}) - {u2b})"
     # tie term sum(t^3 - t) over the combined sample's groups: the
     # below-spine group (a=0) plus one group per spine value
-    tie = (
-        b_below.cast(dec) * b_below.cast(dec) * b_below.cast(dec)
-        - b_below.cast(dec)
-    )
+    bb = f"cast({b_below} as {dec})"
+    tie_terms = [f"{bb} * {bb} * {bb} - {bb}"]
     for i, r in enumerate(rows):
-        t = buckets[i].cast(dec) + F.lit(int(r["cnt"])).cast(dec)
-        tie = tie + (t * t * t - t)
-    n_af, n_bf = F.lit(float(n_a)), n_b.cast("double")
-    n = n_af + n_bf
-    mu = n_af * n_bf / F.lit(2.0)
+        t = f"(cast({buckets[i]} as {dec}) + cast({int(r['cnt'])} as {dec}))"
+        tie_terms.append(f"({t} * {t} * {t} - {t})")
+    tie = "(" + " + ".join(tie_terms) + ")"
+    n_af, n_bf = _dlit(float(n_a)), f"cast({n_b} as double)"
+    n = f"({n_af} + {n_bf})"
+    mu = f"({n_af} * {n_bf} / {_dlit(2.0)})"
     sigma2 = (
-        n_af * n_bf / F.lit(12.0)
-        * ((n + F.lit(1.0)) - tie.cast("double") / (n * (n - F.lit(1.0))))
+        f"({n_af} * {n_bf} / {_dlit(12.0)}"
+        f" * (({n} + {_dlit(1.0)})"
+        f" - cast({tie} as double) / ({n} * ({n} - {_dlit(1.0)}))))"
     )
-    ua = u2a.cast("double") / F.lit(2.0)
-    u_micro = F.floor(
-        F.least(u2a, u2b).cast("double") / F.lit(2.0) * F.lit(float(scale))
-        + F.lit(0.5)
-    ).cast("bigint")
-    z_micro = F.when(
-        sigma2 > 0,
-        F.floor((ua - mu) / F.sqrt(sigma2) * F.lit(float(scale)) + F.lit(0.5))
-        .cast("bigint"),
+    ua = f"(cast({u2a} as double) / {_dlit(2.0)})"
+    u_micro = (
+        f"cast(floor(cast(least({u2a}, {u2b}) as double) / {_dlit(2.0)}"
+        f" * {_dlit(float(scale))} + {_dlit(0.5)}) as bigint)"
     )
-    return n_b.cast("long").alias("n_events"), u_micro.alias("u_micro"), z_micro.alias("z_micro")
+    z_micro = (
+        f"case when {sigma2} > {_dlit(0.0)} then"
+        f" cast(floor(({ua} - {mu}) / sqrt({sigma2})"
+        f" * {_dlit(float(scale))} + {_dlit(0.5)}) as bigint) end"
+    )
+    return (
+        F.expr(n_b).alias("n_events"),
+        F.expr(u_micro).alias("u_micro"),
+        F.expr(z_micro).alias("z_micro"),
+    )
 
 
 def _mwu_lt_cols(rows, value_col: str):
     return [
-        F.sum(
-            F.when(F.col(value_col) < F.lit(float(r["value"])), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias(f"__lt{i}")
+        F.expr(
+            f"cast(sum(case when `{value_col}` < {_dlit(float(r['value']))}"
+            f" then 1 else 0 end) as bigint)"
+        ).alias(f"__lt{i}")
         for i, r in enumerate(rows)
     ] + [F.count(F.lit(1)).cast("bigint").alias("__n")]
 
@@ -1019,7 +1048,7 @@ def windowed_mann_whitney(
             F.window(F.col(ts_col), window)["start"], "yyyy-MM-dd HH:mm:ss"
         ).alias("window_start")
     ).agg(*_mwu_lt_cols(rows, value_col))
-    n_ev, u, z = _mwu_fold_exprs(rows, "__lt{}", F.col("__n"), scale)
+    n_ev, u, z = _mwu_fold_exprs(rows, "__lt{}", "__n", scale)
     return per.select("window_start", n_ev, u, z)
 
 
@@ -1051,7 +1080,7 @@ def stream_mwu_scores(
         .groupBy(F.window(F.col(ts_col), window).alias("w"))
         .agg(*_mwu_lt_cols(rows, value_col))
     )
-    n_ev, u, z = _mwu_fold_exprs(rows, "__lt{}", F.col("__n"), scale)
+    n_ev, u, z = _mwu_fold_exprs(rows, "__lt{}", "__n", scale)
     return agg.select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         n_ev, u, z,

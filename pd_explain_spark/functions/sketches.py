@@ -789,67 +789,113 @@ def exact_quantiles(
     for q, r in _ranks().items():
         b, before = _locate(top, r)
         targets.setdefault(b, []).append((q, r - before))
-    # worklist of (frame, bin lo, bin width, rows in bin, pending
-    # (q, local rank) pairs, rounds spent) — pending ranks that diverge
-    # into different sub-bins split into INDEPENDENT work items, each
-    # narrowing on its own, so the final collect of every item honors
-    # max_collect (the old shared cursor broke on divergence and
-    # collected the whole parent bin — r8 ADVICE, driver-OOM risk on
-    # skewed high-cardinality columns)
+    # worklist item: an UNfiltered parent frame + its grid (lo, width)
+    # and the pending target bins inside it {bin: (rows_in, wants)}.
+    # Keeping a frame's bins together lets each driver round run ONE
+    # isin-filtered aggregate over the shared frame instead of one job
+    # per bin — with k quantile targets the per-bin loop paid k fixed
+    # job costs per depth for tiny disjoint aggregates (guide §1.2).
+    # Divergent ranks still narrow independently (per-bin child items,
+    # the r8 ADVICE fix), and every driver collect keeps its bound:
+    # leaf packs total <= max_collect rows, sub-histogram chunks
+    # <= max(max_collect, n_bins) rows.
     work: list[tuple] = [
-        (
-            vals.filter(_hist_bin(F.col("v"), lo, width, n_bins) == F.lit(b)),
-            lo + b * width,
-            width,
-            top[b],
-            wants,
-            0,
-        )
-        for b, wants in targets.items()
+        (vals, lo, width, {b: (top[b], w) for b, w in targets.items()}, 0)
     ]
     while work:
-        cur, cur_lo, cur_width, rows_in, wants, rounds = work.pop()
-        if rows_in > max_collect and cur_width > 0 and rounds < max_rounds:
-            # the narrowing filter must use the EXACT (lo, width) the
-            # sub-histogram was built with: reconstructing the origin as
-            # (cur_lo + sb*w) - sb*w is NOT an identity in IEEE floats,
-            # and a boundary value flipping bins between the count and
-            # the filter silently breaks the carried local ranks
-            sub_width = cur_width / n_bins
-            sub = {
-                r["bin"]: r["cnt"]
-                for r in cur.groupBy(
-                    _hist_bin(F.col("v"), cur_lo, sub_width, n_bins).alias("bin")
-                ).agg(F.count(F.lit(1)).alias("cnt")).collect()
-            }
-            by_sb: dict[int, list[tuple[float, int]]] = {}
-            for q, lr in wants:
-                sb, before = _locate(sub, lr)
-                by_sb.setdefault(sb, []).append((q, lr - before))
-            for sb, sub_wants in by_sb.items():
+        frame, flo, fwidth, bin_targets, rounds = work.pop()
+        leaf_bins: dict[int, tuple[int, list]] = {}
+        ref_bins: dict[int, list] = {}
+        for b, (rows_in, wants) in sorted(bin_targets.items()):
+            if rows_in > max_collect and fwidth > 0 and rounds < max_rounds:
+                ref_bins[b] = wants
+            else:
+                leaf_bins[b] = (rows_in, wants)
+        binexpr = _hist_bin(F.col("v"), flo, fwidth, n_bins)
+        # stage 4: exact distinct-value walk — leaf bins pack so each
+        # collect stays <= max_collect rows (an oversized forced leaf
+        # still collects alone, exactly as the per-bin loop did)
+        packs: list[list[int]] = []
+        pack_rows = 0
+        for b, (rows_in, _w) in sorted(
+            leaf_bins.items(), key=lambda kv: kv[1][0]
+        ):
+            if packs and pack_rows + rows_in <= max_collect:
+                packs[-1].append(b)
+                pack_rows += rows_in
+            else:
+                packs.append([b])
+                pack_rows = rows_in
+        for pack in packs:
+            got = (
+                frame.select(binexpr.alias("__b"), "v")
+                .filter(F.col("__b").isin([int(b) for b in pack]))
+                .groupBy("__b", "v")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            per: dict[int, list] = {}
+            for r in got:
+                per.setdefault(r["__b"], []).append((r["v"], r["c"]))
+            for b in pack:
+                vc = sorted(per.get(b, []))
+                for q, local_rank in leaf_bins[b][1]:
+                    cum = 0
+                    for v, c in vc:
+                        cum += c
+                        if cum >= local_rank:
+                            answers[q] = v
+                            break
+        if not ref_bins:
+            continue
+        # stage 3: re-histogram every oversized bin of this frame in one
+        # pass. The sub-grid origin flo + b*fwidth is evaluated with the
+        # same two IEEE binary64 ops in SQL (per row, b as a column) and
+        # in Python (for the child's scalar origin below), so a boundary
+        # value lands in the same sub-bin in the count and in the
+        # child's narrowing filter — the float-identity caveat the
+        # per-bin loop documented still holds.
+        sub_width = fwidth / n_bins
+        chunk = max(1, max(max_collect, n_bins) // n_bins)
+        refs = sorted(ref_bins)
+        for ci in range(0, len(refs), chunk):
+            bs = refs[ci : ci + chunk]
+            sub_origin = (
+                F.lit(flo) + F.col("__b").cast("double") * F.lit(fwidth)
+            )
+            subexpr = F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("v") - sub_origin) / F.lit(sub_width)
+                    ).cast("int"),
+                ),
+            ).cast("int")
+            got = (
+                frame.select(binexpr.alias("__b"), "v")
+                .filter(F.col("__b").isin([int(b) for b in bs]))
+                .select("__b", subexpr.alias("__sb"), "v")
+                .groupBy("__b", "__sb")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            hists: dict[int, dict[int, int]] = {}
+            for r in got:
+                hists.setdefault(r["__b"], {})[r["__sb"]] = r["cnt"]
+            for b in bs:
+                sub = hists.get(b, {})
+                by_sb: dict[int, list] = {}
+                for q, lr in ref_bins[b]:
+                    sb, before = _locate(sub, lr)
+                    by_sb.setdefault(sb, []).append((q, lr - before))
                 work.append((
-                    cur.filter(
-                        _hist_bin(F.col("v"), cur_lo, sub_width, n_bins) == F.lit(sb)
-                    ),
-                    cur_lo + sb * sub_width,
+                    frame.filter(binexpr == F.lit(int(b))),
+                    flo + b * fwidth,
                     sub_width,
-                    sub[sb],
-                    sub_wants,
+                    {sb: (sub[sb], sw) for sb, sw in by_sb.items()},
                     rounds + 1,
                 ))
-            continue
-        # stage 4: exact distinct-value walk of the bounded bin
-        vc = sorted(
-            (r["v"], r["c"])
-            for r in cur.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
-        )
-        for q, local_rank in wants:
-            cum = 0
-            for v, c in vc:
-                cum += c
-                if cum >= local_rank:
-                    answers[q] = v
-                    break
     vals.unpersist()  # answers are driver-side literals by now
     return spark.createDataFrame(
         [(float(q), answers[q]) for q in qs], out_schema
