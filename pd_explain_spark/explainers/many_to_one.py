@@ -258,6 +258,11 @@ class ManyToOneExplainer(ExplainerBase):
             rank = {l: i for i, l in enumerate(order)}
             counts = sorted(counts, key=lambda r: rank.get(r["__label"], len(rank)))
         keep = [r["__label"] for r in counts[: self.max_labels]]
+        # exact per-label row counts, already paid for by this job: the
+        # distributed mining path's cluster_sizes are THESE numbers
+        # (binned is a row-preserving projection of labeled), so
+        # generate_explanation reuses them instead of re-scanning
+        self._label_counts = {r["__label"]: int(r["count"]) for r in counts}
         if len(counts) > self.max_labels:
             labeled = labeled.filter(F.col("__label").isin(keep))
         return labeled, keep
@@ -509,10 +514,11 @@ class ManyToOneExplainer(ExplainerBase):
                     l: int((codes == i).sum()) for l, i in code_of.items()
                 }
             else:
-                cluster_sizes = {
-                    r["__label"]: r["n"]
-                    for r in binned.groupBy("__label").agg(F.count(F.lit(1)).alias("n")).collect()
-                }
+                # _labeled_df's pruning job already counted every kept
+                # label over the same rows (use_sampling=False means
+                # maybe_sample was the identity and binned is a
+                # row-preserving projection) — one full-scan job saved
+                cluster_sizes = {l: self._label_counts[l] for l in labels}
             total_rows = sum(cluster_sizes.values())
 
             # level-1 atoms: numeric -> one-sided splits at each interior bin

@@ -221,14 +221,32 @@ def _hot_shingles(inv: DataFrame, max_df: float, n_docs: int | None = None) -> D
     2) — the ONE definition of the boilerplate cap (boundary and floor),
     shared by within-corpus pruning and the cross-corpus flavors that
     prune BOTH sides by the corpus's statistics. ``n_docs`` skips the
-    countDistinct scan when the caller already knows the count."""
-    if n_docs is None:
-        n_docs = inv.select(F.countDistinct("id")).first()[0]
-    cap = max(int(n_docs * max_df), 2)
+    doc-count pass when the caller already knows the count.
+
+    The cap is a LAZY scalar subquery (keys=[] aggregate cross-joined
+    onto the per-shingle counts), not an eager ``countDistinct`` collect:
+    the eager form cost every ``max_df`` consumer one serial driver job
+    before its main pipeline could even start (guide §1.2 — fewer
+    passes). ``floor`` on the non-negative product matches the previous
+    ``int()`` truncation exactly."""
+    if n_docs is not None:
+        cap = max(int(n_docs * max_df), 2)
+        return (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") > cap)
+            .select("shingle")
+        )
+    cap_df = inv.agg(
+        F.greatest(
+            F.floor(F.countDistinct("id") * F.lit(max_df)).cast("long"), F.lit(2)
+        ).alias("__cap")
+    )
     return (
         inv.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_cnt"))
-        .filter(F.col("df_cnt") > cap)
+        .crossJoin(F.broadcast(cap_df))
+        .filter(F.col("df_cnt") > F.col("__cap"))
         .select("shingle")
     )
 
@@ -358,7 +376,27 @@ def _verify_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _jaccard_from_inter(inter, inv, threshold)
+    # set sizes from the candidate-restricted sides (ia/ib), not the full
+    # index: the jaccard join is inner on candidate ids, so non-candidate
+    # sizes were computed only to be dropped — O(candidates) beats
+    # O(corpus) at any scale, and each doc's own row count is unchanged
+    # by the semi-join, so every reported value is identical.
+    sa = ia.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_a"))
+    sb = ib.groupBy("__idb").agg(F.count(F.lit(1)).alias("n_b")).withColumnRenamed(
+        "__idb", "id_b"
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _jaccard_from_inter(inter: DataFrame, inv: DataFrame, threshold: float) -> DataFrame:
@@ -498,7 +536,31 @@ def _verified_cross_jaccard(
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _cross_jaccard_tail(inter, new_inv, corp_inv, threshold, corp_sizes)
+    # sizes from the candidate-restricted sides (same argument as
+    # _verify_pairs): the tail's joins are inner on candidate ids, so
+    # full-index size aggregates were pure discarded work. A doc's row
+    # count is unchanged by the semi-join — values identical.
+    sa = va.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_a"))
+    if corp_sizes is not None:
+        sb = corp_sizes.select(
+            F.col("id").alias("corpus_id"), F.col("n_sh").alias("n_b")
+        )
+    else:
+        sb = vb.groupBy("__idb").agg(
+            F.count(F.lit(1)).alias("n_b")
+        ).withColumnRenamed("__idb", "corpus_id")
+    return (
+        inter.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _cross_jaccard_tail(
@@ -765,25 +827,25 @@ def minhash_signatures(
     return _signatures_from_index(_shingle_index(df, text_col, id_col, n), num_hashes)
 
 
-def _hash_expr(shingle, i: int, hash_fn: str):
-    """Per-slot shingle hash. ``xxhash64`` (default) is the fast JVM
-    intrinsic; ``md5`` takes the first 15 hex chars of
-    md5("<shingle>-<i>") as a 60-bit integer — 3-5x slower, but both
-    engines hash identical bytes to identical values, which makes the
-    WHOLE minhash pipeline (signatures -> bands -> candidates -> verify)
-    DuckDB-oracle-checkable (('0x' || substr(md5(..), 1, 15))::BIGINT)."""
-    if hash_fn == "xxhash64":
-        return F.xxhash64(shingle, F.lit(i))
-    return md5_int(F.md5(F.concat_ws("-", shingle, F.lit(str(i)))))
-
-
 def _signatures_from_index(
     inv: DataFrame, num_hashes: int, hash_fn: str = "xxhash64"
 ) -> DataFrame:
-    aggs = [
-        F.min(_hash_expr(F.col("shingle"), i, hash_fn)).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
+    # one F.expr per slot instead of a ~6-call Column build (guide §7.3
+    # — the simhash/corpus_minhash SQL-string pattern): identical
+    # min(xxhash64/md5_int) trees, a fraction of the driver round-trips
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.expr(f"min(xxhash64(shingle, {i}))").alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.expr(
+                "min(cast(conv(substring(md5(concat_ws('-', shingle,"
+                f" '{i}')), 1, 15), 16, 10) as bigint))"
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     return (
         inv.groupBy("id")
         .agg(*aggs)
@@ -1458,18 +1520,25 @@ def simhash_signatures(
     # codegen'd sum aggregates (map-side combined): vote[b] = sum over
     # tokens of +-1 by bit b of the token hash. HOF F.aggregate over a
     # token-hash array is interpreted and recomputes the array per bit.
+    # Each vote and the 64-term sign fold are composed as SQL strings
+    # parsed by ONE F.expr apiece (guide §7.3): the Column-by-Column
+    # build cost ~10 py4j round-trips per bit — measured ~1.5s of pure
+    # driver wall per signature build, twice per roundtrip entry. Parsed
+    # trees are operation-identical (same when/sum/shiftleft/| nodes),
+    # so aggregation semantics and signatures are bit-identical.
     votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.expr(f"shiftleft(1L, {b})")) != 0, 1).otherwise(-1)
+        F.expr(
+            f"sum(case when (h & shiftleft(1L, {b})) != 0"
+            " then 1 else -1 end)"
         ).alias(f"_v{b}")
         for b in range(bits)
     ]
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        mask = F.expr(f"shiftleft(1L, {b})")
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"_v{b}") > 0, mask).otherwise(F.lit(0).cast("long"))
+    sig = F.expr(
+        " | ".join(
+            f"(case when _v{b} > 0 then shiftleft(1L, {b}) else 0L end)"
+            for b in range(bits)
         )
+    )
     return inv.groupBy("id").agg(*votes).select("id", sig.alias("simhash"))
 
 

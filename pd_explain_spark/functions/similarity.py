@@ -538,6 +538,24 @@ def ivf_build_fixed(
     against the broadcast centroid table with a per-vector argmin
     window (partitioned by vector id, so no skew).
     """
+    c, cent_df, cent_rows = _ivf_fixed_centroids(
+        corpus, id_col, vec_col, n_centroids
+    )
+    return IvfIndex(
+        assigned=_assign_buckets(c, cent_df, _cent_rows=cent_rows),
+        centroids=cent_df,
+    )
+
+
+def _ivf_fixed_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+):
+    """The md5-seeded deterministic centroid pick of
+    :func:`ivf_build_fixed`, without the corpus assignment: returns
+    (projected corpus, driver-literal centroid frame, centroid rows).
+    Split out so callers that only need the centroids (e.g.
+    ``semantic_dedup_pairs_against``) skip building the discarded
+    assignment expression."""
     # NO frame-level null filter here: a filter on the vector column
     # would force the id-only seed job below to COMPUTE the vectors
     # (defeating its pruning) when they come from a computed pipeline
@@ -578,18 +596,13 @@ def ivf_build_fixed(
         for v in seed_ids
         if by_id.get(v) is not None
     ]
+    cent_rows = [(i, cv) for i, (_, cv) in enumerate(seeds)]
     # identity limit (see ivf_build): marks the driver-literal frame as
     # O(k) in the plan so its broadcasts audit as the bounded idiom
     cent_df = corpus.sparkSession.createDataFrame(
-        [(i, cv) for i, (_, cv) in enumerate(seeds)],
-        "bucket int, centroid array<double>",
-    ).limit(max(len(seeds), 1))
-    return IvfIndex(
-        assigned=_assign_buckets(
-            c, cent_df, _cent_rows=[(i, cv) for i, (_, cv) in enumerate(seeds)]
-        ),
-        centroids=cent_df,
-    )
+        cent_rows, "bucket int, centroid array<double>"
+    ).limit(max(len(cent_rows), 1))
+    return c, cent_df, cent_rows
 
 
 def _sql_double_array(vals) -> str:
@@ -1189,24 +1202,32 @@ def semantic_dedup_pairs_against(
     # n_iter > 0 fits the centroids on the CORPUS with the exact-integer
     # Lloyd loop (ivf_build_kmeans) — still corpus-side-only, so bucket
     # boundaries stay stable across arriving batches
-    builder = (
-        (lambda d: ivf_build_kmeans(d, id_col, vec_col, n_centroids, n_iter=n_iter))
-        if n_iter > 0
-        else (lambda d: ivf_build_fixed(d, id_col, vec_col, n_centroids))
-    )
-    cent_rows = builder(corpus_df).centroids.collect()
-    # identity limit (see ivf_build): marks the driver-literal frame as
-    # O(k) in the plan so its broadcasts audit as the bounded idiom
-    cent_df = corpus_df.sparkSession.createDataFrame(
-        [(int(r["bucket"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
-        "bucket int, centroid array<double>",
-    ).limit(len(cent_rows))
+    if n_iter > 0:
+        cent_rows = [
+            (int(r["bucket"]), [float(x) for x in r["centroid"]])
+            for r in ivf_build_kmeans(
+                corpus_df, id_col, vec_col, n_centroids, n_iter=n_iter
+            ).centroids.collect()
+        ]
+        # identity limit (see ivf_build): marks the driver-literal frame
+        # as O(k) in the plan so its broadcasts audit as the bounded idiom
+        cent_df = corpus_df.sparkSession.createDataFrame(
+            cent_rows, "bucket int, centroid array<double>"
+        ).limit(len(cent_rows))
+    else:
+        # the fixed flavor's centroid pick WITHOUT its corpus assignment
+        # (discarded here) — and cent_rows ride to both _assign_buckets
+        # calls below, so the driver-literal frame is never re-collected
+        _, cent_df, cent_rows = _ivf_fixed_centroids(
+            corpus_df, id_col, vec_col, n_centroids
+        )
     corp = _assign_buckets(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         ),
         cent_df,
+        _cent_rows=cent_rows,
     ).withColumn("n", _norm(F.col("cv"))).filter(F.col("n") > 0)
     new = _assign_buckets(
         new_df.select(
@@ -1214,6 +1235,7 @@ def semantic_dedup_pairs_against(
             F.col(vec_col).cast("array<double>").alias("cv"),
         ),
         cent_df,
+        _cent_rows=cent_rows,
     ).withColumn("n", _norm(F.col("cv"))).filter(F.col("n") > 0)
     a = new.select(
         F.col("neighbor_id").alias("new_id"), "bucket",
