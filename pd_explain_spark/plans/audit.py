@@ -24,6 +24,11 @@ reads in ``df.explain('formatted')``:
                                    pushable by design).
  * scan reads every column      -> missing column pruning (ReadSchema as
                                    wide as the file): info.
+ * Generate at raw scan
+   parallelism                  -> a work-multiplying explode inherits
+                                   the file layout's task count; spread
+                                   the input first when the multiplier
+                                   is large (session.spread_input): info.
 """
 
 from __future__ import annotations
@@ -161,6 +166,17 @@ _EXPANDING_OPS = ("Generate", "Expand", "Union", "CartesianProduct")
 # fatal (observed on ivf_query's reused centroid broadcast).
 _REUSED_RE = re.compile(r"ReusedExchange\b.*\[plan_id=(\d+)\]")
 
+# a Generate node line (explode/posexplode/inline...); the codegen
+# prefix "*(n) " may precede it
+_GENERATE_RE = re.compile(r"(^|\s|\))Generate\b")
+# shuffle exchanges that decouple downstream parallelism from the scan's
+# file layout — hash/range/round-robin/single-partition, plus AQE's
+# coalesced read. BroadcastExchange deliberately absent.
+_REPART_RE = re.compile(
+    r"Exchange (hashpartitioning|rangepartitioning|RoundRobinPartitioning|"
+    r"SinglePartition)|AQEShuffleRead|ShuffleQueryStage"
+)
+
 
 def _bounded_node(lines: list[str], i: int, depth: int = 0) -> bool:
     """True iff the subtree rooted at lines[i] provably produces a
@@ -282,6 +298,45 @@ def scale_audit(df: DataFrame) -> list[Finding]:
                 "nested-loop join whose broadcast build side is a one-row "
                 "global aggregate or limit()-bounded — the scalar/bounded "
                 "cross-join idiom, O(rows x k)",
+            )
+        )
+    # Work-multiplying Generate (explode/posexplode) whose input chain
+    # reaches a file scan with NO repartitioning exchange in between:
+    # the multiplied per-row work inherits the SCAN's parallelism, which
+    # is set by file layout, not by compute need. On small/single-row-
+    # group files the whole multiplier runs in one task (the r12
+    # bootstrap/table_profile/exact-pairs finding — fixed by
+    # session.spread_input); at cluster scale the scan is already wide,
+    # so this is informational. BroadcastExchange does NOT count as a
+    # barrier (it repartitions the build side, not the streamed chain);
+    # cached/checkpointed inputs (InMemoryTableScan / Scan ExistingRDD)
+    # carry their own layout and are treated as decoupled.
+    gen_on_scan = 0
+    for i, line in enumerate(lines):
+        if not _GENERATE_RE.search(line):
+            continue
+        d = _indent(line)
+        flagged = False
+        for j in range(i + 1, len(lines)):
+            lj = lines[j]
+            if lj.strip() and _indent(lj) <= d:
+                break
+            if _REPART_RE.search(lj) or "InMemoryTableScan" in lj or "Scan ExistingRDD" in lj:
+                break
+            if "Scan parquet" in lj or "FileScan" in lj:
+                flagged = True
+                break
+        if flagged:
+            gen_on_scan += 1
+    if gen_on_scan:
+        findings.append(
+            Finding(
+                "generate-on-raw-scan",
+                "info",
+                "a Generate (explode) runs at raw scan parallelism (no "
+                "exchange below it); if the per-row multiplier is large "
+                "and input files are small, spread the input first "
+                "(session.spread_input / dedup._fan_out)",
             )
         )
     if "BatchEvalPython" in final:

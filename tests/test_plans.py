@@ -579,3 +579,32 @@ def test_ivf_assignment_is_scan_stage(spark, sf_dir):
     plan = ivf_build_fixed(emb, "vec_id", "embedding", 8).assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Window" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_scale_audit_generate_on_raw_scan_info(spark, sf_dir):
+    """The r12 'explode-under-one-split' detector: a work-multiplying
+    Generate fed directly by a file scan (no repartitioning exchange
+    below it) reports the info finding; the same explode behind a
+    spread_input barrier does not. Would have caught the r12
+    bootstrap/table_profile/exact-pairs single-task findings
+    mechanically."""
+    import os
+
+    from pd_explain_spark.plans.audit import scale_audit
+    from pd_explain_spark.session import spread_input
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    exploded = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    assert "generate-on-raw-scan" in {f.check for f in scale_audit(exploded)}
+    # info severity only — never fails assert_scalable
+    assert all(
+        f.severity != "fatal"
+        for f in scale_audit(exploded)
+        if f.check == "generate-on-raw-scan"
+    )
+    spread = spread_input(docs, "doc_id").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    assert "generate-on-raw-scan" not in {f.check for f in scale_audit(spread)}
