@@ -32,6 +32,7 @@ from typing import Callable, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import spread_input
 from .text import normalized_text
 
 __all__ = [
@@ -67,8 +68,16 @@ def token_chunk_segments(c: Column, k: int) -> Column:
 def _segment_table(
     df: DataFrame, text_col: str, id_col: str, segmenter: Callable[[Column], Column]
 ) -> DataFrame:
-    """(id, seg_pos, segment) — one row per segment occurrence."""
-    return df.select(
+    """(id, seg_pos, segment) — one row per segment occurrence.
+
+    The segmentation expression + posexplode multiply per-row work by
+    the segment count, so the input is spread to session parallelism
+    first (projected to the two columns the explode needs — guide §2.3
+    — and a no-op whenever the scan is already wide, e.g. at cluster
+    scale); without it the whole segment pipeline inherits a small
+    file's single-task layout (the scale_audit ``generate-on-raw-scan``
+    finding)."""
+    return spread_input(df.select(id_col, text_col), id_col).select(
         F.col(id_col), F.posexplode(segmenter(F.col(text_col))).alias("seg_pos", "segment")
     )
 

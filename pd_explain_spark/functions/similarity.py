@@ -336,7 +336,14 @@ def lsh_topk(
         dim = int(first[0])
     # norms ride along from before the explode — one norm per VECTOR,
     # not per (vector, table) row or per candidate pair; same doubles,
-    # so the inlined-plane DuckDB mirror is unaffected
+    # so the inlined-plane DuckDB mirror is unaffected.
+    # spread first: the bucket struct costs n_tables*n_planes dots per
+    # vector and the explode multiplies rows n_tables-fold, so a
+    # single-split scan would serialize all of it on one task (no-op at
+    # cluster parallelism; projected to the two needed columns first)
+    from ..session import spread_input
+
+    corpus = spread_input(corpus.select(id_col, vec_col), id_col)
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
