@@ -10875,59 +10875,62 @@ def bootstrap_mean_events_q(spark, sf_dir):
 # variants, reshape/accessor coverage) follow in registration order and
 # stay available to the bench and to local runs of scripts/check_oracles.py.
 _RECORD_FIRST = [
-    # r11 rotation (VERDICT r10 task #1): composition 50 = 12 + 30 + 8.
-    #   12 = the full r10 seventh wave (every oracle entry added after the
-    #      r10 window froze) — judge-verified 12/12 green at sf0.01 in the
-    #      r10 VERDICT; this rotation gives each its first driver row.
-    #   30 = oldest-first re-checks from the 44 entries whose last green
-    #      driver row is r06 (the stalest evidence on record).
-    #   8 = family anchors (test_driver_contract family invariant: every
-    #      operator family keeps one member in the window): groupby,
-    #      explainer kernels, mini-language, sinks, sketches, governance,
-    #      linalg, dedup-metrics — the most complex member of each.
-    #   NOT in this window, r12 pool in priority order: (1) the r11
-    #      eighth/ninth waves (mannwhitney_events, logrank_events,
-    #      cuped_events, spearman_orders, trimmed_lineitem,
-    #      readability_docs, image_dhash_planted, rfm_events,
-    #      bootstrap_mean_events — each oracle-green locally at
-    #      sf0.001/0.01/0.1); (2) the 14 remaining r06-stale re-checks
-    #      (q8_market_share, q13_customer_distribution,
-    #      q16_supplier_count, q19_disjunctive_revenue, q22_idle_balances,
-    #      hybrid_search_docs, top_terms_docs, lm_score_docs, and the six
-    #      the r10 judge re-verified: q9_profit_rollup, q21_late_blame,
-    #      many_to_one_full_rules, metainsight_kernel,
-    #      near_dup_keep_longest, semantic_dedup_survivors);
-    #      (3) r07-stale re-checks, family-spread.
+    # r13 rotation (VERDICT r12 task #2): the r11/r12 windows verified the
+    # IDENTICAL 50 entries, so the r12 optimization round's most-changed
+    # entries had no driver-verified oracle row. Composition 50 = 26 + 15
+    # + 9:
+    #   26 = every oracle-backed entry whose implementation was touched by
+    #      the r12/r13 optimization work (spread_input sites, pooled LSH,
+    #      driver union-find consumers, fedex/shapley histogram rework,
+    #      minhash SQL lanes, rfm checkpoint, classifier persist,
+    #      bootstrap replicate spread) plus the four entries VERDICT r12
+    #      item #5 flagged from the in-run window (cuped/cumsum/
+    #      curation_funnel/char_entropy).
+    #   15 = pool re-checks in the r12 VERDICT's priority order: the r11
+    #      eighth/ninth waves (mannwhitney, logrank, spearman, trimmed,
+    #      readability, image_dhash) and the r06-stale re-checks
+    #      (metainsight_kernel, near_dup_keep_longest,
+    #      semantic_dedup_survivors, q8, q13, q16, q19, q22,
+    #      hybrid_search_docs).
+    #   9 = family anchors (test_driver_contract family invariant —
+    #      relational, groupby, text, mini-language, training-mix, sinks,
+    #      governance, linalg, streaming).
+    #   NOT in this window, r14 pool in priority order: (1) remaining
+    #      r06/r07-stale re-checks (top_terms_docs, lm_score_docs,
+    #      q9_profit_rollup, q21_late_blame were dropped from this one
+    #      for space — q9/q21 were re-verified by the r10 judge);
+    #      (2) the r11 window members (nelson_aalen..calibration_events
+    #      and the r06 TPC-H/corpus re-checks), green twice running.
     #
-    # -- first driver rows: r10 seventh wave (events statistics, drift KS,
-    #    Zipf text fit, audio decode, eval-QA profiling)
-    "nelson_aalen_events", "chisq_variants_events", "attribution_events",
-    "attribution_linear_events", "ks_events_value", "windowed_ks_events",
-    "zipf_docs", "audio_features_planted", "rater_agreement_orders",
-    "benford_lineitem", "classification_report_orders", "calibration_events",
-    # -- re-checks, last green r06: TPC-H plan shapes
-    "q2_min_price_part", "q7_nation_trade_flow", "q11_important_stock",
-    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
-    "q20_dominant_suppliers",
-    # -- re-checks, last green r06: corpus / contamination family
-    "bm25_docs", "tfidf_docs", "vocabulary_docs", "corpus_stats_by_lang",
-    "contamination_pairs_docs", "decontaminate_docs", "dedup_against_corpus",
-    "dedup_near_against_corpus", "near_dup_against_corpus",
-    "near_dup_index_bucketed",
-    # -- re-checks, last green r06: dedup / curation / mixing
-    "segment_dedup_docs", "span_dedup_docs", "chunk_documents_overlap",
-    "edit_distance_pairs_docs", "semantic_dedup_pairs",
-    "ingest_pipeline_docs", "shuffle_shards_docs", "temperature_sample_docs",
-    # -- re-checks, last green r06: explainer text kernels
-    "fedex_groupby_explain_text", "outlier_explain_text",
-    "shapley_join_explain_text",
-    # -- re-checks, last green r06: time-series + relational tail
-    "rolling_hour_events", "topk_orders",
+    # -- r12/r13 optimization-touched entries (first driver row since
+    #    the code changed)
+    "bootstrap_mean_events", "embedding_near_dups", "rfm_events",
+    "table_profile_lineitem", "minhash_near_dups_md5",
+    "minhash_against_corpus", "windowed_mannwhitney_events",
+    "quality_fit_evidence", "similarity_lsh_topk",
+    "shapley_join_explain_text", "fedex_join_explain_text",
+    "fedex_filter_explain_text", "shapley_kernel", "dedup_sweep_winnow",
+    "cms_heavy_grams_docs", "near_dup_index_bucketed",
+    "text_semantic_dedup_docs", "mix_pipeline_docs", "curation_pipeline",
+    "embedding_near_dups_exact", "hashed_embeddings_docs",
+    "many_to_one_full_rules",
+    # -- VERDICT r12 item #5 in-run-window entries (plan-audited this
+    #    round; driver row proves the results too)
+    "cuped_events", "cumsum_events", "curation_funnel_docs",
+    "char_entropy_docs",
+    # -- pool re-checks: r11 eighth/ninth waves, first driver rows
+    "mannwhitney_events", "logrank_events", "spearman_orders",
+    "trimmed_lineitem", "readability_docs", "image_dhash_planted",
+    # -- pool re-checks: r06-stale
+    "metainsight_kernel", "near_dup_keep_longest",
+    "semantic_dedup_survivors", "q8_market_share",
+    "q13_customer_distribution", "q16_supplier_count",
+    "q19_disjunctive_revenue", "q22_idle_balances", "hybrid_search_docs",
     # -- family anchors (one per family the rotation would otherwise
-    #    leave unrepresented; most-complex member chosen)
-    "groupby_median", "fedex_filter_kernel", "mini_language_query",
-    "shards_roundtrip", "exact_quantiles_lineitem", "k_generalize_customer",
-    "pca_residuals_emb", "dedup_recall_winnow",
+    #    leave unrepresented)
+    "q3_shipping_priority", "mode_lineitem", "text_profile",
+    "mini_language_query", "token_budget_mix", "compact_roundtrip",
+    "l_diversity_customer", "pca_scores_emb", "windowed_psi_events",
 ]
 
 

@@ -213,18 +213,21 @@ class FedexExplainer(ExplainerBase):
                 StorageLevel.MEMORY_AND_DISK
             )
             released = source
-        profiles, corr = self._profile_and_corr(source, op.attribute, candidates)
-        if not profiles:
-            if released is not None:
-                released.unpersist()
-            return Explanation(kind="fedex-filter", query=op.query_string())
-        hist = dual_histogram_predicate(
-            source, op.predicate.to_spark(source), profiles, self.n_bins
-        )
-        if released is not None:
+        # try/finally: a histogram collect that throws must still release
+        # the lazily persisted projection (blocks otherwise linger until
+        # the ContextCleaner gets around to them — r12 VERDICT wart #4)
+        try:
+            profiles, corr = self._profile_and_corr(source, op.attribute, candidates)
+            if not profiles:
+                return Explanation(kind="fedex-filter", query=op.query_string())
+            hist = dual_histogram_predicate(
+                source, op.predicate.to_spark(source), profiles, self.n_bins
+            )
+        finally:
             # dual_histogram_predicate collects (pandas) — no further
             # consumers of the cached projection
-            released.unpersist()
+            if released is not None:
+                released.unpersist()
         items, scores = self._score_histogram(hist, profiles, side=None)
         exp = Explanation(
             kind="fedex-filter", query=op.query_string(), items=items[: self.top_k], scores=scores
@@ -309,36 +312,41 @@ class FedexExplainer(ExplainerBase):
         left_df, lp, lr = prepped["left"]
         right_df, rp, rr = prepped["right"]
         per_side: dict[str, tuple[list, dict]] = {}
-        if lp or rp:
-            if rebuild:
-                # weighted flavor: result-side counts derive from each
-                # side's join-key multiplicities — the rebuilt-join +
-                # third-explode branch this pipeline used to run is
-                # gone entirely (identical counts; see
-                # shapley_dual_histograms_weighted)
-                hist = shapley_dual_histograms_weighted(
-                    left_df, right_df, list(op.on), op.how, lp, rp, self.n_bins
-                )
-            else:
-                # sampling mode compares SAMPLED sides against the FULL
-                # recorded result — multiplicity weights of the sample
-                # would not reproduce that, so it keeps the union flavor
-                hist = shapley_dual_histograms(
-                    left_df, right_df, op.result, lp, rp, self.n_bins,
-                    left_rename=lr, right_rename=rr,
-                )
+        # try/finally: a histogram job that throws must still release the
+        # lazily persisted side projections (r12 VERDICT wart #4 — the
+        # blocks otherwise leak until the ContextCleaner)
+        try:
+            if lp or rp:
+                if rebuild:
+                    # weighted flavor: result-side counts derive from each
+                    # side's join-key multiplicities — the rebuilt-join +
+                    # third-explode branch this pipeline used to run is
+                    # gone entirely (identical counts; see
+                    # shapley_dual_histograms_weighted)
+                    hist = shapley_dual_histograms_weighted(
+                        left_df, right_df, list(op.on), op.how, lp, rp, self.n_bins
+                    )
+                else:
+                    # sampling mode compares SAMPLED sides against the FULL
+                    # recorded result — multiplicity weights of the sample
+                    # would not reproduce that, so it keeps the union flavor
+                    hist = shapley_dual_histograms(
+                        left_df, right_df, op.result, lp, rp, self.n_bins,
+                        left_rename=lr, right_rename=rr,
+                    )
+                for consider, profiles in (("left", lp), ("right", rp)):
+                    prefix = f"{consider}:"
+                    sub = hist[hist["attribute"].str.startswith(prefix)].copy()
+                    sub["attribute"] = sub["attribute"].str[len(prefix):]
+                    per_side[consider] = self._score_histogram(
+                        sub, profiles, side=consider
+                    )
+        finally:
             # the histograms are collected (pandas) — the cached side
             # projections have no further consumers
             for df in released:
                 df.unpersist()
             released.clear()
-            for consider, profiles in (("left", lp), ("right", rp)):
-                prefix = f"{consider}:"
-                sub = hist[hist["attribute"].str.startswith(prefix)].copy()
-                sub["attribute"] = sub["attribute"].str[len(prefix):]
-                per_side[consider] = self._score_histogram(
-                    sub, profiles, side=consider
-                )
         l_items, l_scores = per_side.get("left", ([], {}))
         r_items, r_scores = per_side.get("right", ([], {}))
         left = Explanation(kind="fedex-join", query=op.query_string(),

@@ -21,7 +21,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..session import checkpoint_df
+from ..session import checkpoint_df, spread_input
 
 from .hashing import md5_int
 
@@ -323,6 +323,16 @@ def lsh_topk(
     raise n_tables/lower n_planes or use brute_force_topk for
     exactness (the standard filtered-ANN trade-off).
     """
+    # spread BEFORE the corpus filter (r12 ADVICE): spread_input probes
+    # df.rdd.getNumPartitions(), and under AQE that eagerly materializes
+    # any upstream shuffle stage — an `allowed` semi join (or a computed
+    # embedding pipeline) would run once for the probe and again in the
+    # real query, since shuffle reuse does not span separate actions.
+    # Probing the raw scan is free (partition count comes from file
+    # listing), filters/semi-joins do not change partition count, and
+    # Catalyst still pushes `where` through the RepartitionByExpression
+    # into the parquet scan.
+    corpus = spread_input(corpus, id_col)
     corpus = _apply_corpus_filter(corpus, id_col, where, allowed)
     if dim is None:
         first = corpus.select(F.size(vec_col)).first()
@@ -337,13 +347,7 @@ def lsh_topk(
     # norms ride along from before the explode — one norm per VECTOR,
     # not per (vector, table) row or per candidate pair; same doubles,
     # so the inlined-plane DuckDB mirror is unaffected.
-    # spread first: the bucket struct costs n_tables*n_planes dots per
-    # vector and the explode multiplies rows n_tables-fold, so a
-    # single-split scan would serialize all of it on one task (no-op at
-    # cluster parallelism; projected to the two needed columns first)
-    from ..session import spread_input
-
-    corpus = spread_input(corpus.select(id_col, vec_col), id_col)
+    corpus = corpus.select(id_col, vec_col)
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -421,6 +425,16 @@ def embedding_near_duplicates(
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # spread before the bucket computation (guide §2.2/§2.5): the bucket
+    # frame costs n_pool hyperplane dots per vector, the posexplode
+    # multiplies rows n_tables-fold, and — decisive at sf0.1 — the
+    # candidate self-join below BROADCASTS one side, so its streamed
+    # side (and the map-side distinct over the sum-of-squared-bucket-
+    # sizes pair stream, ~25M rows here) inherits THIS frame's
+    # partitioning. On a single-split scan all of that ran in one task
+    # (measured: the whole entry core-scaled at only 1.35x). No-op at
+    # cluster parallelism; projected to the two needed columns already.
+    spread = spread_input(base, "id")
     # persist: the self-join below references this frame on BOTH sides —
     # without it the (n_tables x n_planes)-literal bucket expression (a
     # ~100 KB plan subtree that alone costs seconds to analyze) is
@@ -428,10 +442,10 @@ def embedding_near_duplicates(
     # persists its banded frame)
     if n_pool is not None:
         hashed = _pooled_table_bucket_frame(
-            base, "id", "v", dim, n_planes, n_tables, n_pool, seed
+            spread, "id", "v", dim, n_planes, n_tables, n_pool, seed
         ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
-        hashed = base.select(
+        hashed = spread.select(
             "id",
             F.explode(
                 _table_bucket_struct(F.col("v"), dim, n_planes, n_tables, seed)
