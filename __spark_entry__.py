@@ -6097,6 +6097,20 @@ def near_dup_components_q(spark, sf_dir):
     return duplicate_components(pairs)
 
 
+@_q("near_dup_components_distributed", _ORACLES["near_dup_components"])
+def near_dup_components_distributed_q(spark, sf_dir):
+    """Forced-distributed pointer-jumping twin of near_dup_components
+    (r12 VERDICT what's-wrong #5): the driver union-find fast path means
+    no bench entry exercised the distributed loop at sf0.1 — this probe
+    pins ``small_graph_edges=0`` so the loop a 100 TB duplicate graph
+    takes keeps a timed AND oracle-checked signal every round. Identical
+    result by the union-find/loop parity contract (same oracle SQL)."""
+    from pd_explain_spark.functions.dedup import duplicate_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return duplicate_components(pairs, small_graph_edges=0)
+
+
 @_q(
     "near_dup_keep_longest",
     """WITH toks AS (

@@ -433,7 +433,27 @@ def main() -> int:
     # totals, every regression, the slowest entries that fit, and a
     # pointer to the committed full record (BENCH_LOCAL.json, written
     # above). Trim the slowest-list until the line is under budget.
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    # STABLE MARQUEE SET (r12 VERDICT task #6): the slowest-N window
+    # alone turns improvements into phantom "dropped_from_bench" rows —
+    # an entry that leaves the window because it got FASTER has no
+    # current-round time in the compact line. Pinning the previous
+    # line's query set (the 15 entries of BENCH_r12) into every future
+    # line makes round-over-round comparison cover a fixed set; extra
+    # slowest entries are still appended as space allows (additions are
+    # fine — removals/renames are what the comparison cannot survive).
+    MARQUEE = [
+        "char_entropy_docs", "cumsum_events", "cuped_events",
+        "curation_funnel_docs", "curation_pipeline", "embedding_near_dups",
+        "many_to_one_full_rules", "minhash_against_corpus",
+        "minhash_near_dups", "mix_pipeline_docs", "near_dup_index_bucketed",
+        "quality_fit_evidence", "similarity_lsh_topk",
+        "soft_dedup_weights_docs", "text_semantic_dedup_docs",
+    ]
+    marquee = [(k, timings[k]) for k in MARQUEE if k in timings]
+    slowest = [
+        kv for kv in sorted(timings.items(), key=lambda kv: -kv[1])
+        if kv[0] not in MARQUEE
+    ]
     n_slow = min(15, len(slowest))
     while True:
         compact = {
@@ -445,15 +465,20 @@ def main() -> int:
             "regression_count": len(regressions),
             "regressions": regressions,
             "error_count": len(errors),
-            "queries": {k: round(v, 2) for k, v in slowest[:n_slow]},
+            "queries": {k: round(v, 2) for k, v in marquee + slowest[:n_slow]},
             "full": target,
         }
         line = json.dumps(compact, separators=(",", ":"))
-        if len(line) <= 1900 or n_slow == 0:
+        if len(line) <= 1900 or (n_slow == 0 and not marquee):
             break
-        # clamp: a decrement past 0 would turn slowest[:n_slow] into a
-        # NEGATIVE slice that silently keeps all-but-|n| entries
-        n_slow = max(0, n_slow - 3)
+        if n_slow > 0:
+            # clamp: a decrement past 0 would turn slowest[:n_slow] into
+            # a NEGATIVE slice that silently keeps all-but-|n| entries
+            n_slow = max(0, n_slow - 3)
+        else:
+            # last resort (regression-heavy line): the marquee yields
+            # too, rather than printing an unparseable truncated line
+            marquee = marquee[:-3] if len(marquee) > 3 else []
     print(line)
     if gate and (regressions or errors):
         return 1

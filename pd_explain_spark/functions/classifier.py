@@ -139,20 +139,27 @@ def train_quality_classifier(
         "label",
         F.when(F.col("id").startswith("1.0:"), F.lit(1.0)).otherwise(F.lit(0.0)),
     )
-    # Size the fit's parallelism to the TRAINING SET, not the session
-    # (guide §2: partition by the work): the balanced set is exactly
-    # 2 * n_ref rows, but inherits shuffle-partition counts from the
-    # bucket aggregation — L-BFGS then runs one treeAggregate job PER
-    # ITERATION over mostly-empty tasks (measured: a 16-row planted fit
-    # spent ~4s in 8 x 32-task iteration jobs). coalesce (no shuffle)
-    # to ~50k rows per partition, floored at 1; a genuinely large
-    # reference set keeps its parallelism.
-    train = train.coalesce(max(1, (2 * n_ref) // 50_000))
+    # persist the vectorized frame for the fit (guide §5: reuse +
+    # recompute cost): Spark 4's LogisticRegression does NOT cache its
+    # input internally, so an unpersisted train frame re-runs the whole
+    # bucket/UDF pipeline during the L-BFGS loop — measured 5.7s vs 0.5s
+    # for the fit on the 16-row planted set, coefficients bit-identical.
+    # The r12 coalesce() that sized partitions to the training set was
+    # REMOVED: interleaved A/B showed coalesce(1) adds ~6s to evaluating
+    # this plan (it drags the post-shuffle UDF/join stage to one task),
+    # while the persist already makes the per-iteration treeAggregate
+    # read cached blocks — mostly-empty task waves cost ~ms, not seconds.
+    from pyspark.storagelevel import StorageLevel
+
+    train = train.persist(StorageLevel.MEMORY_AND_DISK)
     lr = LogisticRegression(
         featuresCol="features", labelCol="label",
         regParam=reg_param, maxIter=max_iter, standardization=False,
     )
-    model = lr.fit(train)
+    try:
+        model = lr.fit(train)
+    finally:
+        train.unpersist()
     coef = model.coefficients
     return QualityModel(
         intercept=model.intercept,

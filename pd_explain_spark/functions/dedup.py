@@ -120,7 +120,9 @@ def shingles(text_col, n: int = 3):
     return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
 
 
-def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _shingle_index(
+    df: DataFrame, text_col: str, id_col: str, n: int, side_col: str | None = None
+) -> DataFrame:
     """Distinct (id, shingle) inverted index — the shared substrate for
     exact-Jaccard, MinHash and verification.
 
@@ -129,9 +131,15 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     projection collapse inlines the split expression into the transform()
     lambda body and the whole text is re-tokenized once per shingle —
     O(tokens^2) per doc and interpreted, which dominated early benchmarks.
+
+    ``side_col``: optional boolean tag carried through for the two-sided
+    flavor (:func:`_two_side_shingle_index`) — the distinct is then over
+    (side, id, shingle), i.e. per-side distinct of a tagged union.
     """
+    extra = [F.col(side_col)] if side_col else []
     toks_df = _fan_out(
         df.select(
+            *extra,
             F.col(id_col).alias("id"),
             F.split(normalized_text(F.col(text_col)), " ").alias("toks"),
         )
@@ -142,9 +150,54 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
         lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
     )
     return (
-        toks_df.select("id", F.explode(F.when(k > 0, grams).otherwise(F.array())).alias("shingle"))
+        toks_df.select(
+            *extra,
+            "id",
+            F.explode(F.when(k > 0, grams).otherwise(F.array())).alias("shingle"),
+        )
         .distinct()
     )
+
+
+def _two_side_shingle_index(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    cached: list,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE tokenize/shingle pass for both sides of a cross-corpus flavor
+    (guide §1.2 — fewer passes): the sides are tagged and unioned before
+    the shingle index, so ONE persisted (side, id, shingle) table feeds
+    both signature paths and both verify sides — one distinct shuffle and
+    one persist materialization instead of two of each. The per-side
+    views are filters of the cached table; a doc id present on both
+    sides keeps two tagged rows, exactly matching two separate indexes.
+    Returns (new_inv, corp_inv); the persisted union is appended to
+    ``cached`` for release by _finalize_release."""
+    from pyspark.storagelevel import StorageLevel
+
+    tagged = new_df.select(
+        F.lit(True).alias("__new"), F.col(id_col), F.col(text_col)
+    ).unionByName(
+        corpus_df.select(F.lit(False).alias("__new"), F.col(id_col), F.col(text_col))
+    )
+    inv_all = _shingle_index(tagged, text_col, id_col, n, side_col="__new").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # materialize the shared index EAGERLY: the downstream query fires
+    # many broadcast/scalar subqueries concurrently at its single
+    # terminal action, and with the cache cold each of them recomputes
+    # the full union+distinct (the cache dedupes storage, not
+    # in-flight computation) — measured 12.7s vs 4.5s on
+    # minhash_against_corpus. One count() populates the cache first,
+    # so every subquery reads blocks.
+    inv_all.count()
+    cached.append(inv_all)
+    new_inv = inv_all.filter(F.col("__new")).select("id", "shingle")
+    corp_inv = inv_all.filter(~F.col("__new")).select("id", "shingle")
+    return new_inv, corp_inv
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -445,15 +498,10 @@ def near_dup_pairs_against(
     overlap includes boilerplate shingles. Set sizes are computed per
     side, so id collisions between the two tables are harmless.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    new_inv = _shingle_index(new_df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cached: list[DataFrame] = []
+    new_inv, corp_inv = _two_side_shingle_index(
+        new_df, corpus_df, text_col, id_col, n, cached
     )
-    corp_inv = _shingle_index(corpus_df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    cached = [new_inv, corp_inv]
     return _cross_corpus_pairs(new_inv, corp_inv, threshold, max_df, cached)
 
 
@@ -1032,13 +1080,10 @@ def minhash_pairs_against(
     n-gram flavor)."""
     from pyspark.storagelevel import StorageLevel
 
-    new_inv = _shingle_index(new_df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cached: list[DataFrame] = []
+    new_inv, corp_inv = _two_side_shingle_index(
+        new_df, corpus_df, text_col, id_col, n, cached
     )
-    corp_inv = _shingle_index(corpus_df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    cached = [new_inv, corp_inv]
     if max_df is not None:
         hot = _hot_shingles(corp_inv, max_df).persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(hot)
@@ -1115,6 +1160,7 @@ def duplicate_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 12,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list:
     (id, component) with component = min id reachable through any chain
@@ -1175,8 +1221,12 @@ def duplicate_components(
     # exceeds it takes the distributed path unchanged (same decision
     # shape as Spark's own broadcast-join threshold). The count itself
     # reads the checkpointed edge blocks — no recompute.
-    n_edges = edges.limit(_SMALL_GRAPH_EDGES + 1).count()
-    if n_edges <= _SMALL_GRAPH_EDGES:
+    # ``small_graph_edges`` overrides the fast-path ceiling (0 forces the
+    # distributed loop — the bench keeps one forced-distributed probe so
+    # the loop that 100 TB graphs take has a timed signal every round)
+    threshold = _SMALL_GRAPH_EDGES if small_graph_edges is None else small_graph_edges
+    n_edges = edges.limit(threshold + 1).count()
+    if n_edges <= threshold:
         rows = edges.collect()
         parent: dict = {}
 
@@ -1431,13 +1481,9 @@ def edit_distance_pairs_against(
     shingle across the two inverted indexes; verification is the exact
     banded Levenshtein with the |len| lower-bound cut, as in
     :func:`edit_distance_pairs`."""
-    from pyspark.storagelevel import StorageLevel
-
-    new_inv = _shingle_index(new_df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    corp_inv = _shingle_index(corpus_df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cached: list[DataFrame] = []
+    new_inv, corp_inv = _two_side_shingle_index(
+        new_df, corpus_df, text_col, id_col, n, cached
     )
     disc_a = _df_pruned(new_inv, max_df) if max_df is not None else new_inv
     disc_b = _df_pruned(corp_inv, max_df) if max_df is not None else corp_inv
@@ -1454,7 +1500,7 @@ def edit_distance_pairs_against(
         F.col(id_col).alias("corpus_id"), normalized_text(F.col(text_col)).alias("__nt")
     )
     out = _levenshtein_verify(cands, tn, tc, "new_id", "corpus_id", max_dist)
-    return _finalize_release(out, [new_inv, corp_inv])
+    return _finalize_release(out, cached)
 
 
 def fuzzy_dedup_against(

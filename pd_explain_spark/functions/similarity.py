@@ -323,6 +323,25 @@ def lsh_topk(
     raise n_tables/lower n_planes or use brute_force_topk for
     exactness (the standard filtered-ANN trade-off).
     """
+    # dim probe BEFORE any added exchange: first() on the raw input costs
+    # no shuffle stage, while probing after the spread would materialize
+    # the repartition as its own job (shuffle reuse does not span
+    # separate actions — measured +1.3s on similarity_lsh_topk). A
+    # filtered-to-empty corpus flows through the normal plan and yields
+    # the same empty frame the probe shortcut returns.
+    if dim is None:
+        # isNotNull guard: the raw corpus may carry null-vector rows a
+        # caller's `where` used to exclude before the probe moved here;
+        # dim is per-table homogeneous, so any non-null row is correct
+        first = corpus.where(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
+        if first is None:  # empty corpus: empty result, not a crash —
+            # an ingest loop's empty micro-batch must flow through
+            return _empty_result(
+                corpus, id_col,
+                [("query_id", "id"), ("neighbor_id", "id"),
+                 ("rank", "int"), ("cosine_sim", "double")],
+            )
+        dim = int(first[0])
     # spread BEFORE the corpus filter (r12 ADVICE): spread_input probes
     # df.rdd.getNumPartitions(), and under AQE that eagerly materializes
     # any upstream shuffle stage — an `allowed` semi join (or a computed
@@ -334,16 +353,6 @@ def lsh_topk(
     # into the parquet scan.
     corpus = spread_input(corpus, id_col)
     corpus = _apply_corpus_filter(corpus, id_col, where, allowed)
-    if dim is None:
-        first = corpus.select(F.size(vec_col)).first()
-        if first is None:  # empty corpus: empty result, not a crash —
-            # an ingest loop's empty micro-batch must flow through
-            return _empty_result(
-                corpus, id_col,
-                [("query_id", "id"), ("neighbor_id", "id"),
-                 ("rank", "int"), ("cosine_sim", "double")],
-            )
-        dim = int(first[0])
     # norms ride along from before the explode — one norm per VECTOR,
     # not per (vector, table) row or per candidate pair; same doubles,
     # so the inlined-plane DuckDB mirror is unaffected.
