@@ -184,26 +184,27 @@ def cms_heavy_grams(
                 f"cms_heavy_grams: sketch covers depths {sorted(seen_depths)}, "
                 f"probe expects all of 0..{depth - 1}"
             )
-    sk = spark.createDataFrame(
-        sk_rows, "depth int, bucket bigint, count bigint"
-    ).limit(max(len(sk_rows), 1))
+    # fold the collected sketch into DENSE per-depth array LITERALS and
+    # probe with element_at instead of `depth` broadcast left-joins: the
+    # sketch is <= width*depth cells already on the driver, so the whole
+    # probe becomes ONE scan-stage expression — no createDataFrame job,
+    # no BroadcastExchange per depth, no join at all (guide §2.4/§7.3;
+    # the same fold-the-small-side-into-literals move as the LSH plane
+    # arrays). Absent cells are true zeros in CMS, so the dense arrays
+    # preserve the old left-join + coalesce(0) semantics exactly.
+    dense = [[0] * width for _ in range(depth)]
+    for d_, b_, c_ in sk_rows:
+        dense[d_][b_] = c_
     occ = _gram_occurrences(df, text_col, id_col, n)
-    probed = occ
-    est_cols = []
-    for d in range(depth):
-        side = (
-            sk.filter(F.col("depth") == d)
-            .select(
-                F.col("bucket").alias(f"__b{d}"),
-                F.col("count").alias(f"__c{d}"),
-            )
+    est_cols = [
+        F.element_at(
+            F.lit(dense[d]).cast("array<bigint>"),
+            _cms_bucket(F.col("gram"), d, width).cast("int") + 1,
         )
-        probed = probed.withColumn(
-            f"__b{d}", _cms_bucket(F.col("gram"), d, width)
-        ).join(F.broadcast(side), f"__b{d}", "left")
-        est_cols.append(F.coalesce(F.col(f"__c{d}"), F.lit(0)))
+        for d in range(depth)
+    ]
     cand = (
-        probed.withColumn("est_count", F.least(*est_cols).cast("bigint"))
+        occ.withColumn("est_count", F.least(*est_cols).cast("bigint"))
         .filter(F.col("est_count") >= F.lit(min_count))
         .select("gram", "est_count")
         .distinct()
