@@ -5149,16 +5149,22 @@ def quality_fit_evidence(spark, sf_dir):
     # set, not iteration count — acceptable for a once-per-release
     # evidence entry
     m = train_quality_classifier(raw, ref, n_buckets=128, max_iter=8)
-    pos_b = {
-        r["bucket"]
-        for r in _hashed_gram_buckets(ref.limit(1), "text", "doc_id", 128)
-        .distinct().collect()
-    }
-    neg_b = {
-        r["bucket"]
-        for r in _hashed_gram_buckets(raw.limit(1), "text", "doc_id", 128)
-        .distinct().collect()
-    }
+    # ONE collect for both planted-bucket sets (r13, guide §1.2): the
+    # two per-class collects were two ~0.6s driver jobs over one doc
+    # each; a tagged union folds them into one job with identical rows
+    from pyspark.sql import functions as F
+
+    planted = (
+        _hashed_gram_buckets(ref.limit(1), "text", "doc_id", 128)
+        .withColumn("__pos", F.lit(True))
+        .unionByName(
+            _hashed_gram_buckets(raw.limit(1), "text", "doc_id", 128)
+            .withColumn("__pos", F.lit(False))
+        )
+        .select("__pos", "bucket").distinct().collect()
+    )
+    pos_b = {r["bucket"] for r in planted if r["__pos"]}
+    neg_b = {r["bucket"] for r in planted if not r["__pos"]}
     fitted = [
         (int(b), 1 if m.coef.get(b, 0.0) > 0 else (-1 if m.coef.get(b, 0.0) < 0 else 0))
         for b in sorted((pos_b - neg_b) | (neg_b - pos_b))
