@@ -2391,7 +2391,14 @@ def web_curation_docs_q(spark, sf_dir):
     keep = gopher_gates(cleaned, min_words=40, min_stopwords=1).filter(
         "keep"
     ).select("doc_id")
-    uniq = dedup_exact(cleaned.join(keep, "doc_id"))
+    # settle the survivor set before the CCNet stage (r13, guide §7.2):
+    # ccnet_buckets references its input four times (LM fit, doc-token
+    # scoring, id spine, lang join), and each reference re-ran the full
+    # regex-clean -> gates -> dedup chain — the captured plan held the
+    # documents scan 80 times. One materialization, same rows.
+    from pd_explain_spark.session import checkpoint_df
+
+    uniq = checkpoint_df(dedup_exact(cleaned.join(keep, "doc_id")))
     out = ccnet_buckets(uniq, min_count=2)
     return out.filter("bucket IN ('head', 'middle')").select(
         "doc_id", "lang", "bucket"

@@ -754,6 +754,19 @@ def ccnet_buckets(
         df, reference, text_col, id_col, min_count, round_to
     ).join(df.select(id_col, lang_col), id_col)
     if cuts is None:
+        # settle the scored frame before fitting the in-corpus cuts
+        # (guide §5/§7.2 duplicated subtrees): `scored` is consumed
+        # TWICE (tercile cuts + the labeling join) and its own subtree
+        # references the input four times (LM vocab fit, doc-token
+        # scoring, id spine, lang join) — left lazy, a COMPUTED input
+        # pipeline (c4 -> gopher -> dedup in web_curation) re-ran ~8x
+        # in one action. O(docs) narrow rows, cheap to materialize.
+        # The cuts= fit-once path stays fully lazy: scored is consumed
+        # once there, and that is the streaming-compatible shape.
+        if not scored.isStreaming:
+            from ..session import checkpoint_df
+
+            scored = checkpoint_df(scored)
         cuts = _cuts_from_scored(scored, lang_col)
     bucket = (
         F.when(F.col("lm_score").isNull(), F.lit(None).cast("string"))
